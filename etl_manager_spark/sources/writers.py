@@ -1,0 +1,60 @@
+"""Schema-conformed writers (SURVEY §2.B B9).
+
+The reference never writes data itself (its example job calls a bare
+``df.write`` — ``example/glue_jobs/simple_etl_job/job.py:35``); here writes
+are first-class: conform the DataFrame to the declared schema (order, types,
+partitions-last), then write with the declared format + partitioning.
+
+Scale notes: ``partitionBy`` on declared partition columns gives Hive-style
+layouts that enable partition pruning downstream; callers control file
+sizing with ``df.repartition(n, *cols)`` before write — we deliberately do
+not inject a shuffle here.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+from pyspark.sql import functions as F
+
+from etl_manager_spark.sources.formats import spark_format_and_options
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql import DataFrame
+
+    from etl_manager_spark.meta.table import TableMeta
+
+
+def conform(df: "DataFrame", table: "TableMeta") -> "DataFrame":
+    """Project/cast ``df`` onto the table's declared schema. Missing nullable
+    columns become typed nulls; extra columns are dropped; order is the
+    declared order (partitions last)."""
+    projections = []
+    for field in table.spark_schema.fields:
+        if field.name in df.columns:
+            projections.append(F.col(field.name).cast(field.dataType).alias(field.name))
+        elif field.nullable:
+            projections.append(F.lit(None).cast(field.dataType).alias(field.name))
+        else:
+            raise ValueError(
+                f"DataFrame is missing non-nullable column {field.name!r}"
+            )
+    return df.select(*projections)
+
+
+def write_table(
+    df: "DataFrame",
+    table: "TableMeta",
+    path: str,
+    mode: str = "error",
+) -> None:
+    """Write ``df`` to ``path`` in the table's declared format, partitioned
+    by its declared partition columns."""
+    fmt, options = spark_format_and_options(table.data_format, table.format_options)
+    if table.data_format == "regex":
+        raise ValueError("regex tables are read-only (RegexSerDe is scan-only)")
+    conformed = conform(df, table)
+    writer = conformed.write.mode(mode).options(**options).format(fmt)
+    if table.partitions:
+        writer = writer.partitionBy(*table.partitions)
+    writer.save(path)
