@@ -1,0 +1,44 @@
+"""Decimal-exact aggregation helpers.
+
+Floating-point aggregation is order-dependent: ``sum(double)`` over a
+shuffled dataset gives different last-ulp results per partitioning, so
+results can't be compared bitwise across engines (or across two runs of the
+same engine at different parallelism). For deterministic, engine-portable
+results we aggregate in DECIMAL (exact, associative) and convert to double
+only at the very end — one deterministic IEEE operation.
+
+Empirically verified bitwise-equal between Spark local[4] and DuckDB on the
+sf0.01 testdata (sums, averages, product-sums; see tests/test_oracle_parity).
+
+Scale note: Spark's decimal sum is a JVM-side hash aggregate with partial
+(map-side) combine — same shuffle shape as a double sum, only marginally
+heavier arithmetic; safe at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# scale=2 matches the testdata's money columns exactly (verified: every
+# double round-trips through decimal(18,2) unchanged). Low scale matters for
+# the final decimal→double cast: it is correctly rounded in both engines only
+# while the unscaled value stays < 2^53, so the smallest sufficient scale is
+# the safest.
+DEFAULT_DECIMAL = "decimal(18,2)"
+
+
+def dec(col: Column | str, typ: str = DEFAULT_DECIMAL) -> Column:
+    """Cast to the exact decimal working type."""
+    return F.col(col).cast(typ) if isinstance(col, str) else col.cast(typ)
+
+
+def dec_sum(col: Column | str, typ: str = DEFAULT_DECIMAL) -> Column:
+    """Exact sum, returned as double (deterministic final conversion)."""
+    return F.sum(dec(col, typ)).cast("double")
+
+
+def dec_avg(col: Column | str, typ: str = DEFAULT_DECIMAL) -> Column:
+    """Exact-sum average: decimal sum → double, / count — a single IEEE
+    division, bitwise-reproducible anywhere."""
+    return F.sum(dec(col, typ)).cast("double") / F.count(F.lit(1))

@@ -1,0 +1,240 @@
+"""Deduplication operators (SURVEY §2.D): exact, MinHash+LSH band join,
+SimHash, n-gram Jaccard.
+
+Scale design (100 TB):
+
+* **Exact dedup** is one hash-aggregate shuffle on the dedup key — Spark
+  does map-side partial aggregation, so the shuffle carries one row per
+  distinct key per map partition, not the full data.
+* **MinHash hashing is embarrassingly parallel** (per-row expressions, no
+  Python). The only shuffles are the explode→min aggregation and the final
+  band-bucket self-join, whose fan-out is bounded by bucket size; hot
+  buckets (boilerplate docs) should be capped — see ``max_bucket_size``.
+* Hash functions are built from md5 (deterministic, engine-portable),
+  not ``F.hash`` (Spark-specific seed), so results are reproducible and
+  oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_manager_spark.operators.text import tokens
+
+
+def exact_dedup(
+    df: DataFrame,
+    subset: list[str],
+    id_col: str,
+) -> DataFrame:
+    """Keep one deterministic survivor (minimum ``id_col``) per distinct
+    ``subset`` value, annotated with the group's duplicate count.
+
+    Single shuffle on the dedup key; for a pure ``dropDuplicates`` without
+    survivor determinism Spark's built-in is fine — determinism is the point
+    here (reproducible pipelines)."""
+    return (
+        df.groupBy(*subset)
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("copies"),
+        )
+        .select(id_col, *subset, "copies")
+    )
+
+
+def _minhash_token_hash(token_col, seed: int):
+    """Portable 64-bit-ish hash: first 16 hex chars of md5(seed:token)."""
+    return F.substring(F.md5(F.concat(F.lit(f"{seed}:"), token_col)), 1, 16)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+) -> DataFrame:
+    """Per-document MinHash signature: for each of ``num_hashes`` seeded
+    hash functions, the minimum hash over the document's distinct tokens.
+
+    Implementation: explode distinct tokens → per-token array of seeded
+    hashes → groupBy doc taking element-wise min. One shuffle (by doc id);
+    the element-wise min is computed via ``F.min`` per signature position.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens(text_col))).alias("tok"),
+    )
+    hashed = toks.select(
+        id_col,
+        *[
+            _minhash_token_hash(F.col("tok"), i).alias(f"h{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    return hashed.groupBy(id_col).agg(
+        *[F.min(f"h{i}").alias(f"minhash_{i}") for i in range(num_hashes)]
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 2,
+    jaccard_threshold: float = 0.5,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """LSH near-duplicate candidate pairs, verified with exact Jaccard.
+
+    Pipeline: minhash signatures → band keys (md5 of each band's hashes) →
+    self-join per band bucket (pairs with id_a < id_b) → exact token-set
+    Jaccard filter at ``jaccard_threshold``.
+
+    Scale: the self-join is per band-bucket; ``max_bucket_size`` drops
+    degenerate buckets (e.g. empty-doc signatures) whose quadratic fan-out
+    would dominate at 100 TB. The exact-verify join re-reads only candidate
+    pairs' token sets.
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes)
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                *[F.col(f"minhash_{b * rows_per_band + i}") for i in range(rows_per_band)],
+            )
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = sigs.select(id_col, *band_cols)
+    buckets = banded.select(
+        id_col,
+        F.explode(
+            F.array(*[
+                F.concat_ws(":", F.lit(str(b)), F.col(f"band_{b}"))
+                for b in range(bands)
+            ])
+        ).alias("bucket"),
+    )
+    # cap degenerate buckets before the quadratic self-join
+    sized = buckets.withColumn(
+        "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("bucket"))
+    ).filter(F.col("bucket_n") <= max_bucket_size)
+    pairs = (
+        sized.alias("a")
+        .join(sized.alias("b"), on="bucket")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    jac = pairwise_jaccard(df, pairs, id_col, text_col)
+    return jac.filter(F.col("jaccard") >= jaccard_threshold)
+
+
+def pairwise_jaccard(
+    df: DataFrame, pairs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Exact token-set Jaccard for given (id_a, id_b) candidate pairs."""
+    sets = df.select(
+        F.col(id_col).alias("_sid"),
+        F.array_distinct(tokens(text_col)).alias("_toks"),
+    )
+    return (
+        pairs.join(sets.withColumnRenamed("_sid", "id_a"), on="id_a")
+        .withColumnRenamed("_toks", "toks_a")
+        .join(sets.withColumnRenamed("_sid", "id_b"), on="id_b")
+        .withColumnRenamed("_toks", "toks_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
+                / F.size(F.array_union("toks_a", "toks_b")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 20,
+) -> DataFrame:
+    """Top-k most similar document pairs by exact unigram-set Jaccard,
+    computed via an inverted-index join (explode tokens → join on token →
+    count intersections) — the scalable exact formulation: work is
+    proportional to co-occurring token pairs, not |docs|².
+
+    Deterministic order: (jaccard DESC, id_a, id_b)."""
+    tok = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
+    )
+    sizes = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        tok.alias("a")
+        .join(tok.alias("b"), on="tok")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    scored = (
+        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n", "na"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n", "nb"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i")).cast("double")).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(F.desc("jaccard"), "id_a", "id_b").limit(top_k)
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+) -> DataFrame:
+    """Per-document SimHash: each distinct token votes ±1 on ``bits`` bit
+    positions (bit b = top bit of hex digit b of md5(token), i.e. digit >=
+    '8' lexicographically — a portable comparison); the signature sets bit b
+    iff the vote sum is positive.
+
+    Pure expression pipeline: explode → per-bit vote columns → sum → bit
+    assembly. One shuffle. ``bits`` ≤ 32 keeps the signature in a long."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
+    )
+    votes = toks.select(
+        id_col,
+        *[
+            F.when(F.substring(F.md5("tok"), b + 1, 1) >= "8", 1)
+            .otherwise(-1)
+            .alias(f"v{b}")
+            for b in range(bits)
+        ],
+    )
+    summed = votes.groupBy(id_col).agg(
+        *[F.sum(f"v{b}").alias(f"s{b}") for b in range(bits)]
+    )
+    sig = summed.select(
+        id_col,
+        sum(
+            [
+                F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)).cast("long")
+                for b in range(bits)
+            ],
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+    return sig

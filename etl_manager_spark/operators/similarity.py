@@ -1,0 +1,159 @@
+"""Similarity search over embedding columns (SURVEY §2.D).
+
+Baseline: brute-force cosine top-k — exact, one broadcast join, JVM-side
+arithmetic via higher-order functions (zip_with/aggregate), no Python UDF.
+
+Scale path: LSH bucketing (random-hyperplane signs) cuts the candidate set
+from |corpus| to a bucket; brute-force then runs per bucket. At 100 TB the
+corpus side stays partitioned, the (small) query side broadcasts, and the
+dot products pipeline inside whole-stage codegen — no shuffle of the corpus
+at all for the brute-force path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential double dot product (deterministic; bitwise-reproducible)."""
+    return F.aggregate(
+        F.zip_with(a.cast("array<double>"), b.cast("array<double>"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a.cast("array<double>"), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    ``queries`` must be small (broadcast side); the corpus is scanned once
+    with no shuffle — ranking happens in a window partitioned by query id,
+    whose input is only |queries|·|corpus| scored rows pre-filtered by the
+    broadcast join. Ties break on candidate id for determinism."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("_qvec"), F.col("_cvec")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine_sim")
+    )
+
+
+def _hyperplane(dim: int, seed: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane from a hash — no RNG state,
+    reproducible across runs/engines."""
+    import hashlib
+
+    out = []
+    for i in range(dim):
+        h = hashlib.md5(f"{seed}:{i}".encode()).hexdigest()
+        out.append(int(h[:8], 16) / float(0xFFFFFFFF) * 2.0 - 1.0)
+    return out
+
+
+def lsh_bucket(vec_col: Column, dim: int, num_planes: int = 8, seed: int = 7) -> Column:
+    """Random-hyperplane LSH bucket id (0..2^num_planes-1) as a long.
+    Vectors with small angles land in the same bucket with high probability.
+    """
+    bucket = F.lit(0).cast("long")
+    for p in range(num_planes):
+        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, seed * 1000 + p)])
+        proj = F.aggregate(
+            F.zip_with(vec_col.cast("array<double>"), plane, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long")
+    return bucket
+
+
+def cosine_topk_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    num_planes: int = 4,
+) -> DataFrame:
+    """Approximate cosine top-k: hyperplane-LSH bucket both sides, join on
+    bucket, brute-force within bucket. Recall < 1.0 by design; at scale the
+    corpus shuffle is on the (small) bucket key and each bucket holds
+    ~|corpus|/2^planes candidates."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        lsh_bucket(F.col(vec_col), dim, num_planes).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+        lsh_bucket(F.col(vec_col), dim, num_planes).alias("bucket"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, on="bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("_qvec"), F.col("_cvec")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine_sim")
+    )
+
+
+def embedding_profile(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Per-vector stats: dimension, L2 norm, min/max element."""
+    v = F.col(vec_col).cast("array<double>")
+    return df.select(
+        F.col(id_col),
+        F.size(vec_col).alias("dim"),
+        l2_norm(F.col(vec_col)).alias("l2_norm"),
+        F.array_min(v).alias("min_val"),
+        F.array_max(v).alias("max_val"),
+    )

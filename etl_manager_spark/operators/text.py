@@ -1,0 +1,112 @@
+"""Text-analysis operators over a document table (SURVEY §2.D).
+
+All operators are pure ``pyspark.sql.functions`` expressions — JVM-side,
+whole-stage-codegen, no Python in the row path — so they scale linearly
+with executors at 100 TB. Tokenization is a simple whitespace split; swap
+in a BPE-ish regex via the ``pattern`` argument where needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_TOKEN_PATTERN = r"\s+"
+
+# Tiny built-in stopword/marker sets. Deterministic and engine-portable —
+# good enough for quality ratios; swap for real lexicons in production.
+STOPWORDS = ("the", "a", "an", "of", "and", "to", "in", "is", "it", "that")
+
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "es": ("el", "la", "de", "y", "que"),
+    "fr": ("le", "la", "de", "et", "que"),
+    "de": ("der", "die", "das", "und", "ist"),
+}
+
+
+def tokens(col: Column | str, pattern: str = DEFAULT_TOKEN_PATTERN) -> Column:
+    """Whitespace/regex tokenizer → array<string>."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), pattern)
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def distinct_token_count(col: Column | str) -> Column:
+    return F.size(F.array_distinct(tokens(col)))
+
+
+def stopword_ratio(col: Column | str, stopwords=STOPWORDS) -> Column:
+    toks = tokens(col)
+    stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(*stopwords)))
+    return stop.cast("double") / F.size(toks).cast("double")
+
+
+def quality_score(text_col: Column | str) -> Column:
+    """Heuristic document-quality score in [0,1]: length band + alpha ratio
+    + non-degenerate token diversity. Deterministic integer/compare logic so
+    it is portable across engines."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    n_tok = token_count(c)
+    n_distinct = distinct_token_count(c)
+    length_ok = (F.length(c) >= 20) & (F.length(c) <= 100000)
+    diversity = n_distinct.cast("double") / n_tok.cast("double")
+    return (
+        F.when(n_tok == 0, F.lit(0.0))
+        .otherwise(
+            (length_ok.cast("double") + (diversity > 0.1).cast("double") + diversity)
+            / F.lit(3.0)
+        )
+    )
+
+
+def language_id(text_col: Column | str, markers: dict[str, tuple[str, ...]] | None = None) -> Column:
+    """Marker-word language heuristic: count hits per language's marker set,
+    pick the argmax (ties → lexicographically first language), 'und' when no
+    marker hits. A real system would use char n-gram models; the operator
+    shape (pure expression, no shuffle) is the point here."""
+    markers = markers or LANG_MARKERS
+    toks = tokens(text_col)
+
+    def _hits(mset):
+        # factory binds mset per language (a default arg on the lambda would
+        # change its arity — PySpark maps lambda params to HOF variables)
+        return F.size(F.filter(toks, lambda t: F.lower(t).isin(*mset)))
+
+    scored = F.array(
+        *[
+            F.struct(_hits(mset).alias("hits"), F.lit(lang).alias("lang"))
+            for lang, mset in sorted(markers.items())
+        ]
+    )
+    # explicit fold keeping the first max → ties resolve to the
+    # lexicographically-first language (scored is sorted by lang)
+    folded = F.aggregate(
+        scored,
+        F.struct(F.lit(-1).alias("hits"), F.lit("und").alias("lang")),
+        lambda acc, s: F.when(s["hits"] > acc["hits"], s).otherwise(acc),
+    )
+    return F.when(folded["hits"] <= 0, F.lit("und")).otherwise(folded["lang"])
+
+
+def doc_fingerprint(text_col: Column | str) -> Column:
+    """Deterministic content fingerprint: md5 of the normalized token stream
+    (lowercased, whitespace-collapsed). Engine-portable (md5 is standard)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.md5(F.array_join(F.transform(tokens(c), F.lower), " "))
+
+
+def text_profile(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document text statistics table."""
+    return df.select(
+        F.col(id_col),
+        token_count(text_col).alias("n_tokens"),
+        distinct_token_count(text_col).alias("n_distinct_tokens"),
+        F.length(text_col).alias("n_chars"),
+        stopword_ratio(text_col).alias("stopword_ratio"),
+        quality_score(text_col).alias("quality"),
+        doc_fingerprint(text_col).alias("fingerprint"),
+    )

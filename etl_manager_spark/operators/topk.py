@@ -1,0 +1,52 @@
+"""Grouped top-k — the scalable formulation.
+
+``ORDER BY x LIMIT k`` globally is cheap (Spark's TakeOrderedAndProject —
+per-partition heaps + single-driver merge of k·partitions rows). Grouped
+top-k uses a rank window; partial aggregation doesn't apply, so the whole
+group shuffles — fine when groups are numerous/small (the common case).
+For few giant groups, pre-filter with an approximate per-partition top-k
+first (``partial_topk_prefilter``) to bound shuffle volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def grouped_topk(
+    df: DataFrame,
+    group_cols: list[str],
+    order_by: list[Column],
+    k: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Top-k rows per group by ``order_by`` (include a unique tiebreak
+    column in ``order_by`` for deterministic results)."""
+    w = Window.partitionBy(*group_cols).orderBy(*order_by)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )
+
+
+def partial_topk_prefilter(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int,
+    descending: bool = True,
+) -> DataFrame:
+    """Salted two-stage prefilter for grouped top-k over few giant groups:
+    rank within (group, input-partition-id) first — the salt spreads a giant
+    group over all reducers — keeping k rows per (group, partition). A final
+    :func:`grouped_topk` then ranks only k·num_partitions rows per group
+    instead of the whole group."""
+    part = df.withColumn("_pid", F.spark_partition_id())
+    order = F.col(value_col).desc() if descending else F.col(value_col).asc()
+    w = Window.partitionBy(*group_cols, "_pid").orderBy(order)
+    return (
+        part.withColumn("_lr", F.row_number().over(w))
+        .filter(F.col("_lr") <= k)
+        .drop("_pid", "_lr")
+    )

@@ -1,0 +1,115 @@
+"""Streaming windowed aggregations over an events-shaped source.
+
+Design: the same logical aggregation runs in batch (workloads/relational
+``events_hourly_rollup``) and streaming (here) — Structured Streaming's
+incremental execution of the identical DataFrame plan. Tests assert
+batch/stream equivalence, which is the property that matters at scale
+(a backfill and the live stream must agree).
+
+Watermarking: ``withWatermark(ts, delay)`` bounds state: late rows beyond
+the delay are dropped in append mode. State-store size is then
+O(active windows × groups), independent of stream length.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+from pyspark.sql import functions as F
+
+from etl_manager_spark.functions.exact import dec_sum
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql import DataFrame, SparkSession
+
+
+EVENTS_RAW_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """File-source stream over the events parquet (ts arrives as raw nanos —
+    the same nanosAsLong quirk as batch; converted to timestamp here)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # file-source streams require a directory path; select just the events
+    # file from the shared sf dir with a glob filter
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    # TIMESTAMP (not NTZ): EventTimeWatermark requires it; session TZ is
+    # pinned to UTC so values line up with the batch NTZ variant.
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def hourly_rollup(events: "DataFrame", watermark: str = "1 hour") -> "DataFrame":
+    """Tumbling 1-hour window aggregation (streaming form of the batch
+    ``events_hourly_rollup``). Uses ``F.window`` so the plan is watermark-
+    aware; ``window.start`` is exposed as ``hour_start`` to match batch."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum("value").alias("total_value"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("hour_start"),
+            "n_events",
+            "total_value",
+            "approx_users",
+        )
+    )
+
+
+def sliding_rollup(events: "DataFrame", size: str = "2 hours", slide: str = "1 hour") -> "DataFrame":
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", size, slide))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+            F.col("window.end").cast("timestamp_ntz").alias("window_end"),
+            "n_events",
+        )
+    )
+
+
+def session_rollup(events: "DataFrame", gap: str = "30 minutes") -> "DataFrame":
+    """Session windows (gap-based) per user — the streaming counterpart of
+    the batch sessionization workload."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("session_window.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_to_memory(
+    stream_df: "DataFrame",
+    spark: "SparkSession",
+    name: str,
+    output_mode: str = "complete",
+) -> "DataFrame":
+    """Execute a streaming aggregation with availableNow (process all data
+    now, then stop) into an in-memory sink; returns the result table."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -1,0 +1,388 @@
+"""Training-data-pipeline workloads (SURVEY §2.D): dedup, text analysis,
+similarity search, as-of joins, multimodal plumbing — each exercising the
+reusable operators in ``etl_manager_spark.operators``.
+
+Oracle notes: hashes are md5-based (engine-portable); float outputs are
+either single-IEEE-op derivations from exact values (verified bitwise-equal
+between Spark and DuckDB) or integer ratios.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_manager_spark.operators import dedup as D
+from etl_manager_spark.operators import multimodal as M
+from etl_manager_spark.operators import similarity as S
+from etl_manager_spark.operators import text as X
+from etl_manager_spark.operators.asof import asof_join
+from etl_manager_spark.workloads import workload
+from etl_manager_spark.workloads.tables import load_tables
+
+_TOK_SQL = r"REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')"
+_STOP_SQL = "('" + "','".join(X.STOPWORDS) + "')"
+
+
+# --------------------------------------------------------------------- #
+# Exact dedup
+
+
+@workload(
+    "dedup_exact_documents",
+    """
+    SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, text, COUNT(*) AS copies
+    FROM documents GROUP BY text
+    """,
+    category="dedup",
+)
+def dedup_exact_documents(spark, sf_dir):
+    """Exact dedup on full text: one hash-aggregate shuffle, deterministic
+    survivor (min doc_id)."""
+    t = load_tables(spark, sf_dir)
+    return D.exact_dedup(t["documents"], subset=["text"], id_col="doc_id")
+
+
+@workload(
+    "dedup_exact_events_by_user_type",
+    """
+    SELECT CAST(MIN(event_id) AS BIGINT) AS event_id, user_id, event_type,
+           COUNT(*) AS copies
+    FROM events GROUP BY user_id, event_type
+    """,
+    category="dedup",
+)
+def dedup_exact_events_by_user_type(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return D.exact_dedup(t["events"], subset=["user_id", "event_type"], id_col="event_id")
+
+
+# --------------------------------------------------------------------- #
+# Text analysis
+
+
+@workload(
+    "text_profile_documents",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, text, {_TOK_SQL} AS toks FROM documents
+    )
+    SELECT doc_id,
+           CAST(LEN(toks) AS INTEGER) AS n_tokens,
+           CAST(LEN(LIST_DISTINCT(toks)) AS INTEGER) AS n_distinct_tokens,
+           CAST(LENGTH(text) AS INTEGER) AS n_chars,
+           CAST(LEN(LIST_FILTER(toks, t -> LOWER(t) IN {_STOP_SQL})) AS DOUBLE)
+             / CAST(LEN(toks) AS DOUBLE) AS stopword_ratio,
+           CASE WHEN LEN(toks) = 0 THEN 0.0 ELSE
+             ((CASE WHEN LENGTH(text) BETWEEN 20 AND 100000 THEN 1.0 ELSE 0.0 END)
+              + (CASE WHEN CAST(LEN(LIST_DISTINCT(toks)) AS DOUBLE) / CAST(LEN(toks) AS DOUBLE) > 0.1
+                      THEN 1.0 ELSE 0.0 END)
+              + CAST(LEN(LIST_DISTINCT(toks)) AS DOUBLE) / CAST(LEN(toks) AS DOUBLE)) / 3.0
+           END AS quality,
+           MD5(ARRAY_TO_STRING(LIST_TRANSFORM(toks, t -> LOWER(t)), ' ')) AS fingerprint
+    FROM tok
+    """,
+    category="text",
+)
+def text_profile_documents(spark, sf_dir):
+    """Per-document stats — pure JVM expressions, no shuffle at all."""
+    t = load_tables(spark, sf_dir)
+    return X.text_profile(t["documents"])
+
+
+@workload(
+    "lang_id_documents",
+    """
+    WITH scores AS (
+      SELECT doc_id, lang,
+             LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+'),
+                 t -> LOWER(t) IN ('der','die','das','und','ist'))) AS s_de,
+             LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+'),
+                 t -> LOWER(t) IN ('the','a','of','and','to'))) AS s_en,
+             LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+'),
+                 t -> LOWER(t) IN ('el','la','de','y','que'))) AS s_es,
+             LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+'),
+                 t -> LOWER(t) IN ('le','la','de','et','que'))) AS s_fr
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN GREATEST(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
+                WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                WHEN s_es >= s_fr THEN 'es'
+                ELSE 'fr' END AS predicted_lang
+    FROM scores
+    """,
+    category="text",
+)
+def lang_id_documents(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id", "lang", X.language_id("text").alias("predicted_lang")
+    )
+
+
+# --------------------------------------------------------------------- #
+# MinHash / SimHash / Jaccard near-dup
+
+
+def _minhash_oracle(num_hashes: int = 8) -> str:
+    cols = ",\n           ".join(
+        f"MIN(SUBSTR(MD5('{i}:' || tok), 1, 16)) AS minhash_{i}"
+        for i in range(num_hashes)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, UNNEST({_TOK_SQL}) AS tok FROM documents
+    )
+    SELECT doc_id,
+           {cols}
+    FROM tok GROUP BY doc_id
+    """
+
+
+@workload("minhash_signatures_documents", _minhash_oracle(), category="dedup")
+def minhash_signatures_documents(spark, sf_dir):
+    """8-hash MinHash signatures (portable md5 hash family)."""
+    t = load_tables(spark, sf_dir)
+    return D.minhash_signatures(t["documents"], num_hashes=8)
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    votes = ",\n             ".join(
+        f"SUM(CASE WHEN SUBSTR(MD5(tok), {b + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(bits)
+    )
+    bitsum = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(bits)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, UNNEST({_TOK_SQL}) AS tok FROM documents
+    ),
+    sums AS (
+      SELECT doc_id,
+             {votes}
+      FROM tok GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({bitsum} AS BIGINT) AS simhash FROM sums
+    """
+
+
+@workload("simhash_documents", _simhash_oracle(), category="dedup")
+def simhash_documents(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return D.simhash(t["documents"], bits=16)
+
+
+@workload(
+    "ngram_jaccard_top_pairs",
+    f"""
+    WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+    tok AS (SELECT DISTINCT doc_id, UNNEST({_TOK_SQL}) AS tok FROM sub),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    ORDER BY jaccard DESC, id_a, id_b
+    LIMIT 20
+    """,
+    category="dedup",
+)
+def ngram_jaccard_top_pairs(spark, sf_dir):
+    """Exact Jaccard top-20 pairs via inverted-index join (work scales with
+    co-occurring tokens, not |docs|²). Bounded to doc_id<200 in the workload;
+    the operator itself takes any frame."""
+    t = load_tables(spark, sf_dir)
+    return D.ngram_jaccard_pairs(
+        t["documents"].filter(F.col("doc_id") < 200), top_k=20
+    )
+
+
+@workload(
+    "minhash_near_dup_pairs",
+    f"""
+    WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+    tok AS (SELECT DISTINCT doc_id, UNNEST({_TOK_SQL}) AS tok FROM sub),
+    hashed AS (
+      SELECT doc_id,
+             MIN(SUBSTR(MD5('0:' || tok), 1, 16)) AS h0,
+             MIN(SUBSTR(MD5('1:' || tok), 1, 16)) AS h1,
+             MIN(SUBSTR(MD5('2:' || tok), 1, 16)) AS h2,
+             MIN(SUBSTR(MD5('3:' || tok), 1, 16)) AS h3,
+             MIN(SUBSTR(MD5('4:' || tok), 1, 16)) AS h4,
+             MIN(SUBSTR(MD5('5:' || tok), 1, 16)) AS h5,
+             MIN(SUBSTR(MD5('6:' || tok), 1, 16)) AS h6,
+             MIN(SUBSTR(MD5('7:' || tok), 1, 16)) AS h7
+      FROM tok GROUP BY doc_id
+    ),
+    buckets AS (
+      SELECT doc_id, '0:' || MD5(h0 || '|' || h1 || '|' || h2 || '|' || h3) AS bucket FROM hashed
+      UNION ALL
+      SELECT doc_id, '1:' || MD5(h4 || '|' || h5 || '|' || h6 || '|' || h7) AS bucket FROM hashed
+    ),
+    sized AS (
+      SELECT doc_id, bucket FROM buckets
+      QUALIFY COUNT(*) OVER (PARTITION BY bucket) <= 1000
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sized a JOIN sized b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    sets AS (SELECT doc_id, LIST_DISTINCT({_TOK_SQL}) AS toks FROM sub)
+    SELECT id_a, id_b,
+           CAST(LEN(LIST_INTERSECT(sa.toks, sb.toks)) AS DOUBLE)
+             / CAST(LEN(LIST_DISTINCT(LIST_CONCAT(sa.toks, sb.toks))) AS DOUBLE) AS jaccard
+    FROM pairs
+    JOIN sets sa ON sa.doc_id = id_a
+    JOIN sets sb ON sb.doc_id = id_b
+    WHERE CAST(LEN(LIST_INTERSECT(sa.toks, sb.toks)) AS DOUBLE)
+             / CAST(LEN(LIST_DISTINCT(LIST_CONCAT(sa.toks, sb.toks))) AS DOUBLE) >= 0.5
+    """,
+    category="dedup",
+)
+def minhash_near_dup_pairs(spark, sf_dir):
+    """MinHash-LSH candidate generation + exact-Jaccard verification."""
+    t = load_tables(spark, sf_dir)
+    return D.minhash_near_duplicates(
+        t["documents"].filter(F.col("doc_id") < 200),
+        num_hashes=8,
+        bands=2,
+        jaccard_threshold=0.5,
+    )
+
+
+# --------------------------------------------------------------------- #
+# Similarity search
+
+
+@workload(
+    "similarity_topk_bruteforce",
+    """
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             LIST_DOT_PRODUCT(qv, cv)
+               / (SQRT(LIST_DOT_PRODUCT(qv, qv)) * SQRT(LIST_DOT_PRODUCT(cv, cv))) AS cosine_sim
+      FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, rank, neighbor_id, cosine_sim
+    FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                            ORDER BY cosine_sim DESC, neighbor_id) AS INTEGER) AS rank
+          FROM scored)
+    WHERE rank <= 5
+    """,
+    category="similarity",
+)
+def similarity_topk_bruteforce(spark, sf_dir):
+    """Exact cosine top-5 for 5 query vectors: broadcast queries, scan
+    corpus once, JVM-side dot products (bitwise-deterministic sequential
+    double accumulation — verified against DuckDB)."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    return S.cosine_topk(emb.filter(F.col("vec_id") < 5), emb, k=5)
+
+
+@workload(
+    "embedding_profile",
+    """
+    SELECT vec_id,
+           CAST(LEN(embedding) AS INTEGER) AS dim,
+           SQRT(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS l2_norm,
+           LIST_AGGREGATE(CAST(embedding AS DOUBLE[]), 'min') AS min_val,
+           LIST_AGGREGATE(CAST(embedding AS DOUBLE[]), 'max') AS max_val
+    FROM embeddings
+    """,
+    category="similarity",
+)
+def embedding_profile(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return S.embedding_profile(t["embeddings"])
+
+
+# rows-only (approximate by design — no SQL oracle)
+@workload("similarity_topk_lsh", None, category="similarity")
+def similarity_topk_lsh(spark, sf_dir):
+    """Hyperplane-LSH approximate top-k (scale path: bucket join instead of
+    full cross product). Approximate → no SQL oracle; tests check recall
+    against the brute-force result instead."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    return S.cosine_topk_lsh(
+        emb.filter(F.col("vec_id") < 5), emb, dim=64, k=5, num_planes=4
+    )
+
+
+# --------------------------------------------------------------------- #
+# As-of join
+
+
+@workload(
+    "asof_events_last_order",
+    """
+    WITH ord AS (
+      SELECT o_custkey AS user_id, o_orderdate,
+             MAX(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, e.ts,
+           o.o_orderkey AS o_orderkey_asof,
+           o.o_orderdate AS o_orderdate_asof
+    FROM events e
+    ASOF LEFT JOIN ord o
+      ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
+    """,
+    category="asof",
+)
+def asof_events_last_order(spark, sf_dir):
+    """As-of join: for each event, the user's most recent order at event
+    time. Union-sort-window implementation (operators/asof.py) — one shuffle
+    per side, no range explosion. Orders pre-deduped per (user, date) for a
+    deterministic payload."""
+    t = load_tables(spark, sf_dir)
+    orders = (
+        t["orders"]
+        .groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    events = t["events"].select("event_id", "user_id", "ts")
+    return asof_join(
+        events,
+        orders,
+        on="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_payload=["o_orderkey"],
+    )
+
+
+# --------------------------------------------------------------------- #
+# Multimodal plumbing (stubbed codec, real Spark plumbing; rows-only)
+
+
+@workload("multimodal_feature_extract", None, category="multimodal")
+def multimodal_feature_extract(spark, sf_dir):
+    """Binary media column → Arrow-batched mapInPandas feature extraction
+    (decode stubbed deterministically; see operators/multimodal.py)."""
+    media = M.synthetic_media(spark, n=64)
+    return M.extract_features(media, feature_dim=16)
+
+
+@workload(
+    "multimodal_media_stats",
+    None,  # synthetic input table exists only Spark-side
+    category="multimodal",
+)
+def multimodal_media_stats(spark, sf_dir):
+    media = M.synthetic_media(spark, n=64)
+    return M.media_stats(media)

@@ -1,0 +1,775 @@
+"""Relational operator coverage (SURVEY §2.C) over the TPC-H-ish testdata.
+
+Every query is idiomatic DataFrame code — scans with pushed-down filters,
+broadcast-able dimension joins, partial-aggregated groupBys, rank windows —
+paired with a DuckDB oracle. Aggregates over doubles use the decimal-exact
+discipline (see functions/exact.py) so both engines emit bitwise-equal
+doubles.
+
+Scale notes are inline per query; the common themes:
+* dimension tables (region/nation/supplier) broadcast — no shuffle of the
+  fact table for those joins;
+* groupBy aggregates rely on Catalyst's partial (map-side) aggregation;
+* top-k = global TakeOrderedAndProject or rank-window per group;
+* AQE handles join-strategy fallback and skew splitting at real scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_manager_spark.functions.exact import dec, dec_avg, dec_sum
+from etl_manager_spark.operators.topk import grouped_topk
+from etl_manager_spark.workloads import workload
+from etl_manager_spark.workloads.tables import load_tables
+
+# SQL fragment helpers for the DuckDB oracle side (mirror functions/exact.py)
+def _dsum(col: str) -> str:
+    return f"CAST(SUM(CAST({col} AS DECIMAL(18,2))) AS DOUBLE)"
+
+
+def _davg(col: str) -> str:
+    return f"CAST(SUM(CAST({col} AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)"
+
+
+_REVENUE_SPARK = (
+    lambda: F.sum(
+        dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+    ).cast("double")
+)
+_REVENUE_SQL = (
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+    "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
+)
+
+
+# --------------------------------------------------------------------- #
+# Aggregation family
+
+
+@workload(
+    "q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {_dsum('l_quantity')} AS sum_qty,
+           {_dsum('l_extendedprice')} AS sum_base_price,
+           {_REVENUE_SQL} AS sum_disc_price,
+           {_davg('l_quantity')} AS avg_qty,
+           {_davg('l_extendedprice')} AS avg_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    category="aggregation",
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: single fact scan + 6-group hash aggregate.
+    Scale: filter pushes to parquet row groups; partial agg makes the
+    shuffle 6 rows per map task."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum("l_quantity").alias("sum_qty"),
+            dec_sum("l_extendedprice").alias("sum_base_price"),
+            _REVENUE_SPARK().alias("sum_disc_price"),
+            dec_avg("l_quantity").alias("avg_qty"),
+            dec_avg("l_extendedprice").alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@workload(
+    "agg_orders_by_priority",
+    f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           {_dsum('o_totalprice')} AS total_revenue,
+           {_davg('o_totalprice')} AS avg_price,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+    category="aggregation",
+)
+def agg_orders_by_priority(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return t["orders"].groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dec_sum("o_totalprice").alias("total_revenue"),
+        dec_avg("o_totalprice").alias("avg_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+@workload(
+    "agg_distinct_per_segment",
+    """
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+           CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_distinct_keys
+    FROM customer GROUP BY c_mktsegment
+    """,
+    category="aggregation",
+)
+def agg_distinct_per_segment(spark, sf_dir):
+    """countDistinct → Catalyst expands to a two-stage aggregate
+    automatically (partial distinct per mapper)."""
+    t = load_tables(spark, sf_dir)
+    return t["customer"].groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.countDistinct("c_custkey").alias("n_distinct_keys"),
+    )
+
+
+@workload(
+    "rollup_revenue_region_nation",
+    f"""
+    SELECT COALESCE(r_name, 'ALL') AS region_name,
+           COALESCE(n_name, 'ALL') AS nation_name,
+           COUNT(*) AS n_orders,
+           {_dsum('o_totalprice')} AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    category="aggregation",
+)
+def rollup_revenue_region_nation(spark, sf_dir):
+    """ROLLUP grouping sets; nation/region joins are broadcast (tiny dims)."""
+    t = load_tables(spark, sf_dir)
+    joined = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dec_sum("o_totalprice").alias("revenue"))
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation_name"),
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+@workload(
+    "cube_status_priority",
+    """
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    category="aggregation",
+)
+def cube_status_priority(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+        )
+    )
+
+
+# --------------------------------------------------------------------- #
+# Join family
+
+
+@workload(
+    "q3_shipping_priority",
+    f"""
+    SELECT l_orderkey, o_orderdate, o_orderpriority,
+           {_REVENUE_SQL} AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    category="join",
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape. Scale: filters push to scans; customer→orders is a
+    shuffle join on custkey, lineitem joins on orderkey; final top-10 is a
+    TakeOrderedAndProject (per-partition heap), not a full sort."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.lit("1996-01-01").cast("timestamp_ntz"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_REVENUE_SPARK().alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@workload(
+    "q5_local_supplier_volume",
+    f"""
+    SELECT n_name, {_REVENUE_SQL} AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+    category="join",
+)
+def q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: 6-way join. supplier/nation/region broadcast."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp_ntz"))
+        )
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(t["supplier"]),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("n_name")
+        .agg(_REVENUE_SPARK().alias("revenue"))
+    )
+
+
+@workload(
+    "join_left_customer_order_stats",
+    f"""
+    SELECT c_custkey, c_name,
+           CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
+           COALESCE({_dsum('o_totalprice')}, 0.0) AS total_spent
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    """,
+    category="join",
+)
+def join_left_customer_order_stats(spark, sf_dir):
+    """LEFT join preserving order-less customers (the reference's canonical
+    query shape — example job.py:33)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(dec_sum("o_totalprice"), F.lit(0.0)).alias("total_spent"),
+        )
+    )
+
+
+@workload(
+    "join_semi_customers_with_open_orders",
+    """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+    """,
+    category="join",
+)
+def join_semi_customers_with_open_orders(spark, sf_dir):
+    """LEFT SEMI join — dedup-free existence check, no orders columns leak."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(
+            t["orders"].filter(F.col("o_orderstatus") == "O"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_semi",
+        )
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+@workload(
+    "join_anti_customers_without_orders",
+    """
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    category="join",
+)
+def join_anti_customers_without_orders(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+@workload(
+    "join_full_nation_presence",
+    """
+    WITH cust AS (SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers
+                  FROM customer GROUP BY c_nationkey),
+         supp AS (SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers
+                  FROM supplier GROUP BY s_nationkey)
+    SELECT COALESCE(cust.nationkey, supp.nationkey) AS nationkey,
+           COALESCE(n_customers, 0) AS n_customers,
+           COALESCE(n_suppliers, 0) AS n_suppliers
+    FROM cust FULL OUTER JOIN supp ON cust.nationkey = supp.nationkey
+    """,
+    category="join",
+)
+def join_full_nation_presence(spark, sf_dir):
+    """FULL OUTER join of two pre-aggregated sides (aggregate-then-join:
+    the join input is |nations| rows, not |customers|)."""
+    t = load_tables(spark, sf_dir)
+    cust = (
+        t["customer"].groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    supp = (
+        t["supplier"].groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return (
+        cust.join(supp, on="nationkey", how="full_outer")
+        .select(
+            "nationkey",
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+    )
+
+
+@workload(
+    "join_cross_region_pairs",
+    """
+    SELECT a.r_name AS region_a, b.r_name AS region_b
+    FROM region a CROSS JOIN region b
+    """,
+    category="join",
+)
+def join_cross_region_pairs(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    a = t["region"].select(F.col("r_name").alias("region_a"))
+    b = t["region"].select(F.col("r_name").alias("region_b"))
+    return a.crossJoin(b)
+
+
+# --------------------------------------------------------------------- #
+# Window family
+
+
+@workload(
+    "window_top3_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rank
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rank
+          FROM orders)
+    WHERE rank <= 3
+    """,
+    category="window",
+)
+def window_top3_orders_per_customer(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return grouped_topk(
+        t["orders"].select("o_custkey", "o_orderkey", "o_totalprice"),
+        group_cols=["o_custkey"],
+        order_by=[F.desc("o_totalprice"), F.asc("o_orderkey")],
+        k=3,
+    )
+
+
+@workload(
+    "window_running_spend",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+                AS DOUBLE) AS running_spend
+    FROM orders WHERE o_custkey < 100
+    """,
+    category="window",
+)
+def window_running_spend(spark, sf_dir):
+    """Running total per customer — decimal accumulation keeps the window
+    sum exact and portable."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        t["orders"]
+        .filter(F.col("o_custkey") < 100)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.sum(dec("o_totalprice")).over(w).cast("double").alias("running_spend"),
+        )
+    )
+
+
+@workload(
+    "window_order_gap_days",
+    """
+    SELECT o_custkey, o_orderkey,
+           DATE_DIFF('day',
+                     CAST(LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                                 ORDER BY o_orderdate, o_orderkey) AS DATE),
+                     CAST(o_orderdate AS DATE)) AS gap_days
+    FROM orders WHERE o_custkey < 100
+    """,
+    category="window",
+)
+def window_order_gap_days(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        t["orders"]
+        .filter(F.col("o_custkey") < 100)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.datediff(
+                F.to_date("o_orderdate"), F.to_date(F.lag("o_orderdate").over(w))
+            ).alias("gap_days"),
+        )
+    )
+
+
+# --------------------------------------------------------------------- #
+# Set operations / sort / top-k
+
+
+@workload(
+    "setop_nations_with_both",
+    """
+    SELECT n_name FROM nation JOIN customer ON c_nationkey = n_nationkey
+    INTERSECT
+    SELECT n_name FROM nation JOIN supplier ON s_nationkey = n_nationkey
+    """,
+    category="setop",
+)
+def setop_nations_with_both(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    cust_nations = t["nation"].join(
+        t["customer"], F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("n_name")
+    supp_nations = t["nation"].join(
+        t["supplier"], F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("n_name")
+    return cust_nations.intersect(supp_nations)
+
+
+@workload(
+    "setop_customer_only_nations",
+    """
+    SELECT n_name FROM nation JOIN customer ON c_nationkey = n_nationkey
+    EXCEPT
+    SELECT n_name FROM nation JOIN supplier ON s_nationkey = n_nationkey
+    """,
+    category="setop",
+)
+def setop_customer_only_nations(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    cust_nations = t["nation"].join(
+        t["customer"], F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("n_name")
+    supp_nations = t["nation"].join(
+        t["supplier"], F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("n_name")
+    # subtract = EXCEPT (set semantics); exceptAll would keep nations whose
+    # customer multiplicity merely exceeds supplier multiplicity
+    return cust_nations.subtract(supp_nations)
+
+
+@workload(
+    "topk_parts_by_price",
+    """
+    SELECT p_partkey, p_name, p_retailprice
+    FROM part ORDER BY p_retailprice DESC, p_partkey LIMIT 20
+    """,
+    category="sort",
+)
+def topk_parts_by_price(spark, sf_dir):
+    """Global top-k: Spark plans TakeOrderedAndProject — per-partition heaps,
+    no full sort, no single-node shuffle of the table."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["part"]
+        .select("p_partkey", "p_name", "p_retailprice")
+        .orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------- #
+# Scalar function families
+
+
+@workload(
+    "scalar_string_functions",
+    """
+    SELECT p_partkey,
+           UPPER(p_name) AS name_upper,
+           LOWER(p_brand) AS brand_lower,
+           SUBSTRING(p_name, 1, 12) AS name_prefix,
+           LENGTH(p_name) AS name_len,
+           CONCAT(p_brand, '/', p_type) AS brand_type,
+           REPLACE(p_type, ' ', '_') AS type_snake,
+           TRIM(p_name) AS name_trim,
+           REVERSE(p_brand) AS brand_rev,
+           CONTAINS(p_type, 'ECONOMY') AS is_economy
+    FROM part
+    """,
+    category="scalar",
+)
+def scalar_string_functions(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return t["part"].select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.substring("p_name", 1, 12).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.trim("p_name").alias("name_trim"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.contains(F.col("p_type"), F.lit("ECONOMY")).alias("is_economy"),
+    )
+
+
+@workload(
+    "scalar_datetime_functions",
+    """
+    SELECT o_orderkey,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS order_year,
+           CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS order_month,
+           CAST(EXTRACT(DAY FROM o_orderdate) AS INTEGER) AS order_day,
+           CAST(EXTRACT(QUARTER FROM o_orderdate) AS INTEGER) AS order_quarter,
+           CAST(EXTRACT(DOW FROM o_orderdate) AS INTEGER) AS order_dow,
+           DATE_TRUNC('month', o_orderdate) AS order_month_start,
+           CAST(CAST(o_orderdate AS DATE) + 30 AS DATE) AS due_date,
+           LAST_DAY(CAST(o_orderdate AS DATE)) AS month_end
+    FROM orders WHERE o_orderkey < 1000
+    """,
+    category="scalar",
+)
+def scalar_datetime_functions(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .filter(F.col("o_orderkey") < 1000)
+        .select(
+            "o_orderkey",
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+            F.dayofmonth("o_orderdate").alias("order_day"),
+            F.quarter("o_orderdate").alias("order_quarter"),
+            # DOW normalized to DuckDB/Postgres convention (Sunday=0)
+            (F.dayofweek("o_orderdate") - 1).alias("order_dow"),
+            # DATE on both sides (DuckDB's date_trunc('month') yields DATE)
+            F.to_date(F.date_trunc("month", "o_orderdate")).alias("order_month_start"),
+            F.date_add(F.to_date("o_orderdate"), 30).alias("due_date"),
+            F.last_day(F.to_date("o_orderdate")).alias("month_end"),
+        )
+    )
+
+
+@workload(
+    "scalar_math_functions",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ABS(l_discount - 0.05) AS disc_dev,
+           FLOOR(l_extendedprice) AS price_floor,
+           CEIL(l_quantity) AS qty_ceil,
+           SQRT(l_quantity) AS qty_sqrt,
+           l_discount * l_discount AS disc_sq,
+           CAST(l_orderkey % 7 AS BIGINT) AS key_mod,
+           GREATEST(l_tax, l_discount) AS max_rate,
+           LEAST(l_tax, l_discount) AS min_rate
+    FROM lineitem WHERE l_orderkey < 500
+    """,
+    category="scalar",
+)
+def scalar_math_functions(spark, sf_dir):
+    """Deterministic IEEE ops only (no transcendentals — libm variance —
+    and no ROUND on .x5-prone money values, whose half-even vs half-up
+    behavior differs across engines)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .filter(F.col("l_orderkey") < 500)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+            F.floor("l_extendedprice").alias("price_floor"),
+            F.ceil("l_quantity").alias("qty_ceil"),
+            F.sqrt("l_quantity").alias("qty_sqrt"),
+            (F.col("l_discount") * F.col("l_discount")).alias("disc_sq"),
+            (F.col("l_orderkey") % 7).alias("key_mod"),
+            F.greatest("l_tax", "l_discount").alias("max_rate"),
+            F.least("l_tax", "l_discount").alias("min_rate"),
+        )
+    )
+
+
+# --------------------------------------------------------------------- #
+# JSON + events (semi-structured / time series)
+
+
+@workload(
+    "json_extract_events",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS sum_k,
+           CAST(MIN(CAST(props->>'$.k' AS INTEGER)) AS INTEGER) AS min_k,
+           CAST(MAX(CAST(props->>'$.k' AS INTEGER)) AS INTEGER) AS max_k
+    FROM events GROUP BY event_type
+    """,
+    category="json",
+)
+def json_extract_events(spark, sf_dir):
+    """JSON string column → typed extraction (get_json_object is JVM-side;
+    for repeated multi-key extraction prefer from_json once per row)."""
+    t = load_tables(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return t["events"].groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@workload(
+    "events_hourly_rollup",
+    f"""
+    SELECT DATE_TRUNC('hour', ts) AS hour_start,
+           COUNT(*) AS n_events,
+           {_dsum('value')} AS total_value,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users
+    FROM events GROUP BY DATE_TRUNC('hour', ts)
+    """,
+    category="events",
+)
+def events_hourly_rollup(spark, sf_dir):
+    """Tumbling-window aggregation in batch form (streaming variant lives in
+    etl_manager_spark.streaming with the same grouping)."""
+    t = load_tables(spark, sf_dir)
+    return t["events"].groupBy(
+        F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("hour_start")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dec_sum("value").alias("total_value"),
+        F.countDistinct("user_id").alias("active_users"),
+    )
+
+
+@workload(
+    "events_sessionization",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             EPOCH_US(ts) - LAG(EPOCH_US(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END AS new_session
+      FROM ordered
+    )
+    SELECT user_id,
+           CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM flagged GROUP BY user_id
+    """,
+    category="events",
+)
+def events_sessionization(spark, sf_dir):
+    """Gap-based sessionization (30 min) via lag + flag-sum — the batch
+    equivalent of a session window; integer microsecond arithmetic keeps it
+    engine-portable."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    flagged = t["events"].select(
+        "user_id",
+        F.when(
+            (micros - F.lag(micros).over(w)).isNull()
+            | ((micros - F.lag(micros).over(w)) > 1_800_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.sum("new_session").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@workload(
+    "pivot_event_type_by_dow",
+    """
+    SELECT CAST(EXTRACT(DOW FROM ts) AS INTEGER) AS dow,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+    FROM events GROUP BY 1
+    """,
+    category="events",
+)
+def pivot_event_type_by_dow(spark, sf_dir):
+    """Pivot via conditional aggregation (explicit columns — deterministic
+    schema, unlike dynamic .pivot() which scans for values first)."""
+    t = load_tables(spark, sf_dir)
+    def n(et):
+        return F.sum(F.when(F.col("event_type") == et, 1).otherwise(0)).alias(f"n_{et}")
+
+    return t["events"].groupBy(
+        (F.dayofweek("ts") - 1).alias("dow")
+    ).agg(n("click"), n("view"), n("purchase"), n("signup"), n("error"))

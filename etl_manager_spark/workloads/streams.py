@@ -1,0 +1,27 @@
+"""Streaming workloads — executed with availableNow triggers so the driver
+can call them like batch queries. Rows-only checks (streaming plans aren't
+SQL-expressible for DuckDB); batch-equivalence is asserted in
+tests/test_streaming.py instead.
+"""
+
+from __future__ import annotations
+
+from etl_manager_spark.streaming.windows import (
+    hourly_rollup,
+    read_events_stream,
+    run_to_memory,
+    session_rollup,
+)
+from etl_manager_spark.workloads import workload
+
+
+@workload("streaming_hourly_rollup", None, category="streaming")
+def streaming_hourly_rollup(spark, sf_dir):
+    stream = hourly_rollup(read_events_stream(spark, sf_dir))
+    return run_to_memory(stream, spark, "stream_hourly_rollup_result")
+
+
+@workload("streaming_session_windows", None, category="streaming")
+def streaming_session_windows(spark, sf_dir):
+    stream = session_rollup(read_events_stream(spark, sf_dir))
+    return run_to_memory(stream, spark, "stream_session_windows_result")
