@@ -1,0 +1,222 @@
+"""Folder-convention Spark job runner — the Spark-native rebuild of the
+reference's ``GlueJob`` (``/root/reference/etl_manager/etl.py:45-743``).
+
+Parity map (reference → here):
+
+* job folder with ``job.py`` + resources (``etl.py:76-136``) → same layout,
+  discovered locally; python resources go on ``sys.path``, data resources
+  and metadata folders are exposed to the job via arguments.
+* S3 sync + Glue ``create_job``/``start_job_run`` (``etl.py:478-608``) →
+  in-process execution against an injected SparkSession (or spark-submit
+  externally); no control-plane boundary.
+* ``wait_for_completion`` poll loop with typed terminal states
+  (``etl.py:629-717``) → synchronous ``run()`` raising the same exception
+  taxonomy (``JobFailed/JobTimedOut/JobStopped`` — ``etl.py:21-42``).
+* cost-based timeout (``etl.py:87-90, 138-152``: timeout_minutes =
+  60·max_cost/(0.44·DPU·workers)) → :func:`cost_timeout_minutes` +
+  wall-clock budget guard.
+* reserved/validated job arguments (``etl.py:186-217``) → same checks.
+
+Job contract: ``job.py`` runs with globals ``spark`` (SparkSession),
+``job_arguments`` (dict), and ``metadata_base_path`` (str | None).
+"""
+
+from __future__ import annotations
+
+import os
+import runpy
+import sys
+import threading
+import time
+from typing import TYPE_CHECKING, Any
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql import SparkSession
+
+# Reference cost model constants (etl.py:87-90) — kept for parity
+WORKER_HOURLY_COST = 0.44
+DEFAULT_MAX_COST = 20.0
+
+
+class JobError(Exception):
+    """Base for job-runner failures (taxonomy parity: etl.py:21-42)."""
+
+
+class JobFailed(JobError):
+    """The job raised / exited non-zero."""
+
+
+class JobTimedOut(JobError):
+    """Wall-clock budget exceeded."""
+
+
+class JobStopped(JobError):
+    """The job was cancelled externally."""
+
+
+def cost_timeout_minutes(
+    max_cost: float = DEFAULT_MAX_COST,
+    dpu_per_worker: float = 1.0,
+    workers: int = 2,
+) -> int:
+    """timeout_minutes = 60 * max_cost / (0.44 * DPU * workers) — the
+    reference's budget→timeout conversion (etl.py:138-152)."""
+    return int(60 * max_cost / (WORKER_HOURLY_COST * dpu_per_worker * workers))
+
+
+_RESERVED_ARGUMENTS = {
+    "--JOB_NAME",
+    "--debug",
+    "--mode",
+    "--conf",
+    "--metadata_base_path",
+}
+
+
+class SparkJob:
+    """A runnable job folder.
+
+    Layout (reference convention, ``example/glue_jobs/``)::
+
+        <job_folder>/
+            job.py                  # required entrypoint
+            py_resources/           # .py/.zip importables → sys.path
+            resources/              # data files, exposed via resource_paths
+            metadata/               # table/database jsons (metadata_base_path)
+
+    plus an optional ``shared_resources`` folder with the same sub-layout,
+    merged in (duplicate basenames rejected — reference etl.py:332-341).
+    """
+
+    def __init__(
+        self,
+        job_folder: str,
+        shared_resources: str | None = None,
+        job_arguments: dict[str, str] | None = None,
+        timeout_minutes: int | None = None,
+        max_cost: float | None = None,
+    ):
+        self.job_folder = os.path.abspath(job_folder)
+        if not os.path.isdir(self.job_folder):
+            raise JobError(f"job folder {job_folder!r} does not exist")
+        self.job_path = os.path.join(self.job_folder, "job.py")
+        if not os.path.isfile(self.job_path):
+            raise JobError(f"{self.job_folder} has no job.py")
+        self.job_name = os.path.basename(self.job_folder)
+        self.shared_resources = (
+            os.path.abspath(shared_resources) if shared_resources else None
+        )
+        self.job_arguments = job_arguments or {}
+        if timeout_minutes is not None:
+            self.timeout_minutes: int | None = timeout_minutes
+        elif max_cost is not None:
+            self.timeout_minutes = cost_timeout_minutes(max_cost)
+        else:
+            self.timeout_minutes = None
+
+        self.py_resources = self._gather("py_resources", (".py", ".zip"))
+        self.resource_paths = self._gather("resources", None)
+        self.metadata_paths = self._gather("metadata", (".json",))
+        self.job_run_state: str = "READY"
+
+    @property
+    def job_arguments(self) -> dict[str, str]:
+        return self._job_arguments
+
+    @job_arguments.setter
+    def job_arguments(self, args: dict[str, str]) -> None:
+        """Validation parity with reference etl.py:186-217: dict of
+        ``--name`` → str, reserved names rejected."""
+        if not isinstance(args, dict):
+            raise JobError("job_arguments must be a dict")
+        for k, v in args.items():
+            if not isinstance(k, str) or not k.startswith("--"):
+                raise JobError(f"job argument {k!r} must be a string starting with --")
+            if k in _RESERVED_ARGUMENTS:
+                raise JobError(f"job argument {k!r} is reserved")
+            if not isinstance(v, str):
+                raise JobError(f"job argument {k!r} value must be a string")
+        self._job_arguments = dict(args)
+
+    def _gather(self, subdir: str, exts: tuple[str, ...] | None) -> list[str]:
+        found: dict[str, str] = {}
+        for base in filter(None, (self.shared_resources, self.job_folder)):
+            d = os.path.join(base, subdir)
+            if not os.path.isdir(d):
+                continue
+            for fname in sorted(os.listdir(d)):
+                if exts and not fname.lower().endswith(exts):
+                    continue
+                if fname in found:
+                    # duplicate basenames across shared+local are ambiguous
+                    # (reference dedupe check, etl.py:332-341)
+                    raise JobError(
+                        f"duplicate resource {fname!r} in {found[fname]} and {d}"
+                    )
+                found[fname] = d
+        return [os.path.join(d, f) for f, d in found.items()]
+
+    @property
+    def metadata_base_path(self) -> str | None:
+        for base in (self.job_folder, self.shared_resources):
+            if base and os.path.isdir(os.path.join(base, "metadata")):
+                return os.path.join(base, "metadata")
+        return None
+
+    def run(self, spark: "SparkSession", timeout_minutes: int | None = None) -> dict[str, Any]:
+        """Execute job.py in-process, synchronously (the reference's
+        run_job + wait_for_completion collapsed — no control plane).
+
+        Returns the job script's globals (so tests/jobs can hand back
+        results); raises the typed taxonomy on failure."""
+        timeout = timeout_minutes if timeout_minutes is not None else self.timeout_minutes
+        init_globals = {
+            "spark": spark,
+            "job_arguments": dict(self.job_arguments),
+            "metadata_base_path": self.metadata_base_path,
+        }
+        added_paths = []
+        for res in self.py_resources:
+            target = res if res.endswith(".zip") else os.path.dirname(res)
+            if target not in sys.path:
+                sys.path.insert(0, target)
+                added_paths.append(target)
+
+        result: dict[str, Any] = {}
+        error: list[BaseException] = []
+
+        def _target() -> None:
+            try:
+                result.update(runpy.run_path(self.job_path, init_globals=init_globals))
+            except BaseException as exc:  # noqa: BLE001
+                error.append(exc)
+
+        self.job_run_state = "RUNNING"
+        started = time.monotonic()
+        try:
+            if timeout is None:
+                _target()
+            else:
+                thread = threading.Thread(target=_target, daemon=True)
+                thread.start()
+                thread.join(timeout * 60)
+                if thread.is_alive():
+                    self.job_run_state = "TIMEOUT"
+                    spark.sparkContext.cancelAllJobs()
+                    raise JobTimedOut(
+                        f"job {self.job_name} exceeded {timeout} min "
+                        f"(elapsed {time.monotonic() - started:.0f}s)"
+                    )
+            if error:
+                self.job_run_state = "FAILED"
+                raise JobFailed(f"job {self.job_name} failed: {error[0]}") from error[0]
+            self.job_run_state = "SUCCEEDED"
+            return result
+        finally:
+            for p in added_paths:
+                if p in sys.path:
+                    sys.path.remove(p)
+
+    @property
+    def is_running(self) -> bool:
+        return self.job_run_state == "RUNNING"

@@ -114,29 +114,47 @@ def cosine_topk_lsh(
     vec_col: str = "embedding",
     k: int = 5,
     num_planes: int = 4,
+    num_tables: int = 4,
 ) -> DataFrame:
-    """Approximate cosine top-k: hyperplane-LSH bucket both sides, join on
-    bucket, brute-force within bucket. Recall < 1.0 by design; at scale the
-    corpus shuffle is on the (small) bucket key and each bucket holds
-    ~|corpus|/2^planes candidates."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qvec"),
-        lsh_bucket(F.col(vec_col), dim, num_planes).alias("bucket"),
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_cvec"),
-        lsh_bucket(F.col(vec_col), dim, num_planes).alias("bucket"),
-    )
+    """Approximate cosine top-k: hyperplane-LSH with OR-amplification —
+    ``num_tables`` independent hash tables of ``num_planes`` planes each;
+    a candidate is considered if it collides with the query in ANY table.
+
+    Scale: candidates per query ≈ |corpus| · L / 2^planes; the corpus-side
+    bucket join shuffles only (table, bucket) keys. Tune planes up for
+    selectivity, tables up for recall."""
+
+    def with_buckets(df, out_id):
+        tagged = df.select(
+            F.col(id_col).alias(out_id),
+            F.col(vec_col).alias(f"_{out_id}_vec"),
+            F.explode(
+                F.array(
+                    *[
+                        F.concat_ws(
+                            ":",
+                            F.lit(str(t)),
+                            lsh_bucket(F.col(vec_col), dim, num_planes, seed=7 + t),
+                        )
+                        for t in range(num_tables)
+                    ]
+                )
+            ).alias("bucket"),
+        )
+        return tagged
+
+    q = with_buckets(queries, "query_id")
+    c = with_buckets(corpus, "neighbor_id")
     scored = (
         F.broadcast(q)
         .join(c, on="bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "_query_id_vec", "_neighbor_id_vec")
+        .distinct()  # candidate may collide in several tables — dedup first
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("_qvec"), F.col("_cvec")).alias("cosine_sim"),
+            cosine(F.col("_query_id_vec"), F.col("_neighbor_id_vec")).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))

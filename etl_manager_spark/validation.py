@@ -1,0 +1,92 @@
+"""Optional runtime constraint enforcement.
+
+The reference *declares* ``enum``/``pattern``/``nullable``/``primary_key``
+but explicitly never enforces them against data (reference ``README.md:168``,
+test comment ``tests/test_tests.py:599``). Since this engine owns execution,
+declared constraints become checkable: one pass over the data computes every
+violation count (single aggregate — cheap even at 100 TB: all checks fuse
+into one scan with map-side partial aggregation; the primary-key check is
+the only shuffle, on the key columns).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import TYPE_CHECKING
+
+from pyspark.sql import functions as F
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql import DataFrame
+
+    from etl_manager_spark.meta.table import TableMeta
+
+
+@dataclass
+class ConstraintReport:
+    table: str
+    row_count: int
+    violations: dict[str, int] = field(default_factory=dict)
+
+    @property
+    def ok(self) -> bool:
+        return not any(self.violations.values())
+
+    def __str__(self) -> str:  # pragma: no cover
+        status = "OK" if self.ok else "VIOLATIONS"
+        lines = [f"{self.table}: {status} ({self.row_count} rows)"]
+        for name, count in sorted(self.violations.items()):
+            if count:
+                lines.append(f"  {name}: {count}")
+        return "\n".join(lines)
+
+
+def validate(df: "DataFrame", table: "TableMeta") -> ConstraintReport:
+    """Check ``df`` against the table's declared constraints.
+
+    Checks (each → violation count in the report):
+    * ``<col>.nullable`` — nulls in declared non-nullable columns
+    * ``<col>.enum`` — values outside the declared enum
+    * ``<col>.pattern`` — values not fully matching the declared regex
+    * ``primary_key`` — rows beyond the first per key (duplicate count)
+    """
+    aggs = []
+    for col in table.columns:
+        name = col["name"]
+        if name not in df.columns:
+            continue
+        if col.get("nullable") is False:
+            aggs.append(
+                F.sum(F.col(name).isNull().cast("long")).alias(f"{name}.nullable")
+            )
+        if col.get("enum") is not None:
+            aggs.append(
+                F.sum(
+                    (~F.col(name).isin(*col["enum"]) & F.col(name).isNotNull()).cast("long")
+                ).alias(f"{name}.enum")
+            )
+        if col.get("pattern"):
+            aggs.append(
+                F.sum(
+                    (
+                        ~F.col(name).cast("string").rlike(f"^{col['pattern']}$")
+                        & F.col(name).isNotNull()
+                    ).cast("long")
+                ).alias(f"{name}.pattern")
+            )
+
+    report = ConstraintReport(table=table.name, row_count=df.count())
+    if aggs:
+        row = df.agg(*aggs).collect()[0]
+        report.violations.update({k: int(v or 0) for k, v in row.asDict().items()})
+
+    if table.primary_key:
+        dupes = (
+            df.groupBy(*table.primary_key)
+            .count()
+            .filter(F.col("count") > 1)
+            .agg(F.sum(F.col("count") - 1).alias("d"))
+            .collect()[0]["d"]
+        )
+        report.violations["primary_key"] = int(dupes or 0)
+    return report

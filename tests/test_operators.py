@@ -1,0 +1,89 @@
+"""Operator-level tests: LSH recall vs brute force, asof correctness on a
+hand-built fixture, multimodal plumbing, dedup edge cases."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from etl_manager_spark.operators import multimodal as M
+from etl_manager_spark.operators import similarity as S
+from etl_manager_spark.operators.asof import asof_join
+from etl_manager_spark.operators.dedup import exact_dedup, minhash_near_duplicates
+from etl_manager_spark.workloads.tables import load_table
+
+
+def test_lsh_topk_recall_vs_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = S.cosine_topk(queries, emb, k=5)
+    approx = S.cosine_topk_lsh(queries, emb, dim=64, k=5, num_planes=4)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # 4 hyperplanes on 64-dim random embeddings: recall is approximate by
+    # design; just require meaningful overlap and correct shape
+    assert recall > 0.2, f"recall {recall}"
+    assert all(r.rank <= 5 for r in approx.collect())
+
+
+def test_asof_join_fixture(spark):
+    quotes = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 5, 11.0), ("b", 3, 20.0)],
+        "sym string, qts int, px double",
+    )
+    trades = spark.createDataFrame(
+        [("a", 0), ("a", 1), ("a", 4), ("a", 6), ("b", 2), ("b", 9)],
+        "sym string, tts int",
+    )
+    out = asof_join(
+        trades, quotes, on="sym", left_ts="tts", right_ts="qts",
+        right_payload=["px"],
+    )
+    got = {(r.sym, r.tts): (r.px_asof, r.qts_asof) for r in out.collect()}
+    assert got == {
+        ("a", 0): (None, None),       # before any quote
+        ("a", 1): (10.0, 1),          # equal timestamps: quote visible
+        ("a", 4): (10.0, 1),
+        ("a", 6): (11.0, 5),
+        ("b", 2): (None, None),
+        ("b", 9): (20.0, 3),
+    }
+
+
+def test_exact_dedup_deterministic_survivor(spark):
+    df = spark.createDataFrame(
+        [(3, "x"), (1, "x"), (2, "y")], "id int, val string"
+    )
+    out = {(r.val): (r.id, r.copies) for r in exact_dedup(df, ["val"], "id").collect()}
+    assert out == {"x": (1, 2), "y": (2, 1)}
+
+
+def test_minhash_identical_docs_are_near_dups(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha beta gamma delta epsilon zeta"),
+            Row(doc_id=2, text="alpha beta gamma delta epsilon zeta"),
+            Row(doc_id=3, text="totally different words entirely here now"),
+        ]
+    )
+    pairs = minhash_near_duplicates(df, jaccard_threshold=0.9).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+    assert pairs[0].jaccard == 1.0
+
+
+def test_multimodal_feature_extraction_shape(spark):
+    media = M.synthetic_media(spark, n=8)
+    feats = M.extract_features(media, feature_dim=16).collect()
+    assert len(feats) == 8
+    assert all(len(r.feature) == 16 for r in feats)
+    assert all(0.0 <= v <= 1.0 for r in feats for v in r.feature)
+    # deterministic: same content → same sha/feature on re-run
+    again = M.extract_features(media, feature_dim=16).collect()
+    assert {r.media_id: r.content_sha256 for r in feats} == {
+        r.media_id: r.content_sha256 for r in again
+    }
+
+
+def test_media_stats_jvm_side(spark):
+    media = M.synthetic_media(spark, n=4)
+    stats = M.media_stats(media).collect()
+    assert all(r.n_bytes > 0 and len(r.content_md5) == 32 for r in stats)
