@@ -1,0 +1,11 @@
+"""Physical-plan introspection: verify the plans Catalyst produces are the
+plans we want (pushdown, pruning, broadcast, codegen) — at 100 TB the plan
+shape IS the performance model."""
+
+from etl_manager_spark.plans.inspect import (
+    explain_formatted,
+    plan_report,
+    PlanReport,
+)
+
+__all__ = ["explain_formatted", "plan_report", "PlanReport"]

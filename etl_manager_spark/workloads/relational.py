@@ -773,3 +773,277 @@ def pivot_event_type_by_dow(spark, sf_dir):
     return t["events"].groupBy(
         (F.dayofweek("ts") - 1).alias("dow")
     ).agg(n("click"), n("view"), n("purchase"), n("signup"), n("error"))
+
+
+# --------------------------------------------------------------------- #
+# Subqueries / second aggregation batch
+
+
+@workload(
+    "q6_revenue_change",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue_delta,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+    category="aggregation",
+)
+def q6_revenue_change(spark, sf_dir):
+    """TPC-H Q6 shape: pure scan+filter+agg — every predicate pushes to the
+    parquet reader; the aggregate is a single global row."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(dec("l_extendedprice") * dec("l_discount"))
+            .cast("double")
+            .alias("revenue_delta"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@workload(
+    "subquery_in_hot_parts",
+    """
+    SELECT p_partkey, p_name, p_retailprice
+    FROM part
+    WHERE p_partkey IN (SELECT l_partkey FROM lineitem
+                        GROUP BY l_partkey HAVING COUNT(*) > 40)
+    """,
+    category="subquery",
+)
+def subquery_in_hot_parts(spark, sf_dir):
+    """IN-subquery = semi join against a pre-aggregated (tiny) side; Spark
+    broadcasts the aggregate result."""
+    t = load_tables(spark, sf_dir)
+    hot = (
+        t["lineitem"].groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 40)
+        .select("l_partkey")
+    )
+    return (
+        t["part"]
+        .join(F.broadcast(hot), F.col("p_partkey") == F.col("l_partkey"), "left_semi")
+        .select("p_partkey", "p_name", "p_retailprice")
+    )
+
+
+@workload(
+    "subquery_scalar_above_avg",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_above_avg
+    FROM orders
+    WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                                 / COUNT(*) FROM orders)
+    GROUP BY o_orderpriority
+    """,
+    category="subquery",
+)
+def subquery_scalar_above_avg(spark, sf_dir):
+    """Scalar subquery: global average computed once (decimal-exact),
+    broadcast into the filter."""
+    t = load_tables(spark, sf_dir)
+    avg_df = t["orders"].agg(dec_avg("o_totalprice").alias("_avg"))
+    return (
+        t["orders"]
+        .crossJoin(F.broadcast(avg_df))
+        .filter(F.col("o_totalprice") > F.col("_avg"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_above_avg"))
+    )
+
+
+@workload(
+    "agg_median_acctbal_by_nation",
+    """
+    SELECT c_nationkey, QUANTILE_CONT(c_acctbal, 0.5) AS median_acctbal,
+           COUNT(*) AS n_customers
+    FROM customer GROUP BY c_nationkey
+    """,
+    category="aggregation",
+)
+def agg_median_acctbal_by_nation(spark, sf_dir):
+    """Exact median (interpolating continuous percentile — same definition
+    in Spark `percentile` and DuckDB `quantile_cont`)."""
+    t = load_tables(spark, sf_dir)
+    return t["customer"].groupBy("c_nationkey").agg(
+        F.expr("percentile(c_acctbal, 0.5)").alias("median_acctbal"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+@workload(
+    "array_agg_line_numbers",
+    """
+    SELECT l_orderkey,
+           LIST(l_linenumber ORDER BY l_linenumber) AS line_numbers,
+           COUNT(*) AS n_lines
+    FROM lineitem WHERE l_orderkey < 200
+    GROUP BY l_orderkey
+    """,
+    category="aggregation",
+)
+def array_agg_line_numbers(spark, sf_dir):
+    """Array aggregation with deterministic order (collect_list has no
+    intrinsic order under parallelism — always sort the result)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .filter(F.col("l_orderkey") < 200)
+        .groupBy("l_orderkey")
+        .agg(
+            F.sort_array(F.collect_list("l_linenumber")).alias("line_numbers"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@workload(
+    "grouping_sets_revenue",
+    f"""
+    SELECT COALESCE(r_name, 'ALL') AS region_name,
+           COALESCE(c_mktsegment, 'ALL') AS segment,
+           {_dsum('o_totalprice')} AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY GROUPING SETS ((r_name), (c_mktsegment), ())
+    """,
+    category="aggregation",
+)
+def grouping_sets_revenue(spark, sf_dir):
+    """Explicit GROUPING SETS via the SQL surface (temp views + spark.sql —
+    the engine's full-SQL face; DataFrame rollup/cube cover the rest)."""
+    t = load_tables(spark, sf_dir)
+    for name in ("orders", "customer", "nation", "region"):
+        t[name].createOrReplaceTempView(f"_gs_{name}")
+    return spark.sql(
+        """
+        SELECT COALESCE(r_name, 'ALL') AS region_name,
+               COALESCE(c_mktsegment, 'ALL') AS segment,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM _gs_orders
+        JOIN _gs_customer ON o_custkey = c_custkey
+        JOIN _gs_nation ON c_nationkey = n_nationkey
+        JOIN _gs_region ON n_regionkey = r_regionkey
+        GROUP BY GROUPING SETS ((r_name), (c_mktsegment), ())
+        """
+    )
+
+
+@workload(
+    "union_all_contacts",
+    """
+    SELECT 'customer' AS kind, c_name AS name, c_nationkey AS nationkey, c_acctbal AS acctbal
+    FROM customer WHERE c_acctbal > 9900
+    UNION ALL
+    SELECT 'supplier' AS kind, s_name AS name, s_nationkey AS nationkey, s_acctbal AS acctbal
+    FROM supplier WHERE s_acctbal > 9000
+    """,
+    category="setop",
+)
+def union_all_contacts(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    cust = t["customer"].filter(F.col("c_acctbal") > 9900).select(
+        F.lit("customer").alias("kind"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    supp = t["supplier"].filter(F.col("s_acctbal") > 9000).select(
+        F.lit("supplier").alias("kind"),
+        F.col("s_name").alias("name"),
+        F.col("s_nationkey").alias("nationkey"),
+        F.col("s_acctbal").alias("acctbal"),
+    )
+    return cust.unionByName(supp)
+
+
+@workload(
+    "range_join_value_buckets",
+    """
+    WITH buckets(bucket, lo, hi) AS (
+      VALUES ('low', 0.0, 50.0), ('mid', 50.0, 200.0), ('high', 200.0, 1000.0)
+    )
+    SELECT bucket, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events JOIN buckets ON value >= lo AND value < hi
+    GROUP BY bucket
+    """,
+    category="join",
+)
+def range_join_value_buckets(spark, sf_dir):
+    """Theta/range join against a tiny broadcast bucket table (banding
+    pattern — at scale, always broadcast the band side)."""
+    t = load_tables(spark, sf_dir)
+    buckets = spark.createDataFrame(
+        [("low", 0.0, 50.0), ("mid", 50.0, 200.0), ("high", 200.0, 1000.0)],
+        "bucket string, lo double, hi double",
+    )
+    return (
+        t["events"]
+        .join(
+            F.broadcast(buckets),
+            (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum("value").alias("total_value"),
+        )
+    )
+
+
+@workload(
+    "window_ntile_quartiles",
+    """
+    SELECT c_custkey, c_mktsegment,
+           NTILE(4) OVER (PARTITION BY c_mktsegment
+                          ORDER BY c_acctbal, c_custkey) AS quartile
+    FROM customer
+    """,
+    category="window",
+)
+def window_ntile_quartiles(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return t["customer"].select(
+        "c_custkey", "c_mktsegment", F.ntile(4).over(w).alias("quartile")
+    )
+
+
+@workload(
+    "latest_event_per_user",
+    """
+    SELECT user_id, event_id, ts, event_type
+    FROM (SELECT user_id, event_id, ts, event_type,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+    category="window",
+)
+def latest_event_per_user(spark, sf_dir):
+    """Keep-latest-per-key dedup — the canonical CDC/compaction pattern
+    (rank window, one shuffle on the key)."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        t["events"]
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type")
+    )

@@ -1,0 +1,84 @@
+"""Plan-shape assertions: the properties that make queries survive a 100×
+scale-up. These test the PLAN, not the result — regressions here are
+performance bugs even when results stay correct."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_manager_spark.plans import plan_report
+from etl_manager_spark.workloads import load_registry
+from etl_manager_spark.workloads.tables import load_tables
+
+REGISTRY = load_registry()
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    def get(name):
+        return plan_report(REGISTRY[name].fn(spark, sf_dir))
+
+    return get
+
+
+def test_q1_filter_pushdown_and_pruning(plans):
+    r = plans("q1_pricing_summary")
+    # shipdate predicate must reach the parquet scan
+    assert r.has_pushed_filters
+    assert any("l_shipdate" in pf for pf in r.pushed_filters)
+    # only the 7 needed columns are read, not all 11
+    assert r.scans_only_columns(
+        {
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        }
+    ), r.read_schemas
+
+
+def test_q3_topk_uses_heap_not_full_sort(plans):
+    r = plans("q3_shipping_priority")
+    assert r.take_ordered, "top-10 should plan TakeOrderedAndProject"
+    assert r.has_pushed_filters
+
+
+def test_q5_dimensions_broadcast(plans):
+    r = plans("q5_local_supplier_volume")
+    # supplier/nation/region must broadcast — the fact table shuffles only
+    # for the customer⋈orders and orders⋈lineitem joins
+    assert r.broadcast_joins >= 3, r.text[:2000]
+    assert r.cartesian_products == 0
+
+
+def test_similarity_bruteforce_broadcasts_queries(plans):
+    r = plans("similarity_topk_bruteforce")
+    # the 5-query side must broadcast; corpus side must NOT shuffle before
+    # scoring (BroadcastNestedLoopJoin over the filtered query side)
+    assert "BroadcastNestedLoopJoin" in r.text or r.broadcast_joins >= 1
+
+
+def test_scalar_queries_are_codegen_only(plans):
+    for name in ("scalar_string_functions", "scalar_math_functions"):
+        r = plans(name)
+        assert r.codegen_stages >= 1
+        assert r.shuffle_exchanges == 0, f"{name} must not shuffle"
+
+
+def test_exact_dedup_single_shuffle(plans):
+    r = plans("dedup_exact_documents")
+    assert r.shuffle_exchanges == 1, "exact dedup = exactly one shuffle"
+
+
+def test_projection_pruning_on_wide_join(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    df = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "c_name")
+    )
+    r = plan_report(df)
+    assert r.scans_only_columns({"o_orderkey", "o_custkey", "c_custkey", "c_name"}), (
+        r.read_schemas
+    )
