@@ -122,4 +122,7 @@ def synthetic_media(spark, n: int = 64) -> "DataFrame":
                 {"mime": "image/fake", "width": 64 + i, "height": 64, "duration_ms": None},
             )
         )
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    # size partitions to the data: a tiny table spread over local[32]'s 32
+    # default slices would spin up one Python worker per ~2 rows in
+    # mapInPandas — batch shape matters as much as code (see module doc)
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(max(1, n // 16))

@@ -145,17 +145,20 @@ def cosine_topk_lsh(
 
     q = with_buckets(queries, "query_id")
     c = with_buckets(corpus, "neighbor_id")
+    # score first, dedup after: a candidate pair may collide in several
+    # tables; computing the (cheap) cosine per collision and grouping on the
+    # two ids avoids shuffling the wide vector columns through a distinct
     scored = (
         F.broadcast(q)
         .join(c, on="bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "_query_id_vec", "_neighbor_id_vec")
-        .distinct()  # candidate may collide in several tables — dedup first
         .select(
             "query_id",
             "neighbor_id",
             cosine(F.col("_query_id_vec"), F.col("_neighbor_id_vec")).alias("cosine_sim"),
         )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("cosine_sim").alias("cosine_sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return (
