@@ -128,9 +128,12 @@ class DatabaseMeta:
         if delete_if_exists:
             self.delete_database(spark)
         escaped = self.description.replace("'", "\\'")
+        # deliberately NO LOCATION: Spark's catalog deletes the database
+        # directory on DROP DATABASE CASCADE, so pointing it at the data
+        # root would make a catalog-only drop destroy external table data.
+        # Tables carry their own LOCATIONs (composed from base_path).
         spark.sql(
-            f"CREATE DATABASE IF NOT EXISTS {self.name} "
-            f"COMMENT '{escaped}' LOCATION '{self.base_path}'"
+            f"CREATE DATABASE IF NOT EXISTS {self.name} COMMENT '{escaped}'"
         )
         for t in self._tables:
             t.create_on_catalog(spark, self.name)
@@ -143,7 +146,7 @@ class DatabaseMeta:
         """Upsert semantics (reference ``update_glue_database``,
         ``meta.py:812-844``): create missing tables; replace existing ones
         only when asked."""
-        spark.sql(f"CREATE DATABASE IF NOT EXISTS {self.name} LOCATION '{self.base_path}'")
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {self.name}")
         existing = {t.name for t in spark.catalog.listTables(self.name)}
         for t in self._tables:
             if t.name not in existing:

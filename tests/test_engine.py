@@ -1,0 +1,50 @@
+"""Engine facade: register → SQL → validate, end-to-end on a tempdir
+warehouse."""
+
+from pyspark.sql import Row
+
+from etl_manager_spark import DatabaseMeta, TableMeta
+from etl_manager_spark.engine import Engine
+
+
+def test_register_sql_validate(spark, tmp_path):
+    db = DatabaseMeta(name="wh_test", bucket=str(tmp_path), base_folder="db")
+    t = TableMeta(
+        name="teams",
+        location="teams",
+        data_format="parquet",
+        columns=[
+            {"name": "team_id", "type": "int", "nullable": False},
+            {"name": "members", "type": "int"},
+            {"name": "snapshot_year", "type": "int"},
+        ],
+        partitions=["snapshot_year"],
+        primary_key=["team_id"],
+    )
+    db.add_table(t)
+    t.write(
+        spark.createDataFrame(
+            [
+                Row(team_id=1, members=5, snapshot_year=2023),
+                Row(team_id=2, members=8, snapshot_year=2024),
+            ]
+        ),
+        mode="overwrite",
+    )
+
+    engine = Engine(spark)
+    engine.register(db)
+    try:
+        out = engine.sql(
+            "SELECT team_id, members FROM wh_test.teams WHERE snapshot_year = 2024"
+        ).collect()
+        assert out == [Row(team_id=2, members=8)]
+
+        reports = engine.validate(db)
+        assert reports["teams"].ok
+
+        # re-register with replace is idempotent
+        engine.register(db, replace=True)
+        assert engine.table("wh_test.teams").count() == 2
+    finally:
+        db.delete_database(spark)

@@ -1,0 +1,134 @@
+"""Per-format write→read round-trips through TableMeta (SURVEY §2.B):
+parquet, orc, avro, json-lines, headerless CSV, quoted CSV (all-string then
+cast), header-skip override, regex scan."""
+
+import os
+
+import pytest
+from pyspark.sql import Row
+
+from etl_manager_spark import TableMeta
+
+BASE_COLUMNS = [
+    {"name": "id", "type": "int"},
+    {"name": "name", "type": "character"},
+    {"name": "score", "type": "double"},
+]
+
+ROWS = [Row(id=1, name="ann", score=1.5), Row(id=2, name="bob", score=2.25)]
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "avro", "json", "csv"])
+def test_round_trip(fmt, spark, tmp_path):
+    t = TableMeta(name="t", location="t", data_format=fmt, columns=BASE_COLUMNS)
+    df = spark.createDataFrame(ROWS)
+    path = str(tmp_path / fmt)
+    try:
+        t.write(df, path, mode="overwrite")
+    except Exception as exc:  # noqa: BLE001
+        if fmt == "avro" and "Failed to find data source: avro" in str(exc):
+            # spark-avro is an external module; this environment's pyspark
+            # ships without the connector jar. The reader/writer mapping is
+            # still exercised wherever the jar is present.
+            pytest.skip("spark-avro connector jar not on classpath")
+        raise
+    back = t.read(spark, path)
+    assert back.schema == t.data_schema
+    assert sorted((r.id, r.name, r.score) for r in back.collect()) == [
+        (1, "ann", 1.5),
+        (2, "bob", 2.25),
+    ]
+
+
+def test_csv_quoted_all_string_then_cast(spark, tmp_path):
+    # OpenCSVSerDe parity: quoted fields with embedded delimiters
+    path = tmp_path / "quoted"
+    path.mkdir()
+    (path / "data.csv").write_text('1,"smith, ann",1.5\n2,"o\'brien, bob",2.25\n')
+    t = TableMeta(
+        name="t", location="t", data_format="csv_quoted_nodate", columns=BASE_COLUMNS
+    )
+    rows = sorted((r.id, r.name, r.score) for r in t.read(spark, str(path)).collect())
+    assert rows == [(1, "smith, ann", 1.5), (2, "o'brien, bob", 2.25)]
+
+
+def test_csv_header_skip_override(spark, tmp_path):
+    path = tmp_path / "hdr"
+    path.mkdir()
+    (path / "data.csv").write_text("id,name,score\n1,ann,1.5\n")
+    t = TableMeta(
+        name="t",
+        location="t",
+        data_format="csv",
+        columns=BASE_COLUMNS,
+        format_options={"header": "true"},
+    )
+    assert t.read(spark, str(path)).collect() == [Row(id=1, name="ann", score=1.5)]
+
+
+def test_regex_scan(spark, tmp_path):
+    path = tmp_path / "logs"
+    path.mkdir()
+    (path / "a.log").write_text("127.0.0.1 GET /index 200\n10.0.0.5 POST /api 503\n")
+    t = TableMeta(
+        name="logs",
+        location="logs",
+        data_format="regex",
+        columns=[
+            {"name": "ip", "type": "character"},
+            {"name": "verb", "type": "character"},
+            {"name": "path", "type": "character"},
+            {"name": "status", "type": "int"},
+        ],
+        format_options={"input.regex": r"(\S+) (\S+) (\S+) (\d+)"},
+    )
+    rows = sorted((r.ip, r.verb, r.status) for r in t.read(spark, str(path)).collect())
+    assert rows == [("10.0.0.5", "POST", 503), ("127.0.0.1", "GET", 200)]
+
+
+def test_partitioned_write_layout_and_read(spark, tmp_path):
+    t = TableMeta(
+        name="t",
+        location="t",
+        data_format="parquet",
+        columns=BASE_COLUMNS + [{"name": "year", "type": "int"}],
+        partitions=["year"],
+    )
+    df = spark.createDataFrame(
+        [Row(id=1, name="a", score=0.5, year=2023), Row(id=2, name="b", score=1.0, year=2024)]
+    )
+    path = str(tmp_path / "part")
+    t.write(df, path, mode="overwrite")
+    assert sorted(d for d in os.listdir(path) if d.startswith("year=")) == [
+        "year=2023",
+        "year=2024",
+    ]
+    back = t.read(spark, path)
+    # declared order with partition column last, cast to declared int type
+    assert back.columns == ["id", "name", "score", "year"]
+    assert dict((r.id, r.year) for r in back.collect()) == {1: 2023, 2: 2024}
+
+
+def test_nested_types_round_trip(spark, tmp_path):
+    t = TableMeta(
+        name="nested",
+        location="nested",
+        data_format="parquet",
+        columns=[
+            {"name": "entity_id", "type": "int"},
+            {"name": "test_array", "type": "array<int>"},
+            {"name": "test_struct", "type": "struct<num:int,desc:character>"},
+            {"name": "test_decimal", "type": "decimal(38,0)"},
+        ],
+    )
+    from decimal import Decimal
+
+    df = spark.createDataFrame(
+        [(1, [1, 2], (7, "x"), Decimal(12345678901234567890))], t.spark_schema
+    )
+    path = str(tmp_path / "nested")
+    t.write(df, path, mode="overwrite")
+    row = t.read(spark, path).collect()[0]
+    assert row.test_array == [1, 2]
+    assert row.test_struct.num == 7 and row.test_struct.desc == "x"
+    assert int(row.test_decimal) == 12345678901234567890
