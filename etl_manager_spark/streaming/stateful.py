@@ -1,0 +1,121 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``.
+
+Example operator: per-user running counters (events seen, value sum, last
+event time) maintained as explicit state across micro-batches, with
+optional idle-timeout eviction. This is the escape hatch for semantics
+Spark's built-in windowed aggregations can't express (per-key state
+machines, custom eviction, enrichment caches).
+
+Scale notes: state lives in the state store partitioned by the grouping
+key — the same hash layout as a streaming aggregation; Arrow batches move
+rows into Python per key-group. Keep state values small and bounded.
+
+Timeout caveat (discovered the hard way): with
+``GroupStateTimeout.ProcessingTimeTimeout`` the micro-batch engine keeps
+scheduling timeout-processing batches after the data is exhausted, so an
+``availableNow`` run never terminates. Idle-key eviction is therefore
+opt-in (``idle_timeout_ms``) and meant for continuous triggers; bounded
+backfills use ``NoTimeout``.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Any, Iterable, Iterator, Optional
+
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
+    from pyspark.sql import DataFrame
+
+OUTPUT_SCHEMA = (
+    "user_id long, n_events long, total_value double, last_seen timestamp"
+)
+STATE_SCHEMA = "n_events long, total_value double, last_seen_us long"
+
+
+def _make_update_fn(idle_timeout_ms: Optional[int]):
+    """Closure so the state function knows whether eviction is on without
+    relying on driver-side globals surviving pickling."""
+
+    def update_user_counters(
+        key: tuple[Any, ...],
+        pdfs: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterable["pd.DataFrame"]:
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, total, last_us = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            last_us = max(last_us, int(pdf["ts"].astype("int64").max() // 1000))
+        state.update((n, total, last_us))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [total],
+                "last_seen": [pd.Timestamp(last_us, unit="us")],
+            }
+        )
+
+    return update_user_counters
+
+
+def user_counters(
+    events: "DataFrame", idle_timeout_ms: Optional[int] = None
+) -> "DataFrame":
+    """events stream → per-user stateful counters (update mode).
+
+    ``idle_timeout_ms`` turns on ProcessingTime eviction of idle users —
+    use only with continuous triggers (see module docstring)."""
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return (
+        events.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_update_fn(idle_timeout_ms),
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=timeout,
+        )
+    )
+
+
+def run_user_counters_to_memory(spark, sf_dir: str, name: str = "stateful_user_counters"):
+    """availableNow execution of the stateful counters over the events file
+    stream; returns the final per-user counter table."""
+    from etl_manager_spark.streaming.windows import read_events_stream
+
+    stream = user_counters(read_events_stream(spark, sf_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update-mode memory sink may hold one row per micro-batch per user;
+    # keep the latest per user
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        spark.table(name)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

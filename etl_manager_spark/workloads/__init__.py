@@ -42,6 +42,11 @@ def workload(name: str, oracle: Optional[str], category: str):
 
 def load_registry() -> dict[str, Workload]:
     """Import all workload modules (side-effect: fills REGISTRY)."""
-    from etl_manager_spark.workloads import pipeline, relational, streams  # noqa: F401
+    from etl_manager_spark.workloads import (  # noqa: F401
+        pipeline,
+        relational,
+        streams,
+        tpch_extra,
+    )
 
     return REGISTRY

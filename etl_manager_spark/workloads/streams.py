@@ -25,3 +25,13 @@ def streaming_hourly_rollup(spark, sf_dir):
 def streaming_session_windows(spark, sf_dir):
     stream = session_rollup(read_events_stream(spark, sf_dir))
     return run_to_memory(stream, spark, "stream_session_windows_result")
+
+
+@workload("streaming_stateful_user_counters", None, category="streaming")
+def streaming_stateful_user_counters(spark, sf_dir):
+    """Custom per-key state machine via applyInPandasWithState (rows-only:
+    double accumulation order differs from SQL SUM, so no hash oracle;
+    batch equivalence is asserted in tests/test_skew_and_stateful.py)."""
+    from etl_manager_spark.streaming.stateful import run_user_counters_to_memory
+
+    return run_user_counters_to_memory(spark, sf_dir, name="stream_stateful_counters")

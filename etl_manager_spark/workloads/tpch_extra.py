@@ -1,0 +1,310 @@
+"""TPC-H analog batch 4: the remaining query shapes adaptable to the
+driver testdata (no partsupp table; lineitem has no commit/receipt dates —
+see TESTDATA.md), closing out the classic decision-support shapes:
+correlated scalar subqueries, distribution histograms, window-max
+"argmax" selection, relation-derived semi-joins, and anti-join + scalar
+subquery combinations.
+
+Scale notes per query inline. Decimal-exact money discipline per
+functions/exact.py (SURVEY §5: DuckDB-oracle hash parity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_manager_spark.functions.exact import dec, dec_sum
+from etl_manager_spark.workloads import workload
+from etl_manager_spark.workloads.tables import load_tables
+
+_REVENUE_SPARK = (
+    lambda: F.sum(
+        dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+    ).cast("double")
+)
+_REVENUE_SQL = (
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+    "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
+)
+
+
+@workload(
+    "q9_profit_by_nation_year",
+    f"""
+    SELECT n_name AS nation,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+           {_REVENUE_SQL} AS profit
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_name LIKE '%ivory%'
+    GROUP BY n_name, EXTRACT(YEAR FROM o_orderdate)
+    """,
+    category="join",
+)
+def q9_profit_by_nation_year(spark, sf_dir):
+    """TPC-H Q9 shape (sans partsupp supplycost): five-way join, profit by
+    supplier nation and order year. Scale: part/supplier/nation broadcast;
+    the two fact-side joins (lineitem→orders) shuffle on orderkey once —
+    Catalyst keeps lineitem as the streamed side throughout."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"].filter(F.col("p_name").like("%ivory%"))),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(_REVENUE_SPARK().alias("profit"))
+    )
+
+
+@workload(
+    "q13_customer_order_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+    category="join",
+)
+def q13_customer_order_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: customer-order-count histogram via left outer join
+    with a join-side predicate, double aggregation. Scale: first groupBy
+    shuffles on custkey (same key as the join — Catalyst reuses the
+    exchange); second aggregate is tiny (distinct counts)."""
+    t = load_tables(spark, sf_dir)
+    per_cust = (
+        t["customer"]
+        .join(
+            t["orders"].filter(F.col("o_orderpriority") != "1-URGENT"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@workload(
+    "q15_top_supplier",
+    f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no, {_REVENUE_SQL} AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    category="subquery",
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: argmax over an aggregated view (scalar subquery →
+    window max, one pass, no re-aggregation). The revenue doubles are
+    decimal-exact so the equality comparison is portable across engines.
+    Scale: window over an unpartitioned max moves only the 1-row max per
+    partition after the agg (tiny); supplier side broadcasts."""
+    t = load_tables(spark, sf_dir)
+    revenue = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(_REVENUE_SPARK().alias("total_revenue"))
+    )
+    best = revenue.withColumn(
+        "_max_rev", F.max("total_revenue").over(Window.partitionBy())
+    ).filter(F.col("total_revenue") == F.col("_max_rev"))
+    return (
+        F.broadcast(t["supplier"])
+        .join(best, F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@workload(
+    "q16_supplier_count_by_part",
+    """
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#3'
+      AND p_type NOT LIKE 'SMALL%'
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+    GROUP BY p_brand, p_type, p_size
+    """,
+    category="aggregation",
+)
+def q16_supplier_count_by_part(spark, sf_dir):
+    """TPC-H Q16 shape with lineitem standing in for partsupp as the
+    part↔supplier relation: distinct-supplier counts per part attribute
+    triple under negated/IN predicates. Scale: the part filter broadcasts;
+    countDistinct expands to a two-stage aggregate (partial distinct
+    map-side), so the shuffle carries deduped (attrs, suppkey) pairs."""
+    t = load_tables(spark, sf_dir)
+    part = t["part"].filter(
+        (F.col("p_brand") != "Brand#3")
+        & ~F.col("p_type").like("SMALL%")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@workload(
+    "q17_small_quantity_revenue",
+    """
+    WITH flagged AS (
+        SELECT l_extendedprice, l_quantity,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_partkey) AS DOUBLE)
+                 / COUNT(*) OVER (PARTITION BY l_partkey) AS avg_qty
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand = 'Brand#2'
+    )
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+    FROM flagged
+    WHERE CAST(l_quantity AS DOUBLE) < 0.2 * avg_qty
+    """,
+    category="subquery",
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: correlated per-part average decorrelated into a
+    window (one scan instead of the naive rescan-per-row). The threshold is
+    computed decimal-sum / count → double in both engines so the filter
+    boundary is bitwise-portable. Scale: window partitions by partkey —
+    same shuffle key as the join output; no extra exchange."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("l_partkey")
+    flagged = (
+        t["lineitem"]
+        .join(
+            F.broadcast(t["part"].filter(F.col("p_brand") == "Brand#2")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .withColumn(
+            "avg_qty",
+            F.sum(dec("l_quantity")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w),
+        )
+    )
+    return (
+        flagged.filter(F.col("l_quantity").cast("double") < 0.2 * F.col("avg_qty"))
+        .agg((dec_sum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+@workload(
+    "q20_heavy_shippers",
+    """
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_name LIKE 'aqua%'
+          AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+        GROUP BY l_suppkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 50
+    )
+    """,
+    category="subquery",
+)
+def q20_heavy_shippers(spark, sf_dir):
+    """TPC-H Q20 shape (lineitem standing in for partsupp availability):
+    suppliers who shipped > threshold quantity of matching parts in a
+    year — IN-subquery with HAVING → aggregate + left-semi join. Scale:
+    the aggregate output (distinct suppliers) is tiny → broadcast the
+    semi-join side; supplier table never shuffles."""
+    t = load_tables(spark, sf_dir)
+    heavy = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
+        )
+        .join(
+            F.broadcast(t["part"].filter(F.col("p_name").like("aqua%"))),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("l_suppkey")
+        .agg(dec_sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 50)
+    )
+    return (
+        t["supplier"]
+        .join(F.broadcast(heavy), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+@workload(
+    "q22_global_sales_opportunity",
+    """
+    WITH rich AS (
+        SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+        WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING', 'MACHINERY')
+          AND CAST(c_acctbal AS DOUBLE) > (
+              SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+              FROM customer
+              WHERE c_acctbal > 0.0
+                AND c_mktsegment IN ('AUTOMOBILE', 'BUILDING', 'MACHINERY')
+          )
+    )
+    SELECT c_mktsegment,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM rich
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    GROUP BY c_mktsegment
+    """,
+    category="subquery",
+)
+def q22_global_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22 shape (market segment standing in for phone country
+    code): above-average-balance customers with no orders. Scalar subquery
+    → computed once and broadcast into the filter; NOT IN (no nulls in
+    o_custkey) → left-anti join. Scale: anti join shuffles on custkey;
+    the rich-customer side is already small post-filter."""
+    t = load_tables(spark, sf_dir)
+    segs = ("AUTOMOBILE", "BUILDING", "MACHINERY")
+    seg_cust = t["customer"].filter(F.col("c_mktsegment").isin(*segs))
+    avg_bal = (
+        seg_cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (F.sum(dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("v")
+        )
+        .collect()[0]["v"]
+    )
+    return (
+        seg_cust.filter(F.col("c_acctbal").cast("double") > avg_bal)
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dec_sum("c_acctbal").alias("totacctbal"),
+        )
+    )
