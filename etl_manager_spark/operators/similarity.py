@@ -168,6 +168,91 @@ def cosine_topk_lsh(
     )
 
 
+def cosine_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs: all (a, b) with
+    ``a.id < b.id`` and ``cosine(a, b) >= threshold``.
+
+    This is the exact O(n²) formulation — correct at any scale but only
+    affordable when one side fits in a broadcast (≲ a few 100k vectors).
+    The self-cross-join broadcasts the smaller (same) relation and the
+    pair enumeration + dot products stay inside whole-stage codegen with
+    no shuffle; the id< predicate halves the work.
+    """
+    a = corpus.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
+    )
+    b = corpus.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
+    )
+    return (
+        F.broadcast(a)
+        .join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            cosine(F.col("_va"), F.col("_vb")).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def cosine_near_dup_pairs_lsh(
+    corpus: DataFrame,
+    threshold: float,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 4,
+    num_tables: int = 4,
+) -> DataFrame:
+    """LSH-blocked near-duplicate pairs — the 100 TB scale path.
+
+    Candidate pairs are limited to vectors sharing an LSH bucket in at
+    least one of ``num_tables`` hash tables (OR-amplified recall), then
+    verified with the exact cosine. Work drops from O(n²) to
+    O(Σ_bucket |bucket|²); the join shuffles on (table, bucket) — no
+    broadcast needed, so the corpus can be arbitrarily large. Approximate:
+    pairs whose vectors collide in no table are missed."""
+
+    def with_buckets(df, out_id, out_vec):
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.col(vec_col).alias(out_vec),
+            F.explode(
+                F.array(
+                    *[
+                        F.concat_ws(
+                            ":",
+                            F.lit(str(t)),
+                            lsh_bucket(F.col(vec_col), dim, num_planes, seed=7 + t),
+                        )
+                        for t in range(num_tables)
+                    ]
+                )
+            ).alias("bucket"),
+        )
+
+    a = with_buckets(corpus, "id_a", "_va")
+    b = with_buckets(corpus, "id_b", "_vb")
+    return (
+        a.join(b, on="bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            cosine(F.col("_va"), F.col("_vb")).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+        .groupBy("id_a", "id_b")
+        .agg(F.max("cosine_sim").alias("cosine_sim"))
+    )
+
+
 def embedding_profile(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Per-vector stats: dimension, L2 norm, min/max element."""
     v = F.col(vec_col).cast("array<double>")

@@ -323,6 +323,40 @@ def similarity_topk_lsh(spark, sf_dir):
     )
 
 
+@workload(
+    "dedup_embedding_cosine",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           LIST_DOT_PRODUCT(a.v, b.v)
+             / (SQRT(LIST_DOT_PRODUCT(a.v, a.v)) * SQRT(LIST_DOT_PRODUCT(b.v, b.v))) AS cosine_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE LIST_DOT_PRODUCT(a.v, b.v)
+            / (SQRT(LIST_DOT_PRODUCT(a.v, a.v)) * SQRT(LIST_DOT_PRODUCT(b.v, b.v))) >= 0.4
+    """,
+    category="dedup",
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs, exact O(n²) formulation
+    (threshold 0.4 — the synthetic embeddings have no true near-dups, so
+    the gate is calibrated to produce a non-trivial pair set). Bitwise
+    float parity: sequential double dot product in both engines."""
+    t = load_tables(spark, sf_dir)
+    return S.cosine_near_dup_pairs(t["embeddings"], threshold=0.4)
+
+
+# rows-only (approximate by design — no SQL oracle)
+@workload("dedup_embedding_cosine_lsh", None, category="dedup")
+def dedup_embedding_cosine_lsh(spark, sf_dir):
+    """LSH-blocked near-dup pairs — the scale path (bucket join, no
+    broadcast, O(Σ|bucket|²) work). Approximate → rows-only; recall vs the
+    exact pair set is asserted in tests/test_operators.py."""
+    t = load_tables(spark, sf_dir)
+    return S.cosine_near_dup_pairs_lsh(
+        t["embeddings"], threshold=0.4, dim=64, num_planes=4, num_tables=4
+    )
+
+
 # --------------------------------------------------------------------- #
 # As-of join
 

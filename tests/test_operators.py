@@ -25,6 +25,22 @@ def test_lsh_topk_recall_vs_bruteforce(spark, sf_dir):
     assert all(r.rank <= 5 for r in approx.collect())
 
 
+def test_cosine_near_dup_lsh_recall_vs_exact(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    # low threshold so the exact pair set is non-empty on random embeddings
+    exact = S.cosine_near_dup_pairs(emb, threshold=0.35)
+    approx = S.cosine_near_dup_pairs_lsh(
+        emb, threshold=0.35, dim=64, num_planes=4, num_tables=4
+    )
+    e = {(r.id_a, r.id_b) for r in exact.collect()}
+    a = {(r.id_a, r.id_b) for r in approx.collect()}
+    assert e, "exact pair set unexpectedly empty — threshold too high"
+    # LSH candidates are a subset of all pairs: no false positives
+    assert a <= e
+    recall = len(e & a) / len(e)
+    assert recall > 0.2, f"recall {recall}"
+
+
 def test_asof_join_fixture(spark):
     quotes = spark.createDataFrame(
         [("a", 1, 10.0), ("a", 5, 11.0), ("b", 3, 20.0)],
