@@ -53,10 +53,14 @@ def cosine_topk(
     whose input is only |queries|·|corpus| scored rows pre-filtered by the
     broadcast join. Ties break on candidate id for determinism."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        l2_norm(F.col(vec_col)).alias("_qnorm"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+        l2_norm(F.col(vec_col)).alias("_cnorm"),
     )
     scored = (
         F.broadcast(q)
@@ -65,7 +69,10 @@ def cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("_qvec"), F.col("_cvec")).alias("cosine_sim"),
+            (
+                dot(F.col("_qvec"), F.col("_cvec"))
+                / (F.col("_qnorm") * F.col("_cnorm"))
+            ).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -128,6 +135,7 @@ def cosine_topk_lsh(
         tagged = df.select(
             F.col(id_col).alias(out_id),
             F.col(vec_col).alias(f"_{out_id}_vec"),
+            l2_norm(F.col(vec_col)).alias(f"_{out_id}_norm"),
             F.explode(
                 F.array(
                     *[
@@ -155,7 +163,10 @@ def cosine_topk_lsh(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("_query_id_vec"), F.col("_neighbor_id_vec")).alias("cosine_sim"),
+            (
+                dot(F.col("_query_id_vec"), F.col("_neighbor_id_vec"))
+                / (F.col("_query_id_norm") * F.col("_neighbor_id_norm"))
+            ).alias("cosine_sim"),
         )
         .groupBy("query_id", "neighbor_id")
         .agg(F.max("cosine_sim").alias("cosine_sim"))
@@ -182,12 +193,22 @@ def cosine_near_dup_pairs(
     The self-cross-join broadcasts the smaller (same) relation and the
     pair enumeration + dot products stay inside whole-stage codegen with
     no shuffle; the id< predicate halves the work.
+
+    Each vector's L2 norm is computed once BEFORE the join (O(n)) instead
+    of per pair (O(n²)) — cosine = dot/(norm_a·norm_b) is the identical
+    float expression either way (same ops, same order → bitwise-equal to
+    the naive form and to the DuckDB oracle), but the per-pair work drops
+    from three array passes to one.
     """
     a = corpus.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+        l2_norm(F.col(vec_col)).alias("_na"),
     )
     b = corpus.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+        l2_norm(F.col(vec_col)).alias("_nb"),
     )
     return (
         F.broadcast(a)
@@ -195,7 +216,9 @@ def cosine_near_dup_pairs(
         .select(
             "id_a",
             "id_b",
-            cosine(F.col("_va"), F.col("_vb")).alias("cosine_sim"),
+            (
+                dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+            ).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
@@ -237,15 +260,22 @@ def cosine_near_dup_pairs_lsh(
             ).alias("bucket"),
         )
 
-    a = with_buckets(corpus, "id_a", "_va")
-    b = with_buckets(corpus, "id_b", "_vb")
+    def with_buckets_and_norm(df, out_id, out_vec, out_norm):
+        return with_buckets(df, out_id, out_vec).withColumn(
+            out_norm, l2_norm(F.col(out_vec))
+        )
+
+    a = with_buckets_and_norm(corpus, "id_a", "_va", "_na")
+    b = with_buckets_and_norm(corpus, "id_b", "_vb", "_nb")
     return (
         a.join(b, on="bucket")
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            cosine(F.col("_va"), F.col("_vb")).alias("cosine_sim"),
+            (
+                dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+            ).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
         .groupBy("id_a", "id_b")
