@@ -11,6 +11,7 @@ from etl_manager_spark.streaming.windows import (
     read_events_stream,
     run_to_memory,
     session_rollup,
+    sliding_rollup,
 )
 from etl_manager_spark.workloads import workload
 
@@ -25,6 +26,38 @@ def streaming_hourly_rollup(spark, sf_dir):
 def streaming_session_windows(spark, sf_dir):
     stream = session_rollup(read_events_stream(spark, sf_dir))
     return run_to_memory(stream, spark, "stream_session_windows_result")
+
+
+@workload("streaming_sliding_windows", None, category="streaming")
+def streaming_sliding_windows(spark, sf_dir):
+    """2-hour windows sliding by 1 hour (each event lands in 2 windows).
+    Rows-only; batch equivalence asserted in tests/test_streaming.py."""
+    stream = sliding_rollup(read_events_stream(spark, sf_dir))
+    return run_to_memory(stream, spark, "stream_sliding_windows_result")
+
+
+@workload(
+    "streaming_dedup_user_event_types",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    category="streaming",
+)
+def streaming_dedup_user_event_types(spark, sf_dir):
+    """Streaming deduplication: dropDuplicates keeps the first occurrence
+    of each (user_id, event_type) across micro-batches via keyed state.
+    Unbounded state by design here (exact global dedup, so the result
+    matches batch DISTINCT regardless of micro-batching); production
+    streams bound state with dropDuplicatesWithinWatermark at the cost of
+    re-admitting keys older than the watermark."""
+    stream = (
+        read_events_stream(spark, sf_dir)
+        .select("user_id", "event_type")
+        .dropDuplicates(["user_id", "event_type"])
+    )
+    return run_to_memory(
+        stream, spark, "stream_dedup_result", output_mode="append"
+    )
 
 
 @workload("streaming_stateful_user_counters", None, category="streaming")

@@ -71,6 +71,33 @@ def test_exact_dedup_single_shuffle(plans):
     assert r.shuffle_exchanges == 1, "exact dedup = exactly one shuffle"
 
 
+def test_q9_dimensions_broadcast_single_fact_shuffle(plans):
+    r = plans("q9_profit_by_nation_year")
+    # part/supplier/nation broadcast; only lineitem⋈orders shuffles
+    assert r.broadcast_joins >= 3, r.text[:2000]
+    assert r.sortmerge_joins <= 1
+    assert r.cartesian_products == 0
+    # part name filter must push to the parquet scan
+    assert any("p_name" in pf for pf in r.pushed_filters), r.pushed_filters
+
+
+def test_near_dup_exact_no_shuffle(plans):
+    r = plans("dedup_embedding_cosine")
+    # broadcast self-join: corpus side streams straight through — pair
+    # scoring must not shuffle anything
+    assert "BroadcastNestedLoopJoin" in r.text
+    assert r.shuffle_exchanges == 0, r.text[:2000]
+
+
+def test_q17_window_reuses_join_partitioning(plans):
+    r = plans("q17_small_quantity_revenue")
+    # window partitions by l_partkey; the join output is already
+    # partitioned compatibly — at most the one agg exchange plus one for
+    # the window's sort requirement
+    assert r.shuffle_exchanges <= 2, r.text[:2000]
+    assert r.broadcast_joins >= 1
+
+
 def test_projection_pruning_on_wide_join(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     df = (

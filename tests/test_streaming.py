@@ -48,6 +48,23 @@ def test_sliding_rollup_runs_and_overlaps(spark, sf_dir):
     assert total == 2 * n_events
 
 
+def test_streaming_dedup_matches_batch_distinct(spark, sf_dir):
+    from etl_manager_spark.workloads import load_registry
+
+    out = load_registry()["streaming_dedup_user_event_types"].fn(spark, sf_dir)
+    s = {(r.user_id, r.event_type) for r in out.collect()}
+    b = {
+        (r.user_id, r.event_type)
+        for r in _batch_events(spark, sf_dir)
+        .select("user_id", "event_type")
+        .distinct()
+        .collect()
+    }
+    assert s == b and len(s) > 0
+    # dedup means no key appears twice in the streamed output
+    assert out.count() == len(s)
+
+
 def test_session_windows_match_batch_sessionization(spark, sf_dir):
     stream_result = run_to_memory(
         session_rollup(read_events_stream(spark, sf_dir)), spark, "t_session"
