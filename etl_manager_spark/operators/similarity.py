@@ -283,6 +283,130 @@ def cosine_near_dup_pairs_lsh(
     )
 
 
+def _train_centroids_driver(
+    sample_vectors: list[list[float]], k: int, iters: int = 5
+) -> list[list[float]]:
+    """Spherical k-means on a driver-side sample (numpy, deterministic:
+    sorted-sample init, fixed iteration count — no RNG). The sample is
+    small (≤ a few thousand vectors) so this is O(sample·k·dim) driver
+    work; the result is a list of unit-norm centroids to broadcast as
+    plan literals."""
+    import numpy as np
+
+    X = np.asarray(sample_vectors, dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    C = X[:k].copy()
+    for _ in range(iters):
+        assign = (X @ C.T).argmax(axis=1)
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+        C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    return C.tolist()
+
+
+def _centroid_dots(vec_col: Column, centroids: list[list[float]]) -> Column:
+    """array<double> of dot(vec, centroid_j) for all centroids — centroids
+    are literals, so the whole thing stays in codegen with no shuffle.
+    For unit-norm centroids, argmax(dot) == argmax(cosine): the vector's
+    own norm is a positive constant across j and never needs computing."""
+    return F.array(
+        *[
+            dot(vec_col, F.array(*[F.lit(v) for v in c]))
+            for c in centroids
+        ]
+    )
+
+
+def ivf_assign(vec_col: Column, centroids: list[list[float]]) -> Column:
+    """Nearest-centroid id (1-based) — the IVF list a vector belongs to."""
+    dots = _centroid_dots(vec_col, centroids)
+    return F.array_position(dots, F.array_max(dots)).cast("int")
+
+
+def ivf_probes(vec_col: Column, centroids: list[list[float]], nprobe: int) -> Column:
+    """The ``nprobe`` nearest centroid ids for a query vector, as an
+    array<int>: zip (dot, id), sort ascending by dot (struct sort is
+    field-lexicographic), take the tail, extract ids."""
+    k = len(centroids)
+    dots = _centroid_dots(vec_col, centroids)
+    ranked = F.array_sort(
+        F.zip_with(
+            dots,
+            F.sequence(F.lit(1), F.lit(k)),
+            lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+        )
+    )
+    top = F.slice(F.reverse(ranked), 1, nprobe)
+    return F.transform(top, lambda s: s["i"].cast("int"))
+
+
+def cosine_topk_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    num_lists: int = 16,
+    nprobe: int = 4,
+    train_sample: int = 1024,
+) -> DataFrame:
+    """IVF-Flat approximate cosine top-k — the cluster-pruned ANN path.
+
+    Index: spherical k-means centroids trained driver-side on a
+    deterministic sample (first ``train_sample`` vectors by id), then each
+    corpus vector is assigned to its nearest centroid's inverted list —
+    one literal-only projection, no shuffle. Query: probe the ``nprobe``
+    nearest lists and score exactly within them, cutting scored candidates
+    to ~nprobe/num_lists of the corpus.
+
+    Scale: centroids travel as plan literals (no side table, no join for
+    the assignment); the candidate join shuffles on the list id — at
+    100 TB the corpus-side assignment would be precomputed once and
+    stored as a partition column so probes become partition pruning.
+    Approximate: misses neighbors whose list isn't probed."""
+    sample_rows = (
+        corpus.orderBy(id_col)
+        .limit(train_sample)
+        .select(F.col(vec_col).cast("array<double>"))
+        .collect()
+    )
+    centroids = _train_centroids_driver([r[0] for r in sample_rows], num_lists)
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+        l2_norm(F.col(vec_col)).alias("_cnorm"),
+        ivf_assign(F.col(vec_col), centroids).alias("_list"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        l2_norm(F.col(vec_col)).alias("_qnorm"),
+        F.explode(ivf_probes(F.col(vec_col), centroids, nprobe)).alias("_list"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, on="_list")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                dot(F.col("_qvec"), F.col("_cvec"))
+                / (F.col("_qnorm") * F.col("_cnorm"))
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine_sim")
+    )
+
+
 def embedding_profile(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Per-vector stats: dimension, L2 norm, min/max element."""
     v = F.col(vec_col).cast("array<double>")

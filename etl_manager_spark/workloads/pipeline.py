@@ -323,6 +323,19 @@ def similarity_topk_lsh(spark, sf_dir):
     )
 
 
+# rows-only (approximate by design — no SQL oracle)
+@workload("similarity_topk_ivf", None, category="similarity")
+def similarity_topk_ivf(spark, sf_dir):
+    """IVF-Flat approximate top-k (cluster-pruned scan: spherical-kmeans
+    lists, nprobe nearest lists scored exactly). Approximate → no SQL
+    oracle; recall vs brute force asserted in tests/test_operators.py."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    return S.cosine_topk_ivf(
+        emb.filter(F.col("vec_id") < 5), emb, k=5, num_lists=8, nprobe=3
+    )
+
+
 @workload(
     "dedup_embedding_cosine",
     """

@@ -25,6 +25,24 @@ def test_lsh_topk_recall_vs_bruteforce(spark, sf_dir):
     assert all(r.rank <= 5 for r in approx.collect())
 
 
+def test_ivf_topk_recall_vs_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = S.cosine_topk(queries, emb, k=5)
+    approx = S.cosine_topk_ivf(queries, emb, k=5, num_lists=8, nprobe=3)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    # probing 3/8 lists on random embeddings: meaningful overlap expected
+    recall = len(e & a) / len(e)
+    assert recall > 0.2, f"recall {recall}"
+    # scored candidates are real corpus vectors with exact cosine — any
+    # returned (q, n) pair that brute force also returns must agree on sim
+    exact_sims = {(r.query_id, r.neighbor_id): r.cosine_sim for r in exact.collect()}
+    for r in approx.collect():
+        if (r.query_id, r.neighbor_id) in exact_sims:
+            assert r.cosine_sim == exact_sims[(r.query_id, r.neighbor_id)]
+
+
 def test_cosine_near_dup_lsh_recall_vs_exact(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     # low threshold so the exact pair set is non-empty on random embeddings
