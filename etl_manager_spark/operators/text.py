@@ -92,6 +92,36 @@ def language_id(text_col: Column | str, markers: dict[str, tuple[str, ...]] | No
     return F.when(folded["hits"] <= 0, F.lit("und")).otherwise(folded["lang"])
 
 
+def rolling_fingerprint(
+    text_col: Column | str, window: int = 8, mod: int = 1_000_000_007
+) -> Column:
+    """Winnowing-style rolling-hash fingerprint: Karp-Rabin polynomial
+    hash (base 31, prime modulus) of every ``window``-char substring of
+    the normalized text, folded to the minimum — documents sharing any
+    window collide with high probability, the classic local-similarity
+    fingerprint.
+
+    All-integer JVM expression: sequence → per-window polynomial fold →
+    array_min; no shuffle, no Python. HOFs can't stream carry state
+    across windows, so each window recomputes its O(window) fold —
+    O(len·window) total, fine for document-sized strings. The per-step
+    modulus keeps the accumulator < mod·31 + 255, well inside int64 in
+    both Spark and the DuckDB oracle (exact integer parity)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    s = F.lower(F.regexp_replace(c, r"\s+", " "))
+    length = F.length(s)
+    starts = F.sequence(F.lit(1), F.greatest(length - (window - 1), F.lit(1)))
+
+    def window_hash(i):
+        return F.aggregate(
+            F.sequence(i, i + (window - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, j: (acc * 31 + F.ascii(F.substr(s, j, F.lit(1)))) % mod,
+        )
+
+    return F.array_min(F.transform(starts, window_hash))
+
+
 def doc_fingerprint(text_col: Column | str) -> Column:
     """Deterministic content fingerprint: md5 of the normalized token stream
     (lowercased, whitespace-collapsed). Engine-portable (md5 is standard)."""

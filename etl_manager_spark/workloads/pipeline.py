@@ -90,6 +90,34 @@ def text_profile_documents(spark, sf_dir):
 
 
 @workload(
+    "fingerprint_rolling_documents",
+    r"""
+    SELECT doc_id,
+           LIST_MIN(LIST_TRANSFORM(
+             RANGE(1, GREATEST(LENGTH(s) - 7, 1) + 1),
+             i -> LIST_REDUCE(
+                    LIST_TRANSFORM(RANGE(i, i + 8),
+                                   j -> CAST(ASCII(SUBSTRING(s, CAST(j AS INTEGER), 1)) AS BIGINT)),
+                    (acc, x) -> (acc * 31 + x) % 1000000007)
+           )) AS fingerprint
+    FROM (SELECT doc_id, LOWER(REGEXP_REPLACE(text, '\s+', ' ', 'g')) AS s
+          FROM documents)
+    """,
+    category="text",
+)
+def fingerprint_rolling_documents(spark, sf_dir):
+    """Karp-Rabin windowed-min fingerprint (winnowing-style). Exact
+    integer parity with the oracle: same base/modulus fold, DuckDB
+    RANGE is end-exclusive where Spark sequence is inclusive, and
+    list_reduce's first-element seed equals Spark's 0-init after one
+    step since every char code < modulus."""
+    t = load_tables(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id", X.rolling_fingerprint("text").alias("fingerprint")
+    )
+
+
+@workload(
     "lang_id_documents",
     """
     WITH scores AS (
