@@ -1,0 +1,85 @@
+"""Vectorized Python UDF patterns (SURVEY §2.C UDF/UDAF row).
+
+The engine's rule: pyspark.sql.functions first — Python only where numpy
+genuinely earns its keep. These are the two sanctioned shapes:
+
+* scalar ``pandas_udf`` — Arrow batches in, numpy kernel, Arrow batches
+  out. ~10-100× over row-at-a-time ``F.udf`` (one serialization per
+  batch, vectorized compute).
+* grouped ``applyInPandas`` — per-group pandas frame in, frame out; the
+  grouped-map stand-in for a custom UDAF when the aggregate state is a
+  vector (here: per-label embedding centroids).
+
+Scale notes: both operate per Arrow batch / per group partition — no
+driver collection; the applyInPandas shuffle is one hash exchange on the
+group key, identical layout to a built-in groupBy.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, ByteType
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql import DataFrame
+
+
+@F.pandas_udf(ArrayType(ByteType()))
+def quantize_embedding(vectors: pd.Series) -> pd.Series:
+    """Symmetric int8 quantization per vector: scale = 127/max|x| (0-safe),
+    values round-half-away-from-zero into [-127, 127]. Vectorized numpy
+    over each Arrow batch."""
+    import numpy as np
+
+    def q(vec):
+        if vec is None:
+            return None
+        x = np.asarray(vec, dtype=np.float64)
+        peak = np.abs(x).max() if x.size else 0.0
+        if peak == 0.0:
+            return np.zeros(x.size, dtype=np.int8)
+        scaled = x * (127.0 / peak)
+        return np.sign(scaled).astype(np.int8) * np.floor(
+            np.abs(scaled) + 0.5
+        ).astype(np.int8)
+
+    return pd.Series([q(v) for v in vectors])
+
+
+def quantized_embeddings(df: "DataFrame", id_col: str = "vec_id", vec_col: str = "embedding") -> "DataFrame":
+    return df.select(
+        F.col(id_col),
+        quantize_embedding(F.col(vec_col).cast("array<double>")).alias("q_embedding"),
+    )
+
+
+_CENTROID_SCHEMA = "label int, n long, centroid array<double>"
+
+
+def _centroid_of_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    import numpy as np
+
+    mat = np.stack(pdf["embedding"].map(lambda v: np.asarray(v, dtype=np.float64)))
+    return pd.DataFrame(
+        {
+            "label": [int(pdf["label"].iloc[0])],
+            "n": [len(pdf)],
+            "centroid": [mat.mean(axis=0)],
+        }
+    )
+
+
+def label_centroids(df: "DataFrame", label_col: str = "label", vec_col: str = "embedding") -> "DataFrame":
+    """Per-label embedding centroid — a vector-valued aggregate via
+    grouped-map applyInPandas (numpy column mean per group). Float sums
+    use numpy's pairwise accumulation, so results agree with a sequential
+    HOF mean only to ~1e-12 — tests compare with tolerance, and the
+    workload is registered rows-only."""
+    return (
+        df.select(F.col(label_col).alias("label"), F.col(vec_col).alias("embedding"))
+        .groupBy("label")
+        .applyInPandas(_centroid_of_group, schema=_CENTROID_SCHEMA)
+    )

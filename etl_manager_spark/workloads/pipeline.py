@@ -351,6 +351,26 @@ def similarity_topk_lsh(spark, sf_dir):
     )
 
 
+# rows-only: int8 round-half-away + numpy pairwise float sums aren't
+# bitwise-reproducible in SQL; property tests live in tests/test_udfs.py
+@workload("embedding_quantize", None, category="udf")
+def embedding_quantize(spark, sf_dir):
+    """Scalar pandas_udf (Arrow-vectorized int8 quantization)."""
+    from etl_manager_spark.functions.udfs import quantized_embeddings
+
+    t = load_tables(spark, sf_dir)
+    return quantized_embeddings(t["embeddings"])
+
+
+@workload("embedding_label_centroids", None, category="udf")
+def embedding_label_centroids(spark, sf_dir):
+    """Grouped-map applyInPandas vector aggregate (per-label centroid)."""
+    from etl_manager_spark.functions.udfs import label_centroids
+
+    t = load_tables(spark, sf_dir)
+    return label_centroids(t["embeddings"])
+
+
 # rows-only (approximate by design — no SQL oracle)
 @workload("similarity_topk_ivf", None, category="similarity")
 def similarity_topk_ivf(spark, sf_dir):
