@@ -94,20 +94,37 @@ def user_counters(
     )
 
 
-def run_user_counters_to_memory(spark, sf_dir: str, name: str = "stateful_user_counters"):
+def run_user_counters_to_memory(
+    spark,
+    sf_dir: str,
+    name: str = "stateful_user_counters",
+    state_partitions: int | None = 8,
+):
     """availableNow execution of the stateful counters over the events file
-    stream; returns the final per-user counter table."""
+    stream; returns the final per-user counter table.
+
+    ``state_partitions`` pins ``spark.sql.shuffle.partitions`` for the
+    query's lifetime (restored after): a stateful query's state-store
+    partition count is FIXED at first start by the checkpoint, and each
+    partition runs a Python state worker per micro-batch — size it to key
+    cardinality/throughput, not to the session's relational default."""
     from etl_manager_spark.streaming.windows import read_events_stream
 
     stream = user_counters(read_events_stream(spark, sf_dir))
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     # update-mode memory sink may hold one row per micro-batch per user;
     # keep the latest per user
     from pyspark.sql import Window

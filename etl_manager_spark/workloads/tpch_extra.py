@@ -262,6 +262,64 @@ def q20_heavy_shippers(spark, sf_dir):
 
 
 @workload(
+    "unpivot_part_measures",
+    """
+    SELECT p_partkey, 'p_size' AS measure, CAST(p_size AS DOUBLE) AS value FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice' AS measure, p_retailprice AS value FROM part
+    """,
+    category="setop",
+)
+def unpivot_part_measures(spark, sf_dir):
+    """Wide→long unpivot (melt): one scan, a Generate (explode) node —
+    no shuffle, no join; the oracle is the equivalent UNION ALL. Scale:
+    the single-scan Expand beats k self-scans by k×."""
+    t = load_tables(spark, sf_dir)
+    return t["part"].select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice"),
+    ).unpivot(
+        ids=["p_partkey"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+
+
+@workload(
+    "window_range_30d_spend",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey
+             ORDER BY DATEDIFF('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS spend_30d
+    FROM orders
+    """,
+    category="window",
+)
+def window_range_30d_spend(spark, sf_dir):
+    """RANGE-frame window: per-customer trailing-30-day spend. The frame
+    key is epoch-days (int) so both engines use an identical numeric
+    RANGE frame; ties (same-day orders) are summed together, which
+    row-frames can't express. Scale: one hash exchange on custkey + sort;
+    decimal-exact running sums."""
+    t = load_tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.datediff(F.col("o_orderdate").cast("date"), F.lit("1990-01-01").cast("date")))
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return t["orders"].select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(dec("o_totalprice")).over(w).cast("double").alias("spend_30d"),
+    )
+
+
+@workload(
     "q22_global_sales_opportunity",
     """
     WITH rich AS (
