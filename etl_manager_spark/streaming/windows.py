@@ -56,13 +56,18 @@ def hourly_rollup(events: "DataFrame", watermark: str = "1 hour") -> "DataFrame"
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             dec_sum("value").alias("total_value"),
-            F.approx_count_distinct("user_id").alias("approx_users"),
+            # exact distinct: COUNT(DISTINCT) is unsupported in streaming
+            # aggs, but collect_set is — state per window is O(distinct
+            # users in that window), bounded by the watermark horizon.
+            # Swap to approx_count_distinct if per-window cardinality is
+            # unbounded at your scale.
+            F.size(F.collect_set("user_id")).alias("active_users"),
         )
         .select(
             F.col("window.start").cast("timestamp_ntz").alias("hour_start"),
             "n_events",
             "total_value",
-            "approx_users",
+            "active_users",
         )
     )
 

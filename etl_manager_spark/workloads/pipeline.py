@@ -405,10 +405,12 @@ def similarity_topk_ivf(spark, sf_dir):
 def dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs, exact O(n²) formulation
     (threshold 0.4 — the synthetic embeddings have no true near-dups, so
-    the gate is calibrated to produce a non-trivial pair set). Bitwise
-    float parity: sequential double dot product in both engines."""
+    the gate is calibrated to produce a non-trivial pair set). Runs the
+    blocked numpy kernel (vectorized across pairs, sequential across dims
+    → bitwise parity with the oracle; tests assert it equals the pure-JVM
+    HOF form exactly)."""
     t = load_tables(spark, sf_dir)
-    return S.cosine_near_dup_pairs(t["embeddings"], threshold=0.4)
+    return S.cosine_near_dup_pairs_blocked(t["embeddings"], threshold=0.4)
 
 
 # rows-only (approximate by design — no SQL oracle)

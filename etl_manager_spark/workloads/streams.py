@@ -1,7 +1,8 @@
 """Streaming workloads — executed with availableNow triggers so the driver
-can call them like batch queries. Rows-only checks (streaming plans aren't
-SQL-expressible for DuckDB); batch-equivalence is asserted in
-tests/test_streaming.py instead.
+can call them like batch queries. The windowed aggregations are
+deterministic functions of the input (availableNow processes everything,
+complete mode emits final state), so they carry full DuckDB oracles; only
+the approximate / pandas-stateful ones are rows-only.
 """
 
 from __future__ import annotations
@@ -16,22 +17,79 @@ from etl_manager_spark.streaming.windows import (
 from etl_manager_spark.workloads import workload
 
 
-@workload("streaming_hourly_rollup", None, category="streaming")
+@workload(
+    "streaming_hourly_rollup",
+    """
+    SELECT DATE_TRUNC('hour', ts) AS hour_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           CAST(COUNT(DISTINCT user_id) AS INTEGER) AS active_users
+    FROM events GROUP BY DATE_TRUNC('hour', ts)
+    """,
+    category="streaming",
+)
 def streaming_hourly_rollup(spark, sf_dir):
+    """Tumbling 1-hour windows; exact oracle because the stream is run to
+    completion (availableNow + complete mode = the batch answer). Distinct
+    users via collect_set size (exact; COUNT(DISTINCT) is not available in
+    streaming aggregations)."""
     stream = hourly_rollup(read_events_stream(spark, sf_dir))
     return run_to_memory(stream, spark, "stream_hourly_rollup_result")
 
 
-@workload("streaming_session_windows", None, category="streaming")
+@workload(
+    "streaming_session_windows",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN EPOCH_US(ts) - LAG(EPOCH_US(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM ordered
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, sid
+    """,
+    category="streaming",
+)
 def streaming_session_windows(spark, sf_dir):
+    """Gap-based session windows (30 min). Oracle derives the same sessions
+    with lag + flag-sum; Spark merges windows whose start <= previous end
+    (verified: events exactly 30 min apart share a session), so a new
+    session starts strictly when gap > 30 min, and session_end is the last
+    event + gap."""
     stream = session_rollup(read_events_stream(spark, sf_dir))
     return run_to_memory(stream, spark, "stream_session_windows_result")
 
 
-@workload("streaming_sliding_windows", None, category="streaming")
+@workload(
+    "streaming_sliding_windows",
+    """
+    SELECT window_start,
+           window_start + INTERVAL 2 HOUR AS window_end,
+           COUNT(*) AS n_events
+    FROM (SELECT UNNEST([DATE_TRUNC('hour', ts) - INTERVAL 1 HOUR,
+                         DATE_TRUNC('hour', ts)]) AS window_start
+          FROM events)
+    GROUP BY window_start
+    """,
+    category="streaming",
+)
 def streaming_sliding_windows(spark, sf_dir):
-    """2-hour windows sliding by 1 hour (each event lands in 2 windows).
-    Rows-only; batch equivalence asserted in tests/test_streaming.py."""
+    """2-hour windows sliding by 1 hour (each event lands in exactly 2
+    windows; Spark aligns slide boundaries to the epoch, which is
+    hour-aligned, so the two covering windows start at trunc(ts)-1h and
+    trunc(ts))."""
     stream = sliding_rollup(read_events_stream(spark, sf_dir))
     return run_to_memory(stream, spark, "stream_sliding_windows_result")
 

@@ -25,6 +25,23 @@ def test_lsh_topk_recall_vs_bruteforce(spark, sf_dir):
     assert all(r.rank <= 5 for r in approx.collect())
 
 
+def test_cosine_blocked_matches_broadcast_exactly(spark, sf_dir):
+    """The blocked numpy all-pairs kernel must equal the broadcast HOF
+    form bitwise (same pairs, identical float sims)."""
+    from etl_manager_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    hof = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in S.cosine_near_dup_pairs(emb, threshold=0.4).collect()
+    }
+    blocked = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in S.cosine_near_dup_pairs_blocked(emb, threshold=0.4).collect()
+    }
+    assert hof == blocked and len(blocked) > 0
+
+
 def test_rolling_fingerprint_paths_agree(spark, sf_dir):
     """The fused HOF expression, the two-projection HOF form, and the
     Arrow-vectorized numpy form must produce identical fingerprints."""
