@@ -30,9 +30,9 @@ if TYPE_CHECKING:  # pragma: no cover
     from pyspark.sql import DataFrame
 
 OUTPUT_SCHEMA = (
-    "user_id long, n_events long, total_value double, last_seen timestamp"
+    "user_id long, n_events long, total_cents long, last_seen timestamp"
 )
-STATE_SCHEMA = "n_events long, total_value double, last_seen_us long"
+STATE_SCHEMA = "n_events long, total_cents long, last_seen_us long"
 
 
 def _make_update_fn(idle_timeout_ms: Optional[int]):
@@ -49,19 +49,19 @@ def _make_update_fn(idle_timeout_ms: Optional[int]):
         if state.hasTimedOut:
             state.remove()
             return
-        n, total, last_us = state.get if state.exists else (0, 0.0, 0)
+        n, cents, last_us = state.get if state.exists else (0, 0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf["value"].sum())
+            cents += int(pdf["value_cents"].sum())
             last_us = max(last_us, int(pdf["ts"].astype("int64").max() // 1000))
-        state.update((n, total, last_us))
+        state.update((n, cents, last_us))
         if idle_timeout_ms is not None:
             state.setTimeoutDuration(idle_timeout_ms)
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
                 "n_events": [n],
-                "total_value": [total],
+                "total_cents": [cents],
                 "last_seen": [pd.Timestamp(last_us, unit="us")],
             }
         )
@@ -81,8 +81,13 @@ def user_counters(
         if idle_timeout_ms is not None
         else GroupStateTimeout.NoTimeout
     )
+    # double → integer cents JVM-side (codegen), so the Python state
+    # function only sums int64: exact, accumulation-order-independent (the
+    # property that lets this operator carry a full SQL oracle), and ~100×
+    # cheaper than per-row decimal conversion inside the state worker.
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
     return (
-        events.select("user_id", "ts", "value")
+        events.select("user_id", "ts", cents.alias("value_cents"))
         .groupBy("user_id")
         .applyInPandasWithState(
             _make_update_fn(idle_timeout_ms),

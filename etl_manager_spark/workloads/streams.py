@@ -118,11 +118,23 @@ def streaming_dedup_user_event_types(spark, sf_dir):
     )
 
 
-@workload("streaming_stateful_user_counters", None, category="streaming")
+@workload(
+    "streaming_stateful_user_counters",
+    """
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_cents,
+           MAX(ts) AS last_seen
+    FROM events GROUP BY user_id
+    """,
+    category="streaming",
+)
 def streaming_stateful_user_counters(spark, sf_dir):
-    """Custom per-key state machine via applyInPandasWithState (rows-only:
-    double accumulation order differs from SQL SUM, so no hash oracle;
-    batch equivalence is asserted in tests/test_skew_and_stateful.py)."""
+    """Custom per-key state machine via applyInPandasWithState. The value
+    sum is kept in integer cents (double → DECIMAL(18,2) → ×100, the same
+    conversion both engines apply), making the state exact and
+    accumulation-order-independent — hence a full hash oracle rather than
+    the rows-only check a float sum would force."""
     from etl_manager_spark.streaming.stateful import run_user_counters_to_memory
 
     return run_user_counters_to_memory(spark, sf_dir, name="stream_stateful_counters")

@@ -81,12 +81,12 @@ def test_q9_dimensions_broadcast_single_fact_shuffle(plans):
     assert any("p_name" in pf for pf in r.pushed_filters), r.pushed_filters
 
 
-def test_near_dup_exact_no_shuffle(plans):
+def test_near_dup_exact_single_shuffle(plans):
     r = plans("dedup_embedding_cosine")
-    # broadcast self-join: corpus side streams straight through — pair
-    # scoring must not shuffle anything
-    assert "BroadcastNestedLoopJoin" in r.text
-    assert r.shuffle_exchanges == 0, r.text[:2000]
+    # blocked all-pairs: one shuffle on the block-pair key into the numpy
+    # scoring groups — no broadcast, no second exchange
+    assert "FlatMapGroupsInPandas" in r.text
+    assert r.shuffle_exchanges == 1, r.text[:2000]
 
 
 def test_q17_window_reuses_join_partitioning(plans):

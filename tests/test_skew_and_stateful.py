@@ -43,11 +43,16 @@ def test_two_phase_agg_matches_single_phase(spark, sf_dir):
 
 def test_stateful_counters_match_batch(spark, sf_dir):
     out = run_user_counters_to_memory(spark, sf_dir, name="t_stateful")
-    got = {r.user_id: (r.n_events, round(r.total_value, 6)) for r in out.collect()}
+    got = {r.user_id: (r.n_events, r.total_cents) for r in out.collect()}
     batch = (
         load_table(spark, sf_dir, "events")
         .groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("cents"),
+        )
     )
-    want = {r.user_id: (r.n, round(r.v, 6)) for r in batch.collect()}
+    want = {r.user_id: (r.n, r.cents) for r in batch.collect()}
     assert got == want
