@@ -1,0 +1,86 @@
+"""Keyed upsert (MERGE) and SCD2 history — the write-side ETL operators a
+Glue-job user of the reference writes by hand inside ``job.py`` (the
+reference only stages such jobs, it has no merge primitive; cf.
+/root/reference/example/glue_jobs/simple_etl_job/job.py:30-35). Here they
+are first-class DataFrame transforms.
+
+Scale design:
+
+* ``merge_upsert`` is ONE shuffle: a full outer join on the key. No
+  broadcast requirement — both sides may be arbitrarily large; with
+  bucketed tables on the key it is zero-exchange (see
+  operators/bucketing.py). Column-wise COALESCE keeps everything in
+  whole-stage codegen.
+* ``scd2_from_events`` is ONE shuffle: window over (key ORDER BY ts).
+  At 100 TB the state per task is one key-group at a time — no skew
+  beyond the hottest key's history length.
+* Storage rewrite strategy belongs to the sink, not the operator: pair
+  with ``partitionBy`` + dynamic partition overwrite so only partitions
+  containing merged keys are rewritten.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    key: list[str],
+    delete_col: str | None = None,
+) -> DataFrame:
+    """SQL MERGE semantics as a batch transform: rows whose key exists in
+    ``source`` take the source's non-key columns (update), source-only keys
+    are inserted, target-only keys pass through. If ``delete_col`` names a
+    boolean column on ``source``, matched rows with it true are dropped
+    (MERGE ... WHEN MATCHED AND <del> THEN DELETE).
+
+    Both relations must share a schema (same columns); the result keeps the
+    target's column order."""
+    cols = target.columns
+    expected = set(cols) | ({delete_col} if delete_col else set())
+    if set(source.columns) != expected:
+        raise ValueError(
+            f"merge_upsert: schema mismatch target={cols} source={source.columns}"
+        )
+    t = target.alias("t")
+    s = source.alias("s")
+    cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in key]
+    joined = t.join(s, on=cond, how="full_outer")
+    matched = F.col(f"s.{key[0]}").isNotNull()
+    if delete_col is not None:
+        joined = joined.filter(
+            ~(matched & F.coalesce(F.col(f"s.{delete_col}"), F.lit(False)))
+        )
+    out = [
+        F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}")).alias(c)
+        if c != (delete_col or "")
+        else None
+        for c in cols
+    ]
+    return joined.select(*[e for e in out if e is not None])
+
+
+def scd2_from_events(
+    df: DataFrame,
+    key: list[str],
+    ts_col: str = "ts",
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history: each row becomes a
+    validity interval ``[valid_from, valid_to)`` per key, where
+    ``valid_to`` is the next row's timestamp (NULL on the current row,
+    which also gets ``is_current = true``).
+
+    ``order_cols`` breaks timestamp ties deterministically — pass an id
+    column whenever timestamps can tie."""
+    order = [F.col(ts_col)] + [F.col(c) for c in (order_cols or [])]
+    w = Window.partitionBy(*key).orderBy(*order)
+    nxt = F.lead(ts_col).over(w)
+    return (
+        df.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", nxt)
+        .withColumn("is_current", nxt.isNull())
+    )

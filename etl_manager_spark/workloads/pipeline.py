@@ -488,3 +488,81 @@ def multimodal_feature_extract(spark, sf_dir):
 def multimodal_media_stats(spark, sf_dir):
     media = M.synthetic_media(spark, n=64)
     return M.media_stats(media)
+
+
+# --------------------------------------------------------------------- #
+# Write-side ETL: keyed upsert (MERGE) and SCD2 history
+
+
+@workload(
+    "upsert_customer_batch",
+    """
+    WITH src AS (
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100.0 AS c_acctbal,
+             c_mktsegment, c_custkey % 39 = 0 AS _deleted
+      FROM customer WHERE c_custkey % 13 = 0
+      UNION ALL
+      SELECT c_custkey + 10000000, c_name, c_nationkey, c_acctbal,
+             'NEWSEG', FALSE
+      FROM customer WHERE c_custkey % 97 = 0
+    )
+    SELECT COALESCE(s.c_custkey, t.c_custkey) AS c_custkey,
+           COALESCE(s.c_name, t.c_name) AS c_name,
+           COALESCE(s.c_nationkey, t.c_nationkey) AS c_nationkey,
+           COALESCE(s.c_acctbal, t.c_acctbal) AS c_acctbal,
+           COALESCE(s.c_mktsegment, t.c_mktsegment) AS c_mktsegment
+    FROM customer t FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey
+    WHERE NOT (s.c_custkey IS NOT NULL AND s._deleted)
+    """,
+    category="etl",
+)
+def upsert_customer_batch(spark, sf_dir):
+    """MERGE as a batch transform (operators/upsert.py): an update batch
+    (every 13th customer, +100 balance; every 39th of those deleted) plus
+    an insert batch (every 97th customer re-keyed into a new range) merged
+    into the customer table in one full-outer-join shuffle."""
+    from etl_manager_spark.operators.upsert import merge_upsert
+
+    t = load_tables(spark, sf_dir)
+    c = t["customer"]
+    updates = (
+        c.filter(F.col("c_custkey") % 13 == 0)
+        .withColumn("c_acctbal", F.col("c_acctbal") + 100.0)
+        .withColumn("_deleted", F.col("c_custkey") % 39 == 0)
+    )
+    inserts = (
+        c.filter(F.col("c_custkey") % 97 == 0)
+        .withColumn("c_custkey", F.col("c_custkey") + 10000000)
+        .withColumn("c_mktsegment", F.lit("NEWSEG"))
+        .withColumn("_deleted", F.lit(False))
+    )
+    return merge_upsert(
+        c, updates.unionByName(inserts), key=["c_custkey"], delete_col="_deleted"
+    )
+
+
+@workload(
+    "scd2_user_event_history",
+    """
+    SELECT event_id, user_id, ts, value,
+           ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             AS is_current
+    FROM events
+    """,
+    category="etl",
+)
+def scd2_user_event_history(spark, sf_dir):
+    """Type-2 SCD intervals from an event log: one window shuffle on
+    (user_id, ts) turns rows into [valid_from, valid_to) validity ranges
+    with an is_current marker (operators/upsert.py)."""
+    from etl_manager_spark.operators.upsert import scd2_from_events
+
+    t = load_tables(spark, sf_dir)
+    return scd2_from_events(
+        t["events"].select("event_id", "user_id", "ts", "value"),
+        key=["user_id"],
+        ts_col="ts",
+        order_cols=["event_id"],
+    )

@@ -163,3 +163,51 @@ def test_media_stats_jvm_side(spark):
     media = M.synthetic_media(spark, n=4)
     stats = M.media_stats(media).collect()
     assert all(r.n_bytes > 0 and len(r.content_md5) == 32 for r in stats)
+
+
+def test_merge_upsert_update_insert_delete(spark):
+    from etl_manager_spark.operators.upsert import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k long, name string, v double"
+    )
+    source = spark.createDataFrame(
+        [(2, "b2", 25.0, False), (3, "c", 30.0, True), (4, "d", 40.0, False)],
+        "k long, name string, v double, _del boolean",
+    )
+    out = {
+        r.k: (r.name, r.v)
+        for r in merge_upsert(target, source, key=["k"], delete_col="_del").collect()
+    }
+    # 1 passes through, 2 updated, 3 deleted, 4 inserted
+    assert out == {1: ("a", 10.0), 2: ("b2", 25.0), 4: ("d", 40.0)}
+
+
+def test_merge_upsert_rejects_schema_mismatch(spark):
+    import pytest
+
+    from etl_manager_spark.operators.upsert import merge_upsert
+
+    target = spark.createDataFrame([(1, "a")], "k long, name string")
+    source = spark.createDataFrame([(1, 2.0)], "k long, other double")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        merge_upsert(target, source, key=["k"])
+
+
+def test_scd2_intervals_and_tie_break(spark):
+    from etl_manager_spark.operators.upsert import scd2_from_events
+
+    df = spark.createDataFrame(
+        [(1, 100, 10), (1, 200, 11), (1, 200, 12), (2, 50, 13)],
+        "uid long, ts long, event_id long",
+    )
+    rows = {
+        r.event_id: (r.valid_from, r.valid_to, r.is_current)
+        for r in scd2_from_events(
+            df, key=["uid"], ts_col="ts", order_cols=["event_id"]
+        ).collect()
+    }
+    assert rows[10] == (100, 200, False)
+    assert rows[11] == (200, 200, False)  # tie broken by event_id
+    assert rows[12] == (200, None, True)
+    assert rows[13] == (50, None, True)
