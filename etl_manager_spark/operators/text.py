@@ -40,6 +40,22 @@ def distinct_token_count(col: Column | str) -> Column:
     return F.size(F.array_distinct(tokens(col)))
 
 
+# GPT-2-style pre-tokenizer, simplified to the regex subset Java regex and
+# RE2 (DuckDB) interpret identically: contraction suffixes, letter runs,
+# digit runs, punctuation runs — each optionally absorbing one leading
+# space. A whitespace-only stretch yields no token.
+BPE_TOKEN_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+
+
+def bpe_token_count(col: Column | str, pattern: str = BPE_TOKEN_PATTERN) -> Column:
+    """Subword-ish token count: number of pre-tokenizer matches. The real
+    BPE merge table is model-specific; the pre-tokenizer match count is
+    the piece count an actual BPE would start from, which is the quantity
+    training-data pipelines budget by."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(pattern), F.lit(0)))
+
+
 def stopword_ratio(col: Column | str, stopwords=STOPWORDS) -> Column:
     toks = tokens(col)
     stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(*stopwords)))

@@ -123,6 +123,31 @@ def fingerprint_rolling_documents(spark, sf_dir):
 
 
 @workload(
+    "token_count_documents",
+    r"""
+    SELECT doc_id,
+           CAST(LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) AS INTEGER)
+             AS n_ws_tokens,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text,
+             '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+'))
+             AS INTEGER) AS n_bpe_tokens
+    FROM documents
+    """,
+    category="text",
+)
+def token_count_documents(spark, sf_dir):
+    """Token budgeting both ways: whitespace tokens and GPT-2-style
+    pre-tokenizer pieces (operators/text.py BPE_TOKEN_PATTERN — the regex
+    subset Java and RE2 read identically, so counts hash-match)."""
+    t = load_tables(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id",
+        X.token_count("text").alias("n_ws_tokens"),
+        X.bpe_token_count("text").alias("n_bpe_tokens"),
+    )
+
+
+@workload(
     "lang_id_documents",
     """
     WITH scores AS (
@@ -356,11 +381,30 @@ def similarity_topk_lsh(spark, sf_dir):
     )
 
 
-# rows-only: int8 round-half-away + numpy pairwise float sums aren't
-# bitwise-reproducible in SQL; property tests live in tests/test_udfs.py
-@workload("embedding_quantize", None, category="udf")
+@workload(
+    "embedding_quantize",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    p AS (SELECT vec_id, v, LIST_MAX(LIST_TRANSFORM(v, x -> ABS(x))) AS peak FROM e)
+    SELECT vec_id,
+           CASE WHEN peak IS NULL OR peak = 0
+                THEN LIST_TRANSFORM(v, x -> CAST(0 AS TINYINT))
+                ELSE LIST_TRANSFORM(v, x -> CAST(
+                     CASE WHEN x * (127.0 / peak) < 0
+                          THEN -FLOOR(ABS(x * (127.0 / peak)) + 0.5)
+                          ELSE FLOOR(ABS(x * (127.0 / peak)) + 0.5) END AS TINYINT))
+           END AS q_embedding
+    FROM p
+    """,
+    category="udf",
+)
 def embedding_quantize(spark, sf_dir):
-    """Scalar pandas_udf (Arrow-vectorized int8 quantization)."""
+    """Scalar pandas_udf (Arrow-vectorized int8 quantization). Fully
+    oracle-checked: the peak reduction (max of abs) is order-independent
+    and every other step is a single per-element IEEE op (divide,
+    multiply, abs, +0.5, floor) that both engines evaluate identically —
+    round-half-away-from-zero spelled as sign·floor(|x|+0.5) on each
+    side."""
     from etl_manager_spark.functions.udfs import quantized_embeddings
 
     t = load_tables(spark, sf_dir)
