@@ -58,3 +58,41 @@ def write_table(
     if table.partitions:
         writer = writer.partitionBy(*table.partitions)
     writer.save(path)
+
+
+def overwrite_partitions(
+    df: "DataFrame",
+    table: "TableMeta",
+    path: str,
+) -> None:
+    """Rewrite ONLY the Hive partitions present in ``df``, leaving all other
+    partitions untouched (dynamic partition overwrite — the companion to
+    ``operators/upsert.merge_upsert`` for incremental backfills: merge the
+    changed keys, then rewrite just the partitions they live in).
+
+    Uses ``spark.sql.sources.partitionOverwriteMode=dynamic`` scoped to this
+    write and restored afterwards, since the session default (static) would
+    instead truncate the whole table root. At 100 TB this is the difference
+    between rewriting one day's partition and rewriting the dataset."""
+    if not table.partitions:
+        raise ValueError(
+            "overwrite_partitions requires a partitioned table; "
+            "use write_table(..., mode='overwrite') for unpartitioned data"
+        )
+    spark = df.sparkSession
+    fmt, options = spark_format_and_options(table.data_format, table.format_options)
+    if table.data_format == "regex":
+        raise ValueError("regex tables are read-only (RegexSerDe is scan-only)")
+    conformed = conform(df, table)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            conformed.write.mode("overwrite")
+            .options(**options)
+            .format(fmt)
+            .partitionBy(*table.partitions)
+            .save(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

@@ -132,3 +132,44 @@ def test_nested_types_round_trip(spark, tmp_path):
     assert row.test_array == [1, 2]
     assert row.test_struct.num == 7 and row.test_struct.desc == "x"
     assert int(row.test_decimal) == 12345678901234567890
+
+
+def test_overwrite_partitions_dynamic(spark, tmp_path):
+    from etl_manager_spark.sources.writers import overwrite_partitions, write_table
+
+    t = TableMeta(
+        name="t",
+        location="t",
+        data_format="parquet",
+        columns=BASE_COLUMNS + [{"name": "day", "type": "character"}],
+        partitions=["day"],
+    )
+    path = str(tmp_path / "dynpart")
+    full = spark.createDataFrame(
+        [
+            Row(id=1, name="ann", score=1.5, day="d1"),
+            Row(id=2, name="bob", score=2.25, day="d2"),
+            Row(id=3, name="cat", score=3.0, day="d2"),
+        ]
+    )
+    write_table(full, t, path, mode="overwrite")
+
+    # rewrite ONLY d2 with one replacement row
+    patch = spark.createDataFrame([Row(id=9, name="zed", score=9.0, day="d2")])
+    overwrite_partitions(patch, t, path)
+
+    back = sorted((r.id, r.day) for r in t.read(spark, path).collect())
+    assert back == [(1, "d1"), (9, "d2")]  # d1 untouched, d2 replaced
+    # session default restored
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        != "dynamic"
+    )
+
+
+def test_overwrite_partitions_requires_partitions(spark, tmp_path):
+    from etl_manager_spark.sources.writers import overwrite_partitions
+
+    t = TableMeta(name="t", location="t", data_format="parquet", columns=BASE_COLUMNS)
+    with pytest.raises(ValueError, match="partitioned"):
+        overwrite_partitions(spark.createDataFrame(ROWS), t, str(tmp_path / "x"))
