@@ -238,3 +238,38 @@ def simhash(
         ).alias("simhash"),
     )
     return sig
+
+
+def fuzzy_name_pairs(
+    df: DataFrame,
+    name_col: str,
+    max_distance: int = 3,
+    block=None,
+) -> DataFrame:
+    """Edit-distance near-duplicate names: pairs of DISTINCT ``name_col``
+    values within ``max_distance`` Levenshtein edits.
+
+    The classic entity-resolution shape: distinct values first (vocabulary
+    scale, not row scale — at 100 TB the distinct set of a name-like
+    column is orders of magnitude smaller than the table), then a blocked
+    self-join so candidates share a cheap key, then the exact distance.
+    ``block`` maps the name Column to a blocking key; the default blocks
+    on the last whitespace token (surname/noun), which keeps buckets small
+    for name-shaped data. One shuffle on the block key, O(Σ|block|²)
+    distance evaluations, all JVM-side (``F.levenshtein`` — same unit-cost
+    edit distance DuckDB's ``levenshtein`` computes)."""
+    if block is None:
+        block = lambda c: F.element_at(F.split(c, " "), -1)  # noqa: E731
+    names = df.select(F.col(name_col).alias("name")).distinct()
+    a = names.select(F.col("name").alias("name_a"), block(F.col("name")).alias("_blk"))
+    b = names.select(F.col("name").alias("name_b"), block(F.col("name")).alias("_blk"))
+    return (
+        a.join(b, on="_blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").alias("distance"),
+        )
+        .filter(F.col("distance") <= max_distance)
+    )

@@ -610,3 +610,23 @@ def scd2_user_event_history(spark, sf_dir):
         ts_col="ts",
         order_cols=["event_id"],
     )
+
+
+@workload(
+    "fuzzy_dedup_part_names",
+    """
+    WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+    b AS (SELECT name, LIST_EXTRACT(STRING_SPLIT(name, ' '), -1) AS blk FROM names)
+    SELECT a.name AS name_a, b2.name AS name_b,
+           CAST(LEVENSHTEIN(a.name, b2.name) AS INTEGER) AS distance
+    FROM b a JOIN b b2 ON a.blk = b2.blk AND a.name < b2.name
+    WHERE LEVENSHTEIN(a.name, b2.name) <= 3
+    """,
+    category="dedup",
+)
+def fuzzy_dedup_part_names(spark, sf_dir):
+    """Entity-resolution fuzzy dedup: distinct part names, blocked on the
+    noun (last token), verified with exact Levenshtein <= 3 — vocabulary-
+    scale work however large the table (operators/dedup.fuzzy_name_pairs)."""
+    t = load_tables(spark, sf_dir)
+    return D.fuzzy_name_pairs(t["part"], "p_name", max_distance=3)

@@ -211,3 +211,20 @@ def test_scd2_intervals_and_tie_break(spark):
     assert rows[11] == (200, 200, False)  # tie broken by event_id
     assert rows[12] == (200, None, True)
     assert rows[13] == (50, None, True)
+
+
+def test_fuzzy_name_pairs_blocked_levenshtein(spark):
+    from etl_manager_spark.operators.dedup import fuzzy_name_pairs
+
+    df = spark.createDataFrame(
+        [("small ring",), ("smal ring",), ("red ring",), ("red widget",),
+         ("small ring",)],  # duplicate row: distinct-first must collapse it
+        "name string",
+    )
+    out = {
+        (r.name_a, r.name_b): r.distance
+        for r in fuzzy_name_pairs(df, "name", max_distance=3).collect()
+    }
+    # same block 'ring': smal~small dist 1; red~small dist > 3 excluded;
+    # 'widget' block has one member → no pair
+    assert out == {("smal ring", "small ring"): 1}
