@@ -110,16 +110,125 @@ def media_stats(df: "DataFrame") -> "DataFrame":
     )
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def _fake_resize(content: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for a real resampler: stretches a sha256
+    stream of the source bytes to the target raster size (w·h·3 RGB
+    bytes). Replace via ``resize_fn``."""
+    if content is None:
+        return None
+    need = width * height * 3
+    digest = hashlib.sha256(content).digest()
+    return (digest * (need // len(digest) + 1))[:need]
+
+
+def resize_media(
+    df: "DataFrame",
+    width: int,
+    height: int,
+    resize_fn: Callable[[bytes, int, int], bytes] | None = None,
+) -> "DataFrame":
+    """binary → binary resize via Arrow-batched ``mapInPandas``. The codec
+    is stubbed (``_fake_resize``); the Spark side — schema, batch shape,
+    bytes-sized partitioning — is the part that matters here and is real.
+    Output partitions carry w·h·3 bytes per row: repartition upstream so a
+    task's output stays well under executor memory at the target size."""
+    import pandas as pd
+
+    resize = resize_fn or _fake_resize
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": [resize(b, width, height) for b in pdf["content"]],
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("ts_ms", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    df: "DataFrame",
+    every_ms: int = 1000,
+    decode_frame_fn: Callable[[bytes, int], bytes] | None = None,
+) -> "DataFrame":
+    """Video frame sampling: one input row fans out to one row per sampled
+    timestamp (0, every_ms, … < meta.duration_ms) — the 1→N batch shape a
+    real ffmpeg-backed sampler needs, with the frame decode stubbed
+    deterministically (sha256(content ‖ frame_idx)). Rows without a
+    duration (stills) yield no frames.
+
+    Scale: fan-out multiplies rows by duration/every_ms — repartition
+    BEFORE sampling so the post-explosion partitions stay bounded, and
+    filter on meta.duration_ms early (pushed to the scan)."""
+    import pandas as pd
+
+    def fake_frame(content: bytes, idx: int) -> bytes:
+        return hashlib.sha256((content or b"") + idx.to_bytes(4, "big")).digest()
+
+    decode = decode_frame_fn or fake_frame
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            ids, idxs, tss, frames = [], [], [], []
+            for mid, content, meta in zip(
+                pdf["media_id"], pdf["content"], pdf["meta"]
+            ):
+                duration = meta.get("duration_ms") if meta is not None else None
+                if duration is None:
+                    continue
+                for i, ts in enumerate(range(0, int(duration), every_ms)):
+                    ids.append(mid)
+                    idxs.append(i)
+                    tss.append(ts)
+                    frames.append(decode(content, i))
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "ts_ms": tss, "frame": frames}
+            )
+
+    return df.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
 def synthetic_media(spark, n: int = 64) -> "DataFrame":
-    """Deterministic fake media table for tests (no media libs needed)."""
+    """Deterministic fake media table for tests (no media libs needed):
+    every third row is a fake video with a duration, the rest are stills."""
     rows = []
     for i in range(n):
         payload = hashlib.sha256(f"media-{i}".encode()).digest() * (i % 5 + 1)
+        is_video = i % 3 == 0
         rows.append(
             (
                 i,
                 bytearray(payload),
-                {"mime": "image/fake", "width": 64 + i, "height": 64, "duration_ms": None},
+                {
+                    "mime": "video/fake" if is_video else "image/fake",
+                    "width": 64 + i,
+                    "height": 64,
+                    "duration_ms": 2500 + 1000 * (i % 4) if is_video else None,
+                },
             )
         )
     # size partitions to the data: a tiny table spread over local[32]'s 32

@@ -630,3 +630,17 @@ def fuzzy_dedup_part_names(spark, sf_dir):
     scale work however large the table (operators/dedup.fuzzy_name_pairs)."""
     t = load_tables(spark, sf_dir)
     return D.fuzzy_name_pairs(t["part"], "p_name", max_distance=3)
+
+
+@workload("multimodal_resize", None, category="multimodal")
+def multimodal_resize(spark, sf_dir):
+    """Binary resize via mapInPandas (stubbed resampler, real plumbing;
+    rows-only — input is Spark-side synthetic)."""
+    return M.resize_media(M.synthetic_media(spark, n=64), width=32, height=32)
+
+
+@workload("multimodal_frame_sample", None, category="multimodal")
+def multimodal_frame_sample(spark, sf_dir):
+    """Video frame sampling: 1→N fan-out inside Arrow batches (stubbed
+    frame decode; rows-only — input is Spark-side synthetic)."""
+    return M.sample_frames(M.synthetic_media(spark, n=64), every_ms=500)

@@ -228,3 +228,31 @@ def test_fuzzy_name_pairs_blocked_levenshtein(spark):
     # same block 'ring': smal~small dist 1; red~small dist > 3 excluded;
     # 'widget' block has one member → no pair
     assert out == {("smal ring", "small ring"): 1}
+
+
+def test_resize_media_shape_and_determinism(spark):
+    media = M.synthetic_media(spark, n=6)
+    out = M.resize_media(media, width=8, height=4).collect()
+    assert len(out) == 6
+    assert all(len(r.content) == 8 * 4 * 3 for r in out)
+    assert all((r.width, r.height) == (8, 4) for r in out)
+    again = {r.media_id: bytes(r.content) for r in M.resize_media(media, 8, 4).collect()}
+    assert {r.media_id: bytes(r.content) for r in out} == again
+
+
+def test_sample_frames_fanout(spark):
+    media = M.synthetic_media(spark, n=9)
+    frames = M.sample_frames(media, every_ms=1000).collect()
+    durations = {
+        r.media_id: r.meta.duration_ms
+        for r in media.collect()
+        if r.meta.duration_ms is not None
+    }
+    # stills yield nothing; videos yield ceil(duration/1000) frames at 0,1000,...
+    expected = {mid: (d + 999) // 1000 for mid, d in durations.items()}
+    got = {}
+    for r in frames:
+        got[r.media_id] = got.get(r.media_id, 0) + 1
+        assert r.ts_ms == r.frame_idx * 1000
+        assert len(r.frame) == 32  # sha256 stub
+    assert got == expected and expected
