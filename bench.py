@@ -40,8 +40,22 @@ def main() -> None:
 
     registry = load_registry()
 
-    # warmup: JVM + parquet footer caches
+    # warmup: JVM + parquet footer caches, the Python/Arrow worker pool,
+    # and the streaming state-store machinery — first use of each costs
+    # seconds and would otherwise be billed to whichever query runs first
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    import pandas as pd  # noqa: F401
+
+    spark.range(1000).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.mode("overwrite").format("noop").save()
+    warm_stream = (
+        spark.readStream.format("rate").option("numPartitions", "1").load()
+        .groupBy("value").count()
+        .writeStream.format("memory").queryName("_bench_warmup")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    warm_stream.awaitTermination()
 
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
