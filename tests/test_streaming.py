@@ -80,3 +80,78 @@ def test_session_windows_match_batch_sessionization(spark, sf_dir):
     }
     batch_counts = {r.user_id: r.n_sessions for r in batch.collect()}
     assert stream_counts == batch_counts
+
+
+def test_watermark_drops_late_rows_in_append_mode(spark, tmp_path):
+    """Late-data semantics (established empirically against Spark 4.1 —
+    subtler than 'older than watermark is dropped'):
+
+    * a window is FINALIZED (emitted, state evicted) during the first batch
+      whose starting watermark strictly exceeds the window's end;
+    * a late row arriving while its window is still open merges into it —
+      even if the row's own event time is behind the watermark;
+    * a late row arriving AFTER its window was finalized is dropped
+      (numRowsDroppedByWatermark) and the emitted result never changes.
+
+    Three single-file micro-batches (maxFilesPerTrigger=1, modification
+    times pinned to fix ordering): batch 0 seeds the watermark to 11:30,
+    batch 1 finalizes the 10:00 window, batch 2 delivers a 10:30 straggler
+    that must be dropped."""
+    import os
+    import time
+
+    src = tmp_path / "late_src"
+    os.makedirs(src)
+
+    def write_batch(name, rows, mtime):
+        spark.createDataFrame(rows, "id long, ts string").selectExpr(
+            "id", "CAST(ts AS TIMESTAMP) AS ts"
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / name))
+        # file-source batch order follows modification time — pin it
+        for root, _, files in os.walk(src / name):
+            for f in files:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+
+    now = time.time()
+    # batch 0: 10:00 event + 12:30 event → watermark after commit = 11:30
+    write_batch(
+        "b0", [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 12:30:00")], now - 100
+    )
+    # batch 1: runs with watermark 11:30 > 11:00 → finalizes the 10:00
+    # window (emits n=1)
+    write_batch("b1", [(5, "2024-01-01 13:00:00")], now - 50)
+    # batch 2: 10:30 straggler for the already-finalized window → dropped;
+    # 14:00 keeps the stream moving
+    write_batch(
+        "b2", [(3, "2024-01-01 10:30:00"), (4, "2024-01-01 14:00:00")], now
+    )
+
+    stream = (
+        spark.readStream.schema("id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("w"), "n")
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_late")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    counts = {r.w.hour: r.n for r in spark.table("t_late").collect()}
+    # the straggler was dropped, and the finalized 10:00 window holds only
+    # the on-time event — emitted once, never revised
+    assert dropped == 1, [p["batchId"] for p in q.recentProgress]
+    assert counts.get(10) == 1, counts
+    assert list(counts.values()).count(1) == len(counts), counts
