@@ -155,3 +155,30 @@ def test_watermark_drops_late_rows_in_append_mode(spark, tmp_path):
     assert dropped == 1, [p["batchId"] for p in q.recentProgress]
     assert counts.get(10) == 1, counts
     assert list(counts.values()).count(1) == len(counts), counts
+
+
+def test_drop_duplicates_within_watermark_bounds_state(spark, sf_dir):
+    """Bounded-state streaming dedup: dropDuplicatesWithinWatermark keeps
+    state only for the watermark horizon, so state size is O(keys per
+    horizon) instead of O(all keys ever) — the 100 TB dedup path, at the
+    cost that a key recurring beyond the horizon is re-admitted. Here the
+    whole file lands in one availableNow micro-batch, so no key outlives
+    the horizon mid-stream and the output is exactly the distinct set."""
+    from etl_manager_spark.streaming.windows import read_events_stream, run_to_memory
+
+    stream = (
+        read_events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .select("user_id", "event_type", "ts")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    )
+    out = run_to_memory(stream, spark, "t_dedup_wm", output_mode="append")
+    pairs = [(r.user_id, r.event_type) for r in out.collect()]
+    exact = {
+        (r.user_id, r.event_type)
+        for r in _batch_events(spark, sf_dir)
+        .select("user_id", "event_type")
+        .distinct()
+        .collect()
+    }
+    assert len(pairs) == len(set(pairs)) and set(pairs) == exact
