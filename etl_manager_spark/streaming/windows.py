@@ -106,15 +106,29 @@ def run_to_memory(
     spark: "SparkSession",
     name: str,
     output_mode: str = "complete",
+    state_partitions: int | None = 8,
 ) -> "DataFrame":
     """Execute a streaming aggregation with availableNow (process all data
-    now, then stop) into an in-memory sink; returns the result table."""
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    now, then stop) into an in-memory sink; returns the result table.
+
+    ``state_partitions`` pins ``spark.sql.shuffle.partitions`` for the
+    query's lifetime (restored after): a stateful query's state-store
+    partition count is FIXED at first start by the checkpoint, and every
+    partition pays store init/commit per micro-batch — size it to key
+    cardinality, not to the session's relational default. Pass ``None``
+    to inherit the session setting (e.g. for genuinely large key spaces)."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
