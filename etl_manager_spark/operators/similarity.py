@@ -12,6 +12,7 @@ at all for the brute-force path.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -136,6 +137,45 @@ def lsh_bucket(vec_col: Column, dim: int, num_planes: int = 8, seed: int = 7) ->
     return bucket
 
 
+def lsh_table_keys(
+    vec_col: Column,
+    dim: int,
+    num_planes: int = 4,
+    num_tables: int = 4,
+    seed_base: int = 7,
+) -> Column:
+    """``array<string>`` of ``table:bucket`` keys for ALL hash tables in one
+    Arrow-batched matrix multiply — same planes as :func:`lsh_bucket` with
+    seed ``seed_base + t``, but the 16 interpreted per-row HOF plane-folds
+    become one (n × dim)·(dim × tables·planes) GEMM per batch. Sign
+    decisions may differ from the sequential HOF fold on exactly-zero
+    projections; that changes nothing as long as every join side uses the
+    same bucketing function (LSH bucket ids are internal, never compared
+    across engines)."""
+    import numpy as np
+    import pandas as pd
+
+    planes = np.array(
+        [
+            _hyperplane(dim, (seed_base + t) * 1000 + p)
+            for t in range(num_tables)
+            for p in range(num_planes)
+        ]
+    ).T  # (dim, T·P)
+    weights = 1 << np.arange(num_planes)
+
+    @F.pandas_udf("array<string>")
+    def _keys(vs: pd.Series) -> pd.Series:
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        signs = (V @ planes > 0).reshape(len(vs), -1, num_planes)
+        buckets = signs @ weights  # (n, T)
+        return pd.Series(
+            [[f"{t}:{b}" for t, b in enumerate(row)] for row in buckets]
+        )
+
+    return _keys(vec_col)
+
+
 def cosine_topk_lsh(
     queries: DataFrame,
     corpus: DataFrame,
@@ -150,47 +190,52 @@ def cosine_topk_lsh(
     ``num_tables`` independent hash tables of ``num_planes`` planes each;
     a candidate is considered if it collides with the query in ANY table.
 
-    Scale: candidates per query ≈ |corpus| · L / 2^planes; the corpus-side
-    bucket join shuffles only (table, bucket) keys. Tune planes up for
-    selectivity, tables up for recall."""
+    All heavy arithmetic is Arrow-vectorized: bucket assignment is one GEMM
+    per batch (:func:`lsh_table_keys`), and each (table, bucket) group
+    scores its query×candidate rectangle with the sequential-across-dims
+    numpy kernel (bitwise-equal sims to the exact brute force, so the
+    recall tests can compare values). Pairs colliding in several tables are
+    deduped with a max-agg (identical sims, so max = dedup).
 
-    def with_buckets(df, out_id):
-        tagged = df.select(
-            F.col(id_col).alias(out_id),
-            F.col(vec_col).alias(f"_{out_id}_vec"),
-            l2_norm(F.col(vec_col)).alias(f"_{out_id}_norm"),
+    Scale: candidates per query ≈ |corpus| · L / 2^planes; the corpus
+    shuffles once on (table, bucket). Tune planes up for selectivity,
+    tables up for recall."""
+    import numpy as np
+    import pandas as pd
+
+    def tagged(df, side):
+        return df.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.col(vec_col).alias("vec"),
+            F.lit(side).alias("side"),
             F.explode(
-                F.array(
-                    *[
-                        F.concat_ws(
-                            ":",
-                            F.lit(str(t)),
-                            lsh_bucket(F.col(vec_col), dim, num_planes, seed=7 + t),
-                        )
-                        for t in range(num_tables)
-                    ]
-                )
+                lsh_table_keys(F.col(vec_col), dim, num_planes, num_tables)
             ).alias("bucket"),
         )
-        return tagged
 
-    q = with_buckets(queries, "query_id")
-    c = with_buckets(corpus, "neighbor_id")
-    # score first, dedup after: a candidate pair may collide in several
-    # tables; computing the (cheap) cosine per collision and grouping on the
-    # two ids avoids shuffling the wide vector columns through a distinct
-    scored = (
-        F.broadcast(q)
-        .join(c, on="bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            (
-                dot(F.col("_query_id_vec"), F.col("_neighbor_id_vec"))
-                / (F.col("_query_id_norm") * F.col("_neighbor_id_norm"))
-            ).alias("cosine_sim"),
+    both = tagged(queries, "q").unionByName(tagged(corpus, "c"))
+
+    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"query_id": [], "neighbor_id": [], "cosine_sim": []}
+        ).astype({"query_id": "int64", "neighbor_id": "int64", "cosine_sim": "float64"})
+        is_q = (pdf["side"] == "q").to_numpy()
+        if not is_q.any() or is_q.all():
+            return empty
+        ids = pdf["id"].to_numpy()
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
+        Q, C = V[is_q], V[~is_q]
+        qi, ci = ids[is_q], ids[~is_q]
+        sims = _seq_dots(Q, C) / np.multiply.outer(_seq_norms(Q), _seq_norms(C))
+        keep = qi[:, None] != ci[None, :]
+        a, b = np.nonzero(keep)
+        return pd.DataFrame(
+            {"query_id": qi[a], "neighbor_id": ci[b], "cosine_sim": sims[a, b]}
         )
+
+    scored = (
+        both.groupBy("bucket")
+        .applyInPandas(score_bucket, "query_id long, neighbor_id long, cosine_sim double")
         .groupBy("query_id", "neighbor_id")
         .agg(F.max("cosine_sim").alias("cosine_sim"))
     )
@@ -364,16 +409,7 @@ def cosine_near_dup_pairs_lsh(
         F.col(id_col).cast("long").alias("id"),
         F.col(vec_col).alias("vec"),
         F.explode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        ":",
-                        F.lit(str(t)),
-                        lsh_bucket(F.col(vec_col), dim, num_planes, seed=7 + t),
-                    )
-                    for t in range(num_tables)
-                ]
-            )
+            lsh_table_keys(F.col(vec_col), dim, num_planes, num_tables)
         ).alias("bucket"),
     )
 
