@@ -137,6 +137,32 @@ def lsh_bucket(vec_col: Column, dim: int, num_planes: int = 8, seed: int = 7) ->
     return bucket
 
 
+_RECT_SCHEMA = "query_id long, neighbor_id long, cosine_sim double"
+
+
+def _score_rect_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Score one candidate group holding query rows (side='q') and corpus
+    rows (side='c'): every query×candidate cosine via the sequential-
+    across-dims kernel (bitwise-equal to the exact HOF form), self-pairs
+    excluded. Shared by the LSH-bucket and IVF-list top-k paths."""
+    import numpy as np
+
+    is_q = (pdf["side"] == "q").to_numpy()
+    if not is_q.any() or is_q.all():
+        return pd.DataFrame(
+            {"query_id": [], "neighbor_id": [], "cosine_sim": []}
+        ).astype({"query_id": "int64", "neighbor_id": "int64", "cosine_sim": "float64"})
+    ids = pdf["id"].to_numpy()
+    V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
+    Q, C = V[is_q], V[~is_q]
+    qi, ci = ids[is_q], ids[~is_q]
+    sims = _seq_dots(Q, C) / np.multiply.outer(_seq_norms(Q), _seq_norms(C))
+    a, b = np.nonzero(qi[:, None] != ci[None, :])
+    return pd.DataFrame(
+        {"query_id": qi[a], "neighbor_id": ci[b], "cosine_sim": sims[a, b]}
+    )
+
+
 def lsh_table_keys(
     vec_col: Column,
     dim: int,
@@ -215,27 +241,9 @@ def cosine_topk_lsh(
 
     both = tagged(queries, "q").unionByName(tagged(corpus, "c"))
 
-    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {"query_id": [], "neighbor_id": [], "cosine_sim": []}
-        ).astype({"query_id": "int64", "neighbor_id": "int64", "cosine_sim": "float64"})
-        is_q = (pdf["side"] == "q").to_numpy()
-        if not is_q.any() or is_q.all():
-            return empty
-        ids = pdf["id"].to_numpy()
-        V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
-        Q, C = V[is_q], V[~is_q]
-        qi, ci = ids[is_q], ids[~is_q]
-        sims = _seq_dots(Q, C) / np.multiply.outer(_seq_norms(Q), _seq_norms(C))
-        keep = qi[:, None] != ci[None, :]
-        a, b = np.nonzero(keep)
-        return pd.DataFrame(
-            {"query_id": qi[a], "neighbor_id": ci[b], "cosine_sim": sims[a, b]}
-        )
-
     scored = (
         both.groupBy("bucket")
-        .applyInPandas(score_bucket, "query_id long, neighbor_id long, cosine_sim double")
+        .applyInPandas(_score_rect_group, _RECT_SCHEMA)
         .groupBy("query_id", "neighbor_id")
         .agg(F.max("cosine_sim").alias("cosine_sim"))
     )
@@ -459,42 +467,6 @@ def _train_centroids_driver(
     return C.tolist()
 
 
-def _centroid_dots(vec_col: Column, centroids: list[list[float]]) -> Column:
-    """array<double> of dot(vec, centroid_j) for all centroids — centroids
-    are literals, so the whole thing stays in codegen with no shuffle.
-    For unit-norm centroids, argmax(dot) == argmax(cosine): the vector's
-    own norm is a positive constant across j and never needs computing."""
-    return F.array(
-        *[
-            dot(vec_col, F.array(*[F.lit(v) for v in c]))
-            for c in centroids
-        ]
-    )
-
-
-def ivf_assign(vec_col: Column, centroids: list[list[float]]) -> Column:
-    """Nearest-centroid id (1-based) — the IVF list a vector belongs to."""
-    dots = _centroid_dots(vec_col, centroids)
-    return F.array_position(dots, F.array_max(dots)).cast("int")
-
-
-def ivf_probes(vec_col: Column, centroids: list[list[float]], nprobe: int) -> Column:
-    """The ``nprobe`` nearest centroid ids for a query vector, as an
-    array<int>: zip (dot, id), sort ascending by dot (struct sort is
-    field-lexicographic), take the tail, extract ids."""
-    k = len(centroids)
-    dots = _centroid_dots(vec_col, centroids)
-    ranked = F.array_sort(
-        F.zip_with(
-            dots,
-            F.sequence(F.lit(1), F.lit(k)),
-            lambda d, i: F.struct(d.alias("d"), i.alias("i")),
-        )
-    )
-    top = F.slice(F.reverse(ranked), 1, nprobe)
-    return F.transform(top, lambda s: s["i"].cast("int"))
-
-
 def cosine_topk_ivf(
     queries: DataFrame,
     corpus: DataFrame,
@@ -509,16 +481,20 @@ def cosine_topk_ivf(
 
     Index: spherical k-means centroids trained driver-side on a
     deterministic sample (first ``train_sample`` vectors by id), then each
-    corpus vector is assigned to its nearest centroid's inverted list —
-    one literal-only projection, no shuffle. Query: probe the ``nprobe``
-    nearest lists and score exactly within them, cutting scored candidates
-    to ~nprobe/num_lists of the corpus.
+    corpus vector is assigned to its nearest centroid's inverted list via
+    one Arrow-batched GEMM (centroids are closure constants — no side
+    table, no join for the assignment). Query: probe the ``nprobe``
+    nearest lists and score each list group's query×candidate rectangle
+    exactly with the sequential-across-dims kernel (sims bitwise-equal to
+    brute force), cutting scored candidates to ~nprobe/num_lists of the
+    corpus.
 
-    Scale: centroids travel as plan literals (no side table, no join for
-    the assignment); the candidate join shuffles on the list id — at
-    100 TB the corpus-side assignment would be precomputed once and
-    stored as a partition column so probes become partition pruning.
+    Scale: the candidate grouping shuffles the corpus once on the list
+    id — at 100 TB the corpus-side assignment would be precomputed once
+    and stored as a partition column so probes become partition pruning.
     Approximate: misses neighbors whose list isn't probed."""
+    import numpy as np
+
     sample_rows = (
         corpus.orderBy(id_col)
         .limit(train_sample)
@@ -526,31 +502,35 @@ def cosine_topk_ivf(
         .collect()
     )
     centroids = _train_centroids_driver([r[0] for r in sample_rows], num_lists)
+    C = np.asarray(centroids, dtype=np.float64).T  # (dim, k)
+
+    @F.pandas_udf("int")
+    def assign_list(vs: pd.Series) -> pd.Series:
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        return pd.Series(((V @ C).argmax(axis=1) + 1).astype("int32"))
+
+    @F.pandas_udf("array<int>")
+    def probe_lists(vs: pd.Series) -> pd.Series:
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        order = np.argsort(-(V @ C), axis=1)[:, :nprobe] + 1
+        return pd.Series([row.astype("int32").tolist() for row in order])
 
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_cvec"),
-        l2_norm(F.col(vec_col)).alias("_cnorm"),
-        ivf_assign(F.col(vec_col), centroids).alias("_list"),
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.lit("c").alias("side"),
+        assign_list(F.col(vec_col)).alias("_list"),
     )
     q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qvec"),
-        l2_norm(F.col(vec_col)).alias("_qnorm"),
-        F.explode(ivf_probes(F.col(vec_col), centroids, nprobe)).alias("_list"),
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.lit("q").alias("side"),
+        F.explode(probe_lists(F.col(vec_col))).alias("_list"),
     )
-    scored = (
-        F.broadcast(q)
-        .join(c, on="_list")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            (
-                dot(F.col("_qvec"), F.col("_cvec"))
-                / (F.col("_qnorm") * F.col("_cnorm"))
-            ).alias("cosine_sim"),
-        )
+    # no max-agg dedup needed: each corpus vector lives in exactly one
+    # list, so a (query, candidate) pair is scored at most once
+    scored = q.unionByName(c).groupBy("_list").applyInPandas(
+        _score_rect_group, _RECT_SCHEMA
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return (
