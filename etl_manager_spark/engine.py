@@ -52,6 +52,20 @@ class Engine:
     def table(self, qualified_name: str) -> "DataFrame":
         return self.spark.table(qualified_name)
 
+    def analyze(self, db: "DatabaseMeta", columns: bool = False) -> None:
+        """Collect table (and optionally column) statistics for every table
+        in the database — row counts and sizes for the optimizer, min/max/
+        ndv per column when ``columns`` is set. At scale this is what turns
+        Catalyst's cost-based join reordering and broadcast-threshold
+        decisions from guesses into informed choices; re-run after large
+        loads (the reference has no equivalent — Glue crawlers fill this
+        role in its stack)."""
+        for t in db.tables:
+            suffix = " FOR ALL COLUMNS" if columns else ""
+            self.spark.sql(
+                f"ANALYZE TABLE {db.name}.{t.name} COMPUTE STATISTICS{suffix}"
+            )
+
     def validate(self, db: "DatabaseMeta") -> dict[str, "ConstraintReport"]:
         """Constraint report per table (declared → enforced on demand)."""
         from etl_manager_spark.validation import validate

@@ -48,3 +48,29 @@ def test_register_sql_validate(spark, tmp_path):
         assert engine.table("wh_test.teams").count() == 2
     finally:
         db.delete_database(spark)
+
+
+def test_analyze_collects_stats(spark, tmp_path):
+    db = DatabaseMeta(name="wh_stats", bucket=str(tmp_path), base_folder="db")
+    t = TableMeta(
+        name="m",
+        location="m",
+        data_format="parquet",
+        columns=[{"name": "k", "type": "int"}, {"name": "v", "type": "double"}],
+    )
+    db.add_table(t)
+    t.write(
+        spark.createDataFrame([Row(k=1, v=1.5), Row(k=2, v=2.5)]), mode="overwrite"
+    )
+    engine = Engine(spark)
+    engine.register(db)
+    try:
+        engine.analyze(db, columns=True)
+        detail = {
+            r.col_name: r.data_type
+            for r in spark.sql("DESCRIBE TABLE EXTENDED wh_stats.m").collect()
+        }
+        stats = detail.get("Statistics", "")
+        assert "rows" in stats, detail  # rowCount recorded for the optimizer
+    finally:
+        db.delete_database(spark)
