@@ -683,6 +683,35 @@ def json_extract_events(spark, sf_dir):
 
 
 @workload(
+    "json_struct_parse_events",
+    """
+    SELECT event_id, event_type,
+           CAST(props->>'$.k' AS INTEGER) AS k,
+           CAST(props->>'$.k' AS INTEGER) % 10 AS k_bucket
+    FROM events
+    WHERE CAST(props->>'$.k' AS INTEGER) >= 50
+    """,
+    category="json",
+)
+def json_struct_parse_events(spark, sf_dir):
+    """Schema-on-read JSON parsing: from_json parses the string ONCE per
+    row into a typed struct (vs get_json_object re-parsing per extraction),
+    then projection/filter run on typed columns — the pattern for multi-key
+    JSON at scale."""
+    t = load_tables(spark, sf_dir)
+    parsed = t["events"].withColumn("p", F.from_json("props", "k INT"))
+    return (
+        parsed.filter(F.col("p.k") >= 50)
+        .select(
+            "event_id",
+            "event_type",
+            F.col("p.k").alias("k"),
+            (F.col("p.k") % 10).alias("k_bucket"),
+        )
+    )
+
+
+@workload(
     "events_hourly_rollup",
     f"""
     SELECT DATE_TRUNC('hour', ts) AS hour_start,
