@@ -1398,3 +1398,73 @@ def q19_disjunctive_predicates(spark, sf_dir):
         .filter(cond)
         .agg(_REVENUE_SPARK().alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
     )
+
+
+@workload(
+    "scalar_array_functions",
+    """
+    WITH agg AS (
+      SELECT l_orderkey, LIST(l_linenumber ORDER BY l_linenumber) AS nums
+      FROM lineitem WHERE l_orderkey < 200 GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           CAST(LEN(nums) AS INTEGER) AS n,
+           nums[1] AS first_line,
+           nums[-1] AS last_line,
+           LIST_CONTAINS(nums, 3) AS has_three,
+           LIST_REVERSE(nums) AS rev,
+           nums[1:2] AS first_two,
+           CAST(LIST_SUM(nums) AS BIGINT) AS total
+    FROM agg
+    """,
+    category="scalar",
+)
+def scalar_array_functions(spark, sf_dir):
+    """Array scalar family over a deterministic per-order array: size,
+    element_at (both ends), contains, reverse, slice, integer aggregate
+    sum — all JVM-side, exact oracle (integer arithmetic only)."""
+    t = load_tables(spark, sf_dir)
+    agg = (
+        t["lineitem"]
+        .filter(F.col("l_orderkey") < 200)
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("l_linenumber")).alias("nums"))
+    )
+    return agg.select(
+        "l_orderkey",
+        F.size("nums").alias("n"),
+        F.element_at("nums", 1).alias("first_line"),
+        F.element_at("nums", -1).alias("last_line"),
+        F.array_contains("nums", 3).alias("has_three"),
+        F.reverse("nums").alias("rev"),
+        F.slice("nums", 1, 2).alias("first_two"),
+        F.aggregate(
+            "nums", F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("total"),
+    )
+
+
+@workload(
+    "window_percentiles_acctbal",
+    """
+    SELECT c_custkey, c_mktsegment,
+           PERCENT_RANK() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal, c_custkey) AS pr,
+           CUME_DIST() OVER (PARTITION BY c_mktsegment
+                             ORDER BY c_acctbal, c_custkey) AS cd
+    FROM customer
+    """,
+    category="window",
+)
+def window_percentiles_acctbal(spark, sf_dir):
+    """percent_rank/cume_dist: rank-derived ratios — one integer division
+    per row, identical IEEE op in both engines, so the floats hash-match
+    (ties broken by c_custkey for full determinism)."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return t["customer"].select(
+        "c_custkey",
+        "c_mktsegment",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
