@@ -1,0 +1,68 @@
+"""Deterministic, engine-portable sampling and splitting.
+
+Training-data pipelines need REPRODUCIBLE splits: the same row must land
+in the same split on every run, on every engine, under any partitioning.
+Spark's ``sample``/``sampleBy`` are seed-deterministic only relative to a
+fixed partitioning, which a shuffle or AQE re-plan silently changes — so
+these operators hash row identity instead.
+
+Mechanism: the first 8 hex chars of ``md5(cast(id AS string))`` are a
+uniform draw in [0, 16^8); comparing the LOWERCASE HEX STRING against a
+threshold hex string is equivalent to comparing the numbers (hex digits
+are ordered in ASCII), so the predicate is a pure string comparison that
+evaluates identically in Spark, DuckDB, or any SQL engine with md5 — no
+integer conversions, no float rounding.
+
+Scale: per-row expressions only, no shuffle, no state; a split is a
+filter that pushes down like any other predicate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HEX_SPACE = 16**8
+
+
+def _threshold_hex(fraction: float) -> str:
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return format(min(int(fraction * _HEX_SPACE), _HEX_SPACE - 1), "08x")
+
+
+def hash_bucket(id_col: Column | str) -> Column:
+    """The row's 8-hex-char md5 draw (lowercase) — uniform, deterministic,
+    identical in any engine hashing the same string rendering of the id."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.substring(F.md5(c.cast("string")), 1, 8)
+
+
+def split_column(id_col: Column | str, train_fraction: float = 0.8) -> Column:
+    """'train'/'test' assignment: train iff the hash draw falls below the
+    fraction threshold."""
+    return (
+        F.when(hash_bucket(id_col) < F.lit(_threshold_hex(train_fraction)), "train")
+        .otherwise("test")
+    )
+
+
+def train_test_split(
+    df: DataFrame, id_col: str, train_fraction: float = 0.8
+) -> tuple[DataFrame, DataFrame]:
+    """(train, test) DataFrames — disjoint, exhaustive, reproducible under
+    any partitioning. Stratification is automatic for any attribute
+    independent of the id hash; for per-stratum fractions, filter with
+    ``split_column`` per stratum."""
+    s = split_column(id_col, train_fraction)
+    return df.filter(s == "train"), df.filter(s == "test")
+
+
+def split_sql(id_expr: str, train_fraction: float = 0.8) -> str:
+    """The equivalent ANSI-SQL predicate text (for oracles / other
+    engines): same md5-hex comparison this module's Spark expressions
+    compile to."""
+    return (
+        f"CASE WHEN substr(md5(CAST({id_expr} AS VARCHAR)), 1, 8)"
+        f" < '{_threshold_hex(train_fraction)}' THEN 'train' ELSE 'test' END"
+    )

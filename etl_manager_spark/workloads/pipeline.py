@@ -644,3 +644,26 @@ def multimodal_frame_sample(spark, sf_dir):
     """Video frame sampling: 1→N fan-out inside Arrow batches (stubbed
     frame decode; rows-only — input is Spark-side synthetic)."""
     return M.sample_frames(M.synthetic_media(spark, n=64), every_ms=500)
+
+
+@workload(
+    "train_test_split_documents",
+    """
+    SELECT doc_id,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc'
+                THEN 'train' ELSE 'test' END AS split
+    FROM documents
+    """,
+    category="etl",
+)
+def train_test_split_documents(spark, sf_dir):
+    """Reproducible train/test assignment (operators/sampling.py): an
+    md5-hex threshold on row identity — the same row lands in the same
+    split on every run, engine, and partitioning, unlike seed-based
+    sample() which is only stable for a fixed physical plan."""
+    from etl_manager_spark.operators.sampling import split_column
+
+    t = load_tables(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id", split_column("doc_id", 0.8).alias("split")
+    )

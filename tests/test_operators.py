@@ -256,3 +256,19 @@ def test_sample_frames_fanout(spark):
         assert r.ts_ms == r.frame_idx * 1000
         assert len(r.frame) == 32  # sha256 stub
     assert got == expected and expected
+
+
+def test_train_test_split_disjoint_exhaustive_stable(spark, sf_dir):
+    from etl_manager_spark.operators.sampling import train_test_split
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    train, test = train_test_split(docs, "doc_id", 0.8)
+    tr = {r.doc_id for r in train.collect()}
+    te = {r.doc_id for r in test.collect()}
+    allids = {r.doc_id for r in docs.collect()}
+    assert tr | te == allids and not (tr & te)
+    # roughly the requested fraction (md5 is uniform)
+    assert 0.7 < len(tr) / len(allids) < 0.9
+    # stable across a different partitioning
+    tr2 = {r.doc_id for r in train_test_split(docs.repartition(7), "doc_id", 0.8)[0].collect()}
+    assert tr2 == tr
