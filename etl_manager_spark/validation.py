@@ -90,3 +90,30 @@ def validate(df: "DataFrame", table: "TableMeta") -> ConstraintReport:
         )
         report.violations["primary_key"] = int(dupes or 0)
     return report
+
+
+def profile_numeric_columns(df: "DataFrame", cols: list[str]) -> "DataFrame":
+    """One-pass data-quality profile: for each named numeric column, a row
+    of (column, n, n_null, n_distinct, min_value, max_value) — all exact.
+
+    All statistics for all columns compute in a SINGLE aggregation over
+    one scan (one reduce, not one job per column — at 100 TB the scan is
+    the cost, so profiling N columns must not cost N passes); the wide
+    one-row result is then unpivoted via a literal stack."""
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__nnull"),
+            F.countDistinct(c).alias(f"{c}__ndist"),
+            F.min(F.col(c).cast("double")).alias(f"{c}__min"),
+            F.max(F.col(c).cast("double")).alias(f"{c}__max"),
+        ]
+    wide = df.agg(*aggs)
+    stacked = ", ".join(
+        f"'{c}', {c}__n, {c}__nnull, {c}__ndist, {c}__min, {c}__max" for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stacked}) AS "
+        "(column, n, n_null, n_distinct, min_value, max_value)"
+    )

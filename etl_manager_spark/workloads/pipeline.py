@@ -667,3 +667,38 @@ def train_test_split_documents(spark, sf_dir):
     return t["documents"].select(
         "doc_id", split_column("doc_id", 0.8).alias("split")
     )
+
+
+@workload(
+    "profile_customer_columns",
+    """
+    SELECT 'c_custkey' AS "column", COUNT(*) AS n,
+           COUNT(*) - COUNT(c_custkey) AS n_null,
+           CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(c_custkey) AS DOUBLE) AS min_value,
+           CAST(MAX(c_custkey) AS DOUBLE) AS max_value
+    FROM customer
+    UNION ALL
+    SELECT 'c_nationkey', COUNT(*), COUNT(*) - COUNT(c_nationkey),
+           CAST(COUNT(DISTINCT c_nationkey) AS BIGINT),
+           CAST(MIN(c_nationkey) AS DOUBLE), CAST(MAX(c_nationkey) AS DOUBLE)
+    FROM customer
+    UNION ALL
+    SELECT 'c_acctbal', COUNT(*), COUNT(*) - COUNT(c_acctbal),
+           CAST(COUNT(DISTINCT c_acctbal) AS BIGINT),
+           MIN(c_acctbal), MAX(c_acctbal)
+    FROM customer
+    """,
+    category="etl",
+)
+def profile_customer_columns(spark, sf_dir):
+    """One-pass multi-column profiling (validation.py): all stats
+    for all columns in a single aggregation over one scan, then unpivoted —
+    N columns must not cost N passes at 100 TB. Exact oracle (counts +
+    min/max are order-independent)."""
+    from etl_manager_spark.validation import profile_numeric_columns
+
+    t = load_tables(spark, sf_dir)
+    return profile_numeric_columns(
+        t["customer"], ["c_custkey", "c_nationkey", "c_acctbal"]
+    )

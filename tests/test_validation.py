@@ -44,3 +44,23 @@ def test_validate_clean_data_ok(spark):
     df = spark.createDataFrame([(1,), (2,)], "pid int")
     report = validate(df, t)
     assert report.ok and report.row_count == 2
+
+
+def test_profile_numeric_columns_one_pass(spark):
+    from pyspark.sql import Row
+
+    from etl_manager_spark.validation import profile_numeric_columns
+
+    df = spark.createDataFrame(
+        [Row(a=1, b=None), Row(a=2, b=2.5), Row(a=2, b=7.5)],
+        "a int, b double",
+    )
+    prof = profile_numeric_columns(df, ["a", "b"])
+    rows = {r.column: (r.n, r.n_null, r.n_distinct, r.min_value, r.max_value)
+            for r in prof.collect()}
+    assert rows == {"a": (3, 0, 2, 1.0, 2.0), "b": (3, 1, 2, 2.5, 7.5)}
+    # one scan, one aggregation: no more than the agg's single exchange pair
+    # (AQE's string repeats the tree as Final + Initial — inspect Final only)
+    plan = prof._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Scan ") <= 1, final
