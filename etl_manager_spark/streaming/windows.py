@@ -132,3 +132,46 @@ def run_to_memory(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
+
+
+def interval_join(
+    left: "DataFrame",
+    right: "DataFrame",
+    gap: str = "1 hour",
+    watermark: str = "1 hour",
+) -> "DataFrame":
+    """Watermarked stream-stream inner join: each left event pairs with the
+    right events of the same user inside ``[left.ts, left.ts + gap]`` —
+    the click→conversion attribution shape.
+
+    Both sides carry watermarks and the join predicate bounds event-time
+    distance, so Spark can expire join state: per-key buffers hold only
+    rows inside watermark ± gap, keeping state size proportional to the
+    time horizon instead of the stream length — the property that makes
+    stream-stream joins feasible at 100 TB/day."""
+    c = left.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = right.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return (
+        c.join(
+            p,
+            F.expr(
+                f"user_id = p_user_id AND purchase_ts >= click_ts "
+                f"AND purchase_ts <= click_ts + INTERVAL {gap}"
+            ),
+        )
+        .select(
+            "click_id",
+            "purchase_id",
+            "user_id",
+            F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+            F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+        )
+    )

@@ -138,3 +138,34 @@ def streaming_stateful_user_counters(spark, sf_dir):
     from etl_manager_spark.streaming.stateful import run_user_counters_to_memory
 
     return run_user_counters_to_memory(spark, sf_dir, name="stream_stateful_counters")
+
+
+@workload(
+    "streaming_interval_join_attribution",
+    """
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+           c.ts AS click_ts, p.ts AS purchase_ts
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+    category="streaming",
+)
+def streaming_interval_join_attribution(spark, sf_dir):
+    """Stream-stream interval join (click→purchase attribution within an
+    hour, per user). Watermarks on both sides + the bounded time predicate
+    let Spark expire join state; availableNow processes everything, so the
+    result equals the batch interval join and carries a full oracle."""
+    from etl_manager_spark.streaming.windows import (
+        interval_join,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    clicks = read_events_stream(spark, sf_dir).filter("event_type = 'click'")
+    purchases = read_events_stream(spark, sf_dir).filter("event_type = 'purchase'")
+    stream = interval_join(clicks, purchases)
+    return run_to_memory(
+        stream, spark, "stream_interval_join_result", output_mode="append"
+    )
