@@ -702,3 +702,59 @@ def profile_customer_columns(spark, sf_dir):
     return profile_numeric_columns(
         t["customer"], ["c_custkey", "c_nationkey", "c_acctbal"]
     )
+
+
+@workload(
+    "curation_pipeline_documents",
+    r"""
+    WITH survivors AS (
+      SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+    ),
+    docs AS (
+      SELECT d.doc_id, d.lang, d.text FROM documents d
+      JOIN survivors s ON d.doc_id = s.doc_id
+    ),
+    scored AS (
+      SELECT doc_id, lang,
+             CASE WHEN LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) = 0 THEN 0.0
+             ELSE ((CASE WHEN LENGTH(text) BETWEEN 20 AND 100000 THEN 1.0 ELSE 0.0 END)
+                   + (CASE WHEN CAST(LEN(LIST_DISTINCT(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'))) AS DOUBLE)
+                           / CAST(LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) AS DOUBLE) > 0.1
+                      THEN 1.0 ELSE 0.0 END)
+                   + CAST(LEN(LIST_DISTINCT(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'))) AS DOUBLE)
+                     / CAST(LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) AS DOUBLE)) / 3.0
+             END AS quality
+      FROM docs
+    ),
+    split_assigned AS (
+      SELECT lang,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc'
+                  THEN 'train' ELSE 'test' END AS split
+      FROM scored WHERE quality >= 0.5
+    )
+    SELECT lang, split, COUNT(*) AS n_docs
+    FROM split_assigned GROUP BY lang, split
+    """,
+    category="etl",
+)
+def curation_pipeline_documents(spark, sf_dir):
+    """End-to-end training-data curation in one DAG: exact dedup (keep the
+    min-id survivor per text) → quality gate (>= 0.5) → deterministic
+    train/test split → per-(lang, split) counts. Every stage is an
+    operator from this repo composed declaratively, so Catalyst fuses the
+    scalar stages into the scan and the whole pipeline costs two shuffles
+    (dedup group-by, final count). Exact oracle — each stage is
+    individually hash-matched, so the composition is too."""
+    from etl_manager_spark.operators.sampling import split_column
+
+    t = load_tables(spark, sf_dir)
+    survivors = D.exact_dedup(t["documents"], subset=["text"], id_col="doc_id")
+    docs = t["documents"].join(
+        survivors.select("doc_id"), on="doc_id", how="left_semi"
+    )
+    curated = docs.filter(X.quality_score("text") >= 0.5).select(
+        "lang", split_column("doc_id", 0.8).alias("split")
+    )
+    return curated.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
