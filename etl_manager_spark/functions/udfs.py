@@ -83,3 +83,24 @@ def label_centroids(df: "DataFrame", label_col: str = "label", vec_col: str = "e
         .groupBy("label")
         .applyInPandas(_centroid_of_group, schema=_CENTROID_SCHEMA)
     )
+
+
+def token_explode_udtf():
+    """Python UDTF (Spark 4 table function): one input row → N output rows,
+    defined as a class with a generator ``eval`` — the row-at-a-time
+    escape hatch for fan-out logic that doesn't fit explode()/mapInPandas.
+    Row-at-a-time means SLOW relative to Arrow paths; reserve UDTFs for
+    logic that genuinely needs per-row control flow and bound their input
+    (the workload caps doc_id) — this exists to cover the operator shape,
+    not as the recommended tokenizer (that's the JVM split/explode)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, tok_idx int, token string")
+    class TokenExplode:
+        def eval(self, doc_id, text):
+            if text is None:
+                return
+            for i, tok in enumerate(text.split(" ")):
+                yield doc_id, i, tok
+
+    return TokenExplode

@@ -758,3 +758,30 @@ def curation_pipeline_documents(spark, sf_dir):
     return curated.groupBy("lang", "split").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+@workload(
+    "udtf_token_explode_documents",
+    """
+    SELECT doc_id, CAST(g.i AS INTEGER) AS tok_idx,
+           parts[CAST(g.i AS INTEGER) + 1] AS token
+    FROM (SELECT doc_id, string_split(text, ' ') AS parts
+          FROM documents WHERE doc_id < 100) d,
+         LATERAL (SELECT UNNEST(range(len(parts))) AS i) g
+    """,
+    category="udf",
+)
+def udtf_token_explode_documents(spark, sf_dir):
+    """Python UDTF (table function) fan-out: LATERAL-applied generator
+    class yielding one row per token (functions/udfs.py — the UDF/UDAF/
+    UDTF shape completion; input bounded since row-at-a-time Python is the
+    slow path). Oracle: the same split via DuckDB string_split + unnest."""
+    from etl_manager_spark.functions.udfs import token_explode_udtf
+
+    load_tables(spark, sf_dir)["documents"].filter(
+        F.col("doc_id") < 100
+    ).createOrReplaceTempView("_udtf_docs")
+    spark.udtf.register("token_explode", token_explode_udtf())
+    return spark.sql(
+        "SELECT t.* FROM _udtf_docs, LATERAL token_explode(doc_id, text) t"
+    )
