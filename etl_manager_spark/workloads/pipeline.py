@@ -387,13 +387,13 @@ def similarity_topk_lsh(spark, sf_dir):
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     p AS (SELECT vec_id, v, LIST_MAX(LIST_TRANSFORM(v, x -> ABS(x))) AS peak FROM e)
     SELECT vec_id,
-           CASE WHEN peak IS NULL OR peak = 0
+           TO_JSON(CASE WHEN peak IS NULL OR peak = 0
                 THEN LIST_TRANSFORM(v, x -> CAST(0 AS TINYINT))
                 ELSE LIST_TRANSFORM(v, x -> CAST(
                      CASE WHEN x * (127.0 / peak) < 0
                           THEN -FLOOR(ABS(x * (127.0 / peak)) + 0.5)
                           ELSE FLOOR(ABS(x * (127.0 / peak)) + 0.5) END AS TINYINT))
-           END AS q_embedding
+           END) AS q_embedding
     FROM p
     """,
     category="udf",
@@ -404,20 +404,29 @@ def embedding_quantize(spark, sf_dir):
     and every other step is a single per-element IEEE op (divide,
     multiply, abs, +0.5, floor) that both engines evaluate identically —
     round-half-away-from-zero spelled as sign·floor(|x|+0.5) on each
-    side."""
+    side. The int8 array is emitted JSON-encoded (``to_json`` ≡ DuckDB
+    ``TO_JSON`` for integer lists — both print ``[1,2,3]``) so the
+    driver's pandas canonicalizer can sort/hash the rows."""
     from etl_manager_spark.functions.udfs import quantized_embeddings
 
     t = load_tables(spark, sf_dir)
-    return quantized_embeddings(t["embeddings"])
+    return quantized_embeddings(t["embeddings"]).select(
+        "vec_id", F.to_json("q_embedding").alias("q_embedding")
+    )
 
 
 @workload("embedding_label_centroids", None, category="udf")
 def embedding_label_centroids(spark, sf_dir):
-    """Grouped-map applyInPandas vector aggregate (per-label centroid)."""
+    """Grouped-map applyInPandas vector aggregate (per-label centroid).
+    Rows-only (numpy pairwise float summation ≠ sequential SQL sum); the
+    centroid array is JSON-encoded so the driver's canonicalizer can
+    sort/hash the rows."""
     from etl_manager_spark.functions.udfs import label_centroids
 
     t = load_tables(spark, sf_dir)
-    return label_centroids(t["embeddings"])
+    return label_centroids(t["embeddings"]).select(
+        "label", "n", F.to_json("centroid").alias("centroid")
+    )
 
 
 # rows-only (approximate by design — no SQL oracle)
@@ -519,9 +528,16 @@ def asof_events_last_order(spark, sf_dir):
 @workload("multimodal_feature_extract", None, category="multimodal")
 def multimodal_feature_extract(spark, sf_dir):
     """Binary media column → Arrow-batched mapInPandas feature extraction
-    (decode stubbed deterministically; see operators/multimodal.py)."""
+    (decode stubbed deterministically; see operators/multimodal.py).
+    The feature vector is JSON-encoded so the driver's canonicalizer can
+    sort/hash the rows (rows-only check — synthetic Spark-side input)."""
     media = M.synthetic_media(spark, n=64)
-    return M.extract_features(media, feature_dim=16)
+    return M.extract_features(media, feature_dim=16).select(
+        "media_id",
+        "content_sha256",
+        "n_bytes",
+        F.to_json("feature").alias("feature"),
+    )
 
 
 @workload(

@@ -916,7 +916,7 @@ def agg_median_acctbal_by_nation(spark, sf_dir):
     "array_agg_line_numbers",
     """
     SELECT l_orderkey,
-           LIST(l_linenumber ORDER BY l_linenumber) AS line_numbers,
+           TO_JSON(LIST(l_linenumber ORDER BY l_linenumber)) AS line_numbers,
            COUNT(*) AS n_lines
     FROM lineitem WHERE l_orderkey < 200
     GROUP BY l_orderkey
@@ -925,14 +925,18 @@ def agg_median_acctbal_by_nation(spark, sf_dir):
 )
 def array_agg_line_numbers(spark, sf_dir):
     """Array aggregation with deterministic order (collect_list has no
-    intrinsic order under parallelism — always sort the result)."""
+    intrinsic order under parallelism — always sort the result). The array
+    is emitted JSON-encoded (``to_json`` ≡ DuckDB ``TO_JSON`` for integer
+    lists) so the driver's pandas canonicalizer can sort/hash rows."""
     t = load_tables(spark, sf_dir)
     return (
         t["lineitem"]
         .filter(F.col("l_orderkey") < 200)
         .groupBy("l_orderkey")
         .agg(
-            F.sort_array(F.collect_list("l_linenumber")).alias("line_numbers"),
+            F.to_json(F.sort_array(F.collect_list("l_linenumber"))).alias(
+                "line_numbers"
+            ),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -1412,8 +1416,8 @@ def q19_disjunctive_predicates(spark, sf_dir):
            nums[1] AS first_line,
            nums[-1] AS last_line,
            LIST_CONTAINS(nums, 3) AS has_three,
-           LIST_REVERSE(nums) AS rev,
-           nums[1:2] AS first_two,
+           TO_JSON(LIST_REVERSE(nums)) AS rev,
+           TO_JSON(nums[1:2]) AS first_two,
            CAST(LIST_SUM(nums) AS BIGINT) AS total
     FROM agg
     """,
@@ -1422,7 +1426,8 @@ def q19_disjunctive_predicates(spark, sf_dir):
 def scalar_array_functions(spark, sf_dir):
     """Array scalar family over a deterministic per-order array: size,
     element_at (both ends), contains, reverse, slice, integer aggregate
-    sum — all JVM-side, exact oracle (integer arithmetic only)."""
+    sum — all JVM-side, exact oracle (integer arithmetic only). Array-
+    valued outputs are JSON-encoded for the driver's canonicalizer."""
     t = load_tables(spark, sf_dir)
     agg = (
         t["lineitem"]
@@ -1436,8 +1441,8 @@ def scalar_array_functions(spark, sf_dir):
         F.element_at("nums", 1).alias("first_line"),
         F.element_at("nums", -1).alias("last_line"),
         F.array_contains("nums", 3).alias("has_three"),
-        F.reverse("nums").alias("rev"),
-        F.slice("nums", 1, 2).alias("first_two"),
+        F.to_json(F.reverse("nums")).alias("rev"),
+        F.to_json(F.slice("nums", 1, 2)).alias("first_two"),
         F.aggregate(
             "nums", F.lit(0).cast("long"), lambda acc, x: acc + x
         ).alias("total"),
