@@ -4,8 +4,12 @@
 JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
 
 Each query is materialized with the noop sink (full execution, no write
-cost). First a warmup query spins up the JVM so per-query numbers measure
-the plan, not session startup.
+cost), $SPARK_GRAFT_BENCH_RUNS times (default 3) taking the median — so a
+number measures the steady-state plan, not one-time Janino codegen compile
+or a stray GC pause, and round-over-round regressions are detectable. The
+same JSON is also written to BENCH_LOCAL.json next to this script so the
+result parses standalone even if stdout is truncated. First a warmup query
+spins up the JVM so per-query numbers exclude session startup.
 """
 
 from __future__ import annotations
@@ -57,15 +61,19 @@ def main() -> None:
     )
     warm_stream.awaitTermination()
 
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
     for name in sorted(registry):
         fn = registry[name].fn
-        start = time.perf_counter()
+        runs: list[float] = []
         try:
-            df = fn(spark, sf_dir)
-            df.write.mode("overwrite").format("noop").save()
-            timings[name] = round(time.perf_counter() - start, 3)
+            for _ in range(n_runs):
+                start = time.perf_counter()
+                df = fn(spark, sf_dir)
+                df.write.mode("overwrite").format("noop").save()
+                runs.append(time.perf_counter() - start)
+            timings[name] = round(sorted(runs)[len(runs) // 2], 3)
         except Exception as exc:  # noqa: BLE001 - report and continue
             failures[name] = f"{type(exc).__name__}: {exc}"[:200]
 
@@ -79,7 +87,13 @@ def main() -> None:
     }
     if failures:
         out["failures"] = failures
-    print(json.dumps(out))
+    line = json.dumps(out)
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
+        "w",
+    ) as fh:
+        fh.write(line + "\n")
+    print(line)
 
 
 if __name__ == "__main__":

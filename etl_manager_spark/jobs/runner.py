@@ -16,6 +16,9 @@ Parity map (reference → here):
   60·max_cost/(0.44·DPU·workers)) → :func:`cost_timeout_minutes` +
   wall-clock budget guard.
 * reserved/validated job arguments (``etl.py:186-217``) → same checks.
+* ``delete_job`` + S3 temp-folder removal (``etl.py:719-743``) →
+  :meth:`SparkJob.cleanup` — removes the job's scratch dir and any
+  sys.path entries a timed-out (zombie) run left behind.
 
 Job contract: ``job.py`` runs with globals ``spark`` (SparkSession),
 ``job_arguments`` (dict), and ``metadata_base_path`` (str | None).
@@ -25,7 +28,9 @@ from __future__ import annotations
 
 import os
 import runpy
+import shutil
 import sys
+import tempfile
 import threading
 import time
 from typing import TYPE_CHECKING, Any
@@ -118,6 +123,7 @@ class SparkJob:
         self.resource_paths = self._gather("resources", None)
         self.metadata_paths = self._gather("metadata", (".json",))
         self.job_run_state: str = "READY"
+        self._temp_dir: str | None = None
 
     @property
     def job_arguments(self) -> dict[str, str]:
@@ -168,12 +174,21 @@ class SparkJob:
         run_job + wait_for_completion collapsed — no control plane).
 
         Returns the job script's globals (so tests/jobs can hand back
-        results); raises the typed taxonomy on failure."""
+        results); raises the typed taxonomy on failure.
+
+        The timeout is BEST-EFFORT: on expiry, in-flight Spark jobs are
+        cancelled (``cancelAllJobs``) and :class:`JobTimedOut` raised, but
+        the job script's Python thread cannot be killed — a daemon thread
+        keeps running driver-side code until its next Spark action fails.
+        Run the job via ``spark-submit`` in a subprocess when a timed-out
+        job must be torn down completely (a killable process is the only
+        hard cancellation boundary Python offers)."""
         timeout = timeout_minutes if timeout_minutes is not None else self.timeout_minutes
         init_globals = {
             "spark": spark,
             "job_arguments": dict(self.job_arguments),
             "metadata_base_path": self.metadata_base_path,
+            "job_temp_path": self.temp_dir,
         }
         added_paths = []
         for res in self.py_resources:
@@ -220,3 +235,27 @@ class SparkJob:
     @property
     def is_running(self) -> bool:
         return self.job_run_state == "RUNNING"
+
+    @property
+    def temp_dir(self) -> str:
+        """Per-job scratch directory (lazily created; the analog of the
+        reference's S3 temp folder). Exposed to job.py as ``job_temp_path``;
+        removed by :meth:`cleanup`."""
+        if self._temp_dir is None or not os.path.isdir(self._temp_dir):
+            self._temp_dir = tempfile.mkdtemp(prefix=f"sparkjob-{self.job_name}-")
+        return self._temp_dir
+
+    def cleanup(self) -> None:
+        """Remove the job's staged artifacts (reference ``delete_job`` +
+        temp-folder removal, etl.py:719-743): the scratch dir, and —
+        defensively — any sys.path entries still pointing at this job's
+        resources (a timed-out zombie run's finally block may race its
+        own path removal). Resets the job to READY; safe to call twice."""
+        if self._temp_dir is not None:
+            shutil.rmtree(self._temp_dir, ignore_errors=True)
+            self._temp_dir = None
+        for res in self.py_resources:
+            target = res if res.endswith(".zip") else os.path.dirname(res)
+            while target in sys.path:
+                sys.path.remove(target)
+        self.job_run_state = "READY"

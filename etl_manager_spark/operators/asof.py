@@ -2,17 +2,24 @@
 
 Implemented as the **union-sort-window** composition (SURVEY §2 custom-
 operator rule (a): composition of built-in ops): tag both sides, union by
-key+time, and carry the most recent left-side payload forward with
+key+time, and carry the most recent right-side payload forward with
 ``last(..., ignorenulls=True)`` over an ordered window. One shuffle on
 (key), one sort within partitions — the same cost profile as a sort-merge
 join, with no range-explosion, so it scales to 100 TB the way a regular
 join does (skewed keys salt the same way).
+
+The payload travels as ONE struct column, so every carried field comes
+from the same right row — carrying columns independently would let a NULL
+in one payload field backfill from an older right row, silently mixing
+fields of different rows.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+_TS_FIELD = "_asof_ts"
 
 
 def asof_join(
@@ -29,18 +36,31 @@ def asof_join(
 
     Right rows sort before left rows at equal timestamps (so an exactly
     concurrent right row IS visible to the left row, matching standard
-    ASOF JOIN semantics).
+    ASOF JOIN semantics). All carried fields come from that single right
+    row; a NULL payload field stays NULL (no backfill from older rows).
     """
     right_payload = right_payload or [
         c for c in right.columns if c not in (on, right_ts)
     ]
+    if _TS_FIELD in right_payload:
+        raise ValueError(f"asof_join: payload column {_TS_FIELD!r} is reserved")
+    out_names = [f"{c}{suffix}" for c in right_payload] + [f"{right_ts}{suffix}"]
+    clash = set(out_names) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"asof_join: output columns {sorted(clash)} collide with left "
+            f"columns — pass a different suffix"
+        )
+    payload = F.struct(
+        *[F.col(c).alias(c) for c in right_payload],
+        F.col(right_ts).alias(_TS_FIELD),
+    )
     lhs = left.withColumn("_side", F.lit(1)).withColumn("_ts", F.col(left_ts))
     rhs = right.select(
         F.col(on),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
-        *[F.col(c) for c in right_payload],
-        F.col(right_ts).alias(f"{right_ts}{suffix}"),
+        payload.alias("_asof_payload"),
     )
     unioned = lhs.unionByName(rhs, allowMissingColumns=True)
     w = (
@@ -48,17 +68,15 @@ def asof_join(
         .orderBy(F.col("_ts").asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = unioned.select(
-        "*",
-        *[
-            F.last(F.col(c), ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in right_payload
-        ],
-        F.last(F.col(f"{right_ts}{suffix}"), ignorenulls=True)
-        .over(w)
-        .alias(f"_{right_ts}{suffix}_carried"),
+    carried = unioned.withColumn(
+        "_asof_carried", F.last("_asof_payload", ignorenulls=True).over(w)
     )
-    out_cols = [c for c in left.columns] + [
-        F.col(f"{c}{suffix}") for c in right_payload
-    ] + [F.col(f"_{right_ts}{suffix}_carried").alias(f"{right_ts}{suffix}")]
+    out_cols = (
+        [F.col(c) for c in left.columns]
+        + [
+            F.col(f"_asof_carried.{c}").alias(f"{c}{suffix}")
+            for c in right_payload
+        ]
+        + [F.col(f"_asof_carried.{_TS_FIELD}").alias(f"{right_ts}{suffix}")]
+    )
     return carried.filter(F.col("_side") == 1).select(*out_cols)

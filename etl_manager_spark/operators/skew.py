@@ -34,7 +34,17 @@ def salted_join(
     ``monotonically_increasing_id`` — cheap, deterministic within a run, and
     uniform; pass a column via ``fact["..."]`` upstream if you need stable
     reproducibility across runs.
+
+    Only ``inner`` and ``left`` joins are supported: with ``right`` or
+    ``full_outer`` a dim key absent from the fact would surface once per
+    salt replica (``salt_factor`` duplicate unmatched rows).
     """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported — the dim side is "
+            f"replicated per salt, so right/full outer joins would emit "
+            f"{salt_factor} copies of each unmatched dim key"
+        )
     salted_fact = fact.withColumn(
         "_salt", (F.pmod(F.monotonically_increasing_id(), F.lit(salt_factor))).cast("int")
     )

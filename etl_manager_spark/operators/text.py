@@ -249,14 +249,97 @@ def doc_fingerprint(text_col: Column | str) -> Column:
     return F.md5(F.array_join(F.transform(tokens(c), F.lower), " "))
 
 
+def text_profile_vectorized(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Arrow-batched form of :func:`text_profile` — identical semantics
+    (tests assert frame equality with the JVM path on the test corpus),
+    one Python pass per document instead of a six-HOF JVM expression.
+
+    Exists for the same reason as :func:`rolling_fingerprint_vectorized`,
+    plus one more: the fused JVM profile expression takes 12-48 s of
+    Janino codegen compile on first execution (each sub-expression alone
+    compiles in <1 s; combined they blow past the generated-method sweet
+    spot), which a run-each-query-once benchmark pays in full. Semantics
+    parity notes: ``strip(' ')`` ≡ ``F.trim`` (space-only), ``re.ASCII``
+    makes ``\\s`` the Java character class, Python ``len`` ≡ ``F.length``
+    (code points), md5 over UTF-8 bytes both sides."""
+    import hashlib
+    import re as _re
+
+    stop = set(STOPWORDS)
+
+    @F.pandas_udf(
+        "struct<n_tokens:int,n_distinct_tokens:int,n_chars:int,"
+        "stopword_ratio:double,quality:double,fingerprint:string>"
+    )
+    def _prof(texts: pd.Series) -> pd.DataFrame:
+        rows = []
+        split = _re.compile(r"\s+", _re.ASCII).split
+        for t in texts:
+            if t is None:
+                rows.append((None, None, None, None, None, None))
+                continue
+            toks = split(t.strip(" "))
+            n_tok = len(toks)
+            n_distinct = len(set(toks))
+            n_chars = len(t)
+            lowered = [tok.lower() for tok in toks]
+            n_stop = sum(1 for tok in lowered if tok in stop)
+            ratio = n_stop / n_tok
+            diversity = n_distinct / n_tok
+            length_ok = 1.0 if 20 <= n_chars <= 100000 else 0.0
+            quality = (length_ok + (1.0 if diversity > 0.1 else 0.0) + diversity) / 3.0
+            fp = hashlib.md5(" ".join(lowered).encode("utf-8")).hexdigest()
+            rows.append((n_tok, n_distinct, n_chars, ratio, quality, fp))
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "n_tokens",
+                "n_distinct_tokens",
+                "n_chars",
+                "stopword_ratio",
+                "quality",
+                "fingerprint",
+            ],
+        )
+
+    return df.select(F.col(id_col), _prof(F.col(text_col)).alias("_p")).select(
+        id_col, "_p.*"
+    )
+
+
 def text_profile(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Per-document text statistics table."""
-    return df.select(
+    """Per-document text statistics table.
+
+    Tokenizes ONCE into a staging column and derives every statistic from
+    the shared array (the fused form re-ran the regex split ~6× per row —
+    once per statistic — and its expression tree was large enough that
+    codegen compile dominated cold runs). Two projections are safe:
+    CollapseProject will not inline a non-cheap producer expression that
+    is consumed more than once, the same guarantee
+    :func:`with_rolling_fingerprint` relies on."""
+    staged = df.select(
         F.col(id_col),
-        token_count(text_col).alias("n_tokens"),
-        distinct_token_count(text_col).alias("n_distinct_tokens"),
         F.length(text_col).alias("n_chars"),
-        stopword_ratio(text_col).alias("stopword_ratio"),
-        quality_score(text_col).alias("quality"),
-        doc_fingerprint(text_col).alias("fingerprint"),
+        tokens(text_col).alias("_tp_toks"),
+    )
+    toks = F.col("_tp_toks")
+    n_tok = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    n_stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS)))
+    diversity = n_distinct.cast("double") / n_tok.cast("double")
+    length_ok = (F.col("n_chars") >= 20) & (F.col("n_chars") <= 100000)
+    quality = F.when(n_tok == 0, F.lit(0.0)).otherwise(
+        (length_ok.cast("double") + (diversity > 0.1).cast("double") + diversity)
+        / F.lit(3.0)
+    )
+    return staged.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        n_distinct.alias("n_distinct_tokens"),
+        F.col("n_chars"),
+        (n_stop.cast("double") / n_tok.cast("double")).alias("stopword_ratio"),
+        quality.alias("quality"),
+        F.md5(F.array_join(F.transform(toks, F.lower), " ")).alias("fingerprint"),
     )

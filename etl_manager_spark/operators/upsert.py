@@ -32,35 +32,41 @@ def merge_upsert(
     delete_col: str | None = None,
 ) -> DataFrame:
     """SQL MERGE semantics as a batch transform: rows whose key exists in
-    ``source`` take the source's non-key columns (update), source-only keys
-    are inserted, target-only keys pass through. If ``delete_col`` names a
-    boolean column on ``source``, matched rows with it true are dropped
-    (MERGE ... WHEN MATCHED AND <del> THEN DELETE).
+    ``source`` take the source's non-key columns verbatim — including NULLs,
+    so an update CAN null a column out — source-only keys are inserted,
+    target-only keys pass through. If ``delete_col`` names a boolean column
+    on ``source``, rows with it true are dropped (MERGE ... WHEN MATCHED
+    AND <del> THEN DELETE; a delete-flagged source row whose key is absent
+    from the target is a no-op, not an insert).
 
-    Both relations must share a schema (same columns); the result keeps the
-    target's column order."""
+    Source-side presence is detected with a sentinel marker column, not a
+    key-NULL test, so NULL join keys (the join is null-safe) get correct
+    update/delete semantics. Both relations must share a schema (same
+    columns); the result keeps the target's column order."""
     cols = target.columns
     expected = set(cols) | ({delete_col} if delete_col else set())
     if set(source.columns) != expected:
         raise ValueError(
             f"merge_upsert: schema mismatch target={cols} source={source.columns}"
         )
+    marker = "_merge_s_present"
+    if marker in source.columns:
+        raise ValueError(f"merge_upsert: source may not contain {marker!r}")
     t = target.alias("t")
-    s = source.alias("s")
+    s = source.withColumn(marker, F.lit(True)).alias("s")
     cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in key]
     joined = t.join(s, on=cond, how="full_outer")
-    matched = F.col(f"s.{key[0]}").isNotNull()
+    s_present = F.col(f"s.{marker}").isNotNull()
     if delete_col is not None:
         joined = joined.filter(
-            ~(matched & F.coalesce(F.col(f"s.{delete_col}"), F.lit(False)))
+            ~(s_present & F.coalesce(F.col(f"s.{delete_col}"), F.lit(False)))
         )
     out = [
-        F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}")).alias(c)
-        if c != (delete_col or "")
-        else None
+        F.when(s_present, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
         for c in cols
+        if c != delete_col
     ]
-    return joined.select(*[e for e in out if e is not None])
+    return joined.select(*out)
 
 
 def scd2_from_events(

@@ -17,7 +17,7 @@ from etl_manager_spark.operators import similarity as S
 from etl_manager_spark.operators import text as X
 from etl_manager_spark.operators.asof import asof_join
 from etl_manager_spark.workloads import workload
-from etl_manager_spark.workloads.tables import load_tables
+from etl_manager_spark.workloads.tables import load_tables, spread
 
 _TOK_SQL = r"REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')"
 _STOP_SQL = "('" + "','".join(X.STOPWORDS) + "')"
@@ -84,9 +84,13 @@ def dedup_exact_events_by_user_type(spark, sf_dir):
     category="text",
 )
 def text_profile_documents(spark, sf_dir):
-    """Per-document stats — pure JVM expressions, no shuffle at all."""
+    """Per-document stats, Arrow-vectorized (one pass per doc; the fused
+    JVM-HOF form pays 12-48 s of Janino compile on first execution — see
+    operators/text.py:text_profile_vectorized; tests assert both paths are
+    frame-equal). spread() parallelizes the single-split local file
+    (no-op at scale)."""
     t = load_tables(spark, sf_dir)
-    return X.text_profile(t["documents"])
+    return X.text_profile_vectorized(spread(t["documents"], spark))
 
 
 @workload(
@@ -117,7 +121,7 @@ def fingerprint_rolling_documents(spark, sf_dir):
     seed equals Spark's 0-init after one step since every char code <
     modulus."""
     t = load_tables(spark, sf_dir)
-    return t["documents"].select(
+    return spread(t["documents"], spark).select(
         "doc_id", X.rolling_fingerprint_vectorized("text").alias("fingerprint")
     )
 
@@ -140,7 +144,7 @@ def token_count_documents(spark, sf_dir):
     pre-tokenizer pieces (operators/text.py BPE_TOKEN_PATTERN — the regex
     subset Java and RE2 read identically, so counts hash-match)."""
     t = load_tables(spark, sf_dir)
-    return t["documents"].select(
+    return spread(t["documents"], spark).select(
         "doc_id",
         X.token_count("text").alias("n_ws_tokens"),
         X.bpe_token_count("text").alias("n_bpe_tokens"),
@@ -174,7 +178,7 @@ def token_count_documents(spark, sf_dir):
 )
 def lang_id_documents(spark, sf_dir):
     t = load_tables(spark, sf_dir)
-    return t["documents"].select(
+    return spread(t["documents"], spark).select(
         "doc_id", "lang", X.language_id("text").alias("predicted_lang")
     )
 
@@ -202,7 +206,7 @@ def _minhash_oracle(num_hashes: int = 8) -> str:
 def minhash_signatures_documents(spark, sf_dir):
     """8-hash MinHash signatures (portable md5 hash family)."""
     t = load_tables(spark, sf_dir)
-    return D.minhash_signatures(t["documents"], num_hashes=8)
+    return D.minhash_signatures(spread(t["documents"], spark), num_hashes=8)
 
 
 def _simhash_oracle(bits: int = 16) -> str:
@@ -230,7 +234,7 @@ def _simhash_oracle(bits: int = 16) -> str:
 @workload("simhash_documents", _simhash_oracle(), category="dedup")
 def simhash_documents(spark, sf_dir):
     t = load_tables(spark, sf_dir)
-    return D.simhash(t["documents"], bits=16)
+    return D.simhash(spread(t["documents"], spark), bits=16)
 
 
 @workload(
@@ -559,20 +563,20 @@ def multimodal_media_stats(spark, sf_dir):
     """
     WITH src AS (
       SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100.0 AS c_acctbal,
-             c_mktsegment, c_custkey % 39 = 0 AS _deleted
+             c_mktsegment, c_custkey % 39 = 0 AS _deleted, TRUE AS _present
       FROM customer WHERE c_custkey % 13 = 0
       UNION ALL
       SELECT c_custkey + 10000000, c_name, c_nationkey, c_acctbal,
-             'NEWSEG', FALSE
+             'NEWSEG', FALSE, TRUE
       FROM customer WHERE c_custkey % 97 = 0
     )
-    SELECT COALESCE(s.c_custkey, t.c_custkey) AS c_custkey,
-           COALESCE(s.c_name, t.c_name) AS c_name,
-           COALESCE(s.c_nationkey, t.c_nationkey) AS c_nationkey,
-           COALESCE(s.c_acctbal, t.c_acctbal) AS c_acctbal,
-           COALESCE(s.c_mktsegment, t.c_mktsegment) AS c_mktsegment
+    SELECT CASE WHEN s._present THEN s.c_custkey ELSE t.c_custkey END AS c_custkey,
+           CASE WHEN s._present THEN s.c_name ELSE t.c_name END AS c_name,
+           CASE WHEN s._present THEN s.c_nationkey ELSE t.c_nationkey END AS c_nationkey,
+           CASE WHEN s._present THEN s.c_acctbal ELSE t.c_acctbal END AS c_acctbal,
+           CASE WHEN s._present THEN s.c_mktsegment ELSE t.c_mktsegment END AS c_mktsegment
     FROM customer t FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey
-    WHERE NOT (s.c_custkey IS NOT NULL AND s._deleted)
+    WHERE NOT (COALESCE(s._present, FALSE) AND COALESCE(s._deleted, FALSE))
     """,
     category="etl",
 )

@@ -51,3 +51,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def spread(df: DataFrame, spark: SparkSession, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition a scan whose file layout yields fewer splits
+    than the session parallelism. A parquet file with one row group cannot
+    be split below one Spark partition, so per-row-heavy stages (interpreted
+    HOFs, Arrow UDFs) over a small local file serialize onto one core — at
+    sf0.1 ``documents.parquet`` is a single split and the profile/lang-id
+    stages ran single-threaded. Guarded: at production scale the input
+    arrives in many splits and this is a no-op (no shuffle)."""
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

@@ -65,6 +65,36 @@ def test_job_timeout(tmp_path, spark):
     assert j.job_run_state == "TIMEOUT"
 
 
+def test_job_cleanup_removes_temp_dir_and_sys_path(tmp_path, spark):
+    """A31 analog (reference etl.py:719-743): cleanup() deletes the scratch
+    dir exposed to the job as job_temp_path, strips lingering sys.path
+    entries, resets to READY, and is idempotent."""
+    import sys
+
+    job = make_job(
+        tmp_path,
+        """
+        import os
+        with open(os.path.join(job_temp_path, "scratch.txt"), "w") as fh:
+            fh.write("x")
+        result = job_temp_path
+        """,
+    )
+    j = SparkJob(job)
+    out = j.run(spark)
+    scratch = out["result"]
+    assert os.path.isfile(os.path.join(scratch, "scratch.txt"))
+    # simulate a zombie run's leftover path entry
+    leftover = os.path.dirname(j.py_resources[0])
+    sys.path.insert(0, leftover)
+    j.cleanup()
+    assert not os.path.exists(scratch)
+    assert leftover not in sys.path
+    assert j.job_run_state == "READY"
+    j.cleanup()  # idempotent
+    assert j.job_run_state == "READY"
+
+
 def test_argument_validation(tmp_path):
     folder = make_job(tmp_path, "pass")
     with pytest.raises(JobError, match="reserved"):

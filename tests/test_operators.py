@@ -67,6 +67,25 @@ def test_rolling_fingerprint_paths_agree(spark, sf_dir):
     assert fused == staged == vec and len(fused) > 0
 
 
+def test_text_profile_paths_agree(spark, sf_dir):
+    """The JVM-HOF profile and the Arrow-vectorized profile must produce
+    identical rows on the test corpus plus whitespace/empty edge cases
+    (float stats bitwise-equal: same IEEE double ops on each side)."""
+    from etl_manager_spark.operators import text as X
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    edge = spark.createDataFrame(
+        [(90001, ""), (90002, "   "), (90003, "\tThe the THE x\n"),
+         (90004, "one"), (90005, None)],
+        "doc_id long, text string",
+    )
+    docs = docs.unionByName(edge)
+    jvm = {r.doc_id: r for r in X.text_profile(docs).collect()}
+    vec = {r.doc_id: r for r in X.text_profile_vectorized(docs).collect()}
+    assert len(jvm) == len(vec) > 0
+    assert jvm == vec
+
+
 def test_ivf_topk_recall_vs_bruteforce(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
@@ -125,6 +144,48 @@ def test_asof_join_fixture(spark):
     }
 
 
+def test_asof_join_null_payload_and_name_overlap(spark):
+    """All carried fields come from ONE right row: a NULL payload field in
+    the nearest right row stays NULL (no backfill from an older row), and
+    a right payload column sharing a left column's name is carried cleanly
+    (the left values cannot pollute the payload)."""
+    quotes = spark.createDataFrame(
+        [("a", 1, 10.0, "x1"), ("a", 5, None, "x2")],
+        "sym string, qts int, px double, src string",
+    )
+    trades = spark.createDataFrame(
+        [("a", 2), ("a", 6)], "sym string, tts int"
+    )
+    out = asof_join(
+        trades, quotes, on="sym", left_ts="tts", right_ts="qts",
+        right_payload=["px", "src"],
+    )
+    got = {r.tts: (r.px_asof, r.src_asof, r.qts_asof) for r in out.collect()}
+    # t=6 matches the qts=5 quote whose px is NULL: px_asof must be NULL,
+    # NOT backfilled from the qts=1 row
+    assert got == {2: (10.0, "x1", 1), 6: (None, "x2", 5)}
+
+    # right payload column named like a left column: left values must not
+    # leak into the carried payload
+    trades2 = spark.createDataFrame(
+        [("a", 2, 99.0), ("a", 6, 98.0)], "sym string, tts int, px double"
+    )
+    out2 = asof_join(
+        trades2, quotes, on="sym", left_ts="tts", right_ts="qts",
+        right_payload=["px"],
+    )
+    got2 = {r.tts: (r.px, r.px_asof) for r in out2.collect()}
+    assert got2 == {2: (99.0, 10.0), 6: (98.0, None)}
+
+    # suffixed output name colliding with a left column raises
+    trades3 = trades.withColumn("px_asof", F.lit(0.0))
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(
+            trades3, quotes, on="sym", left_ts="tts", right_ts="qts",
+            right_payload=["px"],
+        )
+
+
 def test_exact_dedup_deterministic_survivor(spark):
     df = spark.createDataFrame(
         [(3, "x"), (1, "x"), (2, "y")], "id int, val string"
@@ -181,6 +242,41 @@ def test_merge_upsert_update_insert_delete(spark):
     }
     # 1 passes through, 2 updated, 3 deleted, 4 inserted
     assert out == {1: ("a", 10.0), 2: ("b2", 25.0), 4: ("d", 40.0)}
+
+
+def test_merge_upsert_null_updates_and_null_keys(spark):
+    """A matched source row can null a column out (updates are gated on
+    presence, not COALESCE), and NULL join keys match null-safely for both
+    update and delete paths."""
+    from etl_manager_spark.operators.upsert import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (None, "nk", 99.0), (None, "nk2", 77.0)],
+        "k long, name string, v double",
+    )
+    # upsert without delete_col: matched row sets v to NULL
+    source = spark.createDataFrame([(1, "a2", None)], "k long, name string, v double")
+    out = {r.k: (r.name, r.v) for r in merge_upsert(target, source, key=["k"]).collect()}
+    assert out[1] == ("a2", None)
+
+    # NULL-key source row updates the NULL-key target rows (null-safe join)
+    source2 = spark.createDataFrame(
+        [(None, "nk-upd", 1.0, False), (5, "e", 5.0, True)],
+        "k long, name string, v double, _del boolean",
+    )
+    rows = merge_upsert(target, source2, key=["k"], delete_col="_del").collect()
+    by_name = {r.name: (r.k, r.v) for r in rows}
+    # both NULL-key target rows matched the NULL-key source row
+    assert by_name == {"a": (1, 10.0), "nk-upd": (None, 1.0)}
+    # delete-flagged source-only key 5 was NOT inserted
+    assert all(r.k != 5 for r in rows)
+
+    # NULL-key delete: the null-keyed target rows are dropped
+    source3 = spark.createDataFrame(
+        [(None, "x", 0.0, True)], "k long, name string, v double, _del boolean"
+    )
+    rows3 = merge_upsert(target, source3, key=["k"], delete_col="_del").collect()
+    assert {r.k for r in rows3} == {1}
 
 
 def test_merge_upsert_rejects_schema_mismatch(spark):
