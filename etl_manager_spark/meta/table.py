@@ -282,6 +282,36 @@ class TableMeta:
     def redacted_columns(self) -> list[str]:
         return [c["name"] for c in self._columns if c.get("redacted")]
 
+    def redact(self, df: "DataFrame", mode: str = "drop") -> "DataFrame":
+        """Enforce the declared per-column ``redacted`` flags (reference
+        ``specs/table_schema.json:89-92`` — "redacted or removed in
+        non-sensitive versions of the table"; the reference only declares
+        the flag, enforcement is this engine's job).
+
+        ``mode="drop"`` removes the columns; ``mode="mask"`` keeps the
+        schema, replacing string values with ``'[REDACTED]'`` and any
+        other type with a typed NULL. Pure projection — no shuffle, and
+        dropped columns prune all the way into the scan."""
+        cols = set(self.redacted_columns)
+        if not cols:
+            return df
+        if mode == "drop":
+            return df.drop(*cols)
+        if mode != "mask":
+            raise MetadataError(f"redact mode must be 'drop' or 'mask', got {mode!r}")
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StringType
+
+        out = []
+        for field in df.schema.fields:
+            if field.name not in cols:
+                out.append(F.col(field.name))
+            elif isinstance(field.dataType, StringType):
+                out.append(F.lit("[REDACTED]").alias(field.name))
+            else:
+                out.append(F.lit(None).cast(field.dataType).alias(field.name))
+        return df.select(*out)
+
     # ------------------------------------------------------------------ #
     # Spark schema / DDL
 
@@ -344,11 +374,23 @@ class TableMeta:
     # ------------------------------------------------------------------ #
     # Spark execution (read / write / register)
 
-    def read(self, spark: "SparkSession", path: str | None = None) -> "DataFrame":
-        """Read the table's data with the declared schema applied."""
+    def read(
+        self,
+        spark: "SparkSession",
+        path: str | None = None,
+        redact: str | None = None,
+    ) -> "DataFrame":
+        """Read the table's data with the declared schema applied.
+
+        ``redact="drop"`` / ``"mask"`` additionally enforces the declared
+        ``redacted`` column flags (see :meth:`redact`) — the non-sensitive
+        view of the table; default ``None`` reads everything."""
         from etl_manager_spark.sources.readers import read_table
 
-        return read_table(spark, self, path or self.full_path)
+        df = read_table(spark, self, path or self.full_path)
+        if redact is not None:
+            df = self.redact(df, mode=redact)
+        return df
 
     def write(self, df: "DataFrame", path: str | None = None, mode: str = "error") -> None:
         from etl_manager_spark.sources.writers import write_table

@@ -138,6 +138,65 @@ def minhash_near_duplicates(
     return jac.filter(F.col("jaccard") >= jaccard_threshold)
 
 
+def near_dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair list: every node in
+    a component gets the component's minimum id as ``cluster_id`` — the
+    canonical "pick one representative per duplicate cluster" step after
+    pair generation (pairs alone over-delete: A~B and B~C must not keep
+    both A and C if only B is removed).
+
+    Algorithm: min-label propagation. Every node starts as its own label;
+    each round every node takes the minimum label among itself and its
+    neighbors; fixpoint when nothing changes. Rounds = graph diameter —
+    near-dup graphs are clique-like (duplicates of one source all pair
+    with each other), so 2-3 rounds is typical. Each round is one join +
+    one aggregate (shuffles on node id); ``localCheckpoint`` truncates
+    the per-round lineage so plans don't nest. At extreme diameters
+    (chain-shaped graphs) switch to large-star/small-star contraction;
+    for dedup workloads min-propagation is the simpler, faster shape.
+
+    Returns (id, cluster_id) for every node that appears in ``pairs``
+    (singletons never enter the pair list — they are their own cluster
+    implicitly)."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        neighbor_labels = edges.join(
+            labels.withColumnRenamed("id", "dst"), on="dst"
+        ).select(F.col("src").alias("id"), "cluster_id")
+        new_labels = (
+            neighbor_labels.unionByName(labels)
+            .groupBy("id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def pairwise_jaccard(
     df: DataFrame, pairs: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:

@@ -344,21 +344,20 @@ def window_range_30d_spend(spark, sf_dir):
 def q22_global_sales_opportunity(spark, sf_dir):
     """TPC-H Q22 shape (market segment standing in for phone country
     code): above-average-balance customers with no orders. Scalar subquery
-    → computed once and broadcast into the filter; NOT IN (no nulls in
-    o_custkey) → left-anti join. Scale: anti join shuffles on custkey;
-    the rich-customer side is already small post-filter."""
+    → single-row aggregate broadcast-cross-joined into the filter (one
+    Spark job, whole plan visible to Catalyst — no driver-side collect);
+    NOT IN (no nulls in o_custkey) → left-anti join. Scale: anti join
+    shuffles on custkey; the rich-customer side is already small
+    post-filter."""
     t = load_tables(spark, sf_dir)
     segs = ("AUTOMOBILE", "BUILDING", "MACHINERY")
     seg_cust = t["customer"].filter(F.col("c_mktsegment").isin(*segs))
-    avg_bal = (
-        seg_cust.filter(F.col("c_acctbal") > 0.0)
-        .agg(
-            (F.sum(dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("v")
-        )
-        .collect()[0]["v"]
+    avg_df = seg_cust.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("_avg_bal")
     )
     return (
-        seg_cust.filter(F.col("c_acctbal").cast("double") > avg_bal)
+        seg_cust.crossJoin(F.broadcast(avg_df))
+        .filter(F.col("c_acctbal").cast("double") > F.col("_avg_bal"))
         .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .groupBy("c_mktsegment")
         .agg(

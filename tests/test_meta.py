@@ -136,6 +136,49 @@ def test_validation_failures():
         )
 
 
+def test_redact_drop_mask_and_read_integration(tmp_path, spark):
+    """Declared ``redacted`` flags are enforced: drop removes the columns,
+    mask keeps the schema (string → '[REDACTED]', other types → typed NULL),
+    and TableMeta.read(redact=...) applies it at the read boundary."""
+    t = table_from_dict(TEAMS)
+    t.update_column("employee_id", redacted=True)
+    t.update_column("team_name", redacted=True)
+    df = spark.createDataFrame(
+        [(1, "alpha", 7, 2026, 1)],
+        "team_id int, team_name string, employee_id int, snapshot_year int, snapshot_month int",
+    )
+    dropped = t.redact(df, mode="drop")
+    assert dropped.columns == ["team_id", "snapshot_year", "snapshot_month"]
+
+    masked = t.redact(df, mode="mask")
+    assert masked.columns == df.columns  # schema preserved
+    row = masked.collect()[0]
+    assert row.team_name == "[REDACTED]"
+    assert row.employee_id is None
+    assert row.team_id == 1 and row.snapshot_year == 2026
+
+    with pytest.raises(MetadataError, match="drop.*mask|mask.*drop"):
+        t.redact(df, mode="scramble")
+
+    # no-op when nothing is declared redacted
+    t2 = table_from_dict(EMPLOYEES)
+    assert t2.redact(df) is df
+
+    # read-boundary integration (unpartitioned copy so a bare parquet
+    # write round-trips)
+    t3 = table_from_dict(
+        {**TEAMS, "partitions": [], "name": "teams_flat", "location": "teams_flat"}
+    )
+    t3.update_column("employee_id", redacted=True)
+    path = str(tmp_path / "teams_flat")
+    t3.write(df, path)
+    full = t3.read(spark, path)
+    nonsensitive = t3.read(spark, path, redact="drop")
+    assert "employee_id" in full.columns
+    assert "employee_id" not in nonsensitive.columns
+    assert nonsensitive.count() == 1
+
+
 def test_sensitivity_derivation():
     t = table_from_dict(TEAMS)
     assert t.table_sensitivity == ["personal_data"]
