@@ -162,7 +162,13 @@ def near_dup_clusters(
 
     Returns (id, cluster_id) for every node that appears in ``pairs``
     (singletons never enter the pair list — they are their own cluster
-    implicitly)."""
+    implicitly).
+
+    Raises ``RuntimeError`` if ``max_iterations`` is exhausted before the
+    fixpoint — returning partial labels would silently mis-cluster. A graph
+    that deep (diameter > max_iterations) is chain-shaped, not dedup-shaped;
+    raise ``max_iterations`` or switch to large-star/small-star contraction
+    (O(log n) rounds) if that ever happens in practice."""
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -174,26 +180,43 @@ def near_dup_clusters(
         .withColumn("cluster_id", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iterations):
         neighbor_labels = edges.join(
             labels.withColumnRenamed("id", "dst"), on="dst"
-        ).select(F.col("src").alias("id"), "cluster_id")
-        new_labels = (
-            neighbor_labels.unionByName(labels)
+        ).select(
+            F.col("src").alias("id"),
+            "cluster_id",
+            F.lit(None).cast(labels.schema["cluster_id"].dataType).alias("old_label"),
+        )
+        # Carry the previous label through the SAME aggregation (old_label is
+        # non-NULL exactly once per id), so convergence is decided by a cheap
+        # scan of the checkpointed result instead of a second join+shuffle job
+        # per round.
+        agged = (
+            neighbor_labels.unionByName(
+                labels.withColumn("old_label", F.col("cluster_id"))
+            )
             .groupBy("id")
-            .agg(F.min("cluster_id").alias("cluster_id"))
+            .agg(
+                F.min("cluster_id").alias("cluster_id"),
+                F.max("old_label").alias("old_label"),
+            )
             .localCheckpoint(eager=True)
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
+            agged.filter(F.col("cluster_id") != F.col("old_label")).limit(1).count()
         )
-        labels = new_labels
+        labels = agged.select("id", "cluster_id")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"near_dup_clusters did not converge in {max_iterations} rounds; "
+            "graph diameter exceeds max_iterations — raise it, or use "
+            "large-star/small-star contraction for chain-shaped graphs"
+        )
     return labels
 
 

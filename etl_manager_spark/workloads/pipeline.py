@@ -268,10 +268,11 @@ def ngram_jaccard_top_pairs(spark, sf_dir):
     )
 
 
-@workload(
-    "minhash_near_dup_pairs",
-    f"""
-    WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+# Shared CTE chain: minhash-LSH candidate pairs over doc_id<200, verified
+# at exact Jaccard >= 0.5. Used by both the pair workload and the
+# connected-components cluster workload so the oracles cannot drift.
+_MINHASH_PAIRS_CTES = f"""
+    sub AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
     tok AS (SELECT DISTINCT doc_id, UNNEST({_TOK_SQL}) AS tok FROM sub),
     hashed AS (
       SELECT doc_id,
@@ -294,19 +295,28 @@ def ngram_jaccard_top_pairs(spark, sf_dir):
       SELECT doc_id, bucket FROM buckets
       QUALIFY COUNT(*) OVER (PARTITION BY bucket) <= 1000
     ),
-    pairs AS (
+    candidate_pairs AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM sized a JOIN sized b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
     ),
-    sets AS (SELECT doc_id, LIST_DISTINCT({_TOK_SQL}) AS toks FROM sub)
-    SELECT id_a, id_b,
-           CAST(LEN(LIST_INTERSECT(sa.toks, sb.toks)) AS DOUBLE)
-             / CAST(LEN(LIST_DISTINCT(LIST_CONCAT(sa.toks, sb.toks))) AS DOUBLE) AS jaccard
-    FROM pairs
-    JOIN sets sa ON sa.doc_id = id_a
-    JOIN sets sb ON sb.doc_id = id_b
-    WHERE CAST(LEN(LIST_INTERSECT(sa.toks, sb.toks)) AS DOUBLE)
-             / CAST(LEN(LIST_DISTINCT(LIST_CONCAT(sa.toks, sb.toks))) AS DOUBLE) >= 0.5
+    sets AS (SELECT doc_id, LIST_DISTINCT({_TOK_SQL}) AS toks FROM sub),
+    dup_pairs AS (
+      SELECT id_a, id_b,
+             CAST(LEN(LIST_INTERSECT(sa.toks, sb.toks)) AS DOUBLE)
+               / CAST(LEN(LIST_DISTINCT(LIST_CONCAT(sa.toks, sb.toks))) AS DOUBLE) AS jaccard
+      FROM candidate_pairs
+      JOIN sets sa ON sa.doc_id = id_a
+      JOIN sets sb ON sb.doc_id = id_b
+      WHERE CAST(LEN(LIST_INTERSECT(sa.toks, sb.toks)) AS DOUBLE)
+               / CAST(LEN(LIST_DISTINCT(LIST_CONCAT(sa.toks, sb.toks))) AS DOUBLE) >= 0.5
+    )"""
+
+
+@workload(
+    "minhash_near_dup_pairs",
+    f"""
+    WITH {_MINHASH_PAIRS_CTES}
+    SELECT id_a, id_b, jaccard FROM dup_pairs
     """,
     category="dedup",
 )
@@ -318,6 +328,42 @@ def minhash_near_dup_pairs(spark, sf_dir):
         num_hashes=8,
         bands=2,
         jaccard_threshold=0.5,
+    )
+
+
+@workload(
+    "dedup_cluster_assignment",
+    f"""
+    WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM dup_pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM dup_pairs
+    ),
+    reach(id, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id
+    )
+    SELECT id AS doc_id, MIN(label) AS cluster_id
+    FROM reach GROUP BY id
+    """,
+    category="dedup",
+)
+def dedup_cluster_assignment(spark, sf_dir):
+    """Full dedup decision chain: MinHash-LSH pairs → connected components
+    → (doc_id, cluster_id). The oracle computes transitive reachability with
+    a recursive CTE and takes the per-component minimum id — exactly the
+    min-label fixpoint the Spark operator converges to."""
+    t = load_tables(spark, sf_dir)
+    pairs = D.minhash_near_duplicates(
+        t["documents"].filter(F.col("doc_id") < 200),
+        num_hashes=8,
+        bands=2,
+        jaccard_threshold=0.5,
+    )
+    return D.near_dup_clusters(pairs).select(
+        F.col("id").alias("doc_id"), "cluster_id"
     )
 
 

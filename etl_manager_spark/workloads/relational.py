@@ -619,8 +619,8 @@ def scalar_datetime_functions(spark, sf_dir):
     """
     SELECT l_orderkey, l_linenumber,
            ABS(l_discount - 0.05) AS disc_dev,
-           FLOOR(l_extendedprice) AS price_floor,
-           CEIL(l_quantity) AS qty_ceil,
+           CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
+           CAST(CEIL(l_quantity) AS BIGINT) AS qty_ceil,
            SQRT(l_quantity) AS qty_sqrt,
            l_discount * l_discount AS disc_sq,
            CAST(l_orderkey % 7 AS BIGINT) AS key_mod,

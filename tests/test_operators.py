@@ -207,6 +207,45 @@ def test_minhash_identical_docs_are_near_dups(spark):
     assert pairs[0].jaccard == 1.0
 
 
+def test_near_dup_clusters_chain_merges_transitively(spark):
+    # A-B and B-C: one component even though A-C never paired directly
+    from etl_manager_spark.operators.dedup import near_dup_clusters
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    out = {r.id: r.cluster_id for r in near_dup_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1}
+
+
+def test_near_dup_clusters_two_cliques_stay_separate(spark):
+    from etl_manager_spark.operators.dedup import near_dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12)], "id_a long, id_b long"
+    )
+    out = {r.id: r.cluster_id for r in near_dup_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_near_dup_clusters_long_chain_and_string_ids(spark):
+    from etl_manager_spark.operators.dedup import near_dup_clusters
+
+    # 8-node path: worst-case diameter for min-label propagation
+    chain = [(f"d{i}", f"d{i+1}") for i in range(8)]
+    pairs = spark.createDataFrame(chain, "id_a string, id_b string")
+    out = {r.id: r.cluster_id for r in near_dup_clusters(pairs).collect()}
+    assert set(out) == {f"d{i}" for i in range(9)}
+    assert set(out.values()) == {"d0"}
+
+
+def test_near_dup_clusters_raises_when_iterations_exhausted(spark):
+    from etl_manager_spark.operators.dedup import near_dup_clusters
+
+    chain = [(i, i + 1) for i in range(6)]
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        near_dup_clusters(pairs, max_iterations=1)
+
+
 def test_multimodal_feature_extraction_shape(spark):
     media = M.synthetic_media(spark, n=8)
     feats = M.extract_features(media, feature_dim=16).collect()

@@ -45,9 +45,29 @@ def normalize(rows, columns):
     return sorted(out, key=repr), [columns[i] for i in order]
 
 
+def _numeric_category(v):
+    """int-like vs float-like vs decimal — the driver's canonical hash
+    distinguishes dtypes, so ``1234 == 1234.0`` must NOT pass here."""
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, int):
+        return "int"
+    if isinstance(v, float):
+        return "float"
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        return "decimal"
+    return "other"
+
+
 def values_equal(a, b):
     if a is None or b is None:
         return a is None and b is None
+    # Reject cross-type numeric equality (int64 1234 vs float64 1234.0 hashes
+    # differently in the driver) — the local gate must be at least as strict.
+    if _numeric_category(a) != _numeric_category(b):
+        return False
     if isinstance(a, float) or isinstance(b, float):
         # bitwise equality required — the whole point of the decimal-exact
         # discipline; tolerate only float32→float64 representation widening
