@@ -62,24 +62,43 @@ _CENTROID_SCHEMA = "label int, n long, centroid array<double>"
 def _centroid_of_group(pdf: pd.DataFrame) -> pd.DataFrame:
     import numpy as np
 
+    pdf = pdf.sort_values("_order_id")
     mat = np.stack(pdf["embedding"].map(lambda v: np.asarray(v, dtype=np.float64)))
+    # Sequential left-fold over rows in id order (NOT np.sum/mean, whose
+    # pairwise accumulation is faster but order-sensitive): identical
+    # float64 add sequence to a SQL engine folding LIST(v ORDER BY id), so
+    # the result is bitwise-reproducible — the property the DuckDB
+    # list_reduce oracle pins. Each step is still vectorized across dims;
+    # the loop is over rows only.
+    acc = mat[0].astype(np.float64, copy=True)
+    for row in mat[1:]:
+        acc = acc + row
     return pd.DataFrame(
         {
             "label": [int(pdf["label"].iloc[0])],
             "n": [len(pdf)],
-            "centroid": [mat.mean(axis=0)],
+            "centroid": [acc / len(pdf)],
         }
     )
 
 
-def label_centroids(df: "DataFrame", label_col: str = "label", vec_col: str = "embedding") -> "DataFrame":
+def label_centroids(
+    df: "DataFrame",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> "DataFrame":
     """Per-label embedding centroid — a vector-valued aggregate via
-    grouped-map applyInPandas (numpy column mean per group). Float sums
-    use numpy's pairwise accumulation, so results agree with a sequential
-    HOF mean only to ~1e-12 — tests compare with tolerance, and the
-    workload is registered rows-only."""
+    grouped-map applyInPandas (the grouped-map stand-in for a custom UDAF
+    with vector state). Rows are folded sequentially in ``id_col`` order so
+    the float64 result is bitwise-deterministic and oracle-checkable; see
+    _centroid_of_group."""
     return (
-        df.select(F.col(label_col).alias("label"), F.col(vec_col).alias("embedding"))
+        df.select(
+            F.col(label_col).alias("label"),
+            F.col(vec_col).alias("embedding"),
+            F.col(id_col).alias("_order_id"),
+        )
         .groupBy("label")
         .applyInPandas(_centroid_of_group, schema=_CENTROID_SCHEMA)
     )

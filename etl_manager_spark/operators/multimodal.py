@@ -53,14 +53,24 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def _fake_decode(content: bytes, feature_dim: int) -> list[float]:
-    """Deterministic stand-in for a real decoder: hashes the bytes into a
-    unit-scale feature vector. Replace with a real codec in production."""
+    """Deterministic stand-in for a real decoder: hashes the content into a
+    feature vector. Replace with a real codec in production.
+
+    Stub-design notes (both choices exist so the driver's DuckDB oracle can
+    reproduce the stub exactly in SQL):
+    * hashes the lowercase-hex rendering of the bytes, not the raw bytes —
+      DuckDB's sha256() is VARCHAR-only;
+    * maps each 32-bit word u into [0.5, 1) via ``0.5 + u / 2^33`` — in that
+      range both engines JSON-print the (float32-rounded) value as the same
+      plain shortest-round-trip decimal; values near 0 would hit the
+      engines' differing scientific-notation styles (``1.0E-9`` vs
+      ``1e-9``)."""
     if content is None:
         return [0.0] * feature_dim
-    digest = hashlib.sha256(content).digest()
-    raw = (digest * ((feature_dim * 4) // len(digest) + 1))[: feature_dim * 4]
+    digest_hex = hashlib.sha256(content.hex().encode()).hexdigest()
+    raw = (digest_hex * ((feature_dim * 8) // len(digest_hex) + 1))[: feature_dim * 8]
     return [
-        int.from_bytes(raw[i * 4 : i * 4 + 4], "big") / float(0xFFFFFFFF)
+        0.5 + int(raw[i * 8 : i * 8 + 8], 16) / float(2**33)
         for i in range(feature_dim)
     ]
 
@@ -99,13 +109,25 @@ def extract_features(
     return df.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
-def media_stats(df: "DataFrame") -> "DataFrame":
+def media_stats(df: "DataFrame", fingerprint: str = "md5") -> "DataFrame":
     """JVM-side stats over the binary column — no Python needed for sizing/
-    fingerprinting (md5/length are built-ins that accept binary)."""
+    fingerprinting (md5/length/hex are built-ins that accept binary).
+
+    ``fingerprint="md5"`` hashes the raw bytes (canonical);
+    ``fingerprint="hex_md5"`` hashes the lowercase-hex rendering instead —
+    same discriminating power, but computable by engines whose hash
+    functions are string-only (DuckDB md5() takes VARCHAR, not BLOB), which
+    is what the oracle-checked workload uses."""
+    if fingerprint == "md5":
+        fp = F.md5("content")
+    elif fingerprint == "hex_md5":
+        fp = F.md5(F.lower(F.hex("content")))
+    else:
+        raise ValueError(f"unknown fingerprint mode: {fingerprint!r}")
     return df.select(
         "media_id",
         F.length("content").alias("n_bytes"),
-        F.md5("content").alias("content_md5"),
+        fp.alias("content_md5"),
         F.col("meta.mime").alias("mime"),
     )
 
@@ -122,12 +144,14 @@ RESIZED_SCHEMA = T.StructType(
 
 def _fake_resize(content: bytes, width: int, height: int) -> bytes:
     """Deterministic stand-in for a real resampler: stretches a sha256
-    stream of the source bytes to the target raster size (w·h·3 RGB
-    bytes). Replace via ``resize_fn``."""
+    stream of the source content to the target raster size (w·h·3 RGB
+    bytes). Replace via ``resize_fn``. Hashes the lowercase-hex rendering
+    of the bytes (not the raw bytes) so the DuckDB oracle — whose sha256()
+    is VARCHAR-only — can reproduce the stub in SQL."""
     if content is None:
         return None
     need = width * height * 3
-    digest = hashlib.sha256(content).digest()
+    digest = hashlib.sha256(content.hex().encode()).digest()
     return (digest * (need // len(digest) + 1))[:need]
 
 
@@ -178,8 +202,9 @@ def sample_frames(
     """Video frame sampling: one input row fans out to one row per sampled
     timestamp (0, every_ms, … < meta.duration_ms) — the 1→N batch shape a
     real ffmpeg-backed sampler needs, with the frame decode stubbed
-    deterministically (sha256(content ‖ frame_idx)). Rows without a
-    duration (stills) yield no frames.
+    deterministically (sha256 of ``hex(content) ‖ ':' ‖ frame_idx`` — hex
+    not raw bytes so DuckDB's VARCHAR-only sha256 can reproduce it).
+    Rows without a duration (stills) yield no frames.
 
     Scale: fan-out multiplies rows by duration/every_ms — repartition
     BEFORE sampling so the post-explosion partitions stay bounded, and
@@ -187,7 +212,7 @@ def sample_frames(
     import pandas as pd
 
     def fake_frame(content: bytes, idx: int) -> bytes:
-        return hashlib.sha256((content or b"") + idx.to_bytes(4, "big")).digest()
+        return hashlib.sha256(f"{(content or b'').hex()}:{idx}".encode()).digest()
 
     decode = decode_frame_fn or fake_frame
 

@@ -465,17 +465,45 @@ def embedding_quantize(spark, sf_dir):
     )
 
 
-@workload("embedding_label_centroids", None, category="udf")
+@workload(
+    "embedding_label_centroids",
+    """
+    WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    g AS (SELECT label, COUNT(*) AS n, LIST(v ORDER BY vec_id) AS vs
+          FROM e GROUP BY label),
+    s AS (SELECT label, n,
+                 list_reduce(vs, (a, b) ->
+                   list_transform(range(1, len(a) + 1), i -> a[i] + b[i])) AS sums
+          FROM g)
+    SELECT label, n,
+           TO_JSON(list_transform(sums,
+                   x -> CAST(FLOOR(x / n * 1000000000.0 + 0.5) AS BIGINT)))
+             AS centroid_q
+    FROM s
+    """,
+    category="udf",
+)
 def embedding_label_centroids(spark, sf_dir):
     """Grouped-map applyInPandas vector aggregate (per-label centroid).
-    Rows-only (numpy pairwise float summation ≠ sequential SQL sum); the
-    centroid array is JSON-encoded so the driver's canonicalizer can
-    sort/hash the rows."""
+    Fully oracle-checked: the UDF folds rows sequentially in vec_id order
+    (bitwise-identical float64 adds to DuckDB's ordered list_reduce), and
+    the centroid is emitted as nano-scaled int64s — floor(x·1e9 + 0.5) on
+    both sides — so the JSON comparison never touches the engines'
+    differing float-printing styles."""
     from etl_manager_spark.functions.udfs import label_centroids
 
     t = load_tables(spark, sf_dir)
-    return label_centroids(t["embeddings"]).select(
-        "label", "n", F.to_json("centroid").alias("centroid")
+    cents = label_centroids(t["embeddings"])
+    return cents.select(
+        "label",
+        "n",
+        F.to_json(
+            F.transform(
+                "centroid",
+                lambda x: F.floor(x * F.lit(1000000000.0) + F.lit(0.5)).cast("long"),
+            )
+        ).alias("centroid_q"),
     )
 
 
@@ -575,29 +603,72 @@ def asof_events_last_order(spark, sf_dir):
 # Multimodal plumbing (stubbed codec, real Spark plumbing; rows-only)
 
 
-@workload("multimodal_feature_extract", None, category="multimodal")
+# The synthetic media table (operators/multimodal.synthetic_media) is fully
+# deterministic — content for media_id i is sha256("media-i") repeated
+# (i % 5) + 1 times — so a DuckDB oracle can REBUILD it in SQL and push it
+# through a SQL transliteration of the stub codecs. Shared CTE below; hex
+# strings stand in for the bytes (DuckDB hash functions are VARCHAR-only).
+_SYNTH_MEDIA_CTE = """
+    media AS (
+      SELECT i AS media_id,
+             repeat(sha256('media-' || i), (i % 5) + 1) AS content_hex,
+             CASE WHEN i % 3 = 0 THEN 'video/fake' ELSE 'image/fake' END AS mime,
+             CASE WHEN i % 3 = 0 THEN 2500 + 1000 * (i % 4) END AS duration_ms
+      FROM range(0, 64) t(i)
+    )"""
+
+
+@workload(
+    "multimodal_feature_extract",
+    f"""
+    WITH {_SYNTH_MEDIA_CTE},
+    d AS (
+      SELECT media_id,
+             CAST(length(content_hex) // 2 AS BIGINT) AS n_bytes,
+             substr(repeat(sha256(content_hex), 3), 1, 128) AS raw
+      FROM media
+    )
+    SELECT media_id, n_bytes,
+           TO_JSON(list_transform(range(0, 16),
+             j -> CAST(CAST(0.5 + ('0x' || substr(raw, 8 * j + 1, 8))::BIGINT
+                            / 8589934592.0 AS FLOAT) AS DOUBLE))) AS feature
+    FROM d
+    """,
+    category="multimodal",
+)
 def multimodal_feature_extract(spark, sf_dir):
     """Binary media column → Arrow-batched mapInPandas feature extraction
-    (decode stubbed deterministically; see operators/multimodal.py).
-    The feature vector is JSON-encoded so the driver's canonicalizer can
-    sort/hash the rows (rows-only check — synthetic Spark-side input)."""
+    (decode stubbed deterministically; see operators/multimodal.py). Fully
+    oracle-checked: the stub hashes hex-rendered content and maps 32-bit
+    words into [0.5, 1), so DuckDB reproduces the float32 vector bitwise;
+    JSON-printed after an exact float→double widening (both engines print
+    the same shortest-round-trip decimal in that range)."""
     media = M.synthetic_media(spark, n=64)
     return M.extract_features(media, feature_dim=16).select(
         "media_id",
-        "content_sha256",
         "n_bytes",
-        F.to_json("feature").alias("feature"),
+        F.to_json(F.col("feature").cast("array<double>")).alias("feature"),
     )
 
 
 @workload(
     "multimodal_media_stats",
-    None,  # synthetic input table exists only Spark-side
+    f"""
+    WITH {_SYNTH_MEDIA_CTE}
+    SELECT media_id,
+           CAST(length(content_hex) // 2 AS INTEGER) AS n_bytes,
+           md5(content_hex) AS content_md5,
+           mime
+    FROM media
+    """,
     category="multimodal",
 )
 def multimodal_media_stats(spark, sf_dir):
+    """JVM-side binary stats (length/md5/hex built-ins, no Python). The
+    hex_md5 fingerprint hashes the lowercase-hex rendering so the DuckDB
+    oracle (VARCHAR-only md5) computes the identical value."""
     media = M.synthetic_media(spark, n=64)
-    return M.media_stats(media)
+    return M.media_stats(media, fingerprint="hex_md5")
 
 
 # --------------------------------------------------------------------- #
@@ -698,18 +769,58 @@ def fuzzy_dedup_part_names(spark, sf_dir):
     return D.fuzzy_name_pairs(t["part"], "p_name", max_distance=3)
 
 
-@workload("multimodal_resize", None, category="multimodal")
+@workload(
+    "multimodal_resize",
+    f"""
+    WITH {_SYNTH_MEDIA_CTE}
+    SELECT media_id,
+           CAST(32 AS INTEGER) AS width,
+           CAST(32 AS INTEGER) AS height,
+           md5(substr(repeat(sha256(content_hex), 97), 1, 6144)) AS content_fp
+    FROM media
+    """,
+    category="multimodal",
+)
 def multimodal_resize(spark, sf_dir):
-    """Binary resize via mapInPandas (stubbed resampler, real plumbing;
-    rows-only — input is Spark-side synthetic)."""
-    return M.resize_media(M.synthetic_media(spark, n=64), width=32, height=32)
+    """Binary resize via mapInPandas (stubbed resampler, real plumbing).
+    Oracle-checked via an md5-of-hex fingerprint of the 32×32×3-byte
+    raster: the stub stretches sha256(hex(content)) to the raster size, so
+    DuckDB rebuilds the identical hex string (6144 chars = 3072 bytes) and
+    fingerprints it."""
+    resized = M.resize_media(M.synthetic_media(spark, n=64), width=32, height=32)
+    return resized.select(
+        "media_id",
+        "width",
+        "height",
+        F.md5(F.lower(F.hex("content"))).alias("content_fp"),
+    )
 
 
-@workload("multimodal_frame_sample", None, category="multimodal")
+@workload(
+    "multimodal_frame_sample",
+    f"""
+    WITH {_SYNTH_MEDIA_CTE}
+    SELECT m.media_id,
+           CAST(f.ts // 500 AS INTEGER) AS frame_idx,
+           CAST(f.ts AS INTEGER) AS ts_ms,
+           sha256(m.content_hex || ':' || CAST(f.ts // 500 AS INTEGER)) AS frame_hex
+    FROM media m, range(0, 5500, 500) f(ts)
+    WHERE m.duration_ms IS NOT NULL AND f.ts < m.duration_ms
+    """,
+    category="multimodal",
+)
 def multimodal_frame_sample(spark, sf_dir):
     """Video frame sampling: 1→N fan-out inside Arrow batches (stubbed
-    frame decode; rows-only — input is Spark-side synthetic)."""
-    return M.sample_frames(M.synthetic_media(spark, n=64), every_ms=500)
+    frame decode). Oracle-checked: frames are sha256(hex(content)‖':'‖idx)
+    digests, which DuckDB regenerates with a lateral range() over each
+    video's duration; the frame bytes are compared as lowercase hex."""
+    frames = M.sample_frames(M.synthetic_media(spark, n=64), every_ms=500)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        "ts_ms",
+        F.lower(F.hex("frame")).alias("frame_hex"),
+    )
 
 
 @workload(
