@@ -93,7 +93,23 @@ def main() -> None:
         "w",
     ) as fh:
         fh.write(line + "\n")
-    print(line)
+
+    # The driver records only the last ~2000 bytes of stdout; the full
+    # 91-query line is ~3.3 KB, so printing it verbatim decapitates the
+    # JSON and the driver records parsed=null. Print instead a compact
+    # line (same shape, slowest queries only, sized to fit the capture)
+    # and point at BENCH_LOCAL.json for the complete per-query map.
+    budget = 1800
+    slowest = sorted(timings.items(), key=lambda kv: -kv[1])
+    compact = dict(out)
+    for keep in range(len(slowest), 0, -1):
+        compact["queries"] = dict(slowest[:keep])
+        compact["queries_shown"] = keep
+        compact["queries_total"] = len(timings)
+        compact["full_results"] = "BENCH_LOCAL.json"
+        if len(json.dumps(compact)) <= budget:
+            break
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":
