@@ -419,16 +419,37 @@ def embedding_profile(spark, sf_dir):
 
 
 # rows-only (approximate by design — no SQL oracle)
+def _with_recall(approx, exact, keys):
+    """Attach the overall recall-vs-bruteforce ratio as a constant column,
+    computed fully in Spark (semi-join overlap count / exact count, both
+    single-row aggregates broadcast back). Approximate queries can't carry
+    a SQL oracle, but this makes the quality number part of the recorded
+    result instead of living only in the test suite."""
+    ex = exact.select(*keys)
+    overlap = approx.join(ex, on=keys, how="left_semi").agg(
+        F.count(F.lit(1)).alias("_n_overlap")
+    )
+    total = ex.agg(F.count(F.lit(1)).alias("_n_exact"))
+    recall = overlap.crossJoin(total).select(
+        F.round(F.col("_n_overlap") / F.col("_n_exact"), 4).alias(
+            "recall_vs_bruteforce"
+        )
+    )
+    return approx.crossJoin(F.broadcast(recall))
+
+
 @workload("similarity_topk_lsh", None, category="similarity")
 def similarity_topk_lsh(spark, sf_dir):
     """Hyperplane-LSH approximate top-k (scale path: bucket join instead of
-    full cross product). Approximate → no SQL oracle; tests check recall
-    against the brute-force result instead."""
+    full cross product). Approximate → no SQL oracle; the recall against
+    the exact brute-force top-k is emitted as a result column (and also
+    asserted in tests)."""
     t = load_tables(spark, sf_dir)
     emb = t["embeddings"]
-    return S.cosine_topk_lsh(
-        emb.filter(F.col("vec_id") < 5), emb, dim=64, k=5, num_planes=4
-    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    approx = S.cosine_topk_lsh(queries, emb, dim=64, k=5, num_planes=4)
+    exact = S.cosine_topk(queries, emb, k=5)
+    return _with_recall(approx, exact, ["query_id", "neighbor_id"])
 
 
 @workload(
@@ -512,12 +533,14 @@ def embedding_label_centroids(spark, sf_dir):
 def similarity_topk_ivf(spark, sf_dir):
     """IVF-Flat approximate top-k (cluster-pruned scan: spherical-kmeans
     lists, nprobe nearest lists scored exactly). Approximate → no SQL
-    oracle; recall vs brute force asserted in tests/test_operators.py."""
+    oracle; the recall against the exact brute-force top-k is emitted as a
+    result column (and also asserted in tests/test_operators.py)."""
     t = load_tables(spark, sf_dir)
     emb = t["embeddings"]
-    return S.cosine_topk_ivf(
-        emb.filter(F.col("vec_id") < 5), emb, k=5, num_lists=8, nprobe=3
-    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    approx = S.cosine_topk_ivf(queries, emb, k=5, num_lists=8, nprobe=3)
+    exact = S.cosine_topk(queries, emb, k=5)
+    return _with_recall(approx, exact, ["query_id", "neighbor_id"])
 
 
 @workload(
@@ -548,12 +571,16 @@ def dedup_embedding_cosine(spark, sf_dir):
 @workload("dedup_embedding_cosine_lsh", None, category="dedup")
 def dedup_embedding_cosine_lsh(spark, sf_dir):
     """LSH-blocked near-dup pairs — the scale path (bucket join, no
-    broadcast, O(Σ|bucket|²) work). Approximate → rows-only; recall vs the
-    exact pair set is asserted in tests/test_operators.py."""
+    broadcast, O(Σ|bucket|²) work). Approximate → rows-only; the recall
+    against the exact O(n²) pair set is emitted as a result column (and
+    also asserted in tests/test_operators.py)."""
     t = load_tables(spark, sf_dir)
-    return S.cosine_near_dup_pairs_lsh(
-        t["embeddings"], threshold=0.4, dim=64, num_planes=4, num_tables=4
+    emb = t["embeddings"]
+    approx = S.cosine_near_dup_pairs_lsh(
+        emb, threshold=0.4, dim=64, num_planes=4, num_tables=4
     )
+    exact = S.cosine_near_dup_pairs(emb, threshold=0.4)
+    return _with_recall(approx, exact, ["id_a", "id_b"])
 
 
 # --------------------------------------------------------------------- #
@@ -961,4 +988,83 @@ def udtf_token_explode_documents(spark, sf_dir):
     spark.udtf.register("token_explode", token_explode_udtf())
     return spark.sql(
         "SELECT t.* FROM _udtf_docs, LATERAL token_explode(doc_id, text) t"
+    )
+
+
+# --------------------------------------------------------------------- #
+# Skew mitigation (operators/skew.py) — the salted plans must produce the
+# exact answer of the plain join/agg, which is what the oracles assert.
+
+
+@workload(
+    "skew_salted_join_events_customer",
+    """
+    SELECT e.event_id, e.user_id, c.c_name, c.c_nationkey,
+           CAST(FLOOR(e.value * 1000000.0 + 0.5) AS BIGINT) AS value_micros
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+    category="join",
+)
+def skew_salted_join_events_customer(spark, sf_dir):
+    """Salted fact⋈dim join over the Zipfian ``events.user_id`` stream
+    (operators/skew.py:20): fact rows take a salt, the dim side replicates
+    per salt, so each hot user key spreads over salt_factor reducers.
+    Oracle: the plain equi-join — salting must not change the multiset.
+    Event values are emitted as micro-units (one float multiply + floor,
+    identical IEEE ops in both engines) so the hash never sees raw floats.
+    """
+    from etl_manager_spark.operators.skew import salted_join
+
+    t = load_tables(spark, sf_dir)
+    dim = t["customer"].select(
+        F.col("c_custkey").alias("user_id"), "c_name", "c_nationkey"
+    )
+    joined = salted_join(t["events"], dim, on="user_id", salt_factor=8)
+    return joined.select(
+        "event_id",
+        "user_id",
+        "c_name",
+        "c_nationkey",
+        F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("value_micros"),
+    )
+
+
+@workload(
+    "skew_two_phase_agg_events",
+    """
+    SELECT user_id, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_micros,
+           MAX(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) AS max_micros
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+    category="aggregation",
+)
+def skew_two_phase_agg_events(spark, sf_dir):
+    """Hot-key aggregation via two shuffles (operators/skew.py:58): partial
+    agg on (key, salt) spreads each hot key over salt_factor reducers,
+    then a merge agg by key. Oracle: the plain one-shuffle GROUP BY — the
+    two-phase plan must be answer-identical. Values aggregate as exact
+    micro-unit longs, so the salted partial-sum order cannot perturb the
+    result."""
+    from etl_manager_spark.operators.skew import two_phase_agg
+
+    t = load_tables(spark, sf_dir)
+    staged = t["events"].withColumn(
+        "value_micros",
+        F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5)).cast("long"),
+    )
+    return two_phase_agg(
+        staged,
+        group_cols=["user_id", "event_type"],
+        agg_exprs={
+            "n_events": "count(*)",
+            "total_micros": "sum(value_micros)",
+            "max_micros": "max(value_micros)",
+        },
+        salt_factor=16,
     )

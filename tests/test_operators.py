@@ -186,6 +186,81 @@ def test_asof_join_null_payload_and_name_overlap(spark):
         )
 
 
+def test_asof_join_property_vs_duckdb(spark):
+    """Property test: asof_join must agree with DuckDB's native ASOF LEFT
+    JOIN on random key/timestamp sets, including equal left/right
+    timestamps, duplicate left rows, keys with no right rows, and NULL
+    payload fields. Right (key, ts) pairs are unique (both engines pick
+    arbitrarily among exact right-side ties, so ties there are not part of
+    the contract). Pins the single-struct payload-carry semantics (no
+    cross-row NULL backfill) against an independent reference engine."""
+    import duckdb
+    import pandas as pd
+    from hypothesis import given, settings, strategies as st
+
+    right_rows = st.lists(
+        st.tuples(
+            st.integers(0, 2),                      # key
+            st.integers(0, 15),                     # rts
+            st.none() | st.integers(-5, 5),         # payload a (nullable)
+            st.none() | st.integers(-5, 5),         # payload b (nullable)
+        ),
+        max_size=8,
+        unique_by=lambda r: (r[0], r[1]),
+    )
+    left_rows = st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 15)),
+        min_size=1,
+        max_size=10,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(right=right_rows, left=left_rows)
+    def check(right, left):
+        left_df = spark.createDataFrame(
+            [(i, k, ts) for i, (k, ts) in enumerate(left)],
+            "id int, k int, lts int",
+        )
+        right_schema = "k int, rts int, a int, b int"
+        rdf = (
+            spark.createDataFrame(right, right_schema)
+            if right
+            else spark.createDataFrame([], right_schema)
+        )
+        out = asof_join(
+            left_df, rdf, on="k", left_ts="lts", right_ts="rts",
+            right_payload=["a", "b"],
+        )
+        got = {
+            r.id: (r.a_asof, r.b_asof, r.rts_asof) for r in out.collect()
+        }
+
+        con = duckdb.connect()
+        lpd = pd.DataFrame(
+            [(i, k, ts) for i, (k, ts) in enumerate(left)],
+            columns=["id", "k", "lts"],
+        )
+        rpd = pd.DataFrame(right, columns=["k", "rts", "a", "b"]).astype(
+            {"a": "Int64", "b": "Int64"}
+        ) if right else pd.DataFrame(
+            {"k": pd.Series(dtype="int64"), "rts": pd.Series(dtype="int64"),
+             "a": pd.Series(dtype="Int64"), "b": pd.Series(dtype="Int64")}
+        )
+        con.register("l", lpd)
+        con.register("r", rpd)
+        want = {
+            row[0]: (row[1], row[2], row[3])
+            for row in con.execute(
+                "SELECT l.id, r.a, r.b, r.rts FROM l "
+                "ASOF LEFT JOIN r ON l.k = r.k AND l.lts >= r.rts"
+            ).fetchall()
+        }
+        con.close()
+        assert got == want
+
+    check()
+
+
 def test_exact_dedup_deterministic_survivor(spark):
     df = spark.createDataFrame(
         [(3, "x"), (1, "x"), (2, "y")], "id int, val string"
