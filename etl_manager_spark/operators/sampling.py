@@ -66,3 +66,55 @@ def split_sql(id_expr: str, train_fraction: float = 0.8) -> str:
         f"CASE WHEN substr(md5(CAST({id_expr} AS VARCHAR)), 1, 8)"
         f" < '{_threshold_hex(train_fraction)}' THEN 'train' ELSE 'test' END"
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic stratified sampling: keep each row iff its md5 hash
+    draw falls below its stratum's threshold — the class-rebalancing
+    primitive of a training-data pipeline (downsample boilerplate-heavy
+    languages, upweight rare ones by keeping all of them).
+
+    Unlike ``DataFrame.sampleBy`` (seed-deterministic only relative to a
+    fixed partitioning), the draw hashes row identity, so the kept set is
+    reproducible under any partitioning, engine, or AQE re-plan, and is
+    CONSISTENT with ``split_column``: a stratum sampled at fraction f
+    keeps exactly the rows whose draw < f, so nested fractions compose
+    (the f=0.2 sample is a subset of the f=0.5 sample).
+
+    Scale: a pure per-row predicate — no shuffle, pushes down to the scan
+    like any filter. Strata values not in ``fractions`` fall back to
+    ``default_fraction`` (0.0 = drop)."""
+    draw = hash_bucket(id_col)
+    expr = None
+    for value, frac in sorted(fractions.items()):
+        cond = F.col(strata_col) == F.lit(value)
+        keep = draw < F.lit(_threshold_hex(frac))
+        expr = F.when(cond, keep) if expr is None else expr.when(cond, keep)
+    if expr is None:
+        expr = draw < F.lit(_threshold_hex(default_fraction))
+    else:
+        expr = expr.otherwise(draw < F.lit(_threshold_hex(default_fraction)))
+    return df.filter(expr)
+
+
+def stratified_sample_sql(
+    id_expr: str,
+    strata_expr: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+) -> str:
+    """The equivalent ANSI-SQL predicate (for oracles / other engines)."""
+    draw = f"substr(md5(CAST({id_expr} AS VARCHAR)), 1, 8)"
+    whens = "".join(
+        f" WHEN {strata_expr} = '{value}' THEN {draw} < '{_threshold_hex(frac)}'"
+        for value, frac in sorted(fractions.items())
+    )
+    return (
+        f"CASE{whens} ELSE {draw} < '{_threshold_hex(default_fraction)}' END"
+    )

@@ -343,3 +343,65 @@ def text_profile(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
         quality.alias("quality"),
         F.md5(F.array_join(F.transform(toks, F.lower), " ")).alias("fingerprint"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap_tokens: int = 8,
+) -> DataFrame:
+    """Split documents into fixed-size token chunks with overlap — the
+    context-window packing step of an LLM training pipeline (one training
+    example per chunk, consecutive chunks sharing ``overlap_tokens`` so no
+    span is lost at a boundary).
+
+    One row in → ceil(max(n - overlap, 1) / stride) rows out, columns
+    (id, chunk_idx, n_tokens, chunk_text). Pure JVM expressions: tokenize
+    once, generate chunk starts with ``sequence``, slice + rejoin per
+    chunk — no Python, no shuffle; the fan-out happens inside the scan
+    stage, so it scales like any generator. Chunks shorter than
+    ``overlap_tokens`` past the last full chunk are not re-emitted (every
+    token is in at least one chunk; the final chunk may be short).
+    """
+    if not 0 <= overlap_tokens < chunk_tokens:
+        raise ValueError(
+            f"need 0 <= overlap_tokens < chunk_tokens, got "
+            f"{overlap_tokens} / {chunk_tokens}"
+        )
+    stride = chunk_tokens - overlap_tokens
+    toks = tokens(text_col)
+    n = F.size(toks)
+    # chunk starts: 0, stride, 2·stride, … while start + overlap < n —
+    # i.e. the last chunk begins at the last stride boundary that still
+    # contributes ≥1 new token beyond the previous chunk's coverage.
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(
+            F.lit(0),
+            F.floor((n - F.lit(overlap_tokens + 1)) / F.lit(stride)).cast("int")
+            * F.lit(stride),
+        ),
+        F.lit(stride),
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            toks.alias("_toks"),
+            F.explode(starts).alias("_start"),
+        )
+        .select(
+            "doc_id",
+            (F.col("_start") / F.lit(stride)).cast("int").alias("chunk_idx"),
+            F.slice(
+                F.col("_toks"), F.col("_start") + 1, F.lit(chunk_tokens)
+            ).alias("_chunk"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.size("_chunk").alias("n_tokens"),
+            F.array_join("_chunk", " ").alias("chunk_text"),
+        )
+    )

@@ -1068,3 +1068,164 @@ def skew_two_phase_agg_events(spark, sf_dir):
         },
         salt_factor=16,
     )
+
+
+# --------------------------------------------------------------------- #
+# Training-data preparation: stratified sampling, context-window chunking
+
+
+@workload(
+    "stratified_sample_documents",
+    """
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE CASE
+      WHEN lang = 'en' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
+      WHEN lang = 'es' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'ffffffff'
+      WHEN lang = 'fr' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'
+      ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '19999999'
+    END
+    """,
+    category="dedup",
+)
+def stratified_sample_documents(spark, sf_dir):
+    """Deterministic per-language downsampling (operators/sampling.py:
+    stratified_sample) — the class-rebalancing step of a corpus pipeline:
+    keep 25% of English, all Spanish, half of French, 10% of the rest,
+    reproducible under any partitioning because the draw hashes doc_id
+    rather than using a partition-relative seed. The oracle is the same
+    md5-hex predicate in SQL, which is the point: the sample is defined by
+    row identity, so ANY engine computes the identical kept set."""
+    from etl_manager_spark.operators.sampling import stratified_sample
+
+    t = load_tables(spark, sf_dir)
+    return stratified_sample(
+        t["documents"],
+        id_col="doc_id",
+        strata_col="lang",
+        fractions={"en": 0.25, "es": 1.0, "fr": 0.5},
+        default_fraction=0.1,
+    ).select("doc_id", "lang", "source")
+
+
+@workload(
+    "chunk_documents_ctx32",
+    r"""
+    WITH d AS (
+      SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+') AS toks
+      FROM documents
+    ),
+    s AS (SELECT doc_id, toks, len(toks) AS n FROM d),
+    c AS (
+      SELECT doc_id, toks,
+             UNNEST(range(0, GREATEST(CAST(FLOOR((n - 9) / 24.0) AS BIGINT)
+                                      * 24, 0) + 1, 24)) AS start
+      FROM s
+    )
+    SELECT doc_id,
+           CAST(start / 24 AS INTEGER) AS chunk_idx,
+           CAST(len(list_slice(toks, start + 1, start + 32)) AS INTEGER)
+             AS n_tokens,
+           array_to_string(list_slice(toks, start + 1, start + 32), ' ')
+             AS chunk_text
+    FROM c
+    """,
+    category="text",
+)
+def chunk_documents_ctx32(spark, sf_dir):
+    """Context-window packing (operators/text.py: chunk_documents): each
+    document becomes one row per 32-token chunk, consecutive chunks
+    overlapping by 8 tokens. Pure JVM generator (tokenize once, sequence
+    of starts, slice + rejoin) — the fan-out happens inside the scan
+    stage. Oracle: the identical start arithmetic via DuckDB range() +
+    list_slice."""
+    from etl_manager_spark.operators.text import chunk_documents
+
+    t = load_tables(spark, sf_dir)
+    return chunk_documents(
+        t["documents"], chunk_tokens=32, overlap_tokens=8
+    )
+
+
+# --------------------------------------------------------------------- #
+# Data layout: compaction + range-clustered writes (operators/layout.py)
+
+
+@workload(
+    "layout_compact_events",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(4 AS INTEGER) AS files_after,
+           CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_micros
+    FROM events
+    """,
+    category="etl",
+)
+def layout_compact_events(spark, sf_dir):
+    """Small-file compaction round-trip (operators/layout.py: compact):
+    events lands as 32 undersized files, compact() rewrites them into 4
+    via a coalesce (narrow, no shuffle) behind a temp-dir swap, and the
+    workload re-reads the compacted table. The oracle pins the invariant
+    that matters — the rewrite changed the file count and nothing else
+    (row count and an exact value checksum survive)."""
+    import tempfile
+
+    from etl_manager_spark.operators.layout import compact
+
+    t = load_tables(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="layout_compact_")
+    path = base + "/events"
+    t["events"].repartition(32).write.mode("overwrite").parquet(path)
+    stats = compact(spark, path, target_files=4)
+    reread = spark.read.parquet(path)
+    return reread.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(int(stats["files_after"])).cast("int").alias("files_after"),
+        F.sum(
+            F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+        ).alias("total_micros"),
+    )
+
+
+@workload(
+    "layout_sorted_write_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents
+    FROM orders
+    WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-04-01'
+    """,
+    category="etl",
+)
+def layout_sorted_write_orders(spark, sf_dir):
+    """Range-clustered write + pruned re-read (operators/layout.py:
+    sorted_partitioned_write): orders is rewritten range-partitioned and
+    sorted on o_orderdate (contiguous date ranges per file, so min/max
+    row-group stats prune a date filter to a few files), then re-read
+    with a one-quarter predicate. Oracle: the same filter over the
+    original table — clustering must change layout, never content."""
+    import tempfile
+
+    from etl_manager_spark.operators.layout import sorted_partitioned_write
+
+    t = load_tables(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="layout_sorted_") + "/orders"
+    sorted_partitioned_write(
+        t["orders"], path, range_cols=["o_orderdate"], n_partitions=8
+    )
+    return (
+        spark.read.parquet(path)
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1995-04-01").cast("date"))
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderdate",
+            F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+            .cast("long")
+            .alias("price_cents"),
+        )
+    )

@@ -1,0 +1,157 @@
+"""Tests for data-layout ops (compact, range-clustered write), stratified
+sampling, and context-window chunking."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_manager_spark.operators.layout import compact, sorted_partitioned_write
+from etl_manager_spark.operators.sampling import stratified_sample
+from etl_manager_spark.operators.text import chunk_documents
+
+
+def _data_files(path):
+    return [
+        os.path.join(dp, f)
+        for dp, _, files in os.walk(path)
+        for f in files
+        if not f.startswith(("_", "."))
+    ]
+
+
+def test_compact_shrinks_files_and_preserves_rows(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.range(10_000).withColumn("v", F.col("id") * 2)
+    df.repartition(16).write.parquet(path)
+    assert len(_data_files(path)) == 16
+
+    stats = compact(spark, path, target_files=3)
+    assert stats == {"files_before": 16, "files_after": 3, "rows": 10_000}
+    back = spark.read.parquet(path)
+    assert back.count() == 10_000
+    assert back.agg(F.sum("v")).first()[0] == df.agg(F.sum("v")).first()[0]
+    # no temp/backup dirs left behind
+    assert not os.path.exists(path + "._compact_tmp")
+    assert not os.path.exists(path + "._compact_old")
+
+
+def test_compact_can_grow_file_count(spark, tmp_path):
+    path = str(tmp_path / "t")
+    spark.range(1_000).coalesce(1).write.parquet(path)
+    stats = compact(spark, path, target_files=4)
+    assert stats["files_before"] == 1
+    assert stats["files_after"] == 4
+    assert spark.read.parquet(path).count() == 1_000
+
+
+def test_compact_rejects_bad_target(spark, tmp_path):
+    with pytest.raises(ValueError, match="target_files"):
+        compact(spark, str(tmp_path), target_files=0)
+
+
+def test_sorted_write_produces_disjoint_key_ranges(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.range(20_000).select(
+        (F.pmod(F.col("id") * 7919, F.lit(20_000))).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    sorted_partitioned_write(df, path, range_cols=["k"], n_partitions=5)
+
+    back = spark.read.parquet(path)
+    assert back.count() == 20_000
+    assert back.agg(F.sum("payload")).first()[0] == sum(range(20_000))
+
+    # range clustering: per-file [min, max] key spans must not interleave
+    spans = []
+    for f in _data_files(path):
+        mm = spark.read.parquet(f).agg(F.min("k"), F.max("k")).first()
+        spans.append((mm[0], mm[1]))
+    spans.sort()
+    for (_, hi), (lo, _) in zip(spans, spans[1:]):
+        assert hi <= lo, f"overlapping file key ranges: {spans}"
+
+
+def test_stratified_sample_fractions_compose(spark):
+    df = spark.range(4_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("fr").alias("lang"),
+    )
+    half = stratified_sample(
+        df, "doc_id", "lang", {"en": 0.5, "fr": 0.5}
+    )
+    fifth = stratified_sample(
+        df, "doc_id", "lang", {"en": 0.2, "fr": 0.2}
+    )
+    half_ids = {r.doc_id for r in half.collect()}
+    fifth_ids = {r.doc_id for r in fifth.collect()}
+    # nested-fraction property: the 20% sample is a subset of the 50% one
+    assert fifth_ids <= half_ids
+    # both land near their target rate (md5 is uniform; 4k rows)
+    assert 0.4 < len(half_ids) / 4_000 < 0.6
+    assert 0.12 < len(fifth_ids) / 4_000 < 0.28
+
+
+def test_stratified_sample_extremes_and_default(spark):
+    df = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "keep")
+        .when(F.col("id") % 3 == 1, "drop")
+        .otherwise("other")
+        .alias("lang"),
+    )
+    out = stratified_sample(
+        df, "doc_id", "lang", {"keep": 1.0, "drop": 0.0}, default_fraction=1.0
+    )
+    langs = {r.lang for r in out.collect()}
+    assert langs == {"keep", "other"}
+    assert out.filter(F.col("lang") == "keep").count() == 100
+    assert out.filter(F.col("lang") == "other").count() == 100
+
+
+def test_chunk_documents_exact_layout(spark):
+    text = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = chunk_documents(df, chunk_tokens=4, overlap_tokens=1)
+    rows = sorted(out.collect(), key=lambda r: r.chunk_idx)
+    # stride 3, n=10 → starts 0, 3, 6; final chunk takes the remaining 4
+    assert [(r.chunk_idx, r.n_tokens, r.chunk_text) for r in rows] == [
+        (0, 4, "t0 t1 t2 t3"),
+        (1, 4, "t3 t4 t5 t6"),
+        (2, 4, "t6 t7 t8 t9"),
+    ]
+
+
+def test_chunk_documents_covers_every_token_with_overlap(spark):
+    df = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(5 + 13 * i))) for i in range(8)],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, chunk_tokens=16, overlap_tokens=4).collect()
+    docs = {r.doc_id: [] for r in out}
+    for r in out:
+        docs[r.doc_id].append(r)
+    for i in range(8):
+        n = 5 + 13 * i
+        toks = [t for r in sorted(docs[i], key=lambda r: r.chunk_idx)
+                for t in r.chunk_text.split(" ")]
+        # every original token appears, in order, with stride-12 overlap
+        assert sorted(set(toks)) == sorted(f"w{i}_{j}" for j in range(n))
+        for r in docs[i]:
+            assert r.n_tokens == len(r.chunk_text.split(" "))
+            assert r.n_tokens <= 16
+
+
+def test_chunk_documents_short_doc_single_chunk(spark):
+    df = spark.createDataFrame([(1, "only three tokens")], "doc_id long, text string")
+    rows = chunk_documents(df, chunk_tokens=32, overlap_tokens=8).collect()
+    assert len(rows) == 1
+    assert rows[0].chunk_idx == 0
+    assert rows[0].n_tokens == 3
+    assert rows[0].chunk_text == "only three tokens"
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_tokens=8, overlap_tokens=8)

@@ -109,3 +109,22 @@ def test_projection_pruning_on_wide_join(spark, sf_dir):
     assert r.scans_only_columns({"o_orderkey", "o_custkey", "c_custkey", "c_name"}), (
         r.read_schemas
     )
+
+
+def test_stratified_sample_is_pure_scan_filter(plans):
+    r = plans("stratified_sample_documents")
+    # the md5-threshold predicate is a per-row filter: no shuffle, and the
+    # projection prunes to the three selected columns
+    assert r.shuffle_exchanges == 0, r.text[:2000]
+    assert r.codegen_stages >= 1
+    assert r.scans_only_columns({"doc_id", "lang", "source"}), r.read_schemas
+
+
+def test_chunk_documents_fanout_stays_in_scan_stage(plans):
+    r = plans("chunk_documents_ctx32")
+    # tokenize→sequence→explode→slice is a generator inside the scan
+    # stage: JVM-only (no Python nodes), zero exchanges
+    assert r.shuffle_exchanges == 0, r.text[:2000]
+    assert "Generate" in r.text
+    for python_node in ("ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas"):
+        assert python_node not in r.text
