@@ -405,3 +405,127 @@ def chunk_documents(
             F.array_join("_chunk", " ").alias("chunk_text"),
         )
     )
+
+
+# --------------------------------------------------------------------- #
+# Corpus filtering: Gopher-style quality rules, repeated-ngram
+# boilerplate, PII scrubbing
+
+
+def repeated_ngram_fraction(text_col: Column | str, n: int = 3) -> Column:
+    """Fraction of a document's n-grams that are repeats of an earlier
+    n-gram (0.0 = all unique): the Gopher-style repetition gate that
+    catches looping/boilerplate generation. Pure JVM expressions — the
+    n-gram list is built with sequence+slice, so the whole rule runs
+    inside codegen with no Python and no shuffle. Documents with fewer
+    than n tokens score 0.0."""
+    toks = tokens(text_col)
+    n_toks = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_toks - F.lit(n - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    return F.when(n_toks < F.lit(n), F.lit(0.0)).otherwise(
+        (total - distinct).cast("double") / total.cast("double")
+    )
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    max_repeated_trigram_fraction: float = 0.5,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style document quality rules as one row of boolean flags per
+    document — the triage step of a corpus pipeline, kept as FLAGS (not a
+    pre-applied filter) so downstream stages can weigh rules differently
+    or audit why a document was dropped.
+
+    Every rule is a closed-form expression over the token array; the
+    whole report is a single projection (tokenize once, no shuffle, no
+    Python), so it runs at scan speed at any scale."""
+    toks = tokens(text_col)
+    n_toks = F.size(toks)
+    char_sum = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    mean_len = F.when(n_toks == 0, F.lit(0.0)).otherwise(
+        char_sum.cast("double") / n_toks.cast("double")
+    )
+    stop_hits = F.size(
+        F.filter(toks, lambda t: F.lower(t).isin(list(STOPWORDS)))
+    )
+    rep3 = repeated_ngram_fraction(text_col, n=3)
+    flags = {
+        "ok_token_count": (n_toks >= min_tokens) & (n_toks <= max_tokens),
+        "ok_mean_word_len": (mean_len >= min_mean_word_len)
+        & (mean_len <= max_mean_word_len),
+        "ok_repetition": rep3 <= max_repeated_trigram_fraction,
+        "ok_stopwords": stop_hits >= min_stopword_hits,
+    }
+    out = df.select(
+        F.col(id_col).alias("doc_id"),
+        n_toks.alias("n_tokens"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(rep3, 6).alias("repeated_trigram_frac"),
+        *[c.alias(name) for name, c in flags.items()],
+    )
+    keep = None
+    for name in flags:
+        keep = F.col(name) if keep is None else keep & F.col(name)
+    return out.withColumn("keep", keep)
+
+
+# PII patterns restricted to the regex subset Java and RE2 interpret
+# identically (no backreferences, no lookaround).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}", "<PHONE>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+)
+
+
+def scrub_pii(text_col: Column | str) -> Column:
+    """Replace email / phone / IPv4 literals with typed placeholder tokens
+    — the redaction step before text leaves a controlled zone. A chain of
+    ``regexp_replace`` calls (order matters: emails first, so their digit
+    runs can't half-match the phone pattern), all JVM-side."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    for _, pattern, replacement in PII_PATTERNS:
+        c = F.regexp_replace(c, pattern, replacement)
+    return c
+
+
+def corpus_ngram_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    min_count: int = 2,
+) -> DataFrame:
+    """Corpus-level boilerplate mining: count every n-gram across all
+    documents and keep those appearing ``min_count``+ times — the shared
+    headers/footers/templates an LLM corpus wants stripped before
+    training. One explode + one hash-agg shuffle with map-side partial
+    aggregation; the min_count gate filters post-agg, so the shuffle
+    carries (ngram, partial-count) pairs, not documents."""
+    toks = tokens(text_col)
+    grams = F.transform(
+        F.sequence(
+            F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+        ),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return (
+        df.filter(F.size(toks) >= n)
+        .select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= min_count)
+    )

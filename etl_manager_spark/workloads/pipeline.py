@@ -572,15 +572,25 @@ def dedup_embedding_cosine(spark, sf_dir):
 def dedup_embedding_cosine_lsh(spark, sf_dir):
     """LSH-blocked near-dup pairs — the scale path (bucket join, no
     broadcast, O(Σ|bucket|²) work). Approximate → rows-only; the recall
-    against the exact O(n²) pair set is emitted as a result column (and
-    also asserted in tests/test_operators.py)."""
+    estimate is emitted as a result column (also asserted in tests).
+
+    The recall reference is the exact pair set over a DETERMINISTIC 50%
+    hash-subsample (md5 on vec_id), scored with the blocked numpy kernel
+    — running exact O(n²) over the full corpus inside this workload would
+    re-introduce the very cost the LSH path exists to avoid; a fixed-rate
+    identity-hashed sample is how you monitor recall at 100 TB (the
+    sampled pair set is reproducible under any partitioning, and approx ∩
+    exact_sample / |exact_sample| is an unbiased recall estimate)."""
+    from etl_manager_spark.operators.sampling import hash_bucket
+
     t = load_tables(spark, sf_dir)
     emb = t["embeddings"]
     approx = S.cosine_near_dup_pairs_lsh(
         emb, threshold=0.4, dim=64, num_planes=4, num_tables=4
     )
-    exact = S.cosine_near_dup_pairs(emb, threshold=0.4)
-    return _with_recall(approx, exact, ["id_a", "id_b"])
+    sample = emb.filter(hash_bucket("vec_id") < F.lit("80000000"))
+    exact_sample = S.cosine_near_dup_pairs_blocked(sample, threshold=0.4)
+    return _with_recall(approx, exact_sample, ["id_a", "id_b"])
 
 
 # --------------------------------------------------------------------- #
@@ -1229,3 +1239,133 @@ def layout_sorted_write_orders(spark, sf_dir):
             .alias("price_cents"),
         )
     )
+
+
+# --------------------------------------------------------------------- #
+# Corpus filtering: quality gates, PII scrubbing, boilerplate mining
+
+
+@workload(
+    "gopher_quality_documents",
+    rf"""
+    WITH tok AS (
+      SELECT doc_id, {_TOK_SQL} AS toks FROM documents
+    ),
+    g AS (
+      SELECT doc_id, toks, LEN(toks) AS n,
+             LIST_TRANSFORM(RANGE(1, GREATEST(LEN(toks) - 2, 1) + 1),
+                            i -> ARRAY_TO_STRING(LIST_SLICE(toks, i, i + 2), ' '))
+               AS grams
+      FROM tok
+    ),
+    m AS (
+      SELECT doc_id, n,
+             CASE WHEN n = 0 THEN 0.0 ELSE
+               CAST(LIST_SUM(LIST_TRANSFORM(toks, t -> LENGTH(t))) AS DOUBLE)
+                 / CAST(n AS DOUBLE) END AS mean_len,
+             CASE WHEN n < 3 THEN 0.0 ELSE
+               CAST(LEN(grams) - LEN(LIST_DISTINCT(grams)) AS DOUBLE)
+                 / CAST(LEN(grams) AS DOUBLE) END AS rep3,
+             LEN(LIST_FILTER(toks, t -> LOWER(t) IN {_STOP_SQL})) AS stop_hits
+      FROM g
+    )
+    SELECT doc_id,
+           CAST(n AS INTEGER) AS n_tokens,
+           ROUND(mean_len, 6) AS mean_word_len,
+           ROUND(rep3, 6) AS repeated_trigram_frac,
+           n BETWEEN 10 AND 100000 AS ok_token_count,
+           mean_len BETWEEN 2.0 AND 12.0 AS ok_mean_word_len,
+           rep3 <= 0.5 AS ok_repetition,
+           stop_hits >= 2 AS ok_stopwords,
+           (n BETWEEN 10 AND 100000) AND (mean_len BETWEEN 2.0 AND 12.0)
+             AND rep3 <= 0.5 AND stop_hits >= 2 AS keep
+    FROM m
+    """,
+    category="text",
+)
+def gopher_quality_documents(spark, sf_dir):
+    """Gopher-style quality gates (operators/text.py:
+    gopher_quality_flags): token-count bounds, mean word length,
+    repeated-trigram fraction, stopword presence — one boolean per rule
+    plus the conjunction, all in a single tokenize-once projection.
+    Oracle: the identical closed-form rules in DuckDB list functions
+    (ROUND of exact integer ratios — no float-printing hazard)."""
+    t = load_tables(spark, sf_dir)
+    return X.gopher_quality_flags(t["documents"])
+
+
+@workload(
+    "pii_scrub_documents",
+    r"""
+    SELECT doc_id,
+           MD5(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(
+             text || ' contact user' || doc_id || '@example.com or +1-555-01'
+                  || doc_id || ' at 10.0.' || doc_id % 256 || '.7',
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}', '<PHONE>', 'g'),
+             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'))
+             AS scrubbed_md5,
+           CONTAINS(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(
+             text || ' contact user' || doc_id || '@example.com or +1-555-01'
+                  || doc_id || ' at 10.0.' || doc_id % 256 || '.7',
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}', '<PHONE>', 'g'),
+             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+             '<EMAIL>') AS has_email_token
+    FROM documents
+    """,
+    category="text",
+)
+def pii_scrub_documents(spark, sf_dir):
+    """PII scrubbing (operators/text.py: scrub_pii — email/phone/IPv4 →
+    typed placeholders, Java∩RE2 regex subset). The corpus has no organic
+    PII, so the workload plants a deterministic contact line per doc and
+    scrubs it; the md5 of the scrubbed text plus an explicit
+    contains-<EMAIL> flag prove the replacements fired identically in
+    both engines."""
+    t = load_tables(spark, sf_dir)
+    planted = t["documents"].select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-01"),
+            F.col("doc_id").cast("string"),
+            F.lit(" at 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7"),
+        ).alias("text"),
+    )
+    return planted.select(
+        "doc_id",
+        F.md5(X.scrub_pii("text")).alias("scrubbed_md5"),
+        X.scrub_pii("text").contains("<EMAIL>").alias("has_email_token"),
+    )
+
+
+@workload(
+    "corpus_ngram_boilerplate",
+    rf"""
+    WITH tok AS (
+      SELECT doc_id, {_TOK_SQL} AS toks FROM documents
+    ),
+    g AS (
+      SELECT UNNEST(LIST_TRANSFORM(RANGE(1, LEN(toks) - 2 + 1),
+                    i -> ARRAY_TO_STRING(LIST_SLICE(toks, i, i + 2), ' ')))
+               AS ngram
+      FROM tok WHERE LEN(toks) >= 3
+    )
+    SELECT ngram, COUNT(*) AS n_occurrences
+    FROM g GROUP BY ngram
+    HAVING COUNT(*) >= 5
+    """,
+    category="text",
+)
+def corpus_ngram_boilerplate(spark, sf_dir):
+    """Corpus-level boilerplate mining (operators/text.py:
+    corpus_ngram_counts): every trigram across all documents, counted in
+    one explode + one hash-agg shuffle (map-side partials), thresholded
+    to the shared templates worth stripping before training."""
+    t = load_tables(spark, sf_dir)
+    return X.corpus_ngram_counts(t["documents"], n=3, min_count=5)

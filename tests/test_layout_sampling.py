@@ -155,3 +155,82 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents(df, chunk_tokens=8, overlap_tokens=8)
+
+
+# --------------------------------------------------------------------- #
+# Corpus filtering operators
+
+
+def test_gopher_flags_rules_fire_individually(spark):
+    from etl_manager_spark.operators.text import gopher_quality_flags
+
+    docs = spark.createDataFrame(
+        [
+            # healthy: 12 varied tokens incl. stopwords
+            (1, "the quick brown fox jumps over the lazy dog and a cat"),
+            # too short
+            (2, "the a of"),
+            # repetitive: one trigram looped
+            (3, " ".join(["spam ham eggs"] * 8)),
+            # no stopwords
+            (4, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        ],
+        "doc_id long, text string",
+    )
+    flags = {r.doc_id: r for r in gopher_quality_flags(docs).collect()}
+    assert flags[1].keep
+    assert not flags[2].ok_token_count and not flags[2].keep
+    assert not flags[3].ok_repetition and flags[3].ok_token_count
+    assert not flags[4].ok_stopwords and flags[4].ok_mean_word_len
+
+
+def test_repeated_ngram_fraction_bounds(spark):
+    from etl_manager_spark.operators.text import repeated_ngram_fraction
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, " ".join(["x y z"] * 5)), (3, "a b")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.f
+        for r in df.select(
+            "doc_id", repeated_ngram_fraction("text", n=3).alias("f")
+        ).collect()
+    }
+    assert out[1] == 0.0            # all trigrams unique
+    assert out[2] > 0.7             # looped text: mostly repeats
+    assert out[3] == 0.0            # shorter than n → defined as 0
+
+
+def test_scrub_pii_replaces_each_kind(spark):
+    from etl_manager_spark.operators.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail alice.smith+x@corp.example.co today"),
+            (2, "call +44-020-7946-0958 now"),
+            (3, "host 192.168.1.254 is up"),
+            (4, "no pii here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.s for r in df.select("doc_id", scrub_pii("text").alias("s")).collect()}
+    assert out[1] == "mail <EMAIL> today"
+    assert out[2] == "call <PHONE> now"
+    assert out[3] == "host <IP> is up"
+    assert out[4] == "no pii here at all"
+
+
+def test_corpus_ngram_counts_threshold(spark):
+    from etl_manager_spark.operators.text import corpus_ngram_counts
+
+    df = spark.createDataFrame(
+        [(i, "shared header line plus unique tail %d" % i) for i in range(5)],
+        "doc_id long, text string",
+    )
+    out = {r.ngram: r.n_occurrences for r in corpus_ngram_counts(df, n=3, min_count=5).collect()}
+    # the shared prefix trigrams appear in all 5 docs; unique tails don't
+    assert out["shared header line"] == 5
+    assert out["header line plus"] == 5
+    assert all(v >= 5 for v in out.values())
+    assert not any("tail" in k and "unique" not in k for k in out)
