@@ -529,3 +529,86 @@ def corpus_ngram_counts(
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
         .filter(F.col("n_occurrences") >= min_count)
     )
+
+
+def gopher_quality_flags_vectorized(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    max_repeated_trigram_fraction: float = 0.5,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Arrow-batched form of :func:`gopher_quality_flags` — identical
+    output (tests assert frame equality on the test corpus), one Python
+    pass per document instead of the per-element JVM HOF chain: building
+    the trigram array with interpreted ``transform(sequence → array_join(
+    slice))`` costs ~100 HOF evaluations per document, ~35 s at sf0.1
+    where this path is ~1 s. Same trade as
+    :func:`text_profile_vectorized`.
+
+    Parity notes: rounding mirrors Spark's ``F.round`` on doubles
+    (``BigDecimal.valueOf(d).setScale(6, HALF_UP)``) via
+    ``Decimal(repr(x))`` — Java ``Double.toString`` and Python ``repr``
+    produce the same shortest round-trip digits."""
+    import re as _re
+    from decimal import ROUND_HALF_UP, Decimal
+
+    stop = set(STOPWORDS)
+    q6 = Decimal("0.000001")
+
+    def _round6(x: float) -> float:
+        return float(Decimal(repr(x)).quantize(q6, rounding=ROUND_HALF_UP))
+
+    @F.pandas_udf(
+        "struct<n_tokens:int,mean_word_len:double,repeated_trigram_frac:double,"
+        "ok_token_count:boolean,ok_mean_word_len:boolean,ok_repetition:boolean,"
+        "ok_stopwords:boolean,keep:boolean>"
+    )
+    def _flags(texts: pd.Series) -> pd.DataFrame:
+        rows = []
+        split = _re.compile(r"\s+", _re.ASCII).split
+        for t in texts:
+            if t is None:
+                rows.append((None,) * 8)
+                continue
+            toks = split(t.strip(" "))
+            n = len(toks)
+            mean_len = 0.0 if n == 0 else sum(len(tok) for tok in toks) / n
+            if n < 3:
+                rep3 = 0.0
+            else:
+                grams = [" ".join(toks[i : i + 3]) for i in range(n - 2)]
+                rep3 = (len(grams) - len(set(grams))) / len(grams)
+            stop_hits = sum(1 for tok in toks if tok.lower() in stop)
+            ok_count = min_tokens <= n <= max_tokens
+            ok_len = min_mean_word_len <= mean_len <= max_mean_word_len
+            ok_rep = rep3 <= max_repeated_trigram_fraction
+            ok_stop = stop_hits >= min_stopword_hits
+            rows.append(
+                (
+                    n,
+                    _round6(mean_len),
+                    _round6(rep3),
+                    ok_count,
+                    ok_len,
+                    ok_rep,
+                    ok_stop,
+                    ok_count and ok_len and ok_rep and ok_stop,
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "n_tokens", "mean_word_len", "repeated_trigram_frac",
+                "ok_token_count", "ok_mean_word_len", "ok_repetition",
+                "ok_stopwords", "keep",
+            ],
+        )
+
+    return df.select(
+        F.col(id_col).alias("doc_id"), _flags(F.col(text_col)).alias("_g")
+    ).select("doc_id", "_g.*")

@@ -1287,11 +1287,13 @@ def gopher_quality_documents(spark, sf_dir):
     """Gopher-style quality gates (operators/text.py:
     gopher_quality_flags): token-count bounds, mean word length,
     repeated-trigram fraction, stopword presence — one boolean per rule
-    plus the conjunction, all in a single tokenize-once projection.
-    Oracle: the identical closed-form rules in DuckDB list functions
-    (ROUND of exact integer ratios — no float-printing hazard)."""
+    plus the conjunction. Runs the Arrow-vectorized path (one Python pass
+    per doc; the per-element JVM HOF trigram build costs ~35 s at sf0.1
+    vs ~1 s here — tests assert the two paths frame-equal). Oracle: the
+    identical closed-form rules in DuckDB list functions (ROUND of exact
+    integer ratios — no float-printing hazard)."""
     t = load_tables(spark, sf_dir)
-    return X.gopher_quality_flags(t["documents"])
+    return X.gopher_quality_flags_vectorized(spread(t["documents"], spark))
 
 
 @workload(
@@ -1369,3 +1371,97 @@ def corpus_ngram_boilerplate(spark, sf_dir):
     to the shared templates worth stripping before training."""
     t = load_tables(spark, sf_dir)
     return X.corpus_ngram_counts(t["documents"], n=3, min_count=5)
+
+
+@workload(
+    "pretrain_pipeline_documents",
+    rf"""
+    WITH tok AS (
+      SELECT doc_id, text, lang, {_TOK_SQL} AS toks FROM documents
+    ),
+    g AS (
+      SELECT doc_id, toks, LEN(toks) AS n,
+             LIST_TRANSFORM(RANGE(1, GREATEST(LEN(toks) - 2, 1) + 1),
+                            i -> ARRAY_TO_STRING(LIST_SLICE(toks, i, i + 2), ' '))
+               AS grams
+      FROM tok
+    ),
+    flags AS (
+      SELECT doc_id,
+             n BETWEEN 10 AND 100000
+             AND (CASE WHEN n = 0 THEN 0.0 ELSE
+                    CAST(LIST_SUM(LIST_TRANSFORM(toks, t -> LENGTH(t))) AS DOUBLE)
+                      / CAST(n AS DOUBLE) END) BETWEEN 2.0 AND 12.0
+             AND (CASE WHEN n < 3 THEN 0.0 ELSE
+                    CAST(LEN(grams) - LEN(LIST_DISTINCT(grams)) AS DOUBLE)
+                      / CAST(LEN(grams) AS DOUBLE) END) <= 0.5
+             AND LEN(LIST_FILTER(toks, t -> LOWER(t) IN {_STOP_SQL})) >= 2
+               AS keep
+      FROM g
+    ),
+    kept AS (
+      SELECT t.* FROM tok t JOIN flags f ON t.doc_id = f.doc_id AND f.keep
+    ),
+    surv AS (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY text),
+    ded AS (SELECT k.* FROM kept k JOIN surv s ON k.doc_id = s.doc_id),
+    samp AS (
+      SELECT * FROM ded
+      WHERE CASE
+        WHEN lang = 'en' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'
+        WHEN lang = 'zh' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
+        ELSE TRUE
+      END
+    ),
+    c AS (
+      SELECT doc_id, lang, LEN(toks) AS n,
+             UNNEST(range(0, GREATEST(CAST(FLOOR((LEN(toks) - 9) / 24.0) AS BIGINT)
+                                      * 24, 0) + 1, 24)) AS start
+      FROM samp
+    )
+    SELECT lang,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(LEAST(32, n - start)) AS BIGINT) AS n_chunk_tokens
+    FROM c GROUP BY lang
+    """,
+    category="etl",
+)
+def pretrain_pipeline_documents(spark, sf_dir):
+    """The whole pre-training data pipeline as ONE declarative DAG, every
+    stage an operator from this repo: Gopher quality gates → exact dedup
+    (min-id survivor) → deterministic per-language stratified sampling
+    (keep half of English, a quarter of Chinese, all of the rest) →
+    32-token context-window chunking → per-language corpus accounting.
+
+    Catalyst sees the full chain, so the quality filter and the sampling
+    predicate both run in the first scan stage and the only shuffles are
+    the dedup hash-agg and the final rollup — at 100 TB this is three
+    stages end-to-end, not five materialized intermediates. The oracle
+    recomputes the identical pipeline as a DuckDB CTE chain."""
+    from etl_manager_spark.operators.sampling import stratified_sample
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    flags = X.gopher_quality_flags_vectorized(spread(docs, spark))
+    kept = docs.join(
+        flags.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
+    )
+    survivors = D.exact_dedup(kept, subset=["text"], id_col="doc_id")
+    deduped = kept.join(survivors.select("doc_id"), "doc_id", "left_semi")
+    sampled = stratified_sample(
+        deduped,
+        id_col="doc_id",
+        strata_col="lang",
+        fractions={"en": 0.5, "zh": 0.25},
+        default_fraction=1.0,
+    )
+    chunks = X.chunk_documents(sampled, chunk_tokens=32, overlap_tokens=8)
+    return (
+        chunks.join(sampled.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_tokens").alias("n_chunk_tokens"),
+        )
+    )

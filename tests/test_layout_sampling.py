@@ -234,3 +234,21 @@ def test_corpus_ngram_counts_threshold(spark):
     assert out["header line plus"] == 5
     assert all(v >= 5 for v in out.values())
     assert not any("tail" in k and "unique" not in k for k in out)
+
+
+def test_gopher_flags_vectorized_frame_equal(spark, sf_dir):
+    """The Arrow path must equal the JVM HOF path row-for-row on the real
+    corpus (same flags, same rounded ratios)."""
+    from etl_manager_spark.operators.text import (
+        gopher_quality_flags,
+        gopher_quality_flags_vectorized,
+    )
+    from etl_manager_spark.workloads.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    jvm = {r.doc_id: r.asDict() for r in gopher_quality_flags(docs).collect()}
+    arrow = {
+        r.doc_id: r.asDict()
+        for r in gopher_quality_flags_vectorized(docs).collect()
+    }
+    assert jvm == arrow
