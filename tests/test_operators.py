@@ -312,6 +312,49 @@ def test_near_dup_clusters_long_chain_and_string_ids(spark):
     assert set(out.values()) == {"d0"}
 
 
+def test_near_dup_clusters_property_vs_union_find(spark):
+    """Property test on random graphs: cluster assignment must equal an
+    independent union-find (same components, min-id representative).
+    Small id space forces dense merges; self-loops and duplicate/reversed
+    edges are fair game."""
+    from hypothesis import given, settings, strategies as st
+
+    from etl_manager_spark.operators.dedup import near_dup_clusters
+
+    edges_strategy = st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1,
+        max_size=20,
+    )
+
+    @settings(max_examples=20, deadline=None)
+    @given(edges=edges_strategy)
+    def check(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+
+        for a, b in edges:
+            union(a, b)
+        want = {x: find(x) for x in parent}
+
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {r.id: r.cluster_id for r in near_dup_clusters(pairs).collect()}
+        assert got == want
+
+    check()
+
+
 def test_near_dup_clusters_raises_when_iterations_exhausted(spark):
     from etl_manager_spark.operators.dedup import near_dup_clusters
 
