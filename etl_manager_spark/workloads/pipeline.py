@@ -9,6 +9,8 @@ between Spark and DuckDB) or integer ratios.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from etl_manager_spark.operators import dedup as D
@@ -1161,6 +1163,21 @@ def chunk_documents_ctx32(spark, sf_dir):
 # Data layout: compaction + range-clustered writes (operators/layout.py)
 
 
+
+def _layout_scratch(prefix: str) -> str:
+    """Fresh scratch dir for a layout workload, sweeping PREVIOUS runs'
+    dirs of the same prefix first (the returned DataFrame reads lazily
+    from the new dir, so cleanup can only happen on the NEXT invocation —
+    without the sweep, repeated bench runs accumulate temp tables)."""
+    import glob
+    import shutil
+    import tempfile
+
+    for stale in glob.glob(os.path.join(tempfile.gettempdir(), prefix + "*")):
+        shutil.rmtree(stale, ignore_errors=True)
+    return tempfile.mkdtemp(prefix=prefix)
+
+
 @workload(
     "layout_compact_events",
     """
@@ -1179,13 +1196,10 @@ def layout_compact_events(spark, sf_dir):
     workload re-reads the compacted table. The oracle pins the invariant
     that matters — the rewrite changed the file count and nothing else
     (row count and an exact value checksum survive)."""
-    import tempfile
-
     from etl_manager_spark.operators.layout import compact
 
     t = load_tables(spark, sf_dir)
-    base = tempfile.mkdtemp(prefix="layout_compact_")
-    path = base + "/events"
+    path = _layout_scratch("layout_compact_") + "/events"
     t["events"].repartition(32).write.mode("overwrite").parquet(path)
     stats = compact(spark, path, target_files=4)
     reread = spark.read.parquet(path)
@@ -1215,12 +1229,10 @@ def layout_sorted_write_orders(spark, sf_dir):
     row-group stats prune a date filter to a few files), then re-read
     with a one-quarter predicate. Oracle: the same filter over the
     original table — clustering must change layout, never content."""
-    import tempfile
-
     from etl_manager_spark.operators.layout import sorted_partitioned_write
 
     t = load_tables(spark, sf_dir)
-    path = tempfile.mkdtemp(prefix="layout_sorted_") + "/orders"
+    path = _layout_scratch("layout_sorted_") + "/orders"
     sorted_partitioned_write(
         t["orders"], path, range_cols=["o_orderdate"], n_partitions=8
     )
