@@ -169,3 +169,94 @@ def streaming_interval_join_attribution(spark, sf_dir):
     return run_to_memory(
         stream, spark, "stream_interval_join_result", output_mode="append"
     )
+
+
+@workload(
+    "streaming_static_enrichment",
+    """
+    SELECT c.c_nationkey AS nationkey,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_nationkey
+    """,
+    category="streaming",
+)
+def streaming_static_enrichment(spark, sf_dir):
+    """Stream-static enrichment (streaming/enrich.py: stream_static_join):
+    the events stream joins the static customer dimension via broadcast —
+    stateless, re-planned per micro-batch, no watermark (only
+    stream-stream joins buffer state) — then rolls up per nation. Exact
+    oracle: availableNow + complete = the batch join answer; the value
+    sum runs in DECIMAL cents (functions/exact.py discipline)."""
+    from etl_manager_spark.functions.exact import dec_sum
+    from etl_manager_spark.streaming.enrich import stream_static_join
+    from etl_manager_spark.streaming.windows import (
+        read_events_stream,
+        run_to_memory,
+    )
+    from etl_manager_spark.workloads.tables import load_tables
+
+    from pyspark.sql import functions as F
+
+    t = load_tables(spark, sf_dir)
+    dim = t["customer"].select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    enriched = stream_static_join(
+        read_events_stream(spark, sf_dir), dim, on="user_id"
+    )
+    rolled = enriched.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dec_sum("value").alias("total_value"),
+    )
+    return run_to_memory(rolled, spark, "stream_static_enrichment_result")
+
+
+@workload(
+    "streaming_cdc_upsert_latest_event",
+    """
+    SELECT user_id, event_id, ts, event_type
+    FROM (
+      SELECT user_id, event_id, ts, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    category="streaming",
+)
+def streaming_cdc_upsert_latest_event(spark, sf_dir):
+    """CDC apply via foreachBatch MERGE (streaming/enrich.py:
+    apply_cdc_stream): the events stream is treated as a change feed
+    keyed by user_id; each micro-batch collapses to last-writer-wins
+    (ts, event_id desc) and MERGEs into a versioned parquet state table
+    behind an atomic swap. The returned final state must equal the batch
+    answer — latest event per user — which is the oracle."""
+    import glob
+    import shutil
+    import tempfile
+
+    # sweep previous runs' state (the result reads lazily from the new
+    # dir, so cleanup can only happen on the next invocation)
+    for stale in glob.glob(tempfile.gettempdir() + "/cdc_upsert_*"):
+        shutil.rmtree(stale, ignore_errors=True)
+
+    from etl_manager_spark.streaming.enrich import apply_cdc_stream
+    from etl_manager_spark.streaming.windows import read_events_stream
+
+    from pyspark.sql import functions as F
+
+    scratch = tempfile.mkdtemp(prefix="cdc_upsert_")
+    changes = read_events_stream(spark, sf_dir).select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    final = apply_cdc_stream(
+        spark,
+        changes,
+        key=["user_id"],
+        order_cols=["ts", "event_id"],
+        state_path=scratch + "/state",
+        checkpoint_path=scratch + "/ckpt",
+    )
+    return final.select("user_id", "event_id", "ts", "event_type")

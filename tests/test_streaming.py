@@ -182,3 +182,53 @@ def test_drop_duplicates_within_watermark_bounds_state(spark, sf_dir):
         .collect()
     }
     assert len(pairs) == len(set(pairs)) and set(pairs) == exact
+
+
+def test_apply_cdc_stream_multibatch_upsert_and_delete(spark, tmp_path):
+    """Two micro-batches (maxFilesPerTrigger=1) applied as MERGEs: batch 2
+    must update keys from batch 1, insert new ones, and drop delete-
+    flagged rows; a delete for an absent key is a no-op, and the per-batch
+    last-writer-wins reduce must pick the highest (ver) per key."""
+    import os
+    import time
+
+    from etl_manager_spark.streaming.enrich import apply_cdc_stream
+
+    changes_dir = tmp_path / "changes"
+    changes_dir.mkdir()
+    schema = "k long, ver long, val string, is_deleted boolean"
+    b1 = spark.createDataFrame(
+        [(1, 1, "a1", False), (1, 2, "a2", False), (2, 1, "b1", False)], schema
+    )
+    b2 = spark.createDataFrame(
+        [(2, 2, None, False), (3, 1, "c1", False), (1, 3, None, True),
+         (99, 1, "zz", True)],
+        schema,
+    )
+    f1, f2 = str(changes_dir / "b1.parquet"), str(changes_dir / "b2.parquet")
+    b1.coalesce(1).write.parquet(f1)
+    time.sleep(0.05)
+    b2.coalesce(1).write.parquet(f2)
+    now = time.time()
+    os.utime(f1, (now - 60, now - 60))
+    os.utime(f2, (now, now))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(changes_dir) + "/*.parquet")
+    )
+    final = apply_cdc_stream(
+        spark,
+        stream,
+        key=["k"],
+        order_cols=["ver"],
+        state_path=str(tmp_path / "state"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        delete_col="is_deleted",
+    )
+    got = {r.k: (r.ver, r.val) for r in final.collect()}
+    # k=1: updated to ver 2 in batch 1, deleted in batch 2 → gone
+    # k=2: ver 2 nulls val out (updates take the source row verbatim)
+    # k=3: inserted; k=99: delete of absent key is a no-op
+    assert got == {2: (2, None), 3: (1, "c1")}
