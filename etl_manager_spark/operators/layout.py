@@ -95,3 +95,82 @@ def sorted_partitioned_write(
         .format(fmt)
         .save(path)
     )
+
+
+def zorder_value(
+    cols: list[str],
+    mins: dict[str, float],
+    maxs: dict[str, float],
+    bits: int = 16,
+) -> "F.Column":
+    """Z-order (Morton) key over ``cols``: each column is quantized to
+    ``bits`` levels over its [min, max] range, then the bit patterns are
+    interleaved — nearby (c1, c2, …) tuples get nearby z-values, so
+    range-partitioning + sorting on z clusters EVERY listed column at
+    once (single-column range clustering can only serve its leading
+    column). Pure JVM bit arithmetic (shiftleft/bitwise-or), no Python.
+
+    ``mins``/``maxs`` come from a prior ``describe``/``ANALYZE`` pass or
+    known domain bounds — at 100 TB you have table stats anyway; clamping
+    handles stragglers outside the declared range."""
+    if not cols:
+        raise ValueError("zorder_value needs at least one column")
+    if bits * len(cols) > 63:
+        raise ValueError(
+            f"{len(cols)} cols × {bits} bits = {bits * len(cols)} "
+            "interleaved bits — must fit a signed int64 (≤ 63)"
+        )
+    quantized = []
+    for c in cols:
+        lo, hi = float(mins[c]), float(maxs[c])
+        span = hi - lo if hi > lo else 1.0
+        q = F.floor(
+            (
+                F.least(F.greatest(F.col(c).cast("double"), F.lit(lo)), F.lit(hi))
+                - F.lit(lo)
+            )
+            / F.lit(span)
+            * F.lit(float(2**bits - 1))
+            + F.lit(0.5)
+        ).cast("long")
+        quantized.append(q)
+    z = F.lit(0).cast("long")
+    # interleave: output bit (b * n_cols + i) = bit b of column i
+    for b in range(bits):
+        for i, q in enumerate(quantized):
+            bit = F.shiftright(q, b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * len(quantized) + i))
+    return z
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    zorder_cols: list[str],
+    n_partitions: int,
+    bits: int = 16,
+    fmt: str = "parquet",
+) -> None:
+    """Write ``df`` Z-order-clustered on ``zorder_cols``: one stats pass
+    for per-column min/max (a single tiny aggregate), then range-partition
+    + sort on the interleaved Morton key. Every file then covers a small
+    hyper-rectangle of the listed columns, so min/max row-group stats
+    prune scans filtering on ANY of them — the multi-column generalization
+    of :func:`sorted_partitioned_write`."""
+    aggs = []
+    for c in zorder_cols:
+        aggs += [F.min(F.col(c).cast("double")).alias(f"_min_{c}"),
+                 F.max(F.col(c).cast("double")).alias(f"_max_{c}")]
+    row = df.agg(*aggs).first()
+    mins = {c: row[f"_min_{c}"] for c in zorder_cols}
+    maxs = {c: row[f"_max_{c}"] for c in zorder_cols}
+    z = zorder_value(zorder_cols, mins, maxs, bits=bits)
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_partitions, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .format(fmt)
+        .save(path)
+    )

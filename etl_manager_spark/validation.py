@@ -117,3 +117,33 @@ def profile_numeric_columns(df: "DataFrame", cols: list[str]) -> "DataFrame":
         f"stack({len(cols)}, {stacked}) AS "
         "(column, n, n_null, n_distinct, min_value, max_value)"
     )
+
+
+def profile_approx_cardinality(
+    df: "DataFrame",
+    group_col: str,
+    key_col: str,
+    rel_tol: float = 0.1,
+    rsd: float = 0.05,
+) -> "DataFrame":
+    """Per-group cardinality with the exact count AND a flag that the
+    HyperLogLog estimate (``approx_count_distinct``, relative std dev
+    ``rsd``) lands within ``rel_tol`` of it.
+
+    At 100 TB the approx sketch is the one you actually run (mergeable,
+    fixed memory, one pass — exact distinct shuffles every key); this
+    profile is the calibration harness that proves the sketch is
+    trustworthy on your data. The raw estimate differs across engines
+    (every HLL implementation hashes differently), so results expose the
+    exact count plus the within-tolerance BOOLEAN — both deterministic
+    and portable — rather than the estimate itself."""
+    exact = F.countDistinct(key_col).alias("n_exact")
+    approx = F.approx_count_distinct(key_col, rsd=rsd)
+    return df.groupBy(group_col).agg(
+        exact,
+        (
+            F.abs(approx.cast("double") - F.countDistinct(key_col).cast("double"))
+            / F.countDistinct(key_col).cast("double")
+            <= F.lit(rel_tol)
+        ).alias("approx_within_tol"),
+    )

@@ -1477,3 +1477,70 @@ def pretrain_pipeline_documents(spark, sf_dir):
             F.sum("n_tokens").alias("n_chunk_tokens"),
         )
     )
+
+
+@workload(
+    "layout_zorder_write_events",
+    """
+    SELECT event_id, user_id,
+           CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS value_micros
+    FROM events
+    WHERE user_id BETWEEN 3 AND 5 AND value >= 50.0
+    """,
+    category="etl",
+)
+def layout_zorder_write_events(spark, sf_dir):
+    """Z-order-clustered write + re-read (operators/layout.py:
+    zorder_write): events is rewritten clustered on the interleaved
+    (user_id, value) Morton key — every file covers a small
+    user×value hyper-rectangle, so min/max stats prune filters on EITHER
+    column — then re-read with a two-column predicate. Oracle: the same
+    filter over the original table (clustering must change layout, never
+    content)."""
+    from etl_manager_spark.operators.layout import zorder_write
+
+    t = load_tables(spark, sf_dir)
+    path = _layout_scratch("layout_zorder_") + "/events"
+    zorder_write(
+        t["events"].select("event_id", "user_id", "value"),
+        path,
+        zorder_cols=["user_id", "value"],
+        n_partitions=8,
+        bits=12,
+    )
+    return (
+        spark.read.parquet(path)
+        .filter((F.col("user_id").between(3, 5)) & (F.col("value") >= 50.0))
+        .select(
+            "event_id",
+            "user_id",
+            F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5))
+            .cast("long")
+            .alias("value_micros"),
+        )
+    )
+
+
+@workload(
+    "profile_approx_cardinality_events",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+           TRUE AS approx_within_tol
+    FROM events GROUP BY event_type
+    """,
+    category="aggregation",
+)
+def profile_approx_cardinality_events(spark, sf_dir):
+    """Sketch calibration (validation.py: profile_approx_cardinality):
+    per event type, the exact distinct-user count plus a boolean that the
+    HyperLogLog estimate is within 10% of it. The estimate itself is
+    engine-specific, so the oracle pins the portable facts: the exact
+    count, and that the sketch passed tolerance (TRUE for every group —
+    the check would go red if Spark's HLL drifted)."""
+    from etl_manager_spark.validation import profile_approx_cardinality
+
+    t = load_tables(spark, sf_dir)
+    return profile_approx_cardinality(
+        t["events"], group_col="event_type", key_col="user_id", rel_tol=0.1
+    )

@@ -252,3 +252,44 @@ def test_gopher_flags_vectorized_frame_equal(spark, sf_dir):
         for r in gopher_quality_flags_vectorized(docs).collect()
     }
     assert jvm == arrow
+
+
+def test_zorder_write_clusters_both_columns(spark, tmp_path):
+    from etl_manager_spark.operators.layout import zorder_write
+
+    path = str(tmp_path / "t")
+    # two independent pseudo-uniform columns over [0, 1024)
+    df = spark.range(32_768).select(
+        F.col("id").alias("payload"),
+        F.pmod(F.col("id") * 509, F.lit(1024)).alias("x"),
+        F.pmod(F.col("id") * 277, F.lit(1024)).alias("y"),
+    )
+    zorder_write(df, path, zorder_cols=["x", "y"], n_partitions=16, bits=10)
+
+    back = spark.read.parquet(path)
+    assert back.count() == 32_768
+    assert back.agg(F.sum("payload")).first()[0] == sum(range(32_768))
+
+    files = _data_files(path)
+    assert len(files) == 16
+    # every file must cover a hyper-rectangle much smaller than the full
+    # domain in BOTH columns (single-column range clustering can only
+    # shrink its leading column; z-order shrinks all listed columns)
+    spans_x, spans_y = [], []
+    for f in files:
+        mm = spark.read.parquet(f).agg(
+            F.min("x"), F.max("x"), F.min("y"), F.max("y")
+        ).first()
+        spans_x.append(mm[1] - mm[0])
+        spans_y.append(mm[3] - mm[2])
+    assert sum(spans_x) / len(spans_x) < 0.55 * 1024, spans_x
+    assert sum(spans_y) / len(spans_y) < 0.55 * 1024, spans_y
+
+
+def test_zorder_value_guards(spark):
+    from etl_manager_spark.operators.layout import zorder_value
+
+    with pytest.raises(ValueError, match="at least one"):
+        zorder_value([], {}, {})
+    with pytest.raises(ValueError, match="interleaved bits"):
+        zorder_value(["a", "b"], {"a": 0, "b": 0}, {"a": 1, "b": 1}, bits=32)

@@ -128,3 +128,12 @@ def test_chunk_documents_fanout_stays_in_scan_stage(plans):
     assert "Generate" in r.text
     for python_node in ("ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas"):
         assert python_node not in r.text
+
+
+def test_pretrain_pipeline_bounded_shuffles(plans):
+    r = plans("pretrain_pipeline_documents")
+    # quality filter + sampling predicate fuse into the scan side; the
+    # only exchanges are the dedup hash-agg, the final rollup, and (at
+    # most) the semi-join back-joins — a bounded-stage plan at any scale
+    assert r.shuffle_exchanges <= 5, r.text[:3000]
+    assert r.cartesian_products == 0
