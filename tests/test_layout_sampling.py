@@ -293,3 +293,45 @@ def test_zorder_value_guards(spark):
         zorder_value([], {}, {})
     with pytest.raises(ValueError, match="interleaved bits"):
         zorder_value(["a", "b"], {"a": 0, "b": 0}, {"a": 1, "b": 1}, bits=32)
+
+
+def test_chunk_documents_property_vs_python(spark):
+    """Property test: chunking must equal a direct Python reference for
+    random token counts and (chunk, overlap) parameters — same starts,
+    same slices, same final short chunk."""
+    from hypothesis import given, settings, strategies as st
+
+    params = st.tuples(
+        st.integers(1, 40),                    # n tokens
+        st.integers(2, 16),                    # chunk_tokens
+        st.integers(0, 8),                     # overlap (clamped below)
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(batch=st.lists(params, min_size=1, max_size=6))
+    def check(batch):
+        rows, want = [], {}
+        for doc_id, (n, chunk, overlap) in enumerate(batch):
+            overlap = min(overlap, chunk - 1)
+            toks = [f"t{j}" for j in range(n)]
+            rows.append((doc_id, " ".join(toks), chunk, overlap))
+            stride = chunk - overlap
+            starts = [0]
+            while starts[-1] + stride + overlap < n:
+                starts.append(starts[-1] + stride)
+            want[doc_id] = [
+                (s // stride, " ".join(toks[s : s + chunk])) for s in starts
+            ]
+        # group rows by identical (chunk, overlap) so one call covers each
+        for chunk, overlap in {(c, o) for _, _, c, o in rows}:
+            subset = [(d, t) for d, t, c, o in rows if (c, o) == (chunk, overlap)]
+            df = spark.createDataFrame(subset, "doc_id long, text string")
+            got = {}
+            for r in chunk_documents(
+                df, chunk_tokens=chunk, overlap_tokens=overlap
+            ).collect():
+                got.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk_text))
+            for d, _ in subset:
+                assert sorted(got[d]) == want[d], (d, chunk, overlap)
+
+    check()

@@ -137,3 +137,12 @@ def test_pretrain_pipeline_bounded_shuffles(plans):
     # most) the semi-join back-joins — a bounded-stage plan at any scale
     assert r.shuffle_exchanges <= 5, r.text[:3000]
     assert r.cartesian_products == 0
+
+
+def test_zorder_reread_pushes_both_filter_columns(plans):
+    r = plans("layout_zorder_write_events")
+    # the whole point of the z-order layout: predicates on EITHER listed
+    # column must reach the parquet scan so min/max stats can prune
+    assert any("user_id" in pf for pf in r.pushed_filters), r.pushed_filters
+    assert any("value" in pf for pf in r.pushed_filters), r.pushed_filters
+    assert r.scans_only_columns({"event_id", "user_id", "value"}), r.read_schemas
