@@ -118,3 +118,61 @@ def stratified_sample_sql(
     return (
         f"CASE{whens} ELSE {draw} < '{_threshold_hex(default_fraction)}' END"
     )
+
+
+def assign_row_ids(
+    df: DataFrame,
+    order_cols: list[str],
+    id_name: str = "row_id",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Dense, deterministic 0-based row ids in global ``order_cols`` order
+    — the corpus-building primitive Spark lacks: ``row_number() OVER
+    (ORDER BY …)`` forces every row through ONE partition (the empty
+    window frame), and ``monotonically_increasing_id`` is neither dense
+    nor order-stable.
+
+    Scale shape: range-partition on the order keys (one shuffle —
+    contiguous key ranges per partition), count rows per partition (tiny
+    aggregate), prefix-sum the counts on the driver (O(partitions)
+    scalars, not rows), then broadcast the offsets back so each partition
+    numbers its own rows locally: id = partition_offset + local
+    row_number. The per-partition window partitions BY partition id, so
+    no partition ever holds more than its own slice.
+
+    ``order_cols`` must be a total order (include a tiebreaker key) for
+    the ids to be reproducible."""
+    from pyspark.sql import Window
+
+    cols = [F.col(c) for c in order_cols]
+    parts = df.sparkSession.sparkContext.defaultParallelism
+    # localCheckpoint pins ONE materialization: the counts pass and the
+    # numbering pass must observe the identical partition assignment
+    # (range boundaries come from a sample — recomputing the shuffle for
+    # each pass could legally re-draw them)
+    sorted_df = (
+        df.repartitionByRange(n_partitions or parts, *cols)
+        .withColumn("_rid_part", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = (
+        sorted_df.groupBy("_rid_part").count().orderBy("_rid_part").collect()
+    )
+    offsets, acc = {}, 0
+    for row in counts:
+        offsets[row["_rid_part"]] = acc
+        acc += row["count"]
+    offset_df = df.sparkSession.createDataFrame(
+        [(p, o) for p, o in offsets.items()], "_rid_part int, _rid_offset long"
+    )
+    local = Window.partitionBy("_rid_part").orderBy(*cols)
+    return (
+        sorted_df.join(F.broadcast(offset_df), "_rid_part")
+        .withColumn(
+            id_name,
+            (F.row_number().over(local) - F.lit(1) + F.col("_rid_offset")).cast(
+                "long"
+            ),
+        )
+        .drop("_rid_part", "_rid_offset")
+    )

@@ -147,3 +147,34 @@ def profile_approx_cardinality(
             <= F.lit(rel_tol)
         ).alias("approx_within_tol"),
     )
+
+
+def profile_approx_quantiles(
+    df: "DataFrame",
+    group_col: str,
+    value_col: str,
+    probabilities: tuple[float, ...] = (0.5, 0.9),
+    rel_tol: float = 0.05,
+    accuracy: int = 10_000,
+) -> "DataFrame":
+    """Per-group quantiles with exact values AND flags that the
+    approx_percentile sketch (Greenwald-Khanna, ``accuracy``) lands
+    within ``rel_tol`` of each — the quantile twin of
+    :func:`profile_approx_cardinality`: at scale you run the mergeable
+    one-pass sketch, this harness proves it's trustworthy on your data.
+    The sketch value differs across engines, so the output exposes the
+    exact (interpolating) percentile — identical in Spark and DuckDB's
+    ``quantile_cont`` — plus portable booleans."""
+    aggs = []
+    for p in probabilities:
+        tag = str(p).replace(".", "_")
+        exact = F.expr(f"percentile({value_col}, {p})")
+        approx = F.expr(f"approx_percentile({value_col}, {p}, {accuracy})")
+        aggs.append(exact.alias(f"p{tag}_exact"))
+        aggs.append(
+            (
+                F.abs(approx.cast("double") - exact) / F.abs(exact)
+                <= F.lit(rel_tol)
+            ).alias(f"p{tag}_within_tol")
+        )
+    return df.groupBy(group_col).agg(*aggs)

@@ -1544,3 +1544,57 @@ def profile_approx_cardinality_events(spark, sf_dir):
     return profile_approx_cardinality(
         t["events"], group_col="event_type", key_col="user_id", rel_tol=0.1
     )
+
+
+@workload(
+    "profile_approx_quantiles_orders",
+    """
+    SELECT o_orderpriority,
+           QUANTILE_CONT(o_totalprice, 0.5) AS p0_5_exact,
+           TRUE AS p0_5_within_tol,
+           QUANTILE_CONT(o_totalprice, 0.9) AS p0_9_exact,
+           TRUE AS p0_9_within_tol
+    FROM orders GROUP BY o_orderpriority
+    """,
+    category="aggregation",
+)
+def profile_approx_quantiles_orders(spark, sf_dir):
+    """Quantile-sketch calibration (validation.py:
+    profile_approx_quantiles): per order priority, the exact p50/p90 of
+    o_totalprice (interpolating percentile — identical definition in
+    both engines) plus booleans that the Greenwald-Khanna
+    approx_percentile lands within 5%. The sketch value is
+    engine-specific; the oracle pins the exact values and that the
+    sketch passed tolerance."""
+    from etl_manager_spark.validation import profile_approx_quantiles
+
+    t = load_tables(spark, sf_dir)
+    return profile_approx_quantiles(
+        t["orders"], group_col="o_orderpriority", value_col="o_totalprice"
+    )
+
+
+@workload(
+    "assign_row_ids_orders",
+    """
+    SELECT o_orderkey,
+           CAST(ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) - 1
+                AS BIGINT) AS row_id
+    FROM orders
+    """,
+    category="etl",
+)
+def assign_row_ids_orders(spark, sf_dir):
+    """Dense global row ids (operators/sampling.py: assign_row_ids) in
+    (o_orderdate, o_orderkey) order — WITHOUT the single-partition
+    bottleneck of a global row_number window: range-partition, per-
+    partition counts, driver prefix-sum over O(partitions) scalars,
+    broadcast offsets, local numbering. Oracle: the classic (bottlenecked)
+    ROW_NUMBER form, which must agree exactly."""
+    from etl_manager_spark.operators.sampling import assign_row_ids
+
+    t = load_tables(spark, sf_dir)
+    return assign_row_ids(
+        t["orders"].select("o_orderkey", "o_orderdate"),
+        order_cols=["o_orderdate", "o_orderkey"],
+    ).select("o_orderkey", "row_id")

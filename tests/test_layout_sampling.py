@@ -335,3 +335,34 @@ def test_chunk_documents_property_vs_python(spark):
                 assert sorted(got[d]) == want[d], (d, chunk, overlap)
 
     check()
+
+
+def test_assign_row_ids_dense_ordered_deterministic(spark):
+    from etl_manager_spark.operators.sampling import assign_row_ids
+
+    df = spark.range(10_000).select(
+        F.pmod(F.col("id") * 7919, F.lit(10_000)).alias("k"),
+        F.col("id").alias("orig"),
+    )
+    out = assign_row_ids(df, order_cols=["k"], n_partitions=7)
+    rows = out.orderBy("row_id").collect()
+    # dense 0..n-1, and id order == key order
+    assert [r.row_id for r in rows] == list(range(10_000))
+    assert [r.k for r in rows] == sorted(r.k for r in rows)
+    # deterministic across invocations
+    again = assign_row_ids(df, order_cols=["k"], n_partitions=7)
+    assert {(r.k, r.row_id) for r in again.collect()} == {
+        (r.k, r.row_id) for r in rows
+    }
+
+
+def test_assign_row_ids_no_global_single_partition_window(spark):
+    """The plan must NOT contain a partition-less window (the whole point:
+    global row_number() funnels every row through one task)."""
+    from etl_manager_spark.operators.sampling import assign_row_ids
+
+    df = spark.range(1000).select(F.col("id").alias("k"))
+    plan = assign_row_ids(df, order_cols=["k"])._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Window" in line and "row_number" in line:
+            assert "partitionBy" not in line or "_rid_part" in line, line
