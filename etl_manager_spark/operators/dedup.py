@@ -355,3 +355,96 @@ def fuzzy_name_pairs(
         )
         .filter(F.col("distance") <= max_distance)
     )
+
+
+def incremental_minhash_dedup(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    corpus_sigs: DataFrame | None = None,
+    num_hashes: int = 8,
+    bands: int = 2,
+    jaccard_threshold: float = 0.5,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Near-dup check of a NEW batch against an EXISTING corpus — the
+    production incremental-dedup shape: signatures are computed only for
+    the new batch (pass the corpus's stored signature table via
+    ``corpus_sigs``; recomputed here only as a fallback), candidates come
+    from a band-bucket join of new-side against corpus-side keys (never a
+    corpus self-join), and exact Jaccard verification re-reads token sets
+    for CANDIDATE ids only (a semi-join point-lookup, not a corpus scan).
+
+    Per-batch cost is O(|batch| + candidates) — independent of corpus
+    size except for the bucket join against the (indexed, pre-banded)
+    signature table. Corpus buckets larger than ``max_bucket_size`` are
+    dropped before the join (degenerate near-identical clusters;
+    deduplicate those corpus-side first).
+
+    Returns (new_id, corpus_id, jaccard) for verified matches — the
+    batch rows to drop (or link) before appending."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    if corpus_sigs is None:
+        corpus_sigs = minhash_signatures(corpus_df, id_col, text_col, num_hashes)
+    new_sigs = minhash_signatures(new_df, id_col, text_col, num_hashes)
+
+    def bucket_keys(sigs: DataFrame) -> DataFrame:
+        band_cols = [
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"minhash_{b * rows_per_band + i}")
+                        for i in range(rows_per_band)
+                    ],
+                )
+            ).alias(f"band_{b}")
+            for b in range(bands)
+        ]
+        banded = sigs.select(id_col, *band_cols)
+        return banded.select(
+            id_col,
+            F.explode(
+                F.array(*[
+                    F.concat_ws(":", F.lit(str(b)), F.col(f"band_{b}"))
+                    for b in range(bands)
+                ])
+            ).alias("bucket"),
+        )
+
+    corpus_buckets = bucket_keys(corpus_sigs).withColumn(
+        "_bn", F.count(F.lit(1)).over(Window.partitionBy("bucket"))
+    ).filter(F.col("_bn") <= max_bucket_size).drop("_bn")
+    new_buckets = bucket_keys(new_sigs)
+    cand = (
+        new_buckets.alias("n")
+        .join(corpus_buckets.alias("c"), on="bucket")
+        .select(
+            F.col(f"n.{id_col}").alias("new_id"),
+            F.col(f"c.{id_col}").alias("corpus_id"),
+        )
+        .distinct()
+    )
+    tok_sets_new = new_df.select(
+        F.col(id_col).alias("new_id"),
+        F.array_distinct(tokens(text_col)).alias("toks_n"),
+    )
+    tok_sets_corpus = corpus_df.select(
+        F.col(id_col).alias("corpus_id"),
+        F.array_distinct(tokens(text_col)).alias("toks_c"),
+    )
+    return (
+        cand.join(tok_sets_new, on="new_id")
+        .join(tok_sets_corpus, on="corpus_id")
+        .select(
+            "new_id",
+            "corpus_id",
+            (
+                F.size(F.array_intersect("toks_n", "toks_c")).cast("double")
+                / F.size(F.array_union("toks_n", "toks_c")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )

@@ -1598,3 +1598,76 @@ def assign_row_ids_orders(spark, sf_dir):
         t["orders"].select("o_orderkey", "o_orderdate"),
         order_cols=["o_orderdate", "o_orderkey"],
     ).select("o_orderkey", "row_id")
+
+
+def _incremental_minhash_oracle() -> str:
+    sig_cols = ",\n             ".join(
+        f"MIN(SUBSTR(MD5('{i}:' || tok), 1, 16)) AS minhash_{i}"
+        for i in range(8)
+    )
+    return rf"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, UNNEST({_TOK_SQL}) AS tok FROM documents
+    ),
+    sig AS (
+      SELECT doc_id,
+             {sig_cols}
+      FROM tok GROUP BY doc_id
+    ),
+    band AS (
+      SELECT doc_id,
+             MD5(CONCAT_WS('|', minhash_0, minhash_1, minhash_2, minhash_3)) AS b0,
+             MD5(CONCAT_WS('|', minhash_4, minhash_5, minhash_6, minhash_7)) AS b1
+      FROM sig
+    ),
+    buck AS (
+      SELECT doc_id, UNNEST(['0:' || b0, '1:' || b1]) AS bucket FROM band
+    ),
+    corpus_buck AS (
+      SELECT doc_id, bucket FROM buck WHERE doc_id % 10 != 0
+      QUALIFY COUNT(*) OVER (PARTITION BY bucket) <= 1000
+    ),
+    new_buck AS (SELECT doc_id, bucket FROM buck WHERE doc_id % 10 = 0),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+      FROM new_buck n JOIN corpus_buck c ON n.bucket = c.bucket
+    ),
+    inter AS (
+      SELECT cd.new_id, cd.corpus_id, COUNT(*) AS i
+      FROM cand cd
+      JOIN tok a ON a.doc_id = cd.new_id
+      JOIN tok b ON b.doc_id = cd.corpus_id AND b.tok = a.tok
+      GROUP BY cd.new_id, cd.corpus_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id)
+    SELECT cd.new_id, cd.corpus_id,
+           CAST(COALESCE(i.i, 0) AS DOUBLE)
+             / CAST(sa.n + sb.n - COALESCE(i.i, 0) AS DOUBLE) AS jaccard
+    FROM cand cd
+    LEFT JOIN inter i ON i.new_id = cd.new_id AND i.corpus_id = cd.corpus_id
+    JOIN sizes sa ON sa.doc_id = cd.new_id
+    JOIN sizes sb ON sb.doc_id = cd.corpus_id
+    WHERE CAST(COALESCE(i.i, 0) AS DOUBLE)
+            / CAST(sa.n + sb.n - COALESCE(i.i, 0) AS DOUBLE) >= 0.5
+    """
+
+
+@workload(
+    "incremental_minhash_dedup_documents",
+    _incremental_minhash_oracle(),
+    category="dedup",
+)
+def incremental_minhash_dedup_documents(spark, sf_dir):
+    """Incremental near-dup check (operators/dedup.py:
+    incremental_minhash_dedup): every 10th document plays the NEW batch,
+    the rest the existing corpus — signatures computed for the batch
+    only, candidates from a new-vs-corpus band-bucket join (no corpus
+    self-join), exact Jaccard verified on candidate ids only. The oracle
+    replays the same banding and verification in SQL."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    new_batch = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    return D.incremental_minhash_dedup(
+        new_batch, corpus, jaccard_threshold=0.5
+    )

@@ -366,3 +366,29 @@ def test_assign_row_ids_no_global_single_partition_window(spark):
     for line in plan.splitlines():
         if "Window" in line and "row_number" in line:
             assert "partitionBy" not in line or "_rid_part" in line, line
+
+
+def test_incremental_minhash_stored_sigs_equal_recompute(spark, sf_dir):
+    """Passing the corpus's pre-computed signature table (the production
+    path) must give the identical match set as the recompute fallback,
+    and every returned pair must cross the batch/corpus boundary."""
+    from etl_manager_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_signatures,
+    )
+    from etl_manager_spark.workloads.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    new_batch = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+
+    recompute = incremental_minhash_dedup(new_batch, corpus)
+    stored = incremental_minhash_dedup(
+        new_batch, corpus, corpus_sigs=minhash_signatures(corpus)
+    )
+    a = {(r.new_id, r.corpus_id, r.jaccard) for r in recompute.collect()}
+    b = {(r.new_id, r.corpus_id, r.jaccard) for r in stored.collect()}
+    assert a == b
+    assert a, "expected at least one cross-set near-dup in the corpus"
+    for new_id, corpus_id, _ in a:
+        assert new_id % 10 == 0 and corpus_id % 10 != 0
