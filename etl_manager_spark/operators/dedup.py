@@ -169,10 +169,15 @@ def near_dup_clusters(
     that deep (diameter > max_iterations) is chain-shaped, not dedup-shaped;
     raise ``max_iterations`` or switch to large-star/small-star contraction
     (O(log n) rounds) if that ever happens in practice."""
+    # Materialize the edge list once: ``pairs`` is typically the tail of an
+    # expensive pipeline (MinHash signatures -> LSH band join -> verify), and
+    # the loop below re-reads edges every round — without this checkpoint each
+    # round would recompute the whole upstream pair generation.
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("id"))
