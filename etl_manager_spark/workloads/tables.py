@@ -1,15 +1,23 @@
 """Testdata table loading (TESTDATA.md contract).
 
-One quirk: ``events.parquet`` stores TIMESTAMP(NANOS) which Spark 4 refuses
-by default; we read it with ``spark.sql.legacy.parquet.nanosAsLong`` and
-convert nanos → microsecond TIMESTAMP_NTZ (floor division — exactly what
-DuckDB's ns→us narrowing does, verified bitwise at sf0.01).
+One quirk: ``events.parquet``'s ``ts`` physical encoding has drifted across
+testdata generations — TIMESTAMP(NANOS) (which Spark 4 reads as a raw long
+under ``spark.sql.legacy.parquet.nanosAsLong``) in some, TIMESTAMP(MICROS)
+in others. A production engine must survive schema drift in a fixture, so
+the loader is schema-adaptive: it inspects the type Spark actually resolved
+and applies the nanos→µs narrowing (floor division — exactly what DuckDB's
+ns→us narrowing does, verified bitwise at sf0.01) only when ``ts`` arrives
+as a raw long; timestamp-typed data is just cast to TIMESTAMP_NTZ.
 """
 
 from __future__ import annotations
 
+from collections.abc import Mapping
+from typing import Iterator
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLE_NAMES = [
     "region",
@@ -32,25 +40,64 @@ TABLE_NAMES = [
 _table_cache: dict[tuple[str, str], tuple[SparkSession, DataFrame]] = {}
 
 
+def adapt_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to TIMESTAMP_NTZ regardless of how the
+    parquet encoded it. Raw long = nanos-as-long (legacy NANOS files read
+    under ``nanosAsLong``) → floor-divide to µs; timestamp-typed input only
+    needs the NTZ cast (session TZ is pinned UTC so values are identical).
+    Shared by the batch loader and the streaming reader so the two paths
+    cannot diverge when the fixture's physical encoding drifts again."""
+    dtype = df.schema[col].dataType
+    if isinstance(dtype, LongType):
+        converted = F.timestamp_micros(F.expr(f"{col} div 1000"))
+    else:
+        converted = F.col(col)
+    if isinstance(dtype, TimestampNTZType):
+        return df
+    return df.withColumn(col, converted.cast("timestamp_ntz"))
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = (sf_dir, name)
     cached = _table_cache.get(key)
     if cached is not None and cached[0] is spark:
         return cached[1]
     if name == "events":
+        # Harmless when ts is already TIMESTAMP(MICROS); required to read
+        # legacy TIMESTAMP(NANOS) files at all.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
-        )
+        df = adapt_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     _table_cache[key] = (spark, df)
     return df
 
 
-def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+class LazyTables(Mapping):
+    """Per-table lazy view over the testdata catalog: a table's plan is
+    built on first access, so one broken fixture file cannot ERR queries
+    that never touch it (a 98-query outage from one drifted parquet footer
+    in round 3 motivates this)."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self._spark = spark
+        self._sf_dir = sf_dir
+
+    def __getitem__(self, name: str) -> DataFrame:
+        if name not in TABLE_NAMES:
+            raise KeyError(name)
+        return load_table(self._spark, self._sf_dir, name)
+
+    def __iter__(self) -> Iterator[str]:
+        return iter(TABLE_NAMES)
+
+    def __len__(self) -> int:
+        return len(TABLE_NAMES)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> LazyTables:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+    return LazyTables(spark, sf_dir)
 
 
 def spread(df: DataFrame, spark: SparkSession, min_partitions: int | None = None) -> DataFrame:
