@@ -1,0 +1,233 @@
+"""Text-retrieval ranking operators over a document table.
+
+The retrieval primitives every corpus pipeline eventually needs: TF-IDF
+term weighting, BM25 scoring against a query, an inverted index, and
+benchmark decontamination (flag training documents that share long
+n-grams with an evaluation set — the standard leakage gate before
+pretraining, cf. the n-gram overlap checks published with GPT-3/PaLM).
+
+All operators are pure ``pyspark.sql.functions`` expressions — JVM-side,
+whole-stage codegen, no Python in the row path. Shuffle profile per op is
+documented inline; none is all-pairs.
+
+Float discipline (oracle parity): scores whose last-ulp could differ
+between engines are emitted nano-quantized (``floor(x·1e9 + 0.5)`` as
+BIGINT) exactly like the centroid workloads, and every floating sum is
+evaluated in a FIXED order (per-term pivot columns added left-to-right),
+never via a commutative shuffle aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_manager_spark.operators.text import tokens
+
+
+def quantize(c: F.Column) -> F.Column:
+    """floor(x·1e9 + 0.5) as BIGINT — engine-portable float comparison."""
+    return F.floor(c * F.lit(1000000000.0) + F.lit(0.5)).cast("long")
+
+
+def term_frequencies(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, term, tf) — one explode + one hash-agg shuffle on (id, term);
+    partial aggregation combines map-side so the shuffle carries counts,
+    not token instances."""
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def document_frequencies(tf: DataFrame) -> DataFrame:
+    """(term, df) from a term-frequency table — one hash-agg shuffle on
+    term. At 100 TB the distinct-term table is vocabulary-sized (small),
+    so downstream joins against it broadcast."""
+    return tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document: tf · ln(N/df), ranked per doc
+    (score desc, term asc for determinism). The df table is vocabulary-
+    sized → broadcast join; the per-doc top-k is one window over the
+    (id, term) partitioning that the tf aggregation already produced.
+
+    Returns (id, rank, term, tf, df, tfidf_q) with the score
+    nano-quantized for engine-portable comparison."""
+    n_docs = df.select(F.col(id_col)).distinct().count()
+    tf = term_frequencies(df, id_col, text_col)
+    dfreq = document_frequencies(tf)
+    scored = tf.join(F.broadcast(dfreq), on="term").withColumn(
+        "tfidf",
+        F.col("tf").cast("double")
+        * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")),
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("id"),
+            "rank",
+            "term",
+            "tf",
+            "df",
+            quantize(F.col("tfidf")).alias("tfidf_q"),
+        )
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top: int | None = None,
+) -> DataFrame:
+    """BM25(query, doc) for every document, the classic Robertson idf
+    (ln(1 + (N - df + 0.5)/(df + 0.5))).
+
+    Scale shape: tf for the query's terms only (explode + filter on a
+    broadcast literal set, then hash-agg), df and avgdl are scalar-sized
+    aggregates attached via broadcast. The per-term contributions are
+    pivoted into fixed columns and added LEFT-TO-RIGHT in sorted term
+    order, so the floating sum has one defined evaluation order on both
+    engines (a groupBy SUM would add in shuffle order — nondeterministic).
+
+    Returns (id, score_q) — nano-quantized; ``top`` optionally keeps the
+    global top-N rows (ordered score desc, id asc)."""
+    qterms = sorted(set(query_terms))
+    n_docs = df.select(F.col(id_col)).distinct().count()
+    lens = df.select(
+        F.col(id_col).alias("id"),
+        F.size(F.filter(tokens(text_col), lambda t: t != "")).alias("dl"),
+    )
+    avgdl = lens.agg(F.avg("dl")).first()[0]
+    tf = term_frequencies(df, id_col, text_col).filter(F.col("term").isin(qterms))
+    # df over the full corpus for these terms == df over the filtered tf
+    # (tf already has exactly one row per (doc, term) pair), so the corpus
+    # is scanned once, not twice.
+    dfreq = document_frequencies(tf)
+    per_term = (
+        tf.join(F.broadcast(dfreq), on="term")
+        .join(lens, on="id")
+        .withColumn(
+            "contrib",
+            F.log(
+                F.lit(1.0)
+                + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            )
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (
+                    F.lit(1.0 - b)
+                    + F.lit(b) * F.col("dl").cast("double") / F.lit(float(avgdl))
+                )
+            ),
+        )
+    )
+    # Pivot each query term to its own column (exactly one row per
+    # (id, term), so F.max is a value-pick, not an aggregate choice),
+    # then sum left-to-right in sorted term order.
+    pivoted = per_term.groupBy("id").agg(
+        *[
+            F.max(F.when(F.col("term") == t, F.col("contrib"))).alias(f"_c{i}")
+            for i, t in enumerate(qterms)
+        ]
+    )
+    score = F.lit(0.0)
+    for i in range(len(qterms)):
+        score = score + F.coalesce(F.col(f"_c{i}"), F.lit(0.0))
+    out = pivoted.select("id", quantize(score).alias("score_q"))
+    if top is not None:
+        out = (
+            out.orderBy(F.desc("score_q"), F.asc("id")).limit(top)
+        )
+    return out
+
+
+def inverted_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_postings: int = 20,
+) -> DataFrame:
+    """token → (document frequency, first ``max_postings`` posting ids).
+
+    One explode + one hash-agg shuffle on term. The posting list is
+    sorted then truncated AFTER collect (collect_list order is shuffle-
+    nondeterministic; array_sort makes it canonical), and emitted as a
+    JSON string so array values compare stably across engines. df counts
+    ALL postings, not just the kept prefix.
+
+    At 100 TB, collect_set per term is bounded by per-term document
+    frequency; stopword-like terms dominate — cap them upstream with a
+    df ceiling (filter after :func:`document_frequencies`) if the index
+    is materialized, the same way the LSH path caps bucket sizes."""
+    postings = (
+        df.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term"))
+        .filter(F.col("term") != "")
+        .distinct()
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.slice(F.array_sort(F.collect_list("id")), 1, max_postings).alias(
+                "_post"
+            ),
+        )
+    )
+    return postings.select("term", "df", F.to_json("_post").alias("postings"))
+
+
+def ngram_decontaminate(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: for each training document, count the
+    DISTINCT ``n``-grams it shares with any document of the evaluation
+    set. A training doc with any overlap is contaminated (the filter the
+    caller applies before pretraining).
+
+    Scale shape: the eval side is tiny relative to the corpus (benchmarks
+    are thousands of docs, the corpus is billions) → its distinct n-gram
+    set broadcasts; the train side is one explode + a broadcast semi-ish
+    join + one hash-agg on id. No shuffle of the corpus beyond the final
+    per-doc count.
+
+    Returns (id, n_shared) for contaminated training docs only."""
+
+    def grams(df: DataFrame, keep_id: bool) -> DataFrame:
+        toks = F.filter(tokens(text_col), lambda t: t != "")
+        g = F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+        base = df.filter(F.size(toks) >= n)
+        cols = [F.col(id_col).alias("id")] if keep_id else []
+        return base.select(*cols, F.explode(g).alias("ngram")).distinct()
+
+    eval_grams = grams(eval_df, keep_id=False)
+    train_grams = grams(train_df, keep_id=True)
+    return (
+        train_grams.join(F.broadcast(eval_grams), on="ngram")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )

@@ -78,6 +78,7 @@ def load_registry() -> dict[str, Workload]:
     the catalog ordered for the driver's bounded correctness prefix (see
     ``_DRIVER_GREEN``). Sort is stable → insertion order within a tier."""
     from etl_manager_spark.workloads import (  # noqa: F401
+        analytics,
         pipeline,
         relational,
         streams,

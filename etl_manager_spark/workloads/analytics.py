@@ -1,0 +1,338 @@
+"""Retrieval-ranking + event-sequence analytics workloads (round 4).
+
+Each entry pairs the Spark operator (operators/ranking.py,
+operators/behavior.py) with a DuckDB oracle that replays the identical
+semantics in ANSI-ish SQL. Float discipline follows the established
+house rules: fixed-order floating sums, nano-quantized score columns
+(``floor(x·1e9+0.5)`` BIGINT), decimal-exact money sums, INTEGER casts
+where Spark emits int32.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_manager_spark.functions.exact import dec_sum
+from etl_manager_spark.operators import behavior as B
+from etl_manager_spark.operators import ranking as R
+from etl_manager_spark.workloads import workload
+from etl_manager_spark.workloads.tables import load_tables
+
+_TOK = r"REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')"
+
+
+@workload(
+    "tfidf_top_terms_documents",
+    rf"""
+    WITH tf AS (
+      SELECT id, term, COUNT(*) AS tf
+      FROM (SELECT doc_id AS id, UNNEST({_TOK}) AS term FROM documents)
+      WHERE term <> '' GROUP BY id, term
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+    scored AS (
+      SELECT tf.id, tf.term, tf.tf, dfreq.df,
+             CAST(tf.tf AS DOUBLE)
+               * LN(CAST(n.n AS DOUBLE) / CAST(dfreq.df AS DOUBLE)) AS tfidf
+      FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+    )
+    SELECT id, rank, term, tf, df,
+           CAST(FLOOR(tfidf * 1000000000.0 + 0.5) AS BIGINT) AS tfidf_q
+    FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY id
+                         ORDER BY tfidf DESC, term ASC) AS INTEGER) AS rank
+          FROM scored)
+    WHERE rank <= 5
+    """,
+    category="text",
+)
+def tfidf_top_terms_documents(spark, sf_dir):
+    """Top-5 TF-IDF terms per document (operators/ranking.py:
+    tfidf_top_terms): tf · ln(N/df), vocabulary-sized df table broadcast,
+    per-doc top-k window. Score emitted nano-quantized."""
+    t = load_tables(spark, sf_dir)
+    return R.tfidf_top_terms(t["documents"], k=5)
+
+
+_BM25_TERMS = ["join", "scan", "sort", "window"]
+
+
+@workload(
+    "bm25_rank_documents",
+    rf"""
+    WITH lens AS (
+      SELECT doc_id AS id,
+             LEN(LIST_FILTER({_TOK}, x -> x <> '')) AS dl
+      FROM documents
+    ),
+    stats AS (SELECT AVG(CAST(dl AS DOUBLE)) AS avgdl FROM lens),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+    tf AS (
+      SELECT id, term, COUNT(*) AS tf
+      FROM (SELECT doc_id AS id, UNNEST({_TOK}) AS term FROM documents)
+      WHERE term IN ('join', 'scan', 'sort', 'window') GROUP BY id, term
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    per_term AS (
+      SELECT tf.id, tf.term,
+             LN(1.0 + (CAST(n.n AS DOUBLE) - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * CAST(lens.dl AS DOUBLE) / stats.avgdl))
+               AS contrib
+      FROM tf JOIN dfreq ON tf.term = dfreq.term
+      JOIN lens ON lens.id = tf.id
+      CROSS JOIN stats CROSS JOIN n
+    ),
+    pivoted AS (
+      SELECT id,
+             MAX(CASE WHEN term = 'join' THEN contrib END) AS c0,
+             MAX(CASE WHEN term = 'scan' THEN contrib END) AS c1,
+             MAX(CASE WHEN term = 'sort' THEN contrib END) AS c2,
+             MAX(CASE WHEN term = 'window' THEN contrib END) AS c3
+      FROM per_term GROUP BY id
+    )
+    SELECT id,
+           CAST(FLOOR((COALESCE(c0, 0.0) + COALESCE(c1, 0.0)
+                       + COALESCE(c2, 0.0) + COALESCE(c3, 0.0))
+                      * 1000000000.0 + 0.5) AS BIGINT) AS score_q
+    FROM pivoted
+    """,
+    category="text",
+)
+def bm25_rank_documents(spark, sf_dir):
+    """BM25 scores for a fixed 4-term query (operators/ranking.py:
+    bm25_scores, k1=1.2 b=0.75): per-term contributions pivoted to fixed
+    columns and summed left-to-right in sorted term order so the floating
+    sum has one defined evaluation order on both engines."""
+    t = load_tables(spark, sf_dir)
+    return R.bm25_scores(t["documents"], _BM25_TERMS)
+
+
+@workload(
+    "inverted_index_documents",
+    rf"""
+    SELECT term, COUNT(*) AS df,
+           TO_JSON((LIST(id ORDER BY id))[1:20]) AS postings
+    FROM (SELECT DISTINCT doc_id AS id, UNNEST({_TOK}) AS term FROM documents)
+    WHERE term <> ''
+    GROUP BY term
+    """,
+    category="text",
+)
+def inverted_index_documents(spark, sf_dir):
+    """Inverted index (operators/ranking.py: inverted_index): term → df +
+    first-20 posting ids as JSON (sorted post-collect for determinism;
+    df counts all postings, not just the kept prefix)."""
+    t = load_tables(spark, sf_dir)
+    return R.inverted_index(t["documents"], max_postings=20)
+
+
+@workload(
+    "decontaminate_train_vs_eval",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id, LIST_FILTER({_TOK}, x -> x <> '') AS tt FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             UNNEST(LIST_TRANSFORM(RANGE(1, LEN(tt) - 6),
+                    i -> ARRAY_TO_STRING(tt[i:i+7], ' '))) AS ngram
+      FROM toks WHERE LEN(tt) >= 8
+    ),
+    eval_grams AS (SELECT DISTINCT ngram FROM grams WHERE doc_id % 10 = 0),
+    train_grams AS (SELECT DISTINCT doc_id AS id, ngram FROM grams
+                    WHERE doc_id % 10 != 0)
+    SELECT id, COUNT(*) AS n_shared
+    FROM train_grams JOIN eval_grams USING (ngram)
+    GROUP BY id
+    """,
+    category="text",
+)
+def decontaminate_train_vs_eval(spark, sf_dir):
+    """Benchmark decontamination (operators/ranking.py:
+    ngram_decontaminate, n=8): every 10th document plays the eval set;
+    training docs sharing any 8-gram with it are flagged with their
+    distinct shared-gram count. Eval n-gram set broadcasts (benchmarks
+    are tiny next to a corpus); the corpus side is one explode + one
+    hash-agg."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    return R.ngram_decontaminate(train, ev, n=8)
+
+
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+@workload(
+    "funnel_view_click_purchase",
+    """
+    WITH s1 AS (SELECT user_id, MIN(ts) AS t FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+           JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+           JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id)
+    SELECT CAST(1 AS INTEGER) AS step, 'view' AS step_name,
+           COUNT(*) AS n_users FROM s1
+    UNION ALL
+    SELECT CAST(2 AS INTEGER), 'click', COUNT(*) FROM s2
+    UNION ALL
+    SELECT CAST(3 AS INTEGER), 'purchase', COUNT(*) FROM s3
+    """,
+    category="events",
+)
+def funnel_view_click_purchase(spark, sf_dir):
+    """Ordered funnel view→click→purchase (operators/behavior.py: funnel,
+    min-after-previous semantics): per step one filtered min-agg per user
+    + one join to the previous step's arrivals, all shuffles on user_id."""
+    t = load_tables(spark, sf_dir)
+    return B.funnel(t["events"], _FUNNEL_STEPS)
+
+
+@workload(
+    "cohort_retention_events",
+    """
+    WITH first_seen AS (
+      SELECT user_id,
+             CAST(DATE_TRUNC('day', MIN(ts)) AS DATE) AS cohort_day
+      FROM events GROUP BY user_id
+    )
+    SELECT cohort_day, day_offset, COUNT(*) AS n_users
+    FROM (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             CAST(DATEDIFF('day', f.cohort_day,
+                  CAST(DATE_TRUNC('day', e.ts) AS DATE)) AS INTEGER)
+               AS day_offset
+      FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    )
+    GROUP BY cohort_day, day_offset
+    """,
+    category="events",
+)
+def cohort_retention_events(spark, sf_dir):
+    """Cohort retention triangle (operators/behavior.py:
+    cohort_retention): users cohorted by first-event day, activity
+    counted per (cohort_day, day_offset). Output is O(days²)."""
+    t = load_tables(spark, sf_dir)
+    return B.cohort_retention(t["events"])
+
+
+@workload(
+    "histogram_events_value",
+    """
+    SELECT bucket,
+           CAST(bucket * 50.0 AS DOUBLE) AS bucket_lo,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM (
+      SELECT value,
+             LEAST(GREATEST(CAST(FLOOR(value / 50.0) AS INTEGER), 0), 9)
+               AS bucket
+      FROM events
+    )
+    GROUP BY bucket
+    """,
+    category="events",
+)
+def histogram_events_value(spark, sf_dir):
+    """Fixed-width histogram over events.value: 10 buckets of width 50,
+    clamped — floor of an IEEE division is deterministic, and the
+    per-bucket money sum follows the decimal-exact discipline. One
+    hash-agg; the bucket expression is codegen'd into the scan."""
+    t = load_tables(spark, sf_dir)
+    bucket = F.least(
+        F.greatest(F.floor(F.col("value") / F.lit(50.0)).cast("int"), F.lit(0)),
+        F.lit(9),
+    )
+    return (
+        t["events"]
+        .select(F.col("value"), bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dec_sum("value").alias("total_value"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket").cast("double") * F.lit(50.0)).alias("bucket_lo"),
+            "n",
+            "total_value",
+        )
+    )
+
+
+@workload(
+    "kmeans_assign_embeddings",
+    """
+    WITH c AS (SELECT vec_id AS centroid_id,
+                      CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings WHERE vec_id < 8),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+    scored AS (
+      SELECT v.vec_id, c.centroid_id,
+             LIST_AGGREGATE(LIST_TRANSFORM(RANGE(1, LEN(vv) + 1),
+                            i -> (vv[i] - cv[i]) * (vv[i] - cv[i])),
+                            'sum') AS dist2
+      FROM v CROSS JOIN c
+    )
+    SELECT vec_id, centroid_id,
+           CAST(FLOOR(dist2 * 1000000000.0 + 0.5) AS BIGINT) AS dist2_q
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                    ORDER BY dist2 ASC, centroid_id ASC) AS rn FROM scored)
+    WHERE rn = 1
+    """,
+    category="similarity",
+)
+def kmeans_assign_embeddings(spark, sf_dir):
+    """K-means assignment step against 8 deterministic centroids (the
+    vectors with vec_id < 8): nearest centroid by squared L2, computed
+    dimension-sequentially (bitwise-portable), distance nano-quantized.
+
+    Zero-shuffle plan — the production shape of one Lloyd E-step: the
+    centroid set is tiny by construction (k × dims doubles), so it is
+    collected driver-side and folded into the projection as literals;
+    the corpus is then a single map-only scan (no join, no window, no
+    exchange). The argmin is ``array_min`` over (dist2, centroid_id)
+    structs — struct ordering compares fields left-to-right, giving the
+    deterministic tie-break for free."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    cents = sorted(
+        emb.filter(F.col("vec_id") < 8)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    v = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("vv"),
+    )
+
+    def dist2(c) -> F.Column:
+        cv = F.array(*[F.lit(float(x)) for x in c.embedding])
+        return F.aggregate(
+            F.zip_with("vv", cv, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    dist2(c).alias("dist2"),
+                    F.lit(int(c.vec_id)).cast("long").alias("centroid_id"),
+                )
+                for c in cents
+            ]
+        )
+    )
+    return v.select(
+        "vec_id",
+        best["centroid_id"].alias("centroid_id"),
+        R.quantize(best["dist2"]).alias("dist2_q"),
+    )

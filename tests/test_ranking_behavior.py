@@ -1,0 +1,146 @@
+"""Unit tests for operators/ranking.py and operators/behavior.py over
+hand-built inputs with independently computed expectations."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from etl_manager_spark.operators import behavior as B
+from etl_manager_spark.operators import ranking as R
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_tfidf_matches_hand_computation(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "a a b"),
+            (2, "a c"),
+            (3, "c c c d"),
+        ],
+    )
+    got = {
+        (r.id, r.term): (r.tf, r.df, r.tfidf_q)
+        for r in R.tfidf_top_terms(df, k=10).collect()
+    }
+    # term 'a': df=2; doc1 tf=2 → 2*ln(3/2)
+    q = math.floor(2 * math.log(3 / 2) * 1e9 + 0.5)
+    assert got[(1, "a")] == (2, 2, q)
+    # term 'd': df=1; doc3 tf=1 → ln(3)
+    assert got[(3, "d")] == (1, 1, math.floor(math.log(3.0) * 1e9 + 0.5))
+
+
+def test_tfidf_rank_deterministic_tie_break(spark):
+    # doc with two terms of identical tf/df → rank by term asc
+    df = _docs(spark, [(1, "x y"), (2, "x y")])
+    rows = R.tfidf_top_terms(df, k=2).filter(F.col("id") == 1).collect()
+    by_rank = {r.rank: r.term for r in rows}
+    assert by_rank == {1: "x", 2: "y"}
+
+
+def test_bm25_prefers_matching_docs(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "spark joins data fast"),
+            (2, "spark spark spark spark"),
+            (3, "nothing relevant here at all"),
+        ],
+    )
+    scores = {r.id: r.score_q for r in R.bm25_scores(df, ["spark"]).collect()}
+    assert 3 not in scores  # no query term → no row
+    assert scores[2] > scores[1] > 0  # higher tf, same dl-ish → higher score
+
+
+def test_inverted_index_caps_postings_but_counts_full_df(spark):
+    df = _docs(spark, [(i, "tok") for i in range(30)])
+    row = R.inverted_index(df, max_postings=20).collect()[0]
+    assert row.term == "tok"
+    assert row.df == 30
+    import json
+
+    assert json.loads(row.postings) == list(range(20))
+
+
+def test_decontaminate_flags_exact_overlap_only(spark):
+    base = "w1 w2 w3 w4 w5 w6 w7 w8"
+    train = _docs(
+        spark,
+        [
+            (1, base + " extra tail"),  # contains the eval 8-gram
+            (2, "different words entirely here none shared at all"),
+        ],
+    )
+    ev = _docs(spark, [(100, base)])
+    got = {r.id: r.n_shared for r in R.ngram_decontaminate(train, ev, n=8).collect()}
+    assert got == {1: 1}
+
+
+def _events(spark, rows):
+    import datetime
+
+    parsed = [
+        (u, t, datetime.datetime.fromisoformat(ts)) for u, t, ts in rows
+    ]
+    return spark.createDataFrame(
+        parsed, "user_id long, event_type string, ts timestamp_ntz"
+    )
+
+
+def test_funnel_requires_strict_order(spark):
+    ev = _events(
+        spark,
+        [
+            # u1 completes in order
+            (1, "view", "2024-01-01 10:00:00"),
+            (1, "click", "2024-01-01 11:00:00"),
+            (1, "purchase", "2024-01-01 12:00:00"),
+            # u2 purchases BEFORE clicking → stops at click
+            (2, "view", "2024-01-02 10:00:00"),
+            (2, "purchase", "2024-01-02 10:30:00"),
+            (2, "click", "2024-01-02 11:00:00"),
+            # u3 never views → not even step 1
+            (3, "click", "2024-01-03 10:00:00"),
+        ],
+    )
+    got = {
+        r.step_name: r.n_users
+        for r in B.funnel(ev, ["view", "click", "purchase"]).collect()
+    }
+    assert got == {"view": 2, "click": 2, "purchase": 1}
+
+
+def test_funnel_simultaneous_event_does_not_advance(spark):
+    ev = _events(
+        spark,
+        [
+            (1, "view", "2024-01-01 10:00:00"),
+            (1, "click", "2024-01-01 10:00:00"),  # same instant → no advance
+        ],
+    )
+    got = {r.step_name: r.n_users for r in B.funnel(ev, ["view", "click"]).collect()}
+    assert got == {"view": 1, "click": 0}
+
+
+def test_cohort_retention_offsets(spark):
+    ev = _events(
+        spark,
+        [
+            (1, "view", "2024-01-01 09:00:00"),
+            (1, "view", "2024-01-03 09:00:00"),  # offset 2
+            (1, "view", "2024-01-03 18:00:00"),  # same day, deduped
+            (2, "view", "2024-01-02 09:00:00"),
+        ],
+    )
+    got = {
+        (str(r.cohort_day), r.day_offset): r.n_users
+        for r in B.cohort_retention(ev).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 1,
+        ("2024-01-01", 2): 1,
+        ("2024-01-02", 0): 1,
+    }
