@@ -16,7 +16,7 @@ from etl_manager_spark.functions.exact import dec_sum
 from etl_manager_spark.operators import behavior as B
 from etl_manager_spark.operators import ranking as R
 from etl_manager_spark.workloads import workload
-from etl_manager_spark.workloads.tables import load_tables
+from etl_manager_spark.workloads.tables import load_tables, spread
 
 _TOK = r"REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')"
 
@@ -51,7 +51,7 @@ def tfidf_top_terms_documents(spark, sf_dir):
     tfidf_top_terms): tf · ln(N/df), vocabulary-sized df table broadcast,
     per-doc top-k window. Score emitted nano-quantized."""
     t = load_tables(spark, sf_dir)
-    return R.tfidf_top_terms(t["documents"], k=5)
+    return R.tfidf_top_terms(spread(t["documents"], spark), k=5)
 
 
 _BM25_TERMS = ["join", "scan", "sort", "window"]
@@ -105,7 +105,7 @@ def bm25_rank_documents(spark, sf_dir):
     columns and summed left-to-right in sorted term order so the floating
     sum has one defined evaluation order on both engines."""
     t = load_tables(spark, sf_dir)
-    return R.bm25_scores(t["documents"], _BM25_TERMS)
+    return R.bm25_scores(spread(t["documents"], spark), _BM25_TERMS)
 
 
 @workload(
@@ -124,7 +124,7 @@ def inverted_index_documents(spark, sf_dir):
     first-20 posting ids as JSON (sorted post-collect for determinism;
     df counts all postings, not just the kept prefix)."""
     t = load_tables(spark, sf_dir)
-    return R.inverted_index(t["documents"], max_postings=20)
+    return R.inverted_index(spread(t["documents"], spark), max_postings=20)
 
 
 @workload(
@@ -156,7 +156,7 @@ def decontaminate_train_vs_eval(spark, sf_dir):
     are tiny next to a corpus); the corpus side is one explode + one
     hash-agg."""
     t = load_tables(spark, sf_dir)
-    docs = t["documents"]
+    docs = spread(t["documents"], spark)
     train = docs.filter(F.col("doc_id") % 10 != 0)
     ev = docs.filter(F.col("doc_id") % 10 == 0)
     return R.ngram_decontaminate(train, ev, n=8)

@@ -1155,7 +1155,7 @@ def chunk_documents_ctx32(spark, sf_dir):
 
     t = load_tables(spark, sf_dir)
     return chunk_documents(
-        t["documents"], chunk_tokens=32, overlap_tokens=8
+        spread(t["documents"], spark), chunk_tokens=32, overlap_tokens=8
     )
 
 
@@ -1382,7 +1382,7 @@ def corpus_ngram_boilerplate(spark, sf_dir):
     one explode + one hash-agg shuffle (map-side partials), thresholded
     to the shared templates worth stripping before training."""
     t = load_tables(spark, sf_dir)
-    return X.corpus_ngram_counts(t["documents"], n=3, min_count=5)
+    return X.corpus_ngram_counts(spread(t["documents"], spark), n=3, min_count=5)
 
 
 @workload(
