@@ -231,3 +231,93 @@ def ngram_decontaminate(
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    add_k: float = 1.0,
+) -> DataFrame:
+    """CCNet-style n-gram language-model quality scoring: train an
+    add-k-smoothed bigram LM on the corpus itself, then score every
+    document by its total bigram log-probability — low scores mark
+    out-of-distribution / garbled documents, the classic perplexity
+    filter of LLM data pipelines.
+
+    logp(w2|w1) = ln((c(w1,w2) + k) / (c(w1) + k·V)).
+
+    Determinism: each bigram's logp is nano-quantized to int64 FIRST and
+    the per-document total is then an INTEGER sum — exact, associative,
+    order-free — so the result is identical under any partitioning and
+    across engines (a double sum would depend on shuffle order). The
+    mean is left to the caller as sum/n to keep the output integral.
+
+    Scale shape: bigram/unigram count tables are vocabulary²-bounded
+    (far below corpus size; prune with a min-count gate when
+    materializing for 100 TB), the scoring join is a hash join on the
+    bigram key, and the per-doc rollup is one hash-agg on id.
+
+    Returns (id, n_bigrams, sum_logp_q)."""
+    toks = F.filter(tokens(text_col), lambda t: t != "")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(1)),
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("w1"),
+            F.element_at(toks, i + F.lit(1)).alias("w2"),
+        ),
+    )
+    pairs = (
+        df.filter(F.size(toks) >= 2)
+        .select(F.col(id_col).alias("id"), F.explode(bigrams).alias("bg"))
+        .select("id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    bigram_counts = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    unigram_counts = (
+        df.select(F.explode(toks).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    vocab = unigram_counts.count()
+    scored = (
+        pairs.join(bigram_counts, on=["w1", "w2"])
+        .join(unigram_counts, on="w1")
+        .select(
+            "id",
+            quantize(
+                F.log(
+                    (F.col("c12") + F.lit(add_k))
+                    / (F.col("c1") + F.lit(add_k * vocab))
+                )
+            ).alias("logp_q"),
+        )
+    )
+    return scored.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("logp_q").alias("sum_logp_q"),
+    )
+
+
+def corpus_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One-row corpus report card: total token instances, vocabulary
+    size, hapax count (terms occurring exactly once — the Zipf tail that
+    dominates vocabulary), and the nano-quantized type/token ratio.
+    Two hash-aggs (term counts, then one global rollup); output is a
+    single row regardless of corpus size."""
+    term_counts = (
+        df.select(
+            F.explode(F.filter(tokens(text_col), lambda t: t != "")).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return term_counts.agg(
+        F.sum("n").alias("total_tokens"),
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).alias("hapax_count"),
+        quantize(
+            F.count(F.lit(1)).cast("double") / F.sum("n").cast("double")
+        ).alias("type_token_ratio_q"),
+    )

@@ -336,3 +336,131 @@ def kmeans_assign_embeddings(spark, sf_dir):
         best["centroid_id"].alias("centroid_id"),
         R.quantize(best["dist2"]).alias("dist2_q"),
     )
+
+
+@workload(
+    "schema_evolution_events_union",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(user_id) AS BIGINT) AS sum_user,
+           MIN(ts) AS min_ts,
+           MAX(ts) AS max_ts,
+           CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_legacy
+    FROM events GROUP BY event_type
+    """,
+    category="etl",
+)
+def schema_evolution_events_union(spark, sf_dir):
+    """Schema-evolution round-trip (sources/evolution.py:
+    read_parquet_evolved): events is split into a LEGACY batch (ts
+    re-encoded as raw int64 nanos, user_id narrowed to int32, props
+    column absent) and a V2 batch (current schema plus a new
+    schema_version column), each written as its own parquet generation.
+    The evolved reader must reassemble them into one table — ts
+    normalized to TIMESTAMP_NTZ, user_id widened back to long, props
+    NULL-filled for legacy rows — with content identical to the
+    original. The oracle aggregates the ORIGINAL events table: counts,
+    user-id sums and exact min/max timestamps must survive the
+    encode/decode round-trip, and the rows missing props must be exactly
+    the even event_ids (the legacy batch)."""
+    from etl_manager_spark.sources.evolution import read_parquet_evolved
+    from etl_manager_spark.workloads.pipeline import _layout_scratch
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    base = _layout_scratch("schema_evo_")
+    legacy_path = f"{base}/batch_legacy"
+    v2_path = f"{base}/batch_v2"
+    (
+        ev.filter(F.col("event_id") % 2 == 0)
+        .select(
+            "event_id",
+            (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).alias("ts"),
+            F.col("user_id").cast("int").alias("user_id"),
+            "event_type",
+            "value",
+        )
+        .write.mode("overwrite")
+        .parquet(legacy_path)
+    )
+    (
+        ev.filter(F.col("event_id") % 2 == 1)
+        .withColumn("schema_version", F.lit(2))
+        .write.mode("overwrite")
+        .parquet(v2_path)
+    )
+    merged = read_parquet_evolved(spark, [legacy_path, v2_path], ts_columns=("ts",))
+    return merged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("user_id").alias("sum_user"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+        F.sum(F.when(F.col("props").isNull(), 1).otherwise(0)).alias("n_legacy"),
+    )
+
+
+@workload(
+    "bigram_lm_score_documents",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id, LIST_FILTER({_TOK}, x -> x <> '') AS tt FROM documents
+    ),
+    pairs AS (
+      SELECT doc_id AS id,
+             UNNEST(tt[1:LEN(tt)-1]) AS w1,
+             UNNEST(tt[2:LEN(tt)]) AS w2
+      FROM toks WHERE LEN(tt) >= 2
+    ),
+    bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY w1, w2),
+    uc AS (SELECT t AS w1, COUNT(*) AS c1
+           FROM (SELECT UNNEST(tt) AS t FROM toks) GROUP BY t),
+    v AS (SELECT COUNT(*) AS v FROM uc),
+    scored AS (
+      SELECT id,
+             CAST(FLOOR(LN((c12 + 1.0) / (c1 + 1.0 * v.v))
+                        * 1000000000.0 + 0.5) AS BIGINT) AS logp_q
+      FROM pairs JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN v
+    )
+    SELECT id, COUNT(*) AS n_bigrams,
+           CAST(SUM(logp_q) AS BIGINT) AS sum_logp_q
+    FROM scored GROUP BY id
+    """,
+    category="text",
+)
+def bigram_lm_score_documents(spark, sf_dir):
+    """Corpus-trained bigram LM quality scoring (operators/ranking.py:
+    bigram_lm_scores, add-1 smoothing): the perplexity-style filter of
+    CCNet-like pipelines. Per-bigram log-probs are nano-quantized to
+    int64 BEFORE summation, so the per-doc total is an exact integer
+    sum — identical under any partitioning and across engines."""
+    t = load_tables(spark, sf_dir)
+    return R.bigram_lm_scores(spread(t["documents"], spark))
+
+
+@workload(
+    "corpus_stats_documents",
+    rf"""
+    WITH tc AS (
+      SELECT t AS term, COUNT(*) AS n
+      FROM (SELECT UNNEST(LIST_FILTER({_TOK}, x -> x <> '')) AS t
+            FROM documents)
+      GROUP BY t
+    )
+    SELECT CAST(SUM(n) AS BIGINT) AS total_tokens,
+           COUNT(*) AS vocab_size,
+           CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS hapax_count,
+           CAST(FLOOR(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)
+                      * 1000000000.0 + 0.5) AS BIGINT) AS type_token_ratio_q
+    FROM tc
+    """,
+    category="text",
+)
+def corpus_stats_documents(spark, sf_dir):
+    """One-row corpus report card (operators/ranking.py: corpus_stats):
+    total tokens, vocabulary size, hapax count, quantized type/token
+    ratio — two hash-aggs, single-row output at any corpus size."""
+    t = load_tables(spark, sf_dir)
+    return R.corpus_stats(spread(t["documents"], spark))

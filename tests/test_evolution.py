@@ -1,0 +1,80 @@
+"""Unit tests for sources/evolution.py — schema-drift-tolerant reads."""
+
+import datetime
+
+import pytest
+from pyspark.sql.types import (
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+)
+
+from etl_manager_spark.sources.evolution import (
+    conform_to_schema,
+    merge_schemas,
+    read_parquet_evolved,
+)
+
+
+def test_merge_widens_and_unions_first_seen_order():
+    a = StructType(
+        [
+            StructField("id", IntegerType()),
+            StructField("x", FloatType()),
+        ]
+    )
+    b = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("x", DoubleType()),
+            StructField("extra", StringType()),
+        ]
+    )
+    merged = merge_schemas([a, b])
+    assert [f.name for f in merged.fields] == ["id", "x", "extra"]
+    assert isinstance(merged["id"].dataType, LongType)
+    assert isinstance(merged["x"].dataType, DoubleType)
+    assert all(f.nullable for f in merged.fields)
+
+
+def test_merge_rejects_incompatible_drift():
+    a = StructType([StructField("c", StringType())])
+    b = StructType([StructField("c", LongType())])
+    with pytest.raises(TypeError, match="incompatible"):
+        merge_schemas([a, b])
+
+
+def test_conform_fills_missing_with_typed_null(spark):
+    df = spark.createDataFrame([(1,)], "id long")
+    target = StructType(
+        [StructField("id", LongType()), StructField("tag", StringType())]
+    )
+    row = conform_to_schema(df, target).collect()[0]
+    assert row.id == 1 and row.tag is None
+
+
+def test_read_evolved_reunifies_drifted_batches(spark, tmp_path):
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0, 123456)
+    t1 = datetime.datetime(2024, 1, 2, 13, 30, 0, 654321)
+    t0_nanos = (
+        (t0 - datetime.datetime(1970, 1, 1)) // datetime.timedelta(microseconds=1)
+    ) * 1000
+    legacy = spark.createDataFrame([(1, t0_nanos, 7)], "id long, ts long, v int")
+    new = spark.createDataFrame(
+        [(2, t1, 9, "added")], "id long, ts timestamp_ntz, v long, note string"
+    )
+    p_legacy, p_new = str(tmp_path / "legacy"), str(tmp_path / "new")
+    legacy.write.parquet(p_legacy)
+    new.write.parquet(p_new)
+
+    out = read_parquet_evolved(spark, [p_legacy, p_new], ts_columns=("ts",))
+    assert isinstance(out.schema["ts"].dataType, TimestampNTZType)
+    assert isinstance(out.schema["v"].dataType, LongType)
+    rows = {r.id: r for r in out.collect()}
+    assert rows[1].ts == t0 and rows[1].v == 7 and rows[1].note is None
+    assert rows[2].ts == t1 and rows[2].v == 9 and rows[2].note == "added"

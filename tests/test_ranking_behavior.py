@@ -144,3 +144,34 @@ def test_cohort_retention_offsets(spark):
         ("2024-01-01", 2): 1,
         ("2024-01-02", 0): 1,
     }
+
+
+def test_bigram_lm_hand_computed(spark):
+    # corpus: two docs, vocab {a,b,c} (V=3), add-1 smoothing
+    df = _docs(spark, [(1, "a b a"), (2, "a b c")])
+    # unigram counts: a=3, b=2, c=1; bigram counts: (a,b)=2, (b,a)=1, (b,c)=1
+    got = {r.id: (r.n_bigrams, r.sum_logp_q) for r in R.bigram_lm_scores(df).collect()}
+
+    def q(x):
+        return math.floor(x * 1e9 + 0.5)
+
+    # doc1 bigrams: (a,b), (b,a) → ln(3/6) + ln(2/5)
+    assert got[1] == (2, q(math.log((2 + 1) / (3 + 3))) + q(math.log((1 + 1) / (2 + 3))))
+    # doc2 bigrams: (a,b), (b,c) → ln(3/6) + ln(2/5)
+    assert got[2] == (2, q(math.log(3 / 6)) + q(math.log(2 / 5)))
+
+
+def test_bigram_lm_garbled_doc_scores_lower(spark):
+    rows = [(i, "the quick brown fox jumps over the lazy dog") for i in range(10)]
+    rows.append((99, "zxq qzx xqz zqx qxz"))  # out-of-distribution
+    df = _docs(spark, rows)
+    got = {r.id: r.sum_logp_q / r.n_bigrams for r in R.bigram_lm_scores(df).collect()}
+    assert got[99] < got[0]
+
+
+def test_corpus_stats_hand_computed(spark):
+    df = _docs(spark, [(1, "a a b"), (2, "b c")])
+    row = R.corpus_stats(df).collect()[0]
+    # tokens: a×2, b×2, c×1 → total 5, vocab 3, hapax 1 (c)
+    assert (row.total_tokens, row.vocab_size, row.hapax_count) == (5, 3, 1)
+    assert row.type_token_ratio_q == math.floor(3 / 5 * 1e9 + 0.5)
