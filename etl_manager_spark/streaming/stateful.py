@@ -141,3 +141,116 @@ def run_user_counters_to_memory(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+# --------------------------------------------------------------------- #
+# Streaming funnel: per-user ordered step state machine
+
+FUNNEL_OUTPUT_SCHEMA = "user_id long, stage_reached int, arrived_us long"
+FUNNEL_STATE_SCHEMA = "stage int, arrived_us long"
+
+
+def _make_funnel_fn(steps: tuple[str, ...]):
+    def update_funnel(
+        key: tuple[Any, ...],
+        pdfs: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterable["pd.DataFrame"]:
+        import pandas as pd
+
+        stage, arrived_us = state.get if state.exists else (0, 0)
+        batch = pd.concat(list(pdfs))
+        # within a micro-batch, replay this user's events in event-time
+        # order; the state machine itself is advance-only (min-after-
+        # previous semantics, same as the batch funnel operator)
+        batch = batch.sort_values("ts", kind="stable")
+        ts_us = batch["ts"].astype("int64") // 1000
+        for t, us in zip(batch["event_type"], ts_us):
+            if stage < len(steps) and t == steps[stage]:
+                if stage == 0 or us > arrived_us:
+                    stage += 1
+                    arrived_us = int(us)
+        state.update((stage, arrived_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "stage_reached": [stage],
+                "arrived_us": [arrived_us],
+            }
+        )
+
+    return update_funnel
+
+
+def funnel_stages(events: "DataFrame", steps: tuple[str, ...]) -> "DataFrame":
+    """Streaming ordered funnel: per-user advance-only state machine over
+    the step sequence (strictly-later arrivals advance the stage — the
+    same min-after-previous semantics as the batch ``behavior.funnel``,
+    so a backfill and the live stream agree; the batch-equivalence test
+    pins it).
+
+    Non-step events are filtered JVM-side before the Arrow boundary, so
+    the Python state worker sees only candidate rows. State per user is
+    two ints — bounded regardless of stream length. Correctness requires
+    per-user in-order delivery ACROSS micro-batches (within a batch the
+    worker sorts); feed out-of-order sources through a watermark-sorted
+    stage first."""
+    return (
+        events.select("user_id", "ts", "event_type")
+        .filter(F.col("event_type").isin(list(steps)))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_funnel_fn(tuple(steps)),
+            outputStructType=FUNNEL_OUTPUT_SCHEMA,
+            stateStructType=FUNNEL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_funnel_to_memory(
+    spark,
+    sf_dir: str,
+    steps: tuple[str, ...],
+    name: str = "stateful_funnel",
+    state_partitions: int | None = 8,
+):
+    """availableNow execution of the streaming funnel; returns the final
+    per-user (user_id, stage_reached, arrived) table with arrived as
+    TIMESTAMP_NTZ (NULL while stage 0)."""
+    from etl_manager_spark.streaming.windows import read_events_stream
+
+    stream = funnel_stages(read_events_stream(spark, sf_dir), steps)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("stage_reached"), F.desc("arrived_us")
+    )
+    return (
+        spark.table(name)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            "stage_reached",
+            F.when(
+                F.col("stage_reached") > 0,
+                F.timestamp_micros(F.col("arrived_us")).cast("timestamp_ntz"),
+            ).alias("arrived"),
+        )
+    )

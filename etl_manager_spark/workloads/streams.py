@@ -260,3 +260,45 @@ def streaming_cdc_upsert_latest_event(spark, sf_dir):
         checkpoint_path=scratch + "/ckpt",
     )
     return final.select("user_id", "event_id", "ts", "event_type")
+
+
+@workload(
+    "streaming_funnel_stages",
+    """
+    WITH su AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    s1 AS (SELECT user_id, MIN(ts) AS t FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+           JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+           JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id)
+    SELECT su.user_id,
+           CAST(CASE WHEN s3.t IS NOT NULL THEN 3
+                     WHEN s2.t IS NOT NULL THEN 2
+                     WHEN s1.t IS NOT NULL THEN 1
+                     ELSE 0 END AS INTEGER) AS stage_reached,
+           COALESCE(s3.t, s2.t, s1.t) AS arrived
+    FROM su
+    LEFT JOIN s1 ON su.user_id = s1.user_id
+    LEFT JOIN s2 ON su.user_id = s2.user_id
+    LEFT JOIN s3 ON su.user_id = s3.user_id
+    """,
+    category="streaming",
+)
+def streaming_funnel_stages(spark, sf_dir):
+    """Streaming ordered funnel (streaming/stateful.py: funnel_stages):
+    a per-user advance-only state machine over view→click→purchase,
+    maintained via applyInPandasWithState. State is two ints per user.
+    Full hash oracle: the final per-user stage/arrival must equal the
+    batch min-after-previous funnel — the backfill/live-stream agreement
+    every streaming pipeline has to guarantee."""
+    from etl_manager_spark.streaming.stateful import run_funnel_to_memory
+
+    return run_funnel_to_memory(
+        spark, sf_dir, ("view", "click", "purchase"), name="stream_funnel"
+    )

