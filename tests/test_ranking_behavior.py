@@ -175,3 +175,58 @@ def test_corpus_stats_hand_computed(spark):
     # tokens: a×2, b×2, c×1 → total 5, vocab 3, hapax 1 (c)
     assert (row.total_tokens, row.vocab_size, row.hapax_count) == (5, 3, 1)
     assert row.type_token_ratio_q == math.floor(3 / 5 * 1e9 + 0.5)
+
+
+def test_funnel_property_vs_python_reference(spark):
+    """Property test: the distributed funnel equals a direct per-user
+    Python scan for random event sequences (random types, ts ties,
+    repeated steps)."""
+    import datetime
+
+    from hypothesis import given, settings, strategies as st
+
+    steps = ["a", "b", "c"]
+    events_strategy = st.lists(
+        st.tuples(
+            st.integers(0, 3),               # user
+            st.sampled_from(["a", "b", "c", "x"]),
+            st.integers(0, 12),              # coarse ts → frequent ties
+        ),
+        min_size=1,
+        max_size=25,
+    )
+
+    def python_funnel(rows):
+        reached = {i + 1: 0 for i in range(len(steps))}
+        by_user = {}
+        for u, t, ts in rows:
+            by_user.setdefault(u, []).append((ts, t))
+        for evs in by_user.values():
+            # min-after-previous: arrival per step from the sorted scan
+            arrived = None
+            stage = 0
+            for ts, t in sorted(evs, key=lambda e: e[0]):
+                if stage < len(steps) and t == steps[stage]:
+                    if stage == 0 or ts > arrived:
+                        stage += 1
+                        arrived = ts
+            for s in range(1, stage + 1):
+                reached[s] += 1
+        return reached
+
+    epoch = datetime.datetime(2024, 1, 1)
+
+    @settings(max_examples=20, deadline=None)
+    @given(rows=events_strategy)
+    def check(rows):
+        df = spark.createDataFrame(
+            [
+                (u, t, epoch + datetime.timedelta(hours=ts))
+                for u, t, ts in rows
+            ],
+            "user_id long, event_type string, ts timestamp_ntz",
+        )
+        got = {r.step: r.n_users for r in B.funnel(df, steps).collect()}
+        assert got == python_funnel(rows)
+
+    check()
