@@ -464,3 +464,70 @@ def corpus_stats_documents(spark, sf_dir):
     ratio — two hash-aggs, single-row output at any corpus size."""
     t = load_tables(spark, sf_dir)
     return R.corpus_stats(spread(t["documents"], spark))
+
+
+@workload(
+    "scalar_null_semantics",
+    """
+    WITH o AS (
+      SELECT o_orderkey,
+             NULLIF(o_orderpriority, '1-URGENT') AS prio_or_null,
+             NULLIF(o_orderstatus, 'O') AS status_or_null
+      FROM orders WHERE o_orderkey < 2000
+    )
+    SELECT COUNT(*) AS n_rows,
+           COUNT(prio_or_null) AS n_prio_nonnull,
+           CAST(SUM(CASE WHEN prio_or_null IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_prio_null,
+           CAST(SUM(CASE WHEN prio_or_null IS NOT DISTINCT FROM status_or_null
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_eq,
+           CAST(SUM(CASE WHEN COALESCE(prio_or_null, status_or_null,
+                                       'fallback') = 'fallback'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_both_null,
+           COUNT(DISTINCT prio_or_null) AS n_distinct_prio
+    FROM o
+    """,
+    category="scalar",
+)
+def scalar_null_semantics(spark, sf_dir):
+    """Three-valued-logic parity: NULLIF-generated NULLs pushed through
+    COUNT(col) vs COUNT(*), null-safe equality (Spark ``<=>`` ≡ SQL
+    ``IS NOT DISTINCT FROM``), COALESCE fallback chains, and
+    COUNT(DISTINCT) NULL-skipping — the semantics corner where engines
+    classically diverge, pinned value-exact against the oracle."""
+    t = load_tables(spark, sf_dir)
+    o = (
+        t["orders"]
+        .filter(F.col("o_orderkey") < 2000)
+        .select(
+            "o_orderkey",
+            F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).alias(
+                "prio_or_null"
+            ),
+            F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("status_or_null"),
+        )
+    )
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("prio_or_null").alias("n_prio_nonnull"),
+        F.sum(
+            F.when(F.col("prio_or_null").isNull(), 1).otherwise(0)
+        ).alias("n_prio_null"),
+        F.sum(
+            F.when(
+                F.col("prio_or_null").eqNullSafe(F.col("status_or_null")), 1
+            ).otherwise(0)
+        ).alias("n_nullsafe_eq"),
+        F.sum(
+            F.when(
+                F.coalesce(
+                    F.col("prio_or_null"),
+                    F.col("status_or_null"),
+                    F.lit("fallback"),
+                )
+                == "fallback",
+                1,
+            ).otherwise(0)
+        ).alias("n_both_null"),
+        F.count_distinct(F.col("prio_or_null")).alias("n_distinct_prio"),
+    )
