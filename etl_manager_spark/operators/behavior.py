@@ -31,6 +31,12 @@ def funnel(
     Per step: one filtered aggregation min(ts) per user + one join back
     to the previous step's arrivals — k steps → k same-key shuffles on
     ``user_id``, each input smaller than the last (funnels only narrow).
+    Each step's arrival table is persisted: it is consumed twice (as the
+    next step's join input and by its own count), and without the pin
+    every downstream branch would replay the whole upstream chain —
+    O(k²) scans of the events table instead of k. Arrival tables are
+    per-user rows (bounded by distinct users, spill-to-disk storage
+    level), far below event volume.
 
     Returns one row per step: (step, step_name, n_users), where n_users
     counts users whose funnel reached at least that step."""
@@ -50,6 +56,7 @@ def funnel(
                 .groupBy("id")
                 .agg(F.min("_ts").alias("arrived"))
             )
+        cur = cur.persist()
         arrivals.append(cur)
         prev = cur
     counts = [

@@ -44,6 +44,13 @@ def exact_dedup(
     )
 
 
+# Bump whenever the signature algorithm changes (hash scheme, tokenizer,
+# default num_hashes): materialized signature stores embed this in their
+# path, so a stale store from an older algorithm can never be silently
+# joined against signatures computed by newer code.
+SIGNATURE_ALGO_VERSION = 1
+
+
 def _minhash_token_hash(token_col, seed: int):
     """Portable 64-bit-ish hash: first 16 hex chars of md5(seed:token)."""
     return F.substring(F.md5(F.concat(F.lit(f"{seed}:"), token_col)), 1, 16)

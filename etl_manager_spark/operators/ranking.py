@@ -68,22 +68,21 @@ def tfidf_top_terms(
     tf = term_frequencies(df, id_col, text_col)
     dfreq = document_frequencies(tf)
     scored = tf.join(F.broadcast(dfreq), on="term").withColumn(
-        "tfidf",
-        F.col("tf").cast("double")
-        * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")),
+        "tfidf_q",
+        quantize(
+            F.col("tf").cast("double")
+            * F.log(F.lit(float(n_docs)) / F.col("df").cast("double"))
+        ),
     )
-    w = Window.partitionBy("id").orderBy(F.desc("tfidf"), F.asc("term"))
+    # rank on the QUANTIZED score (not the raw double): ln() may differ by
+    # an ulp across engines, and ordering must agree with the emitted
+    # comparison value — otherwise near-equal terms could rank differently
+    # here and in an oracle.
+    w = Window.partitionBy("id").orderBy(F.desc("tfidf_q"), F.asc("term"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select(
-            F.col("id"),
-            "rank",
-            "term",
-            "tf",
-            "df",
-            quantize(F.col("tfidf")).alias("tfidf_q"),
-        )
+        .select(F.col("id"), "rank", "term", "tf", "df", "tfidf_q")
     )
 
 
@@ -115,6 +114,10 @@ def bm25_scores(
         F.size(F.filter(tokens(text_col), lambda t: t != "")).alias("dl"),
     )
     avgdl = lens.agg(F.avg("dl")).first()[0]
+    if avgdl is None:
+        # empty corpus → empty result with the declared schema, not a
+        # driver-side TypeError on float(None)
+        return df.sparkSession.createDataFrame([], "id long, score_q long")
     tf = term_frequencies(df, id_col, text_col).filter(F.col("term").isin(qterms))
     # df over the full corpus for these terms == df over the filtered tf
     # (tf already has exactly one row per (doc, term) pair), so the corpus

@@ -109,7 +109,15 @@ def read_parquet_evolved(
     merging. Pass ``target`` to pin the output schema explicitly (e.g.
     from the table's declared metadata); otherwise it is inferred as the
     widest union across the batches."""
+    if not paths:
+        raise ValueError(
+            "read_parquet_evolved: no batch paths given (empty listing?)"
+        )
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # adapt_ts's raw-long→NTZ conversion renders the instant in the
+    # SESSION timezone; pin UTC (same contract as workloads/tables) so a
+    # legacy nanos batch and an NTZ batch land on the same wall clock.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     dfs = []
     for p in paths:
         df = spark.read.parquet(p)

@@ -51,13 +51,22 @@ def workload(name: str, oracle: Optional[str], category: str):
 def _load_driver_green() -> dict[str, int]:
     import json
     import os
+    import warnings
 
     path = os.path.join(os.path.dirname(__file__), "driver_green.json")
     try:
         with open(path) as f:
             data = json.load(f)
         return {str(k): int(v) for k, v in data.items()}
-    except (OSError, ValueError):
+    except (OSError, ValueError, TypeError, AttributeError) as exc:
+        # A broken ledger must not break the catalog import, but silent
+        # degradation would scramble the driver's verification ordering —
+        # make the fallback loud.
+        warnings.warn(
+            f"driver_green.json unusable ({exc!r}); treating every query "
+            "as never-verified — regenerate with tools/regen_driver_green.py",
+            stacklevel=2,
+        )
         return {}
 
 

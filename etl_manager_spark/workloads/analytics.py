@@ -33,14 +33,14 @@ _TOK = r"REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')"
     n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
     scored AS (
       SELECT tf.id, tf.term, tf.tf, dfreq.df,
-             CAST(tf.tf AS DOUBLE)
-               * LN(CAST(n.n AS DOUBLE) / CAST(dfreq.df AS DOUBLE)) AS tfidf
+             CAST(FLOOR(CAST(tf.tf AS DOUBLE)
+                        * LN(CAST(n.n AS DOUBLE) / CAST(dfreq.df AS DOUBLE))
+                        * 1000000000.0 + 0.5) AS BIGINT) AS tfidf_q
       FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
     )
-    SELECT id, rank, term, tf, df,
-           CAST(FLOOR(tfidf * 1000000000.0 + 0.5) AS BIGINT) AS tfidf_q
+    SELECT id, rank, term, tf, df, tfidf_q
     FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY id
-                         ORDER BY tfidf DESC, term ASC) AS INTEGER) AS rank
+                         ORDER BY tfidf_q DESC, term ASC) AS INTEGER) AS rank
           FROM scored)
     WHERE rank <= 5
     """,

@@ -1671,6 +1671,8 @@ def incremental_minhash_dedup_documents(spark, sf_dir):
     signature table a production corpus maintains at ingest) and the
     per-batch query reads them back instead of recomputing, so measured
     cost is O(batch + candidates), independent of corpus size."""
+    import glob
+    import shutil
     import tempfile
 
     t = load_tables(spark, sf_dir)
@@ -1678,13 +1680,25 @@ def incremental_minhash_dedup_documents(spark, sf_dir):
     new_batch = docs.filter(F.col("doc_id") % 10 == 0)
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
 
+    # Store key = fixture identity (basename + mtime) + signature
+    # parameters + algorithm version, so a store can never be reused
+    # across testdata regenerations or signature-code changes. Stale
+    # stores with other tags are swept (same policy as _layout_scratch).
     src = os.path.join(sf_dir, "documents.parquet")
-    tag = f"{os.path.basename(sf_dir.rstrip('/'))}_{int(os.path.getmtime(src))}"
-    store = os.path.join(
-        tempfile.gettempdir(), f"minhash_sig_store_{tag}"
+    tag = (
+        f"{os.path.basename(sf_dir.rstrip('/'))}_{int(os.path.getmtime(src))}"
+        f"_h8_v{D.SIGNATURE_ALGO_VERSION}"
     )
+    store = os.path.join(tempfile.gettempdir(), f"minhash_sig_store_{tag}")
+    for stale in glob.glob(
+        os.path.join(tempfile.gettempdir(), "minhash_sig_store_*")
+    ):
+        if stale != store:
+            shutil.rmtree(stale, ignore_errors=True)
     if not os.path.exists(os.path.join(store, "_SUCCESS")):
-        D.minhash_signatures(corpus).write.mode("overwrite").parquet(store)
+        D.minhash_signatures(corpus, num_hashes=8).write.mode(
+            "overwrite"
+        ).parquet(store)
     corpus_sigs = spark.read.parquet(store)
     return D.incremental_minhash_dedup(
         new_batch, corpus, corpus_sigs=corpus_sigs, jaccard_threshold=0.5

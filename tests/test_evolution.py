@@ -78,3 +78,8 @@ def test_read_evolved_reunifies_drifted_batches(spark, tmp_path):
     rows = {r.id: r for r in out.collect()}
     assert rows[1].ts == t0 and rows[1].v == 7 and rows[1].note is None
     assert rows[2].ts == t1 and rows[2].v == 9 and rows[2].note == "added"
+
+
+def test_read_evolved_rejects_empty_path_list(spark):
+    with pytest.raises(ValueError, match="no batch paths"):
+        read_parquet_evolved(spark, [])

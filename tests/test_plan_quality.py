@@ -178,11 +178,16 @@ def test_tfidf_broadcasts_vocabulary(plans):
 
 def test_funnel_shuffles_only_on_user_id(plans):
     r = plans("funnel_view_click_purchase")
-    # every exchange must be on the user id (funnel never reshuffles on
-    # anything else); event_type filters push to the scan
+    # every hash exchange must be on the user id — the funnel never
+    # reshuffles on step/event_type/ts; event_type filters push to the
+    # scan (inside the persisted arrival tables' child plans)
     assert r.cartesian_products == 0
     assert r.has_pushed_filters
     assert any("event_type" in pf for pf in r.pushed_filters), r.pushed_filters
+    import re
+
+    for m in re.finditer(r"hashpartitioning\(([^,)]+)", r.text):
+        assert m.group(1).startswith(("id", "user_id")), m.group(0)
 
 
 def test_schema_evolution_is_union_of_projections(plans):

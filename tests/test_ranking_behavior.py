@@ -230,3 +230,10 @@ def test_funnel_property_vs_python_reference(spark):
         assert got == python_funnel(rows)
 
     check()
+
+
+def test_bm25_empty_corpus_returns_empty_not_crash(spark):
+    df = _docs(spark, []).filter("doc_id IS NOT NULL")
+    out = R.bm25_scores(df, ["anything"])
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["id", "score_q"]
