@@ -42,3 +42,12 @@ def dec_avg(col: Column | str, typ: str = DEFAULT_DECIMAL) -> Column:
     """Exact-sum average: decimal sum → double, / count — a single IEEE
     division, bitwise-reproducible anywhere."""
     return F.sum(dec(col, typ)).cast("double") / F.count(F.lit(1))
+
+
+def dec_sumsq(col: Column | str, typ: str = DEFAULT_DECIMAL) -> Column:
+    """Exact sum of squares: a scale-2 decimal squared is scale-4 exact,
+    and the decimal sum stays exact — the second moment for variance/
+    stddev computed without float accumulation order entering anywhere.
+    Returned as double (one deterministic final conversion)."""
+    d = dec(col, typ)
+    return F.sum(d * d).cast("double")

@@ -531,3 +531,77 @@ def scalar_null_semantics(spark, sf_dir):
         ).alias("n_both_null"),
         F.count_distinct(F.col("prio_or_null")).alias("n_distinct_prio"),
     )
+
+
+@workload(
+    "events_value_outliers",
+    """
+    WITH stats AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))
+                      * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS ss
+      FROM events GROUP BY event_type
+    ),
+    m AS (
+      SELECT event_type, n,
+             s / n AS mean,
+             SQRT((ss - s * s / n) / (n - 1)) AS std
+      FROM stats
+    )
+    SELECT m.event_type, m.n,
+           CAST(FLOOR(m.mean * 1000000000.0 + 0.5) AS BIGINT) AS mean_q,
+           CAST(FLOOR(m.std * 1000000000.0 + 0.5) AS BIGINT) AS std_q,
+           COALESCE(o.n_outliers, 0) AS n_outliers
+    FROM m LEFT JOIN (
+      SELECT e.event_type, COUNT(*) AS n_outliers
+      FROM events e JOIN m ON e.event_type = m.event_type
+      WHERE ABS(e.value - m.mean) > 3.0 * m.std
+      GROUP BY e.event_type
+    ) o ON m.event_type = o.event_type
+    """,
+    category="events",
+)
+def events_value_outliers(spark, sf_dir):
+    """Per-group z-score outlier detection with DETERMINISTIC moments:
+    mean and stddev are derived from decimal-exact first/second moments
+    (functions/exact.py: dec_sum / dec_sumsq — no float accumulation
+    order anywhere), so the 3-sigma gate evaluates identical doubles on
+    both engines. Two scans: one grouped moment pass, one broadcast-join
+    flag pass — the standard shape for any per-group normalization at
+    scale (z-scoring features, outlier gates, min-max scaling)."""
+    from etl_manager_spark.functions.exact import dec_sum, dec_sumsq
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dec_sum("value").alias("s"),
+        dec_sumsq("value").alias("ss"),
+    )
+    m = stats.select(
+        "event_type",
+        "n",
+        (F.col("s") / F.col("n")).alias("mean"),
+        F.sqrt(
+            (F.col("ss") - F.col("s") * F.col("s") / F.col("n"))
+            / (F.col("n") - F.lit(1))
+        ).alias("std"),
+    )
+    outliers = (
+        ev.join(F.broadcast(m), on="event_type")
+        .filter(F.abs(F.col("value") - F.col("mean")) > F.lit(3.0) * F.col("std"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_outliers"))
+    )
+    return (
+        m.join(outliers, on="event_type", how="left")
+        .select(
+            "event_type",
+            "n",
+            R.quantize(F.col("mean")).alias("mean_q"),
+            R.quantize(F.col("std")).alias("std_q"),
+            F.coalesce(F.col("n_outliers"), F.lit(0)).alias("n_outliers"),
+        )
+    )
