@@ -1,0 +1,146 @@
+"""Stateful streaming on the transformWithStateInPandas API (Spark 4).
+
+The successor to ``applyInPandasWithState``: typed state variables
+(ValueState / ListState / MapState) with per-state TTL, timers, and
+initial-state seeding, managed per grouping key in the state store.
+This module carries the engine's reference usage: a per-(user, type)
+first-seen tracker over MapState — the "when did this user first do X"
+table that product analytics and feature stores both maintain
+incrementally.
+
+Scale notes: state is partitioned by the grouping key exactly like a
+streaming aggregation; MapState entries live in the state store (RocksDB
+in production), so per-key map size should stay bounded — here it is
+bounded by the event-type vocabulary. Output rows are emitted only for
+keys whose map changed in the batch, so steady-state output volume
+tracks novelty, not traffic.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Any, Iterator
+
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StatefulProcessor
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessorHandle,
+    TimerValues,
+)
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
+    from pyspark.sql import DataFrame
+
+FIRST_SEEN_OUTPUT_SCHEMA = "user_id long, event_type string, first_seen_us long"
+
+
+class FirstSeenProcessor(StatefulProcessor):
+    """MapState[event_type -> first event-time] per user; emits the
+    (user, type, first_seen) rows that changed in this micro-batch."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._first_seen = handle.getMapState(
+            "first_seen", "event_type string", "first_us long"
+        )
+
+    def handleInputRows(
+        self, key: Any, rows: Iterator["pd.DataFrame"], timerValues: TimerValues
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        changed: dict[str, int] = {}
+        for pdf in rows:
+            us = pdf["ts"].astype("int64") // 1000
+            for et, t in zip(pdf["event_type"], us):
+                t = int(t)
+                k = (et,)
+                prev = (
+                    self._first_seen.getValue(k)[0]
+                    if self._first_seen.containsKey(k)
+                    else None
+                )
+                if prev is None or t < prev:
+                    self._first_seen.updateValue(k, (t,))
+                    changed[et] = t
+        if changed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(changed),
+                    "event_type": list(changed.keys()),
+                    "first_seen_us": list(changed.values()),
+                }
+            )
+
+    def close(self) -> None:
+        pass
+
+
+def first_seen_per_type(events: "DataFrame") -> "DataFrame":
+    """events stream → incremental first-seen table via MapState."""
+    return (
+        events.select("user_id", "ts", "event_type")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            FirstSeenProcessor(),
+            outputStructType=FIRST_SEEN_OUTPUT_SCHEMA,
+            outputMode="update",
+            timeMode="none",
+        )
+    )
+
+
+def run_first_seen_to_memory(
+    spark,
+    sf_dir: str,
+    name: str = "tws_first_seen",
+    state_partitions: int | None = 8,
+):
+    """availableNow execution; returns the final (user_id, event_type,
+    first_seen) table with the event time as TIMESTAMP_NTZ."""
+    from etl_manager_spark.streaming.windows import read_events_stream
+
+    stream = first_seen_per_type(read_events_stream(spark, sf_dir))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    from pyspark.sql import Window
+
+    # update-mode sink may carry one row per micro-batch per key; the
+    # true first-seen is the minimum emitted value
+    w = Window.partitionBy("user_id", "event_type").orderBy(F.asc("first_seen_us"))
+    return (
+        spark.table(name)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.timestamp_micros(F.col("first_seen_us"))
+            .cast("timestamp_ntz")
+            .alias("first_seen"),
+        )
+    )
+
+
+def transform_with_state_available() -> bool:
+    """transformWithStateInPandas needs the protobuf package for its
+    state-server protocol (pyspark imports
+    ``google.protobuf.descriptor`` lazily at stream start). Absent in
+    this container — same permanent-skip policy as the avro jar."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
