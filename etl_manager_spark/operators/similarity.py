@@ -171,13 +171,14 @@ def lsh_table_keys(
     seed_base: int = 7,
 ) -> Column:
     """``array<string>`` of ``table:bucket`` keys for ALL hash tables in one
-    Arrow-batched matrix multiply — same planes as :func:`lsh_bucket` with
-    seed ``seed_base + t``, but the 16 interpreted per-row HOF plane-folds
-    become one (n × dim)·(dim × tables·planes) GEMM per batch. Sign
-    decisions may differ from the sequential HOF fold on exactly-zero
-    projections; that changes nothing as long as every join side uses the
-    same bucketing function (LSH bucket ids are internal, never compared
-    across engines)."""
+    Arrow-batched projection — same planes as :func:`lsh_bucket` with
+    seed ``seed_base + t``. The 16 per-plane projections are computed with
+    the sequential-across-dims kernel (:func:`_seq_dots`, vectorized across
+    rows AND planes), NOT a blocked GEMM: every projection is therefore
+    bitwise-identical to the HOF ``dot`` fold and to DuckDB's
+    ``LIST_DOT_PRODUCT``, so bucket assignment is reproducible across
+    engines — the DuckDB oracle for the LSH queries recomputes the exact
+    same buckets from the same plane literals."""
     import numpy as np
     import pandas as pd
 
@@ -187,13 +188,13 @@ def lsh_table_keys(
             for t in range(num_tables)
             for p in range(num_planes)
         ]
-    ).T  # (dim, T·P)
+    )  # (T·P, dim)
     weights = 1 << np.arange(num_planes)
 
     @F.pandas_udf("array<string>")
     def _keys(vs: pd.Series) -> pd.Series:
         V = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
-        signs = (V @ planes > 0).reshape(len(vs), -1, num_planes)
+        signs = (_seq_dots(V, planes) > 0).reshape(len(vs), -1, num_planes)
         buckets = signs @ weights  # (n, T)
         return pd.Series(
             [[f"{t}:{b}" for t, b in enumerate(row)] for row in buckets]
@@ -467,6 +468,47 @@ def _train_centroids_driver(
     return C.tolist()
 
 
+def _sorted_sample_centroids(
+    id_vec_rows: list[tuple], num_lists: int, train_sample: int
+) -> list[list[float]]:
+    """Shared trainer entry for the Spark path AND the DuckDB oracle
+    factory: sort the hash-filtered sample by id (determinism under any
+    partitioning / read order), truncate to ``train_sample`` rows, train.
+    Both callers feed float64-widened vectors, so the centroids are
+    bit-for-bit identical however the sample was collected."""
+    rows = sorted(id_vec_rows, key=lambda r: r[0])[:train_sample]
+    return _train_centroids_driver([list(r[1]) for r in rows], num_lists)
+
+
+def ivf_train_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_lists: int = 16,
+    train_sample: int = 1024,
+    sample_fraction: float = 1.0,
+) -> list[list[float]]:
+    """Deterministic driver-side IVF training sample + spherical k-means.
+
+    The sample is a hash-threshold filter (md5 of the id — reproducible
+    under any partitioning, no global sort: the plan is Scan+Filter, not
+    TakeOrdered over the corpus), sorted by id driver-side and truncated
+    to ``train_sample``. At 100 TB pass ``sample_fraction`` ≈
+    train_sample/|corpus| so only ~train_sample rows ever reach the
+    driver; at test scale the default 1.0 keeps every row eligible."""
+    from etl_manager_spark.operators.sampling import hash_bucket, _threshold_hex
+
+    filtered = corpus
+    if sample_fraction < 1.0:
+        filtered = corpus.filter(
+            hash_bucket(id_col) < F.lit(_threshold_hex(sample_fraction))
+        )
+    rows = filtered.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>")
+    ).collect()
+    return _sorted_sample_centroids([(r[0], r[1]) for r in rows], num_lists, train_sample)
+
+
 def cosine_topk_ivf(
     queries: DataFrame,
     corpus: DataFrame,
@@ -476,18 +518,24 @@ def cosine_topk_ivf(
     num_lists: int = 16,
     nprobe: int = 4,
     train_sample: int = 1024,
+    sample_fraction: float = 1.0,
 ) -> DataFrame:
     """IVF-Flat approximate cosine top-k — the cluster-pruned ANN path.
 
     Index: spherical k-means centroids trained driver-side on a
-    deterministic sample (first ``train_sample`` vectors by id), then each
-    corpus vector is assigned to its nearest centroid's inverted list via
-    one Arrow-batched GEMM (centroids are closure constants — no side
-    table, no join for the assignment). Query: probe the ``nprobe``
-    nearest lists and score each list group's query×candidate rectangle
-    exactly with the sequential-across-dims kernel (sims bitwise-equal to
-    brute force), cutting scored candidates to ~nprobe/num_lists of the
-    corpus.
+    deterministic hash-threshold sample (:func:`ivf_train_centroids` — no
+    TakeOrdered over the corpus), then each corpus vector is assigned to
+    its nearest centroid's inverted list via an Arrow-batched projection
+    (centroids are closure constants — no side table, no join for the
+    assignment). Query: probe the ``nprobe`` nearest lists and score each
+    list group's query×candidate rectangle exactly with the
+    sequential-across-dims kernel (sims bitwise-equal to brute force),
+    cutting scored candidates to ~nprobe/num_lists of the corpus.
+
+    Every float decision (training means, assignment dots, probe ranking,
+    final sims) uses sequential-across-dims accumulation, so the DuckDB
+    oracle — given the same centroid literals — reproduces the exact
+    candidate sets and scores via LIST_DOT_PRODUCT.
 
     Scale: the candidate grouping shuffles the corpus once on the list
     id — at 100 TB the corpus-side assignment would be precomputed once
@@ -495,24 +543,22 @@ def cosine_topk_ivf(
     Approximate: misses neighbors whose list isn't probed."""
     import numpy as np
 
-    sample_rows = (
-        corpus.orderBy(id_col)
-        .limit(train_sample)
-        .select(F.col(vec_col).cast("array<double>"))
-        .collect()
+    centroids = ivf_train_centroids(
+        corpus, id_col, vec_col, num_lists, train_sample, sample_fraction
     )
-    centroids = _train_centroids_driver([r[0] for r in sample_rows], num_lists)
-    C = np.asarray(centroids, dtype=np.float64).T  # (dim, k)
+    C = np.asarray(centroids, dtype=np.float64)  # (k, dim)
 
     @F.pandas_udf("int")
     def assign_list(vs: pd.Series) -> pd.Series:
         V = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
-        return pd.Series(((V @ C).argmax(axis=1) + 1).astype("int32"))
+        return pd.Series((_seq_dots(V, C).argmax(axis=1) + 1).astype("int32"))
 
     @F.pandas_udf("array<int>")
     def probe_lists(vs: pd.Series) -> pd.Series:
         V = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
-        order = np.argsort(-(V @ C), axis=1)[:, :nprobe] + 1
+        # stable sort: equal dots keep ascending list order, matching the
+        # oracle's ORDER BY dp DESC, list_id ASC tie-break
+        order = np.argsort(-_seq_dots(V, C), axis=1, kind="stable")[:, :nprobe] + 1
         return pd.Series([row.astype("int32").tolist() for row in order])
 
     c = corpus.select(

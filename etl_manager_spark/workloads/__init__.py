@@ -20,21 +20,35 @@ from pyspark.sql import DataFrame, SparkSession
 
 @dataclass(frozen=True)
 class Workload:
-    """One catalog entry: a Spark query + optional DuckDB oracle SQL."""
+    """One catalog entry: a Spark query + optional DuckDB oracle SQL.
+
+    ``oracle_spec`` is either the SQL string itself or a zero-arg factory
+    producing it. Factories exist for oracles that embed data-derived
+    literals (e.g. the IVF centroids, trained from the oracle-scale
+    parquet) — building those at import time would add I/O to every
+    import, so they run on first ``.oracle`` access and memoize."""
 
     fn: Callable[[SparkSession, str], DataFrame]
-    oracle: Optional[str]  # None → non-SQL-expressible, rows-only check
+    # None → non-SQL-expressible, rows-only check
+    oracle_spec: Optional[str | Callable[[], str]]
     category: str
+
+    @property
+    def oracle(self) -> Optional[str]:
+        return self.oracle_spec() if callable(self.oracle_spec) else self.oracle_spec
 
 
 REGISTRY: dict[str, Workload] = {}
 
 
-def workload(name: str, oracle: Optional[str], category: str):
+def workload(name: str, oracle: Optional[str | Callable[[], str]], category: str):
     """Decorator registering a (spark, sf_dir) -> DataFrame query."""
 
     def deco(fn):
-        REGISTRY[name] = Workload(fn=fn, oracle=oracle, category=category)
+        import functools
+
+        spec = functools.lru_cache(maxsize=1)(oracle) if callable(oracle) else oracle
+        REGISTRY[name] = Workload(fn=fn, oracle_spec=spec, category=category)
         return fn
 
     return deco
@@ -75,9 +89,9 @@ _DRIVER_GREEN: dict[str, int] = _load_driver_green()
 
 def _priority(item: tuple[str, Workload]) -> tuple[int, int]:
     name, wl = item
-    if wl.oracle is not None and name not in _DRIVER_GREEN:
+    if wl.oracle_spec is not None and name not in _DRIVER_GREEN:
         return (0, 0)  # strongest new signal: full oracle check, no green row
-    if wl.oracle is None:
+    if wl.oracle_spec is None:
         return (1, 0)  # rows-only check
     return (2, _DRIVER_GREEN[name])  # verified: stalest round first
 

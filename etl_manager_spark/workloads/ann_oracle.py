@@ -1,0 +1,229 @@
+"""DuckDB oracle factories for the approximate-similarity queries.
+
+The three ANN workloads (hyperplane-LSH top-k, IVF-Flat top-k, LSH
+near-dup pairs) are approximate *by design* but fully *deterministic by
+construction*: the hyperplanes are md5-derived (no RNG state), the IVF
+centroids come from a deterministic hash-threshold sample + fixed-iteration
+spherical k-means, and every float decision on the Spark side uses
+sequential-across-dims accumulation — bitwise-identical to DuckDB's
+``LIST_DOT_PRODUCT``. That makes the whole pipeline SQL-expressible:
+
+- plane/centroid vectors are embedded as ``%.17e`` double literals
+  (exact round-trip — 17 significant digits uniquely identify a float64);
+- bucket assignment, list assignment, probe ranking, candidate
+  generation, exact rescoring, top-k ranking, and the
+  recall-vs-bruteforce ratio are all recomputed independently in SQL.
+
+The IVF factory re-trains the centroids from the oracle-scale parquet
+(``SPARK_GRAFT_ORACLE_SF_DIR``, default the driver's sf0.01) with the
+same shared trainer the Spark path uses, so the literals it embeds are
+bit-for-bit the closure constants the Spark plan carries at that scale.
+Factories are memoized by the registry (see ``workloads.Workload``).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from etl_manager_spark.operators.similarity import (
+    _hyperplane,
+    _sorted_sample_centroids,
+)
+
+DIM = 64
+NUM_PLANES = 3
+NUM_TABLES = 16
+SEED_BASE = 7
+K = 5
+N_QUERIES = 5
+IVF_LISTS = 8
+IVF_NPROBE = 3
+IVF_TRAIN_SAMPLE = 1024
+NEARDUP_THRESHOLD = "0.4"
+SAMPLE_HEX = "80000000"  # 50% md5 hash-threshold recall sample
+
+
+def _lit(vals) -> str:
+    """Exact-round-trip DOUBLE[] literal (scientific notation parses as
+    DOUBLE directly, never through DECIMAL)."""
+    return "[" + ",".join("%.17e" % float(x) for x in vals) + "]"
+
+
+def _cos(a: str, b: str) -> str:
+    """The exact cosine expression both engines share bitwise."""
+    return (
+        f"LIST_DOT_PRODUCT({a}, {b}) / "
+        f"(SQRT(LIST_DOT_PRODUCT({a}, {a})) * SQRT(LIST_DOT_PRODUCT({b}, {b})))"
+    )
+
+
+def _bucket_columns() -> str:
+    """Per-table LSH bucket expressions b0..b{T-1}, same planes and bit
+    weights as ``operators.similarity.lsh_table_keys``."""
+    cols = []
+    for t in range(NUM_TABLES):
+        parts = []
+        for p in range(NUM_PLANES):
+            plane = _lit(_hyperplane(DIM, (SEED_BASE + t) * 1000 + p))
+            parts.append(
+                f"(CASE WHEN LIST_DOT_PRODUCT(v, {plane}) > 0"
+                f" THEN {1 << p} ELSE 0 END)"
+            )
+        cols.append("(" + " + ".join(parts) + f") AS b{t}")
+    return ", ".join(cols)
+
+
+def _collide() -> str:
+    return " OR ".join(f"a.b{t} = c.b{t}" for t in range(NUM_TABLES))
+
+
+_EXACT_TOPK = f"""
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_cos('q.v', 'c.v')} DESC, c.vec_id ASC) AS rnk
+        FROM e q JOIN e c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+      ) WHERE rnk <= {K}
+    )"""
+
+_RECALL_TAIL = """
+    overlap AS (
+      SELECT COUNT(*) AS n
+      FROM approx a JOIN exact x
+        ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+    ),
+    rec AS (
+      SELECT CAST(o.n AS DOUBLE) / t.n AS recall_vs_bruteforce
+      FROM overlap o, (SELECT COUNT(*) AS n FROM exact) t
+    )
+    SELECT a.query_id, a.rank, a.neighbor_id, a.cosine_sim,
+           r.recall_vs_bruteforce
+    FROM approx a CROSS JOIN rec r"""
+
+
+def lsh_topk_oracle() -> str:
+    """similarity_topk_lsh: bucket in SQL from the same plane literals,
+    candidate = collision in ANY table, exact rescoring, top-k, recall."""
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    b AS (SELECT vec_id, v, {_bucket_columns()} FROM e),
+    cand AS (
+      SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_cos('a.v', 'c.v')} AS cosine_sim
+      FROM b a JOIN b c ON a.vec_id <> c.vec_id AND ({_collide()})
+      WHERE a.vec_id < {N_QUERIES}
+    ),
+    approx AS (
+      SELECT query_id, neighbor_id, cosine_sim,
+             CAST("rank" AS INTEGER) AS rank
+      FROM (SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY cosine_sim DESC, neighbor_id ASC) AS "rank"
+            FROM cand)
+      WHERE "rank" <= {K}
+    ),{_EXACT_TOPK},{_RECALL_TAIL}"""
+
+
+def _ivf_centroids() -> list[list[float]]:
+    """Re-train the IVF centroids from the oracle-scale parquet with the
+    shared deterministic trainer — identical float64 inputs (float32
+    parquet widened exactly) and identical code path to the Spark query's
+    driver-side training, so the centroid literals match bit-for-bit."""
+    import duckdb
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT vec_id, CAST(embedding AS DOUBLE[]) FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    ).fetchall()
+    con.close()
+    return _sorted_sample_centroids(rows, IVF_LISTS, IVF_TRAIN_SAMPLE)
+
+
+def ivf_topk_oracle() -> str:
+    """similarity_topk_ivf: embed the (re-trained) centroid literals,
+    assign every corpus vector to its argmax list, probe the nprobe
+    nearest lists per query, exact rescoring, top-k, recall."""
+    cent_rows = ", ".join(
+        f"({j + 1}, {_lit(c)})" for j, c in enumerate(_ivf_centroids())
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent(list_id, c) AS (SELECT * FROM (VALUES {cent_rows}) t(list_id, c)),
+    assign AS (
+      SELECT vec_id, v, list_id FROM (
+        SELECT e.vec_id, e.v, cent.list_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY LIST_DOT_PRODUCT(e.v, cent.c) DESC, cent.list_id ASC
+               ) AS rn
+        FROM e CROSS JOIN cent
+      ) WHERE rn = 1
+    ),
+    probe AS (
+      SELECT vec_id, list_id FROM (
+        SELECT e.vec_id, cent.list_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY LIST_DOT_PRODUCT(e.v, cent.c) DESC, cent.list_id ASC
+               ) AS rn
+        FROM e CROSS JOIN cent WHERE e.vec_id < {N_QUERIES}
+      ) WHERE rn <= {IVF_NPROBE}
+    ),
+    cand AS (
+      SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+             {_cos('q.v', 'a.v')} AS cosine_sim
+      FROM e q
+      JOIN probe p ON q.vec_id = p.vec_id
+      JOIN assign a ON a.list_id = p.list_id AND a.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    ),
+    approx AS (
+      SELECT query_id, neighbor_id, cosine_sim,
+             CAST("rank" AS INTEGER) AS rank
+      FROM (SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY cosine_sim DESC, neighbor_id ASC) AS "rank"
+            FROM cand)
+      WHERE "rank" <= {K}
+    ),{_EXACT_TOPK},{_RECALL_TAIL}"""
+
+
+def lsh_neardup_oracle() -> str:
+    """dedup_embedding_cosine_lsh: bucket-join candidate pairs (id_a <
+    id_b, collision in ANY table), exact cosine gate, recall vs the exact
+    pair set over the 50% md5 hash-threshold subsample."""
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    b AS (SELECT vec_id, v, {_bucket_columns()} FROM e),
+    approx AS (
+      SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+             {_cos('a.v', 'c.v')} AS cosine_sim
+      FROM b a JOIN b c ON a.vec_id < c.vec_id AND ({_collide()})
+      WHERE {_cos('a.v', 'c.v')} >= {NEARDUP_THRESHOLD}
+    ),
+    sample AS (
+      SELECT vec_id, v FROM e
+      WHERE SUBSTRING(MD5(CAST(vec_id AS VARCHAR)), 1, 8) < '{SAMPLE_HEX}'
+    ),
+    exact AS (
+      SELECT a.vec_id AS id_a, c.vec_id AS id_b
+      FROM sample a JOIN sample c ON a.vec_id < c.vec_id
+      WHERE {_cos('a.v', 'c.v')} >= {NEARDUP_THRESHOLD}
+    ),
+    overlap AS (
+      SELECT COUNT(*) AS n
+      FROM approx a JOIN exact x ON a.id_a = x.id_a AND a.id_b = x.id_b
+    ),
+    rec AS (
+      SELECT CAST(o.n AS DOUBLE) / t.n AS recall_vs_bruteforce
+      FROM overlap o, (SELECT COUNT(*) AS n FROM exact) t
+    )
+    SELECT a.id_a, a.id_b, a.cosine_sim, r.recall_vs_bruteforce
+    FROM approx a CROSS JOIN rec r"""

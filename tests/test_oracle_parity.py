@@ -16,8 +16,8 @@ from etl_manager_spark.workloads import load_registry
 from etl_manager_spark.workloads.tables import TABLE_NAMES
 
 REGISTRY = load_registry()
-ORACLE_NAMES = sorted(n for n, wl in REGISTRY.items() if wl.oracle is not None)
-ROWS_ONLY_NAMES = sorted(n for n, wl in REGISTRY.items() if wl.oracle is None)
+ORACLE_NAMES = sorted(n for n, wl in REGISTRY.items() if wl.oracle_spec is not None)
+ROWS_ONLY_NAMES = sorted(n for n, wl in REGISTRY.items() if wl.oracle_spec is None)
 
 
 @pytest.fixture(scope="module")
