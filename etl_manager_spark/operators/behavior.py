@@ -31,46 +31,53 @@ def funnel(
     Per step: one filtered aggregation min(ts) per user + one join back
     to the previous step's arrivals — k steps → k same-key shuffles on
     ``user_id``, each input smaller than the last (funnels only narrow).
-    Each step's arrival table is persisted: it is consumed twice (as the
-    next step's join input and by its own count), and without the pin
-    every downstream branch would replay the whole upstream chain —
-    O(k²) scans of the events table instead of k. Arrival tables are
-    per-user rows (bounded by distinct users, spill-to-disk storage
-    level), far below event volume.
+    Each step's arrival table is persisted while the funnel is computed:
+    it is consumed twice (as the next step's join input and by its own
+    count), and without the pin every downstream branch would replay the
+    whole upstream chain — O(k²) scans of the events table instead of k.
+    Arrival tables are per-user rows (bounded by distinct users,
+    spill-to-disk storage level), far below event volume.
+
+    The per-step counts are materialized EAGERLY (each is a one-row
+    aggregate) and every arrival table is unpersisted before returning, so
+    a long-lived session running many funnels never accumulates cached
+    blocks. The k-row result comes back as a local relation — at any data
+    scale the driver traffic is k longs.
 
     Returns one row per step: (step, step_name, n_users), where n_users
     counts users whose funnel reached at least that step."""
     assert steps, "funnel needs at least one step"
     arrivals: list[DataFrame] = []
     prev: DataFrame | None = None
-    for s in steps:
-        matching = events.filter(F.col(type_col) == s).select(
-            F.col(id_col).alias("id"), F.col(ts_col).alias("_ts")
-        )
-        if prev is None:
-            cur = matching.groupBy("id").agg(F.min("_ts").alias("arrived"))
-        else:
-            cur = (
-                matching.join(prev.select("id", F.col("arrived").alias("_prev")), on="id")
-                .filter(F.col("_ts") > F.col("_prev"))
-                .groupBy("id")
-                .agg(F.min("_ts").alias("arrived"))
+    try:
+        for s in steps:
+            matching = events.filter(F.col(type_col) == s).select(
+                F.col(id_col).alias("id"), F.col(ts_col).alias("_ts")
             )
-        cur = cur.persist()
-        arrivals.append(cur)
-        prev = cur
-    counts = [
-        cur.agg(F.count(F.lit(1)).alias("n_users")).select(
-            F.lit(i + 1).alias("step"),
-            F.lit(s).alias("step_name"),
-            "n_users",
-        )
-        for i, (s, cur) in enumerate(zip(steps, arrivals))
-    ]
-    out = counts[0]
-    for c in counts[1:]:
-        out = out.unionByName(c)
-    return out
+            if prev is None:
+                cur = matching.groupBy("id").agg(F.min("_ts").alias("arrived"))
+            else:
+                cur = (
+                    matching.join(
+                        prev.select("id", F.col("arrived").alias("_prev")), on="id"
+                    )
+                    .filter(F.col("_ts") > F.col("_prev"))
+                    .groupBy("id")
+                    .agg(F.min("_ts").alias("arrived"))
+                )
+            cur = cur.persist()
+            arrivals.append(cur)
+            prev = cur
+        rows = [
+            (i + 1, s, cur.agg(F.count(F.lit(1))).collect()[0][0])
+            for i, (s, cur) in enumerate(zip(steps, arrivals))
+        ]
+    finally:
+        for cur in arrivals:
+            cur.unpersist()
+    return events.sparkSession.createDataFrame(
+        rows, "step int, step_name string, n_users long"
+    )
 
 
 def cohort_retention(

@@ -145,11 +145,101 @@ def minhash_near_duplicates(
     return jac.filter(F.col("jaccard") >= jaccard_threshold)
 
 
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    contraction — the O(log² n)-round algorithm of Kiveris et al.,
+    "Connected Components in MapReduce and Beyond" (SoCC 2014; public).
+
+    Unlike min-label propagation (rounds = component diameter), star
+    contraction halves long chains every other round, so one giant
+    boilerplate component — even a pathological chain — converges in
+    logarithmic rounds. Per round: two groupBy-min aggregations and two
+    joins, all keyed on node id (ordinary hash shuffles; no broadcast, no
+    driver state), which is the 100 TB-safe shape.
+
+    * large-star: every node links its LARGER neighbors to the minimum of
+      its neighborhood (incl. itself).
+    * small-star: every node links its smaller-or-equal neighbors and
+      itself to the minimum among them.
+
+    At the fixpoint the edge set is a union of stars centered at each
+    component's minimum id; labels read directly off the edges. Returns
+    (id, cluster_id) for every node appearing in ``pairs``."""
+    nodes = (
+        pairs.select(F.col(id_a).alias("id"))
+        .union(pairs.select(F.col(id_b).alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # canonical orientation u > v, self-loops dropped
+    edges = (
+        pairs.select(
+            F.greatest(F.col(id_a), F.col(id_b)).alias("u"),
+            F.least(F.col(id_a), F.col(id_b)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        m = mins.select("u", F.least("u", "mn").alias("m"))
+        return (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # input oriented u > v; per u: link {v-neighbors} ∪ {u} to their min
+        mins = e.groupBy("u").agg(F.min("v").alias("m"))
+        from_u = mins.select(F.col("u"), F.col("m").alias("v"))
+        from_v = (
+            e.join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+        )
+        return from_u.union(from_v).distinct()
+
+    converged = False
+    for _ in range(max_iterations):
+        new_edges = small_star(large_star(edges)).localCheckpoint(eager=True)
+        changed = (
+            new_edges.exceptAll(edges).limit(1).count()
+            or edges.exceptAll(new_edges).limit(1).count()
+        )
+        edges = new_edges
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iterations} "
+            "rounds — this exceeds the O(log² n) bound and indicates a bug "
+            "or an astronomically large component; raise max_iterations"
+        )
+    # stars: every non-center node points at its component min exactly once
+    return (
+        nodes.join(edges, nodes["id"] == edges["u"], "left")
+        .select("id", F.coalesce("v", "id").alias("cluster_id"))
+    )
+
+
 def near_dup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 25,
+    algorithm: str = "auto",
 ) -> DataFrame:
     """Connected components over a near-duplicate pair list: every node in
     a component gets the component's minimum id as ``cluster_id`` — the
@@ -163,19 +253,27 @@ def near_dup_clusters(
     near-dup graphs are clique-like (duplicates of one source all pair
     with each other), so 2-3 rounds is typical. Each round is one join +
     one aggregate (shuffles on node id); ``localCheckpoint`` truncates
-    the per-round lineage so plans don't nest. At extreme diameters
-    (chain-shaped graphs) switch to large-star/small-star contraction;
-    for dedup workloads min-propagation is the simpler, faster shape.
+    the per-round lineage so plans don't nest.
+
+    ``algorithm``:
+
+    * ``"auto"`` (default) — propagation; if ``max_iterations`` rounds
+      don't reach the fixpoint (a giant chain-shaped component, e.g. a
+      boilerplate-heavy corpus where overlapping templates daisy-chain),
+      fall back to :func:`connected_components_star`, whose round count is
+      O(log² n) regardless of diameter. The operator is total: it never
+      fails on deep graphs, it just switches to the scale algorithm.
+    * ``"propagation"`` — raise ``RuntimeError`` on cap exhaustion
+      (returning partial labels would silently mis-cluster).
+    * ``"star"`` — go straight to large-star/small-star contraction.
 
     Returns (id, cluster_id) for every node that appears in ``pairs``
     (singletons never enter the pair list — they are their own cluster
-    implicitly).
-
-    Raises ``RuntimeError`` if ``max_iterations`` is exhausted before the
-    fixpoint — returning partial labels would silently mis-cluster. A graph
-    that deep (diameter > max_iterations) is chain-shaped, not dedup-shaped;
-    raise ``max_iterations`` or switch to large-star/small-star contraction
-    (O(log n) rounds) if that ever happens in practice."""
+    implicitly)."""
+    if algorithm == "star":
+        return connected_components_star(pairs, id_a, id_b, max_iterations)
+    if algorithm not in ("auto", "propagation"):
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     # Materialize the edge list once: ``pairs`` is typically the tail of an
     # expensive pipeline (MinHash signatures -> LSH band join -> verify), and
     # the loop below re-reads edges every round — without this checkpoint each
@@ -224,10 +322,17 @@ def near_dup_clusters(
             converged = True
             break
     if not converged:
+        if algorithm == "auto":
+            # diameter > max_iterations: switch to the O(log² n) algorithm.
+            # Star gets its own default budget — the caller's cap bounded
+            # diameter-proportional rounds, not logarithmic ones (25 star
+            # rounds cover any component a real cluster could hold).
+            return connected_components_star(pairs, id_a, id_b)
         raise RuntimeError(
             f"near_dup_clusters did not converge in {max_iterations} rounds; "
             "graph diameter exceeds max_iterations — raise it, or use "
-            "large-star/small-star contraction for chain-shaped graphs"
+            "algorithm='star' (large-star/small-star contraction) for "
+            "chain-shaped graphs"
         )
     return labels
 

@@ -115,9 +115,17 @@ def bm25_scores(
     )
     avgdl = lens.agg(F.avg("dl")).first()[0]
     if avgdl is None:
-        # empty corpus → empty result with the declared schema, not a
-        # driver-side TypeError on float(None)
-        return df.sparkSession.createDataFrame([], "id long, score_q long")
+        # empty corpus → empty result matching the non-empty path's schema
+        # (id keeps the caller's id dtype — it may be a string key)
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        schema = StructType(
+            [
+                StructField("id", df.schema[id_col].dataType),
+                StructField("score_q", LongType()),
+            ]
+        )
+        return df.sparkSession.createDataFrame([], schema)
     tf = term_frequencies(df, id_col, text_col).filter(F.col("term").isin(qterms))
     # df over the full corpus for these terms == df over the filtered tf
     # (tf already has exactly one row per (doc, term) pair), so the corpus

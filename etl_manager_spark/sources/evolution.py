@@ -85,7 +85,28 @@ def merge_schemas(schemas: list[StructType]) -> StructType:
 def conform_to_schema(df: DataFrame, target: StructType) -> DataFrame:
     """Project ``df`` onto ``target``: cast present columns (widening
     only — the merge already guaranteed compatibility), fill missing
-    with typed NULLs. Pure projection, no shuffle."""
+    with typed NULLs. Pure projection, no shuffle.
+
+    A Date/TIMESTAMP_NTZ → TIMESTAMP (tz-aware) cast is only a pure
+    widening when the session timezone is UTC — otherwise Spark
+    reinterprets the wall clock through the session zone and silently
+    shifts every value. ``read_parquet_evolved`` pins UTC before calling
+    here; direct callers get an explicit error instead of shifted data."""
+    src_types = {f.name: f.dataType for f in df.schema.fields}
+    needs_utc = any(
+        isinstance(f.dataType, TimestampType)
+        and isinstance(src_types.get(f.name), (DateType, TimestampNTZType))
+        for f in target.fields
+    )
+    if needs_utc:
+        tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
+            raise TypeError(
+                "conform_to_schema: casting DATE/TIMESTAMP_NTZ to tz-aware "
+                f"TIMESTAMP under session timezone {tz!r} would shift wall "
+                "clocks; set spark.sql.session.timeZone=UTC first (or keep "
+                "the target column TIMESTAMP_NTZ)"
+            )
     cols = []
     for f in target.fields:
         if f.name in df.columns:

@@ -547,7 +547,8 @@ def scalar_null_semantics(spark, sf_dir):
     m AS (
       SELECT event_type, n,
              s / n AS mean,
-             SQRT((ss - s * s / n) / (n - 1)) AS std
+             CASE WHEN n > 1
+                  THEN SQRT((ss - s * s / n) / (n - 1)) END AS std
       FROM stats
     )
     SELECT m.event_type, m.n,
@@ -584,9 +585,15 @@ def events_value_outliers(spark, sf_dir):
         "event_type",
         "n",
         (F.col("s") / F.col("n")).alias("mean"),
-        F.sqrt(
-            (F.col("ss") - F.col("s") * F.col("s") / F.col("n"))
-            / (F.col("n") - F.lit(1))
+        # n == 1 → NULL std on BOTH sides: Spark's 0/0 would give NULL but
+        # DuckDB's IEEE division gives NaN/inf — the explicit guard keeps
+        # the engines (and the 3σ gate, which drops NULL-std groups) aligned
+        F.when(
+            F.col("n") > 1,
+            F.sqrt(
+                (F.col("ss") - F.col("s") * F.col("s") / F.col("n"))
+                / (F.col("n") - F.lit(1))
+            ),
         ).alias("std"),
     )
     outliers = (

@@ -1690,13 +1690,17 @@ def incremental_minhash_dedup_documents(spark, sf_dir):
     # across testdata regenerations or signature-code changes. Stale
     # stores with other tags are swept (same policy as _layout_scratch).
     src = os.path.join(sf_dir, "documents.parquet")
-    tag = (
-        f"{os.path.basename(sf_dir.rstrip('/'))}_{int(os.path.getmtime(src))}"
-        f"_h8_v{D.SIGNATURE_ALGO_VERSION}"
-    )
+    base = os.path.basename(sf_dir.rstrip("/"))
+    tag = f"{base}_{int(os.path.getmtime(src))}_h8_v{D.SIGNATURE_ALGO_VERSION}"
     store = os.path.join(tempfile.gettempdir(), f"minhash_sig_store_{tag}")
+    # Sweep only SUPERSEDED stores of this same fixture (same sf-dir
+    # basename, older mtime/version tag): stores for other scale factors
+    # must survive — tests at sf0.001 and bench at sf0.1 alternate within
+    # one host, and a cross-fixture sweep would evict each other's cache
+    # every run (and could delete a store another live session is lazily
+    # reading mid-query).
     for stale in glob.glob(
-        os.path.join(tempfile.gettempdir(), "minhash_sig_store_*")
+        os.path.join(tempfile.gettempdir(), f"minhash_sig_store_{base}_*")
     ):
         if stale != store:
             shutil.rmtree(stale, ignore_errors=True)

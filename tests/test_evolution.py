@@ -83,3 +83,27 @@ def test_read_evolved_reunifies_drifted_batches(spark, tmp_path):
 def test_read_evolved_rejects_empty_path_list(spark):
     with pytest.raises(ValueError, match="no batch paths"):
         read_parquet_evolved(spark, [])
+
+
+def test_conform_ntz_to_tz_requires_utc_session(spark):
+    """NTZ→tz-aware TIMESTAMP is only a widening under UTC; any other
+    session zone must raise instead of silently shifting wall clocks."""
+    from pyspark.sql.types import StructField, StructType, TimestampType
+
+    df = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1, 12, 0, 0))],
+        "id long, ts timestamp_ntz",
+    )
+    target = StructType(
+        [df.schema["id"], StructField("ts", TimestampType(), True)]
+    )
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        with pytest.raises(TypeError, match="session timezone"):
+            conform_to_schema(df, target)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+    # under UTC the cast is a pure widening and proceeds
+    row = conform_to_schema(df, target).collect()[0]
+    assert row.id == 1

@@ -359,13 +359,108 @@ def test_near_dup_clusters_property_vs_union_find(spark):
     check()
 
 
-def test_near_dup_clusters_raises_when_iterations_exhausted(spark):
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_connected_components_star_property_vs_union_find(spark):
+    """Same union-find property as propagation, for the star contraction."""
+    from hypothesis import given, settings, strategies as st
+
+    from etl_manager_spark.operators.dedup import connected_components_star
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        edges=st.lists(
+            st.tuples(st.integers(0, 15), st.integers(0, 15)),
+            min_size=1,
+            max_size=25,
+        )
+    )
+    def check(edges):
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {
+            r.id: r.cluster_id
+            for r in connected_components_star(pairs).collect()
+        }
+        assert got == _union_find(edges)
+
+    check()
+
+
+def test_connected_components_star_giant_component_log_rounds(spark):
+    """The giant-component guard: a dense seeded random graph fused with a
+    64-node chain (diameter 63 — min-propagation would need 63 rounds)
+    must converge within the O(log² n) bound and match union-find."""
+    import random
+
+    from etl_manager_spark.operators.dedup import connected_components_star
+
+    rng = random.Random(42)
+    n = 120
+    edges = [(i, i + 1) for i in range(63)]  # chain: worst case diameter
+    edges += [
+        (rng.randrange(60, n), rng.randrange(60, n)) for _ in range(150)
+    ]  # dense blob overlapping the chain's tail
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    # ceil(log2(120))^2 would be 49; star needs far fewer — 12 is the
+    # practical log² budget and far below the 63 propagation would need
+    got = {
+        r.id: r.cluster_id
+        for r in connected_components_star(pairs, max_iterations=12).collect()
+    }
+    assert got == _union_find(edges)
+
+
+def test_near_dup_clusters_auto_falls_back_to_star(spark):
+    """algorithm='auto' with a cap far below the diameter must not raise:
+    it switches to star contraction and still labels correctly."""
+    from etl_manager_spark.operators.dedup import near_dup_clusters
+
+    chain = [(i, i + 1) for i in range(40)]  # diameter 40 >> cap 3
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    got = {
+        r.id: r.cluster_id
+        for r in near_dup_clusters(pairs, max_iterations=3).collect()
+    }
+    assert got == {i: 0 for i in range(41)}
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        near_dup_clusters(
+            pairs, max_iterations=3, algorithm="propagation"
+        ).collect()
+
+
+def test_near_dup_clusters_exhaustion_contract(spark):
+    """Cap exhaustion: algorithm='propagation' raises (partial labels
+    would silently mis-cluster); the default 'auto' falls back to star
+    contraction and succeeds instead."""
     from etl_manager_spark.operators.dedup import near_dup_clusters
 
     chain = [(i, i + 1) for i in range(6)]
     pairs = spark.createDataFrame(chain, "id_a long, id_b long")
     with pytest.raises(RuntimeError, match="did not converge"):
-        near_dup_clusters(pairs, max_iterations=1)
+        near_dup_clusters(pairs, max_iterations=1, algorithm="propagation").collect()
+    out = {
+        r.id: r.cluster_id
+        for r in near_dup_clusters(pairs, max_iterations=1).collect()
+    }
+    assert out == {i: 0 for i in range(7)}
 
 
 def test_multimodal_feature_extraction_shape(spark):

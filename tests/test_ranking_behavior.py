@@ -237,3 +237,17 @@ def test_bm25_empty_corpus_returns_empty_not_crash(spark):
     out = R.bm25_scores(df, ["anything"])
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["id", "score_q"]
+
+
+def test_bm25_empty_corpus_keeps_string_id_dtype(spark):
+    """The empty path must mirror the non-empty path's id dtype — the API
+    accepts any id_col type."""
+    df = spark.createDataFrame([], "doc_id string, text string")
+    empty = R.bm25_scores(df, ["anything"], id_col="doc_id")
+    nonempty = R.bm25_scores(
+        spark.createDataFrame([("a", "anything else")], "doc_id string, text string"),
+        ["anything"],
+        id_col="doc_id",
+    )
+    assert empty.schema == nonempty.schema
+    assert empty.count() == 0
