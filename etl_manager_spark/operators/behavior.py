@@ -47,27 +47,13 @@ def funnel(
     Returns one row per step: (step, step_name, n_users), where n_users
     counts users whose funnel reached at least that step."""
     assert steps, "funnel needs at least one step"
-    arrivals: list[DataFrame] = []
-    prev: DataFrame | None = None
+    arrivals = funnel_step_arrivals(events, steps, id_col, ts_col, type_col)
     try:
-        for s in steps:
-            matching = events.filter(F.col(type_col) == s).select(
-                F.col(id_col).alias("id"), F.col(ts_col).alias("_ts")
-            )
-            if prev is None:
-                cur = matching.groupBy("id").agg(F.min("_ts").alias("arrived"))
-            else:
-                cur = (
-                    matching.join(
-                        prev.select("id", F.col("arrived").alias("_prev")), on="id"
-                    )
-                    .filter(F.col("_ts") > F.col("_prev"))
-                    .groupBy("id")
-                    .agg(F.min("_ts").alias("arrived"))
-                )
-            cur = cur.persist()
-            arrivals.append(cur)
-            prev = cur
+        # persist BEFORE any action: later steps reference the same
+        # analyzed plans, so the cache manager serves them the pinned
+        # arrival tables during the counts below
+        for cur in arrivals:
+            cur.persist()
         rows = [
             (i + 1, s, cur.agg(F.count(F.lit(1))).collect()[0][0])
             for i, (s, cur) in enumerate(zip(steps, arrivals))
@@ -78,6 +64,40 @@ def funnel(
     return events.sparkSession.createDataFrame(
         rows, "step int, step_name string, n_users long"
     )
+
+
+def funnel_step_arrivals(
+    events: DataFrame,
+    steps: list[str],
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> list[DataFrame]:
+    """The lazy per-step arrival plans behind :func:`funnel` — step i's
+    frame is one row per user who reached step i, with their arrival time.
+    Exposed separately so plan-quality tests (and callers wanting the
+    per-user detail rather than the counts) can inspect/reuse the plans;
+    ``funnel`` persists each while counting, then unpersists."""
+    arrivals: list[DataFrame] = []
+    prev: DataFrame | None = None
+    for s in steps:
+        matching = events.filter(F.col(type_col) == s).select(
+            F.col(id_col).alias("id"), F.col(ts_col).alias("_ts")
+        )
+        if prev is None:
+            cur = matching.groupBy("id").agg(F.min("_ts").alias("arrived"))
+        else:
+            cur = (
+                matching.join(
+                    prev.select("id", F.col("arrived").alias("_prev")), on="id"
+                )
+                .filter(F.col("_ts") > F.col("_prev"))
+                .groupBy("id")
+                .agg(F.min("_ts").alias("arrived"))
+            )
+        arrivals.append(cur)
+        prev = cur
+    return arrivals
 
 
 def cohort_retention(

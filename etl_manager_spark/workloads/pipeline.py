@@ -1087,6 +1087,58 @@ def skew_two_phase_agg_events(spark, sf_dir):
     )
 
 
+@workload(
+    "skew_hotkey_stress_events",
+    """
+    WITH hot AS (
+      SELECT CASE WHEN event_id % 10 = 0 THEN CAST(1 AS BIGINT)
+                  ELSE user_id END AS user_id,
+             CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS value_micros
+      FROM events
+    )
+    SELECT h.user_id, c.c_nationkey,
+           COUNT(*) AS n_events,
+           CAST(SUM(h.value_micros) AS BIGINT) AS total_micros
+    FROM hot h JOIN customer c ON h.user_id = c.c_custkey
+    GROUP BY h.user_id, c.c_nationkey
+    """,
+    category="join",
+)
+def skew_hotkey_stress_events(spark, sf_dir):
+    """Deliberate hot-key stress (VERDICT r4 ask #6): every 10th event is
+    remapped to user 1, so ONE key owns ~10% of the fact table — the
+    Zipfian worst case where an unsalted shuffle gives a single reducer a
+    tenth of the data. Both mitigation helpers run back to back: the
+    salted fact⋈dim join (operators/skew.py:20) spreads user 1 over 16
+    (key, salt) buckets, then the two-phase aggregation (skew.py:58)
+    merges partials so the hot reduce key never lands on one task either.
+    Oracle: the plain join+GROUP BY — mitigation must be answer-invariant.
+    All values are exact longs (micro-units), so partial-sum order cannot
+    perturb the hash. tests/test_plan_quality.py asserts the salt actually
+    appears in the shuffle keys; tests/test_skew_and_stateful.py asserts
+    the hot key is really ~10% and that salting levels the bucket sizes.
+    """
+    from etl_manager_spark.operators.skew import salted_join, two_phase_agg
+
+    t = load_tables(spark, sf_dir)
+    hot = t["events"].select(
+        F.when(F.col("event_id") % 10 == 0, F.lit(1).cast("long"))
+        .otherwise(F.col("user_id"))
+        .alias("user_id"),
+        F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("value_micros"),
+    )
+    dim = t["customer"].select(F.col("c_custkey").alias("user_id"), "c_nationkey")
+    joined = salted_join(hot, dim, on="user_id", salt_factor=16)
+    return two_phase_agg(
+        joined,
+        group_cols=["user_id", "c_nationkey"],
+        agg_exprs={"n_events": "count(*)", "total_micros": "sum(value_micros)"},
+        salt_factor=16,
+    )
+
+
 # --------------------------------------------------------------------- #
 # Training-data preparation: stratified sampling, context-window chunking
 

@@ -40,6 +40,26 @@ def test_round_trip(fmt, spark, tmp_path):
     ]
 
 
+def test_par_alias_round_trip(spark, tmp_path):
+    """The reference's type grammar lists ``par`` as a parquet alias
+    (reference specs/table_schema.json:113): a `par`-declared table must
+    write real parquet files and read back identically."""
+    t = TableMeta(name="t", location="t", data_format="par", columns=BASE_COLUMNS)
+    assert t.data_format == "parquet"  # normalized at construction
+    df = spark.createDataFrame(ROWS)
+    path = tmp_path / "par"
+    t.write(df, str(path), mode="overwrite")
+    assert any(f.endswith(".parquet") for f in os.listdir(path)), (
+        "par alias must produce parquet data files"
+    )
+    back = t.read(spark, str(path))
+    assert back.schema == t.data_schema
+    assert sorted((r.id, r.name, r.score) for r in back.collect()) == [
+        (1, "ann", 1.5),
+        (2, "bob", 2.25),
+    ]
+
+
 def test_csv_quoted_all_string_then_cast(spark, tmp_path):
     # OpenCSVSerDe parity: quoted fields with embedded delimiters
     path = tmp_path / "quoted"

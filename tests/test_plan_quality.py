@@ -176,11 +176,18 @@ def test_tfidf_broadcasts_vocabulary(plans):
     assert r.cartesian_products == 0
 
 
-def test_funnel_shuffles_only_on_user_id(plans):
-    r = plans("funnel_view_click_purchase")
+def test_funnel_shuffles_only_on_user_id(spark, sf_dir):
+    # funnel() itself returns a pre-materialized local relation (the
+    # counts are collected eagerly so arrival pins can be released), so
+    # the plan to audit is the lazy per-step arrival builder it runs on
+    from etl_manager_spark.operators.behavior import funnel_step_arrivals
+
+    events = load_tables(spark, sf_dir)["events"]
+    last = funnel_step_arrivals(events, ["view", "click", "purchase"])[-1]
+    r = plan_report(last)
     # every hash exchange must be on the user id — the funnel never
     # reshuffles on step/event_type/ts; event_type filters push to the
-    # scan (inside the persisted arrival tables' child plans)
+    # scan of each step's arrival table
     assert r.cartesian_products == 0
     assert r.has_pushed_filters
     assert any("event_type" in pf for pf in r.pushed_filters), r.pushed_filters
@@ -188,6 +195,33 @@ def test_funnel_shuffles_only_on_user_id(plans):
 
     for m in re.finditer(r"hashpartitioning\(([^,)]+)", r.text):
         assert m.group(1).startswith(("id", "user_id")), m.group(0)
+    # and the registry query's returned frame is a driver-local k-row
+    # relation: zero scans, zero exchanges at any data scale
+    rf = plan_report(REGISTRY["funnel_view_click_purchase"].fn(spark, sf_dir))
+    assert rf.shuffle_exchanges == 0
+    assert "Scan parquet" not in rf.text
+
+
+def test_skew_hotkey_salting_engages(plans):
+    """VERDICT r4 ask #6: the mitigation must actually be IN the plan —
+    a dim replicated per salt (Generate/explode) and shuffles keyed on
+    (user_id, _salt) before the final merge on user_id alone."""
+    r = plans("skew_hotkey_stress_events")
+    # dim side replicated per salt (a Generate/explode over the salt
+    # array; at test SF the replicated dim is then broadcast — the right
+    # call, and above the broadcast threshold the same plan shuffles on
+    # (user_id, _salt), never on the bare hot key)
+    assert "explode(" in r.text, "dim side not replicated per salt"
+    import re
+
+    keys = [
+        m.group(1)
+        for m in re.finditer(r"hashpartitioning\(([^)]*?)(?:,\s*\d+)?\)", r.text)
+    ]
+    salted = [k for k in keys if "_salt" in k]
+    merge_only = [k for k in keys if "user_id" in k and "_salt" not in k]
+    assert salted, f"no shuffle keyed on the salt: {keys}"
+    assert merge_only, f"no final merge shuffle on the bare key: {keys}"
 
 
 def test_schema_evolution_is_union_of_projections(plans):
