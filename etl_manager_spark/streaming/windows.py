@@ -142,8 +142,9 @@ def interval_join(
     right: "DataFrame",
     gap: str = "1 hour",
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> "DataFrame":
-    """Watermarked stream-stream inner join: each left event pairs with the
+    """Watermarked stream-stream join: each left event pairs with the
     right events of the same user inside ``[left.ts, left.ts + gap]`` —
     the click→conversion attribution shape.
 
@@ -151,7 +152,22 @@ def interval_join(
     distance, so Spark can expire join state: per-key buffers hold only
     rows inside watermark ± gap, keeping state size proportional to the
     time horizon instead of the stream length — the property that makes
-    stream-stream joins feasible at 100 TB/day."""
+    stream-stream joins feasible at 100 TB/day.
+
+    ``how="left_outer"`` additionally emits each unmatched click with
+    null purchase columns — but only once the global watermark (the MIN
+    across both inputs' max event time, truncated to milliseconds, minus
+    the delay) passes the end of its match window, i.e. when
+    ``click_ts + gap < watermark`` strictly: that is the state-eviction
+    point, the earliest moment "no purchase arrived" is final. Clicks
+    whose window the final watermark never clears stay in state and are
+    not emitted — late-data safety over completeness, the standard
+    streaming trade."""
+    if how not in ("inner", "left_outer", "leftouter", "left"):
+        raise ValueError(
+            f"interval_join supports inner/left_outer, got {how!r} — "
+            "right/full outer would need the mirrored state bound"
+        )
     c = left.withWatermark("ts", watermark).select(
         F.col("event_id").alias("click_id"),
         F.col("user_id"),
@@ -169,6 +185,7 @@ def interval_join(
                 f"user_id = p_user_id AND purchase_ts >= click_ts "
                 f"AND purchase_ts <= click_ts + INTERVAL {gap}"
             ),
+            "inner" if how == "inner" else "left_outer",
         )
         .select(
             "click_id",

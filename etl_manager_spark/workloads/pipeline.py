@@ -369,6 +369,45 @@ def dedup_cluster_assignment(spark, sf_dir):
     )
 
 
+@workload(
+    "dedup_cluster_assignment_star",
+    f"""
+    WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM dup_pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM dup_pairs
+    ),
+    reach(id, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id
+    )
+    SELECT id AS doc_id, MIN(label) AS cluster_id
+    FROM reach GROUP BY id
+    """,
+    category="dedup",
+)
+def dedup_cluster_assignment_star(spark, sf_dir):
+    """Same component assignment through the SCALE algorithm: large-star/
+    small-star contraction (operators/dedup.py: connected_components_star,
+    Kiveris et al. SoCC'14) instead of label propagation — round count
+    O(log² n) regardless of component diameter, so one giant chain-shaped
+    boilerplate component can't stall the job. Components are algorithm-
+    independent, so the oracle is the identical recursive-CTE
+    reachability + per-component min label."""
+    t = load_tables(spark, sf_dir)
+    pairs = D.minhash_near_duplicates(
+        t["documents"].filter(F.col("doc_id") < 200),
+        num_hashes=8,
+        bands=2,
+        jaccard_threshold=0.5,
+    )
+    return D.near_dup_clusters(pairs, algorithm="star").select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+
+
 # --------------------------------------------------------------------- #
 # Similarity search
 
@@ -1213,6 +1252,93 @@ def chunk_documents_ctx32(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     return chunk_documents(
         spread(t["documents"], spark), chunk_tokens=32, overlap_tokens=8
+    )
+
+
+@workload(
+    "pack_sequences_documents",
+    r"""
+    WITH RECURSIVE base AS (
+      SELECT doc_id,
+             CAST(strpos('0123456789abcdef',
+                         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+                  AS INTEGER) AS shard,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ),
+    numbered AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+      FROM base
+    ),
+    pack AS (
+      SELECT shard, rn, doc_id, n_tokens,
+             CAST(0 AS BIGINT) AS seq_id, n_tokens AS fill
+      FROM numbered WHERE rn = 1
+      UNION ALL
+      SELECT n.shard, n.rn, n.doc_id, n.n_tokens,
+             CASE WHEN p.fill + n.n_tokens <= 128
+                  THEN p.seq_id ELSE p.seq_id + 1 END,
+             CASE WHEN p.fill + n.n_tokens <= 128
+                  THEN p.fill + n.n_tokens ELSE n.n_tokens END
+      FROM numbered n JOIN pack p ON n.shard = p.shard AND n.rn = p.rn + 1
+    )
+    SELECT shard, doc_id, n_tokens, seq_id FROM pack
+    """,
+    category="pipeline",
+)
+def pack_sequences_documents(spark, sf_dir):
+    """Greedy sequence packing (operators/packing.py: pack_sequences):
+    documents fold in id order into 128-token training bins within 16
+    md5 shards. The oracle replays the identical fold as a DuckDB
+    recursive CTE stepping one document per shard per iteration — greedy
+    packing is a sequential recurrence, which is exactly why the Spark
+    side shards it (parallel across shards, sequential only within)."""
+    from etl_manager_spark.operators.packing import pack_sequences
+
+    t = load_tables(spark, sf_dir)
+    return pack_sequences(t["documents"], seq_tokens=128, n_shards=16)
+
+
+@workload(
+    "mixture_sample_token_budget",
+    r"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+               AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS pri
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(SUM(n_tokens) OVER (
+                    PARTITION BY source ORDER BY pri, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_tokens
+      FROM scored
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens FROM cum
+    WHERE cum_tokens <= CASE source WHEN 'src0' THEN 400
+                                    WHEN 'src1' THEN 400
+                                    WHEN 'src2' THEN 250
+                                    ELSE 150 END
+    """,
+    category="pipeline",
+)
+def mixture_sample_token_budget(spark, sf_dir):
+    """Domain-mixture sampling (operators/packing.py:
+    mixture_sample_by_token_budget): per-source token budgets realized by
+    keeping documents in md5-priority order while the running total stays
+    within budget. Selection is a pure function of row identity, so the
+    oracle recomputes the identical kept set with a plain window sum."""
+    from etl_manager_spark.operators.packing import mixture_sample_by_token_budget
+
+    t = load_tables(spark, sf_dir)
+    return mixture_sample_by_token_budget(
+        t["documents"],
+        budgets={"src0": 400, "src1": 400, "src2": 250},
+        default_budget=150,
     )
 
 

@@ -172,6 +172,56 @@ def streaming_interval_join_attribution(spark, sf_dir):
 
 
 @workload(
+    "streaming_leftouter_attribution",
+    """
+    WITH wm AS (
+      SELECT date_trunc('milliseconds', LEAST(
+               (SELECT MAX(ts) FROM events WHERE event_type = 'click'),
+               (SELECT MAX(ts) FROM events WHERE event_type = 'purchase')
+             )) - INTERVAL 1 HOUR AS w
+    )
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+           c.ts AS click_ts, p.ts AS purchase_ts
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    UNION ALL
+    SELECT c.event_id, NULL, c.user_id, c.ts, NULL
+    FROM events c
+    WHERE c.event_type = 'click'
+      AND NOT EXISTS (
+        SELECT 1 FROM events p
+        WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR)
+      AND c.ts + INTERVAL 1 HOUR < (SELECT w FROM wm)
+    """,
+    category="streaming",
+)
+def streaming_leftouter_attribution(spark, sf_dir):
+    """Stream-stream LEFT OUTER interval join: matched pairs plus one
+    null-extended row per click whose one-hour window closed with no
+    purchase. The outer rows surface exactly at state eviction, so the
+    oracle reproduces the watermark arithmetic: W = min over both inputs
+    of max event time, ms-truncated (Spark tracks watermarks in
+    milliseconds), minus the 1-hour delay; an unmatched click emits iff
+    ``click_ts + 1h < W`` strictly. Clicks whose window the final
+    watermark never clears are (correctly) withheld in both engines."""
+    from etl_manager_spark.streaming.windows import (
+        interval_join,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    clicks = read_events_stream(spark, sf_dir).filter("event_type = 'click'")
+    purchases = read_events_stream(spark, sf_dir).filter("event_type = 'purchase'")
+    stream = interval_join(clicks, purchases, how="left_outer")
+    return run_to_memory(
+        stream, spark, "stream_leftouter_join_result", output_mode="append"
+    )
+
+
+@workload(
     "streaming_static_enrichment",
     """
     SELECT c.c_nationkey AS nationkey,

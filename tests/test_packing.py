@@ -1,0 +1,103 @@
+"""Sequence packing + mixture sampling (operators/packing.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_manager_spark.operators.packing import (
+    mixture_sample_by_token_budget,
+    pack_sequences,
+)
+from etl_manager_spark.workloads.tables import load_table
+
+
+def _packed(spark, rows, seq_tokens, n_shards=1):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_sequences(df, seq_tokens=seq_tokens, n_shards=n_shards)
+    return {r.doc_id: (r.seq_id, r.n_tokens) for r in out.collect()}
+
+
+def test_pack_greedy_fold_single_shard(spark):
+    # tokens: 3, 3, 3 with budget 6 -> bins [d1 d2][d3]
+    got = _packed(
+        spark,
+        [(1, "a b c"), (2, "d e f"), (3, "g h i")],
+        seq_tokens=6,
+    )
+    assert got == {1: (0, 3), 2: (0, 3), 3: (1, 3)}
+
+
+def test_pack_oversized_doc_gets_own_bin(spark):
+    # 2, 5(oversized), 2 with budget 4: [d1][d2][d3]
+    got = _packed(
+        spark,
+        [(1, "a b"), (2, "c d e f g"), (3, "h i")],
+        seq_tokens=4,
+    )
+    assert got == {1: (0, 2), 2: (1, 5), 3: (2, 2)}
+
+
+def test_pack_bins_never_overflow_except_oversized(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    packed = pack_sequences(docs, seq_tokens=128, n_shards=16)
+    bins = (
+        packed.groupBy("shard", "seq_id")
+        .agg(F.sum("n_tokens").alias("total"), F.count(F.lit(1)).alias("n_docs"))
+        .collect()
+    )
+    for b in bins:
+        # a bin over budget can only be a single oversized document
+        assert b.total <= 128 or b.n_docs == 1, b
+
+
+def test_pack_deterministic_under_repartition(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    a = sorted(map(tuple, pack_sequences(docs, seq_tokens=128).collect()))
+    b = sorted(
+        map(tuple, pack_sequences(docs.repartition(13), seq_tokens=128).collect())
+    )
+    assert a == b
+
+
+def test_pack_rejects_bad_params(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="seq_tokens"):
+        pack_sequences(df, seq_tokens=0)
+    with pytest.raises(ValueError, match="n_shards"):
+        pack_sequences(df, n_shards=17)
+
+
+def test_mixture_budget_is_hard_cap(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = mixture_sample_by_token_budget(
+        docs, budgets={"src0": 400}, default_budget=150
+    )
+    per_source = {
+        r.source: r.total
+        for r in out.groupBy("source").agg(F.sum("n_tokens").alias("total")).collect()
+    }
+    for src, total in per_source.items():
+        assert total <= (400 if src == "src0" else 150), (src, total)
+
+
+def test_mixture_keeps_highest_priority_prefix(spark, sf_dir):
+    """The kept set must be a prefix of the md5-priority order — no doc
+    may be skipped while a lower-priority doc of the same source is kept."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = mixture_sample_by_token_budget(
+        docs, budgets={}, default_budget=300
+    ).select("doc_id", "source")
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        F.md5(F.col("doc_id").cast("string")).alias("pri"),
+    )
+    joined = ranked.join(kept.withColumn("kept", F.lit(1)), ["doc_id", "source"], "left")
+    rows = sorted(
+        joined.collect(), key=lambda r: (r.source, r.pri, r.doc_id)
+    )
+    seen_drop: set[str] = set()
+    for r in rows:
+        if r.kept is None:
+            seen_drop.add(r.source)
+        else:
+            assert r.source not in seen_drop, f"gap in priority prefix: {r}"

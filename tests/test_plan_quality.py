@@ -224,6 +224,29 @@ def test_skew_hotkey_salting_engages(plans):
     assert merge_only, f"no final merge shuffle on the bare key: {keys}"
 
 
+def test_pack_sequences_shuffles_only_on_shard_and_text_stays_jvm(plans):
+    r = plans("pack_sequences_documents")
+    import re
+
+    keys = [m.group(1) for m in re.finditer(r"hashpartitioning\((\w+)", r.text)]
+    assert keys and all(k == "shard" for k in keys), keys
+    # only (shard, id, n_tokens) may cross into the Arrow fold: the text
+    # column is consumed JVM-side by the token count inside the scan stage
+    m = re.search(
+        r"\(\d+\) FlatMapGroupsInPandas\nInput \[\d+\]: \[([^\]]*)\]", r.text
+    )
+    assert m and "text" not in m.group(1), m.group(1) if m else r.text
+
+
+def test_mixture_sample_single_window_pass(plans):
+    r = plans("mixture_sample_token_budget")
+    import re
+
+    keys = [m.group(1) for m in re.finditer(r"hashpartitioning\((\w+)", r.text)]
+    assert keys and all(k == "source" for k in keys), keys
+    assert r.cartesian_products == 0
+
+
 def test_schema_evolution_is_union_of_projections(plans):
     r = plans("schema_evolution_events_union")
     # conformance is projection-only: the union itself adds no exchange

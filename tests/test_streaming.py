@@ -232,3 +232,61 @@ def test_apply_cdc_stream_multibatch_upsert_and_delete(spark, tmp_path):
     # k=2: ver 2 nulls val out (updates take the source row verbatim)
     # k=3: inserted; k=99: delete of absent key is a no-op
     assert got == {2: (2, None), 3: (1, "c1")}
+
+
+def test_interval_join_rejects_unsupported_outer_sides(spark, sf_dir):
+    from etl_manager_spark.streaming.windows import interval_join, read_events_stream
+
+    clicks = read_events_stream(spark, sf_dir).filter("event_type = 'click'")
+    purchases = read_events_stream(spark, sf_dir).filter("event_type = 'purchase'")
+    import pytest
+
+    with pytest.raises(ValueError, match="inner/left_outer"):
+        interval_join(clicks, purchases, how="full_outer")
+
+
+def test_leftouter_interval_join_null_rows_bounded_by_watermark(spark, sf_dir):
+    """Every null-extended click must sit strictly below the state-eviction
+    point (ms-truncated min-of-inputs watermark − gap), and the matched
+    subset must equal the inner join — the two halves of the left-outer
+    contract."""
+    from pyspark.sql import functions as F
+
+    from etl_manager_spark.streaming.windows import (
+        interval_join,
+        read_events_stream,
+        run_to_memory,
+    )
+    from etl_manager_spark.workloads.tables import load_table
+
+    clicks = read_events_stream(spark, sf_dir).filter("event_type = 'click'")
+    purchases = read_events_stream(spark, sf_dir).filter("event_type = 'purchase'")
+    out = run_to_memory(
+        interval_join(clicks, purchases, how="left_outer"),
+        spark,
+        "t_loj_bounds",
+        output_mode="append",
+    ).collect()
+
+    ev = load_table(spark, sf_dir, "events")
+    maxes = ev.groupBy("event_type").agg(F.max("ts").alias("m")).collect()
+    per_type = {r.event_type: r.m for r in maxes}
+    watermark = min(per_type["click"], per_type["purchase"]).replace(
+        microsecond=min(per_type["click"], per_type["purchase"]).microsecond // 1000 * 1000
+    )
+    from datetime import timedelta
+
+    eviction = watermark - timedelta(hours=2)  # delay 1h + gap 1h
+    nulls = [r for r in out if r.purchase_id is None]
+    assert nulls, "fixture should produce unmatched clicks"
+    for r in nulls:
+        assert r.click_ts < eviction, (r.click_ts, eviction)
+
+    inner = run_to_memory(
+        interval_join(clicks, purchases, how="inner"),
+        spark,
+        "t_loj_inner",
+        output_mode="append",
+    ).collect()
+    matched = sorted(tuple(r) for r in out if r.purchase_id is not None)
+    assert matched == sorted(tuple(r) for r in inner)
