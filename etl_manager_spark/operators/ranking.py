@@ -297,19 +297,25 @@ def bigram_lm_scores(
         .groupBy("w1")
         .agg(F.count(F.lit(1)).alias("c1"))
     )
-    vocab = unigram_counts.count()
+    # vocabulary size rides along as a broadcast one-row frame instead of a
+    # driver-side count(): that action would re-run the whole unigram
+    # aggregation once per invocation just to embed a literal. Double math
+    # is unchanged (k·V evaluates to the same IEEE product either way).
+    vocab_df = unigram_counts.agg(F.count(F.lit(1)).alias("_vocab"))
     if broadcast_counts:
         bigram_counts = F.broadcast(bigram_counts)
         unigram_counts = F.broadcast(unigram_counts)
+        vocab_df = F.broadcast(vocab_df)
     scored = (
         pairs.join(bigram_counts, on=["w1", "w2"])
         .join(unigram_counts, on="w1")
+        .crossJoin(vocab_df)
         .select(
             "id",
             quantize(
                 F.log(
                     (F.col("c12") + F.lit(add_k))
-                    / (F.col("c1") + F.lit(add_k * vocab))
+                    / (F.col("c1") + F.lit(add_k) * F.col("_vocab"))
                 )
             ).alias("logp_q"),
         )
