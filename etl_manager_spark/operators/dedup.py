@@ -565,3 +565,43 @@ def incremental_minhash_dedup(
         )
         .filter(F.col("jaccard") >= jaccard_threshold)
     )
+
+
+def cluster_representatives(
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str = "id",
+    score_col: str = "score",
+) -> DataFrame:
+    """The dedup decision table: for every clustered document, which
+    cluster member survives. The representative is the highest-scoring
+    member (ties broken by smallest id — total order, so the choice is
+    deterministic under any partitioning).
+
+    ``clusters`` is (id, cluster_id) from :func:`near_dup_clusters`;
+    ``scores`` maps ``id_col`` → ``score_col`` (any quality signal:
+    Gopher score, token count, recency). One join on id + one window
+    over cluster_id — near-dup clusters are small by construction
+    (bounded by the LSH bucket caps upstream), so the per-cluster sort
+    is a few rows; the shuffles are on id then cluster_id.
+
+    Returns (id, cluster_id, rep_id, keep): ``keep`` marks the
+    representative; the delete-list is ``keep = false``."""
+    from pyspark.sql import Window
+
+    joined = clusters.join(
+        scores.select(F.col(id_col).alias("id"), F.col(score_col).alias("_score")),
+        on="id",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("_score").desc(), F.col("id").asc()
+    )
+    return (
+        joined.withColumn("rep_id", F.first("id").over(w))
+        .select(
+            "id",
+            "cluster_id",
+            "rep_id",
+            (F.col("id") == F.col("rep_id")).alias("keep"),
+        )
+    )

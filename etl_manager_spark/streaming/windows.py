@@ -17,7 +17,7 @@ from typing import TYPE_CHECKING
 
 from pyspark.sql import functions as F
 
-from etl_manager_spark.functions.exact import dec_sum
+from etl_manager_spark.functions.exact import dec, dec_sum
 
 if TYPE_CHECKING:  # pragma: no cover
     from pyspark.sql import DataFrame, SparkSession
@@ -71,6 +71,51 @@ def hourly_rollup(events: "DataFrame", watermark: str = "1 hour") -> "DataFrame"
             "n_events",
             "total_value",
             "active_users",
+        )
+    )
+
+
+def two_level_rollup(
+    events: "DataFrame",
+    small: str = "10 minutes",
+    big: str = "1 hour",
+    watermark: str = "1 hour",
+) -> "DataFrame":
+    """Chained stateful aggregation (Spark ≥3.4 multiple-stateful-operator
+    support): a fine-grained tumbling rollup per (window, event_type)
+    re-aggregated into coarse windows — the pre-aggregation cascade every
+    metrics pipeline wants, because the second level consumes one row per
+    closed small window instead of re-reading events.
+
+    Both levels are watermark-aware in one query (``window_time`` keys the
+    second window off the first's event-time column). Emission semantics:
+    a coarse window reaches the sink once ``window.end <= watermark``
+    (non-strict — verified against a crafted boundary fixture), and all
+    its fine windows necessarily closed by then, so emitted rows are
+    complete and final. State: level 1 holds O(open small windows ×
+    types), level 2 O(open big windows × types) — both bounded by the
+    watermark horizon, not the stream length."""
+    lvl1 = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", small), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # keep the partial sums DECIMAL so level 2 re-sums exactly;
+            # the single double conversion happens once, at the end
+            F.sum(dec("value")).alias("v"),
+        )
+    )
+    return (
+        lvl1.groupBy(F.window(F.window_time("window"), big), "event_type")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("v").cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "total_value",
         )
     )
 

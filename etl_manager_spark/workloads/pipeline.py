@@ -408,6 +408,61 @@ def dedup_cluster_assignment_star(spark, sf_dir):
     )
 
 
+@workload(
+    "dedup_cluster_survivors",
+    f"""
+    WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM dup_pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM dup_pairs
+    ),
+    reach(id, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id
+    ),
+    clusters AS (SELECT id, MIN(label) AS cluster_id FROM reach GROUP BY id),
+    scored AS (
+      SELECT c.id, c.cluster_id,
+             CAST(len(regexp_split_to_array(trim(d.text), '\\s+')) AS BIGINT) AS s
+      FROM clusters c JOIN documents d ON d.doc_id = c.id
+    ),
+    ranked AS (
+      SELECT id, cluster_id,
+             FIRST_VALUE(id) OVER (PARTITION BY cluster_id
+                                   ORDER BY s DESC, id ASC) AS rep_id
+      FROM scored
+    )
+    SELECT id AS doc_id, cluster_id, rep_id, id = rep_id AS keep FROM ranked
+    """,
+    category="dedup",
+)
+def dedup_cluster_survivors(spark, sf_dir):
+    """The end of the dedup decision chain: pairs → components →
+    per-cluster representative (operators/dedup.py:
+    cluster_representatives). The survivor is the highest-token-count
+    member, ties to the smallest id — a deterministic total order, so
+    the keep/delete list is reproducible anywhere. Oracle: the
+    recursive-CTE components joined to the same token-count score with
+    the same FIRST_VALUE window."""
+    t = load_tables(spark, sf_dir)
+    from etl_manager_spark.operators.text import token_count
+
+    docs = t["documents"].filter(F.col("doc_id") < 200)
+    pairs = D.minhash_near_duplicates(
+        docs, num_hashes=8, bands=2, jaccard_threshold=0.5
+    )
+    clusters = D.near_dup_clusters(pairs)
+    scores = docs.select(
+        F.col("doc_id").alias("id"),
+        token_count("text").cast("long").alias("score"),
+    )
+    return D.cluster_representatives(clusters, scores).select(
+        F.col("id").alias("doc_id"), "cluster_id", "rep_id", "keep"
+    )
+
+
 # --------------------------------------------------------------------- #
 # Similarity search
 

@@ -172,6 +172,44 @@ def streaming_interval_join_attribution(spark, sf_dir):
 
 
 @workload(
+    "streaming_two_level_rollup",
+    """
+    WITH wm AS (
+      SELECT date_trunc('milliseconds', MAX(ts)) - INTERVAL 1 HOUR AS w
+      FROM events
+    )
+    SELECT DATE_TRUNC('hour', ts) AS hour_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+    GROUP BY 1, 2
+    """,
+    category="streaming",
+)
+def streaming_two_level_rollup(spark, sf_dir):
+    """Chained stateful streaming aggregation (streaming/windows.py:
+    two_level_rollup): 10-minute tumbling partials re-aggregated into
+    hourly windows per event_type inside ONE streaming query — the
+    Spark ≥3.4 multiple-stateful-operator pipeline. Append mode emits a
+    coarse window once ``window.end <= watermark`` (non-strict, verified
+    on a boundary fixture), so the oracle is the batch hourly rollup
+    restricted to hours closed by the final watermark (ms-truncated
+    max event time − 1h). Value sums stay DECIMAL through both levels,
+    one double conversion at the end — exact oracle."""
+    from etl_manager_spark.streaming.windows import (
+        read_events_stream,
+        run_to_memory,
+        two_level_rollup,
+    )
+
+    stream = two_level_rollup(read_events_stream(spark, sf_dir))
+    return run_to_memory(
+        stream, spark, "stream_two_level_rollup_result", output_mode="append"
+    )
+
+
+@workload(
     "streaming_leftouter_attribution",
     """
     WITH wm AS (

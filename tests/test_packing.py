@@ -101,3 +101,23 @@ def test_mixture_keeps_highest_priority_prefix(spark, sf_dir):
             seen_drop.add(r.source)
         else:
             assert r.source not in seen_drop, f"gap in priority prefix: {r}"
+
+
+def test_cluster_representatives_picks_best_then_smallest_id(spark):
+    from etl_manager_spark.operators.dedup import cluster_representatives
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)], "id long, cluster_id long"
+    )
+    scores = spark.createDataFrame(
+        # cluster 1: id 2 wins on score; cluster 10: tie -> smallest id 10
+        [(1, 5), (2, 9), (3, 9), (10, 4), (11, 4)], "id long, score long"
+    )
+    out = {r.id: (r.rep_id, r.keep) for r in cluster_representatives(clusters, scores).collect()}
+    assert out == {
+        1: (2, False),
+        2: (2, True),
+        3: (2, False),
+        10: (10, True),
+        11: (10, False),
+    }

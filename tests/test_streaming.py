@@ -290,3 +290,34 @@ def test_leftouter_interval_join_null_rows_bounded_by_watermark(spark, sf_dir):
     ).collect()
     matched = sorted(tuple(r) for r in out if r.purchase_id is not None)
     assert matched == sorted(tuple(r) for r in inner)
+
+
+def test_two_level_rollup_window_close_is_nonstrict(spark, tmp_path):
+    """A coarse window whose end equals the final watermark EXACTLY must
+    emit (the close predicate is window.end <= watermark) — pins the
+    boundary semantics the streaming_two_level_rollup oracle encodes."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_manager_spark.streaming.windows import run_to_memory, two_level_rollup
+
+    # hour [01:00, 02:00) closes at watermark = 03:00 - 1h = 02:00 exactly;
+    # hour [02:00, 03:00) must stay open
+    df = spark.createDataFrame(
+        [
+            ("2024-01-01 01:10:00", "view", 1.0),
+            ("2024-01-01 01:50:00", "view", 2.0),
+            ("2024-01-01 02:30:00", "view", 4.0),
+            ("2024-01-01 03:00:00", "view", 8.0),
+        ],
+        "ts string, event_type string, value double",
+    ).select(F.col("ts").cast("timestamp").alias("ts"), "event_type", "value")
+    path = os.path.join(str(tmp_path), "evts")
+    df.write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(df.schema).parquet(path)
+    out = run_to_memory(
+        two_level_rollup(stream), spark, "t_two_level_bnd", output_mode="append"
+    ).collect()
+    got = {(r.hour_start.isoformat(), r.event_type): (r.n_events, r.total_value) for r in out}
+    assert got == {("2024-01-01T01:00:00", "view"): (2, 3.0)}, got
