@@ -1,0 +1,92 @@
+"""Ordered per-key time-series analytics.
+
+The shape that SQL windows cannot express: a value that depends on the
+PREVIOUS output, not the previous input (EWMA, compound interest, state
+machines). Spark's window functions stop at lag/lead over inputs, so
+these fold sequentially within a key via Arrow-grouped pandas — parallel
+across keys, sequential only inside one key's (small) history, the same
+sharding argument as ``operators/packing.pack_sequences``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def ewma_per_key(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Exponentially-weighted moving average of ``value_col`` per key in
+    event-time order: ``e_1 = v_1``, ``e_i = (1-α)·e_{i-1} + α·v_i``.
+    The smoothing baseline behind rate-anomaly detection and engagement
+    decay scores.
+
+    Rows are totally ordered within a key by (ts, id) — the id tiebreak
+    makes simultaneous events deterministic. The recurrence is evaluated
+    as literally written, one float multiply-add pair per row in input
+    order, so any engine replaying the same recurrence (e.g. a DuckDB
+    recursive CTE) produces bitwise-identical doubles; α = 0.5 keeps
+    both products exact (exponent shifts). The emitted value is
+    nano-quantized to int64 so the driver's value hash never sees raw
+    float encodings.
+
+    Scale shape: ONE shuffle on the key; per-key state during the fold
+    is a single double. The Python loop touches only (id, ts, value)
+    triples — a few dozen bytes per row, Arrow-batched per key group.
+    Key-count parallelism is the unit of scale-out, same as any
+    sessionization.
+
+    Returns (<key_col>, <id_col>, ewma_q)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    one_minus = 1.0 - alpha
+
+    # Sorted-stream fold, NOT applyInPandas: a grouped fold pays pandas
+    # group-construction overhead once per KEY (millions of tiny frames
+    # for a user-keyed stream). Instead co-locate each key with one
+    # repartition, sort within partitions by (key, ts, id), and fold the
+    # resulting ordered stream — carrying (last_key, e) across Arrow
+    # batches, since a key's run may straddle a batch boundary. One
+    # Python-level loop over scalar floats; the frames stay Arrow-sized.
+    def _fold_stream(batches):
+        last_key = None
+        e = 0.0
+        for pdf in batches:
+            keys = pdf[key_col].to_numpy()
+            vals = pdf[value_col].to_numpy()
+            out = np.empty(len(pdf), dtype=np.int64)
+            for i in range(len(pdf)):
+                k = keys[i]
+                v = float(vals[i])
+                if k != last_key:
+                    e = v
+                    last_key = k
+                else:
+                    e = one_minus * e + alpha * v
+                # quantize exactly like functions/exact.py: floor(x·1e9+0.5)
+                out[i] = math.floor(e * 1e9 + 0.5)
+            yield pd.DataFrame(
+                {key_col: keys, id_col: pdf[id_col].to_numpy(), "ewma_q": out}
+            )
+
+    key_dtype = df.schema[key_col].dataType.simpleString()
+    id_dtype = df.schema[id_col].dataType.simpleString()
+    slim = (
+        df.select(key_col, ts_col, id_col, value_col)
+        .repartition(F.col(key_col))
+        .sortWithinPartitions(key_col, ts_col, id_col)
+    )
+    return slim.mapInPandas(
+        _fold_stream, schema=f"{key_col} {key_dtype}, {id_col} {id_dtype}, ewma_q long"
+    )

@@ -612,3 +612,40 @@ def events_value_outliers(spark, sf_dir):
             F.coalesce(F.col("n_outliers"), F.lit(0)).alias("n_outliers"),
         )
     )
+
+
+@workload(
+    "ewma_user_values",
+    """
+    WITH RECURSIVE numbered AS (
+      SELECT user_id, event_id, CAST(value AS DOUBLE) AS v,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    fold AS (
+      SELECT user_id, event_id, rn, v AS e FROM numbered WHERE rn = 1
+      UNION ALL
+      SELECT n.user_id, n.event_id, n.rn, 0.5 * f.e + 0.5 * n.v
+      FROM numbered n JOIN fold f
+        ON n.user_id = f.user_id AND n.rn = f.rn + 1
+    )
+    SELECT user_id, event_id,
+           CAST(FLOOR(e * 1000000000.0 + 0.5) AS BIGINT) AS ewma_q
+    FROM fold
+    """,
+    category="analytics",
+)
+def ewma_user_values(spark, sf_dir):
+    """Per-user EWMA of event values in event-time order
+    (operators/timeseries.py: ewma_per_key, α = 0.5) — the recurrence
+    e_i = ½e_{i-1} + ½v_i that SQL windows cannot express because it
+    references the previous OUTPUT. One shuffle on user_id; the fold is
+    sequential only within a user's (small) history. The oracle replays
+    the identical recurrence as a DuckDB recursive CTE stepping one
+    event per user per iteration; α = ½ keeps every product an exponent
+    shift, and both engines emit the same nano-quantized int64."""
+    from etl_manager_spark.operators.timeseries import ewma_per_key
+
+    t = load_tables(spark, sf_dir)
+    return ewma_per_key(t["events"], alpha=0.5)

@@ -121,3 +121,36 @@ def test_cluster_representatives_picks_best_then_smallest_id(spark):
         10: (10, True),
         11: (10, False),
     }
+
+
+def test_ewma_hand_case_and_tiebreak(spark):
+    from etl_manager_spark.operators.timeseries import ewma_per_key
+
+    df = spark.createDataFrame(
+        [
+            # user 1: 2 -> 4 -> 8 gives e = 2, 3, 5.5
+            (1, "2024-01-01 00:00:00", 1, 2.0),
+            (1, "2024-01-01 00:01:00", 2, 4.0),
+            (1, "2024-01-01 00:02:00", 3, 8.0),
+            # user 2: simultaneous events order by event_id: 10 then 20
+            (2, "2024-01-01 00:00:00", 5, 20.0),
+            (2, "2024-01-01 00:00:00", 4, 10.0),
+        ],
+        "user_id long, ts string, event_id long, value double",
+    ).selectExpr("user_id", "CAST(ts AS TIMESTAMP) ts", "event_id", "value")
+    got = {r.event_id: r.ewma_q for r in ewma_per_key(df).collect()}
+    assert got == {
+        1: 2_000_000_000,
+        2: 3_000_000_000,
+        3: 5_500_000_000,
+        4: 10_000_000_000,
+        5: 15_000_000_000,
+    }
+
+
+def test_ewma_rejects_bad_alpha(spark):
+    from etl_manager_spark.operators.timeseries import ewma_per_key
+
+    df = spark.createDataFrame([(1, 1, 1.0)], "user_id long, event_id long, value double")
+    with pytest.raises(ValueError, match="alpha"):
+        ewma_per_key(df.withColumn("ts", F.current_timestamp()), alpha=0.0)

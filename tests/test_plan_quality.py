@@ -262,3 +262,15 @@ def test_bigram_lm_broadcasts_count_tables(plans):
     # 7× difference at sf0.1)
     assert r.broadcast_joins >= 2, r.text[:2000]
     assert r.sortmerge_joins == 0, r.text[:2000]
+
+
+def test_ewma_single_shuffle_sorted_stream(plans):
+    r = plans("ewma_user_values")
+    import re
+
+    keys = [m.group(1) for m in re.finditer(r"hashpartitioning\((\w+)", r.text)]
+    assert keys and all(k == "user_id" for k in keys), keys
+    # the fold consumes the sorted stream in place: exactly one exchange,
+    # no grouped-map (FlatMapGroupsInPandas) machinery
+    assert len(keys) == 1
+    assert "MapInPandas" in r.text and "FlatMapGroupsInPandas" not in r.text
