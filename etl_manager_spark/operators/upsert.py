@@ -90,3 +90,51 @@ def scd2_from_events(
         .withColumn("valid_to", nxt)
         .withColumn("is_current", nxt.isNull())
     )
+
+
+def table_diff(
+    before: DataFrame,
+    after: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Snapshot reconciliation: classify every key as ``added`` /
+    ``removed`` / ``changed`` / ``unchanged`` between two versions of a
+    table — the audit step after any MERGE/backfill, and the generator
+    for a CDC event stream out of plain snapshots.
+
+    One full-outer join on the key columns; change detection compares
+    ``compare_cols`` (default: all shared non-key columns) with
+    null-safe equality (``<=>``), so NULL→value and value→NULL count as
+    changes while NULL→NULL does not. The join shuffles both sides on
+    the key once — at scale, point both snapshots at the same bucketed
+    layout (operators/bucketing.py) and the Exchange disappears.
+
+    Returns key columns + ``diff_status`` string; callers wanting the
+    values join back by key on the side the status names."""
+    if not keys:
+        raise ValueError("table_diff needs at least one key column")
+    if compare_cols is None:
+        shared = [c for c in before.columns if c in set(after.columns)]
+        compare_cols = [c for c in shared if c not in set(keys)]
+    b = before.select(
+        *[F.col(k).alias(k) for k in keys],
+        *[F.col(c).alias(f"_b_{c}") for c in compare_cols],
+        F.lit(True).alias("_in_b"),
+    )
+    a = after.select(
+        *[F.col(k).alias(k) for k in keys],
+        *[F.col(c).alias(f"_a_{c}") for c in compare_cols],
+        F.lit(True).alias("_in_a"),
+    )
+    joined = b.join(a, on=keys, how="full_outer")
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"_b_{c}").eqNullSafe(F.col(f"_a_{c}"))
+    status = (
+        F.when(F.col("_in_b").isNull(), F.lit("added"))
+        .when(F.col("_in_a").isNull(), F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(*keys, status.alias("diff_status"))

@@ -1182,6 +1182,72 @@ def skew_two_phase_agg_events(spark, sf_dir):
 
 
 @workload(
+    "table_diff_orders_snapshots",
+    """
+    WITH before AS (
+      SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+    ),
+    after AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 31 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS o_totalprice,
+             CASE WHEN o_orderkey % 53 = 0 THEN NULL
+                  ELSE o_orderpriority END AS o_orderpriority
+      FROM orders WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT -o_orderkey, o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey % 89 = 0
+    )
+    SELECT COALESCE(b.o_orderkey, a.o_orderkey) AS o_orderkey,
+           CASE WHEN b.o_orderkey IS NULL THEN 'added'
+                WHEN a.o_orderkey IS NULL THEN 'removed'
+                WHEN b.o_totalprice IS NOT DISTINCT FROM a.o_totalprice
+                 AND b.o_orderpriority IS NOT DISTINCT FROM a.o_orderpriority
+                THEN 'unchanged'
+                ELSE 'changed' END AS diff_status
+    FROM before b FULL OUTER JOIN after a USING (o_orderkey)
+    """,
+    category="etl",
+)
+def table_diff_orders_snapshots(spark, sf_dir):
+    """Snapshot reconciliation (operators/upsert.py: table_diff): the
+    orders table diffed against a deterministically mutated second
+    snapshot — some keys removed (mod 97), some added (mod 89, negated
+    key), some prices changed (mod 31), some priorities NULLed (mod 53,
+    exercising the null-safe comparison). One full-outer join on the
+    key; the oracle is the same join with IS NOT DISTINCT FROM."""
+    t = load_tables(spark, sf_dir)
+    before = t["orders"].select("o_orderkey", "o_totalprice", "o_orderpriority")
+    after = (
+        before.filter(F.col("o_orderkey") % 97 != 0)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 31 == 0, F.col("o_totalprice") + F.lit(1.0)
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+            F.when(F.col("o_orderkey") % 53 == 0, F.lit(None))
+            .otherwise(F.col("o_orderpriority"))
+            .alias("o_orderpriority"),
+        )
+        .unionByName(
+            before.filter(F.col("o_orderkey") % 89 == 0).select(
+                (-F.col("o_orderkey")).alias("o_orderkey"),
+                "o_totalprice",
+                "o_orderpriority",
+            )
+        )
+    )
+    from etl_manager_spark.operators.upsert import table_diff
+
+    return table_diff(
+        before, after, keys=["o_orderkey"],
+        compare_cols=["o_totalprice", "o_orderpriority"],
+    )
+
+
+@workload(
     "skew_hotkey_stress_events",
     """
     WITH hot AS (

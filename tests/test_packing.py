@@ -154,3 +154,32 @@ def test_ewma_rejects_bad_alpha(spark):
     df = spark.createDataFrame([(1, 1, 1.0)], "user_id long, event_id long, value double")
     with pytest.raises(ValueError, match="alpha"):
         ewma_per_key(df.withColumn("ts", F.current_timestamp()), alpha=0.0)
+
+
+def test_table_diff_classifies_all_transitions(spark):
+    from etl_manager_spark.operators.upsert import table_diff
+
+    before = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, None), (4, 40.0, "d")],
+        "k long, price double, tag string",
+    )
+    after = spark.createDataFrame(
+        [(2, 20.0, "b"), (3, 30.0, None), (4, 40.0, None), (5, 50.0, "e")],
+        "k long, price double, tag string",
+    )
+    got = {r.k: r.diff_status for r in table_diff(before, after, ["k"]).collect()}
+    assert got == {
+        1: "removed",
+        2: "unchanged",
+        3: "unchanged",  # NULL == NULL under null-safe equality
+        4: "changed",    # value -> NULL IS a change
+        5: "added",
+    }
+
+
+def test_table_diff_requires_keys(spark):
+    from etl_manager_spark.operators.upsert import table_diff
+
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="key"):
+        table_diff(df, df, [])
