@@ -30,20 +30,29 @@ from pyspark.sql import functions as F
 def compact(
     spark: SparkSession,
     path: str,
-    target_files: int,
+    target_files: int | None = None,
     fmt: str = "parquet",
+    target_file_bytes: int | None = None,
 ) -> dict:
-    """Rewrite ``path`` (a directory of ``fmt`` files) into
-    ``target_files`` files. Safe against reading-while-overwriting: the
-    rewrite lands in a sibling temp dir, which then replaces the original
-    (local/posix rename; on an object store you'd write to a new prefix
-    and flip a pointer — same two-phase shape).
+    """Rewrite ``path`` (a directory of ``fmt`` files) into fewer files.
+    Pass either an explicit ``target_files`` count, or
+    ``target_file_bytes`` to size the count from the data itself
+    (``ceil(total_input_bytes / target_file_bytes)``) — the production
+    form, since "128 MB files" is the invariant worth holding while data
+    volume grows; byte sizes come from the directory listing (local
+    stat here; the Hadoop FS listing gives the same numbers on an
+    object store). Compressed input bytes understate the rewritten
+    size slightly — bias ``target_file_bytes`` low if exact output
+    sizing matters.
+
+    Safe against reading-while-overwriting: the rewrite lands in a
+    sibling temp dir, which then replaces the original (local/posix
+    rename; on an object store you'd write to a new prefix and flip a
+    pointer — same two-phase shape).
 
     Returns {"files_before", "files_after", "rows"} so pipelines can
     assert the rewrite preserved row count and actually shrank the file
     count."""
-    if target_files < 1:
-        raise ValueError(f"target_files must be >= 1, got {target_files}")
 
     def _data_files(p: str) -> list[str]:
         return [
@@ -52,6 +61,16 @@ def compact(
             for f in files
             if not f.startswith(("_", "."))
         ]
+
+    if (target_files is None) == (target_file_bytes is None):
+        raise ValueError("pass exactly one of target_files / target_file_bytes")
+    if target_file_bytes is not None:
+        if target_file_bytes < 1:
+            raise ValueError(f"target_file_bytes must be >= 1, got {target_file_bytes}")
+        total = sum(os.path.getsize(f) for f in _data_files(path))
+        target_files = max(1, -(-total // target_file_bytes))
+    if target_files < 1:
+        raise ValueError(f"target_files must be >= 1, got {target_files}")
 
     before = len(_data_files(path))
     df = spark.read.format(fmt).load(path)

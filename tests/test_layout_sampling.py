@@ -392,3 +392,36 @@ def test_incremental_minhash_stored_sigs_equal_recompute(spark, sf_dir):
     assert a, "expected at least one cross-set near-dup in the corpus"
     for new_id, corpus_id, _ in a:
         assert new_id % 10 == 0 and corpus_id % 10 != 0
+
+
+def test_compact_by_target_bytes(spark, tmp_path):
+    import os
+
+    from etl_manager_spark.operators.layout import compact
+
+    path = str(tmp_path / "bytes")
+    spark.range(20000).repartition(16).write.parquet(path)
+    total = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, files in os.walk(path)
+        for f in files
+        if not f.startswith(("_", "."))
+    )
+    # target half the data per file -> exactly 2 output files
+    report = compact(spark, path, fmt="parquet", target_file_bytes=-(-total // 2))
+    assert report["files_before"] == 16
+    assert report["files_after"] == 2
+    assert report["rows"] == 20000
+
+
+def test_compact_requires_exactly_one_target(spark, tmp_path):
+    import pytest as _pytest
+
+    from etl_manager_spark.operators.layout import compact
+
+    path = str(tmp_path / "one")
+    spark.range(10).write.parquet(path)
+    with _pytest.raises(ValueError, match="exactly one"):
+        compact(spark, path)
+    with _pytest.raises(ValueError, match="exactly one"):
+        compact(spark, path, target_files=1, target_file_bytes=100)

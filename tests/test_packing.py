@@ -183,3 +183,42 @@ def test_table_diff_requires_keys(spark):
     df = spark.createDataFrame([(1,)], "k long")
     with pytest.raises(ValueError, match="key"):
         table_diff(df, df, [])
+
+
+def test_pack_matches_python_reference_on_random_corpora(spark):
+    """Randomized (seeded) cross-check: the distributed fold must equal a
+    direct Python replay of the greedy recurrence for every shard."""
+    import random
+
+    from etl_manager_spark.operators.packing import pack_sequences
+
+    rng = random.Random(20240814)
+    rows = [
+        (i, " ".join("w" for _ in range(rng.randint(1, 40))))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.shard, r.n_tokens, r.seq_id)
+        for r in pack_sequences(df, seq_tokens=64, n_shards=16).collect()
+    }
+    # python reference: same shard digit, same id order, same greedy rule
+    import hashlib
+
+    by_shard: dict[int, list[tuple[int, int]]] = {}
+    for i, text in rows:
+        shard = int(hashlib.md5(str(i).encode()).hexdigest()[0], 16) % 16
+        by_shard.setdefault(shard, []).append((i, len(text.split())))
+    want = {}
+    for shard, docs in by_shard.items():
+        fill, sid = None, 0
+        for i, n in sorted(docs):
+            if fill is None:
+                fill = n
+            elif fill + n <= 64:
+                fill += n
+            else:
+                sid += 1
+                fill = n
+            want[i] = (shard, n, sid)
+    assert got == want
