@@ -1182,6 +1182,88 @@ def skew_two_phase_agg_events(spark, sf_dir):
 
 
 @workload(
+    "federated_join_formats",
+    """
+    SELECT n.n_name,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o.o_totalprice * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_cents,
+           CAST(SUM(CAST(FLOOR(c.c_acctbal * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS acctbal_cents
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    category="formats",
+)
+def federated_join_formats(spark, sf_dir):
+    """One query over three storage formats through the metadata layer
+    (SURVEY §2.B end-to-end): customer is round-tripped to quoted CSV
+    (OpenCSV all-string-then-cast semantics) and nation to JSON lines via
+    their TableMeta writers, then both are read back through the same
+    TableMeta readers and joined against the parquet orders table. The
+    oracle runs the identical join on the ORIGINAL parquet — so a green
+    row proves the CSV and JSON round-trips are value-exact, inside the
+    driver's hash gate rather than only in pytest. Prices aggregate as
+    integer cents (one float multiply + floor, identical in both
+    engines)."""
+    from etl_manager_spark.meta.table import TableMeta
+
+    t = load_tables(spark, sf_dir)
+    scratch = _layout_scratch("federated_formats_")
+    cust_meta = TableMeta(
+        name="customer_csv",
+        location="customer_csv",
+        data_format="csv_quoted_nodate",
+        columns=[
+            {"name": "c_custkey", "type": "long"},
+            {"name": "c_name", "type": "character"},
+            {"name": "c_nationkey", "type": "int"},
+            {"name": "c_acctbal", "type": "double"},
+            {"name": "c_mktsegment", "type": "character"},
+        ],
+    )
+    nation_meta = TableMeta(
+        name="nation_json",
+        location="nation_json",
+        data_format="json",
+        columns=[
+            {"name": "n_nationkey", "type": "int"},
+            {"name": "n_name", "type": "character"},
+            {"name": "n_regionkey", "type": "int"},
+        ],
+    )
+    cust_path = os.path.join(scratch, "customer_csv")
+    nation_path = os.path.join(scratch, "nation_json")
+    cust_meta.write(t["customer"], cust_path, mode="overwrite")
+    nation_meta.write(t["nation"], nation_path, mode="overwrite")
+    customer = cust_meta.read(spark, cust_path)
+    nation = nation_meta.read(spark, nation_path)
+    return (
+        t["orders"]
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast(
+                    "long"
+                )
+            ).alias("total_cents"),
+            # the CSV-round-tripped double: a green hash proves the text
+            # representation parsed back to the identical IEEE value
+            F.sum(
+                F.floor(F.col("c_acctbal") * F.lit(100.0) + F.lit(0.5)).cast(
+                    "long"
+                )
+            ).alias("acctbal_cents"),
+        )
+    )
+
+
+@workload(
     "table_diff_orders_snapshots",
     """
     WITH before AS (
