@@ -1184,7 +1184,7 @@ def skew_two_phase_agg_events(spark, sf_dir):
 @workload(
     "federated_join_formats",
     """
-    SELECT n.n_name,
+    SELECT n.n_name, r.r_name,
            COUNT(*) AS n_orders,
            CAST(SUM(CAST(FLOOR(o.o_totalprice * 100.0 + 0.5) AS BIGINT))
                 AS BIGINT) AS total_cents,
@@ -1193,16 +1193,18 @@ def skew_two_phase_agg_events(spark, sf_dir):
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
     JOIN nation n ON c.c_nationkey = n.n_nationkey
-    GROUP BY n.n_name
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name, r.r_name
     """,
     category="formats",
 )
 def federated_join_formats(spark, sf_dir):
-    """One query over three storage formats through the metadata layer
+    """One query over four storage formats through the metadata layer
     (SURVEY §2.B end-to-end): customer is round-tripped to quoted CSV
-    (OpenCSV all-string-then-cast semantics) and nation to JSON lines via
-    their TableMeta writers, then both are read back through the same
-    TableMeta readers and joined against the parquet orders table. The
+    (OpenCSV all-string-then-cast semantics), nation to JSON lines, and
+    region to ORC via their TableMeta writers, then all are read back
+    through the same TableMeta readers and joined against the parquet
+    orders table. The
     oracle runs the identical join on the ORIGINAL parquet — so a green
     row proves the CSV and JSON round-trips are value-exact, inside the
     driver's hash gate rather than only in pytest. Prices aggregate as
@@ -1236,15 +1238,28 @@ def federated_join_formats(spark, sf_dir):
     )
     cust_path = os.path.join(scratch, "customer_csv")
     nation_path = os.path.join(scratch, "nation_json")
+    region_meta = TableMeta(
+        name="region_orc",
+        location="region_orc",
+        data_format="orc",
+        columns=[
+            {"name": "r_regionkey", "type": "int"},
+            {"name": "r_name", "type": "character"},
+        ],
+    )
+    region_path = os.path.join(scratch, "region_orc")
     cust_meta.write(t["customer"], cust_path, mode="overwrite")
     nation_meta.write(t["nation"], nation_path, mode="overwrite")
+    region_meta.write(t["region"], region_path, mode="overwrite")
     customer = cust_meta.read(spark, cust_path)
     nation = nation_meta.read(spark, nation_path)
+    region = region_meta.read(spark, region_path)
     return (
         t["orders"]
         .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
-        .groupBy("n_name")
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name", "r_name")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             F.sum(
