@@ -1279,6 +1279,65 @@ def federated_join_formats(spark, sf_dir):
 
 
 @workload(
+    "regex_scan_event_log",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_lines,
+           CAST(SUM(event_id) AS BIGINT) AS id_sum,
+           CAST(MAX(user_id) AS BIGINT) AS max_user
+    FROM events
+    GROUP BY event_type
+    """,
+    category="formats",
+)
+def regex_scan_event_log(spark, sf_dir):
+    """The RegexSerDe scan path (B7) under the driver's hash gate: events
+    are rendered as an apache-style text log ("<event_id> <user_id>
+    <event_type>" lines), then read back through the `regex` TableMeta
+    format (spark.read.text + one regexp_extract per declared column,
+    cast to the declared types) and aggregated. The oracle aggregates
+    the original parquet — green = every line parsed back value-exact.
+    The regex scan stays JVM-side (text source + regexp_extract in the
+    scan-stage projection); at scale this is the standard
+    logs-to-columns on-read pattern."""
+    from etl_manager_spark.meta.table import TableMeta
+
+    t = load_tables(spark, sf_dir)
+    scratch = _layout_scratch("regex_scan_")
+    log_path = os.path.join(scratch, "events_log")
+    (
+        t["events"]
+        .select(
+            F.concat_ws(
+                " ",
+                F.col("event_id").cast("string"),
+                F.col("user_id").cast("string"),
+                F.col("event_type"),
+            ).alias("value")
+        )
+        .write.mode("overwrite")
+        .text(log_path)
+    )
+    log_meta = TableMeta(
+        name="events_log",
+        location="events_log",
+        data_format="regex",
+        columns=[
+            {"name": "event_id", "type": "long"},
+            {"name": "user_id", "type": "long"},
+            {"name": "event_type", "type": "character"},
+        ],
+        format_options={"input.regex": r"(\d+) (\d+) (\S+)"},
+    )
+    parsed = log_meta.read(spark, log_path)
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("event_id").alias("id_sum"),
+        F.max("user_id").alias("max_user"),
+    )
+
+
+@workload(
     "table_diff_orders_snapshots",
     """
     WITH before AS (
