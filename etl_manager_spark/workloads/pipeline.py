@@ -1279,6 +1279,66 @@ def federated_join_formats(spark, sf_dir):
 
 
 @workload(
+    "catalog_sql_partitioned_events",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_micros
+    FROM events
+    GROUP BY event_type
+    """,
+    category="catalog",
+)
+def catalog_sql_partitioned_events(spark, sf_dir):
+    """The reference's CORE flow (A10/A15/A17 + §2.C SQL surface) under
+    the driver's hash gate: events land as a Hive-partitioned table
+    (partitioned by event_type, partition column forced last) through
+    the TableMeta writer, the database is registered in the Spark
+    catalog, partitions are discovered with MSCK REPAIR, and the result
+    is computed by ``spark.sql`` against the catalog name — the
+    "switch from Athena, keep your SQL" promise, end-to-end. The oracle
+    aggregates the original parquet; a green row proves the partitioned
+    write + MSCK + catalog SQL read lost nothing."""
+    from etl_manager_spark.meta.database import DatabaseMeta
+    from etl_manager_spark.meta.table import TableMeta
+
+    t = load_tables(spark, sf_dir)
+    scratch = _layout_scratch("catalog_sql_")
+    table = TableMeta(
+        name="events_part",
+        location="events_part",
+        data_format="parquet",
+        columns=[
+            {"name": "event_id", "type": "long"},
+            {"name": "user_id", "type": "long"},
+            {"name": "value", "type": "double"},
+            {"name": "event_type", "type": "character"},
+        ],
+        partitions=["event_type"],
+    )
+    db = DatabaseMeta(name="wl_catalog_sql", bucket=scratch, base_folder="")
+    db.add_table(table)
+    table.write(
+        t["events"].select("event_id", "user_id", "value", "event_type"),
+        os.path.join(scratch, "events_part"),
+        mode="overwrite",
+    )
+    db.create_database(spark, delete_if_exists=True)
+    table.refresh_partitions(spark)
+    return spark.sql(
+        """
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               SUM(CAST(FLOOR(value * 1000000.0D + 0.5D) AS BIGINT))
+                 AS total_micros
+        FROM wl_catalog_sql.events_part
+        GROUP BY event_type
+        """
+    )
+
+
+@workload(
     "regex_scan_event_log",
     """
     SELECT event_type,
