@@ -1278,6 +1278,81 @@ def federated_join_formats(spark, sf_dir):
     )
 
 
+_JOB_PY = '''\
+"""Generated by the run_job_etl_output workload — the reference\'s
+simple_etl_job shape (read two tables, LEFT JOIN, write)."""
+from pyspark.sql import functions as F
+
+import jobhelper
+
+sf_dir = job_arguments["--sf_dir"]  # noqa: F821 (injected by the runner)
+out_path = job_arguments["--output_path"]  # noqa: F821
+orders = spark.read.parquet(f"{sf_dir}/orders.parquet")  # noqa: F821
+customer = spark.read.parquet(f"{sf_dir}/customer.parquet")  # noqa: F821
+joined = orders.join(
+    customer, orders.o_custkey == customer.c_custkey, "left"
+)
+agg = joined.groupBy("c_mktsegment").agg(
+    F.count(F.lit(1)).alias("n_orders"),
+    F.sum(jobhelper.cents(F.col("o_totalprice"))).alias("total_cents"),
+)
+agg.write.mode("overwrite").parquet(out_path)
+'''
+
+_JOB_HELPER_PY = '''\
+"""py_resources helper imported by job.py (exercises the runner\'s
+sys.path staging of py resources)."""
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def cents(col: Column) -> Column:
+    return F.floor(col * F.lit(100.0) + F.lit(0.5)).cast("long")
+'''
+
+
+@workload(
+    "run_job_etl_output",
+    """
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o.o_totalprice * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_cents
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    category="jobs",
+)
+def run_job_etl_output(spark, sf_dir):
+    """The reference's job-runner flow (A25–A32) under the driver's hash
+    gate: a job FOLDER is materialized at query time — job.py (the
+    reference example's read→LEFT JOIN→write shape, reference
+    example/glue_jobs/simple_etl_job/job.py:33-35) plus a py_resources
+    helper module the script imports — then executed through SparkJob
+    (injected session, validated --arguments, typed failures), and the
+    job's parquet OUTPUT is what this query returns. Oracle: the same
+    left join computed directly — green proves packaging, sys.path
+    staging, argument plumbing, execution, and the output write all
+    preserved values."""
+    from etl_manager_spark.jobs.runner import SparkJob
+
+    scratch = _layout_scratch("run_job_wl_")
+    folder = os.path.join(scratch, "etl_job")
+    os.makedirs(os.path.join(folder, "py_resources"))
+    with open(os.path.join(folder, "job.py"), "w") as fh:
+        fh.write(_JOB_PY)
+    with open(os.path.join(folder, "py_resources", "jobhelper.py"), "w") as fh:
+        fh.write(_JOB_HELPER_PY)
+    out_path = os.path.join(scratch, "job_output")
+    job = SparkJob(
+        folder,
+        job_arguments={"--sf_dir": sf_dir, "--output_path": out_path},
+    )
+    job.run(spark)
+    assert job.job_run_state == "SUCCEEDED"
+    return spark.read.parquet(out_path)
+
+
 @workload(
     "catalog_sql_partitioned_events",
     """
