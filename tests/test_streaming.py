@@ -321,3 +321,64 @@ def test_two_level_rollup_window_close_is_nonstrict(spark, tmp_path):
     ).collect()
     got = {(r.hour_start.isoformat(), r.event_type): (r.n_events, r.total_value) for r in out}
     assert got == {("2024-01-01T01:00:00", "view"): (2, 3.0)}, got
+
+
+def test_checkpointed_aggregation_resumes_exactly_once(spark, tmp_path):
+    """Stop/restart correctness: a checkpointed streaming aggregation that
+    is stopped and restarted over a source that grew in between must
+    produce the same totals as one uninterrupted batch pass — no row
+    double-counted (offsets replay from the checkpoint), none lost."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    schema = "user_id long, value long"
+
+    def run_pass(name):
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            r.user_id: (r.n, r.total)
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+
+    spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 5)], schema
+    ).write.mode("append").parquet(src)
+    first = run_pass("t_resume_a")
+    assert first == {1: (2, 30), 2: (1, 5)}
+
+    # source grows while the query is DOWN; restart must pick up only
+    # the delta on top of the recovered state
+    spark.createDataFrame(
+        [(1, 100), (3, 7)], schema
+    ).write.mode("append").parquet(src)
+    second = run_pass("t_resume_b")
+    assert second == {1: (3, 130), 2: (1, 5), 3: (1, 7)}
+
+    # batch over everything agrees — stream-with-restart == one-shot batch
+    batch = {
+        r.user_id: (r.n, r.total)
+        for r in spark.read.schema(schema)
+        .parquet(src)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert second == batch
