@@ -327,7 +327,18 @@ def near_dup_clusters(
             # Star gets its own default budget — the caller's cap bounded
             # diameter-proportional rounds, not logarithmic ones (25 star
             # rounds cover any component a real cluster could hold).
-            return connected_components_star(pairs, id_a, id_b)
+            # Feed it the already-checkpointed symmetric edge list, NOT
+            # the raw pairs plan: pairs is typically the tail of the
+            # whole MinHash→LSH→verify pipeline, and rebuilding star's
+            # node/edge checkpoints from it would re-run that upstream
+            # from scratch.
+            return connected_components_star(
+                edges.select(
+                    F.col("src").alias(id_a), F.col("dst").alias(id_b)
+                ),
+                id_a,
+                id_b,
+            )
         raise RuntimeError(
             f"near_dup_clusters did not converge in {max_iterations} rounds; "
             "graph diameter exceeds max_iterations — raise it, or use "
@@ -585,6 +596,14 @@ def cluster_representatives(
     (bounded by the LSH bucket caps upstream), so the per-cluster sort
     is a few rows; the shuffles are on id then cluster_id.
 
+    Every clustered document appears in the output even when ``scores``
+    has no row for it (LEFT join): unscored members rank BELOW every
+    scored member (NULL-last ordering) and fall into the delete list
+    unless the whole cluster is unscored — an inner join here would
+    silently drop them from the keep/delete decision entirely, and a
+    delete-list built from ``keep = false`` would then retain them as
+    duplicates.
+
     Returns (id, cluster_id, rep_id, keep): ``keep`` marks the
     representative; the delete-list is ``keep = false``."""
     from pyspark.sql import Window
@@ -592,9 +611,10 @@ def cluster_representatives(
     joined = clusters.join(
         scores.select(F.col(id_col).alias("id"), F.col(score_col).alias("_score")),
         on="id",
+        how="left",
     )
     w = Window.partitionBy("cluster_id").orderBy(
-        F.col("_score").desc(), F.col("id").asc()
+        F.col("_score").desc_nulls_last(), F.col("id").asc()
     )
     return (
         joined.withColumn("rep_id", F.first("id").over(w))

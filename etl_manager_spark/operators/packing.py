@@ -44,10 +44,11 @@ def pack_sequences(
     gets a bin of its own (callers chunk oversized docs first, see
     :func:`etl_manager_spark.operators.text.chunk_documents`).
 
-    Shard = first hex digit of ``md5(id)`` — deterministic, uniform, and
-    engine-independent, so the full packing layout (shard, seq_id per
-    doc) is reproducible anywhere, which is what makes resumable /
-    auditable training-data builds possible.
+    Shard = the shortest ``md5(id)`` hex prefix wide enough for
+    ``n_shards`` buckets, mod ``n_shards`` (one digit up to 16 shards) —
+    deterministic, uniform, and engine-independent, so the full packing
+    layout (shard, seq_id per doc) is reproducible anywhere, which is
+    what makes resumable / auditable training-data builds possible.
 
     Scale shape: token counts are computed JVM-side; only (shard, id,
     n_tokens) reaches the grouped Arrow fold — a few bytes per document
@@ -63,16 +64,24 @@ def pack_sequences(
 
     if seq_tokens <= 0:
         raise ValueError(f"seq_tokens must be positive, got {seq_tokens}")
-    if not 1 <= n_shards <= 16:
-        raise ValueError(
-            f"n_shards must be in [1, 16] (one md5 hex digit), got {n_shards}"
-        )
+    if not 1 <= n_shards <= 16**8:
+        raise ValueError(f"n_shards must be in [1, 16^8], got {n_shards}")
+    # smallest md5-hex prefix wide enough for n_shards buckets: 1 digit up
+    # to 16 shards (the oracle-replayable form), more digits for the
+    # 100 TB fan-outs the docstring prescribes — for n_shards <= 16 the
+    # assignment is bit-for-bit the historical single-digit rule
+    digits = 1
+    while 16**digits < n_shards:
+        digits += 1
     slim = df.select(
         F.pmod(
-            F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 1), 16, 10)
-            .cast("int"),
+            F.conv(
+                F.substring(F.md5(F.col(id_col).cast("string")), 1, digits), 16, 10
+            ).cast("long"),
             F.lit(n_shards),
-        ).alias("shard"),
+        )
+        .cast("int")
+        .alias("shard"),
         F.col(id_col),
         token_count(text_col).cast("long").alias("n_tokens"),
     )

@@ -491,11 +491,15 @@ def ivf_train_centroids(
     """Deterministic driver-side IVF training sample + spherical k-means.
 
     The sample is a hash-threshold filter (md5 of the id — reproducible
-    under any partitioning, no global sort: the plan is Scan+Filter, not
-    TakeOrdered over the corpus), sorted by id driver-side and truncated
-    to ``train_sample``. At 100 TB pass ``sample_fraction`` ≈
-    train_sample/|corpus| so only ~train_sample rows ever reach the
-    driver; at test scale the default 1.0 keeps every row eligible."""
+    under any partitioning) followed by a ``TakeOrdered`` heap of the
+    first ``train_sample`` ids, so AT MOST train_sample rows ever reach
+    the driver regardless of corpus size (an unbounded ``collect`` here
+    was a driver-OOM at scale). At 100 TB additionally pass
+    ``sample_fraction`` ≈ train_sample/|corpus| so the heap scans a
+    pruned stream instead of every row; the sampled id set — first
+    train_sample ids among the hash-filtered corpus — is identical
+    either way, which is what keeps the oracle's replayed centroids
+    bitwise-equal."""
     from etl_manager_spark.operators.sampling import hash_bucket, _threshold_hex
 
     filtered = corpus
@@ -503,9 +507,12 @@ def ivf_train_centroids(
         filtered = corpus.filter(
             hash_bucket(id_col) < F.lit(_threshold_hex(sample_fraction))
         )
-    rows = filtered.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>")
-    ).collect()
+    rows = (
+        filtered.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
+        .orderBy(F.col(id_col).asc())
+        .limit(train_sample)
+        .collect()
+    )
     return _sorted_sample_centroids([(r[0], r[1]) for r in rows], num_lists, train_sample)
 
 

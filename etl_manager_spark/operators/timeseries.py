@@ -42,6 +42,12 @@ def ewma_per_key(
     Key-count parallelism is the unit of scale-out, same as any
     sessionization.
 
+    Rows with a NULL ``value_col`` are dropped before the fold (no state
+    update, no output row) — the standard "missing sample" treatment;
+    without the explicit filter a NULL would arrive in the Arrow batch
+    as NaN, silently poison the running average for every later row of
+    the key, and then crash the int64 quantization.
+
     Returns (<key_col>, <id_col>, ewma_q)."""
     import math
 
@@ -84,6 +90,7 @@ def ewma_per_key(
     id_dtype = df.schema[id_col].dataType.simpleString()
     slim = (
         df.select(key_col, ts_col, id_col, value_col)
+        .filter(F.col(value_col).isNotNull())
         .repartition(F.col(key_col))
         .sortWithinPartitions(key_col, ts_col, id_col)
     )

@@ -200,14 +200,15 @@ def interval_join(
     stream-stream joins feasible at 100 TB/day.
 
     ``how="left_outer"`` additionally emits each unmatched click with
-    null purchase columns — but only once the global watermark (the MIN
-    across both inputs' max event time, truncated to milliseconds, minus
-    the delay) passes the end of its match window, i.e. when
-    ``click_ts + gap < watermark`` strictly: that is the state-eviction
-    point, the earliest moment "no purchase arrived" is final. Clicks
-    whose window the final watermark never clears stay in state and are
-    not emitted — late-data safety over completeness, the standard
-    streaming trade."""
+    null purchase columns — but only at state eviction: with W the
+    global watermark (the MIN across both inputs' max event time,
+    truncated to milliseconds, minus the delay), a click's state expires
+    when ``click_ts <= W - gap - 1ms`` — Spark's join-state value
+    watermark subtracts one extra millisecond beyond the match-window
+    arithmetic (StreamingJoinHelper; pinned to the microsecond by the
+    boundary test). Clicks whose window the final watermark never
+    clears stay in state and are not emitted — late-data safety over
+    completeness, the standard streaming trade."""
     if how not in ("inner", "left_outer", "leftouter", "left"):
         raise ValueError(
             f"interval_join supports inner/left_outer, got {how!r} — "

@@ -19,6 +19,15 @@ The IVF factory re-trains the centroids from the oracle-scale parquet
 same shared trainer the Spark path uses, so the literals it embeds are
 bit-for-bit the closure constants the Spark plan carries at that scale.
 Factories are memoized by the registry (see ``workloads.Workload``).
+
+CONTRACT: the oracle is only comparable to a Spark run invoked with the
+SAME sf_dir as ``SPARK_GRAFT_ORACLE_SF_DIR`` — the Spark side trains
+its index from the sf_dir it is called with, while these factories pin
+the env-configured oracle scale (the driver's correctness gate always
+compares at its oracle SF, so the two agree there by construction). A
+harness comparing at a different SF must export the env var BEFORE the
+first ``.oracle`` access: the registry memoization freezes the first
+result for the process lifetime.
 """
 
 from __future__ import annotations

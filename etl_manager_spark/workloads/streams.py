@@ -232,7 +232,7 @@ def streaming_two_level_rollup(spark, sf_dir):
         SELECT 1 FROM events p
         WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR)
-      AND c.ts + INTERVAL 1 HOUR < (SELECT w FROM wm)
+      AND c.ts <= (SELECT w FROM wm) - INTERVAL 1 HOUR - INTERVAL 1 MILLISECOND
     """,
     category="streaming",
 )
@@ -243,8 +243,11 @@ def streaming_leftouter_attribution(spark, sf_dir):
     oracle reproduces the watermark arithmetic: W = min over both inputs
     of max event time, ms-truncated (Spark tracks watermarks in
     milliseconds), minus the 1-hour delay; an unmatched click emits iff
-    ``click_ts + 1h < W`` strictly. Clicks whose window the final
-    watermark never clears are (correctly) withheld in both engines."""
+    ``click_ts <= W - gap - 1ms`` — Spark's join-state value watermark
+    subtracts one extra millisecond (StreamingJoinHelper), pinned to the
+    microsecond by tests/test_streaming.py's boundary fixture. Clicks
+    whose window the final watermark never clears are (correctly)
+    withheld in both engines."""
     from etl_manager_spark.streaming.windows import (
         interval_join,
         read_events_stream,

@@ -316,6 +316,23 @@ def test_near_dup_clusters_long_chain_and_string_ids(spark):
     assert set(out.values()) == {"d0"}
 
 
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
 def test_near_dup_clusters_property_vs_union_find(spark):
     """Property test on random graphs: cluster assignment must equal an
     independent union-find (same components, min-id representative).
@@ -334,46 +351,11 @@ def test_near_dup_clusters_property_vs_union_find(spark):
     @settings(max_examples=20, deadline=None)
     @given(edges=edges_strategy)
     def check(edges):
-        parent = {}
-
-        def find(x):
-            parent.setdefault(x, x)
-            while parent[x] != x:
-                parent[x] = parent[parent[x]]
-                x = parent[x]
-            return x
-
-        def union(a, b):
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                parent[max(ra, rb)] = min(ra, rb)
-
-        for a, b in edges:
-            union(a, b)
-        want = {x: find(x) for x in parent}
-
         pairs = spark.createDataFrame(edges, "id_a long, id_b long")
         got = {r.id: r.cluster_id for r in near_dup_clusters(pairs).collect()}
-        assert got == want
+        assert got == _union_find(edges)
 
     check()
-
-
-def _union_find(edges):
-    parent = {}
-
-    def find(x):
-        parent.setdefault(x, x)
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for a, b in edges:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    return {x: find(x) for x in parent}
 
 
 def test_connected_components_star_property_vs_union_find(spark):

@@ -63,7 +63,9 @@ def test_pack_rejects_bad_params(spark):
     with pytest.raises(ValueError, match="seq_tokens"):
         pack_sequences(df, seq_tokens=0)
     with pytest.raises(ValueError, match="n_shards"):
-        pack_sequences(df, n_shards=17)
+        pack_sequences(df, n_shards=0)
+    with pytest.raises(ValueError, match="n_shards"):
+        pack_sequences(df, n_shards=16**8 + 1)
 
 
 def test_mixture_budget_is_hard_cap(spark, sf_dir):
@@ -222,3 +224,52 @@ def test_pack_matches_python_reference_on_random_corpora(spark):
                 fill = n
             want[i] = (shard, n, sid)
     assert got == want
+
+
+def test_pack_multi_digit_shards(spark):
+    """n_shards beyond 16 uses a wider md5 prefix: shards stay in range
+    and the fold semantics are unchanged within each shard."""
+    from etl_manager_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, "a b c") for i in range(200)], "doc_id long, text string"
+    )
+    out = pack_sequences(df, seq_tokens=6, n_shards=50).collect()
+    shards = {r.shard for r in out}
+    assert all(0 <= s < 50 for s in shards)
+    assert len(shards) > 16, "wider prefix must actually spread past 16 buckets"
+
+
+def test_ewma_ignores_null_values(spark):
+    from pyspark.sql import functions as F
+
+    from etl_manager_spark.operators.timeseries import ewma_per_key
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 1, 2.0),
+            (1, "2024-01-01 00:01:00", 2, None),  # dropped: no state update
+            (1, "2024-01-01 00:02:00", 3, 4.0),
+        ],
+        "user_id long, ts string, event_id long, value double",
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"), "event_id", "value")
+    got = {r.event_id: r.ewma_q for r in ewma_per_key(df).collect()}
+    assert got == {1: 2_000_000_000, 3: 3_000_000_000}
+
+
+def test_cluster_representatives_keeps_unscored_members(spark):
+    """LEFT-join contract: a clustered doc missing from scores must still
+    appear in the decision table, ranked below scored members."""
+    from etl_manager_spark.operators.dedup import cluster_representatives
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (7, 7), (8, 7)], "id long, cluster_id long"
+    )
+    scores = spark.createDataFrame([(2, 5)], "id long, score long")
+    out = {r.id: (r.rep_id, r.keep) for r in cluster_representatives(clusters, scores).collect()}
+    assert out == {
+        1: (2, False),  # unscored, ranked below the scored member
+        2: (2, True),
+        7: (7, True),   # wholly unscored cluster: smallest id wins
+        8: (7, False),
+    }

@@ -382,3 +382,62 @@ def test_checkpointed_aggregation_resumes_exactly_once(spark, tmp_path):
         .collect()
     }
     assert second == batch
+
+
+def test_leftouter_interval_join_eviction_boundary_is_strict(spark, tmp_path):
+    """Exact-boundary pin for the streaming_leftouter_attribution oracle:
+    an unmatched click emits iff ``click_ts <= W - gap - 1ms``, where
+    W = ms-truncated min-of-inputs max event time minus the delay —
+    Spark's join-state value watermark subtracts one extra millisecond
+    (StreamingJoinHelper), and the max is FLOORED to the millisecond
+    (the sub-ms tail on the max rows below must not round up)."""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_manager_spark.streaming.windows import (
+        interval_join,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    rows = [
+        # W = 04:00:00.000 -> eviction cutoff 02:59:59.999000 inclusive
+        (1, dt.datetime(2024, 1, 1, 2, 59, 59, 999000), 101, "click"),  # == cutoff
+        (2, dt.datetime(2024, 1, 1, 2, 59, 59, 999001), 102, "click"),  # 1µs past
+        (3, dt.datetime(2024, 1, 1, 3, 0, 0), 103, "click"),
+        # matched canary pair
+        (800, dt.datetime(2024, 1, 1, 2, 0, 0), 800, "click"),
+        (801, dt.datetime(2024, 1, 1, 2, 10, 0), 800, "purchase"),
+        # max event times: sub-ms tail exercises the ms truncation
+        (900, dt.datetime(2024, 1, 1, 5, 0, 0, 500), 900, "click"),
+        (901, dt.datetime(2024, 1, 1, 5, 0, 0, 500), 901, "purchase"),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(str(tmp_path), "events.parquet"))
+    clicks = read_events_stream(spark, str(tmp_path)).filter("event_type='click'")
+    purchases = read_events_stream(spark, str(tmp_path)).filter(
+        "event_type='purchase'"
+    )
+    out = run_to_memory(
+        interval_join(clicks, purchases, how="left_outer"),
+        spark,
+        "t_loj_strict",
+        output_mode="append",
+    ).collect()
+    assert [(r.click_id, r.purchase_id) for r in out if r.purchase_id is not None] == [
+        (800, 801)
+    ]
+    nulls = sorted(r.click_id for r in out if r.purchase_id is None)
+    # 1 == cutoff -> emits; 2 is 1µs past -> held; 3 -> held
+    assert nulls == [1], nulls
