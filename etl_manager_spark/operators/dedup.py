@@ -625,3 +625,72 @@ def cluster_representatives(
             (F.col("id") == F.col("rep_id")).alias("keep"),
         )
     )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-duplicate pairs via banded bucketing — the Hamming-
+    space analogue of the MinHash LSH band join. The ``bits``-bit
+    signature splits into ``bands`` equal slices; two documents become a
+    candidate pair iff at least one whole slice matches (guaranteed
+    complete for ``max_hamming < bands`` by pigeonhole: fewer flipped
+    bits than bands leaves some band untouched), then candidates are
+    verified exactly with ``bit_count(xor)``.
+
+    Never an all-pairs join: the self-join is keyed on (band index, band
+    value) — the same bucket-join shape, shuffle profile, and degenerate-
+    bucket caveats as :func:`minhash_near_duplicates`.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b, one row per verified
+    pair."""
+    if bits % bands != 0:
+        raise ValueError(f"bits ({bits}) must divide evenly into {bands} bands")
+    if not 0 <= max_hamming < bands:
+        raise ValueError(
+            f"need 0 <= max_hamming < bands for a complete band join, got "
+            f"max_hamming={max_hamming} bands={bands} (a pair {max_hamming} "
+            f"flips apart could differ in every band)"
+        )
+    width = bits // bands
+    mask = (1 << width) - 1
+    sigs = simhash(df, id_col, text_col, bits)
+    banded = sigs.select(
+        F.col(id_col).alias("id"),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bv"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "simhash", F.col("bk.band").alias("band"), F.col("bk.bv").alias("bv"))
+    left = banded.select(
+        F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"), "band", "bv"
+    )
+    right = banded.select(
+        F.col("id").alias("id_b"), F.col("simhash").alias("sig_b"), "band", "bv"
+    )
+    cand = (
+        left.join(right, on=["band", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)

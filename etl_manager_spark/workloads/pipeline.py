@@ -239,6 +239,64 @@ def simhash_documents(spark, sf_dir):
     return D.simhash(spread(t["documents"], spark), bits=16)
 
 
+def _simhash_pairs_oracle(
+    bits: int = 16, bands: int = 4, max_hamming: int = 3
+) -> str:
+    width = bits // bands
+    mask = (1 << width) - 1
+    votes = ",\n             ".join(
+        f"SUM(CASE WHEN SUBSTR(MD5(tok), {b + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(bits)
+    )
+    bitsum = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(bits)
+    )
+    band_vals = ", ".join(str(b) for b in range(bands))
+    return f"""
+    WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+    tok AS (SELECT DISTINCT doc_id, UNNEST({_TOK_SQL}) AS tok FROM sub),
+    sums AS (SELECT doc_id, {votes} FROM tok GROUP BY doc_id),
+    sigs AS (SELECT doc_id, CAST({bitsum} AS BIGINT) AS sig FROM sums),
+    banded AS (
+      SELECT doc_id, sig, b,
+             (sig >> (b * {width})) & {mask} AS bv
+      FROM sigs, UNNEST([{band_vals}]) AS t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                      a.sig AS sa, b.sig AS sb
+      FROM banded a JOIN banded b ON a.b = b.b AND a.bv = b.bv
+       AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(CAST(xor(sa, sb) AS BIGINT)) AS INTEGER) AS hamming
+    FROM cand WHERE bit_count(CAST(xor(sa, sb) AS BIGINT)) <= {max_hamming}
+    """
+
+
+@workload(
+    "simhash_near_dup_pairs",
+    _simhash_pairs_oracle(bits=32, bands=4, max_hamming=1),
+    category="dedup",
+)
+def simhash_near_dup_pairs_documents(spark, sf_dir):
+    """SimHash banded near-dup pairs (operators/dedup.py:
+    simhash_near_dup_pairs): the Hamming-space LSH — 32-bit signatures in
+    4 byte-wide bands, candidates from whole-band matches (complete for
+    distance < bands by pigeonhole), exact bit_count(xor) verify at
+    Hamming <= 1 (the synthetic docs are template-heavy, so a loose
+    radius would pass most pairs and mean nothing). Oracle replays the
+    identical banding and verification in SQL."""
+    t = load_tables(spark, sf_dir)
+    return D.simhash_near_dup_pairs(
+        spread(t["documents"].filter(F.col("doc_id") < 200), spark),
+        bits=32,
+        bands=4,
+        max_hamming=1,
+    )
+
+
 @workload(
     "ngram_jaccard_top_pairs",
     f"""

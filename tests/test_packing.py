@@ -273,3 +273,33 @@ def test_cluster_representatives_keeps_unscored_members(spark):
         7: (7, True),   # wholly unscored cluster: smallest id wins
         8: (7, False),
     }
+
+
+def test_simhash_pairs_param_validation(spark):
+    from etl_manager_spark.operators.dedup import simhash_near_dup_pairs
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="divide"):
+        simhash_near_dup_pairs(df, bits=16, bands=3)
+    with pytest.raises(ValueError, match="complete band join"):
+        simhash_near_dup_pairs(df, bits=16, bands=4, max_hamming=4)
+
+
+def test_simhash_pairs_find_near_identical_docs(spark):
+    """Two docs sharing almost all tokens land within the hamming budget;
+    an unrelated doc does not pair with them."""
+    from etl_manager_spark.operators.dedup import simhash_near_dup_pairs
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " extra"),
+            (3, " ".join(f"other{i}" for i in range(30))),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_near_dup_pairs(df).collect()}
+    assert (1, 2) in pairs
+    assert pairs[(1, 2)] <= 3
+    assert (1, 3) not in pairs and (2, 3) not in pairs
