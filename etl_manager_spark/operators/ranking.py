@@ -277,25 +277,41 @@ def bigram_lm_scores(
     that genuinely exceed broadcast size; then pre-bucket both sides
     on the bigram key instead.
 
+    The corpus is tokenized EXACTLY ONCE: one explode emits a
+    ``(id, w1, w2)`` row per token — ``w2`` is the following token, or
+    NULL for a document's final token — and that stream is eagerly
+    materialized (``localCheckpoint``) so all four consumers (bigram
+    counts, unigram counts, vocabulary size, and the scoring probe)
+    read the same blocks. The lazy form re-ran scan + regex tokenize +
+    explode once per consumer — 4 passes over the corpus, the dominant
+    cost at sf0.1. Unigram counts read ALL rows (every token appears
+    exactly once as ``w1``); bigram rows are the ``w2 IS NOT NULL``
+    subset — identical counts to tokenizing separately, so the oracle
+    SQL is unchanged.
+
     Returns (id, n_bigrams, sum_logp_q)."""
     toks = F.filter(tokens(text_col), lambda t: t != "")
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - F.lit(1)),
+    # one struct per token: (tok_i, tok_{i+1} | NULL at the doc boundary);
+    # the when() guard keeps element_at in-bounds under ANSI mode
+    units = F.transform(
+        F.sequence(F.lit(1), F.size(toks)),
         lambda i: F.struct(
             F.element_at(toks, i).alias("w1"),
-            F.element_at(toks, i + F.lit(1)).alias("w2"),
+            F.when(
+                i < F.size(toks), F.element_at(toks, i + F.lit(1))
+            ).alias("w2"),
         ),
     )
-    pairs = (
-        df.filter(F.size(toks) >= 2)
-        .select(F.col(id_col).alias("id"), F.explode(bigrams).alias("bg"))
-        .select("id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    token_stream = (
+        df.filter(F.size(toks) >= 1)
+        .select(F.col(id_col).alias("id"), F.explode(units).alias("u"))
+        .select("id", F.col("u.w1").alias("w1"), F.col("u.w2").alias("w2"))
+        .localCheckpoint(eager=True)
     )
+    pairs = token_stream.filter(F.col("w2").isNotNull())
     bigram_counts = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    unigram_counts = (
-        df.select(F.explode(toks).alias("w1"))
-        .groupBy("w1")
-        .agg(F.count(F.lit(1)).alias("c1"))
+    unigram_counts = token_stream.groupBy("w1").agg(
+        F.count(F.lit(1)).alias("c1")
     )
     # vocabulary size rides along as a broadcast one-row frame instead of a
     # driver-side count(): that action would re-run the whole unigram
