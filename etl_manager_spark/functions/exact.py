@@ -51,3 +51,13 @@ def dec_sumsq(col: Column | str, typ: str = DEFAULT_DECIMAL) -> Column:
     Returned as double (one deterministic final conversion)."""
     d = dec(col, typ)
     return F.sum(d * d).cast("double")
+
+
+def dec_sumprod(
+    a: Column | str, b: Column | str, typ: str = DEFAULT_DECIMAL
+) -> Column:
+    """Exact sum of pairwise products Σ aᵢ·bᵢ — two scale-2 decimals
+    multiply to a scale-4 exact decimal, and the sum stays exact. The
+    cross moment for covariance / correlation / least-squares slope,
+    order-free like the other dec_* aggregates. Returned as double."""
+    return F.sum(dec(a, typ) * dec(b, typ)).cast("double")

@@ -649,3 +649,189 @@ def ewma_user_values(spark, sf_dir):
 
     t = load_tables(spark, sf_dir)
     return ewma_per_key(t["events"], alpha=0.5)
+
+
+@workload(
+    "regression_price_by_quantity",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           CAST(FLOOR((n * sxy - sx * sy) / (n * sxx - sx * sx)
+                      * 1000000000.0 + 0.5) AS BIGINT) AS slope_q,
+           CAST(FLOOR((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+                      * 1000000000.0 + 0.5) AS BIGINT) AS intercept_q,
+           CAST(FLOOR((n * sxy - sx * sy)
+                      / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy))
+                      * 1000000000.0 + 0.5) AS BIGINT) AS corr_q
+    FROM s
+    """,
+    category="analytics",
+)
+def regression_price_by_quantity(spark, sf_dir):
+    """Per-group least-squares regression + Pearson correlation (the
+    regr_slope / regr_intercept / corr aggregate family) with
+    DETERMINISTIC results: the five moments (Σx, Σy, Σx², Σy², Σxy) are
+    decimal-exact aggregates (functions/exact.py — associative, no float
+    accumulation order), and slope/intercept/corr are each ONE fixed
+    IEEE expression over those exact doubles, identical text on both
+    engines. The double-sum formulations Spark ships (regr_*, corr)
+    are order-dependent under shuffle and can't be oracle-checked
+    bitwise; this shape can, and is the 100 TB way to get reproducible
+    model-fit statistics (one map-combined hash aggregate, 3 groups)."""
+    from etl_manager_spark.functions.exact import dec_sum, dec_sumprod, dec_sumsq
+
+    t = load_tables(spark, sf_dir)
+    s = t["lineitem"].groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dec_sum("l_quantity").alias("sx"),
+        dec_sum("l_extendedprice").alias("sy"),
+        dec_sumsq("l_quantity").alias("sxx"),
+        dec_sumsq("l_extendedprice").alias("syy"),
+        dec_sumprod("l_quantity", "l_extendedprice").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "l_returnflag",
+        "n",
+        R.quantize(slope).alias("slope_q"),
+        R.quantize((sy - slope * sx) / n).alias("intercept_q"),
+        R.quantize(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+        ).alias("corr_q"),
+    )
+
+
+@workload(
+    "mode_event_type_per_user",
+    """
+    SELECT user_id, event_type AS modal_event_type, cnt
+    FROM (
+      SELECT user_id, event_type, COUNT(*) AS cnt,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY COUNT(*) DESC, event_type ASC) AS rn
+      FROM events WHERE user_id < 200 GROUP BY user_id, event_type
+    ) WHERE rn = 1
+    """,
+    category="analytics",
+)
+def mode_event_type_per_user(spark, sf_dir):
+    """Per-key statistical mode with a deterministic tie-break (highest
+    count, then lexicographically smallest value) — Spark's ``mode()``
+    aggregate is explicitly non-deterministic on ties, so reproducible
+    pipelines need this count+window form. One hash aggregate on
+    (user, type) — map-side combined, so the shuffle carries counts —
+    then a tiny window over ≤|event_types| rows per user."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    counts = (
+        t["events"]
+        .filter(F.col("user_id") < 200)
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("cnt"), F.asc("event_type")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("modal_event_type"), "cnt")
+    )
+
+
+@workload(
+    "string_agg_nations_per_region",
+    """
+    SELECT r.r_name, COUNT(*) AS n_nations,
+           STRING_AGG(n.n_name, ',' ORDER BY n.n_name) AS nations
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    category="relational",
+)
+def string_agg_nations_per_region(spark, sf_dir):
+    """Ordered string aggregation (STRING_AGG / LISTAGG ... WITHIN GROUP):
+    Spark has no ordered string_agg, so the deterministic equivalent is
+    collect_list → array_sort → array_join — the sort happens per group
+    AFTER the aggregate, so results are independent of input partitioning
+    (a bare collect_list order is not reproducible). Group sizes here are
+    bounded (nations per region), which is the only regime where ordered
+    string aggregation is sane at scale anyway."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["nation"]
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+                "nations"
+            ),
+        )
+    )
+
+
+@workload(
+    "weighted_sample_documents",
+    """
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             LN((CAST('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8)
+                      AS UBIGINT) + 1) / 4294967296.0)
+               / n_chars AS k
+      FROM documents
+    )
+    SELECT doc_id, n_chars,
+           CAST(FLOOR(k * 1000000000.0 + 0.5) AS BIGINT) AS key_q,
+           CAST("rank" AS INTEGER) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY k DESC, doc_id ASC) AS "rank"
+          FROM keyed)
+    WHERE "rank" <= 50
+    """,
+    category="sampling",
+)
+def weighted_sample_documents(spark, sf_dir):
+    """Weighted sampling WITHOUT replacement, Efraimidis–Spirakis A-ES:
+    each row draws u ∈ (0,1] and competes with key ln(u)/w (monotone in
+    u^(1/w); w = n_chars, so longer documents are proportionally likelier)
+    — the global top-k by key IS a weighted sample without replacement.
+    The draw is derandomized: u comes from the md5 of the row id (first 8
+    hex chars + 1, over 2^32 — a dyadic rational, exactly representable),
+    so the sample is reproducible across engines, runs, and partitionings
+    — how you sample 100 TB consistently. Plan: one scan + a TakeOrdered
+    heap (top-k never sorts the corpus; tests pin this for topk ops)."""
+    t = load_tables(spark, sf_dir)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        + 1
+    ) / F.lit(4294967296.0)
+    keyed = t["documents"].select(
+        "doc_id", "n_chars", (F.log(u) / F.col("n_chars")).alias("k")
+    )
+    top = keyed.orderBy(F.desc("k"), F.asc("doc_id")).limit(50)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("k"), F.asc("doc_id"))
+    return top.select(
+        "doc_id",
+        "n_chars",
+        R.quantize(F.col("k")).alias("key_q"),
+        F.row_number().over(w).alias("rank"),
+    )
