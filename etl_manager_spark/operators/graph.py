@@ -1,0 +1,112 @@
+"""Graph analytics over pair lists (near-duplicate graphs, entity links).
+
+The dedup chain (operators/dedup.py) produces edge lists; these operators
+answer structural questions about them — how clustered is the duplicate
+graph (triangles), which nodes are central (PageRank) — using only
+DataFrame joins and aggregations, so they run wherever the pair
+generation ran. Connected components live in operators/dedup.py
+(label propagation + Kiveris large-star/small-star).
+
+Float discipline: PageRank's per-node sum is the classic
+order-dependent reduction, so each edge's contribution is nano-quantized
+to int64 BEFORE summation — integer sums are exact and associative,
+making every iteration (and therefore the fixpoint trajectory) identical
+under any partitioning and replayable by any engine from the same
+quantization rule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def triangle_counts(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """Per-node triangle participation counts over an undirected edge
+    list (canonical orientation ``id_a < id_b``, no duplicates).
+
+    Each triangle a<b<c is enumerated exactly once by the two-join
+    pattern (a,b)⋈(b,c)⋈(a,c); per-node counts then follow from
+    exploding each triangle's three corners into one aggregation.
+    Triangle density separates clique-like duplicate clusters (high
+    support — safe to collapse) from chain-shaped false-positive runs
+    (zero support — review before deleting).
+
+    Scale shape: two hash-join shuffles on single node keys plus one
+    count aggregate. The id-orientation is the degree-splitting trick's
+    simple cousin; for power-law graphs re-orient edges
+    low-degree → high-degree first so the join fan-out is bounded by
+    arboricity (standard MapReduce triangle counting; our near-dup
+    graphs are small-component by construction so id-order suffices)."""
+    e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")).distinct()
+    ab = e.select(F.col("a"), F.col("b"))
+    bc = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    ac = e.select(F.col("a").alias("a2"), F.col("b").alias("c2"))
+    tri = (
+        ab.join(bc, on="b")
+        .join(
+            ac,
+            (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2")),
+        )
+        .select("a", "b", "c")
+    )
+    corners = (
+        tri.select(F.col("a").alias("id"))
+        .unionAll(tri.select(F.col("b").alias("id")))
+        .unionAll(tri.select(F.col("c").alias("id")))
+    )
+    return corners.groupBy("id").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def pagerank_quantized(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over the undirected pair graph, with a
+    DETERMINISTIC iteration rule: every edge contribution
+    ``r(src)/deg(src)`` is nano-quantized to int64 before the per-node
+    sum, so the reduction is an exact integer sum (associative,
+    partitioning-independent) and the whole trajectory — not just the
+    final ranks — is bitwise-reproducible and replayable in SQL. Ranks
+    start at 1.0 (the un-normalized convention: scores sum to ~N);
+    ``r' = (1-d) + d·(Σ q(r/deg))/1e9``.
+
+    Scale shape: the degree-annotated edge list is built once and
+    materialized (``localCheckpoint`` — it is re-joined every
+    iteration, and re-deriving it would replay the full upstream pair
+    generation per round); each iteration is one hash join
+    (edges ⋈ ranks on src) and one aggregation (sum by dst), both
+    shuffling on a single node-id key. Symmetric edges mean no dangling
+    nodes. Rank tables are node-sized, far below edge-sized, so at
+    100 TB the per-iteration shuffle is the smaller relation."""
+    sym = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionAll(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    edges = sym.join(deg, on="src").localCheckpoint(eager=True)
+    ranks = deg.select("src", F.lit(1.0).alias("r"))
+    for _ in range(iterations):
+        contrib = edges.join(ranks, on="src").select(
+            F.col("dst"),
+            F.floor(
+                F.col("r") / F.col("deg") * F.lit(1000000000.0) + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("c_q"),
+        )
+        ranks = contrib.groupBy("dst").agg(
+            (
+                F.lit(1.0 - damping)
+                + F.lit(damping) * (F.sum("c_q") / F.lit(1000000000.0))
+            ).alias("r")
+        ).select(F.col("dst").alias("src"), "r")
+    return ranks.select(F.col("src").alias("id"), F.col("r").alias("rank"))

@@ -593,6 +593,83 @@ def cosine_topk_ivf(
     )
 
 
+def semantic_dedup_pairs(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    cluster the embedding space with (externally trained, deterministic)
+    k-means centroids, then search for near-duplicate pairs ONLY within
+    each cluster — the candidate set drops from O(n²) to
+    O(Σ_cluster |cluster|²) on the bet that semantic duplicates share a
+    centroid. The returned pairs (``cluster, id_a, id_b, cosine_sim``
+    with ``id_a < id_b`` and sim ≥ threshold) feed the same
+    components→representatives chain as the text dedup path
+    (operators/dedup.py).
+
+    Assignment is an Arrow-batched argmax against centroid closure
+    constants (no join); each cluster group scores its pairs with the
+    vectorized-across-pairs / sequential-across-dims kernel, so sims are
+    bitwise-equal to the exact HOF form and the DuckDB oracle.
+
+    Scale: one shuffle of the corpus on the cluster id; task memory is
+    bounded by the largest cluster's score matrix — for 100 TB raise the
+    centroid count so clusters stay bucket-sized (SemDeDup uses ~100k
+    clusters at web scale), or recurse: re-cluster any oversized cluster.
+    Approximate by design: cross-cluster duplicate pairs are missed."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf("int")
+    def assign_cluster(vs: pd.Series) -> pd.Series:
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        return pd.Series((_seq_dots(V, C).argmax(axis=1) + 1).astype("int32"))
+
+    tagged = corpus.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).alias("vec"),
+        assign_cluster(F.col(vec_col)).alias("cluster"),
+    )
+
+    def score_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy()
+        empty = pd.DataFrame(
+            {"cluster": [], "id_a": [], "id_b": [], "cosine_sim": []}
+        ).astype(
+            {
+                "cluster": "int32",
+                "id_a": "int64",
+                "id_b": "int64",
+                "cosine_sim": "float64",
+            }
+        )
+        if len(ids) < 2:
+            return empty
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
+        norms = _seq_norms(V)
+        sims = _seq_dots(V, V) / np.multiply.outer(norms, norms)
+        keep = (ids[:, None] < ids[None, :]) & (sims >= threshold)
+        ai, bi = np.nonzero(keep)
+        if len(ai) == 0:
+            return empty
+        return pd.DataFrame(
+            {
+                "cluster": np.full(len(ai), pdf["cluster"].iloc[0], dtype="int32"),
+                "id_a": ids[ai],
+                "id_b": ids[bi],
+                "cosine_sim": sims[ai, bi],
+            }
+        )
+
+    return tagged.groupBy("cluster").applyInPandas(
+        score_cluster, "cluster int, id_a long, id_b long, cosine_sim double"
+    )
+
+
 def embedding_profile(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Per-vector stats: dimension, L2 norm, min/max element."""
     v = F.col(vec_col).cast("array<double>")

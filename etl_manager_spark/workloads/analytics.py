@@ -835,3 +835,79 @@ def weighted_sample_documents(spark, sf_dir):
         R.quantize(F.col("k")).alias("key_q"),
         F.row_number().over(w).alias("rank"),
     )
+
+
+@workload(
+    "gapfill_locf_user_hours",
+    """
+    WITH hourly AS (
+      SELECT user_id, DATE_TRUNC('hour', ts) AS h,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+      FROM events WHERE user_id < 10
+      GROUP BY user_id, DATE_TRUNC('hour', ts)
+    ),
+    bounds AS (SELECT user_id, MIN(h) AS mn, MAX(h) AS mx FROM hourly GROUP BY user_id),
+    slots AS (
+      SELECT user_id, UNNEST(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour_ts
+      FROM bounds
+    ),
+    j AS (
+      SELECT s.user_id, s.hour_ts, h.v
+      FROM slots s LEFT JOIN hourly h
+        ON h.user_id = s.user_id AND h.h = s.hour_ts
+    ),
+    g AS (
+      SELECT *, COUNT(v) OVER (PARTITION BY user_id ORDER BY hour_ts) AS grp
+      FROM j
+    )
+    SELECT user_id, hour_ts,
+           MAX(v) OVER (PARTITION BY user_id, grp) AS v_filled,
+           v IS NOT NULL AS is_observed
+    FROM g
+    """,
+    category="timeseries",
+)
+def gapfill_locf_user_hours(spark, sf_dir):
+    """Time-series regularization: per-user hourly resampling with
+    last-observation-carried-forward fill — the gap-fill step before any
+    window-based feature extraction over irregular event streams. Hour
+    slots come from exploding a per-user ``sequence(first, last,
+    1 hour)`` (JVM generator, fan-out stays in the scan stage); observed
+    hours carry a decimal-exact value sum; gaps take the previous
+    observation via ``last(ignorenulls)`` over an ordered per-user
+    window. Slots start at each user's first observation, so LOCF never
+    reads before it has state. The oracle reproduces the fill with the
+    standard gap-group trick (COUNT(v) OVER as group id, MAX within
+    group). One shuffle on user_id end-to-end."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    hourly = (
+        t["events"]
+        .filter(F.col("user_id") < 10)
+        .groupBy("user_id", F.date_trunc("hour", "ts").alias("hour_ts"))
+        .agg(dec_sum("value").alias("v"))
+    )
+    bounds = hourly.groupBy("user_id").agg(
+        F.min("hour_ts").alias("mn"), F.max("hour_ts").alias("mx")
+    )
+    slots = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        slots.join(hourly, on=["user_id", "hour_ts"], how="left")
+        .select(
+            "user_id",
+            "hour_ts",
+            F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+            F.col("v").isNotNull().alias("is_observed"),
+        )
+    )

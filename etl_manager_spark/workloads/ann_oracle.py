@@ -204,6 +204,34 @@ def ivf_topk_oracle() -> str:
     ),{_EXACT_TOPK},{_RECALL_TAIL}"""
 
 
+def semdedup_oracle() -> str:
+    """semdedup_embeddings: embed the (re-trained) centroid literals,
+    assign every vector to its argmax cluster, enumerate within-cluster
+    pairs (id_a < id_b), exact cosine gate at the near-dup threshold."""
+    cent_rows = ", ".join(
+        f"({j + 1}, {_lit(c)})" for j, c in enumerate(_ivf_centroids())
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent(list_id, c) AS (SELECT * FROM (VALUES {cent_rows}) t(list_id, c)),
+    assign AS (
+      SELECT vec_id, v, list_id FROM (
+        SELECT e.vec_id, e.v, cent.list_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY LIST_DOT_PRODUCT(e.v, cent.c) DESC, cent.list_id ASC
+               ) AS rn
+        FROM e CROSS JOIN cent
+      ) WHERE rn = 1
+    )
+    SELECT CAST(a.list_id AS INTEGER) AS cluster,
+           a.vec_id AS id_a, b.vec_id AS id_b,
+           {_cos('a.v', 'b.v')} AS cosine_sim
+    FROM assign a JOIN assign b
+      ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+    WHERE {_cos('a.v', 'b.v')} >= {NEARDUP_THRESHOLD}"""
+
+
 def lsh_neardup_oracle() -> str:
     """dedup_embedding_cosine_lsh: bucket-join candidate pairs (id_a <
     id_b, collision in ANY table), exact cosine gate, recall vs the exact

@@ -1,0 +1,118 @@
+"""Graph-analytics workloads over the near-duplicate pair graph.
+
+The MinHash→LSH→verify chain (workloads/pipeline.py) yields an edge
+list; these queries answer structural questions about it with
+operators/graph.py. Both oracles rebuild the identical pair set with the
+shared ``_MINHASH_PAIRS_CTES`` SQL, so engine and oracle agree on the
+graph before any graph math starts. PageRank follows the house float
+discipline: per-edge contributions are nano-quantized to int64 before
+summation, so the per-node reduction is exact integer arithmetic and the
+unrolled-SQL replay is bitwise-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_manager_spark.operators import dedup as D
+from etl_manager_spark.operators import graph as G
+from etl_manager_spark.operators.ranking import quantize
+from etl_manager_spark.workloads import workload
+from etl_manager_spark.workloads.pipeline import _MINHASH_PAIRS_CTES
+from etl_manager_spark.workloads.tables import load_tables
+
+_PR_DAMPING = 0.85
+_PR_BASE = repr(1.0 - _PR_DAMPING)  # exact IEEE literal, matches F.lit math
+
+
+def _neardup_pairs(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return D.minhash_near_duplicates(
+        t["documents"].filter(F.col("doc_id") < 200),
+        num_hashes=8,
+        bands=2,
+        jaccard_threshold=0.5,
+    )
+
+
+@workload(
+    "triangle_support_neardup",
+    f"""
+    WITH {_MINHASH_PAIRS_CTES},
+    edges AS (SELECT id_a AS a, id_b AS b FROM dup_pairs),
+    tri AS (
+      SELECT ab.a, ab.b, bc.b AS c
+      FROM edges ab
+      JOIN edges bc ON ab.b = bc.a
+      JOIN edges ac ON ac.a = ab.a AND ac.b = bc.b
+    ),
+    corners AS (
+      SELECT a AS id FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    SELECT id AS doc_id, COUNT(*) AS n_triangles
+    FROM corners GROUP BY id
+    """,
+    category="graph",
+)
+def triangle_support_neardup(spark, sf_dir):
+    """Per-document triangle support in the near-duplicate graph
+    (operators/graph.py: triangle_counts). High support = clique-like
+    duplicate cluster (safe to collapse); support 0 on a component =
+    chain of borderline matches worth auditing before deletion. The
+    oracle rebuilds the same edge list via the shared MinHash CTEs and
+    enumerates each a<b<c triangle once with the same two-join pattern."""
+    return G.triangle_counts(_neardup_pairs(spark, sf_dir)).select(
+        F.col("id").alias("doc_id"), "n_triangles"
+    )
+
+
+@workload(
+    "pagerank_neardup_graph",
+    f"""
+    WITH {_MINHASH_PAIRS_CTES},
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM dup_pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM dup_pairs
+    ),
+    deg AS (SELECT src, COUNT(*) AS deg FROM sym GROUP BY src),
+    e AS (SELECT s.src, s.dst, d.deg FROM sym s JOIN deg d ON d.src = s.src),
+    r1 AS (
+      SELECT e.dst AS id,
+             {_PR_BASE} + {_PR_DAMPING!r} * (SUM(CAST(FLOOR(
+               1.0 / e.deg * 1000000000.0 + 0.5) AS BIGINT)) / 1000000000.0) AS r
+      FROM e GROUP BY e.dst
+    ),
+    r2 AS (
+      SELECT e.dst AS id,
+             {_PR_BASE} + {_PR_DAMPING!r} * (SUM(CAST(FLOOR(
+               r1.r / e.deg * 1000000000.0 + 0.5) AS BIGINT)) / 1000000000.0) AS r
+      FROM e JOIN r1 ON r1.id = e.src GROUP BY e.dst
+    ),
+    r3 AS (
+      SELECT e.dst AS id,
+             {_PR_BASE} + {_PR_DAMPING!r} * (SUM(CAST(FLOOR(
+               r2.r / e.deg * 1000000000.0 + 0.5) AS BIGINT)) / 1000000000.0) AS r
+      FROM e JOIN r2 ON r2.id = e.src GROUP BY e.dst
+    )
+    SELECT id AS doc_id,
+           CAST(FLOOR(r * 1000000000.0 + 0.5) AS BIGINT) AS rank_q
+    FROM r3
+    """,
+    category="graph",
+)
+def pagerank_neardup_graph(spark, sf_dir):
+    """Three PageRank iterations over the near-dup graph
+    (operators/graph.py: pagerank_quantized) — central nodes are the
+    boilerplate "templates" many documents echo. Contributions are
+    int64-quantized before each per-node sum, so every iteration is
+    exact integer arithmetic and the oracle replays the whole
+    trajectory as three unrolled SQL aggregations, bit-for-bit."""
+    ranks = G.pagerank_quantized(
+        _neardup_pairs(spark, sf_dir), iterations=3, damping=_PR_DAMPING
+    )
+    return ranks.select(
+        F.col("id").alias("doc_id"), quantize(F.col("rank")).alias("rank_q")
+    )

@@ -752,6 +752,22 @@ def dedup_embedding_cosine_lsh(spark, sf_dir):
     return _with_recall(approx, exact_sample, ["id_a", "id_b"])
 
 
+@workload("semdedup_embeddings", ann_oracle.semdedup_oracle, category="dedup")
+def semdedup_embeddings(spark, sf_dir):
+    """SemDeDup (cluster-then-dedup) over the embedding corpus
+    (operators/similarity.py: semantic_dedup_pairs): spherical-kmeans
+    clusters from the deterministic IVF trainer (same 8 centroids as the
+    IVF index — one trained codebook serves both ANN search and semantic
+    dedup), within-cluster exact-cosine pairs at the near-dup threshold.
+    Fully oracle-checked: the DuckDB SQL embeds the re-trained centroid
+    literals, replays the argmax assignment, and gates the same pairs
+    (workloads/ann_oracle.py: semdedup_oracle)."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    centroids = S.ivf_train_centroids(emb, num_lists=8, train_sample=1024)
+    return S.semantic_dedup_pairs(emb, centroids, threshold=0.4)
+
+
 # --------------------------------------------------------------------- #
 # As-of join
 

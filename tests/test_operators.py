@@ -606,3 +606,88 @@ def test_train_test_split_disjoint_exhaustive_stable(spark, sf_dir):
     # stable across a different partitioning
     tr2 = {r.doc_id for r in train_test_split(docs.repartition(7), "doc_id", 0.8)[0].collect()}
     assert tr2 == tr
+
+
+def test_triangle_counts_vs_bruteforce(spark):
+    """Random graph: the two-join enumeration must match a brute-force
+    itertools triangle count per node."""
+    import hashlib
+    from itertools import combinations
+
+    from etl_manager_spark.operators.graph import triangle_counts
+
+    n = 40
+    edges = sorted(
+        {
+            (a, b)
+            for a in range(n)
+            for b in range(a + 1, n)
+            if int(hashlib.md5(f"{a}-{b}".encode()).hexdigest()[:4], 16) % 7 == 0
+        }
+    )
+    eset = set(edges)
+    expected: dict[int, int] = {}
+    for a, b, c in combinations(range(n), 3):
+        if (a, b) in eset and (b, c) in eset and (a, c) in eset:
+            for v in (a, b, c):
+                expected[v] = expected.get(v, 0) + 1
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.id: r.n_triangles for r in triangle_counts(pairs).collect()}
+    assert got == expected
+    assert sum(expected.values()) % 3 == 0 and expected  # sanity: fixture has triangles
+
+
+def test_pagerank_quantized_partitioning_invariant(spark):
+    """Quantized contributions make the ranks exactly reproducible under
+    different partitionings AND match a sequential numpy replay of the
+    same quantization rule."""
+    import hashlib
+    import math
+
+    from etl_manager_spark.operators.graph import pagerank_quantized
+
+    n = 30
+    edges = sorted(
+        {
+            (a, b)
+            for a in range(n)
+            for b in range(a + 1, n)
+            if int(hashlib.md5(f"{a}:{b}".encode()).hexdigest()[:4], 16) % 5 == 0
+        }
+    )
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    r1 = {r.id: r.rank for r in pagerank_quantized(pairs, iterations=3).collect()}
+    r2 = {
+        r.id: r.rank
+        for r in pagerank_quantized(pairs.repartition(7, "id_b"), iterations=3).collect()
+    }
+    assert r1 == r2  # bitwise, not approximately
+
+    # sequential replay
+    sym = {}
+    for a, b in edges:
+        sym.setdefault(a, set()).add(b)
+        sym.setdefault(b, set()).add(a)
+    ranks = {v: 1.0 for v in sym}
+    for _ in range(3):
+        acc = {v: 0 for v in sym}
+        for src, nbrs in sym.items():
+            deg = len(nbrs)
+            for dst in nbrs:
+                acc[dst] += math.floor(ranks[src] / deg * 1e9 + 0.5)
+        ranks = {v: 0.15000000000000002 + 0.85 * (s / 1e9) for v, s in acc.items()}
+    assert r1 == ranks
+
+
+def test_semantic_dedup_pairs_subset_of_exact(spark, sf_dir):
+    """Within-cluster pairs must be a subset of the exact all-pairs set,
+    with bitwise-identical sims for every emitted pair."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = S.ivf_train_centroids(emb, num_lists=8, train_sample=1024)
+    sem = S.semantic_dedup_pairs(emb, centroids, threshold=0.4)
+    exact = S.cosine_near_dup_pairs_blocked(emb, threshold=0.4)
+    sem_rows = {(r.id_a, r.id_b): r.cosine_sim for r in sem.collect()}
+    exact_rows = {(r.id_a, r.id_b): r.cosine_sim for r in exact.collect()}
+    assert set(sem_rows) <= set(exact_rows)
+    for k, v in sem_rows.items():
+        assert exact_rows[k] == v  # bitwise
