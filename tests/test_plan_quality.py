@@ -274,3 +274,43 @@ def test_ewma_single_shuffle_sorted_stream(plans):
     # no grouped-map (FlatMapGroupsInPandas) machinery
     assert len(keys) == 1
     assert "MapInPandas" in r.text and "FlatMapGroupsInPandas" not in r.text
+
+
+def test_weighted_sample_topk_uses_heap_not_full_sort(plans):
+    r = plans("weighted_sample_documents")
+    # the global top-50 must be a TakeOrdered heap; a full Sort of the
+    # corpus for a 50-row result is the scale bug this guards against
+    assert r.take_ordered, r.text[:1500]
+    # one scan, no joins — the key is computed inline from the row id
+    assert r.broadcast_joins == 0 and r.sortmerge_joins == 0
+
+
+def test_regression_moments_single_aggregate(plans):
+    r = plans("regression_price_by_quantity")
+    # all five moments ride ONE map-combined hash aggregate: exactly one
+    # shuffle (on l_returnflag), no joins, slope/corr are post-agg projections
+    assert r.shuffle_exchanges == 1, r.text[:1500]
+    assert r.broadcast_joins == 0 and r.sortmerge_joins == 0
+    assert r.scans_only_columns({"l_returnflag", "l_quantity", "l_extendedprice"})
+
+
+def test_gapfill_shuffles_only_on_user_id(plans):
+    r = plans("gapfill_locf_user_hours")
+    # hourly agg, bounds agg, slot join and LOCF window all key on
+    # user_id (± the hour column): no key other than user_id may appear
+    # first in any hashpartitioning
+    import re
+
+    keys = re.findall(r"Arguments: hashpartitioning\((\w+)", r.text)
+    assert keys and all(k.startswith("user_id") for k in keys), keys
+    # the per-user slot explode stays out of Python: no ArrowEvalPython
+    assert "ArrowEvalPython" not in r.text and "BatchEvalPython" not in r.text
+
+
+def test_semdedup_single_cluster_shuffle(plans):
+    r = plans("semdedup_embeddings")
+    # assignment is an Arrow projection (closure-constant centroids — no
+    # join); the only required movement is the groupBy(cluster) for
+    # within-cluster scoring
+    assert r.broadcast_joins == 0 and r.sortmerge_joins == 0, r.text[:1500]
+    assert "ArrowEvalPython" in r.text  # centroid argmax stays vectorized
