@@ -911,3 +911,239 @@ def gapfill_locf_user_hours(spark, sf_dir):
             F.col("v").isNotNull().alias("is_observed"),
         )
     )
+
+
+@workload(
+    "mad_robust_outliers_events",
+    """
+    WITH med AS (
+      SELECT event_type, MEDIAN(value) AS med
+      FROM events GROUP BY event_type
+    ),
+    mad AS (
+      SELECT e.event_type, MEDIAN(ABS(e.value - m.med)) AS mad
+      FROM events e JOIN med m ON e.event_type = m.event_type
+      GROUP BY e.event_type
+    ),
+    flagged AS (
+      SELECT e.event_type, COUNT(*) AS n_outliers
+      FROM events e
+      JOIN med m ON e.event_type = m.event_type
+      JOIN mad d ON e.event_type = d.event_type
+      WHERE ABS(e.value - m.med) > 3.0 * 1.4826 * d.mad
+      GROUP BY e.event_type
+    )
+    SELECT m.event_type,
+           CAST(FLOOR(m.med * 1000000000.0 + 0.5) AS BIGINT) AS med_q,
+           CAST(FLOOR(d.mad * 1000000000.0 + 0.5) AS BIGINT) AS mad_q,
+           COALESCE(f.n_outliers, 0) AS n_outliers
+    FROM med m
+    JOIN mad d ON d.event_type = m.event_type
+    LEFT JOIN flagged f ON f.event_type = m.event_type
+    """,
+    category="analytics",
+)
+def mad_robust_outliers_events(spark, sf_dir):
+    """Robust (median/MAD) outlier detection per group — the z-score
+    gate's heavy-tail-safe sibling: center = exact median, spread =
+    median absolute deviation, outlier iff |v − med| > 3·1.4826·MAD.
+    Medians are exact sort-based percentiles (interpolating the middle
+    pair identically in both engines — deterministic, unlike mean-based
+    double sums), so no quantization is needed before the gate. Shape:
+    two grouped median passes + one broadcast-join flag pass; grouped
+    exact medians sort within groups only, which at 100 TB is the usual
+    per-group sort-agg (swap in approx_percentile when a tolerance is
+    acceptable — see the sketch-calibration workloads)."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    mad = (
+        ev.join(F.broadcast(med), on="event_type")
+        .groupBy("event_type")
+        .agg(F.median(F.abs(F.col("value") - F.col("med"))).alias("mad"))
+    )
+    flagged = (
+        ev.join(F.broadcast(med), on="event_type")
+        .join(F.broadcast(mad), on="event_type")
+        .filter(
+            F.abs(F.col("value") - F.col("med"))
+            > F.lit(3.0) * F.lit(1.4826) * F.col("mad")
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_outliers"))
+    )
+    return (
+        med.join(mad, on="event_type")
+        .join(flagged, on="event_type", how="left")
+        .select(
+            "event_type",
+            R.quantize(F.col("med")).alias("med_q"),
+            R.quantize(F.col("mad")).alias("mad_q"),
+            F.coalesce(F.col("n_outliers"), F.lit(0)).alias("n_outliers"),
+        )
+    )
+
+
+@workload(
+    "vocab_coverage_documents",
+    rf"""
+    WITH counts AS (
+      SELECT term, COUNT(*) AS cnt
+      FROM (SELECT UNNEST({_TOK}) AS term FROM documents)
+      WHERE term <> '' GROUP BY term
+    ),
+    total AS (SELECT SUM(cnt) AS total FROM counts),
+    top AS (
+      SELECT term, cnt,
+             CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, term ASC) AS INTEGER)
+               AS rank
+      FROM counts
+      QUALIFY rank <= 100
+    )
+    SELECT term, cnt, rank,
+           CAST(FLOOR(CAST(SUM(cnt) OVER (ORDER BY rank) AS DOUBLE)
+                      / total * 1000000000.0 + 0.5) AS BIGINT) AS coverage_q
+    FROM top CROSS JOIN total
+    """,
+    category="text",
+)
+def vocab_coverage_documents(spark, sf_dir):
+    """Vocabulary truncation analysis: the top-100 tokens by frequency
+    with the CUMULATIVE fraction of all token instances they cover — the
+    curve that decides a tokenizer's vocab size / UNK budget. Counts are
+    one explode + hash-agg; the top-100 is a TakeOrdered heap (never a
+    full vocabulary sort); the cumulative sum is integer-exact and the
+    coverage ratio one int/int→double division, so the emitted curve is
+    engine-portable. The corpus-total rides along as a broadcast one-row
+    aggregate (no driver action)."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    counts = (
+        t["documents"]
+        .select(F.explode(R.tokens("text")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt").alias("total"))
+    top = counts.orderBy(F.desc("cnt"), F.asc("term")).limit(100)
+    w_rank = Window.orderBy(F.desc("cnt"), F.asc("term"))
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .withColumn(
+            "coverage_q",
+            R.quantize(
+                F.sum("cnt").over(w_rank.rowsBetween(Window.unboundedPreceding, 0)).cast("double")
+                / F.col("total")
+            ),
+        )
+        .select("term", "cnt", "rank", "coverage_q")
+    )
+
+
+@workload(
+    "welch_t_view_vs_click",
+    """
+    WITH s AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))
+                      * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS ss
+      FROM events WHERE event_type IN ('view', 'click')
+      GROUP BY event_type
+    ),
+    m AS (
+      SELECT event_type, n, sv / n AS mean,
+             (ss - sv * sv / n) / (n - 1) AS var
+      FROM s
+    )
+    SELECT a.n AS n_view, b.n AS n_click,
+           CAST(FLOOR(a.mean * 1000000000.0 + 0.5) AS BIGINT) AS mean_view_q,
+           CAST(FLOOR(b.mean * 1000000000.0 + 0.5) AS BIGINT) AS mean_click_q,
+           CAST(FLOOR((a.mean - b.mean)
+                      / SQRT(a.var / a.n + b.var / b.n)
+                      * 1000000000.0 + 0.5) AS BIGINT) AS t_stat_q
+    FROM (SELECT * FROM m WHERE event_type = 'view') a
+    CROSS JOIN (SELECT * FROM m WHERE event_type = 'click') b
+    """,
+    category="analytics",
+)
+def welch_t_view_vs_click(spark, sf_dir):
+    """Two-sample Welch's t statistic between the 'view' and 'click'
+    value distributions — the A/B-test primitive, built from the same
+    decimal-exact moment discipline as the regression workload: n, Σv,
+    Σv² per arm are exact, then mean/variance/t are fixed IEEE
+    expressions evaluated identically on both engines. One grouped
+    aggregate over a 2-value-pruned scan + a 1×1 cross join."""
+    from etl_manager_spark.functions.exact import dec_sum, dec_sumsq
+
+    t = load_tables(spark, sf_dir)
+    s = (
+        t["events"]
+        .filter(F.col("event_type").isin("view", "click"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dec_sum("value").alias("sv"),
+            dec_sumsq("value").alias("ss"),
+        )
+    )
+    m = s.select(
+        "event_type",
+        "n",
+        (F.col("sv") / F.col("n")).alias("mean"),
+        ((F.col("ss") - F.col("sv") * F.col("sv") / F.col("n")) / (F.col("n") - F.lit(1))).alias("var"),
+    )
+    a = m.filter(F.col("event_type") == "view").select(
+        F.col("n").alias("n_view"), F.col("mean").alias("mean_a"), F.col("var").alias("var_a")
+    )
+    b = m.filter(F.col("event_type") == "click").select(
+        F.col("n").alias("n_click"), F.col("mean").alias("mean_b"), F.col("var").alias("var_b")
+    )
+    return a.crossJoin(b).select(
+        "n_view",
+        "n_click",
+        R.quantize(F.col("mean_a")).alias("mean_view_q"),
+        R.quantize(F.col("mean_b")).alias("mean_click_q"),
+        R.quantize(
+            (F.col("mean_a") - F.col("mean_b"))
+            / F.sqrt(F.col("var_a") / F.col("n_view") + F.col("var_b") / F.col("n_click"))
+        ).alias("t_stat_q"),
+    )
+
+
+@workload(
+    "quantile_normalize_events",
+    """
+    SELECT event_id, event_type,
+           CAST(FLOOR(PERCENT_RANK() OVER (
+                  PARTITION BY event_type ORDER BY value, event_id)
+                * 1000000000.0 + 0.5) AS BIGINT) AS pr_q
+    FROM events WHERE user_id < 50
+    """,
+    category="analytics",
+)
+def quantile_normalize_events(spark, sf_dir):
+    """Rank-based feature normalization: each value mapped to its
+    percent-rank within its event type — the distribution-free scaling
+    step (quantile normalization) before mixing heterogeneous feature
+    columns. The (value, event_id) order is total, so ranks — and the
+    (rank−1)/(n−1) division, one IEEE op from integer operands — are
+    deterministic and identical across engines. One shuffle on
+    event_type; per-group sort only (the window's natural shape)."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        t["events"]
+        .filter(F.col("user_id") < 50)
+        .select(
+            "event_id",
+            "event_type",
+            R.quantize(F.percent_rank().over(w)).alias("pr_q"),
+        )
+    )
