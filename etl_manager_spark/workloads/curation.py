@@ -1,0 +1,250 @@
+"""Corpus-curation + time-series-hygiene workloads (round 5).
+
+Text normalization, linear quality scoring, per-domain capping, and k-fold
+assignment over ``documents`` (operators/curation.py), plus gap detection
+and winsorization over ``events``. Float discipline per house rules:
+nano-quantized scores, doubles passed through unchanged where no
+arithmetic is applied, integer ranks/counts cast to the types Spark emits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from etl_manager_spark.operators import curation as C
+from etl_manager_spark.operators import ranking as R
+from etl_manager_spark.operators import text as X
+from etl_manager_spark.workloads import workload
+from etl_manager_spark.workloads.tables import load_tables, spread
+
+_TOK_SQL = r"REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')"
+_STOP_SQL = "('" + "','".join(X.STOPWORDS) + "')"
+
+
+@workload(
+    "clean_text_documents",
+    rf"""
+    SELECT doc_id,
+           {C.normalize_sql('text')} AS norm_text,
+           MD5({C.normalize_sql('text')}) AS norm_hash
+    FROM documents
+    """,
+    category="text",
+)
+def clean_text_documents(spark, sf_dir):
+    """Canonical text + cross-engine dedup hash (operators/curation.py:
+    normalize_text): whitespace collapsed, trimmed, lower-cased, md5'd.
+    A pure per-row projection — no shuffle, pipelines with the scan; the
+    hash column is the key exact-dedup and incremental ingestion join on."""
+    t = load_tables(spark, sf_dir)
+    return spread(t["documents"], spark).select(
+        "doc_id",
+        C.normalize_text("text").alias("norm_text"),
+        C.normalized_hash("text").alias("norm_hash"),
+    )
+
+
+@workload(
+    "quality_linear_score_documents",
+    rf"""
+    WITH tok AS (SELECT doc_id, {_TOK_SQL} AS toks FROM documents),
+    scored AS (
+      SELECT doc_id,
+             {C.linear_quality_sql('toks', _STOP_SQL)} AS z
+      FROM tok
+    )
+    SELECT doc_id,
+           CAST(FLOOR(z * 1000000000.0 + 0.5) AS BIGINT) AS z_q,
+           z > 0.5 AS keep
+    FROM scored
+    """,
+    category="text",
+)
+def quality_linear_score_documents(spark, sf_dir):
+    """Model-based quality filtering, linear flavor (operators/curation.py:
+    linear_quality_z): fixed public weights over ln(1+tokens),
+    distinct-token ratio, stopword ratio — the CCNet/fasttext-shaped gate,
+    entirely in JVM columns (no UDF), nano-quantized for the oracle.
+    Scale: per-row projection, no shuffle; the keep flag is the pushdown
+    predicate of the next pipeline stage."""
+    t = load_tables(spark, sf_dir)
+    z = C.linear_quality_z("text")
+    return spread(t["documents"], spark).select(
+        "doc_id",
+        R.quantize(z).alias("z_q"),
+        (z > F.lit(0.5)).alias("keep"),
+    )
+
+
+@workload(
+    "domain_cap_documents",
+    """
+    SELECT source, rank, doc_id, n_chars
+    FROM (SELECT source, doc_id, n_chars,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY source
+                      ORDER BY n_chars DESC, doc_id ASC) AS INTEGER) AS rank
+          FROM documents)
+    WHERE rank <= 10
+    """,
+    category="dedup",
+)
+def domain_cap_documents(spark, sf_dir):
+    """Per-domain contribution cap (operators/curation.py:cap_per_group):
+    keep the 10 largest documents per source under a total order
+    (n_chars DESC, doc_id ASC). Two-phase: a per-(source, input-partition)
+    rank keeps ≤10 rows per cell BEFORE the per-source shuffle, so one hot
+    domain with 10⁹ pages shuffles 10·P rows, not 10⁹ — the prefilter is
+    exact because a group's true top-10 rows are each in their own cell's
+    top-10 under the same order. Oracle = the single-window formulation."""
+    t = load_tables(spark, sf_dir)
+    capped = C.cap_per_group(
+        spread(t["documents"], spark),
+        "source",
+        [F.col("n_chars").desc(), F.col("doc_id").asc()],
+        k=10,
+    )
+    return capped.select("source", "rank", "doc_id", "n_chars")
+
+
+@workload(
+    "kfold_assign_documents",
+    f"""
+    WITH f AS (SELECT doc_id, n_chars,
+                      {C.kfold_sql('doc_id', 5)} AS fold
+               FROM documents)
+    SELECT fold, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+    FROM f GROUP BY fold
+    """,
+    category="etl",
+)
+def kfold_assign_documents(spark, sf_dir):
+    """Reproducible 5-fold cross-validation assignment
+    (operators/curation.py:kfold_column — md5-hex draw bucketed at i/k
+    thresholds, the same discipline as train/test splitting) with per-fold
+    integrity stats. The fold column is a per-row projection (no shuffle);
+    the summary is one partial-aggregated groupBy over 5 keys."""
+    t = load_tables(spark, sf_dir)
+    return (
+        spread(t["documents"], spark)
+        .select("doc_id", "n_chars", C.kfold_column("doc_id", 5).alias("fold"))
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
+@workload(
+    "events_gap_detection",
+    """
+    WITH g AS (
+      SELECT user_id, event_id, ts,
+             LAG(event_id) OVER w AS prev_event_id,
+             LAG(ts) OVER w AS prev_ts,
+             EPOCH_US(ts) - LAG(EPOCH_US(ts)) OVER w AS gap_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, prev_event_id, event_id, prev_ts, ts, gap_us
+    FROM g WHERE gap_us >= 86400000000
+    """,
+    category="timeseries",
+)
+def events_gap_detection(spark, sf_dir):
+    """Session-gap / outage detection: per-user consecutive-event pairs
+    more than 24 h apart (lag window under the total order (ts, event_id),
+    microsecond-exact integer arithmetic — no float). One shuffle on
+    user_id; the window is the natural per-key sort. The complement of
+    gap-filling (gapfill_locf_user_hours): this finds the holes, that
+    fills them."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet reads ts as TIMESTAMP_NTZ; unix_micros wants TIMESTAMP — the
+    # cast is a pure reinterpretation under the UTC session load_tables pins
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    g = t["events"].select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.lag("event_id").over(w).alias("prev_event_id"),
+        F.lag("ts").over(w).alias("prev_ts"),
+        (us - F.lag(us).over(w)).alias("gap_us"),
+    )
+    return g.filter(F.col("gap_us") >= 86400000000).select(
+        "user_id", "prev_event_id", "event_id", "prev_ts", "ts", "gap_us"
+    )
+
+
+@workload(
+    "winsorize_events_value",
+    """
+    WITH r AS (
+      SELECT event_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ),
+    bounds AS (
+      SELECT event_type,
+             MIN(CASE WHEN rn = CAST(CEIL(0.05 * n) AS BIGINT)
+                      THEN value END) AS lo,
+             MIN(CASE WHEN rn = CAST(CEIL(0.95 * n) AS BIGINT)
+                      THEN value END) AS hi
+      FROM r GROUP BY event_type
+    )
+    SELECT r.event_id, r.event_type, r.value,
+           LEAST(GREATEST(r.value, b.lo), b.hi) AS winsorized
+    FROM r JOIN bounds b ON r.event_type = b.event_type
+    WHERE r.value < b.lo OR r.value > b.hi
+    """,
+    category="analytics",
+)
+def winsorize_events_value(spark, sf_dir):
+    """Winsorization (tail clipping) per event type at the exact p05/p95
+    ORDER STATISTICS — value at rank ceil(p·n) under the total order
+    (value, event_id), no float interpolation, so both engines pick the
+    identical source double and the clipped output is a pass-through copy
+    (bitwise-safe). Emits only the clipped rows. Plan: one window shuffle
+    on event_type, a 5-row bounds aggregate broadcast back onto the rows.
+    Scale: for heavy keys, swap the exact rank for the Greenwald-Khanna
+    sketch bound (validation.py) — same join shape."""
+    t = load_tables(spark, sf_dir)
+    wo = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    r = t["events"].select(
+        "event_id",
+        "event_type",
+        "value",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    bounds = r.groupBy("event_type").agg(
+        F.min(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(0.05) * F.col("n")), F.col("value")
+            )
+        ).alias("lo"),
+        F.min(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(0.95) * F.col("n")), F.col("value")
+            )
+        ).alias("hi"),
+    )
+    return (
+        r.join(F.broadcast(bounds), on="event_type")
+        .filter((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")).alias(
+                "winsorized"
+            ),
+        )
+    )

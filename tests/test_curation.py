@@ -1,0 +1,90 @@
+"""Curation-operator behavior: k-fold assignment invariants, two-phase
+domain cap exactness, normalization idempotence, winsorize clipping, and
+the plan shapes that keep these scan-local."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_manager_spark.operators import curation as C
+from etl_manager_spark.plans import plan_report
+from etl_manager_spark.workloads.tables import load_tables
+
+
+def test_kfold_disjoint_exhaustive_uniformish(spark, sf_dir):
+    docs = load_tables(spark, sf_dir)["documents"]
+    total = docs.count()
+    counts = {
+        r["fold"]: r["n"]
+        for r in docs.select(C.kfold_column("doc_id", 5).alias("fold"))
+        .groupBy("fold")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(counts) == {0, 1, 2, 3, 4}, counts
+    assert sum(counts.values()) == total
+    # md5 draw is uniform; with n=50 docs a 3x imbalance would flag a
+    # threshold bug rather than chance
+    assert max(counts.values()) <= 3 * max(1, total // 5), counts
+
+
+def test_kfold_stable_under_repartition(spark, sf_dir):
+    docs = load_tables(spark, sf_dir)["documents"]
+    a = {
+        (r["doc_id"], r["fold"])
+        for r in docs.select("doc_id", C.kfold_column("doc_id", 5).alias("fold")).collect()
+    }
+    b = {
+        (r["doc_id"], r["fold"])
+        for r in docs.repartition(7)
+        .select("doc_id", C.kfold_column("doc_id", 5).alias("fold"))
+        .collect()
+    }
+    assert a == b
+
+
+def test_cap_two_phase_equals_single_phase(spark, sf_dir):
+    docs = load_tables(spark, sf_dir)["documents"]
+    order = [F.col("n_chars").desc(), F.col("doc_id").asc()]
+
+    def rows(df):
+        return sorted(
+            (r["source"], r["rank"], r["doc_id"]) for r in df.collect()
+        )
+
+    two = C.cap_per_group(docs, "source", order, k=3, two_phase=True)
+    one = C.cap_per_group(docs, "source", order, k=3, two_phase=False)
+    assert rows(two) == rows(one)
+    # and stable under a different physical partitioning of the input
+    two_rep = C.cap_per_group(docs.repartition(5), "source", order, k=3)
+    assert rows(two_rep) == rows(one)
+
+
+def test_normalize_text_idempotent_and_canonical(spark):
+    df = spark.createDataFrame(
+        [("  Hello \t WORLD\n\nfoo  ",), ("already normal",)], ["t"]
+    )
+    once = [r[0] for r in df.select(C.normalize_text("t")).collect()]
+    twice = [
+        r[0]
+        for r in df.select(C.normalize_text(C.normalize_text("t"))).collect()
+    ]
+    assert once == ["hello world foo", "already normal"]
+    assert once == twice
+
+
+def test_quality_score_is_scan_local(spark, sf_dir):
+    docs = load_tables(spark, sf_dir)["documents"]
+    scored = docs.select("doc_id", C.linear_quality_z("text").alias("z"))
+    r = plan_report(scored)
+    assert r.shuffle_exchanges == 0, r.text
+    assert r.scans_only_columns({"doc_id", "text"}), r.read_schemas
+
+
+def test_winsorize_emits_only_clipped_rows(spark, sf_dir_oracle):
+    from etl_manager_spark.workloads import load_registry
+
+    out = load_registry()["winsorize_events_value"].fn(spark, sf_dir_oracle)
+    rows = out.collect()
+    assert rows, "expected some clipped tail rows"
+    assert all(r["winsorized"] != r["value"] for r in rows)
