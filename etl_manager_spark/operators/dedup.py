@@ -649,6 +649,28 @@ def simhash_near_dup_pairs(
 
     Returns (id_a, id_b, hamming) with id_a < id_b, one row per verified
     pair."""
+    sigs = simhash(df, id_col, text_col, bits)
+    return hamming_near_dup_pairs(
+        sigs, id_col, "simhash", bits, bands, max_hamming
+    )
+
+
+def hamming_near_dup_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    sig_col: str,
+    bits: int,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Generic banded Hamming-LSH pair join over ANY integer signature
+    column (SimHash of text, perceptual hash of media, …): split the
+    ``bits``-bit signature into ``bands`` slices, candidate iff a whole
+    slice matches (complete for ``max_hamming < bands`` by pigeonhole),
+    verify exactly with ``bit_count(xor)``. Shuffle is keyed on
+    (band index, band value) — never all-pairs; degenerate-bucket
+    caveats as :func:`minhash_near_duplicates`. Returns
+    (id_a, id_b, hamming) with id_a < id_b."""
     if bits % bands != 0:
         raise ValueError(f"bits ({bits}) must divide evenly into {bands} bands")
     if not 0 <= max_hamming < bands:
@@ -659,16 +681,15 @@ def simhash_near_dup_pairs(
         )
     width = bits // bands
     mask = (1 << width) - 1
-    sigs = simhash(df, id_col, text_col, bits)
     banded = sigs.select(
         F.col(id_col).alias("id"),
-        "simhash",
+        F.col(sig_col).alias("_sig"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftright(F.col("simhash"), b * width)
+                        F.shiftright(F.col(sig_col), b * width)
                         .bitwiseAND(F.lit(mask))
                         .alias("bv"),
                     )
@@ -676,12 +697,12 @@ def simhash_near_dup_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select("id", "simhash", F.col("bk.band").alias("band"), F.col("bk.bv").alias("bv"))
+    ).select("id", "_sig", F.col("bk.band").alias("band"), F.col("bk.bv").alias("bv"))
     left = banded.select(
-        F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"), "band", "bv"
+        F.col("id").alias("id_a"), F.col("_sig").alias("sig_a"), "band", "bv"
     )
     right = banded.select(
-        F.col("id").alias("id_b"), F.col("simhash").alias("sig_b"), "band", "bv"
+        F.col("id").alias("id_b"), F.col("_sig").alias("sig_b"), "band", "bv"
     )
     cand = (
         left.join(right, on=["band", "bv"])

@@ -237,6 +237,40 @@ def sample_frames(
     return df.mapInPandas(batches, schema=FRAME_SCHEMA)
 
 
+def perceptual_hash(df: "DataFrame", bits: int = 16) -> "DataFrame":
+    """Per-media perceptual-hash bits from the (stubbed) decoded features —
+    the image-dedup primitive: a real deployment thresholds DCT
+    coefficients (pHash); here each of ``bits`` fake-decoded feature words
+    votes its high bit, preserving the property that matters for the
+    PLUMBING: similar decodes → small Hamming distance, and the whole
+    computation is JVM-side column arithmetic (sha2/substring/conv — no
+    Python), so it pipelines inside the scan and any engine reproduces it.
+
+    Bit j is set iff feature word j ≥ 2³¹ — i.e. the fake-decode value
+    0.5 + u/2³³ exceeds 0.75 — so the hash is exactly reproducible from
+    the hex stream in SQL. Returns (media_id, phash long).
+
+    Feed the result to ``operators.dedup.hamming_near_dup_pairs`` for the
+    banded near-dup join (never all-pairs)."""
+    raw = F.substring(
+        F.repeat(F.sha2(F.lower(F.hex("content")), 256), (bits * 8) // 64 + 1),
+        1,
+        bits * 8,
+    )
+    bit_terms = [
+        F.when(
+            F.conv(F.substring(raw, 8 * j + 1, 8), 16, 10).cast("long")
+            >= F.lit(2**31),
+            F.lit(1 << j).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for j in range(bits)
+    ]
+    phash = bit_terms[0]
+    for t in bit_terms[1:]:
+        phash = phash + t
+    return df.select("media_id", phash.alias("phash"))
+
+
 def synthetic_media(spark, n: int = 64) -> "DataFrame":
     """Deterministic fake media table for tests (no media libs needed):
     every third row is a fake video with a duration, the rest are stills."""

@@ -883,6 +883,52 @@ def multimodal_media_stats(spark, sf_dir):
     return M.media_stats(media, fingerprint="hex_md5")
 
 
+@workload(
+    "multimodal_phash_dedup",
+    f"""
+    WITH {_SYNTH_MEDIA_CTE},
+    p AS (
+      SELECT media_id,
+             CAST(LIST_SUM(LIST_TRANSFORM(range(0, 16),
+               j -> CASE WHEN ('0x' || substr(raw, CAST(8 * j + 1 AS INTEGER), 8))::BIGINT
+                              >= 2147483648
+                         THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS phash
+      FROM (SELECT media_id,
+                   substr(repeat(sha256(content_hex), 3), 1, 128) AS raw
+            FROM media)
+    ),
+    b AS (
+      SELECT media_id, phash, CAST(band AS INTEGER) AS band,
+             (phash >> CAST(band * 4 AS INTEGER)) & 15 AS bv
+      FROM p, range(0, 4) t(band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.media_id AS id_a, c.media_id AS id_b,
+             a.phash AS pa, c.phash AS pb
+      FROM b a JOIN b c ON a.band = c.band AND a.bv = c.bv
+                       AND a.media_id < c.media_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(pa, pb)) AS INTEGER) AS hamming
+    FROM cand WHERE bit_count(xor(pa, pb)) <= 3
+    """,
+    category="multimodal",
+)
+def multimodal_phash_dedup(spark, sf_dir):
+    """Perceptual-hash near-duplicate detection over the binary media
+    column: 16-bit stub pHash from the fake-decoded feature words
+    (operators/multimodal.py:perceptual_hash — all JVM column arithmetic,
+    no Python), then the generic banded Hamming-LSH join
+    (operators/dedup.py:hamming_near_dup_pairs — the same band-bucket
+    shuffle shape as SimHash text dedup; complete for hamming ≤ 3 by
+    pigeonhole over 4 bands, never all-pairs). The image-dedup pipeline
+    stage with the codec stubbed and every distributed part real."""
+    media = M.synthetic_media(spark, n=64)
+    hashed = M.perceptual_hash(media, bits=16)
+    return D.hamming_near_dup_pairs(
+        hashed, "media_id", "phash", bits=16, bands=4, max_hamming=3
+    )
+
+
 # --------------------------------------------------------------------- #
 # Write-side ETL: keyed upsert (MERGE) and SCD2 history
 

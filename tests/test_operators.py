@@ -691,3 +691,32 @@ def test_semantic_dedup_pairs_subset_of_exact(spark, sf_dir):
     assert set(sem_rows) <= set(exact_rows)
     for k, v in sem_rows.items():
         assert exact_rows[k] == v  # bitwise
+
+
+def test_perceptual_hash_is_jvm_side_and_complete(spark):
+    """The media pHash must be pure column arithmetic (no Python stage in
+    the plan), and the banded Hamming join must find EVERY pair within
+    max_hamming (pigeonhole completeness) — verified against brute force."""
+    from etl_manager_spark.operators import dedup as D
+    from etl_manager_spark.operators import multimodal as M
+    from etl_manager_spark.plans import plan_report
+
+    media = M.synthetic_media(spark, n=64)
+    hashed = M.perceptual_hash(media, bits=16)
+    assert "InPandas" not in plan_report(hashed).text
+    assert "BatchEvalPython" not in plan_report(hashed).text
+
+    sig = {r["media_id"]: r["phash"] for r in hashed.collect()}
+    brute = {
+        (a, b): bin(sig[a] ^ sig[b]).count("1")
+        for a in sig
+        for b in sig
+        if a < b and bin(sig[a] ^ sig[b]).count("1") <= 3
+    }
+    banded = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in D.hamming_near_dup_pairs(
+            hashed, "media_id", "phash", bits=16, bands=4, max_hamming=3
+        ).collect()
+    }
+    assert banded == brute
