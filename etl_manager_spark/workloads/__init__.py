@@ -102,6 +102,7 @@ def load_registry() -> dict[str, Workload]:
     ``_DRIVER_GREEN``). Sort is stable → insertion order within a tier."""
     from etl_manager_spark.workloads import (  # noqa: F401
         analytics,
+        audit,
         curation,
         graphs,
         pipeline,

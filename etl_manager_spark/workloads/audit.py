@@ -1,0 +1,174 @@
+"""Data-governance / audit workloads (round 5): k-anonymity screening,
+referential-integrity auditing, and interval-sweep concurrency analysis.
+
+The reference's validation surface stops at schema/type checks
+(`etl_manager/meta.py` agnostic-type validation); these are the
+content-level audits a production pipeline runs on the same engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from etl_manager_spark.workloads import workload
+from etl_manager_spark.workloads.tables import load_tables
+
+
+@workload(
+    "k_anonymity_audit_events",
+    """
+    SELECT event_type, hod, band, n
+    FROM (
+      SELECT event_type,
+             CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hod,
+             CAST(FLOOR(value / 50.0) AS BIGINT) AS band,
+             COUNT(*) AS n
+      FROM events
+      GROUP BY 1, 2, 3
+    )
+    WHERE n < 5
+    """,
+    category="etl",
+)
+def k_anonymity_audit_events(spark, sf_dir):
+    """Privacy screening: quasi-identifier combinations
+    (event_type, hour-of-day, value band) held by fewer than k=5 rows —
+    the cells a k-anonymity release would have to suppress or generalize.
+    One partially-aggregated groupBy over a 3-column scan (counts combine
+    map-side; the shuffle carries one row per occupied cell, bounded by
+    the quasi-id domain, not the data volume) and a HAVING filter."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy(
+            "event_type",
+            F.hour("ts").alias("hod"),
+            F.floor(F.col("value") / F.lit(50.0)).alias("band"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") < 5)
+    )
+
+
+_FK_EDGES = [
+    # (name, child table, child key, parent table, parent key)
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+@workload(
+    "fk_integrity_audit",
+    "\nUNION ALL\n".join(
+        f"""
+    SELECT '{name}' AS fk, COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_orphans
+    FROM {child} c LEFT JOIN {parent} p ON c.{ck} = p.{pk}"""
+        for name, child, ck, parent, pk in _FK_EDGES
+    ),
+    category="etl",
+)
+def fk_integrity_audit(spark, sf_dir):
+    """Referential-integrity audit across the star schema's five FK edges
+    in one result: per edge, total child rows and orphan rows (child keys
+    with no parent). Each edge is a left join probed for parent-null —
+    the parent side is dimension-sized for four edges (broadcast; the
+    lineitem→orders edge shuffles on the key) and the per-edge counts
+    partial-aggregate to a single row, so the union'd result is 5 rows at
+    any scale. The relational generalization of validation.py's
+    column-level checks."""
+    t = load_tables(spark, sf_dir)
+    parts = []
+    for name, child, ck, parent, pk in _FK_EDGES:
+        c = t[child]
+        p = t[parent].select(F.col(pk).alias("_pk"))
+        joined = c.join(p, c[ck] == F.col("_pk"), "left")
+        parts.append(
+            joined.agg(
+                F.lit(name).alias("fk"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(
+                    F.when(F.col("_pk").isNull(), 1).otherwise(0)
+                ).alias("n_orphans"),
+            )
+        )
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    return out
+
+
+@workload(
+    "session_concurrency_events",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN EPOCH_US(ts) - LAG(EPOCH_US(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  IS NULL
+                  OR EPOCH_US(ts) - LAG(EPOCH_US(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > 1800000000
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS session_id
+      FROM ordered
+    ),
+    sessions AS (
+      SELECT user_id, session_id, MIN(ts) AS s, MAX(ts) AS e
+      FROM numbered GROUP BY user_id, session_id
+    ),
+    hours AS (
+      SELECT UNNEST(generate_series(DATE_TRUNC('hour', s),
+                                    DATE_TRUNC('hour', e),
+                                    INTERVAL 1 HOUR)) AS hour_start
+      FROM sessions
+    )
+    SELECT hour_start, COUNT(*) AS n_active_sessions
+    FROM hours GROUP BY hour_start
+    """,
+    category="events",
+)
+def session_concurrency_events(spark, sf_dir):
+    """Concurrency curve: number of user sessions (30-min inactivity gap)
+    active in each hour — the capacity-planning query. Sessions come from
+    the gap-flag + running-sum sessionization (one user_id shuffle);
+    each session then explodes to the hours it spans (fan-out bounded by
+    session duration — sessions are ≤ tens of hours, never data-sized)
+    and a partially-aggregated count per hour finishes. No interval
+    self-join anywhere: the sweep is linear in sessions + covered hours."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    numbered = t["events"].select(
+        "user_id",
+        "ts",
+        F.sum(
+            F.when(gap.isNull() | (gap > 1800000000), 1).otherwise(0)
+        ).over(w).alias("session_id"),
+    )
+    sessions = numbered.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    hours = sessions.select(
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "s").cast("timestamp_ntz"),
+                F.date_trunc("hour", "e").cast("timestamp_ntz"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("hour_start")
+    )
+    return hours.groupBy("hour_start").agg(
+        F.count(F.lit(1)).alias("n_active_sessions")
+    )
