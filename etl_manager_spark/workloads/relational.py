@@ -1473,3 +1473,46 @@ def window_percentiles_acctbal(spark, sf_dir):
         F.percent_rank().over(w).alias("pr"),
         F.cume_dist().over(w).alias("cd"),
     )
+
+
+@workload(
+    "recursive_hierarchy_depth",
+    """
+    WITH RECURSIVE anc(doc_id, anc_id, depth) AS (
+      SELECT doc_id, doc_id, 0 FROM documents
+      UNION ALL
+      SELECT a.doc_id, (a.anc_id - 1) // 2, a.depth + 1
+      FROM anc a WHERE a.anc_id > 0
+    )
+    SELECT doc_id,
+           CAST(MAX(depth) AS INTEGER) AS depth,
+           COUNT(*) AS n_ancestors
+    FROM anc GROUP BY doc_id
+    """,
+    category="subquery",
+)
+def recursive_hierarchy_depth(spark, sf_dir):
+    """Recursive CTE (Spark 4 WITH RECURSIVE): walk each document up a
+    synthetic binary-heap parent tree (parent(i) = (i-1) div 2) to the
+    root, emitting depth and ancestor count — the hierarchical-traversal
+    query shape (org charts, BOM explosions, category trees). UNION ALL
+    recursion terminates because the tree is acyclic; iteration count is
+    the tree depth (log n), each step a self-join Catalyst plans like any
+    equi-join. DuckDB runs the same text modulo the integer-division
+    spelling (DIV vs //)."""
+    t = load_tables(spark, sf_dir)
+    t["documents"].createOrReplaceTempView("documents_rec")
+    return spark.sql(
+        """
+        WITH RECURSIVE anc(doc_id, anc_id, depth) AS (
+          SELECT doc_id, doc_id, 0 FROM documents_rec
+          UNION ALL
+          SELECT a.doc_id, (a.anc_id - 1) DIV 2, a.depth + 1
+          FROM anc a WHERE a.anc_id > 0
+        )
+        SELECT doc_id,
+               CAST(MAX(depth) AS INT) AS depth,
+               COUNT(*) AS n_ancestors
+        FROM anc GROUP BY doc_id
+        """
+    )

@@ -393,3 +393,40 @@ def streaming_funnel_stages(spark, sf_dir):
     return run_funnel_to_memory(
         spark, sf_dir, ("view", "click", "purchase"), name="stream_funnel"
     )
+
+
+@workload(
+    "streaming_topk_event_types",
+    """
+    SELECT event_type, n_events, total_value
+    FROM (SELECT event_type, COUNT(*) AS n_events,
+                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_value
+          FROM events GROUP BY event_type)
+    ORDER BY n_events DESC, event_type ASC LIMIT 3
+    """,
+    category="streaming",
+)
+def streaming_topk_event_types(spark, sf_dir):
+    """Streaming global top-k: complete-mode aggregation with an in-query
+    ORDER BY + LIMIT — the live-leaderboard shape (sorting a streaming
+    result is legal exactly in complete mode, where every trigger emits
+    final state; the sort's input is #event_types rows, not the stream).
+    Decimal-exact value sums; availableNow + complete = the batch answer,
+    so the oracle is exact."""
+    from pyspark.sql import functions as F
+
+    from etl_manager_spark.functions.exact import dec_sum
+    from etl_manager_spark.streaming.windows import read_events_stream
+
+    stream = (
+        read_events_stream(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum("value").alias("total_value"),
+        )
+        .orderBy(F.desc("n_events"), F.asc("event_type"))
+        .limit(3)
+    )
+    return run_to_memory(stream, spark, "stream_topk_event_types")
