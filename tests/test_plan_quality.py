@@ -314,3 +314,56 @@ def test_semdedup_single_cluster_shuffle(plans):
     # within-cluster scoring
     assert r.broadcast_joins == 0 and r.sortmerge_joins == 0, r.text[:1500]
     assert "ArrowEvalPython" in r.text  # centroid argmax stays vectorized
+
+
+def test_fk_audit_broadcasts_dimension_parents(plans):
+    r = plans("fk_integrity_audit")
+    # four of five FK edges have dimension-sized parents (customer,
+    # nation ×2, region) — those must broadcast; only lineitem→orders may
+    # shuffle. A plan that sort-merges a dimension edge would repartition
+    # the fact side for nothing.
+    assert r.broadcast_joins >= 4, r.text[:2000]
+
+
+def test_k_anonymity_is_one_partial_agg(plans):
+    r = plans("k_anonymity_audit_events")
+    # one hash-partitioned exchange on the quasi-id triple; counts
+    # combine map-side so the shuffle carries occupied cells, not rows
+    assert r.shuffle_exchanges == 1, r.text[:1500]
+    assert r.broadcast_joins == 0 and r.sortmerge_joins == 0
+    assert r.scans_only_columns({"event_type", "ts", "value"}), r.read_schemas
+
+
+def test_session_concurrency_shuffles_user_then_hour_only(plans):
+    import re
+
+    r = plans("session_concurrency_events")
+    keys = re.findall(r"Arguments: hashpartitioning\((\w+)", r.text)
+    # sessionization + session bounds key on user_id; the final count
+    # keys on hour_start — nothing else may shuffle, and the hour
+    # explode is a JVM generator, not Python
+    assert keys and set(keys) <= {"user_id", "hour_start"}, keys
+    assert "Generate" in r.text
+    assert "ArrowEvalPython" not in r.text and "BatchEvalPython" not in r.text
+
+
+def test_curation_quality_gate_is_scan_local(plans):
+    r = plans("quality_linear_score_documents")
+    # spread()'s single-split guard may add one round-robin exchange on
+    # the tiny local fixture; no hash shuffle, no join, no Python
+    import re
+
+    assert not re.search(r"Arguments: hashpartitioning", r.text), r.text[:1500]
+    assert r.broadcast_joins == 0 and r.sortmerge_joins == 0
+    assert "EvalPython" not in r.text
+
+
+def test_phash_banded_join_keys_on_band_bucket(plans):
+    import re
+
+    r = plans("multimodal_phash_dedup")
+    # candidate generation must join on (band, bv) — never a cartesian
+    # all-pairs of media rows
+    assert r.cartesian_products == 0, r.text[:1500]
+    keys = re.findall(r"Arguments: hashpartitioning\((\w+)", r.text)
+    assert any(k == "band" for k in keys) or r.broadcast_joins >= 1, keys
