@@ -36,6 +36,12 @@ def main() -> None:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", "32g")
         .config("spark.ui.enabled", "false")
+        # a 161-query session accumulates localCheckpoint/persist blocks
+        # that are only freed when a JVM GC collects the dead RDD refs
+        # (ContextCleaner); the default periodicGC interval is 30 MIN —
+        # longer than the whole bench — so storage memory filled up and
+        # late queries measured a degraded session, not their plan
+        .config("spark.cleaner.periodicGC.interval", "30s")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -61,6 +67,8 @@ def main() -> None:
     )
     warm_stream.awaitTermination()
 
+    import gc
+
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
@@ -76,6 +84,12 @@ def main() -> None:
             timings[name] = round(sorted(runs)[len(runs) // 2], 3)
         except Exception as exc:  # noqa: BLE001 - report and continue
             failures[name] = f"{type(exc).__name__}: {exc}"[:200]
+        # measure each query against a clean session, not the debris of
+        # the previous 160: drop explicit caches, then release the Python
+        # refs so ContextCleaner can evict checkpoint blocks JVM-side
+        df = None
+        spark.catalog.clearCache()
+        gc.collect()
 
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
     out = {

@@ -302,11 +302,20 @@ def bigram_lm_scores(
             ).alias("w2"),
         ),
     )
+    from pyspark.storagelevel import StorageLevel
+
+    # persist, not eager localCheckpoint: the first consumer materializes
+    # the blocks and the other three read them back — same single
+    # tokenize pass, but no separate up-front checkpoint job (measured
+    # ~2.5× faster at sf0.1), and the cache manager can release the
+    # blocks (clearCache / ContextCleaner) when the result is consumed.
+    # Recompute-on-eviction is safe here: every consumer is an exact
+    # count/probe independent of partitioning (nothing sampled).
     token_stream = (
         df.filter(F.size(toks) >= 1)
         .select(F.col(id_col).alias("id"), F.explode(units).alias("u"))
         .select("id", F.col("u.w1").alias("w1"), F.col("u.w2").alias("w2"))
-        .localCheckpoint(eager=True)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     pairs = token_stream.filter(F.col("w2").isNotNull())
     bigram_counts = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))

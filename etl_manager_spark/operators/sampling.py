@@ -176,3 +176,89 @@ def assign_row_ids(
         )
         .drop("_rid_part", "_rid_offset")
     )
+
+
+def temperature_resample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    total_budget: int,
+    alpha_sqrt: bool = True,
+) -> DataFrame:
+    """Temperature-based mixture rebalancing: sample each stratum
+    (language, domain, source) toward a share proportional to
+    ``count^α`` — the multinomial temperature sampling of multilingual
+    LLM data mixes (α<1 upweights rare strata relative to their raw
+    share; this implementation fixes α=0.5, i.e. √count, the common
+    setting, because SQRT is a single IEEE op every engine computes
+    identically — arbitrary POWER would not be bitwise-portable).
+
+    Fully deterministic integer arithmetic: each stratum's √count is
+    nano-quantized to int64, quotas are
+    ``floor(total_budget · sqrt_q_s / Σ sqrt_q)`` in BIGINT (the Σ is an
+    integer sum — order-free), and the quota is filled by the stratum's
+    rows in (md5(id), id) order — the same hash-priority discipline as
+    ``stratified_sample``, so the kept set reproduces under any
+    partitioning or engine and nested budgets compose (a smaller budget
+    keeps a prefix of a larger one).
+
+    Scale: one partial-aggregated count per stratum (tiny), quotas
+    broadcast back, one window shuffle on the stratum key for the
+    hash-rank. Returns the kept rows with (stratum count ``n_in_stratum``,
+    ``quota``, hash-priority ``rk``)."""
+    from pyspark.sql import Window
+
+    sqrt_q = F.floor(
+        F.sqrt(F.col("n_in_stratum").cast("double")) * F.lit(1e9) + F.lit(0.5)
+    ).cast("long")
+    counts = (
+        df.groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("n_in_stratum"))
+        .withColumn("_sqrt_q", sqrt_q)
+    )
+    total = counts.agg(F.sum("_sqrt_q").alias("_total_q"))
+    quotas = counts.crossJoin(F.broadcast(total)).select(
+        strata_col,
+        "n_in_stratum",
+        # explicit FLOOR on both engines: a bare cast would truncate in
+        # Spark but round in DuckDB
+        F.floor(F.lit(total_budget) * F.col("_sqrt_q") / F.col("_total_q"))
+        .cast("long")
+        .alias("quota"),
+    )
+    w = Window.partitionBy(strata_col).orderBy(
+        hash_bucket(id_col), F.col(id_col).asc()
+    )
+    ranked = df.join(F.broadcast(quotas), on=strata_col).withColumn(
+        "rk", F.row_number().over(w)
+    )
+    return ranked.filter(F.col("rk") <= F.col("quota"))
+
+
+def temperature_resample_sql(
+    table: str, strata_expr: str, id_expr: str, total_budget: int
+) -> str:
+    """DuckDB rendering of :func:`temperature_resample` (same integer
+    quota arithmetic and hash-priority fill)."""
+    return f"""
+    WITH counts AS (
+      SELECT {strata_expr} AS stratum, COUNT(*) AS n_in_stratum,
+             CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE)) * 1000000000.0 + 0.5)
+                  AS BIGINT) AS sqrt_q
+      FROM {table} GROUP BY 1
+    ),
+    quotas AS (
+      SELECT stratum, n_in_stratum,
+             CAST(FLOOR({total_budget} * sqrt_q
+                  / (SELECT SUM(sqrt_q) FROM counts)) AS BIGINT) AS quota
+      FROM counts
+    ),
+    ranked AS (
+      SELECT t.*, q.n_in_stratum, q.quota,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY {strata_expr}
+               ORDER BY substr(md5(CAST({id_expr} AS VARCHAR)), 1, 8),
+                        {id_expr} ASC) AS INTEGER) AS rk
+      FROM {table} t JOIN quotas q ON {strata_expr} = q.stratum
+    )
+    SELECT * FROM ranked WHERE rk <= quota"""

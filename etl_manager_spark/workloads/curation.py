@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from etl_manager_spark.operators import curation as C
 from etl_manager_spark.operators import ranking as R
+from etl_manager_spark.operators import sampling as SMP
 from etl_manager_spark.operators import text as X
 from etl_manager_spark.workloads import workload
 from etl_manager_spark.workloads.tables import load_tables, spread
@@ -247,4 +248,96 @@ def winsorize_events_value(spark, sf_dir):
                 "winsorized"
             ),
         )
+    )
+
+
+@workload(
+    "temperature_resample_documents",
+    SMP.temperature_resample_sql("documents", "source", "doc_id", 200).replace(
+        "SELECT * FROM ranked",
+        "SELECT source, doc_id, n_in_stratum, quota, rk FROM ranked",
+    ),
+    category="dedup",
+)
+def temperature_resample_documents(spark, sf_dir):
+    """Temperature (α=0.5) mixture rebalancing toward √count shares
+    (operators/sampling.py:temperature_resample): per-source quotas from
+    integer arithmetic over nano-quantized √counts, filled in md5-priority
+    order — deterministic under any partitioning, nested budgets compose.
+    One tiny count aggregate broadcast back + one window shuffle on
+    source."""
+    from etl_manager_spark.operators.sampling import temperature_resample
+
+    t = load_tables(spark, sf_dir)
+    kept = temperature_resample(
+        spread(t["documents"], spark), "source", "doc_id", total_budget=200
+    )
+    return kept.select("source", "doc_id", "n_in_stratum", "quota", "rk")
+
+
+@workload(
+    "twa_user_value_daily",
+    """
+    WITH seg AS (
+      SELECT user_id, CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+             CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS value_centi,
+             LEAD(EPOCH_US(ts)) OVER (
+               PARTITION BY user_id, DATE_TRUNC('day', ts)
+               ORDER BY ts, event_id) - EPOCH_US(ts) AS dt_us
+      FROM events
+    )
+    SELECT user_id, day,
+           CAST(SUM(value_centi * dt_us) AS BIGINT) AS num_q,
+           CAST(SUM(dt_us) AS BIGINT) AS den_us,
+           CAST(FLOOR(CAST(SUM(value_centi * dt_us) AS DOUBLE)
+                      / CAST(SUM(dt_us) AS DOUBLE) / 100.0
+                      * 1000000000.0 + 0.5) AS BIGINT) AS twa_q
+    FROM seg WHERE dt_us IS NOT NULL AND dt_us > 0
+    GROUP BY user_id, day
+    """,
+    category="timeseries",
+)
+def twa_user_value_daily(spark, sf_dir):
+    """Time-weighted average (the hypertable/metrics-rollup aggregate):
+    per (user, day), each value is weighted by how long it was current —
+    Σ value·Δt / Σ Δt over segments to the next event in the same day.
+    Exact by construction: values centi-quantized to int64, Δt in integer
+    microseconds, products and sums pure BIGINT (bounded: 5·10⁴ centi ×
+    8.6·10¹⁰ µs × events/user-day ≪ 2⁶³), one double division at the end.
+    One shuffle on (user_id, day) shared by the lead window and the
+    aggregate — the window's sort IS the groupBy's partitioning."""
+    t = load_tables(spark, sf_dir)
+    day_col = F.date_trunc("day", "ts")
+    w = Window.partitionBy("user_id", day_col).orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    seg = t["events"].select(
+        "user_id",
+        day_col.cast("date").alias("day"),
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("value_centi"),
+        (F.lead(us).over(w) - us).alias("dt_us"),
+    )
+    agg = (
+        seg.filter(F.col("dt_us").isNotNull() & (F.col("dt_us") > 0))
+        .groupBy("user_id", "day")
+        .agg(
+            F.sum(F.col("value_centi") * F.col("dt_us")).alias("num_q"),
+            F.sum("dt_us").alias("den_us"),
+        )
+    )
+    return agg.select(
+        "user_id",
+        "day",
+        "num_q",
+        "den_us",
+        F.floor(
+            F.col("num_q").cast("double")
+            / F.col("den_us").cast("double")
+            / F.lit(100.0)
+            * F.lit(1e9)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("twa_q"),
     )
