@@ -491,15 +491,16 @@ def ivf_train_centroids(
     """Deterministic driver-side IVF training sample + spherical k-means.
 
     The sample is a hash-threshold filter (md5 of the id — reproducible
-    under any partitioning) followed by a ``TakeOrdered`` heap of the
-    first ``train_sample`` ids, so AT MOST train_sample rows ever reach
-    the driver regardless of corpus size (an unbounded ``collect`` here
-    was a driver-OOM at scale). At 100 TB additionally pass
-    ``sample_fraction`` ≈ train_sample/|corpus| so the heap scans a
-    pruned stream instead of every row; the sampled id set — first
-    train_sample ids among the hash-filtered corpus — is identical
-    either way, which is what keeps the oracle's replayed centroids
-    bitwise-equal."""
+    under any partitioning and complete: the kept set is a pure per-row
+    predicate, so no ordering of the corpus is ever needed). The filtered
+    rows are collected and the SHARED trainer sorts/truncates them
+    driver-side — the plan is scan → filter → collect, with no
+    TakeOrdered heap over the corpus (the previous ``orderBy().limit()``
+    made every executor heap-sort its whole partition just to pick the
+    first ids). At 100 TB pass ``sample_fraction`` ≈
+    train_sample/|corpus| so the collect is sample-sized; the guard below
+    refuses a collect that would materialize far more than the training
+    set, pointing at the knob instead of OOMing the driver."""
     from etl_manager_spark.operators.sampling import hash_bucket, _threshold_hex
 
     filtered = corpus
@@ -507,12 +508,18 @@ def ivf_train_centroids(
         filtered = corpus.filter(
             hash_bucket(id_col) < F.lit(_threshold_hex(sample_fraction))
         )
+    cap = max(100_000, 50 * train_sample)
     rows = (
         filtered.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
-        .orderBy(F.col(id_col).asc())
-        .limit(train_sample)
+        .limit(cap + 1)
         .collect()
     )
+    if len(rows) > cap:
+        raise ValueError(
+            f"IVF training sample collect would exceed {cap} rows; pass "
+            "sample_fraction ≈ train_sample/|corpus| so only the hash-"
+            "filtered sample reaches the driver"
+        )
     return _sorted_sample_centroids([(r[0], r[1]) for r in rows], num_lists, train_sample)
 
 
