@@ -30,6 +30,7 @@ def asof_join(
     right_ts: str,
     right_payload: list[str] | None = None,
     suffix: str = "_asof",
+    tolerance: str | None = None,
 ) -> DataFrame:
     """For every ``left`` row, attach the latest ``right`` row with the same
     ``on`` key and ``right_ts`` <= ``left_ts``.
@@ -38,6 +39,13 @@ def asof_join(
     concurrent right row IS visible to the left row, matching standard
     ASOF JOIN semantics). All carried fields come from that single right
     row; a NULL payload field stays NULL (no backfill from older rows).
+
+    ``tolerance`` (an SQL interval literal body, e.g. ``"7 DAYS"``) bounds
+    match staleness: a carried right row older than ``left_ts −
+    tolerance`` is treated as no match (all payload fields NULL) — the
+    max-staleness guard of sensor/market-data joins (pandas
+    ``merge_asof(tolerance=...)``). Applied as a post-carry mask, so the
+    plan shape (one union, one keyed sort-window) is unchanged.
     """
     right_payload = right_payload or [
         c for c in right.columns if c not in (on, right_ts)
@@ -71,6 +79,13 @@ def asof_join(
     carried = unioned.withColumn(
         "_asof_carried", F.last("_asof_payload", ignorenulls=True).over(w)
     )
+    if tolerance is not None:
+        fresh = F.col(f"_asof_carried.{_TS_FIELD}") >= (
+            F.col("_ts") - F.expr(f"INTERVAL {tolerance}")
+        )
+        carried = carried.withColumn(
+            "_asof_carried", F.when(fresh, F.col("_asof_carried"))
+        )
     out_cols = (
         [F.col(c) for c in left.columns]
         + [

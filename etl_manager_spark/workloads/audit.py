@@ -172,3 +172,163 @@ def session_concurrency_events(spark, sf_dir):
     return hours.groupBy("hour_start").agg(
         F.count(F.lit(1)).alias("n_active_sessions")
     )
+
+
+@workload(
+    "asof_tolerance_events_order",
+    """
+    WITH ord AS (
+      SELECT o_custkey AS user_id, o_orderdate,
+             MAX(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate
+    ),
+    matched AS (
+      SELECT e.event_id, e.user_id, e.ts,
+             o.o_orderkey, o.o_orderdate
+      FROM events e
+      ASOF LEFT JOIN ord o
+        ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN o_orderdate >= ts - INTERVAL 30 DAY
+                THEN o_orderkey END AS o_orderkey_asof,
+           CASE WHEN o_orderdate >= ts - INTERVAL 30 DAY
+                THEN o_orderdate END AS o_orderdate_asof
+    FROM matched
+    """,
+    category="asof",
+)
+def asof_tolerance_events_order(spark, sf_dir):
+    """As-of join with a max-staleness tolerance (operators/asof.py:
+    asof_join(tolerance=...)): each event gets the user's most recent
+    order ONLY if it is at most 30 days old at event time — the
+    merge_asof(tolerance) semantics of sensor/market-data enrichment.
+    The bound is a post-carry mask, so the plan stays one union + one
+    keyed sort-window (no range explosion); the oracle masks a plain
+    ASOF JOIN identically."""
+    from etl_manager_spark.operators.asof import asof_join
+
+    t = load_tables(spark, sf_dir)
+    orders = (
+        t["orders"]
+        .groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    events = t["events"].select("event_id", "user_id", "ts")
+    return asof_join(
+        events,
+        orders,
+        on="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_payload=["o_orderkey"],
+        tolerance="30 DAYS",
+    )
+
+
+@workload(
+    "chi2_event_type_by_dow",
+    """
+    WITH cells AS (
+      SELECT event_type,
+             CAST(EXTRACT(dow FROM ts) + 1 AS INTEGER) AS dow,
+             COUNT(*) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    rt AS (SELECT event_type, SUM(o) AS r FROM cells GROUP BY event_type),
+    ct AS (SELECT dow, SUM(o) AS c FROM cells GROUP BY dow),
+    n AS (SELECT SUM(o) AS n FROM cells),
+    contrib AS (
+      SELECT cells.event_type, cells.dow,
+             CAST(FLOOR(
+               (cells.o - rt.r * ct.c / n.n) * (cells.o - rt.r * ct.c / n.n)
+                 / (rt.r * ct.c / n.n)
+               * 1000000000.0 + 0.5) AS BIGINT) AS chi_q
+      FROM cells JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN n
+    )
+    SELECT CAST(SUM(chi_q) AS BIGINT) AS chi2_q,
+           COUNT(*) AS n_cells,
+           CAST((SELECT COUNT(*) FROM rt) - 1 AS BIGINT)
+             * CAST((SELECT COUNT(*) FROM ct) - 1 AS BIGINT) AS dof
+    FROM contrib
+    """,
+    category="analytics",
+)
+def chi2_event_type_by_dow(spark, sf_dir):
+    """Chi-square independence test on the event_type × day-of-week
+    contingency table — the categorical A/B primitive next to
+    welch_t_view_vs_click. Observed counts are exact integers; each
+    cell's (o−e)²/e is one fixed IEEE expression from integer operands,
+    nano-quantized BEFORE the final sum so the statistic is an integer
+    total (order-free, partitioning-independent). Plan: one cell
+    aggregate, two tiny marginal aggregates broadcast back, one-row
+    output."""
+    t = load_tables(spark, sf_dir)
+    cells = (
+        t["events"]
+        .groupBy("event_type", F.dayofweek("ts").alias("dow"))
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    rt = cells.groupBy("event_type").agg(F.sum("o").alias("r"))
+    ct = cells.groupBy("dow").agg(F.sum("o").alias("c"))
+    n = cells.agg(F.sum("o").alias("n"))
+    e = F.col("r") * F.col("c") / F.col("n")
+    contrib = (
+        cells.join(F.broadcast(rt), on="event_type")
+        .join(F.broadcast(ct), on="dow")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.floor(
+                (F.col("o") - e) * (F.col("o") - e) / e * F.lit(1e9) + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("chi_q")
+        )
+    )
+    dof = (
+        rt.agg(F.count(F.lit(1)).alias("nr"))
+        .crossJoin(ct.agg(F.count(F.lit(1)).alias("nc")))
+        .select(
+            ((F.col("nr") - 1).cast("long") * (F.col("nc") - 1).cast("long")).alias(
+                "dof"
+            )
+        )
+    )
+    return (
+        contrib.agg(
+            F.sum("chi_q").alias("chi2_q"), F.count(F.lit(1)).alias("n_cells")
+        )
+        .crossJoin(F.broadcast(dof))
+    )
+
+
+@workload(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+    category="events",
+)
+def event_transition_matrix(spark, sf_dir):
+    """First-order Markov transition counts over per-user event streams
+    (prev_type → next_type under the total (ts, event_id) order) — the
+    path-mining primitive behind funnel discovery. One shuffle on user_id
+    for the lag window; the 25-cell count partial-aggregates map-side."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t["events"].select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

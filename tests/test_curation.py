@@ -88,3 +88,26 @@ def test_winsorize_emits_only_clipped_rows(spark, sf_dir_oracle):
     rows = out.collect()
     assert rows, "expected some clipped tail rows"
     assert all(r["winsorized"] != r["value"] for r in rows)
+
+
+def test_asof_tolerance_masks_stale_matches(spark):
+    from etl_manager_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-10 00:00:00"), (1, "2024-03-01 00:00:00")],
+        "k long, ts string",
+    ).select("k", F.col("ts").cast("timestamp_ntz").alias("ts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-05 00:00:00", 100)], "k long, rts string, payload long"
+    ).select(
+        "k", F.col("rts").cast("timestamp_ntz").alias("rts"), "payload"
+    )
+    out = {
+        r["ts"].month: r["payload_asof"]
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="rts",
+            right_payload=["payload"], tolerance="30 DAYS",
+        ).collect()
+    }
+    # 5 days stale -> kept; 56 days stale -> masked to NULL
+    assert out[1] == 100 and out[3] is None
