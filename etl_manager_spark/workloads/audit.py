@@ -332,3 +332,198 @@ def event_transition_matrix(spark, sf_dir):
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@workload(
+    "rfm_user_scores",
+    """
+    WITH agg AS (
+      SELECT user_id,
+             MAX(ts) AS last_ts,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(NTILE(5) OVER (ORDER BY last_ts DESC, user_id) AS INTEGER)
+             AS r_score,
+           CAST(NTILE(5) OVER (ORDER BY frequency DESC, user_id) AS INTEGER)
+             AS f_score,
+           CAST(NTILE(5) OVER (ORDER BY monetary DESC, user_id) AS INTEGER)
+             AS m_score,
+           frequency, monetary
+    FROM agg
+    """,
+    category="analytics",
+)
+def rfm_user_scores(spark, sf_dir):
+    """RFM (recency/frequency/monetary) customer scoring: one decimal-
+    exact aggregate per user, then three NTILE(5) quintile windows under
+    total orders (user_id tiebreak → deterministic). The windows are
+    global but their input is one row per USER (not per event) — at 100 TB
+    the per-user aggregate is the shuffle; the quintile assignment ranks
+    the much smaller user dimension (range-partition + offset composition,
+    see operators/sampling.assign_row_ids, when even users outgrow one
+    partition)."""
+    from etl_manager_spark.functions.exact import dec_sum
+
+    t = load_tables(spark, sf_dir)
+    agg = t["events"].groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("frequency"),
+        dec_sum("value").alias("monetary"),
+    )
+    return agg.select(
+        "user_id",
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("last_ts"), F.asc("user_id")))
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("frequency"), F.asc("user_id")))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("monetary"), F.asc("user_id")))
+        .alias("m_score"),
+        "frequency",
+        "monetary",
+    )
+
+
+@workload(
+    "benford_first_digit_values",
+    """
+    WITH d AS (
+      SELECT CAST(SUBSTR(CAST(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INTEGER) AS digit
+      FROM events WHERE value >= 0.01
+    ),
+    c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+    t AS (SELECT SUM(n) AS total FROM c)
+    SELECT c.digit, c.n,
+           CAST(FLOOR(CAST(c.n AS DOUBLE) / t.total
+                      * 1000000000.0 + 0.5) AS BIGINT) AS observed_q,
+           CAST(FLOOR(LN(1.0 + 1.0 / c.digit) / LN(10.0)
+                      * 1000000000.0 + 0.5) AS BIGINT) AS benford_q
+    FROM c CROSS JOIN t
+    """,
+    category="analytics",
+)
+def benford_first_digit_values(spark, sf_dir):
+    """Benford's-law audit: distribution of the first significant digit
+    of the value column (taken from the integer cents rendering — string
+    of an int64 is identical across engines, no float log10 near powers
+    of ten) against the log10(1+1/d) expectation. The fraud/corruption
+    screening classic; one 9-row aggregate."""
+    t = load_tables(spark, sf_dir)
+    cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    d = (
+        t["events"]
+        .filter(F.col("value") >= 0.01)
+        .select(F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit"))
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    total = c.agg(F.sum("n").alias("total"))
+    return c.crossJoin(F.broadcast(total)).select(
+        "digit",
+        "n",
+        F.floor(
+            F.col("n").cast("double") / F.col("total") * F.lit(1e9) + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("observed_q"),
+        F.floor(
+            F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+            / F.log(F.lit(10.0))
+            * F.lit(1e9)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("benford_q"),
+    )
+
+
+@workload(
+    "quarantine_bad_events",
+    """
+    WITH flagged AS (
+      SELECT event_id,
+             CASE
+               WHEN event_type NOT IN
+                    ('view', 'click', 'purchase', 'signup', 'error')
+                 THEN 'unknown_event_type'
+               WHEN value > 450.0 THEN 'value_out_of_contract'
+               WHEN CAST(props ->> 'k' AS BIGINT) > 95
+                 THEN 'prop_k_out_of_contract'
+               ELSE 'ok'
+             END AS reason
+      FROM events
+    )
+    SELECT reason, COUNT(*) AS n,
+           MIN(event_id) AS first_event_id, MAX(event_id) AS last_event_id
+    FROM flagged GROUP BY reason
+    """,
+    category="etl",
+)
+def quarantine_bad_events(spark, sf_dir):
+    """Data-contract routing (dead-letter classification): every row is
+    assigned the FIRST violated rule — unknown enum, numeric range,
+    JSON-prop range — or 'ok'; the per-reason rollup is what a quarantine
+    sink and an alerting rule consume. Pure per-row projection + one tiny
+    aggregate; the same predicate order runs in both engines, so the
+    routing decision is reproducible (a quarantine that depends on rule
+    evaluation order must pin that order)."""
+    t = load_tables(spark, sf_dir)
+    known = ("view", "click", "purchase", "signup", "error")
+    reason = (
+        F.when(~F.col("event_type").isin(*known), "unknown_event_type")
+        .when(F.col("value") > 450.0, "value_out_of_contract")
+        .when(
+            F.get_json_object("props", "$.k").cast("long") > 95,
+            "prop_k_out_of_contract",
+        )
+        .otherwise("ok")
+    )
+    return (
+        t["events"]
+        .select("event_id", reason.alias("reason"))
+        .groupBy("reason")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("event_id").alias("first_event_id"),
+            F.max("event_id").alias("last_event_id"),
+        )
+    )
+
+
+@workload(
+    "cumulative_new_users_daily",
+    """
+    WITH first_seen AS (
+      SELECT user_id, CAST(MIN(DATE_TRUNC('day', ts)) AS DATE) AS day
+      FROM events GROUP BY user_id
+    ),
+    daily AS (SELECT day, COUNT(*) AS new_users FROM first_seen GROUP BY day)
+    SELECT day, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY day
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_users
+    FROM daily
+    """,
+    category="timeseries",
+)
+def cumulative_new_users_daily(spark, sf_dir):
+    """User-acquisition curve: each user's first-seen day, daily new-user
+    counts, and the running total. The global running-sum window is safe
+    here because its input is one row per DAY (the heavy lifting — first-
+    seen per user — partial-aggregates on user_id first); a growth curve
+    over years is still only thousands of rows."""
+    t = load_tables(spark, sf_dir)
+    first_seen = t["events"].groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).cast("date").alias("day")
+    )
+    daily = first_seen.groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).alias("cumulative_users"),
+    )
