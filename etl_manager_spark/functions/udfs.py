@@ -123,3 +123,28 @@ def token_explode_udtf():
                 yield doc_id, i, tok
 
     return TokenExplode
+
+
+@F.pandas_udf("double")
+def weighted_mean_cents(values: pd.Series, weights: pd.Series) -> float:
+    """Grouped-aggregate pandas UDF (the true custom-UDAF shape: Arrow
+    batches of the group in, ONE scalar out — completes the UDF matrix
+    next to scalar/grouped-map/mapInPandas/UDTF). Weighted mean computed
+    exactly: values centi-quantized to int64, Σ(cents·w) and Σw as
+    integer sums (order-free), one correctly-rounded division at the end
+    — so the result is bitwise-reproducible under any partitioning and
+    the DuckDB oracle's SUM-based rendering matches.
+
+    Partial aggregation still applies JVM-side for the shuffle: Spark
+    feeds this UDAF each group's full Arrow stream post-exchange, but the
+    exchange carries only the projected (value, weight) columns."""
+    import numpy as np
+
+    cents = np.floor(values.to_numpy(dtype=np.float64) * 100.0 + 0.5).astype(
+        np.int64
+    )
+    w = weights.to_numpy(dtype=np.int64)
+    sw = int(w.sum())
+    if sw == 0:
+        return float("nan")
+    return (int((cents * w).sum()) / sw) / 100.0

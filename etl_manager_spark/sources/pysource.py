@@ -1,0 +1,69 @@
+"""Custom Python data source (Spark 4 ``pyspark.sql.datasource`` API) —
+the §2.B escape hatch for formats Spark has no built-in reader for
+(bespoke log dialects, internal APIs, test-data generators).
+
+The reference's format surface is a fixed set of SerDe templates
+(`/root/reference/etl_manager/specs/*_specific.json`); this is the
+extensible successor: a DataSource subclass registered on the session
+becomes a first-class ``spark.read.format(...)`` — partition planning on
+the driver, per-partition generation/IO on executors, schema declared up
+front so Catalyst prunes and plans like any scan.
+
+``SynthLogDataSource`` here is a deterministic generator (md5-derived
+fields, striped partitions) so the workload that reads it can be
+oracle-checked: DuckDB regenerates the identical rows from ``range()``
+with the same md5 arithmetic. The partitioning is value-independent
+(row i lives in partition i mod P), so results don't depend on the
+parallelism chosen.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+LEVELS = ("DEBUG", "INFO", "WARN", "ERROR")
+
+
+def _row(i: int) -> tuple:
+    """The shared generator: every field a pure function of the line id
+    (md5 of ``log:i``), reproducible in any engine with md5 + hex."""
+    h = hashlib.md5(f"log:{i}".encode()).hexdigest()
+    level = LEVELS[int(h[:2], 16) % 4]
+    value = (int(h[2:10], 16) % 10000) / 100.0
+    return (i, level, value, f"line-{i}")
+
+
+class SynthLogReader(DataSourceReader):
+    def __init__(self, options):
+        self.rows = int(options.get("rows", 1000))
+        self.parts = int(options.get("parts", 4))
+
+    def partitions(self):
+        return [InputPartition(p) for p in range(self.parts)]
+
+    def read(self, partition):
+        p = partition.value
+        for i in range(p, self.rows, self.parts):
+            yield _row(i)
+
+
+class SynthLogDataSource(DataSource):
+    """``spark.read.format("synthlog").option("rows", N)`` after
+    ``spark.dataSource.register(SynthLogDataSource)``."""
+
+    @classmethod
+    def name(cls):
+        return "synthlog"
+
+    def schema(self):
+        return "line_id bigint, level string, value double, msg string"
+
+    def reader(self, schema):
+        return SynthLogReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent registration on a session."""
+    spark.dataSource.register(SynthLogDataSource)

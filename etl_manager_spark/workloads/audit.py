@@ -527,3 +527,77 @@ def cumulative_new_users_daily(spark, sf_dir):
         "new_users",
         F.sum("new_users").over(w).alias("cumulative_users"),
     )
+
+
+@workload(
+    "udaf_weighted_mean_events",
+    """
+    SELECT event_type,
+           SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)
+               * CAST(props ->> 'k' AS BIGINT))
+             / SUM(CAST(props ->> 'k' AS BIGINT)) / 100.0 AS weighted_mean
+    FROM events GROUP BY event_type
+    """,
+    category="udf",
+)
+def udaf_weighted_mean_events(spark, sf_dir):
+    """Custom UDAF via grouped-aggregate pandas_udf (functions/udfs.py:
+    weighted_mean_cents): per event type, the k-prop-weighted mean value,
+    exact integer accumulation inside the UDAF so the scalar is
+    partitioning-independent and oracle-matched. One hash exchange on the
+    group key carrying only (value, k)."""
+    from etl_manager_spark.functions.udfs import weighted_mean_cents
+
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .select(
+            "event_type",
+            "value",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(weighted_mean_cents("value", "k").alias("weighted_mean"))
+    )
+
+
+@workload(
+    "python_datasource_synthlog",
+    """
+    WITH g AS (
+      SELECT i AS line_id, md5('log:' || i) AS h FROM range(0, 2000) t(i)
+    ),
+    r AS (
+      SELECT line_id,
+             ['DEBUG','INFO','WARN','ERROR']
+               [(('0x' || substr(h, 1, 2))::INTEGER % 4) + 1] AS level,
+             (('0x' || substr(h, 3, 8))::BIGINT % 10000) / 100.0 AS value
+      FROM g
+    )
+    SELECT level, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM r GROUP BY level
+    """,
+    category="formats",
+)
+def python_datasource_synthlog(spark, sf_dir):
+    """Custom Python data source (Spark 4 pyspark.sql.datasource —
+    sources/pysource.py): a registered DataSource class becomes a
+    first-class spark.read.format() with driver-side partition planning
+    and executor-side generation. The generator is md5-deterministic and
+    striped value-independently across partitions, so the read is
+    oracle-checkable: DuckDB regenerates the identical rows from range()
+    with the same md5 arithmetic."""
+    from etl_manager_spark.functions.exact import dec_sum
+    from etl_manager_spark.sources.pysource import register
+
+    register(spark)
+    logs = (
+        spark.read.format("synthlog")
+        .option("rows", "2000")
+        .option("parts", "8")
+        .load()
+    )
+    return logs.groupBy("level").agg(
+        F.count(F.lit(1)).alias("n"), dec_sum("value").alias("total_value")
+    )
