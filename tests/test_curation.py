@@ -111,3 +111,97 @@ def test_asof_tolerance_masks_stale_matches(spark):
     }
     # 5 days stale -> kept; 56 days stale -> masked to NULL
     assert out[1] == 100 and out[3] is None
+
+
+def test_temperature_resample_budgets_nest(spark, sf_dir):
+    """A smaller budget's kept set must be a prefix (per stratum) of a
+    larger budget's — the property that makes resampled corpora
+    comparable across budget choices."""
+    from etl_manager_spark.operators.sampling import temperature_resample
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    small = {
+        (r["source"], r["doc_id"])
+        for r in temperature_resample(docs, "source", "doc_id", 40).collect()
+    }
+    large = {
+        (r["source"], r["doc_id"])
+        for r in temperature_resample(docs, "source", "doc_id", 120).collect()
+    }
+    assert small <= large
+    # quota realization never exceeds the budget
+    assert len(large) <= 120
+
+
+def test_temperature_resample_upweights_rare_strata(spark):
+    """With sqrt shares, a stratum 16x larger gets only ~4x the quota."""
+    from etl_manager_spark.operators.sampling import temperature_resample
+
+    rows = [("big", i) for i in range(1600)] + [("small", 10_000 + i) for i in range(100)]
+    df = spark.createDataFrame(rows, "src string, id long")
+    kept = temperature_resample(df, "src", "id", 100).collect()
+    by = {}
+    for r in kept:
+        by[r["src"]] = by.get(r["src"], 0) + 1
+    # raw shares would be 94/6; sqrt shares are 80/20
+    assert by["small"] >= 15, by
+    assert by["big"] <= 85, by
+
+
+def test_winsorize_bounds_match_numpy_order_stats(spark):
+    import numpy as np
+
+    vals = [float(v) for v in np.random.RandomState(7).uniform(0, 100, 400)]
+    df = spark.createDataFrame(
+        [(i, "t", v) for i, v in enumerate(vals)],
+        "event_id long, event_type string, value double",
+    )
+    df.createOrReplaceTempView("_wins_events")
+    from pyspark.sql import Window
+    from pyspark.sql import functions as FF
+
+    wo = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    r = df.select(
+        "value",
+        FF.row_number().over(wo).alias("rn"),
+        FF.count(FF.lit(1)).over(wn).alias("n"),
+    )
+    bounds = r.groupBy().agg(
+        FF.min(FF.when(FF.col("rn") == FF.ceil(FF.lit(0.05) * FF.col("n")), FF.col("value"))).alias("lo"),
+        FF.min(FF.when(FF.col("rn") == FF.ceil(FF.lit(0.95) * FF.col("n")), FF.col("value"))).alias("hi"),
+    ).collect()[0]
+    s = sorted(vals)
+    import math
+
+    assert bounds["lo"] == s[math.ceil(0.05 * 400) - 1]
+    assert bounds["hi"] == s[math.ceil(0.95 * 400) - 1]
+
+
+def test_twa_matches_pandas_replay(spark, sf_dir_oracle):
+    """The exact-integer TWA must equal a float pandas replay to ~1e-9
+    (the quantization grid), per (user, day)."""
+    import pandas as pd
+
+    from etl_manager_spark.workloads import load_registry
+
+    out = load_registry()["twa_user_value_daily"].fn(spark, sf_dir_oracle)
+    got = {(r["user_id"], r["day"]): r["twa_q"] for r in out.collect()}
+
+    ev = pd.read_parquet(f"{sf_dir_oracle}/events.parquet")
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    ev["day"] = ev["ts"].dt.floor("D")
+    ev["cents"] = (ev["value"] * 100.0 + 0.5).apply(int)
+    check = 0
+    for (u, day), g in ev.groupby(["user_id", "day"]):
+        dt = (g["ts"].shift(-1) - g["ts"]).dt.total_seconds() * 1e6
+        mask = dt.notna() & (dt > 0)
+        if not mask.any():
+            continue
+        num = (g["cents"][mask] * dt[mask]).sum()
+        den = dt[mask].sum()
+        expected = num / den / 100.0
+        q = got[(u, day.date())]
+        assert abs(q / 1e9 - expected) < 2e-9, (u, day, q, expected)
+        check += 1
+    assert check > 50  # replay actually covered groups
