@@ -21,7 +21,12 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 LEVELS = ("DEBUG", "INFO", "WARN", "ERROR")
 
@@ -49,8 +54,37 @@ class SynthLogReader(DataSourceReader):
             yield _row(i)
 
 
+class SynthLogStreamReader(SimpleDataSourceStreamReader):
+    """Streaming face of the same generator: offsets are line-id
+    watermarks ``{"i": next_line}``, each micro-batch serves
+    ``batch`` rows, and ``readBetweenOffsets`` replays any committed
+    range exactly (md5 generation is stateless) — which is what makes
+    the source replayable/exactly-once under checkpoint recovery.
+
+    Note: Spark's Python micro-batch wrapper does not support
+    Trigger.AvailableNow (it falls back to ONE batch), so a bounded
+    run that must see every row either sets ``batch`` ≥ ``rows`` or
+    uses a processing-time trigger until the offset reaches ``rows``."""
+
+    def __init__(self, options):
+        self.rows = int(options.get("rows", 1000))
+        self.batch = int(options.get("batch", self.rows))
+
+    def initialOffset(self):
+        return {"i": 0}
+
+    def read(self, start):
+        s = start["i"]
+        e = min(s + self.batch, self.rows)
+        return (iter([_row(i) for i in range(s, e)]), {"i": e})
+
+    def readBetweenOffsets(self, start, end):
+        return iter([_row(i) for i in range(start["i"], end["i"])])
+
+
 class SynthLogDataSource(DataSource):
-    """``spark.read.format("synthlog").option("rows", N)`` after
+    """``spark.read.format("synthlog").option("rows", N)`` (batch) or
+    ``spark.readStream.format("synthlog")`` (micro-batch stream) after
     ``spark.dataSource.register(SynthLogDataSource)``."""
 
     @classmethod
@@ -62,6 +96,9 @@ class SynthLogDataSource(DataSource):
 
     def reader(self, schema):
         return SynthLogReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return SynthLogStreamReader(self.options)
 
 
 def register(spark) -> None:

@@ -601,3 +601,42 @@ def python_datasource_synthlog(spark, sf_dir):
     return logs.groupBy("level").agg(
         F.count(F.lit(1)).alias("n"), dec_sum("value").alias("total_value")
     )
+
+
+@workload(
+    "streaming_python_datasource_synthlog",
+    """
+    WITH g AS (
+      SELECT i AS line_id, md5('log:' || i) AS h FROM range(0, 2000) t(i)
+    ),
+    r AS (
+      SELECT line_id,
+             ['DEBUG','INFO','WARN','ERROR']
+               [(('0x' || substr(h, 1, 2))::INTEGER % 4) + 1] AS level
+      FROM g
+    )
+    SELECT level, COUNT(*) AS n FROM r GROUP BY level
+    """,
+    category="streaming",
+)
+def streaming_python_datasource_synthlog(spark, sf_dir):
+    """Custom Python STREAMING source (sources/pysource.py:
+    SynthLogStreamReader — Spark 4 SimpleDataSourceStreamReader): offsets
+    are line-id watermarks, readBetweenOffsets replays committed ranges
+    exactly (stateless md5 generation → exactly-once under checkpoint
+    recovery). Spark's Python micro-batch wrapper downgrades
+    Trigger.AvailableNow to a single batch, so this bounded run serves
+    the whole range in one batch; incremental multi-batch offsets are
+    exercised by the reader-API unit test."""
+    from etl_manager_spark.sources.pysource import register
+    from etl_manager_spark.streaming.windows import run_to_memory
+
+    register(spark)
+    stream = (
+        spark.readStream.format("synthlog")
+        .option("rows", "2000")
+        .load()
+        .groupBy("level")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return run_to_memory(stream, spark, "stream_synthlog_counts")

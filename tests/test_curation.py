@@ -205,3 +205,20 @@ def test_twa_matches_pandas_replay(spark, sf_dir_oracle):
         assert abs(q / 1e9 - expected) < 2e-9, (u, day, q, expected)
         check += 1
     assert check > 50  # replay actually covered groups
+
+
+def test_synthlog_stream_reader_incremental_offsets():
+    """Micro-batch offsets advance by `batch` rows and readBetweenOffsets
+    replays exactly the committed range — the exactly-once contract."""
+    from etl_manager_spark.sources.pysource import SynthLogStreamReader, _row
+
+    r = SynthLogStreamReader({"rows": "50", "batch": "20"})
+    off0 = r.initialOffset()
+    rows1, off1 = r.read(off0)
+    assert off1 == {"i": 20} and len(list(rows1)) == 20
+    rows2, off2 = r.read(off1)
+    assert off2 == {"i": 40} and len(list(rows2)) == 20
+    rows3, off3 = r.read(off2)
+    assert off3 == {"i": 50} and len(list(rows3)) == 10
+    replay = list(r.readBetweenOffsets({"i": 20}, {"i": 40}))
+    assert replay == [_row(i) for i in range(20, 40)]
