@@ -21,7 +21,7 @@ from typing import TYPE_CHECKING
 
 import pandas as pd
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, ByteType
+from pyspark.sql.types import ArrayType, ByteType, DoubleType
 
 if TYPE_CHECKING:  # pragma: no cover
     from pyspark.sql import DataFrame
@@ -125,7 +125,8 @@ def token_explode_udtf():
     return TokenExplode
 
 
-@F.pandas_udf("double")
+@F.pandas_udf(DoubleType())  # DataType object: a DDL string would need an
+# active session to parse at import time (module imports session-free)
 def weighted_mean_cents(values: pd.Series, weights: pd.Series) -> float:
     """Grouped-aggregate pandas UDF (the true custom-UDAF shape: Arrow
     batches of the group in, ONE scalar out — completes the UDF matrix

@@ -24,8 +24,10 @@ import hashlib
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 LEVELS = ("DEBUG", "INFO", "WARN", "ERROR")
@@ -104,3 +106,80 @@ class SynthLogDataSource(DataSource):
 def register(spark) -> None:
     """Idempotent registration on a session."""
     spark.dataSource.register(SynthLogDataSource)
+
+
+class _FileCommit(WriterCommitMessage):
+    """Per-task commit message: the temp file a task wrote and its row
+    count (picklable — travels executor → driver)."""
+
+    def __init__(self, filename: str, rows: int):
+        self.filename = filename
+        self.rows = rows
+
+
+class JsonlSinkWriter(DataSourceWriter):
+    """Custom sink with the real two-phase commit protocol: each task
+    writes to a uniquely-named temp file and returns a commit message;
+    only the DRIVER's ``commit`` renames temp files to final part files
+    and writes the ``_SUCCESS`` manifest — a failed/speculative task's
+    temp file is never visible, and ``abort`` removes stragglers. This is
+    the same visibility contract as Hadoop output committers, expressed
+    through ``pyspark.sql.datasource``."""
+
+    def __init__(self, options):
+        self.path = options["path"]
+
+    def write(self, iterator):
+        import json as _json
+        import os as _os
+        import uuid
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        tmp = _os.path.join(
+            self.path, f"_tmp-{ctx.partitionId()}-{uuid.uuid4().hex}.jsonl"
+        )
+        n = 0
+        with open(tmp, "w") as fh:
+            for row in iterator:
+                fh.write(_json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _FileCommit(tmp, n)
+
+    def commit(self, messages):
+        import json as _json
+        import os as _os
+
+        total = 0
+        for i, m in enumerate(messages):
+            final = _os.path.join(self.path, f"part-{i:05d}.jsonl")
+            _os.replace(m.filename, final)
+            total += m.rows
+        with open(_os.path.join(self.path, "_SUCCESS"), "w") as fh:
+            fh.write(_json.dumps({"files": len(messages), "rows": total}))
+
+    def abort(self, messages):
+        import os as _os
+
+        for m in messages:
+            try:
+                _os.remove(m.filename)
+            except OSError:
+                pass
+
+
+class JsonlSinkDataSource(DataSource):
+    """``df.write.format("jsonlsink").option("path", dir).save()`` after
+    registration — the custom-sink face of the Python data source API."""
+
+    @classmethod
+    def name(cls):
+        return "jsonlsink"
+
+    def writer(self, schema, overwrite):
+        return JsonlSinkWriter(self.options)
+
+
+def register_sink(spark) -> None:
+    spark.dataSource.register(JsonlSinkDataSource)

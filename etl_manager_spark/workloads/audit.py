@@ -640,3 +640,87 @@ def streaming_python_datasource_synthlog(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
     )
     return run_to_memory(stream, spark, "stream_synthlog_counts")
+
+
+@workload(
+    "variant_extract_events",
+    """
+    WITH v AS (
+      SELECT event_id, CAST(props ->> 'k' AS BIGINT) AS k FROM events
+    )
+    SELECT COUNT(*) AS n_rows,
+           MIN(k) AS min_k, MAX(k) AS max_k,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           'OBJECT<k: BIGINT>' AS inferred_schema
+    FROM v
+    """,
+    category="json",
+)
+def variant_extract_events(spark, sf_dir):
+    """Spark 4 VariantType path for semi-structured data: parse_json into
+    a variant column (binary-encoded, schema-on-read — the open-table
+    semi-structured type), typed extraction via try_variant_get, and
+    schema_of_variant inference. The oracle pins both the extracted
+    values (JSON path in DuckDB) and the exact inferred-schema rendering.
+    Variant decode is JVM-side; the per-row work pipelines in the scan."""
+    t = load_tables(spark, sf_dir)
+    v = t["events"].select(
+        "event_id", F.parse_json("props").alias("v")
+    ).select(
+        F.try_variant_get(F.col("v"), "$.k", "long").alias("k"),
+        F.schema_of_variant(F.col("v")).alias("sch"),
+    )
+    return v.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.sum("k").alias("sum_k"),
+        F.min("sch").alias("inferred_schema"),
+    )
+
+
+@workload(
+    "custom_sink_roundtrip_events",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events WHERE user_id < 30 GROUP BY event_type
+    """,
+    category="formats",
+)
+def custom_sink_roundtrip_events(spark, sf_dir):
+    """Custom Python data SINK with a two-phase commit protocol
+    (sources/pysource.py:JsonlSinkWriter): tasks write temp files and
+    return commit messages; only the driver's commit renames them and
+    stamps _SUCCESS, so failed/speculative tasks never publish. The
+    workload proves the visibility contract end-to-end: events are
+    written through the sink as JSONL, read back, and aggregated —
+    matching the direct aggregate exactly (double values survive the
+    text round-trip via shortest-round-trip rendering)."""
+    import os
+    import shutil
+    import tempfile
+
+    from etl_manager_spark.functions.exact import dec_sum
+    from etl_manager_spark.sources.pysource import register_sink
+
+    register_sink(spark)
+    base = os.path.basename(sf_dir.rstrip("/"))
+    out = os.path.join(tempfile.gettempdir(), f"jsonl_sink_{base}")
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    (
+        load_tables(spark, sf_dir)["events"]
+        .filter(F.col("user_id") < 30)
+        .select("event_id", "event_type", "value")
+        .write.format("jsonlsink")
+        .option("path", out)
+        .mode("append")
+        .save()
+    )
+    back = spark.read.schema("event_id long, event_type string, value double").json(
+        os.path.join(out, "part-*.jsonl")
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), dec_sum("value").alias("total_value")
+    )
