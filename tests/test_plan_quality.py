@@ -367,3 +367,40 @@ def test_phash_banded_join_keys_on_band_bucket(plans):
     assert r.cartesian_products == 0, r.text[:1500]
     keys = re.findall(r"Arguments: hashpartitioning\((\w+)", r.text)
     assert any(k == "band" for k in keys) or r.broadcast_joins >= 1, keys
+
+
+def test_dynamic_partition_pruning_engages(spark, sf_dir, tmp_path):
+    """Joining a partitioned fact against a filtered dim must inject a
+    dynamicpruning expression into the fact scan's PartitionFilters —
+    the Catalyst feature that turns a selective dim filter into fact
+    partition skipping at 100 TB (without it the scan reads every
+    partition and the join discards most of it)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    d = str(tmp_path / "dpp_fact")
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(d)
+    fact = spark.read.parquet(d)
+    dim = spark.createDataFrame(
+        [("view", 1.0), ("click", 2.0)], "event_type string, w double"
+    ).filter(F.col("w") > 1.5)
+    j = fact.join(dim, on="event_type").agg(F.count(F.lit(1)))
+    r = plan_report(j)
+    assert "dynamicpruning" in r.text.lower(), r.text[:2000]
+
+
+def test_twa_single_shared_shuffle(plans):
+    import re
+
+    r = plans("twa_user_value_daily")
+    # the lead window and the (user, day) aggregate must share one
+    # exchange keyed on user_id(+day) — a second hash partitioning
+    # would mean the window's sort isn't being reused
+    keys = re.findall(r"Arguments: hashpartitioning\((\w+)", r.text)
+    assert keys and all(k.startswith("user_id") for k in keys), keys
+
+
+def test_chi2_marginals_broadcast(plans):
+    r = plans("chi2_event_type_by_dow")
+    # cell counts join their marginals via broadcast (5-row / 7-row
+    # tables); a sort-merge join of the contingency table would be absurd
+    assert r.sortmerge_joins == 0, r.text[:1500]
+    assert r.broadcast_joins >= 3
