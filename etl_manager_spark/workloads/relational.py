@@ -1516,3 +1516,71 @@ def recursive_hierarchy_depth(spark, sf_dir):
         FROM anc GROUP BY doc_id
         """
     )
+
+
+@workload(
+    "setop_all_multiset_variants",
+    """
+    WITH a AS (SELECT c_nationkey AS nk FROM customer WHERE c_custkey % 3 = 0),
+    b AS (SELECT c_nationkey AS nk FROM customer WHERE c_custkey % 2 = 0),
+    i AS (SELECT nk FROM a INTERSECT ALL SELECT nk FROM b),
+    e AS (SELECT nk FROM a EXCEPT ALL SELECT nk FROM b)
+    SELECT 'intersect_all' AS op, nk, COUNT(*) AS n FROM i GROUP BY nk
+    UNION ALL
+    SELECT 'except_all' AS op, nk, COUNT(*) AS n FROM e GROUP BY nk
+    """,
+    category="setop",
+)
+def setop_all_multiset_variants(spark, sf_dir):
+    """Multiset set operations (INTERSECT ALL / EXCEPT ALL): duplicate
+    counts min()'d / subtracted rather than collapsed — the bag semantics
+    the distinct variants (setop_nations_with_both) don't exercise. Spark
+    plans both as aggregate-count + generate (no sort), same shuffle
+    profile as a groupBy."""
+    t = load_tables(spark, sf_dir)
+    a = t["customer"].filter(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_nationkey").alias("nk")
+    )
+    b = t["customer"].filter(F.col("c_custkey") % 2 == 0).select(
+        F.col("c_nationkey").alias("nk")
+    )
+    i = (
+        a.intersectAll(b)
+        .groupBy("nk")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "nk", "n")
+    )
+    e = (
+        a.exceptAll(b)
+        .groupBy("nk")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("op"), "nk", "n")
+    )
+    return i.unionByName(e)
+
+
+@workload(
+    "pagination_orders_offset",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 20 OFFSET 40
+    """,
+    category="sort",
+)
+def pagination_orders_offset(spark, sf_dir):
+    """Keyset-free pagination (ORDER BY … LIMIT … OFFSET, Spark ≥3.4):
+    page 3 of the price-ranked orders under a total order. Spark executes
+    this as a single TakeOrdered-style global top-(offset+limit) then
+    drops the prefix — fine for shallow pages; deep pagination at 100 TB
+    should switch to keyset predicates (WHERE (price, key) < last-seen),
+    which pushes down instead of materializing offset+limit rows."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .offset(40)
+        .limit(20)
+    )
