@@ -1584,3 +1584,56 @@ def pagination_orders_offset(spark, sf_dir):
         .offset(40)
         .limit(20)
     )
+
+
+@workload(
+    "join_right_supplier_nation",
+    """
+    SELECT n.n_name, s.s_suppkey, s.s_name
+    FROM supplier s RIGHT JOIN nation n ON s.s_nationkey = n.n_nationkey
+    """,
+    category="join",
+)
+def join_right_supplier_nation(spark, sf_dir):
+    """RIGHT OUTER join: every nation survives even with no suppliers
+    (null-extended left side) — the mirror of the left-join family,
+    planned as a broadcast of the small right-preserved side."""
+    t = load_tables(spark, sf_dir)
+    return t["supplier"].join(
+        t["nation"],
+        t["supplier"]["s_nationkey"] == t["nation"]["n_nationkey"],
+        "right",
+    ).select("n_name", "s_suppkey", "s_name")
+
+
+@workload(
+    "lateral_top_orders_per_customer",
+    """
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer c,
+         LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                  WHERE o_custkey = c.c_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) o
+    WHERE c.c_custkey < 50
+    """,
+    category="join",
+)
+def lateral_top_orders_per_customer(spark, sf_dir):
+    """Correlated LATERAL derived table (SQL:1999 lateral join, Spark
+    ≥3.2): each customer row feeds a correlated ordered-limit subquery —
+    the per-row top-N idiom SQL users reach for before learning window
+    functions. Catalyst de-correlates it into a ranked window join, so
+    the plan matches the window formulation rather than a per-row loop."""
+    t = load_tables(spark, sf_dir)
+    t["customer"].createOrReplaceTempView("_lat_customer")
+    t["orders"].createOrReplaceTempView("_lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM _lat_customer c,
+             LATERAL (SELECT o_orderkey, o_totalprice FROM _lat_orders
+                      WHERE o_custkey = c.c_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) o
+        WHERE c.c_custkey < 50
+        """
+    )
