@@ -724,3 +724,49 @@ def custom_sink_roundtrip_events(spark, sf_dir):
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"), dec_sum("value").alias("total_value")
     )
+
+
+@workload(
+    "xml_roundtrip_events",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events WHERE user_id < 20 GROUP BY event_type
+    """,
+    category="formats",
+)
+def xml_roundtrip_events(spark, sf_dir):
+    """Built-in XML format (Spark 4 native spark-xml): write events as
+    <row> elements, read them back with an explicit schema, aggregate —
+    must equal the direct aggregate, proving doubles survive the XML text
+    round-trip (Java shortest-round-trip rendering ↔ exact re-parse).
+    Extends the §2.B format surface beyond the reference's SerDe set
+    (csv/json/parquet/orc/avro/regex) with the remaining classic."""
+    import os
+    import shutil
+    import tempfile
+
+    from etl_manager_spark.functions.exact import dec_sum
+
+    t = load_tables(spark, sf_dir)
+    base = os.path.basename(sf_dir.rstrip("/"))
+    out = os.path.join(tempfile.gettempdir(), f"xml_roundtrip_{base}")
+    shutil.rmtree(out, ignore_errors=True)
+    (
+        t["events"]
+        .filter(F.col("user_id") < 20)
+        .select("event_id", "event_type", "value")
+        .write.format("xml")
+        .option("rowTag", "row")
+        .option("rootTag", "rows")
+        .save(out)
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "row")
+        .schema("event_id long, event_type string, value double")
+        .load(out)
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), dec_sum("value").alias("total_value")
+    )
