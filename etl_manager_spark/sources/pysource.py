@@ -24,6 +24,7 @@ import hashlib
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
@@ -183,3 +184,79 @@ class JsonlSinkDataSource(DataSource):
 
 def register_sink(spark) -> None:
     spark.dataSource.register(JsonlSinkDataSource)
+
+
+class JsonlStreamSinkWriter(DataSourceStreamWriter):
+    """Streaming face of the JSONL sink: same task-temp-file discipline,
+    but the driver commit is PER MICRO-BATCH — each batch publishes its
+    files under a ``batch-<id>`` manifest, which is what lets a restarted
+    query treat a re-run of an already-committed batchId as a no-op
+    (idempotent sink = exactly-once end-to-end when the source replays
+    offsets exactly, see SynthLogStreamReader)."""
+
+    def __init__(self, options):
+        self.path = options["path"]
+
+    def write(self, iterator):
+        import json as _json
+        import os as _os
+        import uuid
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        tmp = _os.path.join(
+            self.path, f"_tmp-{ctx.partitionId()}-{uuid.uuid4().hex}.jsonl"
+        )
+        n = 0
+        with open(tmp, "w") as fh:
+            for row in iterator:
+                fh.write(_json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _FileCommit(tmp, n)
+
+    def commit(self, messages, batchId):
+        import json as _json
+        import os as _os
+
+        manifest = _os.path.join(self.path, f"batch-{batchId}.json")
+        if _os.path.exists(manifest):  # replayed batch: already published
+            for m in messages:
+                try:
+                    _os.remove(m.filename)
+                except OSError:
+                    pass
+            return
+        total = 0
+        files = []
+        for i, m in enumerate(messages):
+            final = _os.path.join(self.path, f"batch-{batchId}-part-{i:05d}.jsonl")
+            _os.replace(m.filename, final)
+            files.append(_os.path.basename(final))
+            total += m.rows
+        with open(manifest, "w") as fh:
+            fh.write(_json.dumps({"files": files, "rows": total}))
+
+    def abort(self, messages, batchId):
+        import os as _os
+
+        for m in messages:
+            try:
+                _os.remove(m.filename)
+            except OSError:
+                pass
+
+
+class JsonlStreamSinkDataSource(DataSource):
+    """``df.writeStream.format("jsonlstreamsink").option("path", dir)``."""
+
+    @classmethod
+    def name(cls):
+        return "jsonlstreamsink"
+
+    def streamWriter(self, schema, overwrite):
+        return JsonlStreamSinkWriter(self.options)
+
+
+def register_stream_sink(spark) -> None:
+    spark.dataSource.register(JsonlStreamSinkDataSource)

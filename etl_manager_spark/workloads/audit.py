@@ -770,3 +770,56 @@ def xml_roundtrip_events(spark, sf_dir):
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"), dec_sum("value").alias("total_value")
     )
+
+
+@workload(
+    "streaming_custom_sink_synthlog",
+    """
+    WITH g AS (
+      SELECT i AS line_id, md5('log:' || i) AS h FROM range(0, 1000) t(i)
+    ),
+    r AS (
+      SELECT ['DEBUG','INFO','WARN','ERROR']
+               [(('0x' || substr(h, 1, 2))::INTEGER % 4) + 1] AS level
+      FROM g
+    )
+    SELECT level, COUNT(*) AS n FROM r GROUP BY level
+    """,
+    category="streaming",
+)
+def streaming_custom_sink_synthlog(spark, sf_dir):
+    """End-to-end custom Python STREAM: synthlog stream source →
+    per-micro-batch committed JSONL stream sink
+    (sources/pysource.py:JsonlStreamSinkWriter — batch-id manifests make
+    replayed batch commits no-ops, so source replay + idempotent sink =
+    exactly-once). The workload then reads the published files back and
+    aggregates; equality with the direct aggregate proves the published
+    set is exactly one copy of the stream."""
+    import os
+    import shutil
+    import tempfile
+
+    from etl_manager_spark.sources.pysource import register, register_stream_sink
+
+    register(spark)
+    register_stream_sink(spark)
+    base = os.path.basename(sf_dir.rstrip("/"))
+    out = os.path.join(tempfile.gettempdir(), f"jsonl_stream_sink_{base}")
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    q = (
+        spark.readStream.format("synthlog")
+        .option("rows", "1000")
+        .load()
+        .select("line_id", "level")
+        .writeStream.format("jsonlstreamsink")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(out, "_chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.schema("line_id long, level string").json(
+        os.path.join(out, "batch-*-part-*.jsonl")
+    )
+    return back.groupBy("level").agg(F.count(F.lit(1)).alias("n"))
