@@ -2,12 +2,13 @@
 
 The two queries every product-analytics engine ships (and the reference's
 events workloads stop short of): how far users progress through an
-ordered step sequence, and how cohorts retain over time. Both are
-expressed as same-key joins + hash aggregates on the user id — every
-shuffle is on ``user_id``, so a source pre-partitioned/bucketed by user
-executes them with ONE exchange total, and AQE coalesces the rest.
-No windows over unbounded partitions, no collect_list of whole event
-histories; state per user is O(steps).
+ordered step sequence, and how cohorts retain over time. ``funnel`` is a
+single-shuffle sorted-walk (one hash exchange on ``user_id``, then a
+JVM higher-order-function scan of each user's funnel events); the
+``funnel_step_arrivals`` chain keeps the equivalent join-based plan for
+callers needing per-user arrival timestamps. ``cohort_retention`` is
+same-key joins + hash aggregates on the user id — a source
+pre-partitioned/bucketed by user executes it with ONE exchange total.
 """
 
 from __future__ import annotations
@@ -28,41 +29,75 @@ def funnel(
     semantics — the standard product-analytics definition; simultaneous
     events don't advance the funnel).
 
-    Per step: one filtered aggregation min(ts) per user + one join back
-    to the previous step's arrivals — k steps → k same-key shuffles on
-    ``user_id``, each input smaller than the last (funnels only narrow).
-    Each step's arrival table is persisted while the funnel is computed:
-    it is consumed twice (as the next step's join input and by its own
-    count), and without the pin every downstream branch would replay the
-    whole upstream chain — O(k²) scans of the events table instead of k.
-    Arrival tables are per-user rows (bounded by distinct users,
-    spill-to-disk storage level), far below event volume.
+    ONE scan of the events table and ONE data-sized shuffle (hash on
+    ``user_id``): each user's funnel events are gathered into a
+    time-sorted array and walked with a JVM higher-order ``aggregate``
+    whose state is just (steps reached, last arrival ts). The greedy
+    earliest-arrival walk is exactly the classic min-after-previous
+    chain: after reaching step i at time t, the first step-i+1 event
+    strictly after t in the sorted stream IS min(ts > t). Everything
+    after the per-user walk is k-row-sized (a conditional count per
+    step), so the remaining exchanges move bytes proportional to the
+    number of steps, not the data.
 
-    The per-step counts are materialized EAGERLY (each is a one-row
-    aggregate) and every arrival table is unpersisted before returning, so
-    a long-lived session running many funnels never accumulates cached
-    blocks. The k-row result comes back as a local relation — at any data
-    scale the driver traffic is k longs.
+    State per user is bounded by that user's FUNNEL-STEP events (the
+    ``event_type`` filter pushes to the scan; non-funnel traffic never
+    shuffles). For adversarial per-user volumes — or when per-user
+    arrival timestamps are the deliverable — ``funnel_step_arrivals``
+    keeps the equivalent k-join chain whose state is O(1) per user per
+    step.
 
     Returns one row per step: (step, step_name, n_users), where n_users
-    counts users whose funnel reached at least that step."""
+    counts users whose funnel reached at least that step — including
+    zero-count rows for steps nobody reached."""
     assert steps, "funnel needs at least one step"
-    arrivals = funnel_step_arrivals(events, steps, id_col, ts_col, type_col)
-    try:
-        # persist BEFORE any action: later steps reference the same
-        # analyzed plans, so the cache manager serves them the pinned
-        # arrival tables during the counts below
-        for cur in arrivals:
-            cur.persist()
-        rows = [
-            (i + 1, s, cur.agg(F.count(F.lit(1))).collect()[0][0])
-            for i, (s, cur) in enumerate(zip(steps, arrivals))
+    ts_type = events.schema[ts_col].dataType
+    steps_arr = F.array(*[F.lit(s) for s in steps])
+    per_event = events.filter(F.col(type_col).isin(list(steps))).select(
+        F.col(id_col).alias("id"),
+        F.struct(
+            F.col(ts_col).alias("ts"),
+            # 1-based position in the declared step order; struct sort is
+            # (ts, idx) so same-instant events order deterministically
+            # (and can never advance past the strict-> gate anyway)
+            F.array_position(steps_arr, F.col(type_col)).cast("int").alias("idx"),
+        ).alias("e"),
+    )
+    walk = F.aggregate(
+        F.array_sort(F.collect_list("e")),
+        F.struct(
+            F.lit(0).alias("k"), F.lit(None).cast(ts_type).alias("last")
+        ),
+        lambda acc, ev: F.when(
+            (ev["idx"] == acc["k"] + F.lit(1))
+            & ((acc["k"] == F.lit(0)) | (ev["ts"] > acc["last"])),
+            F.struct((acc["k"] + F.lit(1)).alias("k"), ev["ts"].alias("last")),
+        ).otherwise(acc),
+    )
+    reached = per_event.groupBy("id").agg(walk["k"].alias("reached"))
+    # conditional count per step over the per-user rows: k tiny columns,
+    # one partial-agg pass — no second data-sized shuffle
+    counts = reached.agg(
+        *[
+            F.sum(F.when(F.col("reached") >= i + 1, 1).otherwise(0))
+            .cast("long")
+            .alias(f"_s{i + 1}")
+            for i in range(len(steps))
         ]
-    finally:
-        for cur in arrivals:
-            cur.unpersist()
-    return events.sparkSession.createDataFrame(
-        rows, "step int, step_name string, n_users long"
+    )
+    steps_df = events.sparkSession.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(steps)], "step int, step_name string"
+    )
+    unpivoted = counts.selectExpr(
+        "stack({n}, {args}) AS (step, n_users)".format(
+            n=len(steps),
+            args=", ".join(f"{i + 1}, _s{i + 1}" for i in range(len(steps))),
+        )
+    )
+    return steps_df.join(unpivoted, on="step", how="left").select(
+        "step",
+        "step_name",
+        F.coalesce("n_users", F.lit(0).cast("long")).alias("n_users"),
     )
 
 

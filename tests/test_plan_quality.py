@@ -177,17 +177,14 @@ def test_tfidf_broadcasts_vocabulary(plans):
 
 
 def test_funnel_shuffles_only_on_user_id(spark, sf_dir):
-    # funnel() itself returns a pre-materialized local relation (the
-    # counts are collected eagerly so arrival pins can be released), so
-    # the plan to audit is the lazy per-step arrival builder it runs on
+    # the arrival-chain variant (per-user arrival timestamps): every hash
+    # exchange must be on the user id — it never reshuffles on
+    # step/event_type/ts; event_type filters push to the scan
     from etl_manager_spark.operators.behavior import funnel_step_arrivals
 
     events = load_tables(spark, sf_dir)["events"]
     last = funnel_step_arrivals(events, ["view", "click", "purchase"])[-1]
     r = plan_report(last)
-    # every hash exchange must be on the user id — the funnel never
-    # reshuffles on step/event_type/ts; event_type filters push to the
-    # scan of each step's arrival table
     assert r.cartesian_products == 0
     assert r.has_pushed_filters
     assert any("event_type" in pf for pf in r.pushed_filters), r.pushed_filters
@@ -195,11 +192,24 @@ def test_funnel_shuffles_only_on_user_id(spark, sf_dir):
 
     for m in re.finditer(r"hashpartitioning\(([^,)]+)", r.text):
         assert m.group(1).startswith(("id", "user_id")), m.group(0)
-    # and the registry query's returned frame is a driver-local k-row
-    # relation: zero scans, zero exchanges at any data scale
+    # funnel() itself is the single-shuffle sorted-walk: ONE scan of the
+    # events table, the only DATA-SIZED hash exchange keyed on the user
+    # id (the post-walk count is a 1-row global agg: its exchange is
+    # SinglePartition, not a hash repartition of data), event_type filter
+    # pushed to the scan
     rf = plan_report(REGISTRY["funnel_view_click_purchase"].fn(spark, sf_dir))
-    assert rf.shuffle_exchanges == 0
-    assert "Scan parquet" not in rf.text
+    assert rf.cartesian_products == 0
+    assert rf.shuffle_exchanges == 1, "funnel must shuffle exactly once"
+    scans = re.findall(r"\(\d+\) Scan parquet", rf.text)
+    assert len(scans) == 1, "funnel must scan events once"
+    assert any("event_type" in pf for pf in rf.pushed_filters), rf.pushed_filters
+    hash_keys = [
+        m.group(1) for m in re.finditer(r"hashpartitioning\(([^,)]+)", rf.text)
+    ]
+    data_keys = [k for k in hash_keys if k.startswith(("id", "user_id"))]
+    assert data_keys, rf.text[:2000]
+    for k in hash_keys:
+        assert k.startswith(("id", "user_id", "step")), k
 
 
 def test_skew_hotkey_salting_engages(plans):
