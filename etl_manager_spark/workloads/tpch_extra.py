@@ -365,3 +365,197 @@ def q22_global_sales_opportunity(spark, sf_dir):
             dec_sum("c_acctbal").alias("totacctbal"),
         )
     )
+
+
+@workload(
+    "q2_min_cost_supplier",
+    """
+    WITH eur AS (
+        SELECT s_suppkey, s_name, s_acctbal, n_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    ),
+    pair AS (
+        SELECT p_partkey, p_brand, p_size,
+               s_name, s_acctbal, n_name,
+               MIN(l_extendedprice) AS cost
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN eur ON l_suppkey = s_suppkey
+        WHERE p_size < 10 AND p_type = 'STANDARD'
+        GROUP BY p_partkey, p_brand, p_size, s_name, s_acctbal, n_name
+    )
+    SELECT p_partkey, p_brand, p_size, s_name, s_acctbal, n_name, cost
+    FROM (
+        SELECT *, MIN(cost) OVER (PARTITION BY p_partkey) AS _mc FROM pair
+    )
+    WHERE cost = _mc
+    """,
+    category="subquery",
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (lineitem standing in for partsupp as the
+    part↔supplier offer relation, min extendedprice as supplycost): for
+    each STANDARD small part, the EUROPE supplier(s) offering it at the
+    region-wide minimum price, with supplier account details. The
+    correlated MIN subquery is decorrelated into a window over the
+    per-(part, supplier) aggregate — one scan, no rescan-per-row.
+
+    Scale: part filter and the region-pruned supplier⋈nation⋈region dim
+    both broadcast; the fact side shuffles once on the composite group
+    key, and the window partitions by p_partkey — a subset of the
+    grouping key, so AQE plans no extra exchange beyond the agg's own.
+    MIN over doubles is order-free (no decimal discipline needed)."""
+    t = load_tables(spark, sf_dir)
+    eur = (
+        t["supplier"]
+        .join(
+            t["nation"],
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            t["region"].filter(F.col("r_name") == "EUROPE"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    pair = (
+        t["lineitem"]
+        .join(
+            F.broadcast(
+                t["part"].filter(
+                    (F.col("p_size") < 10) & (F.col("p_type") == "STANDARD")
+                )
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(eur), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            "p_partkey", "p_brand", "p_size", "s_name", "s_acctbal", "n_name"
+        )
+        .agg(F.min("l_extendedprice").alias("cost"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        pair.withColumn("_mc", F.min("cost").over(w))
+        .filter(F.col("cost") == F.col("_mc"))
+        .drop("_mc")
+    )
+
+
+@workload(
+    "q11_important_part_value",
+    """
+    WITH nat_value AS (
+        SELECT l_partkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                   CAST(l_quantity AS DECIMAL(18,2))) AS value_dec
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE s_nationkey = 7
+        GROUP BY l_partkey
+    )
+    SELECT l_partkey, CAST(value_dec AS DOUBLE) AS part_value
+    FROM nat_value
+    WHERE CAST(value_dec AS DOUBLE) >
+          0.001 * (SELECT CAST(SUM(value_dec) AS DOUBLE) FROM nat_value)
+    """,
+    category="subquery",
+)
+def q11_important_part_value(spark, sf_dir):
+    """TPC-H Q11 shape (lineitem⋈supplier standing in for partsupp):
+    per-part traded value from one nation's suppliers, keeping parts
+    whose value exceeds a fixed fraction of the nation-wide total — a
+    HAVING against a scalar subquery over the same aggregate.
+
+    Scale: the nation-pruned supplier dim broadcasts; ONE shuffle on
+    l_partkey builds the per-part values, and the global total is a
+    1-row re-aggregate of that (tiny) table, broadcast back for the
+    filter — the fact table is scanned once. Decimal product-sums make
+    both the per-part values and the 0.001·total threshold bitwise
+    identical across engines (one IEEE multiply of identical doubles)."""
+    t = load_tables(spark, sf_dir)
+    nat_value = (
+        t["lineitem"]
+        .join(
+            F.broadcast(t["supplier"].filter(F.col("s_nationkey") == 7)),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum(dec("l_extendedprice") * dec("l_quantity")).alias("value_dec"))
+    )
+    total = nat_value.agg(
+        F.sum("value_dec").cast("double").alias("_total")
+    )
+    return (
+        nat_value.crossJoin(F.broadcast(total))
+        .filter(F.col("value_dec").cast("double") > 0.001 * F.col("_total"))
+        .select(
+            "l_partkey", F.col("value_dec").cast("double").alias("part_value")
+        )
+    )
+
+
+@workload(
+    "q21_sole_return_supplier",
+    """
+    WITH ord AS (
+        SELECT l_orderkey,
+               COUNT(DISTINCT l_suppkey) AS n_supp,
+               COUNT(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END)
+                 AS n_r_supp
+        FROM lineitem
+        GROUP BY l_orderkey
+    )
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM (
+        SELECT DISTINCT l_orderkey, l_suppkey
+        FROM lineitem WHERE l_returnflag = 'R'
+    ) r
+    JOIN ord ON r.l_orderkey = ord.l_orderkey
+    JOIN supplier ON r.l_suppkey = s_suppkey
+    WHERE n_supp > 1 AND n_r_supp = 1
+    GROUP BY s_name
+    """,
+    category="subquery",
+)
+def q21_sole_return_supplier(spark, sf_dir):
+    """TPC-H Q21 shape (returnflag standing in for the late-delivery
+    predicate): suppliers who were the ONLY supplier with a returned
+    line in a multi-supplier order — EXISTS (another supplier in the
+    order) + NOT EXISTS (another supplier who also returned),
+    decorrelated into one per-order distinct-supplier aggregate instead
+    of two correlated self-joins (the naive plan rescans lineitem twice
+    per probe row; this shape scans it twice total, and both passes
+    shuffle on the same l_orderkey key).
+
+    Scale: ord and the distinct R-pairs hash on l_orderkey — the join
+    between them reuses that partitioning (zero extra exchange under
+    AQE); supplier broadcasts; the final rollup keys on the small
+    supplier name domain."""
+    t = load_tables(spark, sf_dir)
+    ord_stats = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(
+                F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+            ).alias("n_r_supp"),
+        )
+        .filter((F.col("n_supp") > 1) & (F.col("n_r_supp") == 1))
+    )
+    r_pairs = (
+        t["lineitem"]
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        r_pairs.join(ord_stats, on="l_orderkey")
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
