@@ -531,6 +531,71 @@ def corpus_ngram_counts(
     )
 
 
+def top_ngram_char_fraction(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """Gopher/Dolma "top n-gram character fraction": per document, the
+    share of (whitespace-normalized) characters covered by occurrences
+    of the document's single MOST FREQUENT n-gram — high values mark
+    template/loop boilerplate that the per-doc repeated-n-gram gate
+    (:func:`repeated_ngram_fraction`) underweights when one phrase
+    dominates. Coverage is the Gopher approximation
+    ``count · len(gram) / len(normalized_doc)``.
+
+    Distributed shape (NOT the O(tokens²) per-row nested loop): explode
+    n-grams → hash-agg on (doc, gram) with map-side combine → per-doc
+    argmax. The argmax is a row_number window over the (much smaller)
+    per-doc distinct-gram table, ordered (count DESC, gram ASC) so ties
+    break deterministically to the lexicographically smallest gram.
+    Two shuffles — (id, gram) then id — both keyed on the doc id first,
+    so a corpus bucketed by doc id runs the second exchange-free.
+
+    Docs with fewer than ``n`` tokens have no n-gram and are omitted.
+    Returns (id, top_gram, gram_count, top_gram_char_frac_q)."""
+    from pyspark.sql.window import Window
+
+    toks = F.filter(tokens(text_col), lambda t: t != "")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        toks.alias("_toks"),
+    ).filter(F.size("_toks") >= n)
+    grams = base.select(
+        "id",
+        F.length(F.array_join("_toks", " ")).alias("norm_chars"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_toks") - F.lit(n - 1)),
+                lambda i: F.array_join(F.slice("_toks", i, n), " "),
+            )
+        ).alias("gram"),
+    )
+    counts = grams.groupBy("id", "norm_chars", "gram").agg(
+        F.count(F.lit(1)).alias("gram_count")
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("gram_count").desc(), F.col("gram").asc()
+    )
+    from etl_manager_spark.operators.ranking import quantize
+
+    return (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "id",
+            F.col("gram").alias("top_gram"),
+            "gram_count",
+            quantize(
+                F.col("gram_count")
+                * F.length("gram").cast("double")
+                / F.col("norm_chars").cast("double")
+            ).alias("top_gram_char_frac_q"),
+        )
+    )
+
+
 def gopher_quality_flags_vectorized(
     df: DataFrame,
     id_col: str = "doc_id",

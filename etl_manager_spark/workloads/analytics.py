@@ -1147,3 +1147,358 @@ def quantile_normalize_events(spark, sf_dir):
             R.quantize(F.percent_rank().over(w)).alias("pr_q"),
         )
     )
+
+
+_TOK_NONEMPTY = (
+    "LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+'), x -> x <> '')"
+)
+
+
+@workload(
+    "top_ngram_char_frac_documents",
+    rf"""
+    WITH base AS (
+      SELECT doc_id AS id, {_TOK_NONEMPTY} AS toks FROM documents
+    ),
+    b2 AS (
+      SELECT id, toks, LENGTH(ARRAY_TO_STRING(toks, ' ')) AS norm_chars
+      FROM base WHERE LEN(toks) >= 2
+    ),
+    grams AS (
+      SELECT id, norm_chars,
+             UNNEST([toks[i] || ' ' || toks[i+1] for i in range(1, LEN(toks))])
+               AS gram
+      FROM b2
+    ),
+    counts AS (
+      SELECT id, norm_chars, gram, COUNT(*) AS gram_count
+      FROM grams GROUP BY id, norm_chars, gram
+    )
+    SELECT id, gram AS top_gram, gram_count,
+           CAST(FLOOR(gram_count * CAST(LENGTH(gram) AS DOUBLE)
+                      / CAST(norm_chars AS DOUBLE)
+                      * 1000000000.0 + 0.5) AS BIGINT) AS top_gram_char_frac_q
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                    ORDER BY gram_count DESC, gram ASC) AS rn
+          FROM counts)
+    WHERE rn = 1
+    """,
+    category="text",
+)
+def top_ngram_char_frac_documents(spark, sf_dir):
+    """Gopher/Dolma top-bigram character coverage per document
+    (operators/text.py: top_ngram_char_fraction): explode → (doc, gram)
+    hash-agg → per-doc argmax window with a deterministic
+    (count DESC, gram ASC) tie-break."""
+    from etl_manager_spark.operators.text import top_ngram_char_fraction
+
+    t = load_tables(spark, sf_dir)
+    return top_ngram_char_fraction(spread(t["documents"], spark), n=2)
+
+
+@workload(
+    "gapfill_linear_user_hours",
+    """
+    WITH hourly AS (
+      SELECT user_id, DATE_TRUNC('hour', ts) AS h,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+      FROM events WHERE user_id < 10
+      GROUP BY user_id, DATE_TRUNC('hour', ts)
+    ),
+    bounds AS (SELECT user_id, MIN(h) AS mn, MAX(h) AS mx FROM hourly GROUP BY user_id),
+    slots AS (
+      SELECT user_id, UNNEST(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour_ts
+      FROM bounds
+    ),
+    j AS (
+      SELECT s.user_id, s.hour_ts, h.v
+      FROM slots s LEFT JOIN hourly h
+        ON h.user_id = s.user_id AND h.h = s.hour_ts
+    ),
+    g AS (
+      SELECT user_id, hour_ts, v,
+        last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hour_ts
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+        last_value(CASE WHEN v IS NOT NULL THEN hour_ts END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY hour_ts
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_t,
+        first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hour_ts
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+        first_value(CASE WHEN v IS NOT NULL THEN hour_ts END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY hour_ts
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_t
+      FROM j
+    )
+    SELECT user_id, hour_ts,
+           CAST(FLOOR((CASE WHEN v IS NOT NULL THEN v
+                 ELSE prev_v + (next_v - prev_v) *
+                      (CAST(DATE_DIFF('hour', prev_t, hour_ts) AS DOUBLE)
+                       / CAST(DATE_DIFF('hour', prev_t, next_t) AS DOUBLE))
+                 END) * 1000000000.0 + 0.5) AS BIGINT) AS v_interp_q,
+           v IS NOT NULL AS is_observed
+    FROM g
+    """,
+    category="timeseries",
+)
+def gapfill_linear_user_hours(spark, sf_dir):
+    """Per-user hourly resampling with LINEAR interpolation across gaps —
+    the companion to gapfill_locf_user_hours when the signal is a level,
+    not a step function. Slots span each user's [first, last] observed
+    hour, so every gap has both neighbors; observed hours carry the
+    decimal-exact hourly sum, gaps take
+    ``prev + (next-prev)·Δh/(span_h)`` with the hour offsets as exact
+    integers (timestampdiff), so both engines evaluate the identical
+    IEEE expression. One shuffle on user_id: the slot explode is a JVM
+    generator in the scan stage and all four neighbor lookups are
+    windows over the same (user_id, hour_ts) sort."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    hourly = (
+        t["events"]
+        .filter(F.col("user_id") < 10)
+        .groupBy("user_id", F.date_trunc("hour", "ts").alias("hour_ts"))
+        .agg(dec_sum("value").alias("v"))
+    )
+    bounds = hourly.groupBy("user_id").agg(
+        F.min("hour_ts").alias("mn"), F.max("hour_ts").alias("mx")
+    )
+    slots = bounds.select(
+        "user_id",
+        F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))).alias(
+            "hour_ts"
+        ),
+    )
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_ts")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_ts = F.when(F.col("v").isNotNull(), F.col("hour_ts"))
+    j = slots.join(hourly, on=["user_id", "hour_ts"], how="left")
+    g = j.select(
+        "user_id",
+        "hour_ts",
+        "v",
+        F.last("v", ignorenulls=True).over(wp).alias("prev_v"),
+        F.last(obs_ts, ignorenulls=True).over(wp).alias("prev_t"),
+        F.first("v", ignorenulls=True).over(wn).alias("next_v"),
+        F.first(obs_ts, ignorenulls=True).over(wn).alias("next_t"),
+    )
+    frac = F.expr(
+        "CAST(timestampdiff(HOUR, prev_t, hour_ts) AS DOUBLE)"
+        " / CAST(timestampdiff(HOUR, prev_t, next_t) AS DOUBLE)"
+    )
+    interp = F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac
+    return g.select(
+        "user_id",
+        "hour_ts",
+        R.quantize(
+            F.when(F.col("v").isNotNull(), F.col("v")).otherwise(interp)
+        ).alias("v_interp_q"),
+        F.col("v").isNotNull().alias("is_observed"),
+    )
+
+
+@workload(
+    "window_navigation_orders",
+    """
+    SELECT o_orderkey, o_custkey,
+           lead(o_totalprice, 1) OVER w AS next_price,
+           lag(o_totalprice, 2) OVER w AS prev2_price,
+           first_value(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END
+                       IGNORE NULLS) OVER wf AS first_f_price,
+           last_value(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END
+                      IGNORE NULLS) OVER wf AS last_f_price,
+           nth_value(o_totalprice, 2) OVER wf AS second_price,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cum_dist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    category="window",
+)
+def window_navigation_orders(spark, sf_dir):
+    """Window-navigation completeness: lead/lag with offsets,
+    first_value/last_value IGNORE NULLS (earliest/latest finished-order
+    price per customer), nth_value over the full frame, percent_rank and
+    cume_dist — all over ONE (o_custkey, o_orderdate, o_orderkey) sort,
+    so the whole query is a single shuffle + single in-partition sort
+    (orderkey makes the order total: rank ties are impossible and every
+    navigation column is deterministic). percent_rank/cume_dist emit the
+    raw (k-1)/(n-1), k/n doubles — identical IEEE divisions in both
+    engines."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    f_price = F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))
+    return t["orders"].select(
+        "o_orderkey",
+        "o_custkey",
+        F.lead("o_totalprice", 1).over(w).alias("next_price"),
+        F.lag("o_totalprice", 2).over(w).alias("prev2_price"),
+        F.first(f_price, ignorenulls=True).over(wf).alias("first_f_price"),
+        F.last(f_price, ignorenulls=True).over(wf).alias("last_f_price"),
+        F.nth_value("o_totalprice", 2).over(wf).alias("second_price"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cum_dist"),
+    )
+
+
+@workload(
+    "map_functions_events",
+    """
+    WITH per AS (
+      SELECT user_id, event_type, COUNT(*) AS c
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS INTEGER) AS n_types,
+           STRING_AGG(event_type, ',' ORDER BY event_type) AS types_csv,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN c END), 0)
+                AS BIGINT) AS click_count,
+           CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS INTEGER)
+             AS n_types_ge2,
+           CAST(SUM(c) * 2 AS BIGINT) AS double_total
+    FROM per GROUP BY user_id
+    """,
+    category="scalar",
+)
+def map_functions_events(spark, sf_dir):
+    """MapType end-to-end: per-user event_type→count maps built with
+    map_from_entries over a sorted collect_list, then probed with
+    element_at, pruned with map_filter, rewritten with transform_values
+    and folded with aggregate — the full map-function surface in one
+    projection. The map stays JVM-side throughout; the only shuffles are
+    the two hash-aggs ((user, type) then user). The oracle flattens the
+    same facts with conditional aggregation — maps are an engine
+    representation, not a semantic."""
+    t = load_tables(spark, sf_dir)
+    per = t["events"].groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    m = per.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "c")))
+        ).alias("m")
+    )
+    return m.select(
+        "user_id",
+        F.size("m").alias("n_types"),
+        F.array_join(F.array_sort(F.map_keys("m")), ",").alias("types_csv"),
+        F.coalesce(F.element_at("m", F.lit("click")), F.lit(0).cast("long")).alias(
+            "click_count"
+        ),
+        F.size(F.map_filter("m", lambda k, v: v >= 2)).alias("n_types_ge2"),
+        F.aggregate(
+            F.map_values(F.transform_values("m", lambda k, v: v * 2)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("double_total"),
+    )
+
+
+@workload(
+    "iqr_outlier_fences_events",
+    """
+    WITH ranked AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ),
+    stats AS (
+      SELECT event_type, MAX(n) AS n,
+             MAX(CASE WHEN rn = CAST(CEIL(n * 0.25) AS BIGINT) THEN value END) AS q1,
+             MAX(CASE WHEN rn = CAST(CEIL(n * 0.75) AS BIGINT) THEN value END) AS q3
+      FROM ranked GROUP BY event_type
+    ),
+    fences AS (
+      SELECT event_type, n, q1, q3,
+             q1 - 1.5 * (q3 - q1) AS lo_fence,
+             q3 + 1.5 * (q3 - q1) AS hi_fence
+      FROM stats
+    )
+    SELECT f.event_type, CAST(f.n AS BIGINT) AS n, f.q1, f.q3,
+           f.lo_fence, f.hi_fence,
+           CAST(COALESCE(SUM(CASE WHEN e.value < f.lo_fence
+                                    OR e.value > f.hi_fence THEN 1 END), 0)
+                AS BIGINT) AS n_outliers
+    FROM fences f JOIN events e ON e.event_type = f.event_type
+    GROUP BY f.event_type, f.n, f.q1, f.q3, f.lo_fence, f.hi_fence
+    """,
+    category="statistics",
+)
+def iqr_outlier_fences_events(spark, sf_dir):
+    """Tukey-fence outlier audit with DISCRETE (type-1) quartiles: q1/q3
+    are the actual data values at sorted index ceil(p·n) — no
+    interpolation, so the quartiles (and therefore the 1.5·IQR fences
+    and the outlier counts) are bitwise engine-portable where
+    interpolated quantiles would differ in the last ulp. Two passes over
+    events: a per-type sort for the quartile ranks, then a broadcast of
+    the 5-row fence table back over the scan for the counts. The
+    per-type sort is the honest cost of exact quantiles at scale — for
+    a sketch-based alternative see profile_approx_quantiles_orders."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    events = t["events"]
+    wr = Window.partitionBy("event_type").orderBy("value")
+    wn = Window.partitionBy("event_type")
+    ranked = events.select(
+        "event_type",
+        "value",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    q1_rn = F.ceil(F.col("n") * F.lit(0.25))
+    q3_rn = F.ceil(F.col("n") * F.lit(0.75))
+    stats = ranked.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max(F.when(F.col("rn") == q1_rn, F.col("value"))).alias("q1"),
+        F.max(F.when(F.col("rn") == q3_rn, F.col("value"))).alias("q3"),
+    )
+    fences = stats.select(
+        "event_type",
+        "n",
+        "q1",
+        "q3",
+        (F.col("q1") - F.lit(1.5) * (F.col("q3") - F.col("q1"))).alias("lo_fence"),
+        (F.col("q3") + F.lit(1.5) * (F.col("q3") - F.col("q1"))).alias("hi_fence"),
+    )
+    return (
+        events.join(F.broadcast(fences), on="event_type")
+        .groupBy("event_type", "n", "q1", "q3", "lo_fence", "hi_fence")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("value") < F.col("lo_fence"))
+                        | (F.col("value") > F.col("hi_fence")),
+                        1,
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_outliers")
+        )
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            "q1",
+            "q3",
+            "lo_fence",
+            "hi_fence",
+            "n_outliers",
+        )
+    )

@@ -720,3 +720,34 @@ def test_perceptual_hash_is_jvm_side_and_complete(spark):
         ).collect()
     }
     assert banded == brute
+
+
+def test_top_ngram_char_fraction_argmax_and_tiebreak(spark):
+    """The per-doc top bigram must be the most frequent one, ties broken
+    to the lexicographically smallest gram, coverage = count·len/chars
+    over the whitespace-normalized text, and sub-n-token docs omitted."""
+    from etl_manager_spark.operators.text import top_ngram_char_fraction
+
+    df = spark.createDataFrame(
+        [
+            # "a b" ×2 beats the others
+            (1, "a b a b c"),
+            # every bigram unique → tie at count 1 → smallest gram wins
+            (2, "z y x w"),
+            # single token → no bigram → omitted
+            (3, "lonely"),
+            # extra whitespace must not change the normalized length
+            (4, "  p   q p q  "),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["id"]: r for r in top_ngram_char_fraction(df, n=2).collect()}
+    assert set(rows) == {1, 2, 4}
+    assert rows[1]["top_gram"] == "a b"
+    assert rows[1]["gram_count"] == 2
+    # "a b a b c" → 9 normalized chars, coverage 2·3/9
+    assert rows[1]["top_gram_char_frac_q"] == round(2 * 3 / 9 * 1e9)
+    assert rows[2]["top_gram"] == "x w"  # smallest of {"z y", "y x", "x w"}
+    assert rows[4]["top_gram"] == "p q"
+    assert rows[4]["gram_count"] == 2
+    assert rows[4]["top_gram_char_frac_q"] == round(2 * 3 / 7 * 1e9)
