@@ -31,22 +31,30 @@ def asof_join(
     right_payload: list[str] | None = None,
     suffix: str = "_asof",
     tolerance: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """For every ``left`` row, attach the latest ``right`` row with the same
-    ``on`` key and ``right_ts`` <= ``left_ts``.
+    ``on`` key and ``right_ts`` <= ``left_ts`` (``direction="backward"``,
+    the default), or the EARLIEST right row with ``right_ts`` >=
+    ``left_ts`` (``direction="forward"`` — pandas ``merge_asof``'s
+    forward mode; "next scheduled maintenance", "next order after this
+    event").
 
-    Right rows sort before left rows at equal timestamps (so an exactly
-    concurrent right row IS visible to the left row, matching standard
-    ASOF JOIN semantics). All carried fields come from that single right
-    row; a NULL payload field stays NULL (no backfill from older rows).
+    In both directions an exactly concurrent right row IS visible to the
+    left row (the union sort places right rows on the probed side of the
+    tie), matching standard ASOF JOIN semantics. All carried fields come
+    from that single right row; a NULL payload field stays NULL (no
+    backfill from older rows).
 
     ``tolerance`` (an SQL interval literal body, e.g. ``"7 DAYS"``) bounds
-    match staleness: a carried right row older than ``left_ts −
+    match distance: backward, a carried right row older than ``left_ts −
     tolerance`` is treated as no match (all payload fields NULL) — the
-    max-staleness guard of sensor/market-data joins (pandas
-    ``merge_asof(tolerance=...)``). Applied as a post-carry mask, so the
+    max-staleness guard of sensor/market-data joins; forward, one later
+    than ``left_ts + tolerance``. Applied as a post-carry mask, so the
     plan shape (one union, one keyed sort-window) is unchanged.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof_join: unknown direction {direction!r}")
     right_payload = right_payload or [
         c for c in right.columns if c not in (on, right_ts)
     ]
@@ -71,18 +79,37 @@ def asof_join(
         payload.alias("_asof_payload"),
     )
     unioned = lhs.unionByName(rhs, allowMissingColumns=True)
-    w = (
-        Window.partitionBy(on)
-        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = unioned.withColumn(
-        "_asof_carried", F.last("_asof_payload", ignorenulls=True).over(w)
-    )
-    if tolerance is not None:
-        fresh = F.col(f"_asof_carried.{_TS_FIELD}") >= (
-            F.col("_ts") - F.expr(f"INTERVAL {tolerance}")
+    if direction == "backward":
+        # right (side 0) sorts BEFORE left at equal ts → visible to the
+        # backward-looking frame ending at the left row
+        w = (
+            Window.partitionBy(on)
+            .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
+        carried = unioned.withColumn(
+            "_asof_carried", F.last("_asof_payload", ignorenulls=True).over(w)
+        )
+    else:
+        # right sorts AFTER left at equal ts → visible to the
+        # forward-looking frame starting at the left row
+        w = (
+            Window.partitionBy(on)
+            .orderBy(F.col("_ts").asc(), F.col("_side").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        carried = unioned.withColumn(
+            "_asof_carried", F.first("_asof_payload", ignorenulls=True).over(w)
+        )
+    if tolerance is not None:
+        if direction == "backward":
+            fresh = F.col(f"_asof_carried.{_TS_FIELD}") >= (
+                F.col("_ts") - F.expr(f"INTERVAL {tolerance}")
+            )
+        else:
+            fresh = F.col(f"_asof_carried.{_TS_FIELD}") <= (
+                F.col("_ts") + F.expr(f"INTERVAL {tolerance}")
+            )
         carried = carried.withColumn(
             "_asof_carried", F.when(fresh, F.col("_asof_carried"))
         )

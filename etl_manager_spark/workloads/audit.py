@@ -823,3 +823,179 @@ def streaming_custom_sink_synthlog(spark, sf_dir):
         os.path.join(out, "batch-*-part-*.jsonl")
     )
     return back.groupBy("level").agg(F.count(F.lit(1)).alias("n"))
+
+
+@workload(
+    "asof_forward_events_order",
+    """
+    WITH ord AS (
+      SELECT o_custkey AS user_id, o_orderdate,
+             MAX(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, e.ts,
+           o.o_orderkey AS o_orderkey_asof,
+           o.o_orderdate AS o_orderdate_asof
+    FROM events e
+    ASOF LEFT JOIN ord o
+      ON e.user_id = o.user_id AND e.ts <= o.o_orderdate
+    """,
+    category="asof",
+)
+def asof_forward_events_order(spark, sf_dir):
+    """FORWARD as-of join (operators/asof.py: asof_join(direction=
+    "forward")): for each event, the user's NEXT order at-or-after event
+    time — the "time to next conversion" primitive. Same
+    union-sort-window plan as backward (one shuffle per side, no range
+    explosion); the window flips to first(ignorenulls) over the
+    following frame with right rows sorted after left at equal ts.
+    Orders pre-deduped per (user, date) for a deterministic payload;
+    DuckDB's native forward ASOF (ts <= o_orderdate) is the oracle."""
+    from etl_manager_spark.operators.asof import asof_join
+
+    t = load_tables(spark, sf_dir)
+    orders = (
+        t["orders"]
+        .groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    events = t["events"].select("event_id", "user_id", "ts")
+    return asof_join(
+        events,
+        orders,
+        on="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_payload=["o_orderkey"],
+        direction="forward",
+    )
+
+
+@workload(
+    "null_aware_anti_join_variants",
+    """
+    SELECT 'no_nulls' AS variant, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM customer
+    WHERE c_custkey NOT IN (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    UNION ALL
+    SELECT 'with_nulls' AS variant, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM customer
+    WHERE c_custkey NOT IN (
+      SELECT NULLIF(o_custkey, 1) FROM orders WHERE o_orderstatus = 'F'
+    )
+    """,
+    category="join",
+)
+def null_aware_anti_join_variants(spark, sf_dir):
+    """NOT IN three-valued-logic parity: with a null-free subquery,
+    NOT IN is a plain anti join; once the subquery CONTAINS a NULL,
+    every membership test is UNKNOWN and the result is EMPTY — the SQL
+    foot-gun engines must reproduce exactly. Spark plans the second
+    variant as a null-aware anti join (BroadcastNestedLoop under the
+    hood for correctness — why production pipelines prefer NOT EXISTS;
+    here the build side is a deduped key set, so the nested-loop probe
+    is against a tiny broadcast, not a data-sized relation)."""
+    t = load_tables(spark, sf_dir)
+    t["customer"].createOrReplaceTempView("_naaj_customer")
+    t["orders"].createOrReplaceTempView("_naaj_orders")
+    return spark.sql(
+        """
+        SELECT 'no_nulls' AS variant, CAST(COUNT(*) AS BIGINT) AS n_customers
+        FROM _naaj_customer
+        WHERE c_custkey NOT IN (
+          SELECT o_custkey FROM _naaj_orders WHERE o_orderstatus = 'F'
+        )
+        UNION ALL
+        SELECT 'with_nulls' AS variant, CAST(COUNT(*) AS BIGINT) AS n_customers
+        FROM _naaj_customer
+        WHERE c_custkey NOT IN (
+          SELECT NULLIF(o_custkey, 1) FROM _naaj_orders
+          WHERE o_orderstatus = 'F'
+        )
+        """
+    )
+
+
+@workload(
+    "generators_part_words",
+    """
+    WITH words AS (
+      SELECT p_partkey,
+             UNNEST(REGEXP_SPLIT_TO_ARRAY(p_name, ' ')) AS word,
+             UNNEST(range(1, LEN(REGEXP_SPLIT_TO_ARRAY(p_name, ' ')) + 1))
+               AS pos1
+      FROM part
+    )
+    SELECT p_partkey, CAST(pos1 - 1 AS INTEGER) AS pos, word,
+           CAST(LENGTH(word) AS INTEGER) AS word_len
+    FROM words
+    """,
+    category="generator",
+)
+def generators_part_words(spark, sf_dir):
+    """Generator surface: posexplode over a split array — (position,
+    value) pairs per part name word. The generator runs inside the scan
+    stage (no shuffle at all: fan-out happens before any exchange), so
+    at any scale this is a map-only pass. The oracle zips the word list
+    with its index via parallel UNNEST."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["part"]
+        .select(
+            "p_partkey",
+            F.posexplode(F.split("p_name", " ")).alias("pos", "word"),
+        )
+        .select(
+            "p_partkey",
+            "pos",
+            "word",
+            F.length("word").alias("word_len"),
+        )
+    )
+
+
+@workload(
+    "hll_union_rollup_events",
+    """
+    SELECT CAST(DATE_TRUNC('week', ts) AS DATE) AS week,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS estimate_within_5pct
+    FROM events
+    GROUP BY DATE_TRUNC('week', ts)
+    """,
+    category="sketch",
+)
+def hll_union_rollup_events(spark, sf_dir):
+    """Mergeable-sketch rollup — the 100 TB cardinality pattern: per-DAY
+    HLL sketches (DataSketches hll_sketch_agg) are UNIONED into weekly
+    sketches (hll_union_agg) and estimated, exactly how a production
+    pipeline re-aggregates precomputed partials instead of rescanning
+    raw events. The same query computes the exact weekly distinct count
+    and emits a 5%-tolerance flag; the oracle pins the exact counts and
+    expects every flag TRUE — a broken sketch merge fails the hash gate.
+    (At lgConfigK=12 the observed error is ~1%.)"""
+    t = load_tables(spark, sf_dir)
+    events = t["events"]
+    daily = events.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk")
+    )
+    weekly_est = daily.groupBy(
+        F.date_trunc("week", "day").alias("week")
+    ).agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+    exact = events.groupBy(F.date_trunc("week", "ts").alias("week")).agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return (
+        exact.join(weekly_est, on="week")
+        .select(
+            F.col("week").cast("date").alias("week"),
+            "exact_users",
+            (
+                F.abs(F.col("est") - F.col("exact_users"))
+                / F.col("exact_users")
+                <= F.lit(0.05)
+            ).alias("estimate_within_5pct"),
+        )
+    )

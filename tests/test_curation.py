@@ -222,3 +222,52 @@ def test_synthlog_stream_reader_incremental_offsets():
     assert off3 == {"i": 50} and len(list(rows3)) == 10
     replay = list(r.readBetweenOffsets({"i": 20}, {"i": 40}))
     assert replay == [_row(i) for i in range(20, 40)]
+
+
+def test_asof_forward_direction_and_ties(spark):
+    """Forward as-of: each left row takes the EARLIEST right row at or
+    after its timestamp; an exactly concurrent right row matches; rows
+    past the last right row get NULL; forward tolerance masks matches
+    too far in the FUTURE."""
+    from etl_manager_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00"),  # strictly before both rights
+            (1, "2024-02-01 00:00:00"),  # exactly concurrent with a right
+            (1, "2024-06-01 00:00:00"),  # after the last right -> NULL
+        ],
+        "k long, ts string",
+    ).select("k", F.col("ts").cast("timestamp_ntz").alias("ts"))
+    right = spark.createDataFrame(
+        [(1, "2024-02-01 00:00:00", 10), (1, "2024-04-01 00:00:00", 20)],
+        "k long, rts string, payload long",
+    ).select("k", F.col("rts").cast("timestamp_ntz").alias("rts"), "payload")
+    out = {
+        r["ts"].month: r["payload_asof"]
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="rts",
+            right_payload=["payload"], direction="forward",
+        ).collect()
+    }
+    assert out == {1: 10, 2: 10, 6: None}
+    # 31-day tolerance: the January row's nearest-next right is 31 days
+    # out (kept); nothing within reach of June; February is concurrent
+    masked = {
+        r["ts"].month: r["payload_asof"]
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="rts",
+            right_payload=["payload"], direction="forward",
+            tolerance="31 DAYS",
+        ).collect()
+    }
+    assert masked == {1: 10, 2: 10, 6: None}
+    tight = {
+        r["ts"].month: r["payload_asof"]
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="rts",
+            right_payload=["payload"], direction="forward",
+            tolerance="7 DAYS",
+        ).collect()
+    }
+    assert tight == {1: None, 2: 10, 6: None}
