@@ -149,3 +149,40 @@ def weighted_mean_cents(values: pd.Series, weights: pd.Series) -> float:
     if sw == 0:
         return float("nan")
     return (int((cents * w).sum()) / sw) / 100.0
+
+
+def event_runs_udtf():
+    """Partition-ordered Python UDTF (Spark 4 ``TABLE(...) PARTITION BY
+    ... ORDER BY`` form): consumes each user's event stream IN ORDER and
+    emits one row per run of consecutive identical event types — the
+    gaps-and-islands shape expressed as stateful per-group iteration.
+    Spark instantiates the class once per PARTITION BY group and calls
+    ``eval`` row-by-row in ORDER BY order, then ``terminate`` at the
+    group boundary, so the only state is the current run. Row-at-a-time
+    Python is the slow path: the workload bounds its input, and the
+    pure-SQL islands trick (row_number difference) is the scale
+    implementation — this exists to cover the stateful-UDTF shape."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="user_id bigint, run_start timestamp_ntz, "
+        "run_type string, run_len int"
+    )
+    class EventRuns:
+        def __init__(self):
+            self._cur = None
+
+        def eval(self, row):
+            cur = self._cur
+            if cur is not None and cur[2] == row["event_type"]:
+                self._cur = (cur[0], cur[1], cur[2], cur[3] + 1)
+            else:
+                if cur is not None:
+                    yield cur
+                self._cur = (row["user_id"], row["ts"], row["event_type"], 1)
+
+        def terminate(self):
+            if self._cur is not None:
+                yield self._cur
+
+    return EventRuns

@@ -1502,3 +1502,177 @@ def iqr_outlier_fences_events(spark, sf_dir):
             "n_outliers",
         )
     )
+
+
+@workload(
+    "udtf_event_runs_per_user",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rnt
+      FROM events WHERE user_id < 50
+    )
+    SELECT user_id, MIN(ts) AS run_start, event_type AS run_type,
+           CAST(COUNT(*) AS INTEGER) AS run_len
+    FROM ordered
+    GROUP BY user_id, event_type, rn - rnt
+    """,
+    category="udf",
+)
+def udtf_event_runs_per_user(spark, sf_dir):
+    """Stateful partition-ordered UDTF (functions/udfs.py:
+    event_runs_udtf): ``event_runs(TABLE(...) PARTITION BY user_id
+    ORDER BY ts, event_id)`` walks each user's stream in order and
+    emits consecutive same-type runs. The oracle is the pure-SQL
+    gaps-and-islands equivalent (row_number difference) — also the
+    recommended form at scale; the UDTF covers Spark's stateful
+    table-function API. Input bounded (user_id < 50): row-at-a-time
+    Python is deliberately the slow path."""
+    from etl_manager_spark.functions.udfs import event_runs_udtf
+
+    t = load_tables(spark, sf_dir)
+    t["events"].filter(F.col("user_id") < 50).select(
+        "user_id", "ts", "event_id", "event_type"
+    ).createOrReplaceTempView("_runs_events")
+    spark.udtf.register("event_runs", event_runs_udtf())
+    return spark.sql(
+        """
+        SELECT * FROM event_runs(
+          TABLE(SELECT user_id, ts, event_id, event_type
+                FROM _runs_events)
+          PARTITION BY user_id ORDER BY (ts, event_id)
+        )
+        """
+    )
+
+
+@workload(
+    "multitouch_attribution_events",
+    """
+    WITH pairs AS (
+      SELECT p.event_id AS purchase_id, t.event_type AS touch_type
+      FROM events p
+      JOIN events t
+        ON t.user_id = p.user_id
+       AND t.event_type IN ('view', 'click')
+       AND t.ts <= p.ts
+       AND t.ts > p.ts - INTERVAL 7 DAY
+      WHERE p.event_type = 'purchase'
+    ),
+    credited AS (
+      SELECT purchase_id, touch_type,
+             CAST(FLOOR(1.0 / (COUNT(*) OVER (PARTITION BY purchase_id))
+                        * 1000000000.0 + 0.5) AS BIGINT) AS credit_q
+      FROM pairs
+    )
+    SELECT touch_type, CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(SUM(credit_q) AS BIGINT) AS credit_q_total
+    FROM credited GROUP BY touch_type
+    """,
+    category="analytics",
+)
+def multitouch_attribution_events(spark, sf_dir):
+    """Linear multi-touch attribution: every purchase splits one unit of
+    credit equally across the user's view/click touches in the 7 days
+    up to (and including) the purchase instant. The per-touch share is
+    nano-quantized BEFORE the integer rollup, so totals are order-free
+    and engine-portable. Shape: one self-join on user_id (hash join +
+    range residual — no range explosion beyond each user's 7-day touch
+    density), one window on purchase_id (same shuffle key family), one
+    tiny rollup on the 2-value touch_type domain."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    e = t["events"]
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    touches = e.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("touch_type"),
+    )
+    pairs = purchases.join(
+        touches,
+        (F.col("t_user") == F.col("p_user"))
+        & (F.col("t_ts") <= F.col("p_ts"))
+        & (F.col("t_ts") > F.col("p_ts") - F.expr("INTERVAL 7 DAYS")),
+    )
+    w = Window.partitionBy("purchase_id")
+    credited = pairs.select(
+        "purchase_id",
+        "touch_type",
+        R.quantize(F.lit(1.0) / F.count(F.lit(1)).over(w)).alias("credit_q"),
+    )
+    return credited.groupBy("touch_type").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.sum("credit_q").cast("long").alias("credit_q_total"),
+    )
+
+
+@workload(
+    "char_entropy_documents",
+    """
+    WITH chars AS (
+      SELECT doc_id AS id,
+             UNNEST([text[i] for i in range(1, LEN(text) + 1)]) AS ch
+      FROM documents
+    ),
+    counts AS (
+      SELECT id, ch, COUNT(*) AS c FROM chars GROUP BY id, ch
+    ),
+    per_doc AS (
+      SELECT id, ch, c, SUM(c) OVER (PARTITION BY id) AS total,
+             COUNT(*) OVER (PARTITION BY id) AS distinct_chars
+      FROM counts
+    )
+    SELECT id,
+           CAST(MAX(total) AS BIGINT) AS n_chars,
+           CAST(MAX(distinct_chars) AS INTEGER) AS distinct_chars,
+           CAST(SUM(CAST(FLOOR(-(CAST(c AS DOUBLE) / CAST(total AS DOUBLE))
+                   * LOG2(CAST(c AS DOUBLE) / CAST(total AS DOUBLE))
+                   * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS entropy_q
+    FROM per_doc GROUP BY id
+    """,
+    category="text",
+)
+def char_entropy_documents(spark, sf_dir):
+    """Shannon character entropy per document — the classic
+    garbled-text / compression-quality signal (low entropy = repetitive
+    boilerplate, implausibly high = binary junk). Each character's
+    −p·log₂p contribution is nano-quantized to int64 BEFORE the per-doc
+    sum, so the total is an order-free integer aggregate and bitwise
+    identical across engines and partitionings. Shape: char explode
+    stays in the scan stage; one hash-agg on (doc, char) with map-side
+    combine; one window + rollup on the doc id."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    chars = t["documents"].select(
+        F.col("doc_id").alias("id"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text")),
+                lambda i: F.substring(F.col("text"), i, F.lit(1)),
+            )
+        ).alias("ch"),
+    )
+    counts = chars.groupBy("id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("id")
+    per_doc = counts.select(
+        "id",
+        "c",
+        F.sum("c").over(w).alias("total"),
+        F.count(F.lit(1)).over(w).alias("distinct_chars"),
+    )
+    p = F.col("c").cast("double") / F.col("total").cast("double")
+    return per_doc.groupBy("id").agg(
+        F.max("total").cast("long").alias("n_chars"),
+        F.max("distinct_chars").cast("int").alias("distinct_chars"),
+        F.sum(R.quantize(-p * F.log2(p))).cast("long").alias("entropy_q"),
+    )
