@@ -414,3 +414,67 @@ def test_chi2_marginals_broadcast(plans):
     # tables); a sort-merge join of the contingency table would be absurd
     assert r.sortmerge_joins == 0, r.text[:1500]
     assert r.broadcast_joins >= 3
+
+
+def test_top_ngram_argmax_shuffles_on_doc_keys_only(plans):
+    """The gram explode must be a JVM generator in the scan stage and
+    every hash exchange keyed on the doc id first — (id, ...) for the
+    count agg, id for the argmax window — so a doc-bucketed corpus runs
+    the argmax exchange-free."""
+    import re
+
+    r = plans("top_ngram_char_frac_documents")
+    assert r.cartesian_products == 0
+    assert "Generate" in r.text
+    for python_node in ("ArrowEvalPython", "MapInPandas"):
+        assert python_node not in r.text
+    keys = re.findall(r"hashpartitioning\((\w+)", r.text)
+    assert keys and all(k.startswith("id") for k in keys), keys
+
+
+def test_char_entropy_fanout_in_scan_stage(plans):
+    """Char explode is a generator before any exchange; the only data
+    shuffle keys on the doc id (the (id, ch) agg); no Python nodes."""
+    import re
+
+    r = plans("char_entropy_documents")
+    assert r.cartesian_products == 0
+    assert "Generate" in r.text
+    for python_node in ("ArrowEvalPython", "MapInPandas"):
+        assert python_node not in r.text
+    keys = re.findall(r"hashpartitioning\((\w+)", r.text)
+    assert keys and all(k.startswith("id") for k in keys), keys
+
+
+def test_iqr_fences_broadcast_back(plans):
+    """The 5-row fence table must broadcast to the outlier-count scan —
+    shipping events to the fences would be a data-sized shuffle."""
+    r = plans("iqr_outlier_fences_events")
+    assert r.broadcast_joins >= 1, r.text[:2000]
+    assert r.cartesian_products == 0
+
+
+def test_multitouch_attribution_no_cartesian_and_pushed_filters(plans):
+    """The purchase×touch pairing must stay an equi-join on user_id with
+    the range as residual (never a cartesian), and both event_type
+    filters must reach the scans."""
+    r = plans("multitouch_attribution_events")
+    assert r.cartesian_products == 0
+    assert any("event_type" in pf for pf in r.pushed_filters), r.pushed_filters
+
+
+def test_q21_reuses_orderkey_partitioning(plans):
+    """Both lineitem passes hash on l_orderkey; the R-pairs ⋈ ord join
+    must reuse that partitioning (no third data-sized exchange) and the
+    supplier dim must broadcast."""
+    import re
+
+    r = plans("q21_sole_return_supplier")
+    assert r.cartesian_products == 0
+    assert r.broadcast_joins >= 1, r.text[:2000]
+    data_keys = [
+        m.group(1)
+        for m in re.finditer(r"hashpartitioning\((\w+)", r.text)
+        if m.group(1).startswith("l_")
+    ]
+    assert data_keys and all(k.startswith("l_orderkey") for k in data_keys), data_keys
