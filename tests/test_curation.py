@@ -271,3 +271,76 @@ def test_asof_forward_direction_and_ties(spark):
         ).collect()
     }
     assert tight == {1: None, 2: 10, 6: None}
+
+
+def test_asof_property_vs_pandas_merge_asof(spark):
+    """Property test: asof_join (both directions, with/without tolerance)
+    equals pandas.merge_asof on random keyed series. Right timestamps are
+    unique per key (both implementations leave equal-ts right-row choice
+    unspecified); left timestamps may tie with right ones — exact-match
+    visibility is part of the contract."""
+    import datetime
+
+    import pandas as pd
+    from hypothesis import given, settings, strategies as st
+
+    from etl_manager_spark.operators.asof import asof_join
+
+    epoch = datetime.datetime(2024, 1, 1)
+
+    def ts(h):
+        return epoch + datetime.timedelta(hours=h)
+
+    lefts = st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 30)), min_size=1, max_size=12
+    )
+    rights = st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 30)), min_size=1, max_size=8,
+        unique_by=lambda r: (r[0], r[1]),
+    )
+
+    @settings(max_examples=15, deadline=None)
+    @given(ls=lefts, rs=rights)
+    def check(ls, rs):
+        ldf = spark.createDataFrame(
+            [(k, ts(h)) for k, h in ls], "k long, ts timestamp_ntz"
+        )
+        rdf = spark.createDataFrame(
+            [(k, ts(h), k * 1000 + h) for k, h in rs],
+            "k long, rts timestamp_ntz, payload long",
+        )
+        lpd = pd.DataFrame(
+            [(k, ts(h)) for k, h in ls], columns=["k", "ts"]
+        ).sort_values(["ts", "k"], kind="stable")
+        rpd = pd.DataFrame(
+            [(k, ts(h), k * 1000 + h) for k, h in rs],
+            columns=["k", "rts", "payload"],
+        ).sort_values(["rts", "k"], kind="stable")
+        for direction, tol in [
+            ("backward", None),
+            ("forward", None),
+            ("backward", "5 HOURS"),
+            ("forward", "5 HOURS"),
+        ]:
+            got = {
+                (r["k"], r["ts"]): r["payload_asof"]
+                for r in asof_join(
+                    ldf, rdf, on="k", left_ts="ts", right_ts="rts",
+                    right_payload=["payload"], direction=direction,
+                    tolerance=tol,
+                ).collect()
+            }
+            exp_df = pd.merge_asof(
+                lpd, rpd, left_on="ts", right_on="rts", by="k",
+                direction=direction,
+                tolerance=None if tol is None else pd.Timedelta(hours=5),
+            )
+            exp = {
+                (row.k, row.ts.to_pydatetime()): (
+                    None if pd.isna(row.payload) else int(row.payload)
+                )
+                for row in exp_df.itertuples()
+            }
+            assert got == exp, (direction, tol, got, exp)
+
+    check()
