@@ -559,3 +559,41 @@ def q21_sole_return_supplier(spark, sf_dir):
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+@workload(
+    "correlated_scalar_projection",
+    """
+    SELECT n_nationkey, n_name,
+           (SELECT MAX(s_acctbal) FROM supplier
+            WHERE s_nationkey = n_nationkey) AS max_supplier_bal,
+           CAST((SELECT COUNT(*) FROM supplier
+                 WHERE s_nationkey = n_nationkey
+                   AND s_acctbal > 5000.0) AS BIGINT) AS n_rich_suppliers
+    FROM nation
+    """,
+    category="subquery",
+)
+def correlated_scalar_projection(spark, sf_dir):
+    """Correlated scalar subqueries in the PROJECTION list — including
+    the classic COUNT-bug shape: a nation with no qualifying suppliers
+    must get count 0 (not NULL), while the MAX stays NULL. Catalyst
+    decorrelates both into left-outer aggregate joins; the COUNT branch
+    adds the coalesce the decorrelation rule is famous for. Scale: the
+    per-nation aggregates are dimension-sized and broadcast back —
+    supplier is scanned twice (once per subquery), each a partial-agg
+    pass on s_nationkey."""
+    t = load_tables(spark, sf_dir)
+    t["nation"].createOrReplaceTempView("_csp_nation")
+    t["supplier"].createOrReplaceTempView("_csp_supplier")
+    return spark.sql(
+        """
+        SELECT n_nationkey, n_name,
+               (SELECT MAX(s_acctbal) FROM _csp_supplier
+                WHERE s_nationkey = n_nationkey) AS max_supplier_bal,
+               CAST((SELECT COUNT(*) FROM _csp_supplier
+                     WHERE s_nationkey = n_nationkey
+                       AND s_acctbal > 5000.0) AS BIGINT) AS n_rich_suppliers
+        FROM _csp_nation
+        """
+    )
