@@ -999,3 +999,158 @@ def hll_union_rollup_events(spark, sf_dir):
             ).alias("estimate_within_5pct"),
         )
     )
+
+
+@workload(
+    "bitmap_distinct_rollup_events",
+    """
+    SELECT CAST(DATE_TRUNC('week', ts) AS DATE) AS week,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY DATE_TRUNC('week', ts)
+    """,
+    category="sketch",
+)
+def bitmap_distinct_rollup_events(spark, sf_dir):
+    """EXACT mergeable distinct counting via bitmaps — the companion to
+    the HLL rollup when exactness is required: per-(day, bucket) bitmaps
+    (bitmap_construct_agg over bitmap_bit_position) OR-merge into weekly
+    bitmaps (bitmap_or_agg), and the bucketed bitmap_count sums are the
+    exact per-week distinct user counts. Re-aggregation of partials,
+    never a rescan: the raw shuffle carries fixed-size bitmap buckets
+    (≤4 KB per 32k-id range), not user ids — at 100 TB the weekly merge
+    input is days × occupied-buckets rows regardless of event volume.
+    The oracle is a plain COUNT(DISTINCT) — values must match exactly."""
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t["events"]
+        .select(
+            F.date_trunc("day", "ts").alias("day"),
+            F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+            F.col("user_id"),
+        )
+        .groupBy("day", "bucket")
+        .agg(
+            F.expr(
+                "bitmap_construct_agg(bitmap_bit_position(user_id))"
+            ).alias("bm")
+        )
+    )
+    weekly = (
+        daily.groupBy(
+            F.date_trunc("week", "day").alias("week"), F.col("bucket")
+        )
+        .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+        .groupBy("week")
+        .agg(F.sum(F.expr("bitmap_count(bm)")).alias("n_users"))
+    )
+    return weekly.select(
+        F.col("week").cast("date").alias("week"),
+        F.col("n_users").cast("long").alias("n_users"),
+    )
+
+
+@workload(
+    "scalar_try_functions",
+    """
+    SELECT
+      CAST(SUM(CASE WHEN l_linenumber - l_linenumber = 0
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_div_null,
+      CAST(SUM(CASE WHEN TRY_CAST(l_returnflag AS INTEGER) IS NULL
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_badcast_null,
+      CAST(SUM(CASE WHEN TRY_CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE)
+                    = l_quantity THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_roundtrip_ok,
+      CAST(SUM(CASE WHEN 9223372036854775807 + CAST(0 AS BIGINT) IS NOT NULL
+                     AND l_orderkey >= 0
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_rows
+    FROM lineitem
+    """,
+    category="scalar",
+)
+def scalar_try_functions(spark, sf_dir):
+    """ANSI-safe arithmetic surface: try_divide (integer /0 → NULL
+    instead of an ANSI error), try_cast (malformed string → NULL),
+    lossless string round-trip through try_cast, and try_add staying
+    non-null when in range. All scan-local codegen expressions — the
+    point is error-channel semantics, not dataflow; the oracle renders
+    each as its CASE/TRY_CAST equivalent."""
+    t = load_tables(spark, sf_dir)
+    return t["lineitem"].agg(
+        F.sum(
+            F.when(
+                F.expr(
+                    "try_divide(CAST(l_quantity AS INT),"
+                    " l_linenumber - l_linenumber)"
+                ).isNull(),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_div_null"),
+        F.sum(
+            F.when(F.expr("try_cast(l_returnflag AS INT)").isNull(), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_badcast_null"),
+        F.sum(
+            F.when(
+                F.expr("try_cast(CAST(l_quantity AS STRING) AS DOUBLE)")
+                == F.col("l_quantity"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_roundtrip_ok"),
+        F.sum(
+            F.when(
+                F.expr("try_add(l_orderkey, CAST(0 AS BIGINT))").isNotNull()
+                & (F.col("l_orderkey") >= 0),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_rows"),
+    )
+
+
+@workload(
+    "collation_case_insensitive_group",
+    """
+    WITH mixed AS (
+      SELECT CASE WHEN p_partkey % 2 = 0 THEN UPPER(p_brand)
+                  ELSE p_brand END AS brand_mixed
+      FROM part
+    )
+    SELECT LOWER(brand_mixed) AS brand_lc, CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM mixed GROUP BY LOWER(brand_mixed)
+    """,
+    category="scalar",
+)
+def collation_case_insensitive_group(spark, sf_dir):
+    """Spark 4 collations: grouping on a UTF8_LCASE-collated column
+    merges case variants ('Brand#1' / 'BRAND#1') in the aggregation
+    itself — no lower() rewrite — exercising collation-aware hashing
+    end to end. The output is rendered through lower() only to pin a
+    deterministic representative (a collated group's sample value is
+    whichever variant arrived first). The oracle is the classic
+    LOWER() GROUP BY."""
+    t = load_tables(spark, sf_dir)
+    mixed = t["part"].select(
+        F.when(
+            F.col("p_partkey") % 2 == 0, F.upper("p_brand")
+        )
+        .otherwise(F.col("p_brand"))
+        .alias("brand_mixed")
+    )
+    return (
+        mixed.select(
+            F.expr("brand_mixed COLLATE UTF8_LCASE").alias("brand_ci")
+        )
+        .groupBy("brand_ci")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .select(
+            F.lower(F.col("brand_ci").cast("string")).alias("brand_lc"),
+            "n_parts",
+        )
+    )
