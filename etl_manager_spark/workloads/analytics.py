@@ -1676,3 +1676,154 @@ def char_entropy_documents(spark, sf_dir):
         F.max("distinct_chars").cast("int").alias("distinct_chars"),
         F.sum(R.quantize(-p * F.log2(p))).cast("long").alias("entropy_q"),
     )
+
+
+@workload(
+    "assoc_rules_event_pairs",
+    """
+    WITH baskets AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ),
+    n_users AS (SELECT COUNT(DISTINCT user_id) AS n FROM baskets),
+    singles AS (
+      SELECT event_type, COUNT(*) AS n_single FROM baskets GROUP BY event_type
+    ),
+    pairs AS (
+      SELECT a.event_type AS antecedent, b.event_type AS consequent,
+             COUNT(*) AS n_both
+      FROM baskets a JOIN baskets b
+        ON a.user_id = b.user_id AND a.event_type <> b.event_type
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT p.antecedent, p.consequent,
+           CAST(sa.n_single AS BIGINT) AS n_antecedent,
+           CAST(p.n_both AS BIGINT) AS n_both,
+           CAST(FLOOR(CAST(p.n_both AS DOUBLE) / CAST(sa.n_single AS DOUBLE)
+                      * 1000000000.0 + 0.5) AS BIGINT) AS confidence_q,
+           CAST(FLOOR(CAST(p.n_both AS DOUBLE) * CAST(u.n AS DOUBLE)
+                      / (CAST(sa.n_single AS DOUBLE) * CAST(sc.n_single AS DOUBLE))
+                      * 1000000000.0 + 0.5) AS BIGINT) AS lift_q
+    FROM pairs p
+    JOIN singles sa ON p.antecedent = sa.event_type
+    JOIN singles sc ON p.consequent = sc.event_type
+    CROSS JOIN n_users u
+    """,
+    category="analytics",
+)
+def assoc_rules_event_pairs(spark, sf_dir):
+    """Association rules over per-user event-type baskets: for every
+    ordered type pair, support counts plus nano-quantized confidence
+    P(B|A) and lift — the market-basket primitive (a 2-itemset FP-growth
+    pass). Shape: one distinct on (user, type) — the basket build, the
+    only data-sized shuffle — then a self-join on user_id whose output
+    is bounded by users × types², and a rollup to the types² result.
+    The count tables are domain-sized and broadcast back for the
+    ratios. Both ratio factors are exact integers rendered through the
+    identical double expression in both engines."""
+    t = load_tables(spark, sf_dir)
+    baskets = t["events"].select("user_id", "event_type").distinct()
+    n_users = baskets.agg(
+        F.countDistinct("user_id").alias("_n_users")
+    )
+    singles = baskets.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_single")
+    )
+    a = baskets.select(
+        F.col("user_id").alias("u"), F.col("event_type").alias("antecedent")
+    )
+    b = baskets.select(
+        F.col("user_id").alias("u"), F.col("event_type").alias("consequent")
+    )
+    pairs = (
+        a.join(b, on="u")
+        .filter(F.col("antecedent") != F.col("consequent"))
+        .groupBy("antecedent", "consequent")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = singles.select(
+        F.col("event_type").alias("antecedent"),
+        F.col("n_single").alias("n_antecedent"),
+    )
+    sc = singles.select(
+        F.col("event_type").alias("consequent"),
+        F.col("n_single").alias("_n_consequent"),
+    )
+    return (
+        pairs.join(F.broadcast(sa), on="antecedent")
+        .join(F.broadcast(sc), on="consequent")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("n_antecedent").cast("long").alias("n_antecedent"),
+            F.col("n_both").cast("long").alias("n_both"),
+            R.quantize(
+                F.col("n_both").cast("double")
+                / F.col("n_antecedent").cast("double")
+            ).alias("confidence_q"),
+            R.quantize(
+                F.col("n_both").cast("double")
+                * F.col("_n_users").cast("double")
+                / (
+                    F.col("n_antecedent").cast("double")
+                    * F.col("_n_consequent").cast("double")
+                )
+            ).alias("lift_q"),
+        )
+    )
+
+
+@workload(
+    "sequence_pattern_events",
+    """
+    WITH paths AS (
+      SELECT user_id,
+             STRING_AGG(event_type, ',' ORDER BY ts, event_id) AS path,
+             COUNT(*) AS n_events
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+           CAST(LEN(regexp_extract_all(path, 'view,click,purchase'))
+                AS INTEGER) AS n_vcp_runs,
+           regexp_matches(path, 'signup.*purchase') AS converted
+    FROM paths
+    """,
+    category="analytics",
+)
+def sequence_pattern_events(spark, sf_dir):
+    """Sequence-pattern mining (the MATCH_RECOGNIZE-shaped query): each
+    user's ordered event-type path is rendered once as a delimited
+    string — deterministic under the (ts, event_id) total order — and
+    regex-matched for (a) immediate view→click→purchase runs
+    (non-overlapping count) and (b) an eventual signup→…→purchase
+    conversion. One shuffle on user_id (sorted collect), then
+    scan-local regex — no self-joins, no per-step passes; pattern
+    complexity changes the regex, not the plan. Per-user state is the
+    path string (bounded by per-user event count; cap with a slice for
+    adversarial users)."""
+    t = load_tables(spark, sf_dir)
+    paths = (
+        t["events"]
+        .select(
+            "user_id",
+            F.struct("ts", "event_id", "event_type").alias("e"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("e")), lambda x: x["event_type"]
+                ),
+                ",",
+            ).alias("path"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    return paths.select(
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.regexp_count(F.col("path"), F.lit("view,click,purchase"))
+        .cast("int")
+        .alias("n_vcp_runs"),
+        F.col("path").rlike("signup.*purchase").alias("converted"),
+    )

@@ -1054,7 +1054,7 @@ def bitmap_distinct_rollup_events(spark, sf_dir):
     "scalar_try_functions",
     """
     SELECT
-      CAST(SUM(CASE WHEN l_linenumber - l_linenumber = 0
+      CAST(SUM(CASE WHEN l_linenumber = 2
                THEN 1 ELSE 0 END) AS BIGINT) AS n_div_null,
       CAST(SUM(CASE WHEN TRY_CAST(l_returnflag AS INTEGER) IS NULL
                THEN 1 ELSE 0 END) AS BIGINT) AS n_badcast_null,
@@ -1074,14 +1074,18 @@ def scalar_try_functions(spark, sf_dir):
     lossless string round-trip through try_cast, and try_add staying
     non-null when in range. All scan-local codegen expressions — the
     point is error-channel semantics, not dataflow; the oracle renders
-    each as its CASE/TRY_CAST equivalent."""
+    each as its CASE/TRY_CAST equivalent. The /0 divisor hits only the
+    l_linenumber=2 slice (~1/7 of rows): each try_divide error is a
+    caught JVM exception, and an every-row error path measured 5 s at
+    sf0.1 vs ~1 s with the bounded slice — error channels are for
+    exceptional rows, not the common case."""
     t = load_tables(spark, sf_dir)
     return t["lineitem"].agg(
         F.sum(
             F.when(
                 F.expr(
                     "try_divide(CAST(l_quantity AS INT),"
-                    " l_linenumber - l_linenumber)"
+                    " l_linenumber - 2)"
                 ).isNull(),
                 1,
             ).otherwise(0)
