@@ -430,3 +430,39 @@ def streaming_topk_event_types(spark, sf_dir):
         .limit(3)
     )
     return run_to_memory(stream, spark, "stream_topk_event_types")
+
+
+@workload(
+    "streaming_dedup_within_watermark",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    category="streaming",
+)
+def streaming_dedup_within_watermark(spark, sf_dir):
+    """Bounded-state streaming dedup: dropDuplicatesWithinWatermark
+    evicts a key's dedup state once the watermark passes its event time
+    plus the delay — the production form whose state is O(keys in the
+    watermark window), not O(all keys ever). Contract: duplicates
+    arriving within the watermark window are dropped; re-occurrences
+    beyond it are re-admitted (at-least-once on watermark-separated
+    repeats). Over this single-batch availableNow run nothing outlives
+    the watermark mid-batch, so the emitted key set equals batch
+    DISTINCT — which is exactly what the oracle pins; the point here is
+    the state-eviction API surface. Only the key columns are emitted:
+    WHICH duplicate survives is arrival-order-dependent by design."""
+    from etl_manager_spark.streaming.windows import (
+        read_events_stream,
+        run_to_memory,
+    )
+
+    stream = (
+        read_events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .select("user_id", "event_type", "ts")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return run_to_memory(
+        stream, spark, "stream_dedup_wm_result", output_mode="append"
+    )
