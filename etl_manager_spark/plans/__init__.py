@@ -4,8 +4,16 @@ shape IS the performance model."""
 
 from etl_manager_spark.plans.inspect import (
     explain_formatted,
+    lint_plan,
     plan_report,
     PlanReport,
+    PlanWarning,
 )
 
-__all__ = ["explain_formatted", "plan_report", "PlanReport"]
+__all__ = [
+    "explain_formatted",
+    "lint_plan",
+    "plan_report",
+    "PlanReport",
+    "PlanWarning",
+]

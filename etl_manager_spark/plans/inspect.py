@@ -75,3 +75,110 @@ def plan_report(df: "DataFrame") -> PlanReport:
         cartesian_products=len(re.findall(r"CartesianProduct", text)),
         take_ordered=("TakeOrderedAndProject" in text),
     )
+
+
+@dataclass
+class PlanWarning:
+    code: str
+    message: str
+
+
+def lint_plan(
+    df: "DataFrame",
+    wide_scan_columns: int = 20,
+    max_shuffles: int = 6,
+) -> list[PlanWarning]:
+    """Static scale-lint of a DataFrame's physical plan: the checks a
+    reviewer runs by eye on ``explain()`` before letting a query near
+    100 TB, as structured warnings. Heuristics, not verdicts — a warning
+    means "look at this", and some flagged shapes are deliberate (a
+    sorted write WANTS the range partitioning it flags).
+
+    Checks:
+    - ``cartesian-product``: CartesianProduct anywhere — O(n·m), almost
+      always an accidental missing join key.
+    - ``nested-loop-join``: BroadcastNestedLoopJoin — correct for tiny
+      broadcast sides and null-aware NOT IN, quadratic if both sides grow.
+    - ``python-row-udf``: BatchEvalPython — row-at-a-time (pickled)
+      Python in the plan; Arrow paths (ArrowEvalPython / *InPandas) are
+      10-100× faster and deliberately NOT flagged.
+    - ``filter-not-pushed``: a Filter node coexists with a parquet scan
+      whose PushedFilters is empty — the predicate never reached the
+      reader (non-pushable expression, or a cast hiding the column).
+    - ``wide-scan``: a scan reading more than ``wide_scan_columns``
+      columns — projection pruning probably failed (SELECT * somewhere).
+    - ``global-sort``: a rangepartitioning exchange — a full global sort;
+      for top-k, TakeOrderedAndProject should have replaced it.
+    - ``many-shuffles``: more than ``max_shuffles`` hash exchanges —
+      the pipeline re-keys too often; look for a common partitioning.
+    """
+    r = plan_report(df)
+    warnings: list[PlanWarning] = []
+    if r.cartesian_products:
+        warnings.append(
+            PlanWarning(
+                "cartesian-product",
+                f"{r.cartesian_products} CartesianProduct node(s): O(n*m) "
+                "pair fan-out — check for a missing join condition",
+            )
+        )
+    if "BroadcastNestedLoopJoin" in r.text:
+        warnings.append(
+            PlanWarning(
+                "nested-loop-join",
+                "BroadcastNestedLoopJoin present: fine for a tiny "
+                "broadcast side or null-aware NOT IN, quadratic otherwise",
+            )
+        )
+    if "BatchEvalPython" in r.text:
+        warnings.append(
+            PlanWarning(
+                "python-row-udf",
+                "row-at-a-time Python UDF (BatchEvalPython) in the plan — "
+                "use built-in expressions or an Arrow pandas_udf",
+            )
+        )
+    # IsNotNull guards are freebies Spark pushes for ANY referenced
+    # column — only a substantive predicate (comparison/In/StartsWith…)
+    # counts as "the filter reached the reader"
+    substantive_pushed = any(
+        re.search(r"(?!IsNotNull)\b[A-Z]\w+\(", pf.replace("IsNotNull(", ""))
+        for pf in r.pushed_filters
+    )
+    if "Filter" in r.text and r.pushed_filters and not substantive_pushed:
+        warnings.append(
+            PlanWarning(
+                "filter-not-pushed",
+                "plan filters rows but no substantive predicate reached "
+                "any scan (only IsNotNull guards pushed) — check for "
+                "casts/expressions wrapping the filtered column",
+            )
+        )
+    for schema in r.read_schemas:
+        n_cols = len(re.findall(r"(\w+):", schema))
+        if n_cols > wide_scan_columns:
+            warnings.append(
+                PlanWarning(
+                    "wide-scan",
+                    f"a scan reads {n_cols} columns — projection pruning "
+                    "likely failed (SELECT * upstream?)",
+                )
+            )
+    if "rangepartitioning" in r.text and not r.take_ordered:
+        warnings.append(
+            PlanWarning(
+                "global-sort",
+                "rangepartitioning exchange = full global sort; for "
+                "top-k use orderBy(...).limit(k) so Spark plans "
+                "TakeOrderedAndProject",
+            )
+        )
+    if r.shuffle_exchanges > max_shuffles:
+        warnings.append(
+            PlanWarning(
+                "many-shuffles",
+                f"{r.shuffle_exchanges} hash exchanges (> {max_shuffles}) "
+                "— look for a reusable partitioning or bucketing",
+            )
+        )
+    return warnings

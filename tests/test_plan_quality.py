@@ -478,3 +478,43 @@ def test_q21_reuses_orderkey_partitioning(plans):
         if m.group(1).startswith("l_")
     ]
     assert data_keys and all(k.startswith("l_orderkey") for k in data_keys), data_keys
+
+
+def test_lint_plan_flags_antipatterns(spark, sf_dir):
+    """lint_plan must flag each anti-pattern it documents and stay quiet
+    on a well-shaped query."""
+    from etl_manager_spark.plans import lint_plan
+
+    t = load_tables(spark, sf_dir)
+
+    codes = {w.code for w in lint_plan(t["nation"].crossJoin(t["region"]))}
+    assert "cartesian-product" in codes or "nested-loop-join" in codes
+
+    from pyspark.sql.types import LongType
+
+    slow = F.udf(lambda x: x + 1, LongType())
+    codes = {w.code for w in lint_plan(t["nation"].select(slow("n_nationkey")))}
+    assert "python-row-udf" in codes
+
+    # F.expr over a cast hides the column from pushdown
+    hidden = t["lineitem"].filter(
+        F.col("l_quantity").cast("string") == "1.0"
+    )
+    codes = {w.code for w in lint_plan(hidden)}
+    assert "filter-not-pushed" in codes
+
+    codes = {w.code for w in lint_plan(t["events"].orderBy("value"))}
+    assert "global-sort" in codes
+
+    # top-k plans TakeOrderedAndProject -> no global-sort warning
+    codes = {w.code for w in lint_plan(t["events"].orderBy("value").limit(5))}
+    assert "global-sort" not in codes
+
+    # a healthy pushdown-friendly aggregation: no warnings at all
+    clean = (
+        t["lineitem"]
+        .filter(F.col("l_shipdate") >= "1995-01-01")
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert lint_plan(clean) == []
