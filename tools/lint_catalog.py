@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Run plans.lint_plan over every catalog query and write
+LINT_CATALOG.json — the per-round plan-hygiene audit.
+
+Exit non-zero if any query plans a CartesianProduct, or a
+row-at-a-time Python UDF appears outside the two deliberate UDTF
+workloads (which bound their input and document why).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# row-at-a-time Python is the documented point of these two (bounded input)
+ROW_UDF_ALLOWED = {"udtf_event_runs_per_user", "udtf_token_explode_documents"}
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from etl_manager_spark.plans import lint_plan
+    from etl_manager_spark.workloads import load_registry
+
+    sf = os.environ.get("SPARK_GRAFT_LINT_SF_DIR", "/root/testdata/sf0.001")
+    reg = load_registry()
+    report: dict[str, list[str]] = {}
+    errors: dict[str, str] = {}
+    for name in sorted(reg):
+        try:
+            codes = [w.code for w in lint_plan(reg[name].fn(spark, sf))]
+        except Exception as exc:  # noqa: BLE001 - record and continue
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+            continue
+        if codes:
+            report[name] = codes
+
+    critical = sorted(
+        name
+        for name, codes in report.items()
+        if "cartesian-product" in codes
+        or ("python-row-udf" in codes and name not in ROW_UDF_ALLOWED)
+    )
+    out = {
+        "queries_total": len(reg),
+        "queries_flagged": len(report),
+        "critical": critical,
+        "errors": errors,
+        "warnings": report,
+    }
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "LINT_CATALOG.json",
+    )
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    print(
+        json.dumps(
+            {
+                "queries_total": out["queries_total"],
+                "queries_flagged": out["queries_flagged"],
+                "critical": critical,
+                "errors": len(errors),
+            }
+        )
+    )
+    if critical or errors:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
