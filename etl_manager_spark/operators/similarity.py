@@ -687,3 +687,108 @@ def embedding_profile(df: DataFrame, id_col: str = "vec_id", vec_col: str = "emb
         F.array_min(v).alias("min_val"),
         F.array_max(v).alias("max_val"),
     )
+
+
+def _pca_components_driver(
+    vectors: list[list[float]], n_components: int
+) -> tuple[list[float], list[list[float]]]:
+    """Deterministic PCA training: column mean + the top ``n_components``
+    eigenvectors of the (uncentered-scale) scatter matrix XᵀX, computed
+    with float64 numpy — one BLAS gramian + one symmetric eigensolve on a
+    sample-sized matrix, identical however the sample reached the driver.
+    Each eigenvector's sign is fixed by making its largest-|component|
+    coordinate positive (eigenvectors are defined up to sign; without the
+    fix two runs could disagree by a global flip)."""
+    import numpy as np
+
+    X = np.asarray(vectors, dtype=np.float64)
+    mean = X.mean(axis=0)
+    Xc = X - mean
+    scatter = Xc.T @ Xc
+    _, eigvecs = np.linalg.eigh(scatter)  # ascending eigenvalues
+    comps: list[list[float]] = []
+    for k in range(1, n_components + 1):
+        v = eigvecs[:, -k]
+        j = int(np.argmax(np.abs(v)))
+        if v[j] < 0:
+            v = -v
+        comps.append([float(x) for x in v])
+    return [float(m) for m in mean], comps
+
+
+def _sorted_sample_pca(
+    id_vec_rows: list[tuple], n_components: int, train_sample: int
+) -> tuple[list[float], list[list[float]]]:
+    """Shared PCA trainer entry for the Spark path AND the DuckDB oracle
+    factory — same sort/truncate contract as
+    :func:`_sorted_sample_centroids`."""
+    rows = sorted(id_vec_rows, key=lambda r: r[0])[:train_sample]
+    return _pca_components_driver([list(r[1]) for r in rows], n_components)
+
+
+def pca_train_components(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_components: int = 2,
+    train_sample: int = 1024,
+    sample_fraction: float = 1.0,
+) -> tuple[list[float], list[list[float]]]:
+    """Driver-side deterministic PCA training over a hash-threshold
+    sample — identical collect contract (and OOM guard) to
+    :func:`ivf_train_centroids`: the plan is scan → filter → collect,
+    no TakeOrdered over the corpus; at 100 TB pass ``sample_fraction``
+    ≈ train_sample/|corpus| so only the sample reaches the driver.
+    Returns (mean, components)."""
+    from etl_manager_spark.operators.sampling import _threshold_hex, hash_bucket
+
+    filtered = corpus
+    if sample_fraction < 1.0:
+        filtered = corpus.filter(
+            hash_bucket(id_col) < F.lit(_threshold_hex(sample_fraction))
+        )
+    cap = max(100_000, 50 * train_sample)
+    rows = (
+        filtered.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
+        .limit(cap + 1)
+        .collect()
+    )
+    if len(rows) > cap:
+        raise ValueError(
+            f"PCA training sample collect would exceed {cap} rows; pass "
+            "sample_fraction ≈ train_sample/|corpus| so only the hash-"
+            "filtered sample reaches the driver"
+        )
+    return _sorted_sample_pca(
+        [(r[0], r[1]) for r in rows], n_components, train_sample
+    )
+
+
+def pca_project(
+    corpus: DataFrame,
+    mean: list[float],
+    components: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Project every vector onto the given principal components — a
+    map-only JVM projection (components are closure literals: no join,
+    no shuffle, no Python). Each projection is a LEFT-ASSOCIATIVE sum of
+    per-dimension terms ``(e_i − mean_i)·v_i`` so the float result is
+    bitwise-reproducible in any engine that evaluates the same chain
+    (the DuckDB oracle renders the identical ``+`` chain). Output
+    columns ``pc{k}_q`` are nano-quantized."""
+    from functools import reduce
+    from operator import add
+
+    from etl_manager_spark.operators.ranking import quantize
+
+    vec = F.col(vec_col).cast("array<double>")
+    cols = [F.col(id_col)]
+    for k, comp in enumerate(components, start=1):
+        terms = [
+            (F.element_at(vec, i + 1) - F.lit(mean[i])) * F.lit(comp[i])
+            for i in range(len(comp))
+        ]
+        cols.append(quantize(reduce(add, terms)).alias(f"pc{k}_q"))
+    return corpus.select(*cols)

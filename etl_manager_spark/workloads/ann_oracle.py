@@ -264,3 +264,51 @@ def lsh_neardup_oracle() -> str:
     )
     SELECT a.id_a, a.id_b, a.cosine_sim, r.recall_vs_bruteforce
     FROM approx a CROSS JOIN rec r"""
+
+
+PCA_COMPONENTS = 2
+PCA_TRAIN_SAMPLE = 1024
+
+
+def _pca_params() -> tuple[list[float], list[list[float]]]:
+    """Re-train the PCA mean/components from the oracle-scale parquet
+    with the shared deterministic trainer (same contract as
+    ``_ivf_centroids``) — identical float64 inputs and identical numpy
+    code path to the Spark query's driver-side training."""
+    import duckdb
+
+    from etl_manager_spark.operators.similarity import _sorted_sample_pca
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT vec_id, CAST(embedding AS DOUBLE[]) FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    ).fetchall()
+    con.close()
+    return _sorted_sample_pca(rows, PCA_COMPONENTS, PCA_TRAIN_SAMPLE)
+
+
+def pca_project_oracle() -> str:
+    """pca_project_embeddings: embed the (re-trained) mean/component
+    literals and render the SAME left-associative per-dimension sum
+    chain the Spark projection evaluates — bitwise-equal projections,
+    then the shared nano-quantization."""
+    mean, comps = _pca_params()
+
+    def chain(comp: list[float]) -> str:
+        return " + ".join(
+            f"((v[{i + 1}] - {mean[i]:.17e}) * {comp[i]:.17e})"
+            for i in range(len(comp))
+        )
+
+    pc_cols = ",\n           ".join(
+        f"CAST(FLOOR(({chain(comp)}) * 1000000000.0 + 0.5) AS BIGINT)"
+        f" AS pc{k}_q"
+        for k, comp in enumerate(comps, start=1)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT vec_id,
+           {pc_cols}
+    FROM e"""

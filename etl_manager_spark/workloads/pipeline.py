@@ -2422,3 +2422,24 @@ def incremental_minhash_dedup_documents(spark, sf_dir):
     return D.incremental_minhash_dedup(
         new_batch, corpus, corpus_sigs=corpus_sigs, jaccard_threshold=0.5
     )
+
+
+@workload("pca_project_embeddings", ann_oracle.pca_project_oracle, category="similarity")
+def pca_project_embeddings(spark, sf_dir):
+    """PCA dimensionality reduction (operators/similarity.py:
+    pca_train_components + pca_project): mean/top-2 eigenvectors trained
+    driver-side on the deterministic hash-sorted sample (one gramian +
+    one symmetric eigensolve — sample-sized, data-scale-free), then a
+    map-only JVM projection with the components as closure literals —
+    no join, no shuffle, no Python at any corpus size. The oracle
+    re-trains from the oracle-scale parquet and replays the identical
+    left-associative sum chain (workloads/ann_oracle.py:
+    pca_project_oracle)."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    mean, comps = S.pca_train_components(
+        emb,
+        n_components=ann_oracle.PCA_COMPONENTS,
+        train_sample=ann_oracle.PCA_TRAIN_SAMPLE,
+    )
+    return S.pca_project(emb, mean, comps)

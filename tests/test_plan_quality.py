@@ -518,3 +518,14 @@ def test_lint_plan_flags_antipatterns(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
     )
     assert lint_plan(clean) == []
+
+
+def test_pca_projection_is_map_only(plans):
+    """Components are closure literals: one scan, zero exchanges, zero
+    joins, zero Python — the projection must never shuffle the corpus."""
+    r = plans("pca_project_embeddings")
+    assert r.shuffle_exchanges == 0, r.text[:2000]
+    assert "Join" not in r.text, r.text[:2000]
+    for python_node in ("ArrowEvalPython", "MapInPandas", "BatchEvalPython"):
+        assert python_node not in r.text
+    assert r.scans_only_columns({"vec_id", "embedding"}), r.read_schemas
