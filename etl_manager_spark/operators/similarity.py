@@ -792,3 +792,148 @@ def pca_project(
         ]
         cols.append(quantize(reduce(add, terms)).alias(f"pc{k}_q"))
     return corpus.select(*cols)
+
+
+def _train_pq_codebooks(
+    vectors: list[list[float]],
+    num_subspaces: int,
+    num_centroids: int,
+    iters: int = 10,
+) -> list[list[list[float]]]:
+    """Deterministic product-quantization training: split each vector
+    into ``num_subspaces`` contiguous subvectors and run fixed-iteration
+    L2 Lloyd per subspace. Init = the first ``num_centroids`` DISTINCT
+    subvectors in sample order (no RNG); numpy argmin breaks ties to the
+    lowest centroid index — every step is a pure function of the sorted
+    sample, so the Spark path and the oracle factory train bit-for-bit
+    identical codebooks."""
+    import numpy as np
+
+    X = np.asarray(vectors, dtype=np.float64)
+    _, dim = X.shape
+    assert dim % num_subspaces == 0, (dim, num_subspaces)
+    d = dim // num_subspaces
+    books: list[list[list[float]]] = []
+    for m in range(num_subspaces):
+        S = X[:, m * d : (m + 1) * d]
+        seen: set = set()
+        init: list = []
+        for row in S:
+            t = tuple(row)
+            if t not in seen:
+                seen.add(t)
+                init.append(row)
+            if len(init) == num_centroids:
+                break
+        C = np.array(init, dtype=np.float64)
+        if len(C) < num_centroids:
+            C = np.vstack([C] + [C[:1]] * (num_centroids - len(C)))
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for k in range(num_centroids):
+                members = S[assign == k]
+                if len(members):
+                    C[k] = members.mean(axis=0)
+        books.append([[float(x) for x in c] for c in C])
+    return books
+
+
+def _sorted_sample_pq(
+    id_vec_rows: list[tuple],
+    num_subspaces: int,
+    num_centroids: int,
+    train_sample: int,
+) -> list[list[list[float]]]:
+    """Shared PQ trainer entry (same sort/truncate contract as the IVF
+    and PCA trainers) for the Spark path AND the DuckDB oracle."""
+    rows = sorted(id_vec_rows, key=lambda r: r[0])[:train_sample]
+    return _train_pq_codebooks(
+        [list(r[1]) for r in rows], num_subspaces, num_centroids
+    )
+
+
+def pq_train_codebooks(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_subspaces: int = 8,
+    num_centroids: int = 8,
+    train_sample: int = 1024,
+    sample_fraction: float = 1.0,
+) -> list[list[list[float]]]:
+    """Driver-side PQ training over the deterministic hash-threshold
+    sample — same collect contract and OOM guard as
+    :func:`ivf_train_centroids`."""
+    from etl_manager_spark.operators.sampling import _threshold_hex, hash_bucket
+
+    filtered = corpus
+    if sample_fraction < 1.0:
+        filtered = corpus.filter(
+            hash_bucket(id_col) < F.lit(_threshold_hex(sample_fraction))
+        )
+    cap = max(100_000, 50 * train_sample)
+    rows = (
+        filtered.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
+        .limit(cap + 1)
+        .collect()
+    )
+    if len(rows) > cap:
+        raise ValueError(
+            f"PQ training sample collect would exceed {cap} rows; pass "
+            "sample_fraction ≈ train_sample/|corpus|"
+        )
+    return _sorted_sample_pq(
+        [(r[0], r[1]) for r in rows], num_subspaces, num_centroids, train_sample
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization encoding: per subspace, the nearest-codeword
+    index (squared-L2 argmin with lowest-index tie-break via struct
+    ordering) plus the total reconstruction error — the 8× – 32×
+    embedding-compression step of a 100 TB similarity index. Codebooks
+    are closure literals: the whole encode is a map-only JVM projection
+    (no join, no shuffle, no Python); every distance folds
+    dimension-sequentially and the subspace errors add in subspace
+    order, so the DuckDB oracle reproduces codes AND error bitwise."""
+    from functools import reduce
+    from operator import add
+
+    from etl_manager_spark.operators.ranking import quantize
+
+    d = len(codebooks[0][0])
+    vv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cols = [F.col(id_col)]
+    recon_terms = []
+    for m, book in enumerate(codebooks):
+        sub = F.slice(vv, m * d + 1, d)
+
+        def dist2(c, sub=sub):
+            cv = F.array(*[F.lit(float(x)) for x in c])
+            return F.aggregate(
+                F.zip_with(sub, cv, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+
+        best = F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        dist2(c).alias("d"),
+                        F.lit(k).cast("int").alias("k"),
+                    )
+                    for k, c in enumerate(book)
+                ]
+            )
+        )
+        cols.append(best["k"].alias(f"code_{m}"))
+        recon_terms.append(best["d"])
+    cols.append(quantize(reduce(add, recon_terms)).alias("recon_err_q"))
+    return corpus.select(*cols)

@@ -312,3 +312,68 @@ def pca_project_oracle() -> str:
     SELECT vec_id,
            {pc_cols}
     FROM e"""
+
+
+PQ_SUBSPACES = 8
+PQ_CENTROIDS = 8
+PQ_TRAIN_SAMPLE = 1024
+
+
+def _pq_codebooks() -> list[list[list[float]]]:
+    """Re-train the PQ codebooks from the oracle-scale parquet with the
+    shared deterministic trainer (same contract as ``_ivf_centroids``)."""
+    import duckdb
+
+    from etl_manager_spark.operators.similarity import _sorted_sample_pq
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT vec_id, CAST(embedding AS DOUBLE[]) FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    ).fetchall()
+    con.close()
+    return _sorted_sample_pq(rows, PQ_SUBSPACES, PQ_CENTROIDS, PQ_TRAIN_SAMPLE)
+
+
+def pq_encode_oracle() -> str:
+    """pq_encode_embeddings: embed the codebook literals and replay the
+    per-subspace squared-L2 argmin (struct sort = (dist, index) — the
+    same tie-break as Spark's array_min over structs) and the
+    subspace-ordered reconstruction-error sum."""
+    books = _pq_codebooks()
+    d = len(books[0][0])
+
+    def dist2(m: int, c: list[float]) -> str:
+        cv = _lit(c)
+        return (
+            f"LIST_AGGREGATE(LIST_TRANSFORM(RANGE(1, {d + 1}), i -> "
+            f"(vv[{m * d} + i] - ({cv})[i]) * (vv[{m * d} + i] - ({cv})[i])"
+            f"), 'sum')"
+        )
+
+    best_cols = ",\n           ".join(
+        "LIST_SORT(["
+        + ", ".join(
+            f"struct_pack(d := {dist2(m, c)}, k := {k})"
+            for k, c in enumerate(book)
+        )
+        + f"])[1] AS best_{m}"
+        for m, book in enumerate(books)
+    )
+    code_cols = ",\n           ".join(
+        f"CAST(best_{m}.k AS INTEGER) AS code_{m}" for m in range(len(books))
+    )
+    recon = " + ".join(f"best_{m}.d" for m in range(len(books)))
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+    scored AS (
+      SELECT vec_id,
+           {best_cols}
+      FROM v
+    )
+    SELECT vec_id,
+           {code_cols},
+           CAST(FLOOR(({recon}) * 1000000000.0 + 0.5) AS BIGINT)
+             AS recon_err_q
+    FROM scored"""

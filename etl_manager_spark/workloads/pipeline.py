@@ -2443,3 +2443,24 @@ def pca_project_embeddings(spark, sf_dir):
         train_sample=ann_oracle.PCA_TRAIN_SAMPLE,
     )
     return S.pca_project(emb, mean, comps)
+
+
+@workload("pq_encode_embeddings", ann_oracle.pq_encode_oracle, category="similarity")
+def pq_encode_embeddings(spark, sf_dir):
+    """Product-quantization encoding (operators/similarity.py:
+    pq_train_codebooks + pq_encode): 8 subspaces × 8 codewords trained
+    driver-side on the deterministic hash-sorted sample, then a map-only
+    JVM encode emitting each vector's 8 codes and its reconstruction
+    error — the embedding-compression step that turns a 64-float vector
+    into 8 bytes for 100 TB-scale ANN. Oracle: workloads/ann_oracle.py
+    pq_encode_oracle re-trains the codebooks and replays the argmin and
+    the error sum bitwise."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    books = S.pq_train_codebooks(
+        emb,
+        num_subspaces=ann_oracle.PQ_SUBSPACES,
+        num_centroids=ann_oracle.PQ_CENTROIDS,
+        train_sample=ann_oracle.PQ_TRAIN_SAMPLE,
+    )
+    return S.pq_encode(emb, books)

@@ -529,3 +529,14 @@ def test_pca_projection_is_map_only(plans):
     for python_node in ("ArrowEvalPython", "MapInPandas", "BatchEvalPython"):
         assert python_node not in r.text
     assert r.scans_only_columns({"vec_id", "embedding"}), r.read_schemas
+
+
+def test_pq_encode_is_map_only(plans):
+    """Codebooks are closure literals: the encode must be a single
+    map-only scan — no join, no shuffle, no Python."""
+    r = plans("pq_encode_embeddings")
+    assert r.shuffle_exchanges == 0, r.text[:2000]
+    assert "Join" not in r.text, r.text[:2000]
+    for python_node in ("ArrowEvalPython", "MapInPandas", "BatchEvalPython"):
+        assert python_node not in r.text
+    assert r.scans_only_columns({"vec_id", "embedding"}), r.read_schemas
