@@ -937,3 +937,31 @@ def pq_encode(
         recon_terms.append(best["d"])
     cols.append(quantize(reduce(add, recon_terms)).alias("recon_err_q"))
     return corpus.select(*cols)
+
+
+def pq_adc_luts(
+    query_vecs: list[list[float]], codebooks: list[list[list[float]]]
+) -> list[list[list[float]]]:
+    """Asymmetric-distance lookup tables: for each query, per subspace,
+    the squared L2 distance from the query's subvector to every codeword
+    — the tiny (queries × M × K doubles) table that makes PQ search a
+    pure table-lookup sum. Computed with an explicit sequential fold so
+    the values are a deterministic function of (queries, codebooks);
+    both the Spark plan and the DuckDB oracle consume these values AS
+    LITERALS, so engine-side arithmetic starts from identical doubles."""
+    d = len(codebooks[0][0])
+    luts: list[list[list[float]]] = []
+    for q in query_vecs:
+        per_m: list[list[float]] = []
+        for m, book in enumerate(codebooks):
+            sub = q[m * d : (m + 1) * d]
+            row = []
+            for c in book:
+                acc = 0.0
+                for a, b in zip(sub, c):
+                    diff = a - b
+                    acc = acc + diff * diff
+                row.append(acc)
+            per_m.append(row)
+        luts.append(per_m)
+    return luts

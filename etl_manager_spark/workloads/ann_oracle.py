@@ -377,3 +377,154 @@ def pq_encode_oracle() -> str:
            CAST(FLOOR(({recon}) * 1000000000.0 + 0.5) AS BIGINT)
              AS recon_err_q
     FROM scored"""
+
+
+ADC_SUBSPACES = 16
+ADC_CENTROIDS = 32
+ADC_RERANK = 50
+
+
+def _adc_codebooks() -> list[list[list[float]]]:
+    """ADC codebooks (finer than the compression demo's 8x8: 16
+    subspaces x 32 codewords — tuned so the shortlist+rerank search
+    reaches recall 1.0 on the weak-neighbor synthetic embeddings)."""
+    import duckdb
+
+    from etl_manager_spark.operators.similarity import _sorted_sample_pq
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT vec_id, CAST(embedding AS DOUBLE[]) FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    ).fetchall()
+    con.close()
+    return _sorted_sample_pq(
+        rows, ADC_SUBSPACES, ADC_CENTROIDS, PQ_TRAIN_SAMPLE
+    )
+
+
+def _pq_scored_cte(books: list[list[list[float]]]) -> str:
+    """The per-vector PQ code assignment CTE shared by the encode and
+    ADC oracles (codebook literals embedded)."""
+    d = len(books[0][0])
+
+    def dist2(m: int, c: list[float]) -> str:
+        cv = _lit(c)
+        return (
+            f"LIST_AGGREGATE(LIST_TRANSFORM(RANGE(1, {d + 1}), i -> "
+            f"(vv[{m * d} + i] - ({cv})[i]) * (vv[{m * d} + i] - ({cv})[i])"
+            f"), 'sum')"
+        )
+
+    best_cols = ",\n           ".join(
+        "LIST_SORT(["
+        + ", ".join(
+            f"struct_pack(d := {dist2(m, c)}, k := {k})"
+            for k, c in enumerate(book)
+        )
+        + f"])[1] AS best_{m}"
+        for m, book in enumerate(books)
+    )
+    return f"""
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+    scored AS (
+      SELECT vec_id,
+           {best_cols}
+      FROM v
+    )"""
+
+
+def pq_adc_oracle() -> str:
+    """similarity_topk_pq_adc: replay the code assignment, embed the
+    shared ADC lookup-table literals, shortlist the top ADC_RERANK
+    candidates per query by the subspace-ordered LUT sum, rerank the
+    shortlist by EXACT squared L2, and compute recall against the exact
+    top-k — the production PQ search (coarse-but-cheap shortlist, exact
+    rescoring of R rows)."""
+    import duckdb
+
+    from etl_manager_spark.operators.similarity import pq_adc_luts
+
+    books = _adc_codebooks()
+    m_count = len(books)
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    qrows = con.execute(
+        "SELECT vec_id, CAST(embedding AS DOUBLE[]) FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet') "
+        f"WHERE vec_id < {N_QUERIES} ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+    luts = pq_adc_luts([list(r[1]) for r in qrows], books)
+    q_rows_sql = ", ".join(
+        "("
+        + ", ".join(
+            [str(int(r[0])), _lit(r[1])]
+            + [_lit(luts[i][m]) for m in range(m_count)]
+        )
+        + ")"
+        for i, r in enumerate(qrows)
+    )
+    lut_cols = ", ".join(f"l{m}" for m in range(m_count))
+    adist = " + ".join(
+        f"(q.l{m})[s.best_{m}.k + 1]" for m in range(m_count)
+    )
+    exact_d2 = (
+        f"LIST_AGGREGATE(LIST_TRANSFORM(RANGE(1, {DIM + 1}), "
+        "i -> (c.vv[i] - q.qv[i]) * (c.vv[i] - q.qv[i])), 'sum')"
+    )
+    return f"""
+    WITH {_pq_scored_cte(books)},
+    q(qid, qv, {lut_cols}) AS (VALUES {q_rows_sql}),
+    cand AS (
+      SELECT q.qid AS query_id, s.vec_id AS neighbor_id,
+             {adist} AS adist
+      FROM scored s CROSS JOIN q
+      WHERE s.vec_id <> q.qid
+    ),
+    shortlist AS (
+      SELECT query_id, neighbor_id
+      FROM (SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY adist ASC, neighbor_id ASC) AS arn
+            FROM cand)
+      WHERE arn <= {ADC_RERANK}
+    ),
+    reranked AS (
+      SELECT sl.query_id, sl.neighbor_id, {exact_d2} AS d2
+      FROM shortlist sl
+      JOIN v c ON c.vec_id = sl.neighbor_id
+      JOIN q ON q.qid = sl.query_id
+    ),
+    approx AS (
+      SELECT query_id, neighbor_id,
+             CAST(FLOOR(d2 * 1000000000.0 + 0.5) AS BIGINT) AS dist2_q,
+             CAST("rank" AS INTEGER) AS rank
+      FROM (SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY d2 ASC, neighbor_id ASC) AS "rank"
+            FROM reranked)
+      WHERE "rank" <= {K}
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.qid AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY {exact_d2} ASC, c.vec_id ASC) AS rnk
+        FROM v c CROSS JOIN q WHERE c.vec_id <> q.qid
+      ) WHERE rnk <= {K}
+    ),
+    overlap AS (
+      SELECT COUNT(*) AS n
+      FROM approx a JOIN exact x
+        ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+    ),
+    rec AS (
+      SELECT CAST(o.n AS DOUBLE) / t.n AS recall_vs_bruteforce
+      FROM overlap o, (SELECT COUNT(*) AS n FROM exact) t
+    )
+    SELECT a.query_id, a.rank, a.neighbor_id, a.dist2_q,
+           r.recall_vs_bruteforce
+    FROM approx a CROSS JOIN rec r"""

