@@ -69,13 +69,21 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    extra_payload_cols: list[str] | None = None,
 ) -> DataFrame:
     """Exact cosine top-k neighbors for each query vector.
 
     ``queries`` must be small (broadcast side); the corpus is scanned once
     with no shuffle — ranking happens in a window partitioned by query id,
     whose input is only |queries|·|corpus| scored rows pre-filtered by the
-    broadcast join. Ties break on candidate id for determinism."""
+    broadcast join. Ties break on candidate id for determinism.
+    ``extra_payload_cols`` carries additional corpus columns (metadata
+    the caller filtered on, display fields) through to the result —
+    filtered retrieval composes as a plain ``corpus.filter(...)``
+    BEFORE this call, so the predicate pushes to the corpus scan and
+    the result always has k rows per query (never the post-filtered
+    fewer-than-k of filter-after-ANN)."""
+    extra = list(extra_payload_cols or [])
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qvec"),
@@ -85,6 +93,7 @@ def cosine_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cvec"),
         l2_norm(F.col(vec_col)).alias("_cnorm"),
+        *[F.col(x) for x in extra],
     )
     scored = (
         F.broadcast(q)
@@ -93,6 +102,7 @@ def cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
+            *extra,
             (
                 dot(F.col("_qvec"), F.col("_cvec"))
                 / (F.col("_qnorm") * F.col("_cnorm"))
@@ -105,7 +115,7 @@ def cosine_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "cosine_sim")
+        .select("query_id", "rank", "neighbor_id", *extra, "cosine_sim")
     )
 
 

@@ -2592,3 +2592,46 @@ def similarity_topk_pq_adc(spark, sf_dir):
         .select("query_id", "neighbor_id")
     )
     return _with_recall(approx, exact, ["query_id", "neighbor_id"])
+
+
+@workload(
+    "similarity_topk_filtered",
+    f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    q AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
+    cand AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
+             LIST_DOT_PRODUCT(q.v, c.v) /
+             (SQRT(LIST_DOT_PRODUCT(q.v, q.v)) *
+              SQRT(LIST_DOT_PRODUCT(c.v, c.v))) AS cosine_sim
+      FROM q JOIN e c ON c.vec_id <> q.vec_id
+      WHERE c.label < 3
+    )
+    SELECT query_id, neighbor_id, CAST(label AS INTEGER) AS label,
+           cosine_sim, CAST("rank" AS INTEGER) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (
+             PARTITION BY query_id
+             ORDER BY cosine_sim DESC, neighbor_id ASC) AS "rank"
+          FROM cand)
+    WHERE "rank" <= 5
+    """,
+    category="similarity",
+)
+def similarity_topk_filtered(spark, sf_dir):
+    """FILTERED vector search — the retrieval shape real pipelines run
+    (metadata predicate + top-k): exact cosine top-5 restricted to
+    corpus vectors with label < 3. The metadata filter composes as a
+    plain pushed predicate on the corpus scan BEFORE any scoring, so
+    selective filters cut the scored set proportionally — no
+    post-filtering of an unfiltered ANN result (which silently returns
+    fewer than k). Same broadcast-queries scoring kernel as the
+    brute-force path; sims bitwise vs LIST_DOT_PRODUCT."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 5)
+    filtered = emb.filter(F.col("label") < 3)
+    approx = S.cosine_topk(
+        queries, filtered, k=5, extra_payload_cols=["label"]
+    )
+    return approx
