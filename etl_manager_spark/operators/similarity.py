@@ -975,3 +975,69 @@ def pq_adc_luts(
             per_m.append(row)
         luts.append(per_m)
     return luts
+
+
+def mmr_select(
+    cands_with_pairs: DataFrame,
+    k: int = 5,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal-marginal-relevance selection over per-query candidate
+    sets: greedily pick the candidate maximizing
+    ``λ·sim(q,c) − (1−λ)·max_{s∈S} sim(c,s)`` (ties → smallest id; the
+    first pick's diversity term is 0). Input is the flattened
+    (query_id, a_nid, a_simq, b_nid, sim_ab) pair table — ALL sims are
+    computed JVM-side with the exact kernel BEFORE this step, so the
+    Arrow loop only does comparisons and two multiplies per score and
+    the result is bitwise-reproducible (the DuckDB oracle unrolls the
+    same k argmax steps over the same sims).
+
+    Scale: the loop is inherently sequential per query, but its input is
+    the candidate SHORTLIST (k²·queries pair rows, not corpus-sized) —
+    one shuffle on query_id into the Arrow stage."""
+    import math
+
+    import pandas as pd
+
+    def _select(group: pd.DataFrame) -> pd.DataFrame:
+        qid = int(group["query_id"].iloc[0])
+        simq: dict = {}
+        sim_ab: dict = {}
+        for r in group.itertuples():
+            simq[int(r.a_nid)] = float(r.a_simq)
+            sim_ab[(int(r.a_nid), int(r.b_nid))] = float(r.sim_ab)
+        remaining = sorted(simq)
+        selected: list = []
+        out = []
+        while remaining and len(selected) < k:
+            best = None
+            for c in remaining:  # ascending id → ties keep smallest
+                if selected:
+                    # true max over selected — NEGATIVE sims stay
+                    # negative (an anti-similar pick is a diversity
+                    # bonus under standard MMR, not clamped to 0)
+                    mx = max(sim_ab[(c, s)] for s in selected)
+                else:
+                    mx = 0.0
+                score = lam * simq[c] - (1.0 - lam) * mx
+                if best is None or score > best[0]:
+                    best = (score, c)
+            score, pick = best
+            selected.append(pick)
+            remaining.remove(pick)
+            out.append(
+                (
+                    qid,
+                    len(selected),
+                    pick,
+                    int(math.floor(score * 1000000000.0 + 0.5)),
+                )
+            )
+        return pd.DataFrame(
+            out, columns=["query_id", "mmr_rank", "neighbor_id", "mmr_score_q"]
+        )
+
+    return cands_with_pairs.groupBy("query_id").applyInPandas(
+        _select,
+        schema="query_id long, mmr_rank int, neighbor_id long, mmr_score_q long",
+    )

@@ -528,3 +528,76 @@ def pq_adc_oracle() -> str:
     SELECT a.query_id, a.rank, a.neighbor_id, a.dist2_q,
            r.recall_vs_bruteforce
     FROM approx a CROSS JOIN rec r"""
+
+
+MMR_SHORTLIST = 20
+MMR_K = 5
+MMR_LAMBDA = 0.7
+
+
+def mmr_oracle() -> str:
+    """similarity_mmr_diversified: exact top-20 shortlist per query,
+    all pairwise candidate sims, then MMR_K unrolled greedy argmax
+    steps of λ·sim(q,c) − (1−λ)·max sim(c, selected) with ties to the
+    smallest id — the same sims and the same scalar ops the Spark
+    Arrow loop evaluates, so scores hash-match bitwise."""
+    lam = "%.17e" % MMR_LAMBDA
+    one_minus = "%.17e" % (1.0 - MMR_LAMBDA)
+    steps = []
+    sel_union = "SELECT query_id, nid FROM s1"
+    for step in range(2, MMR_K + 1):
+        prev_sel = f"sel{step - 1}"
+        steps.append(f"""
+    {prev_sel} AS ({sel_union}),
+    m{step} AS (
+      SELECT p.query_id, p.a AS nid, MAX(p.sim_ab) AS mx
+      FROM pair p JOIN {prev_sel} s
+        ON p.query_id = s.query_id AND p.b = s.nid
+      GROUP BY p.query_id, p.a
+    ),
+    sc{step} AS (
+      SELECT c.query_id, c.nid,
+             {lam} * c.simq - {one_minus} * m.mx AS score
+      FROM cand c JOIN m{step} m
+        ON c.query_id = m.query_id AND c.nid = m.nid
+      WHERE NOT EXISTS (SELECT 1 FROM {prev_sel} s
+                        WHERE s.query_id = c.query_id AND s.nid = c.nid)
+    ),
+    s{step} AS (
+      SELECT query_id, nid, score FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, nid ASC) AS rn
+        FROM sc{step}) WHERE rn = 1
+    )""")
+        sel_union += f" UNION ALL SELECT query_id, nid FROM s{step}"
+    final = "\n    UNION ALL\n    ".join(
+        f"SELECT query_id, {i} AS mmr_rank, nid AS neighbor_id, "
+        f"CAST(FLOOR(score * 1000000000.0 + 0.5) AS BIGINT) AS mmr_score_q "
+        f"FROM s{i}"
+        for i in range(1, MMR_K + 1)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id, v FROM e WHERE vec_id < {N_QUERIES}),
+    scoredq AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS nid, c.v AS cv,
+             {_cos('q.v', 'c.v')} AS simq,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+               ORDER BY {_cos('q.v', 'c.v')} DESC, c.vec_id ASC) AS rnk
+      FROM q JOIN e c ON c.vec_id <> q.vec_id
+    ),
+    cand AS (SELECT query_id, nid, cv, simq FROM scoredq
+             WHERE rnk <= {MMR_SHORTLIST}),
+    pair AS (
+      SELECT a.query_id, a.nid AS a, b.nid AS b,
+             {_cos('a.cv', 'b.cv')} AS sim_ab
+      FROM cand a JOIN cand b
+        ON a.query_id = b.query_id AND a.nid <> b.nid
+    ),
+    s1 AS (
+      SELECT query_id, nid, {lam} * simq - {one_minus} * 0.0 AS score
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY {lam} * simq - {one_minus} * 0.0 DESC, nid ASC) AS rn
+            FROM cand) WHERE rn = 1
+    ),{",".join(steps)}
+    {final}"""

@@ -2635,3 +2635,60 @@ def similarity_topk_filtered(spark, sf_dir):
         queries, filtered, k=5, extra_payload_cols=["label"]
     )
     return approx
+
+
+@workload(
+    "similarity_mmr_diversified", ann_oracle.mmr_oracle, category="similarity"
+)
+def similarity_mmr_diversified(spark, sf_dir):
+    """MMR-diversified retrieval (operators/similarity.py: mmr_select):
+    exact top-20 shortlist per query, then greedy maximal-marginal-
+    relevance selection of 5 — λ·relevance − (1−λ)·max-sim-to-selected,
+    the standard redundancy-suppression step of RAG retrieval. All sims
+    (query→cand and cand×cand pairs) are computed JVM-side with the
+    exact kernel; the sequential selection runs per query in one Arrow
+    group over the k²-row pair table — shortlist-sized, never
+    corpus-sized. Oracle: ann_oracle.mmr_oracle unrolls the same greedy
+    steps in SQL over the same sims; scores hash-match bitwise."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 5)
+    cands = S.cosine_topk(queries, emb, k=ann_oracle.MMR_SHORTLIST)
+    cvec = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("_cv"),
+        S.l2_norm(F.col("embedding")).alias("_cn"),
+    )
+    candv = cands.join(cvec, on="neighbor_id").select(
+        "query_id",
+        F.col("neighbor_id").alias("a_nid"),
+        F.col("cosine_sim").alias("a_simq"),
+        "_cv",
+        "_cn",
+    )
+    b = candv.select(
+        F.col("query_id").alias("_bq"),
+        F.col("a_nid").alias("b_nid"),
+        F.col("_cv").alias("_bv"),
+        F.col("_cn").alias("_bn"),
+    )
+    pairs = (
+        candv.join(
+            b,
+            (F.col("query_id") == F.col("_bq"))
+            & (F.col("a_nid") != F.col("b_nid")),
+        )
+        .select(
+            "query_id",
+            "a_nid",
+            "a_simq",
+            "b_nid",
+            (
+                S.dot(F.col("_cv"), F.col("_bv"))
+                / (F.col("_cn") * F.col("_bn"))
+            ).alias("sim_ab"),
+        )
+    )
+    return S.mmr_select(
+        pairs, k=ann_oracle.MMR_K, lam=ann_oracle.MMR_LAMBDA
+    )

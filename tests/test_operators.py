@@ -763,3 +763,58 @@ def test_pq_adc_rerank_recall(spark, sf_dir):
     assert len(rows) == 25
     recall = rows[0]["recall_vs_bruteforce"]
     assert recall >= 0.95, f"ADC+rerank recall {recall}"
+
+
+def test_mmr_skips_redundant_candidate(spark):
+    """With two near-identical top candidates, MMR must pick one of them
+    first and then prefer the diverse third candidate over the twin."""
+    from etl_manager_spark.operators import similarity as S
+
+    # query 100; candidates: 1 and 2 near-duplicates highly similar to
+    # the query, 3 moderately similar but orthogonal to 1/2
+    rows = [
+        (100, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.14, 0.0, 0.0]),
+        (2, [0.99, 0.141, 0.0, 0.0]),
+        (3, [0.7, 0.0, 0.71, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") == 100)
+    cands = S.cosine_topk(q, emb, k=3)
+    cvec = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("_cv"),
+        S.l2_norm(F.col("embedding")).alias("_cn"),
+    )
+    candv = cands.join(cvec, on="neighbor_id").select(
+        "query_id",
+        F.col("neighbor_id").alias("a_nid"),
+        F.col("cosine_sim").alias("a_simq"),
+        "_cv",
+        "_cn",
+    )
+    b = candv.select(
+        F.col("query_id").alias("_bq"),
+        F.col("a_nid").alias("b_nid"),
+        F.col("_cv").alias("_bv"),
+        F.col("_cn").alias("_bn"),
+    )
+    pairs = candv.join(
+        b,
+        (F.col("query_id") == F.col("_bq")) & (F.col("a_nid") != F.col("b_nid")),
+    ).select(
+        "query_id",
+        "a_nid",
+        "a_simq",
+        "b_nid",
+        (S.dot(F.col("_cv"), F.col("_bv")) / (F.col("_cn") * F.col("_bn"))).alias(
+            "sim_ab"
+        ),
+    )
+    got = {
+        r["mmr_rank"]: r["neighbor_id"]
+        for r in S.mmr_select(pairs, k=3, lam=0.7).collect()
+    }
+    assert got[1] in (1, 2)  # most relevant twin first
+    assert got[2] == 3, got  # diversity beats the redundant twin
+    assert got[3] in (1, 2) and got[3] != got[1]
