@@ -770,13 +770,14 @@ def test_mmr_skips_redundant_candidate(spark):
     first and then prefer the diverse third candidate over the twin."""
     from etl_manager_spark.operators import similarity as S
 
-    # query 100; candidates: 1 and 2 near-duplicates highly similar to
-    # the query, 3 moderately similar but orthogonal to 1/2
+    # query 100; candidates: 1 and 2 near-duplicates slightly more
+    # relevant than 3, but 3 is near-orthogonal to the twins — at
+    # λ=0.7 the redundancy penalty must outweigh the twins' edge
     rows = [
-        (100, [1.0, 0.0, 0.0, 0.0]),
-        (1, [0.99, 0.14, 0.0, 0.0]),
-        (2, [0.99, 0.141, 0.0, 0.0]),
-        (3, [0.7, 0.0, 0.71, 0.0]),
+        (100, [0.7, 0.7, 0.0, 0.0]),
+        (1, [1.0, 0.05, 0.0, 0.0]),
+        (2, [1.0, 0.051, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
     ]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     q = emb.filter(F.col("vec_id") == 100)
