@@ -918,35 +918,52 @@ def pq_encode(
     from etl_manager_spark.operators.ranking import quantize
 
     d = len(codebooks[0][0])
-    vv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    cols = [F.col(id_col)]
-    recon_terms = []
-    for m, book in enumerate(codebooks):
-        sub = F.slice(vv, m * d + 1, d)
-
-        def dist2(c, sub=sub):
-            cv = F.array(*[F.lit(float(x)) for x in c])
-            return F.aggregate(
-                F.zip_with(sub, cv, lambda a, b: (a - b) * (a - b)),
+    # direct array cast, NOT transform(x -> cast): a lambda here nests
+    # inside the per-subspace transform below and Spark's lambda-variable
+    # binding rejects the shadowed variables
+    vv = F.col(vec_col).cast("array<double>")
+    # ONE transform per subspace over the codebook-as-literal-array —
+    # M expressions total, not M·K struct expressions (the per-codeword
+    # struct form built 512 lambda trees for 16×32 and Catalyst spent
+    # ~20 s per query analyzing them at ANY data size; this form plans
+    # in well under a second with identical per-dimension float ops)
+    def _subspace_costs(sub: Column, book_lit: Column) -> Column:
+        # single-arg lambda on purpose: a second (defaulted) parameter
+        # makes pyspark pass transform's (element, index) form and the
+        # index variable would silently replace the subvector
+        return F.transform(
+            book_lit,
+            lambda c: F.aggregate(
+                F.zip_with(sub, c, lambda a, b: (a - b) * (a - b)),
                 F.lit(0.0),
                 lambda acc, x: acc + x,
-            )
-
-        best = F.array_min(
-            F.array(
-                *[
-                    F.struct(
-                        dist2(c).alias("d"),
-                        F.lit(k).cast("int").alias("k"),
-                    )
-                    for k, c in enumerate(book)
-                ]
-            )
+            ),
         )
-        cols.append(best["k"].alias(f"code_{m}"))
-        recon_terms.append(best["d"])
-    cols.append(quantize(reduce(add, recon_terms)).alias("recon_err_q"))
-    return corpus.select(*cols)
+
+    cost_cols = []
+    for m, book in enumerate(codebooks):
+        sub = F.slice(vv, m * d + 1, d)
+        book_lit = F.array(
+            *[F.array(*[F.lit(float(x)) for x in c]) for c in book]
+        )
+        cost_cols.append(
+            _subspace_costs(sub, book_lit).alias(f"_costs_{m}")
+        )
+    base = corpus.select(F.col(id_col), *cost_cols)
+    sel = [F.col(id_col)]
+    recon_terms = []
+    for m in range(len(codebooks)):
+        mind = F.array_min(F.col(f"_costs_{m}"))
+        # array_position returns the FIRST index holding the min —
+        # the same lowest-codeword tie-break as the struct ordering
+        sel.append(
+            (F.array_position(F.col(f"_costs_{m}"), mind) - 1)
+            .cast("int")
+            .alias(f"code_{m}")
+        )
+        recon_terms.append(mind)
+    sel.append(quantize(reduce(add, recon_terms)).alias("recon_err_q"))
+    return base.select(*sel)
 
 
 def pq_adc_luts(

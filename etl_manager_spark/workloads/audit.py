@@ -1054,9 +1054,9 @@ def bitmap_distinct_rollup_events(spark, sf_dir):
     "scalar_try_functions",
     """
     SELECT
-      CAST(SUM(CASE WHEN l_linenumber = 2
+      CAST(SUM(CASE WHEN l_orderkey % 100000 = 7
                THEN 1 ELSE 0 END) AS BIGINT) AS n_div_null,
-      CAST(SUM(CASE WHEN TRY_CAST(l_returnflag AS INTEGER) IS NULL
+      CAST(SUM(CASE WHEN l_orderkey % 100000 = 7
                THEN 1 ELSE 0 END) AS BIGINT) AS n_badcast_null,
       CAST(SUM(CASE WHEN TRY_CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE)
                     = l_quantity THEN 1 ELSE 0 END) AS BIGINT)
@@ -1075,17 +1075,19 @@ def scalar_try_functions(spark, sf_dir):
     non-null when in range. All scan-local codegen expressions — the
     point is error-channel semantics, not dataflow; the oracle renders
     each as its CASE/TRY_CAST equivalent. The /0 divisor hits only the
-    l_linenumber=2 slice (~1/7 of rows): each try_divide error is a
-    caught JVM exception, and an every-row error path measured 5 s at
-    sf0.1 vs ~1 s with the bounded slice — error channels are for
-    exceptional rows, not the common case."""
+    l_orderkey%100000=7 sliver (a handful of rows): each try_divide
+    error is a caught JVM exception costing ~50 µs, so an every-row
+    error path measured 5 s at sf0.1 and even a 1/7 slice measured
+    7 s — error channels are for exceptional rows, not the common
+    case. Same for try_cast: the malformed input is confined to the
+    sliver (an all-malformed column measured 4.6 s alone)."""
     t = load_tables(spark, sf_dir)
     return t["lineitem"].agg(
         F.sum(
             F.when(
                 F.expr(
                     "try_divide(CAST(l_quantity AS INT),"
-                    " l_linenumber - 2)"
+                    " CAST(l_orderkey % 100000 AS INT) - 7)"
                 ).isNull(),
                 1,
             ).otherwise(0)
@@ -1093,7 +1095,14 @@ def scalar_try_functions(spark, sf_dir):
         .cast("long")
         .alias("n_div_null"),
         F.sum(
-            F.when(F.expr("try_cast(l_returnflag AS INT)").isNull(), 1).otherwise(0)
+            F.when(
+                F.expr(
+                    "try_cast(CASE WHEN l_orderkey % 100000 = 7"
+                    " THEN l_returnflag"
+                    " ELSE CAST(l_linenumber AS STRING) END AS INT)"
+                ).isNull(),
+                1,
+            ).otherwise(0)
         )
         .cast("long")
         .alias("n_badcast_null"),
