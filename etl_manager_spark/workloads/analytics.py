@@ -1827,3 +1827,114 @@ def sequence_pattern_events(spark, sf_dir):
         .alias("n_vcp_runs"),
         F.col("path").rlike("signup.*purchase").alias("converted"),
     )
+
+
+@workload(
+    "calendar_functions_events",
+    """
+    SELECT event_id,
+           CAST(EXTRACT(isoyear FROM ts) AS INTEGER) AS iso_year,
+           CAST(EXTRACT(week FROM ts) AS INTEGER) AS iso_week,
+           CAST(EXTRACT(isodow FROM ts) AS INTEGER) AS iso_dow,
+           CAST(EXTRACT(quarter FROM ts) AS INTEGER) AS qtr,
+           CAST(EXTRACT(doy FROM ts) AS INTEGER) AS day_of_year,
+           CAST(DATE_TRUNC('quarter', ts) AS DATE) AS quarter_start,
+           LAST_DAY(CAST(ts AS DATE)) AS month_end
+    FROM events WHERE user_id < 5
+    """,
+    category="scalar",
+)
+def calendar_functions_events(spark, sf_dir):
+    """Calendar-semantics parity: the extract fields whose conventions
+    differ across engines — ISO week-numbering year and week (week 1 =
+    the week holding the first Thursday; Jan 1 can belong to the PRIOR
+    iso-year), ISO day-of-week (1=Monday..7=Sunday — Spark's default
+    dayofweek is 1=Sunday, so the ISO variant is the portable one),
+    quarter, day-of-year, quarter start, and month end. Scan-local
+    projections; the value of the workload is pinning that both engines
+    agree on the edge dates (year boundaries, leap days)."""
+    t = load_tables(spark, sf_dir)
+    return t["events"].filter(F.col("user_id") < 5).select(
+        "event_id",
+        F.expr("extract(YEAROFWEEK FROM ts)").cast("int").alias("iso_year"),
+        F.weekofyear("ts").cast("int").alias("iso_week"),
+        F.expr("extract(DAYOFWEEK_ISO FROM ts)").cast("int").alias("iso_dow"),
+        F.quarter("ts").cast("int").alias("qtr"),
+        F.dayofyear("ts").cast("int").alias("day_of_year"),
+        F.date_trunc("quarter", "ts").cast("date").alias("quarter_start"),
+        F.last_day("ts").alias("month_end"),
+    )
+
+
+@workload(
+    "sessionized_funnel_events",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN EPOCH_US(ts) - LAG(EPOCH_US(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  IS NULL
+                  OR EPOCH_US(ts) - LAG(EPOCH_US(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > 1800000000
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts, event_type,
+             SUM(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS session_id
+      FROM ordered
+    ),
+    s1 AS (SELECT user_id, session_id, MIN(ts) AS t FROM sess
+           WHERE event_type = 'view' GROUP BY user_id, session_id),
+    s2 AS (SELECT e.user_id, e.session_id, MIN(e.ts) AS t FROM sess e
+           JOIN s1 ON e.user_id = s1.user_id
+                  AND e.session_id = s1.session_id
+           WHERE e.event_type = 'click' AND e.ts > s1.t
+           GROUP BY e.user_id, e.session_id),
+    s3 AS (SELECT e.user_id, e.session_id, MIN(e.ts) AS t FROM sess e
+           JOIN s2 ON e.user_id = s2.user_id
+                  AND e.session_id = s2.session_id
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t
+           GROUP BY e.user_id, e.session_id)
+    SELECT CAST(1 AS INTEGER) AS step, 'view' AS step_name,
+           COUNT(*) AS n_sessions FROM s1
+    UNION ALL
+    SELECT CAST(2 AS INTEGER), 'click', COUNT(*) FROM s2
+    UNION ALL
+    SELECT CAST(3 AS INTEGER), 'purchase', COUNT(*) FROM s3
+    """,
+    category="events",
+)
+def sessionized_funnel_events(spark, sf_dir):
+    """Within-session funnel: view→click→purchase must complete inside
+    ONE 30-minute-inactivity session — the composite of sessionization
+    (gap flag + running sum, one user_id shuffle) and the
+    single-shuffle funnel walk, keyed on (user, session) instead of
+    user. Steps in different sessions do NOT chain: the conversion
+    credit resets at every session boundary, which is the standard
+    product-analytics definition. Both shuffles key on user_id first,
+    so a user-bucketed source runs the whole query with one exchange."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    sess = t["events"].select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.sum(
+            F.when(gap.isNull() | (gap > 1800000000), 1).otherwise(0)
+        ).over(w).alias("session_id"),
+    )
+    keyed = sess.select(
+        F.concat_ws("#", "user_id", "session_id").alias("usid"),
+        "ts",
+        "event_type",
+    )
+    return B.funnel(keyed, _FUNNEL_STEPS, id_col="usid").withColumnRenamed(
+        "n_users", "n_sessions"
+    )
