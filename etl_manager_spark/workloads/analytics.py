@@ -1938,3 +1938,50 @@ def sessionized_funnel_events(spark, sf_dir):
     return B.funnel(keyed, _FUNNEL_STEPS, id_col="usid").withColumnRenamed(
         "n_users", "n_sessions"
     )
+
+
+@workload(
+    "rolling_7d_active_users",
+    """
+    WITH daily AS (
+      SELECT DISTINCT CAST(DATE_TRUNC('day', ts) AS DATE) AS d, user_id
+      FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM daily)
+    SELECT g.d AS day,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS active_users_7d
+    FROM days g JOIN daily a
+      ON a.d BETWEEN g.d - INTERVAL 6 DAY AND g.d
+    GROUP BY g.d
+    """,
+    category="events",
+)
+def rolling_7d_active_users(spark, sf_dir):
+    """Rolling 7-day active users — the canonical engagement metric that
+    a naive window can't express (COUNT(DISTINCT) OVER RANGE is
+    unsupported, and per-day HLL merges are approximate). Exact shape:
+    dedup events to (day, user) pairs FIRST (one hash-agg — the only
+    data-sized shuffle; at 100 TB this is days × active-users rows, a
+    tiny fraction of events), then each pair fans out to the ≤7 grid
+    days it covers via the broadcast day-grid range join, and a
+    distinct-count per grid day finishes. Fan-out is bounded by the
+    window length, never by data volume."""
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t["events"]
+        .select(
+            F.date_trunc("day", "ts").cast("date").alias("d"),
+            "user_id",
+        )
+        .distinct()
+    )
+    days = daily.select("d").distinct().select(F.col("d").alias("day"))
+    return (
+        daily.join(
+            F.broadcast(days),
+            (F.col("d") <= F.col("day"))
+            & (F.col("d") >= F.date_sub(F.col("day"), 6)),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("active_users_7d"))
+    )
