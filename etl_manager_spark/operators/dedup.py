@@ -715,3 +715,54 @@ def hamming_near_dup_pairs(
         "id_b",
         F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    top_k: int = 20,
+) -> DataFrame:
+    """Top-k DIRECTIONAL near-duplicate pairs by n-gram containment
+    C(A→B) = |shingles(A) ∩ shingles(B)| / |shingles(A)| — the
+    asymmetric measure that catches "A is mostly contained in B"
+    (quote farms, wrapper pages, partial copies) where symmetric
+    Jaccard stays low because B is much larger. Same inverted-index
+    shape as the Jaccard pairs: work scales with co-occurring shingles,
+    not |docs|². Deterministic order: (containment DESC, id_a, id_b);
+    both directions of a pair can appear (that is the point)."""
+    from etl_manager_spark.operators.text import tokens
+
+    toks = F.filter(tokens(text_col), lambda t: t != "")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+    g = df.filter(F.size(toks) >= n).select(
+        F.col(id_col), F.explode(grams).alias("gram")
+    )
+    sizes = g.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        g.alias("a")
+        .join(g.alias("b"), on="gram")
+        .filter(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    scored = inter.join(
+        sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n", "na"),
+        "id_a",
+    ).select(
+        "id_a",
+        "id_b",
+        (F.col("i").cast("double") / F.col("na").cast("double")).alias(
+            "containment"
+        ),
+    )
+    return scored.orderBy(F.desc("containment"), "id_a", "id_b").limit(top_k)

@@ -1985,3 +1985,136 @@ def rolling_7d_active_users(spark, sf_dir):
         .groupBy("day")
         .agg(F.countDistinct("user_id").alias("active_users_7d"))
     )
+
+
+@workload(
+    "churn_labels_events",
+    """
+    WITH cutoff AS (
+      SELECT DATE_TRUNC('day', MAX(ts)) - INTERVAL 7 DAY AS c FROM events
+    ),
+    w1 AS (
+      SELECT user_id,
+             COUNT(DISTINCT DATE_TRUNC('day', ts)) AS active_days_w1
+      FROM events, cutoff WHERE ts < c GROUP BY user_id
+    ),
+    w2 AS (
+      SELECT user_id,
+             COUNT(DISTINCT DATE_TRUNC('day', ts)) AS active_days_w2
+      FROM events, cutoff WHERE ts >= c GROUP BY user_id
+    )
+    SELECT w1.user_id,
+           CAST(w1.active_days_w1 AS INTEGER) AS active_days_w1,
+           CAST(COALESCE(w2.active_days_w2, 0) AS INTEGER) AS active_days_w2,
+           w2.user_id IS NULL AS churned
+    FROM w1 LEFT JOIN w2 ON w1.user_id = w2.user_id
+    """,
+    category="analytics",
+)
+def churn_labels_events(spark, sf_dir):
+    """Label engineering for churn modeling: users active before the
+    cutoff (max event day − 7) labeled by whether they disappear in the
+    final week — the canonical supervised-training label builder. The
+    cutoff is derived from the data (1-row aggregate broadcast back),
+    so the query is scale- and refresh-stable; two partial-agg passes
+    on user_id plus a same-key left join (one exchange on a
+    user-bucketed source)."""
+    t = load_tables(spark, sf_dir)
+    events = t["events"]
+    cutoff = events.agg(
+        F.date_sub(F.date_trunc("day", F.max("ts")), 7).alias("_c")
+    )
+    with_c = events.crossJoin(F.broadcast(cutoff))
+    w1 = (
+        with_c.filter(F.col("ts") < F.col("_c"))
+        .groupBy("user_id")
+        .agg(
+            F.countDistinct(F.date_trunc("day", "ts")).alias("active_days_w1")
+        )
+    )
+    w2 = (
+        with_c.filter(F.col("ts") >= F.col("_c"))
+        .groupBy("user_id")
+        .agg(
+            F.countDistinct(F.date_trunc("day", "ts")).alias("_w2")
+        )
+    )
+    return w1.join(w2, on="user_id", how="left").select(
+        "user_id",
+        F.col("active_days_w1").cast("int").alias("active_days_w1"),
+        F.coalesce(F.col("_w2"), F.lit(0)).cast("int").alias("active_days_w2"),
+        F.col("_w2").isNull().alias("churned"),
+    )
+
+
+@workload(
+    "negative_sampling_documents",
+    """
+    WITH q AS (SELECT doc_id AS qid, source AS qsource FROM documents
+               WHERE doc_id < 20),
+    ranked AS (
+      SELECT q.qid, d.doc_id AS neg_doc_id, d.source AS neg_source,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.qid
+               ORDER BY MD5(CAST(q.qid AS VARCHAR) || '#' ||
+                            CAST(d.doc_id AS VARCHAR)) ASC,
+                        d.doc_id ASC) AS neg_rank
+      FROM q JOIN documents d
+        ON d.doc_id <> q.qid AND d.source <> q.qsource
+    )
+    SELECT qid AS query_doc_id, CAST(neg_rank AS INTEGER) AS neg_rank,
+           neg_doc_id, neg_source
+    FROM ranked WHERE neg_rank <= 5
+    """,
+    category="analytics",
+)
+def negative_sampling_documents(spark, sf_dir):
+    """Deterministic negative sampling for contrastive retrieval
+    training: each query document draws 5 pseudo-random negatives from
+    OTHER sources (the standard in-batch-negative exclusion) ranked by
+    md5(query#candidate) — a pure function of the pair, so the sample
+    reproduces under any partitioning, any engine, and incremental
+    reruns. Shape: the query set broadcasts; the corpus is scanned once
+    and only (queries × corpus) hash ranks flow into the per-query
+    top-k window."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    q = docs.filter(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("qid"), F.col("source").alias("qsource")
+    )
+    from pyspark.sql import Window
+
+    ranked = (
+        F.broadcast(q)
+        .join(
+            docs.select(
+                F.col("doc_id").alias("neg_doc_id"),
+                F.col("source").alias("neg_source"),
+            ),
+            (F.col("neg_doc_id") != F.col("qid"))
+            & (F.col("neg_source") != F.col("qsource")),
+        )
+        .withColumn(
+            "_h",
+            F.md5(
+                F.concat_ws(
+                    "#",
+                    F.col("qid").cast("string"),
+                    F.col("neg_doc_id").cast("string"),
+                )
+            ),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("_h").asc(), F.col("neg_doc_id").asc()
+    )
+    return (
+        ranked.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= 5)
+        .select(
+            F.col("qid").alias("query_doc_id"),
+            F.col("neg_rank").cast("int").alias("neg_rank"),
+            "neg_doc_id",
+            "neg_source",
+        )
+    )

@@ -2728,3 +2728,42 @@ def similarity_mmr_diversified(spark, sf_dir):
     return S.mmr_select(
         pairs, k=ann_oracle.MMR_K, lam=ann_oracle.MMR_LAMBDA
     )
+
+
+@workload(
+    "ngram_containment_top_pairs",
+    f"""
+    WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+    base AS (
+      SELECT doc_id,
+             LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM sub
+    ),
+    g AS (
+      SELECT DISTINCT doc_id,
+             UNNEST([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                     for i in range(1, LEN(toks) - 1)]) AS gram
+      FROM base WHERE LEN(toks) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id <> b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, CAST(i AS DOUBLE) / CAST(sa.n AS DOUBLE) AS containment
+    FROM inter JOIN sizes sa ON sa.doc_id = id_a
+    ORDER BY containment DESC, id_a, id_b
+    LIMIT 20
+    """,
+    category="dedup",
+)
+def ngram_containment_top_pairs(spark, sf_dir):
+    """Directional 3-shingle containment top-20 (operators/dedup.py:
+    ngram_containment_pairs) — the asymmetric partial-copy detector
+    Jaccard misses. Bounded to doc_id<200 like the Jaccard workload."""
+    t = load_tables(spark, sf_dir)
+    return D.ngram_containment_pairs(
+        t["documents"].filter(F.col("doc_id") < 200), n=3, top_k=20
+    )
