@@ -2118,3 +2118,79 @@ def negative_sampling_documents(spark, sf_dir):
             "neg_source",
         )
     )
+
+
+@workload(
+    "acf_lag_events_value",
+    """
+    WITH lagged AS (
+      SELECT event_type,
+             CAST(value AS DECIMAL(18,2)) AS a,
+             LAG(CAST(value AS DECIMAL(18,2)), 1) OVER (
+               PARTITION BY event_type ORDER BY ts ASC, event_id ASC) AS b
+      FROM events
+    ),
+    m AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(a) AS DOUBLE) AS sa,
+             CAST(SUM(b) AS DOUBLE) AS sb,
+             CAST(SUM(a * b) AS DOUBLE) AS sab,
+             CAST(SUM(a * a) AS DOUBLE) AS saa,
+             CAST(SUM(b * b) AS DOUBLE) AS sbb
+      FROM lagged WHERE b IS NOT NULL
+      GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+           CAST(FLOOR((n * sab - sa * sb)
+                      / SQRT((n * saa - sa * sa) * (n * sbb - sb * sb))
+                      * 1000000000.0 + 0.5) AS BIGINT) AS acf1_q
+    FROM m
+    WHERE n > 1 AND (n * saa - sa * sa) * (n * sbb - sb * sb) > 0
+    """,
+    category="timeseries",
+)
+def acf_lag_events_value(spark, sf_dir):
+    """Lag-1 autocorrelation of `value` per event_type — the
+    time-series diagnostic (is the metric mean-reverting / trending /
+    white noise?) behind seasonality detection and anomaly baselines.
+    Pairs come from one LAG window ordered (ts, event_id) — unique tie
+    break, so the pairing is total-order deterministic — and all six
+    moments (n, Σa, Σb, Σab, Σa², Σb²) are decimal-exact sums, so the
+    Pearson ratio is one fixed IEEE expression per group, bitwise equal
+    on both engines. Shape: one shuffle on event_type for the window,
+    then the moments fold map-side into 5 rows; the window state is a
+    single previous row, so memory is O(1) per partition at any scale."""
+    from pyspark.sql import Window
+
+    from etl_manager_spark.functions.exact import dec
+    from etl_manager_spark.operators.ranking import quantize
+
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    lagged = t["events"].select(
+        "event_type",
+        dec("value").alias("a"),
+        F.lag(dec("value"), 1).over(w).alias("b"),
+    ).filter(F.col("b").isNotNull())
+    m = lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("a").cast("double").alias("sa"),
+        F.sum("b").cast("double").alias("sb"),
+        F.sum(F.col("a") * F.col("b")).cast("double").alias("sab"),
+        F.sum(F.col("a") * F.col("a")).cast("double").alias("saa"),
+        F.sum(F.col("b") * F.col("b")).cast("double").alias("sbb"),
+    )
+    n, sa, sb = F.col("n"), F.col("sa"), F.col("sb")
+    sab, saa, sbb = F.col("sab"), F.col("saa"), F.col("sbb")
+    varprod = (n * saa - sa * sa) * (n * sbb - sb * sb)
+    return (
+        m.filter((n > 1) & (varprod > 0))
+        .select(
+            "event_type",
+            n.cast("long").alias("n_pairs"),
+            quantize((n * sab - sa * sb) / F.sqrt(varprod)).alias("acf1_q"),
+        )
+    )

@@ -1637,3 +1637,43 @@ def lateral_top_orders_per_customer(spark, sf_dir):
         WHERE c.c_custkey < 50
         """
     )
+
+
+@workload(
+    "bloom_prefilter_join_orders",
+    f"""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {_dsum('o_totalprice')} AS revenue
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = o.o_custkey
+                    AND c.c_mktsegment = 'BUILDING')
+    GROUP BY o_orderpriority
+    """,
+    category="join",
+)
+def bloom_prefilter_join_orders(spark, sf_dir):
+    """Bloom-prefiltered semi join (operators/bloomjoin.py): orders are
+    pruned map-side by a 2 KB bitmap of the BUILDING-segment customer
+    keys BEFORE the join shuffle, then the exact semi join removes the
+    bloom's false positives — bitwise-identical rows to the plain semi
+    join (the oracle), but at 100 TB only ~segment-share of the fact
+    table enters the exchange. This is Spark's runtime-bloom-filter
+    rewrite made explicit and user-steerable: the probe is pure codegen
+    (xxhash64 ×2 + bitmap element_at) inside the scan stage, and the
+    filter build is one bounded aggregation (≤ num_bits positions),
+    never a key collect."""
+    from etl_manager_spark.operators.bloomjoin import bloom_prefiltered_join
+
+    t = load_tables(spark, sf_dir)
+    dim = t["customer"].filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey"
+    )
+    pruned = bloom_prefiltered_join(
+        t["orders"], dim, "o_custkey", "c_custkey", how="semi"
+    )
+    return pruned.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dec_sum("o_totalprice").alias("revenue"),
+    )

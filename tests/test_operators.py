@@ -819,3 +819,83 @@ def test_mmr_skips_redundant_candidate(spark):
     assert got[1] in (1, 2)  # most relevant twin first
     assert got[2] == 3, got  # diversity beats the redundant twin
     assert got[3] in (1, 2) and got[3] != got[1]
+
+
+# ---------------------------------------------------------------- bloom join
+
+
+def test_bloom_prefilter_no_false_negatives(spark, sf_dir):
+    """The bloom candidate set must be a superset of the exact match set
+    (conservative filter) — the property that makes prefilter+join exact."""
+    from etl_manager_spark.operators import bloomjoin as BJ
+
+    orders = load_table(spark, sf_dir, "orders")
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "MACHINERY")
+        .select("c_custkey")
+    )
+    words = BJ.build_key_bloom(dim, "c_custkey")
+    cand = {
+        r[0]
+        for r in orders.filter(BJ.might_contain(F.col("o_custkey"), words))
+        .select("o_custkey")
+        .distinct()
+        .collect()
+    }
+    exact = {
+        r[0]
+        for r in orders.join(
+            dim, orders.o_custkey == dim.c_custkey, "left_semi"
+        )
+        .select("o_custkey")
+        .distinct()
+        .collect()
+    }
+    assert exact <= cand
+    # and the filter actually prunes: candidates should be far below the
+    # distinct key universe (5 segments → ~20% true rate; allow fp slack)
+    universe = orders.select("o_custkey").distinct().count()
+    assert len(cand) < 0.5 * universe, (len(cand), universe)
+
+
+def test_bloom_prefiltered_join_matches_plain_semi(spark, sf_dir):
+    from etl_manager_spark.operators.bloomjoin import bloom_prefiltered_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .select("c_custkey")
+    )
+    got = sorted(
+        r[0]
+        for r in bloom_prefiltered_join(
+            orders, dim, "o_custkey", "c_custkey", how="semi"
+        )
+        .select("o_orderkey")
+        .collect()
+    )
+    want = sorted(
+        r[0]
+        for r in orders.join(
+            dim, orders.o_custkey == dim.c_custkey, "left_semi"
+        )
+        .select("o_orderkey")
+        .collect()
+    )
+    assert got == want
+
+
+def test_bloom_prefiltered_join_refuses_outer(spark, sf_dir):
+    from etl_manager_spark.operators.bloomjoin import (
+        bloom_prefiltered_join,
+        build_key_bloom,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey")
+    with pytest.raises(ValueError, match="semi/inner"):
+        bloom_prefiltered_join(orders, dim, "o_custkey", "c_custkey", how="left")
+    with pytest.raises(ValueError, match="multiple of 64"):
+        build_key_bloom(dim, "c_custkey", num_bits=100)

@@ -540,3 +540,28 @@ def test_pq_encode_is_map_only(plans):
     for python_node in ("ArrowEvalPython", "MapInPandas", "BatchEvalPython"):
         assert python_node not in r.text
     assert r.scans_only_columns({"vec_id", "embedding"}), r.read_schemas
+
+
+def test_bloom_prefilter_probe_in_scan_stage(plans):
+    """The bloom probe must run map-side under the orders scan — a Filter
+    with the xxhash64 probes sitting below the join, so pruned rows never
+    enter an exchange. The exact semi join stays (FP cleanup)."""
+    r = plans("bloom_prefilter_join_orders")
+    assert "xxhash64" in r.text
+    # probe is a Filter in the same stage as the scan: simple-mode plan
+    # shows Filter(...xxhash64...) directly over the orders FileScan
+    import re
+
+    m = re.search(r"Condition :[^\n]*xxhash64", r.text)
+    assert m, "bloom probe filter missing from physical plan"
+    assert r.broadcast_joins + r.sortmerge_joins >= 1  # exact verify join
+    assert r.cartesian_products == 0
+
+
+def test_acf_single_window_shuffle(plans):
+    """ACF = one hashpartitioning exchange on event_type (the window);
+    the moment aggregation reuses that partitioning (same key), so no
+    second full-data shuffle."""
+    r = plans("acf_lag_events_value")
+    assert r.shuffle_exchanges <= 2, r.shuffle_exchanges
+    assert r.cartesian_products == 0
