@@ -172,6 +172,54 @@ def bm25_scores(
     return out
 
 
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "id",
+    score_col: str = "score_q",
+    k0: int = 60,
+    top: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked lists:
+    ``rrf(d) = Σᵢ 1/(k0 + rankᵢ(d))`` over the lists containing d
+    (Cormack et al.'s k0=60 default) — the standard way to merge
+    lexical + semantic retrieval without score calibration.
+
+    Each input is an (id, score) list; ranks are assigned here by
+    (score desc, id asc) — a total order, so fusion is deterministic
+    for any tie pattern. Inputs are expected PRE-CAPPED to top-N (the
+    retrieval convention, and what bounds the no-partition rank window
+    below: N rows, not the corpus). The reciprocal terms add
+    left-to-right in list order — one defined float order, matching the
+    SQL oracle.
+
+    Returns (id, rank_0..rank_{n-1} nullable int, rrf_q), optionally
+    capped to the fused ``top`` by (rrf_q desc, id asc)."""
+    from pyspark.sql import Window
+
+    assert rankings, "rrf_fuse needs at least one ranking"
+    w = Window.orderBy(F.desc(score_col), F.asc(id_col))
+    fused = None
+    for i, r in enumerate(rankings):
+        ranked = r.select(
+            F.col(id_col).alias("id"),
+            F.row_number().over(w).cast("int").alias(f"rank_{i}"),
+        )
+        fused = ranked if fused is None else fused.join(ranked, "id", "full")
+    score = F.lit(0.0)
+    for i in range(len(rankings)):
+        score = score + F.coalesce(
+            F.lit(1.0) / (F.lit(k0) + F.col(f"rank_{i}")), F.lit(0.0)
+        )
+    out = fused.select(
+        "id",
+        *[F.col(f"rank_{i}") for i in range(len(rankings))],
+        quantize(score).alias("rrf_q"),
+    )
+    if top is not None:
+        out = out.orderBy(F.desc("rrf_q"), F.asc("id")).limit(top)
+    return out
+
+
 def inverted_index(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -2194,3 +2194,313 @@ def acf_lag_events_value(spark, sf_dir):
             quantize((n * sab - sa * sb) / F.sqrt(varprod)).alias("acf1_q"),
         )
     )
+
+
+@workload(
+    "rrf_fuse_bm25_tfidf_documents",
+    rf"""
+    WITH lens AS (
+      SELECT doc_id AS id,
+             LEN(LIST_FILTER({_TOK}, x -> x <> '')) AS dl
+      FROM documents
+    ),
+    stats AS (SELECT AVG(CAST(dl AS DOUBLE)) AS avgdl FROM lens),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+    tf AS (
+      SELECT id, term, COUNT(*) AS tf
+      FROM (SELECT doc_id AS id, UNNEST({_TOK}) AS term FROM documents)
+      WHERE term IN ('join', 'scan', 'sort', 'window') GROUP BY id, term
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    per_term AS (
+      SELECT tf.id, tf.term,
+             LN(1.0 + (CAST(n.n AS DOUBLE) - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * CAST(lens.dl AS DOUBLE) / stats.avgdl))
+               AS contrib
+      FROM tf JOIN dfreq ON tf.term = dfreq.term
+      JOIN lens ON lens.id = tf.id
+      CROSS JOIN stats CROSS JOIN n
+    ),
+    bpiv AS (
+      SELECT id,
+             MAX(CASE WHEN term = 'join' THEN contrib END) AS c0,
+             MAX(CASE WHEN term = 'scan' THEN contrib END) AS c1,
+             MAX(CASE WHEN term = 'sort' THEN contrib END) AS c2,
+             MAX(CASE WHEN term = 'window' THEN contrib END) AS c3
+      FROM per_term GROUP BY id
+    ),
+    bscore AS (
+      SELECT id, CAST(FLOOR((COALESCE(c0, 0.0) + COALESCE(c1, 0.0)
+                             + COALESCE(c2, 0.0) + COALESCE(c3, 0.0))
+                            * 1000000000.0 + 0.5) AS BIGINT) AS s
+      FROM bpiv
+    ),
+    btop AS (
+      SELECT id, ROW_NUMBER() OVER (ORDER BY s DESC, id ASC) AS r
+      FROM bscore QUALIFY r <= 100
+    ),
+    tcontrib AS (
+      SELECT tf.id, tf.term,
+             CAST(tf.tf AS DOUBLE) * LN(CAST(n.n AS DOUBLE) / dfreq.df)
+               AS contrib
+      FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+    ),
+    tpiv AS (
+      SELECT id,
+             MAX(CASE WHEN term = 'join' THEN contrib END) AS c0,
+             MAX(CASE WHEN term = 'scan' THEN contrib END) AS c1,
+             MAX(CASE WHEN term = 'sort' THEN contrib END) AS c2,
+             MAX(CASE WHEN term = 'window' THEN contrib END) AS c3
+      FROM tcontrib GROUP BY id
+    ),
+    tscore AS (
+      SELECT id, CAST(FLOOR((COALESCE(c0, 0.0) + COALESCE(c1, 0.0)
+                             + COALESCE(c2, 0.0) + COALESCE(c3, 0.0))
+                            * 1000000000.0 + 0.5) AS BIGINT) AS s
+      FROM tpiv
+    ),
+    ttop AS (
+      SELECT id, ROW_NUMBER() OVER (ORDER BY s DESC, id ASC) AS r
+      FROM tscore QUALIFY r <= 100
+    ),
+    fused AS (
+      SELECT COALESCE(b.id, t.id) AS doc_id, b.r AS br, t.r AS tr,
+             (0.0 + COALESCE(1.0 / (60 + b.r), 0.0)
+                  + COALESCE(1.0 / (60 + t.r), 0.0)) AS rrf
+      FROM btop b FULL OUTER JOIN ttop t ON b.id = t.id
+    )
+    SELECT doc_id, CAST(br AS INTEGER) AS bm25_rank,
+           CAST(tr AS INTEGER) AS tfidf_rank,
+           CAST(FLOOR(rrf * 1000000000.0 + 0.5) AS BIGINT) AS rrf_q
+    FROM fused
+    ORDER BY rrf_q DESC, doc_id ASC LIMIT 20
+    """,
+    category="text",
+)
+def rrf_fuse_bm25_tfidf_documents(spark, sf_dir):
+    """Reciprocal-rank fusion (operators/ranking.py rrf_fuse) of the
+    BM25 and TF-IDF top-100 lists for the same 4-term query — the
+    standard hybrid-retrieval merge (k0=60) that needs no score
+    calibration between the two scorers. Both lists rank by their
+    nano-quantized scores with id tie-break, so ranks — and therefore
+    every 1/(60+r) term — are integer-deterministic across engines;
+    the fused score is two exact reciprocals added in list order.
+    Shape: both scorers share one tf table (term-filtered explode +
+    hash agg); the rank windows run over the 100-row capped lists, not
+    the corpus; the fusion join is 100×100 ids."""
+    from etl_manager_spark.operators import ranking as R
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    bm = R.bm25_scores(docs, _BM25_TERMS, top=100)
+    qterms = sorted(set(_BM25_TERMS))
+    tf = R.term_frequencies(docs).filter(F.col("term").isin(qterms))
+    dfreq = R.document_frequencies(tf)
+    n_docs = docs.select("doc_id").distinct().count()
+    per = tf.join(F.broadcast(dfreq), on="term").withColumn(
+        "contrib",
+        F.col("tf").cast("double")
+        * F.log(F.lit(float(n_docs)) / F.col("df")),
+    )
+    piv = per.groupBy("id").agg(
+        *[
+            F.max(F.when(F.col("term") == q, F.col("contrib"))).alias(
+                f"_c{i}"
+            )
+            for i, q in enumerate(qterms)
+        ]
+    )
+    score = F.lit(0.0)
+    for i in range(len(qterms)):
+        score = score + F.coalesce(F.col(f"_c{i}"), F.lit(0.0))
+    from etl_manager_spark.operators.ranking import quantize
+
+    ti = (
+        piv.select("id", quantize(score).alias("score_q"))
+        .orderBy(F.desc("score_q"), F.asc("id"))
+        .limit(100)
+    )
+    fused = R.rrf_fuse([bm, ti], top=20)
+    return fused.select(
+        F.col("id").alias("doc_id"),
+        F.col("rank_0").alias("bm25_rank"),
+        F.col("rank_1").alias("tfidf_rank"),
+        "rrf_q",
+    )
+
+
+@workload(
+    "temporal_split_events",
+    """
+    WITH ev AS (
+      SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS day, user_id
+      FROM events
+    ),
+    b AS (
+      SELECT MIN(day) AS mind,
+             DATE_DIFF('day', MIN(day), MAX(day)) AS span
+      FROM ev
+    ),
+    bb AS (
+      SELECT mind + CAST((span * 7) // 10 AS INTEGER) AS t1,
+             mind + CAST((span * 17) // 20 AS INTEGER) AS t2
+      FROM b
+    ),
+    lab AS (
+      SELECT CASE WHEN day < t1 THEN 'train'
+                  WHEN day < t2 THEN 'val'
+                  ELSE 'test' END AS split,
+             user_id, day
+      FROM ev CROSS JOIN bb
+    )
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           MIN(day) AS first_day, MAX(day) AS last_day
+    FROM lab GROUP BY split
+    """,
+    category="etl",
+)
+def temporal_split_events(spark, sf_dir):
+    """Leakage-safe TEMPORAL train/val/test split: boundaries at 70% /
+    85% of the observed day span, so validation and test are strictly
+    in the future of training — the split hash-based splitting gets
+    wrong for forecasting/churn models (random splits leak future
+    events into train). All arithmetic is integer days ((span·7) DIV
+    10), so boundaries are engine-exact; the bounds row is a 1-row
+    aggregate broadcast back (same pattern as churn_labels), making the
+    split refresh-stable: re-running on a grown corpus moves the
+    boundaries deterministically with max(ts)."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select(
+        F.to_date(F.date_trunc("day", "ts")).alias("day"), "user_id"
+    )
+    b = ev.agg(
+        F.min("day").alias("_mind"),
+        F.datediff(F.max("day"), F.min("day")).alias("_span"),
+    ).select(
+        F.date_add(
+            "_mind", F.expr("CAST((_span * 7) DIV 10 AS INT)")
+        ).alias("_t1"),
+        F.date_add(
+            "_mind", F.expr("CAST((_span * 17) DIV 20 AS INT)")
+        ).alias("_t2"),
+    )
+    lab = ev.crossJoin(F.broadcast(b)).withColumn(
+        "split",
+        F.when(F.col("day") < F.col("_t1"), "train")
+        .when(F.col("day") < F.col("_t2"), "val")
+        .otherwise("test"),
+    )
+    return lab.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("day").alias("first_day"),
+        F.max("day").alias("last_day"),
+    )
+
+
+@workload(
+    "pmi_collocations_documents",
+    rf"""
+    WITH toks AS (
+      SELECT LIST_FILTER({_TOK}, x -> x <> '') AS tk FROM documents
+    ),
+    uni AS (
+      SELECT t AS w, COUNT(*) AS c
+      FROM (SELECT UNNEST(tk) AS t FROM toks) GROUP BY t
+    ),
+    tot AS (SELECT SUM(c) AS t_total FROM uni),
+    pairs AS (
+      SELECT UNNEST([tk[i] || ' ' || tk[i + 1]
+                     for i in range(1, LEN(tk))]) AS p
+      FROM toks
+    ),
+    big AS (
+      SELECT SPLIT_PART(p, ' ', 1) AS w1, SPLIT_PART(p, ' ', 2) AS w2,
+             COUNT(*) AS cab
+      FROM pairs GROUP BY 1, 2
+    ),
+    btot AS (SELECT SUM(cab) AS b_total FROM big),
+    scored AS (
+      SELECT w1, w2, cab,
+             LN((CAST(cab AS DOUBLE) * t_total * t_total)
+                / (CAST(b_total AS DOUBLE) * a.c * b.c)) AS pmi
+      FROM big JOIN uni a ON big.w1 = a.w
+      JOIN uni b ON big.w2 = b.w
+      CROSS JOIN tot CROSS JOIN btot
+      WHERE cab >= 5
+    )
+    SELECT w1, w2, CAST(cab AS BIGINT) AS pair_count,
+           CAST(FLOOR(pmi * 1000000000.0 + 0.5) AS BIGINT) AS pmi_q
+    FROM scored ORDER BY pmi_q DESC, w1 ASC, w2 ASC LIMIT 20
+    """,
+    category="text",
+)
+def pmi_collocations_documents(spark, sf_dir):
+    """Pointwise-mutual-information collocation mining: the top
+    corpus bigrams by ``ln(P(a,b) / (P(a)·P(b)))`` with a min-count
+    gate — the classic phrase/compound detector (word2vec's phrase
+    pass, quality-signal n-grams). Count tables are vocabulary-bounded
+    hash aggregates; unigram counts broadcast onto the bigram table
+    (two broadcast probes, no pair-stream shuffle beyond the count
+    agg); totals attach as 1-row broadcast scalars. The PMI ratio is
+    one fixed double expression — (cab·T·T)/(B·ca·cb) left-to-right —
+    so both engines emit bitwise-equal scores. Top-20 is a TakeOrdered
+    heap on the quantized score with (w1, w2) tie-break."""
+    from etl_manager_spark.operators.ranking import quantize, tokens
+
+    t = load_tables(spark, sf_dir)
+    tk = F.filter(tokens("text"), lambda x: x != "")
+    docs2 = spread(t["documents"], spark).select(tk.alias("tk"))
+    uni = (
+        docs2.select(F.explode("tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = uni.agg(F.sum("c").alias("_t"))
+    pair_structs = F.when(
+        F.size("tk") > 1,
+        F.transform(
+            F.sequence(F.lit(1), F.size("tk") - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("tk"), i).alias("w1"),
+                F.element_at(F.col("tk"), i + F.lit(1)).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array())
+    big = (
+        docs2.select(F.explode(pair_structs).alias("pr"))
+        .select(F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cab"))
+    )
+    # B is the UNFILTERED bigram total (P(a,b) denominators are corpus
+    # probabilities); the min-count gate only prunes which pairs score
+    btot = big.agg(F.sum("cab").alias("_b"))
+    ua = F.broadcast(uni.select(F.col("w").alias("w1"), F.col("c").alias("_ca")))
+    ub = F.broadcast(uni.select(F.col("w").alias("w2"), F.col("c").alias("_cb")))
+    scored = (
+        big.filter(F.col("cab") >= 5)
+        .join(ua, on="w1")
+        .join(ub, on="w2")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btot))
+        .withColumn(
+            "pmi",
+            F.log(
+                (F.col("cab").cast("double") * F.col("_t") * F.col("_t"))
+                / (F.col("_b").cast("double") * F.col("_ca") * F.col("_cb"))
+            ),
+        )
+    )
+    return (
+        scored.select(
+            "w1",
+            "w2",
+            F.col("cab").alias("pair_count"),
+            quantize(F.col("pmi")).alias("pmi_q"),
+        )
+        .orderBy(F.desc("pmi_q"), F.asc("w1"), F.asc("w2"))
+        .limit(20)
+    )

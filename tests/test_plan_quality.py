@@ -565,3 +565,28 @@ def test_acf_single_window_shuffle(plans):
     r = plans("acf_lag_events_value")
     assert r.shuffle_exchanges <= 2, r.shuffle_exchanges
     assert r.cartesian_products == 0
+
+
+def test_pmi_unigram_tables_broadcast(plans):
+    """PMI attaches unigram counts and the two scalar totals via
+    broadcast — the bigram stream must not sort-merge against the
+    vocabulary."""
+    r = plans("pmi_collocations_documents")
+    assert r.broadcast_joins >= 4, r.broadcast_joins  # ua, ub, tot, btot
+    assert r.sortmerge_joins == 0, r.text[:500]
+    assert r.take_ordered  # top-20 heap, not a global sort
+
+
+def test_rrf_fusion_no_cartesian(plans):
+    r = plans("rrf_fuse_bm25_tfidf_documents")
+    assert r.cartesian_products == 0
+    assert r.take_ordered
+
+
+def test_temporal_split_bounds_broadcast(plans):
+    """The bounds row attaches via a broadcast nested-loop of a 1-row
+    aggregate — no shuffle of events keyed on anything but the final
+    split groupBy."""
+    r = plans("temporal_split_events")
+    assert r.broadcast_joins >= 1
+    assert r.cartesian_products == 0
