@@ -485,6 +485,59 @@ def fuzzy_name_pairs(
     )
 
 
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    name_col: str,
+    window: int = 3,
+    max_distance: int = 3,
+) -> DataFrame:
+    """Sorted-neighborhood entity resolution (Hernández & Stolfo): sort
+    the DISTINCT ``name_col`` values lexicographically and compare each
+    to its next ``window - 1`` successors — the complementary classic to
+    key blocking (:func:`fuzzy_name_pairs`): it catches near-duplicates
+    whose blocking key itself is corrupted ("ivory yelow" vs "ivory
+    yellow" share a neighborhood but not a last-token block), at a fixed
+    O(w·|distinct|) comparison budget no matter how skewed any block is.
+
+    Candidates come from ``lead(1..w-1)`` over the sorted order, then
+    the exact Levenshtein gate. The rank window is UNPARTITIONED — bound
+    is the distinct-name vocabulary, not the table (same contract as
+    fuzzy_name_pairs); for a vocabulary too big for one partition, run
+    multi-pass over ``repartitionByRange`` with boundary-overlap
+    replication of w-1 rows per range, which preserves exactly this
+    pair set.
+
+    Returns (name_a, name_b, distance) with name_a < name_b (sort-order
+    adjacency implies lexicographic order)."""
+    from pyspark.sql import Window
+
+    names = df.select(F.col(name_col).alias("name_a")).distinct()
+    w = Window.orderBy("name_a")
+    cands = names.select(
+        "name_a",
+        *[
+            F.lead("name_a", i).over(w).alias(f"_n{i}")
+            for i in range(1, window)
+        ],
+    )
+    pairs = (
+        cands.select(
+            "name_a",
+            F.explode(
+                F.array(*[F.col(f"_n{i}") for i in range(1, window)])
+            ).alias("name_b"),
+        )
+        .filter(F.col("name_b").isNotNull())
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").alias("distance"),
+        )
+        .filter(F.col("distance") <= max_distance)
+    )
+    return pairs
+
+
 def incremental_minhash_dedup(
     new_df: DataFrame,
     corpus_df: DataFrame,

@@ -2504,3 +2504,95 @@ def pmi_collocations_documents(spark, sf_dir):
         .orderBy(F.desc("pmi_q"), F.asc("w1"), F.asc("w2"))
         .limit(20)
     )
+
+
+@workload(
+    "cusum_changepoint_events",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+               AS mean_day
+      FROM events GROUP BY event_type, day
+    ),
+    mu AS (
+      SELECT event_type,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+               AS mu
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT d.event_type, d.day,
+             CAST(FLOOR((d.mean_day - m.mu) * 1000000000.0 + 0.5)
+                  AS BIGINT) AS dev_q
+      FROM daily d JOIN mu m ON d.event_type = m.event_type
+    ),
+    cs AS (
+      SELECT event_type, day,
+             SUM(dev_q) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cusum_q
+      FROM dev
+    ),
+    r AS (
+      SELECT event_type, day, cusum_q,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type
+               ORDER BY ABS(cusum_q) DESC, day ASC) AS rn
+      FROM cs
+    )
+    SELECT event_type, day AS change_day, cusum_q FROM r WHERE rn = 1
+    """,
+    category="timeseries",
+)
+def cusum_changepoint_events(spark, sf_dir):
+    """CUSUM change-point detection per event_type: cumulative sum of
+    (daily mean − series mean) peaks at the most likely level-shift
+    day — the classic drift detector for metric monitoring. Float
+    discipline: daily and global means are decimal-exact-sum / count;
+    each day's deviation is nano-quantized BEFORE the cumulative sum,
+    so the running CUSUM is integer arithmetic — immune to the
+    engines' different windowed-sum trees (DuckDB's segment tree vs
+    Spark's sequential accumulator would diverge on raw doubles).
+    Shape: two partial-agg passes over events, then windows over the
+    days-per-type table (tiny); the argmax is a rank window with
+    (|cusum|, day) tie-break."""
+    from pyspark.sql import Window
+
+    from etl_manager_spark.functions.exact import dec_sum
+    from etl_manager_spark.operators.ranking import quantize
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select(
+        "event_type",
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        "value",
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        (dec_sum("value") / F.count(F.lit(1))).alias("mean_day")
+    )
+    mu = ev.groupBy("event_type").agg(
+        (dec_sum("value") / F.count(F.lit(1))).alias("mu")
+    )
+    dev = daily.join(F.broadcast(mu), on="event_type").select(
+        "event_type",
+        "day",
+        quantize(F.col("mean_day") - F.col("mu")).alias("dev_q"),
+    )
+    cw = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cs = dev.select(
+        "event_type", "day", F.sum("dev_q").over(cw).alias("cusum_q")
+    )
+    rw = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum_q")).desc(), F.col("day").asc()
+    )
+    return (
+        cs.withColumn("rn", F.row_number().over(rw))
+        .filter(F.col("rn") == 1)
+        .select("event_type", F.col("day").alias("change_day"), "cusum_q")
+    )

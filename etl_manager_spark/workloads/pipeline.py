@@ -2811,3 +2811,35 @@ def ngram_containment_top_pairs(spark, sf_dir):
     return D.ngram_containment_pairs(
         t["documents"].filter(F.col("doc_id") < 200), n=3, top_k=20
     )
+
+
+@workload(
+    "sorted_neighborhood_part_names",
+    """
+    WITH names AS (SELECT DISTINCT p_name AS name_a FROM part),
+    led AS (
+      SELECT name_a,
+             LEAD(name_a, 1) OVER (ORDER BY name_a) AS n1,
+             LEAD(name_a, 2) OVER (ORDER BY name_a) AS n2
+      FROM names
+    ),
+    cand AS (SELECT name_a, UNNEST([n1, n2]) AS name_b FROM led)
+    SELECT name_a, name_b,
+           CAST(LEVENSHTEIN(name_a, name_b) AS INTEGER) AS distance
+    FROM cand
+    WHERE name_b IS NOT NULL AND LEVENSHTEIN(name_a, name_b) <= 3
+    """,
+    category="dedup",
+)
+def sorted_neighborhood_part_names(spark, sf_dir):
+    """Sorted-neighborhood entity resolution (operators/dedup.py:
+    sorted_neighborhood_pairs) over part names, window 3 — the
+    complementary classic to blocked fuzzy matching: adjacency in sort
+    order finds near-duplicates whose blocking key is itself corrupted,
+    with a fixed O(w·vocabulary) comparison budget immune to block
+    skew. The oracle replays the identical LEAD(1), LEAD(2) adjacency
+    and Levenshtein gate."""
+    t = load_tables(spark, sf_dir)
+    return D.sorted_neighborhood_pairs(
+        t["part"], "p_name", window=3, max_distance=3
+    )

@@ -899,3 +899,24 @@ def test_bloom_prefiltered_join_refuses_outer(spark, sf_dir):
         bloom_prefiltered_join(orders, dim, "o_custkey", "c_custkey", how="left")
     with pytest.raises(ValueError, match="multiple of 64"):
         build_key_bloom(dim, "c_custkey", num_bits=100)
+
+
+def test_sorted_neighborhood_pairs_hand_fixture(spark):
+    """Window-3 adjacency over the sorted distinct names: each name is
+    compared to its 2 successors only; typo'd blocking keys still pair."""
+    from etl_manager_spark.operators.dedup import sorted_neighborhood_pairs
+
+    names = ["apple", "apply", "banana", "bananna", "cherry", "apple"]
+    df = spark.createDataFrame([(n,) for n in names], ["name"])
+    got = {
+        (r["name_a"], r["name_b"], r["distance"])
+        for r in sorted_neighborhood_pairs(
+            df, "name", window=3, max_distance=3
+        ).collect()
+    }
+    # sorted order: apple, apply, banana, bananna, cherry
+    assert ("apple", "apply", 1) in got
+    assert ("banana", "bananna", 1) in got
+    # apple→banana is within the window but over the distance gate
+    assert all(p[2] <= 3 for p in got)
+    assert ("apple", "banana") not in {(a, b) for a, b, _ in got}
