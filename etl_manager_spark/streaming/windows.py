@@ -208,12 +208,29 @@ def interval_join(
     arithmetic (StreamingJoinHelper; pinned to the microsecond by the
     boundary test). Clicks whose window the final watermark never
     clears stay in state and are not emitted — late-data safety over
-    completeness, the standard streaming trade."""
-    if how not in ("inner", "left_outer", "leftouter", "left"):
+    completeness, the standard streaming trade.
+
+    ``how="full_outer"`` adds the mirrored bound for the right side:
+    ``purchase_ts >= click_ts`` means a purchase can only match clicks
+    at or before it, so its state expires — and its null-extended row
+    emits — once ``purchase_ts <= W - 1ms`` (no ``gap`` term: the
+    purchase side's value watermark comes from the lower join bound)."""
+    if how not in (
+        "inner",
+        "left_outer",
+        "leftouter",
+        "left",
+        "full_outer",
+        "fullouter",
+        "full",
+    ):
         raise ValueError(
-            f"interval_join supports inner/left_outer, got {how!r} — "
-            "right/full outer would need the mirrored state bound"
+            f"interval_join supports inner/left_outer/full_outer, got {how!r}"
         )
+    if how in ("full_outer", "fullouter", "full"):
+        how = "full_outer"
+    elif how != "inner":
+        how = "left_outer"
     c = left.withWatermark("ts", watermark).select(
         F.col("event_id").alias("click_id"),
         F.col("user_id"),
@@ -231,12 +248,17 @@ def interval_join(
                 f"user_id = p_user_id AND purchase_ts >= click_ts "
                 f"AND purchase_ts <= click_ts + INTERVAL {gap}"
             ),
-            "inner" if how == "inner" else "left_outer",
+            how,
         )
         .select(
             "click_id",
             "purchase_id",
-            "user_id",
+            # the join key survives on whichever side is present — for
+            # inner/left_outer this is always the click side's value;
+            # full_outer's right-eviction rows carry only p_user_id
+            F.coalesce(F.col("user_id"), F.col("p_user_id")).alias(
+                "user_id"
+            ),
             F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
             F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
         )

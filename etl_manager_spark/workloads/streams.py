@@ -466,3 +466,66 @@ def streaming_dedup_within_watermark(spark, sf_dir):
     return run_to_memory(
         stream, spark, "stream_dedup_wm_result", output_mode="append"
     )
+
+
+@workload(
+    "streaming_fullouter_attribution",
+    """
+    WITH wm AS (
+      SELECT date_trunc('milliseconds', LEAST(
+               (SELECT MAX(ts) FROM events WHERE event_type = 'click'),
+               (SELECT MAX(ts) FROM events WHERE event_type = 'purchase')
+             )) - INTERVAL 1 HOUR AS w
+    )
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+           c.ts AS click_ts, p.ts AS purchase_ts
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    UNION ALL
+    SELECT c.event_id, NULL, c.user_id, c.ts, NULL
+    FROM events c
+    WHERE c.event_type = 'click'
+      AND NOT EXISTS (
+        SELECT 1 FROM events p
+        WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR)
+      AND c.ts <= (SELECT w FROM wm) - INTERVAL 1 HOUR - INTERVAL 1 MILLISECOND
+    UNION ALL
+    SELECT NULL, p.event_id, p.user_id, NULL, p.ts
+    FROM events p
+    WHERE p.event_type = 'purchase'
+      AND NOT EXISTS (
+        SELECT 1 FROM events c
+        WHERE c.event_type = 'click' AND c.user_id = p.user_id
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR)
+      AND p.ts <= (SELECT w FROM wm) - INTERVAL 1 MILLISECOND
+    """,
+    category="streaming",
+)
+def streaming_fullouter_attribution(spark, sf_dir):
+    """Stream-stream FULL OUTER interval join — matched click→purchase
+    pairs plus null-extended rows from BOTH sides at state eviction.
+    The click side evicts at ``click_ts <= W - gap - 1ms`` (as in the
+    left-outer query); the purchase side's mirrored bound has no gap
+    term — ``purchase_ts >= click_ts`` is the lower join bound, so a
+    purchase expires at ``purchase_ts <= W - 1ms``
+    (tests/test_streaming.py pins both boundaries to the microsecond).
+    The user_id column is taken from whichever side is present
+    (COALESCE in the user-facing projection would hide which side
+    emitted; here the oracle replays the same three-branch union)."""
+    from etl_manager_spark.streaming.windows import (
+        interval_join,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    clicks = read_events_stream(spark, sf_dir).filter("event_type = 'click'")
+    purchases = read_events_stream(spark, sf_dir).filter(
+        "event_type = 'purchase'"
+    )
+    stream = interval_join(clicks, purchases, how="full_outer")
+    return run_to_memory(
+        stream, spark, "stream_fullouter_join_result", output_mode="append"
+    )

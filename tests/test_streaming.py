@@ -241,8 +241,8 @@ def test_interval_join_rejects_unsupported_outer_sides(spark, sf_dir):
     purchases = read_events_stream(spark, sf_dir).filter("event_type = 'purchase'")
     import pytest
 
-    with pytest.raises(ValueError, match="inner/left_outer"):
-        interval_join(clicks, purchases, how="full_outer")
+    with pytest.raises(ValueError, match="inner/left_outer/full_outer"):
+        interval_join(clicks, purchases, how="right_outer")
 
 
 def test_leftouter_interval_join_null_rows_bounded_by_watermark(spark, sf_dir):
@@ -441,3 +441,64 @@ def test_leftouter_interval_join_eviction_boundary_is_strict(spark, tmp_path):
     nulls = sorted(r.click_id for r in out if r.purchase_id is None)
     # 1 == cutoff -> emits; 2 is 1µs past -> held; 3 -> held
     assert nulls == [1], nulls
+
+
+def test_fullouter_interval_join_right_eviction_boundary(spark, tmp_path):
+    """Mirror boundary pin for the purchase (right) side of the FULL
+    OUTER interval join: ``purchase_ts >= click_ts`` is the lower join
+    bound, so a purchase's state expires — and its null-extended row
+    emits — iff ``purchase_ts <= W - 1ms`` (no gap term on this side)."""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_manager_spark.streaming.windows import (
+        interval_join,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    rows = [
+        # W = 03:00:00.000 -> purchase cutoff 02:59:59.999000 inclusive
+        (11, dt.datetime(2024, 1, 1, 2, 59, 59, 999000), 201, "purchase"),
+        (12, dt.datetime(2024, 1, 1, 2, 59, 59, 999001), 202, "purchase"),
+        (13, dt.datetime(2024, 1, 1, 3, 0, 0), 203, "purchase"),
+        # matched canary pair
+        (800, dt.datetime(2024, 1, 1, 2, 0, 0), 800, "click"),
+        (801, dt.datetime(2024, 1, 1, 2, 10, 0), 800, "purchase"),
+        # max event times (sub-ms tail exercises ms truncation)
+        (900, dt.datetime(2024, 1, 1, 4, 0, 0, 500), 900, "click"),
+        (901, dt.datetime(2024, 1, 1, 4, 0, 0, 500), 901, "purchase"),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(str(tmp_path), "events.parquet"))
+    clicks = read_events_stream(spark, str(tmp_path)).filter("event_type='click'")
+    purchases = read_events_stream(spark, str(tmp_path)).filter(
+        "event_type='purchase'"
+    )
+    out = run_to_memory(
+        interval_join(clicks, purchases, how="full_outer"),
+        spark,
+        "t_foj_strict",
+        output_mode="append",
+    ).collect()
+    assert [
+        (r.click_id, r.purchase_id)
+        for r in out
+        if r.click_id is not None and r.purchase_id is not None
+    ] == [(800, 801)]
+    # click cutoff is 01:59:59.999 — no unmatched click is that early
+    assert [r for r in out if r.purchase_id is None] == []
+    null_clicks = sorted(r.purchase_id for r in out if r.click_id is None)
+    # 11 == cutoff -> emits; 12 is 1µs past -> held; 13/901 -> held
+    assert null_clicks == [11], null_clicks
