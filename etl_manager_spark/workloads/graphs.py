@@ -116,3 +116,70 @@ def pagerank_neardup_graph(spark, sf_dir):
     return ranks.select(
         F.col("id").alias("doc_id"), quantize(F.col("rank")).alias("rank_q")
     )
+
+
+@workload(
+    "clustering_coefficient_neardup",
+    f"""
+    WITH {_MINHASH_PAIRS_CTES},
+    edges AS (SELECT id_a AS a, id_b AS b FROM dup_pairs),
+    tri AS (
+      SELECT ab.a, ab.b, bc.b AS c
+      FROM edges ab
+      JOIN edges bc ON ab.b = bc.a
+      JOIN edges ac ON ac.a = ab.a AND ac.b = bc.b
+    ),
+    corners AS (
+      SELECT a AS id FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    ),
+    tcnt AS (SELECT id, COUNT(*) AS n_tri FROM corners GROUP BY id),
+    sym AS (
+      SELECT a AS id, b AS nb FROM edges
+      UNION ALL SELECT b, a FROM edges
+    ),
+    deg AS (SELECT id, COUNT(*) AS deg FROM sym GROUP BY id)
+    SELECT d.id AS doc_id, CAST(d.deg AS BIGINT) AS degree,
+           CAST(COALESCE(t.n_tri, 0) AS BIGINT) AS n_triangles,
+           CAST(FLOOR(2.0 * COALESCE(t.n_tri, 0)
+                      / (d.deg * (d.deg - 1))
+                      * 1000000000.0 + 0.5) AS BIGINT) AS clustering_q
+    FROM deg d LEFT JOIN tcnt t ON t.id = d.id
+    WHERE d.deg >= 2
+    """,
+    category="graph",
+)
+def clustering_coefficient_neardup(spark, sf_dir):
+    """Local clustering coefficient per node of the near-dup graph:
+    ``2·triangles / (deg·(deg−1))`` — 1.0 marks a node whose neighbors
+    form a clique (a true duplicate cluster, safe to collapse by
+    representative), near-0 marks a hub threading otherwise-unrelated
+    documents (a boilerplate template, NOT a dedup group). Triangle and
+    degree counts are exact integers; the coefficient is a single
+    double division, quantized — portable by construction. Shape: the
+    triangle two-join plus one degree aggregate, all keyed on node
+    ids."""
+    pairs = _neardup_pairs(spark, sf_dir)
+    tri = G.triangle_counts(pairs)
+    sym = pairs.select(
+        F.col("id_a").alias("id"), F.col("id_b").alias("nb")
+    ).unionAll(
+        pairs.select(F.col("id_b").alias("id"), F.col("id_a").alias("nb"))
+    )
+    deg = sym.groupBy("id").agg(F.count(F.lit(1)).alias("degree"))
+    ntri = F.coalesce(F.col("n_triangles"), F.lit(0))
+    return (
+        deg.join(tri, on="id", how="left")
+        .filter(F.col("degree") >= 2)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("degree").cast("long").alias("degree"),
+            ntri.cast("long").alias("n_triangles"),
+            quantize(
+                F.lit(2.0)
+                * ntri
+                / (F.col("degree") * (F.col("degree") - 1))
+            ).alias("clustering_q"),
+        )
+    )
