@@ -14,25 +14,29 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from etl_manager_spark.operators import dedup as D
 from etl_manager_spark.operators import graph as G
 from etl_manager_spark.operators.ranking import quantize
 from etl_manager_spark.workloads import workload
-from etl_manager_spark.workloads.pipeline import _MINHASH_PAIRS_CTES
-from etl_manager_spark.workloads.tables import load_tables
+from etl_manager_spark.workloads.pipeline import (
+    _MINHASH_PAIRS_CTES,
+    neardup_pairs_stored,
+)
 
 _PR_DAMPING = 0.85
 _PR_BASE = repr(1.0 - _PR_DAMPING)  # exact IEEE literal, matches F.lit math
 
 
 def _neardup_pairs(spark, sf_dir):
-    t = load_tables(spark, sf_dir)
-    return D.minhash_near_duplicates(
-        t["documents"].filter(F.col("doc_id") < 200),
-        num_hashes=8,
-        bands=2,
-        jaccard_threshold=0.5,
-    )
+    """Stored per-fixture edge table (pipeline.neardup_pairs_stored).
+
+    Graph analytics reference the edge list several times in one plan
+    (a triangle enumeration joins it against itself three ways, then
+    explodes corners); reading a materialized pair table makes each
+    reference a cheap columnar scan instead of a replay of the full
+    shingle→minhash→band→verify chain. At 100 TB the pair table is
+    maintained incrementally by the dedup pipeline — analytics never
+    re-mine pairs."""
+    return neardup_pairs_stored(spark, sf_dir)
 
 
 @workload(
