@@ -211,13 +211,19 @@ def connected_components_star(
         return from_u.union(from_v).distinct()
 
     converged = False
+    n_edges = edges.count()
     for _ in range(max_iterations):
         new_edges = small_star(large_star(edges)).localCheckpoint(eager=True)
+        # set-equality in ONE subtraction job, not two: both sides are
+        # duplicate-free (distinct), so equal counts + empty A∖B imply
+        # equality; counts are cheap scans of the checkpointed results
+        n_new = new_edges.count()
         changed = (
-            new_edges.exceptAll(edges).limit(1).count()
-            or edges.exceptAll(new_edges).limit(1).count()
+            1
+            if n_new != n_edges
+            else new_edges.exceptAll(edges).limit(1).count()
         )
-        edges = new_edges
+        edges, n_edges = new_edges, n_new
         if changed == 0:
             converged = True
             break

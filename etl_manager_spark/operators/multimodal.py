@@ -273,24 +273,38 @@ def perceptual_hash(df: "DataFrame", bits: int = 16) -> "DataFrame":
 
 def synthetic_media(spark, n: int = 64) -> "DataFrame":
     """Deterministic fake media table for tests (no media libs needed):
-    every third row is a fake video with a duration, the rest are stills."""
-    rows = []
-    for i in range(n):
-        payload = hashlib.sha256(f"media-{i}".encode()).digest() * (i % 5 + 1)
-        is_video = i % 3 == 0
-        rows.append(
-            (
-                i,
-                bytearray(payload),
-                {
-                    "mime": "video/fake" if is_video else "image/fake",
-                    "width": 64 + i,
-                    "height": 64,
-                    "duration_ms": 2500 + 1000 * (i % 4) if is_video else None,
-                },
-            )
+    every third row is a fake video with a duration, the rest are stills.
+
+    Generated entirely JVM-side (``range`` + sha2/repeat/unhex): the
+    payload is sha256("media-{i}") repeated (i%5+1) times, identical
+    bytes to the hashlib construction but with no local-collection
+    pickling — ``createDataFrame`` with binary+struct rows takes the
+    pickled-RDD path and spins Python workers just to materialize the
+    table (~1.8 s per execution for 64 rows, re-paid by every consumer
+    of this un-cacheable local plan)."""
+    i = F.col("id")
+    is_video = i % 3 == 0
+    return (
+        spark.range(n)
+        .select(
+            F.col("id").alias("media_id"),
+            F.expr(
+                "unhex(repeat(sha2(concat('media-', CAST(id AS STRING)), 256),"
+                " CAST(id % 5 + 1 AS INT)))"
+            ).alias("content"),
+            F.struct(
+                F.when(is_video, F.lit("video/fake"))
+                .otherwise("image/fake")
+                .alias("mime"),
+                (F.lit(64) + i).cast("int").alias("width"),
+                F.lit(64).cast("int").alias("height"),
+                F.when(is_video, F.lit(2500) + F.lit(1000) * (i % 4))
+                .cast("int")
+                .alias("duration_ms"),
+            ).alias("meta"),
         )
-    # size partitions to the data: a tiny table spread over local[32]'s 32
-    # default slices would spin up one Python worker per ~2 rows in
-    # mapInPandas — batch shape matters as much as code (see module doc)
-    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(max(1, n // 16))
+        # size partitions to the data: a tiny table spread over local[32]'s
+        # 32 default slices would spin up one Python worker per ~2 rows in
+        # mapInPandas — batch shape matters as much as code (see module doc)
+        .coalesce(max(1, n // 16))
+    )

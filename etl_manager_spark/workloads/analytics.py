@@ -1655,14 +1655,12 @@ def char_entropy_documents(spark, sf_dir):
     from pyspark.sql import Window
 
     t = load_tables(spark, sf_dir)
+    # split('') emits the character array in ONE linear pass;
+    # substring(i,1) per transform(sequence(...)) index re-seeks the
+    # UTF-8 string from the front each call — O(len²) per document
     chars = t["documents"].select(
         F.col("doc_id").alias("id"),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.length("text")),
-                lambda i: F.substring(F.col("text"), i, F.lit(1)),
-            )
-        ).alias("ch"),
+        F.explode(F.split("text", "")).alias("ch"),
     )
     counts = chars.groupBy("id", "ch").agg(F.count(F.lit(1)).alias("c"))
     w = Window.partitionBy("id")
