@@ -110,3 +110,62 @@ def pagerank_quantized(
             ).alias("r")
         ).select(F.col("dst").alias("src"), "r")
     return ranks.select(F.col("src").alias("id"), F.col("r").alias("rank"))
+
+
+def degree_assortativity(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """Degree-assortativity coefficient of the undirected pair graph:
+    the Pearson correlation between the degrees at the two ends of every
+    edge (computed over the symmetrized directed edge list, the standard
+    Newman formulation). r > 0 — high-degree nodes attach to each other
+    (one tangled boilerplate mass); r < 0 — hubs surrounded by leaves
+    (template + one-off echoes), which changes the dedup strategy
+    (drop the hub, keep the leaves).
+
+    Float discipline mirrors the regression workload: the five degree
+    moments (Σx, Σy, Σx², Σy², Σxy) are exact integer sums, and the
+    coefficient is ONE fixed IEEE expression over them, so any engine
+    evaluating the same expression text agrees bitwise. Shape: one
+    degree aggregate + one edge⋈degree join per endpoint, all keyed on
+    node ids; the moment reduction is a single map-combined aggregate.
+
+    Returns one row: (n_edges, r_q) with r nano-quantized."""
+    sym = pairs.select(
+        F.col(id_a).alias("u"), F.col(id_b).alias("v")
+    ).unionAll(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    du = deg.select(F.col("u"), F.col("deg").alias("dx"))
+    dv = deg.select(F.col("u").alias("v"), F.col("deg").alias("dy"))
+    ends = sym.join(du, "u").join(dv, "v")
+    m = ends.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+    )
+    # numerator and the two variance terms are pure BIGINT arithmetic
+    # (exact); only the final sqrt/divide are IEEE ops, written once
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    varx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    vary = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    # degenerate graph (all degrees equal, e.g. a perfect matching):
+    # variance 0 → division yields NaN/Inf and the quantization cast
+    # diverges between engines; define r = 0 there, as both sides must
+    r = F.when(varx * vary == 0, F.lit(0.0)).otherwise(
+        num / (F.sqrt(varx) * F.sqrt(vary))
+    )
+    return m.select(
+        (F.col("n") / 2).cast("long").alias("n_edges"),
+        F.floor(r * F.lit(1000000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("r_q"),
+    )

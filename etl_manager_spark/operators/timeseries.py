@@ -97,3 +97,82 @@ def ewma_per_key(
     return slim.mapInPandas(
         _fold_stream, schema=f"{key_col} {key_dtype}, {id_col} {id_dtype}, ewma_q long"
     )
+
+
+def holt_per_key(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Holt linear (double-exponential) smoothing per key in event-time
+    order — the level+trend extension of :func:`ewma_per_key`, the
+    standard short-horizon forecaster for per-entity metrics:
+
+    * ``ℓ_1 = v_1``, ``b_1 = 0``
+    * ``ℓ_i = ½·v_i + ½·(ℓ_{i-1} + b_{i-1})``
+    * ``b_i = ½·(ℓ_i − ℓ_{i-1}) + ½·b_{i-1}``
+
+    α = β = ½ keeps every product an exponent shift (exact IEEE), and
+    both recurrences are evaluated as literally written, so a DuckDB
+    recursive CTE replaying the same expression text produces bitwise-
+    identical doubles. NULL values are dropped before the fold (missing
+    sample — same policy and reasoning as ewma_per_key).
+
+    Scale shape: identical to ewma_per_key — one shuffle on the key,
+    sorted-stream fold with TWO doubles of per-key state, Arrow-batched;
+    no per-key pandas frames.
+
+    Returns (<key_col>, <id_col>, level_q, trend_q) nano-quantized."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    def _fold_stream(batches):
+        last_key = None
+        lvl = 0.0
+        trd = 0.0
+        for pdf in batches:
+            keys = pdf[key_col].to_numpy()
+            vals = pdf[value_col].to_numpy()
+            out_l = np.empty(len(pdf), dtype=np.int64)
+            out_b = np.empty(len(pdf), dtype=np.int64)
+            for i in range(len(pdf)):
+                k = keys[i]
+                v = float(vals[i])
+                if k != last_key:
+                    lvl = v
+                    trd = 0.0
+                    last_key = k
+                else:
+                    prev = lvl
+                    lvl = 0.5 * v + 0.5 * (prev + trd)
+                    trd = 0.5 * (lvl - prev) + 0.5 * trd
+                out_l[i] = math.floor(lvl * 1e9 + 0.5)
+                out_b[i] = math.floor(trd * 1e9 + 0.5)
+            yield pd.DataFrame(
+                {
+                    key_col: keys,
+                    id_col: pdf[id_col].to_numpy(),
+                    "level_q": out_l,
+                    "trend_q": out_b,
+                }
+            )
+
+    key_dtype = df.schema[key_col].dataType.simpleString()
+    id_dtype = df.schema[id_col].dataType.simpleString()
+    slim = (
+        df.select(key_col, ts_col, id_col, value_col)
+        .filter(F.col(value_col).isNotNull())
+        .repartition(F.col(key_col))
+        .sortWithinPartitions(key_col, ts_col, id_col)
+    )
+    return slim.mapInPandas(
+        _fold_stream,
+        schema=(
+            f"{key_col} {key_dtype}, {id_col} {id_dtype}, "
+            "level_q long, trend_q long"
+        ),
+    )

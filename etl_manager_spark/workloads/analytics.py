@@ -2596,3 +2596,179 @@ def cusum_changepoint_events(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("event_type", F.col("day").alias("change_day"), "cusum_q")
     )
+
+
+@workload(
+    "holt_linear_events",
+    """
+    WITH RECURSIVE numbered AS (
+      SELECT user_id, event_id, CAST(value AS DOUBLE) AS v,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    fold AS (
+      SELECT user_id, event_id, rn, v AS l, CAST(0.0 AS DOUBLE) AS b
+      FROM numbered WHERE rn = 1
+      UNION ALL
+      SELECT n.user_id, n.event_id, n.rn,
+             0.5 * n.v + 0.5 * (f.l + f.b),
+             0.5 * ((0.5 * n.v + 0.5 * (f.l + f.b)) - f.l) + 0.5 * f.b
+      FROM numbered n JOIN fold f
+        ON n.user_id = f.user_id AND n.rn = f.rn + 1
+    )
+    SELECT user_id, event_id,
+           CAST(FLOOR(l * 1000000000.0 + 0.5) AS BIGINT) AS level_q,
+           CAST(FLOOR(b * 1000000000.0 + 0.5) AS BIGINT) AS trend_q
+    FROM fold
+    """,
+    category="timeseries",
+)
+def holt_linear_events(spark, sf_dir):
+    """Holt linear (level+trend) smoothing per user in event-time order
+    (operators/timeseries.py: holt_per_key) — the double-exponential
+    forecaster next to the EWMA baseline; the trend term catches users
+    whose engagement is accelerating, which a flat EWMA lags. α = β = ½
+    makes every product an exponent shift, and the oracle replays the
+    literal recurrence (the new level re-derived inline for the trend
+    update) as a recursive CTE stepping one event per user per round —
+    bitwise-identical doubles, nano-quantized. Shape: one shuffle on
+    user_id, sorted-stream Arrow fold with two doubles of state."""
+    from etl_manager_spark.operators.timeseries import holt_per_key
+
+    t = load_tables(spark, sf_dir)
+    return holt_per_key(t["events"])
+
+
+@workload(
+    "heavy_hitter_tokens_documents",
+    rf"""
+    WITH t2 AS (
+      SELECT tok FROM (SELECT UNNEST({_TOK}) AS tok FROM documents)
+      WHERE tok <> ''
+    ),
+    total AS (SELECT COUNT(*) AS n FROM t2),
+    counts AS (SELECT tok, COUNT(*) AS cnt FROM t2 GROUP BY tok)
+    SELECT tok, cnt,
+           CAST(FLOOR(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)
+                      * 1000000000.0 + 0.5) AS BIGINT) AS share_q
+    FROM counts CROSS JOIN total
+    WHERE CAST(cnt AS DOUBLE) > CAST(n AS DOUBLE) / 51.0
+    """,
+    category="text",
+)
+def heavy_hitter_tokens_documents(spark, sf_dir):
+    """Exact heavy hitters over the token stream WITHOUT shuffling the
+    full vocabulary (operators/frequency.py: heavy_hitters_two_pass,
+    k=50): per-partition candidate generation in the scan stage (zero
+    shuffle — the averaging argument guarantees every global >N/51
+    token locally exceeds n_p/51 somewhere), then an exact recount
+    map-side-filtered to the broadcast candidate set. The output is
+    exact, so the oracle is the plain GROUP BY + HAVING it replaces —
+    the two-pass shape only changes WHERE the work happens, which is
+    the entire point at 100 TB vocabulary cardinality."""
+    from etl_manager_spark.operators.frequency import heavy_hitters_two_pass
+
+    t = load_tables(spark, sf_dir)
+    toks = (
+        spread(t["documents"], spark)
+        .select(F.explode(R.tokens("text")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    return heavy_hitters_two_pass(toks, "tok", k=50)
+
+
+@workload(
+    "vocab_kl_drift_documents",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id, tok
+      FROM (SELECT doc_id, UNNEST({_TOK}) AS tok FROM documents)
+      WHERE tok <> ''
+    ),
+    ca AS (SELECT tok, COUNT(*) AS c FROM toks WHERE doc_id < 250 GROUP BY tok),
+    cb AS (SELECT tok, COUNT(*) AS c FROM toks WHERE doc_id >= 250 GROUP BY tok),
+    vocab AS (
+      SELECT COALESCE(ca.tok, cb.tok) AS tok,
+             COALESCE(ca.c, 0) AS cnt_a, COALESCE(cb.c, 0) AS cnt_b
+      FROM ca FULL OUTER JOIN cb ON ca.tok = cb.tok
+    ),
+    tot AS (
+      SELECT SUM(cnt_a) AS na, SUM(cnt_b) AS nb, COUNT(*) AS v FROM vocab
+    ),
+    scored AS (
+      SELECT tok, cnt_a, cnt_b,
+             (CAST(cnt_a + 1 AS DOUBLE) / CAST(na + v AS DOUBLE))
+               * LOG2((CAST(cnt_a + 1 AS DOUBLE) / CAST(na + v AS DOUBLE))
+                      / (CAST(cnt_b + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE)))
+               AS contrib
+      FROM vocab CROSS JOIN tot
+    )
+    SELECT tok, cnt_a, cnt_b,
+           CAST(FLOOR(contrib * 1000000000.0 + 0.5) AS BIGINT) AS contrib_q
+    FROM scored
+    ORDER BY contrib DESC, tok ASC
+    LIMIT 50
+    """,
+    category="text",
+)
+def vocab_kl_drift_documents(spark, sf_dir):
+    """Corpus drift detection: the top-50 per-token contributions to
+    KL(P‖Q) between the unigram distributions of two corpus halves
+    (doc_id < 250 vs the rest) under add-one smoothing over the union
+    vocabulary — the standard monitor for "did the crawl distribution
+    shift between snapshots", and the tokens it surfaces are the drift
+    explanation. Counts are exact integers; p and q are one division
+    each; the contribution is quantized after one log2 — the same float
+    discipline the entropy and bigram-LM queries follow. Shape: two
+    hash-aggs + one full outer join on token, one broadcast 1-row
+    total, and a top-50 heap — no full sort anywhere."""
+    t = load_tables(spark, sf_dir)
+    toks = (
+        spread(t["documents"], spark)
+        .select("doc_id", F.explode(R.tokens("text")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    ca = toks.filter(F.col("doc_id") < 250).groupBy("tok").agg(
+        F.count(F.lit(1)).alias("cnt_a")
+    )
+    cb = toks.filter(F.col("doc_id") >= 250).groupBy("tok").agg(
+        F.count(F.lit(1)).alias("cnt_b")
+    )
+    vocab = (
+        ca.withColumnRenamed("tok", "ta")
+        .join(
+            cb.withColumnRenamed("tok", "tb"),
+            F.col("ta") == F.col("tb"),
+            "full",
+        )
+        .select(
+            F.coalesce("ta", "tb").alias("tok"),
+            F.coalesce("cnt_a", F.lit(0)).alias("cnt_a"),
+            F.coalesce("cnt_b", F.lit(0)).alias("cnt_b"),
+        )
+    )
+    tot = vocab.groupBy().agg(
+        F.sum("cnt_a").alias("na"),
+        F.sum("cnt_b").alias("nb"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    p = (F.col("cnt_a") + 1).cast("double") / (
+        F.col("na") + F.col("v")
+    ).cast("double")
+    q = (F.col("cnt_b") + 1).cast("double") / (
+        F.col("nb") + F.col("v")
+    ).cast("double")
+    return (
+        vocab.crossJoin(F.broadcast(tot))
+        .select(
+            "tok",
+            "cnt_a",
+            "cnt_b",
+            R.quantize(p * F.log2(p / q)).alias("contrib_q"),
+            (p * F.log2(p / q)).alias("_contrib"),
+        )
+        .orderBy(F.desc("_contrib"), F.asc("tok"))
+        .limit(50)
+        .select("tok", "cnt_a", "cnt_b", "contrib_q")
+    )

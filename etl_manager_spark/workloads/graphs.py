@@ -187,3 +187,46 @@ def clustering_coefficient_neardup(spark, sf_dir):
             ).alias("clustering_q"),
         )
     )
+
+
+@workload(
+    "assortativity_neardup_graph",
+    f"""
+    WITH {_MINHASH_PAIRS_CTES},
+    sym AS (
+      SELECT id_a AS u, id_b AS v FROM dup_pairs
+      UNION ALL SELECT id_b, id_a FROM dup_pairs
+    ),
+    deg AS (SELECT u, COUNT(*) AS deg FROM sym GROUP BY u),
+    ends AS (
+      SELECT du.deg AS dx, dv.deg AS dy
+      FROM sym s JOIN deg du ON du.u = s.u JOIN deg dv ON dv.u = s.v
+    ),
+    m AS (
+      SELECT COUNT(*) AS n, SUM(dx) AS sx, SUM(dy) AS sy,
+             SUM(dx * dx) AS sxx, SUM(dy * dy) AS syy,
+             SUM(dx * dy) AS sxy
+      FROM ends
+    )
+    SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+           CAST(FLOOR(
+             CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE)
+                       * CAST(n * syy - sy * sy AS DOUBLE) = 0 THEN 0.0
+                  ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                       / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                          * SQRT(CAST(n * syy - sy * sy AS DOUBLE)))
+             END * 1000000000.0 + 0.5) AS BIGINT) AS r_q
+    FROM m
+    """,
+    category="graph",
+)
+def assortativity_neardup_graph(spark, sf_dir):
+    """Degree assortativity of the near-duplicate graph
+    (operators/graph.py: degree_assortativity): the Pearson correlation
+    between endpoint degrees over the symmetrized edge list. Positive —
+    duplicates clump into cliques (collapse whole clusters); negative —
+    hub-and-spoke boilerplate templates (drop the hub, keep the
+    leaves). The five degree moments are exact integer sums; the
+    coefficient is one guarded IEEE expression over them, identical
+    text in the oracle. Reads the stored per-fixture pair table."""
+    return G.degree_assortativity(_neardup_pairs(spark, sf_dir))

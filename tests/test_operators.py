@@ -920,3 +920,92 @@ def test_sorted_neighborhood_pairs_hand_fixture(spark):
     # apple→banana is within the window but over the distance gate
     assert all(p[2] <= 3 for p in got)
     assert ("apple", "banana") not in {(a, b) for a, b, _ in got}
+
+
+def test_holt_per_key_matches_pandas_reference(spark):
+    """holt_per_key vs an independent per-group pandas fold, including
+    across Arrow-batch boundaries (single partition forces one stream)."""
+    import math
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    eid = 0
+    for uid in range(5):
+        for _ in range(rng.randint(1, 20)):
+            rows.append((uid, eid, float(rng.randint(-50, 50)) / 4))
+            eid += 1
+    df = spark.createDataFrame(rows, "user_id long, event_id long, value double")
+    from etl_manager_spark.operators.timeseries import holt_per_key
+
+    got = {
+        (r.user_id, r.event_id): (r.level_q, r.trend_q)
+        for r in holt_per_key(
+            df.withColumn("ts", F.col("event_id"))
+        ).collect()
+    }
+    exp = {}
+    for uid in sorted({r[0] for r in rows}):
+        seq = sorted([r for r in rows if r[0] == uid], key=lambda r: r[1])
+        lvl, trd = None, 0.0
+        for _, e, v in seq:
+            if lvl is None:
+                lvl, trd = v, 0.0
+            else:
+                prev = lvl
+                lvl = 0.5 * v + 0.5 * (prev + trd)
+                trd = 0.5 * (lvl - prev) + 0.5 * trd
+            exp[(uid, e)] = (
+                math.floor(lvl * 1e9 + 0.5),
+                math.floor(trd * 1e9 + 0.5),
+            )
+    assert got == exp
+
+
+def test_heavy_hitters_exact_and_complete(spark):
+    """Two-pass heavy hitters equals the exact GROUP BY + HAVING answer
+    even under an adversarial partitioning that spreads the hot key."""
+    from etl_manager_spark.operators.frequency import heavy_hitters_two_pass
+
+    # 'hot' has 30/90 rows (> 90/(k+1) for k=5, threshold 15); 'warm' 12
+    # (below); the rest singletons spread across partitions
+    vals = ["hot"] * 30 + ["warm"] * 12 + [f"cold{i}" for i in range(48)]
+    df = (
+        spark.createDataFrame([(v,) for v in vals], "tok string")
+        # round-robin spreads 'hot' evenly: each of 8 partitions sees
+        # ~4/11 local share — still above 1/6, the local threshold
+        .repartition(8)
+    )
+    got = {
+        (r.tok, r.cnt) for r in heavy_hitters_two_pass(df, "tok", k=5).collect()
+    }
+    assert got == {("hot", 30)}
+
+    # exactness: result matches plain groupBy+filter on a coarser k
+    exact = {
+        (r.tok, r["count"])
+        for r in df.groupBy("tok").count().filter(F.col("count") > 90 / 8).collect()
+    }
+    got8 = {
+        (r.tok, r.cnt) for r in heavy_hitters_two_pass(df, "tok", k=7).collect()
+    }
+    assert got8 == exact
+
+
+def test_degree_assortativity_known_graphs(spark):
+    from etl_manager_spark.operators.graph import degree_assortativity
+
+    # perfect matching: every degree 1 → zero variance → guarded r = 0
+    matching = spark.createDataFrame(
+        [(0, 1), (2, 3)], "id_a long, id_b long"
+    )
+    row = degree_assortativity(matching).collect()[0]
+    assert (row.n_edges, row.r_q) == (2, 0)
+
+    # star K1,3: center degree 3, leaves 1 — maximally disassortative
+    star = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "id_a long, id_b long"
+    )
+    row = degree_assortativity(star).collect()[0]
+    assert row.n_edges == 3
+    assert row.r_q == -1000000000
