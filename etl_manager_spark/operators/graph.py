@@ -169,3 +169,58 @@ def degree_assortativity(
         .cast("long")
         .alias("r_q"),
     )
+
+
+def bfs_distances(
+    pairs: DataFrame,
+    source_id,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_depth: int = 20,
+) -> DataFrame:
+    """Unweighted shortest-path distance from ``source_id`` to every
+    reachable node of the undirected pair graph — breadth-first frontier
+    expansion, the building block behind "how far does this boilerplate
+    template propagate" audits.
+
+    Each round expands the CURRENT FRONTIER only (not all visited
+    nodes): one hash join frontier⋈edges on the node id plus an
+    anti-join against the visited set, both ordinary key shuffles. The
+    visited set is localCheckpointed per round — it is re-joined every
+    round, and an unbroken lineage would re-expand from round 0 each
+    time. Rounds = eccentricity of the source, bounded by ``max_depth``
+    (raise if a component is genuinely deeper; near-dup components are
+    shallow by construction).
+
+    Returns (id, dist) — BFS layer per reachable node, source at 0.
+    Exact by induction (layer d is found at round d and never revisited),
+    so a recursive-CTE reachability-with-min-distance oracle agrees."""
+    sym = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionAll(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    visited = (
+        sym.sparkSession.createDataFrame(
+            [(source_id, 0)], "id long, dist int"
+        )
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(sym, frontier["id"] == sym["src"])
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(visited, on="id", how="anti")
+            .select("id", F.lit(depth).cast("int").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.unionAll(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited

@@ -230,3 +230,45 @@ def assortativity_neardup_graph(spark, sf_dir):
     coefficient is one guarded IEEE expression over them, identical
     text in the oracle. Reads the stored per-fixture pair table."""
     return G.degree_assortativity(_neardup_pairs(spark, sf_dir))
+
+
+@workload(
+    "bfs_distance_neardup",
+    f"""
+    WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM dup_pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM dup_pairs
+    ),
+    s AS (SELECT MIN(src) AS s FROM sym),
+    reach(id, d) AS (
+      SELECT s, 0 FROM s
+      UNION
+      SELECT e.dst, r.d + 1
+      FROM sym e JOIN reach r ON e.src = r.id
+      WHERE r.d < 20
+    )
+    SELECT id AS doc_id, CAST(MIN(d) AS INTEGER) AS dist
+    FROM reach GROUP BY id
+    """,
+    category="graph",
+)
+def bfs_distance_neardup(spark, sf_dir):
+    """Unweighted shortest-path distances from the lowest-id node of the
+    near-dup graph (operators/graph.py: bfs_distances) — "how many hops
+    does this template propagate" in the duplicate topology, and the
+    fourth iterative-graph shape next to label propagation, star
+    contraction, and PageRank. Frontier-only expansion: each round joins
+    the LAST layer (not all visited nodes) against the checkpointed edge
+    list and anti-joins the visited set; rounds = source eccentricity.
+    The oracle is recursive-CTE reachability with per-node minimum
+    depth, capped at the same max depth. Reads the stored per-fixture
+    pair table; the O(1) source-id lookup is one driver-side min."""
+    pairs = _neardup_pairs(spark, sf_dir)
+    source = pairs.agg(
+        F.min(F.least(F.col("id_a"), F.col("id_b")))
+    ).collect()[0][0]
+    return G.bfs_distances(pairs, source).select(
+        F.col("id").alias("doc_id"), "dist"
+    )

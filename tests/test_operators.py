@@ -1009,3 +1009,17 @@ def test_degree_assortativity_known_graphs(spark):
     row = degree_assortativity(star).collect()[0]
     assert row.n_edges == 3
     assert row.r_q == -1000000000
+
+
+def test_bfs_distances_hand_built_graph(spark):
+    from etl_manager_spark.operators.graph import bfs_distances
+
+    # path 0-1-2-3 plus branch 1-4, separate component 8-9
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (1, 4), (8, 9)], "id_a long, id_b long"
+    )
+    got = {(r.id, r.dist) for r in bfs_distances(pairs, 0).collect()}
+    assert got == {(0, 0), (1, 1), (2, 2), (4, 2), (3, 3)}
+    # unreachable component never appears; source-only graph is itself
+    got9 = {(r.id, r.dist) for r in bfs_distances(pairs, 8).collect()}
+    assert got9 == {(8, 0), (9, 1)}

@@ -590,3 +590,32 @@ def test_temporal_split_bounds_broadcast(plans):
     r = plans("temporal_split_events")
     assert r.broadcast_joins >= 1
     assert r.cartesian_products == 0
+
+
+def test_heavy_hitters_recount_broadcasts_candidates(plans):
+    r = plans("heavy_hitter_tokens_documents")
+    # phase-2 recount: candidate set AND the 1-row total must broadcast —
+    # the only shuffle left is the final few-key aggregate
+    assert r.broadcast_joins >= 2, r.text[:2000]
+    assert r.sortmerge_joins == 0, "candidate join must not shuffle the stream"
+    assert r.cartesian_products == 0  # total rides a broadcast nested loop
+
+
+def test_holt_single_key_shuffle(plans):
+    r = plans("holt_linear_events")
+    # one Exchange: the repartition on user_id feeding the sorted fold
+    assert r.shuffle_exchanges == 1, r.text[:1500]
+
+
+def test_kl_drift_no_full_sort(plans):
+    r = plans("vocab_kl_drift_documents")
+    # top-50 must plan TakeOrdered, and the 1-row totals must broadcast
+    assert r.take_ordered, r.text[:1500]
+    assert r.cartesian_products == 0
+
+
+def test_assortativity_single_row_reduction(plans):
+    r = plans("assortativity_neardup_graph")
+    # moment reduction ends in one global aggregate; degree tables join
+    # by broadcast (node-sized) or hash — never cartesian
+    assert r.cartesian_products == 0
