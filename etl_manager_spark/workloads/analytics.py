@@ -2772,3 +2772,206 @@ def vocab_kl_drift_documents(spark, sf_dir):
         .limit(50)
         .select("tok", "cnt_a", "cnt_b", "contrib_q")
     )
+
+
+@workload(
+    "equidepth_bins_orders_price",
+    """
+    WITH vc AS (
+      SELECT o_totalprice AS v, COUNT(*) AS c FROM orders GROUP BY 1
+    ),
+    cum AS (
+      SELECT v, c, SUM(c) OVER (ORDER BY v) AS cum,
+             SUM(c) OVER () AS n
+      FROM vc
+    ),
+    edges AS (
+      SELECT d, MIN(v) AS edge
+      FROM cum CROSS JOIN (SELECT UNNEST(range(1, 10)) AS d) t
+      WHERE cum >= CAST(CEIL(n * d / 10.0) AS BIGINT)
+      GROUP BY d
+    ),
+    binned AS (
+      SELECT vc.v, vc.c,
+             CAST(1 + (SELECT COUNT(*) FROM edges e
+                       WHERE vc.v > e.edge) AS INTEGER) AS bin
+      FROM vc
+    )
+    SELECT bin, SUM(c) AS n_orders,
+           MIN(v) AS min_price, MAX(v) AS max_price
+    FROM binned GROUP BY bin
+    """,
+    category="statistics",
+)
+def equidepth_bins_orders_price(spark, sf_dir):
+    """Equi-depth (decile) discretization with STORED edges — the
+    train/broadcast/apply shape every feature pipeline uses: exact
+    decile edges from the cumulative distribution of DISTINCT values
+    (sort the value-count table, not the fact table — the window runs
+    over |distinct| rows), broadcast the 9-row edge table, and assign
+    each order its bin as 1 + edges-strictly-below, a map-side
+    broadcast-count with no tie ambiguity (value-based, so engines
+    can't disagree on equal ranks). Emits per-bin counts and bounds.
+    The oracle replays edges and assignment with a correlated COUNT."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    orders = t["orders"]
+    vc = orders.groupBy(F.col("o_totalprice").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.orderBy("v")
+    cum = vc.select(
+        "v",
+        F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("c").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    deciles = spark.range(1, 10).select(F.col("id").alias("d"))
+    edges = (
+        cum.crossJoin(F.broadcast(deciles))
+        .filter(
+            F.col("cum")
+            >= F.ceil(F.col("n") * F.col("d") / F.lit(10.0)).cast("long")
+        )
+        .groupBy("d")
+        .agg(F.min("v").alias("edge"))
+    )
+    # bin the DISTINCT-value table (vc), not the fact table: the ≤9-way
+    # edge fan-out touches |distinct| rows; the fact table is only ever
+    # hash-aggregated
+    binned = (
+        vc.join(F.broadcast(edges), F.col("v") > F.col("edge"), "left")
+        .groupBy("v", "c")
+        .agg((F.lit(1) + F.count("edge")).cast("int").alias("bin"))
+    )
+    return binned.groupBy("bin").agg(
+        F.sum("c").alias("n_orders"),
+        F.min("v").alias("min_price"),
+        F.max("v").alias("max_price"),
+    )
+
+
+@workload(
+    "pareto_revenue_concentration",
+    """
+    WITH per_cust AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS rev_c
+      FROM orders GROUP BY o_custkey
+    ),
+    tot AS (SELECT SUM(rev_c) AS total_c FROM per_cust),
+    ranked AS (
+      SELECT rev_c,
+             SUM(rev_c) OVER (ORDER BY rev_c DESC, o_custkey ASC) AS cum_c,
+             ROW_NUMBER() OVER (ORDER BY rev_c DESC, o_custkey ASC) AS rnk
+      FROM per_cust
+    )
+    SELECT CAST(MIN(CASE WHEN cum_c * 5 >= total_c * 4 THEN rnk END)
+                AS BIGINT) AS customers_to_80pct,
+           CAST(COUNT(*) AS BIGINT) AS total_customers,
+           CAST(FLOOR(CAST(MIN(CASE WHEN cum_c * 5 >= total_c * 4
+                                    THEN rnk END) AS DOUBLE)
+                      / COUNT(*) * 1000000000.0 + 0.5) AS BIGINT)
+             AS share_of_customers_q
+    FROM ranked CROSS JOIN tot
+    """,
+    category="statistics",
+)
+def pareto_revenue_concentration(spark, sf_dir):
+    """Pareto (80/20) revenue-concentration: how many customers' 
+    cumulative revenue first reaches 80% of the total — the
+    concentration metric behind "how skewed is this key space", which
+    feeds the salting/broadcast decisions elsewhere in the engine.
+    EVERYTHING stays integer: per-customer revenue in exact cents
+    (decimal sum ×100), the cumulative sum an associative integer
+    window over the CUSTOMER aggregate (|customers| rows, custkey
+    tiebreak), and the 80% test the cross-multiplied ``5·cum ≥
+    4·total`` — no float enters until the final share ratio, so
+    engines cannot disagree on the boundary row."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    per_cust = t["orders"].groupBy("o_custkey").agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("rev_c")
+    )
+    tot = per_cust.groupBy().agg(F.sum("rev_c").alias("total_c"))
+    w = Window.orderBy(F.desc("rev_c"), F.asc("o_custkey"))
+    ranked = per_cust.select(
+        "rev_c",
+        F.sum("rev_c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum_c"),
+        F.row_number().over(w).alias("rnk"),
+    )
+    hit = F.when(
+        F.col("cum_c") * 5 >= F.col("total_c") * 4, F.col("rnk")
+    )
+    return ranked.crossJoin(F.broadcast(tot)).groupBy().agg(
+        F.min(hit).cast("long").alias("customers_to_80pct"),
+        F.count(F.lit(1)).cast("long").alias("total_customers"),
+        F.floor(
+            F.min(hit).cast("double")
+            / F.count(F.lit(1))
+            * F.lit(1000000000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("share_of_customers_q"),
+    )
+
+
+@workload(
+    "time_decay_engagement_events",
+    """
+    WITH mx AS (SELECT MAX(ts) AS tmax FROM events),
+    scored AS (
+      SELECT user_id,
+             CAST(FLOOR(CAST(value AS DOUBLE)
+                  * POW(2.0, -(epoch_us(tmax - ts) // 86400000000))
+                  * 1000000000.0 + 0.5) AS BIGINT) AS w_q
+      FROM events CROSS JOIN mx
+    )
+    SELECT user_id, SUM(w_q) AS engagement_q, COUNT(*) AS n_events
+    FROM scored GROUP BY user_id
+    """,
+    category="timeseries",
+)
+def time_decay_engagement_events(spark, sf_dir):
+    """Recency-weighted engagement score per user: each event's value is
+    damped by 2^(−age-in-whole-days) relative to the corpus max
+    timestamp (a one-day half-life), then summed. The WHOLE-day
+    exponent makes every weight an exact power of two, each
+    contribution one exact multiply + quantize, and the per-user sum an
+    order-free integer reduction — the decayed aggregate stays bitwise
+    deterministic under any partitioning, which a raw float Σv·2^(−Δ)
+    would not. Shape: broadcast 1-row max, map-side weight, one
+    hash-agg on user_id."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    mx = ev.groupBy().agg(F.max("ts").alias("tmax"))
+    # whole-day age via INTEGER microsecond division — a double epoch
+    # subtraction rounds differently between engines at day boundaries
+    age_days = F.expr(
+        "(unix_micros(CAST(tmax AS TIMESTAMP))"
+        " - unix_micros(CAST(ts AS TIMESTAMP))) DIV 86400000000"
+    )
+    w_q = F.floor(
+        F.col("value").cast("double")
+        * F.pow(F.lit(2.0), -age_days)
+        * F.lit(1000000000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        ev.crossJoin(F.broadcast(mx))
+        .select("user_id", w_q.alias("w_q"))
+        .groupBy("user_id")
+        .agg(
+            F.sum("w_q").alias("engagement_q"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
