@@ -2960,3 +2960,136 @@ def incremental_rollup_events(spark, sf_dir):
             F.sum("tot").cast("double").alias("total_value"),
         )
     )
+
+
+@workload(
+    "retraction_rollup_events",
+    """
+    WITH corrected AS (
+      SELECT event_type,
+             CASE WHEN event_id % 37 = 0
+                  THEN CAST(value AS DECIMAL(18,2)) + 10.0
+                  ELSE CAST(value AS DECIMAL(18,2)) END AS v
+      FROM events WHERE event_id % 53 <> 0
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(v) AS DOUBLE) AS total_value
+    FROM corrected GROUP BY event_type
+    """,
+    category="etl",
+)
+def retraction_rollup_events(spark, sf_dir):
+    """Materialized-rollup maintenance under MUTATIONS — the retraction
+    pattern: instead of recomputing when late corrections arrive, the
+    correction batch is turned into DELTA partials (a deletion retracts
+    (−1, −value); an update retracts the old value and asserts the new
+    one, net (0, +Δ)) and the store is re-reduced. Exactness is the
+    whole point: counts are integers and value deltas DECIMAL, both
+    associative and sign-symmetric, so base ⊎ delta is bitwise-equal to
+    the full recompute over the corrected fact table — which is exactly
+    what the oracle runs. The correction batch here is deterministic
+    (event_id % 53 = 0 deleted, % 37 = 0 value +10); per-refresh cost
+    is O(|corrections| + |rollup|), independent of history length."""
+    t = load_tables(spark, sf_dir)
+    events = t["events"]
+    dec = F.col("value").cast("decimal(18,2)")
+    base = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec).alias("tot"),
+    )
+    deletes = events.filter(F.col("event_id") % 53 == 0).groupBy(
+        "event_type"
+    ).agg(
+        (-F.count(F.lit(1))).cast("long").alias("n"),
+        (-F.sum(dec)).alias("tot"),
+    )
+    # updates touch rows that SURVIVE deletion; net count 0, value +10/row
+    updates = (
+        events.filter(
+            (F.col("event_id") % 37 == 0) & (F.col("event_id") % 53 != 0)
+        )
+        .groupBy("event_type")
+        .agg(
+            F.lit(0).cast("long").alias("n"),
+            F.sum(F.lit(10.0).cast("decimal(18,2)")).alias("tot"),
+        )
+    )
+    return (
+        base.unionByName(deletes)
+        .unionByName(updates)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").cast("long").alias("n_events"),
+            F.sum("tot").cast("double").alias("total_value"),
+        )
+    )
+
+
+@workload(
+    "gdpr_cascade_delete_audit",
+    """
+    WITH forget AS (SELECT c_custkey FROM customer WHERE c_custkey % 101 = 0),
+    del_orders AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM forget)
+    )
+    SELECT
+      CAST((SELECT COUNT(*) FROM forget) AS BIGINT) AS customers_deleted,
+      CAST((SELECT COUNT(*) FROM del_orders) AS BIGINT) AS orders_deleted,
+      CAST((SELECT COUNT(*) FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM del_orders))
+           AS BIGINT) AS lineitems_deleted,
+      CAST((SELECT COUNT(*) FROM customer) -
+           (SELECT COUNT(*) FROM forget) AS BIGINT) AS customers_kept,
+      CAST((SELECT COUNT(*) FROM orders) -
+           (SELECT COUNT(*) FROM del_orders) AS BIGINT) AS orders_kept,
+      CAST((SELECT COUNT(*) FROM lineitem) -
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM del_orders))
+           AS BIGINT) AS lineitems_kept
+    """,
+    category="etl",
+)
+def gdpr_cascade_delete_audit(spark, sf_dir):
+    """Right-to-be-forgotten cascade audit: given a key set of subjects
+    to erase (here the deterministic c_custkey % 101 = 0 slice), walk
+    the FK chain customer → orders → lineitem with BROADCAST semi/anti
+    joins (the key sets are subject-sized, the fact tables never
+    shuffle) and report deleted/kept counts per table — the audit
+    record a deletion job must emit before the actual partition
+    rewrite (sources/writers.py owns that half). Shape: two broadcast
+    semi-joins + anti-join complements, each a map-side filter; six
+    counts reduced in one pass each."""
+    t = load_tables(spark, sf_dir)
+    forget = t["customer"].filter(F.col("c_custkey") % 101 == 0).select(
+        "c_custkey"
+    )
+    del_orders = t["orders"].join(
+        F.broadcast(forget),
+        F.col("o_custkey") == F.col("c_custkey"),
+        "semi",
+    ).select("o_orderkey")
+    del_li = t["lineitem"].join(
+        F.broadcast(del_orders),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+        "semi",
+    )
+    counts = [
+        forget.groupBy().agg(F.count(F.lit(1)).alias("customers_deleted")),
+        del_orders.groupBy().agg(F.count(F.lit(1)).alias("orders_deleted")),
+        del_li.groupBy().agg(F.count(F.lit(1)).alias("lineitems_deleted")),
+        t["customer"].join(F.broadcast(forget), on="c_custkey", how="anti")
+        .groupBy().agg(F.count(F.lit(1)).alias("customers_kept")),
+        t["orders"].join(
+            F.broadcast(del_orders), on="o_orderkey", how="anti"
+        ).groupBy().agg(F.count(F.lit(1)).alias("orders_kept")),
+        t["lineitem"].join(
+            F.broadcast(del_orders),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "anti",
+        ).groupBy().agg(F.count(F.lit(1)).alias("lineitems_kept")),
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.crossJoin(F.broadcast(c))
+    return out
