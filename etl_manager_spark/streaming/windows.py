@@ -268,3 +268,29 @@ def interval_join(
             F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
         )
     )
+
+
+def session_rollup_dynamic(events: "DataFrame") -> "DataFrame":
+    """Session windows with a PER-EVENT gap (Spark ≥3.2 dynamic
+    ``session_window``): purchases close a session after 10 minutes,
+    every other event keeps the usual 30 — the "conversion ends the
+    visit" sessionization marketing funnels use. Each event proposes
+    the interval [ts, ts+gap); overlapping proposals merge, so
+    ``session_end`` is the max proposed end, not last-event + constant."""
+    # session_window's dynamic form wants CalendarIntervalType: string
+    # gaps are parsed per row; ANSI INTERVAL literals (DayTimeInterval)
+    # are rejected
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("10 minutes")
+    ).otherwise(F.lit("30 minutes"))
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("session_window.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+        )
+    )

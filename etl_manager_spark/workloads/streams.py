@@ -529,3 +529,57 @@ def streaming_fullouter_attribution(spark, sf_dir):
     return run_to_memory(
         stream, spark, "stream_fullouter_join_result", output_mode="append"
     )
+
+
+@workload(
+    "streaming_session_windows_dynamic",
+    """
+    WITH g AS (
+      SELECT user_id, ts,
+             EPOCH_US(ts) + CASE WHEN event_type = 'purchase'
+                                 THEN 600000000 ELSE 1800000000 END AS end_us
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, ts, end_us,
+             CASE WHEN MAX(end_us) OVER (
+                    PARTITION BY user_id ORDER BY ts, end_us
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ) IS NULL
+                  OR EPOCH_US(ts) > MAX(end_us) OVER (
+                    PARTITION BY user_id ORDER BY ts, end_us
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  )
+             THEN 1 ELSE 0 END AS new_session
+      FROM g
+    ),
+    numbered AS (
+      SELECT user_id, ts, end_us,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, end_us
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAKE_TIMESTAMP(MAX(end_us)) AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, sid
+    """,
+    category="streaming",
+)
+def streaming_session_windows_dynamic(spark, sf_dir):
+    """Dynamic-gap session windows (streaming/windows.py:
+    session_rollup_dynamic): each event proposes [ts, ts+gap(type)) and
+    overlapping proposals merge — purchases (10 min) close a visit
+    early, other events keep 30. The oracle sessionizes with the
+    running-MAX-of-proposed-ends break rule (an older session's max end
+    is always below the current session's opener, so the global
+    preceding max is the correct break test) and rebuilds session_end
+    as the max proposed end — which is what Spark's merged interval
+    union emits, NOT last-event + constant."""
+    from etl_manager_spark.streaming.windows import session_rollup_dynamic
+
+    stream = session_rollup_dynamic(read_events_stream(spark, sf_dir))
+    return run_to_memory(
+        stream, spark, "stream_session_windows_dyn_result"
+    )
