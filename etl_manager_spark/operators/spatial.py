@@ -1,0 +1,83 @@
+"""Spatial join primitives (grid-bucketed distance joins).
+
+The scalable shape for "find pairs within d km": never the cross join —
+bucket both sides into 1° grid cells, explode one side to its 3×3
+neighborhood, equi-join on the cell key (an ordinary hash shuffle), and
+verify candidates with the exact haversine. Completeness: for
+|lat| ≤ 60° a 1°-cell neighborhood covers every pair within ~55 km
+(great-circle distance ≥ 111.32·cos(max|φ|)·Δλ°, and cos 60° = ½), so a
+50 km threshold can't lose a pair to the prefilter — which the
+brute-force oracle would expose as a hash mismatch if it did.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EARTH_RADIUS_KM = 6371.0
+
+
+def haversine_km(
+    lat1: Column, lon1: Column, lat2: Column, lon2: Column
+) -> Column:
+    """Great-circle distance in km — the textbook haversine, written as
+    ONE fixed expression tree so engines evaluating the same text agree
+    to the last ulp of their (practically identical) libm."""
+    dphi = F.radians(lat2 - lat1)
+    dlam = F.radians(lon2 - lon1)
+    a = (
+        F.sin(dphi / 2) * F.sin(dphi / 2)
+        + F.cos(F.radians(lat1))
+        * F.cos(F.radians(lat2))
+        * F.sin(dlam / 2)
+        * F.sin(dlam / 2)
+    )
+    return F.lit(2.0 * EARTH_RADIUS_KM) * F.asin(F.sqrt(a))
+
+
+def within_distance_join(
+    left: DataFrame,
+    right: DataFrame,
+    max_km: float,
+    left_cols=("lat", "lon"),
+    right_cols=("lat", "lon"),
+) -> DataFrame:
+    """All (left, right) pairs within ``max_km`` great-circle km, via the
+    grid-prefilter + exact-verify pattern. Requires ``max_km ≤ 55`` and
+    latitudes within ±60° (the 1°/3×3 completeness envelope — widen the
+    cell size or neighborhood for larger radii/latitudes).
+
+    Shape: the left side explodes ×9 to its cell neighborhood (map-side),
+    both sides shuffle once on the (cell_lat, cell_lon) key, and the
+    haversine runs on candidates only. Returns both rows' columns plus
+    ``distance_km`` (raw double — callers quantize)."""
+    if max_km > 55:
+        raise ValueError(
+            f"max_km={max_km} exceeds the 1°-cell completeness bound (55)"
+        )
+    llat, llon = (F.col(c) for c in left_cols)
+    rlat, rlon = (F.col(c) for c in right_cols)
+    neighbor = F.explode(
+        F.array(*[F.lit(d) for d in (-1, 0, 1)])
+    )
+    l_cells = (
+        left.withColumn("_dy", neighbor)
+        .withColumn("_dx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .withColumn("_cell_lat", F.floor(llat).cast("int") + F.col("_dy"))
+        .withColumn("_cell_lon", F.floor(llon).cast("int") + F.col("_dx"))
+        .drop("_dy", "_dx")
+    )
+    r_cells = right.withColumn(
+        "_cell_lat", F.floor(rlat).cast("int")
+    ).withColumn("_cell_lon", F.floor(rlon).cast("int"))
+    lpref = l_cells
+    cand = lpref.join(r_cells, on=["_cell_lat", "_cell_lon"]).drop(
+        "_cell_lat", "_cell_lon"
+    )
+    dist = haversine_km(llat, llon, rlat, rlon)
+    return cand.withColumn("distance_km", dist).filter(
+        F.col("distance_km") <= F.lit(float(max_km))
+    )

@@ -2975,3 +2975,213 @@ def time_decay_engagement_events(spark, sf_dir):
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+@workload(
+    "ratio_to_report_nation_revenue",
+    """
+    WITH per_nation AS (
+      SELECT n.n_regionkey AS regionkey, n.n_name AS nation,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS rev_c
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT r.r_name AS region, nation,
+           CAST(rev_c AS BIGINT) AS revenue_cents,
+           CAST(FLOOR(CAST(rev_c AS DOUBLE)
+                / CAST(SUM(rev_c) OVER (PARTITION BY regionkey) AS DOUBLE)
+                * 1000000000.0 + 0.5) AS BIGINT) AS share_of_region_q,
+           CAST(FLOOR(CAST(rev_c AS DOUBLE)
+                / CAST(SUM(rev_c) OVER () AS DOUBLE)
+                * 1000000000.0 + 0.5) AS BIGINT) AS share_of_total_q
+    FROM per_nation pn JOIN region r ON r.r_regionkey = pn.regionkey
+    """,
+    category="window",
+)
+def ratio_to_report_nation_revenue(spark, sf_dir):
+    """Ratio-to-report at two grouping levels: each nation's revenue as
+    a share of its region and of the grand total — the window/aggregate
+    composition every BI rollup needs (a window over an AGGREGATE, 25
+    rows, not the fact table). Revenue is integer cents (decimal sum
+    ×100) so the window totals are exact integer reductions regardless
+    of accumulation order; each share is one int→double division,
+    quantized. Dimensions broadcast; the single fact shuffle is the
+    customer⋈orders key join."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    per_nation = (
+        t["orders"]
+        .join(
+            F.broadcast(t["customer"].select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("n_nationkey") == F.col("c_nationkey"),
+        )
+        .groupBy(
+            F.col("n_regionkey").alias("regionkey"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("rev_c")
+        )
+    )
+    wr = Window.partitionBy("regionkey")
+    wt = Window.partitionBy()
+    share = lambda w: F.floor(
+        F.col("rev_c").cast("double")
+        / F.sum("rev_c").over(w).cast("double")
+        * F.lit(1000000000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        per_nation.join(
+            F.broadcast(t["region"]),
+            F.col("r_regionkey") == F.col("regionkey"),
+        )
+        .select(
+            F.col("r_name").alias("region"),
+            "nation",
+            F.col("rev_c").alias("revenue_cents"),
+            share(wr).alias("share_of_region_q"),
+            share(wt).alias("share_of_total_q"),
+        )
+    )
+
+
+@workload(
+    "mom_revenue_growth",
+    """
+    WITH monthly AS (
+      SELECT DATE_TRUNC('month', o_orderdate) AS month,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS rev_c
+      FROM orders GROUP BY 1
+    )
+    SELECT CAST(month AS DATE) AS month,
+           rev_c AS revenue_cents,
+           LAG(rev_c) OVER (ORDER BY month) AS prev_cents,
+           CASE WHEN LAG(rev_c) OVER (ORDER BY month) IS NULL THEN NULL
+                ELSE CAST(FLOOR(
+                  (CAST(rev_c AS DOUBLE)
+                   / CAST(LAG(rev_c) OVER (ORDER BY month) AS DOUBLE) - 1.0)
+                  * 1000000000.0 + 0.5) AS BIGINT)
+           END AS growth_q
+    FROM monthly
+    """,
+    category="window",
+)
+def mom_revenue_growth(spark, sf_dir):
+    """Month-over-month growth: monthly revenue (integer cents), LAG to
+    the prior month, growth = rev/prev − 1 quantized — the standard
+    period-over-period report. The window runs over the MONTH aggregate
+    (a few dozen rows), not orders; first month emits NULL growth
+    rather than a fake 0 so downstream charts can distinguish 'no
+    prior' from 'flat'."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    monthly = t["orders"].groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("rev_c")
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("rev_c").over(w)
+    growth = F.when(
+        prev.isNull(), F.lit(None).cast("long")
+    ).otherwise(
+        F.floor(
+            (F.col("rev_c").cast("double") / prev.cast("double") - F.lit(1.0))
+            * F.lit(1000000000.0)
+            + F.lit(0.5)
+        ).cast("long")
+    )
+    return monthly.select(
+        F.col("month").cast("date").alias("month"),
+        F.col("rev_c").alias("revenue_cents"),
+        prev.alias("prev_cents"),
+        growth.alias("growth_q"),
+    )
+
+
+@workload(
+    "spatial_join_customer_supplier",
+    """
+    WITH c AS (
+      SELECT c_custkey,
+             (c_custkey * 37) % 12000 / 100.0 - 60 AS c_lat,
+             (c_custkey * 73) % 36000 / 100.0 - 180 AS c_lon
+      FROM customer
+    ),
+    s AS (
+      SELECT s_suppkey,
+             (s_suppkey * 41) % 12000 / 100.0 - 60 AS s_lat,
+             (s_suppkey * 97) % 36000 / 100.0 - 180 AS s_lon
+      FROM supplier
+    ),
+    scored AS (
+      SELECT c_custkey, s_suppkey,
+             12742.0 * ASIN(SQRT(
+               SIN(RADIANS(c_lat - s_lat) / 2)
+                 * SIN(RADIANS(c_lat - s_lat) / 2)
+               + COS(RADIANS(s_lat)) * COS(RADIANS(c_lat))
+                 * SIN(RADIANS(c_lon - s_lon) / 2)
+                 * SIN(RADIANS(c_lon - s_lon) / 2)
+             )) AS d
+      FROM s CROSS JOIN c
+    )
+    SELECT c_custkey, s_suppkey,
+           CAST(FLOOR(d * 1000000.0 + 0.5) AS BIGINT) AS distance_q
+    FROM scored WHERE d <= 50.0
+    """,
+    category="join",
+)
+def spatial_join_customer_supplier(spark, sf_dir):
+    """Spatial distance join (operators/spatial.py:
+    within_distance_join): customer/supplier sites (deterministic
+    synthetic coordinates in ±60° latitude) paired within 50 km via the
+    grid-prefilter pattern — the supplier side explodes to its 3×3
+    1°-cell neighborhood, both sides equi-join on the cell key (hash
+    shuffle, never a cross join), and the exact haversine verifies
+    candidates. The ORACLE is the brute-force all-pairs distance
+    filter, so a prefilter that lost any true pair would hash-mismatch
+    — the completeness bound (1° ≥ 55 km at |lat| ≤ 60°) is verified,
+    not assumed. Distance quantized at 1e6 (mm) to absorb libm ulp
+    noise in the trig chain."""
+    from etl_manager_spark.operators.spatial import within_distance_join
+
+    t = load_tables(spark, sf_dir)
+    cust = t["customer"].select(
+        "c_custkey",
+        ((F.col("c_custkey") * 37) % 12000 / F.lit(100.0) - 60).alias("c_lat"),
+        ((F.col("c_custkey") * 73) % 36000 / F.lit(100.0) - 180).alias("c_lon"),
+    )
+    supp = t["supplier"].select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 41) % 12000 / F.lit(100.0) - 60).alias("s_lat"),
+        ((F.col("s_suppkey") * 97) % 36000 / F.lit(100.0) - 180).alias("s_lon"),
+    )
+    joined = within_distance_join(
+        supp,
+        cust,
+        max_km=50,
+        left_cols=("s_lat", "s_lon"),
+        right_cols=("c_lat", "c_lon"),
+    )
+    return joined.select(
+        "c_custkey",
+        "s_suppkey",
+        F.floor(F.col("distance_km") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("distance_q"),
+    )

@@ -1023,3 +1023,36 @@ def test_bfs_distances_hand_built_graph(spark):
     # unreachable component never appears; source-only graph is itself
     got9 = {(r.id, r.dist) for r in bfs_distances(pairs, 8).collect()}
     assert got9 == {(8, 0), (9, 1)}
+
+
+def test_within_distance_join_cell_boundaries(spark):
+    """Pairs straddling 1°-cell boundaries must survive the grid
+    prefilter; pairs beyond the radius must not appear."""
+    from etl_manager_spark.operators.spatial import (
+        haversine_km,
+        within_distance_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 9.999, 19.999), (2, 50.0, 0.0)],
+        "lid long, a_lat double, a_lon double",
+    )
+    right = spark.createDataFrame(
+        # r1: just across both cell edges from l1 (~0.3 km away)
+        # r2: same cell as l2 but 80 km south (beyond 50 km)
+        [(10, 10.001, 20.001), (20, 49.3, 0.0)],
+        "rid long, b_lat double, b_lon double",
+    )
+    got = {
+        (r.lid, r.rid)
+        for r in within_distance_join(
+            left,
+            right,
+            max_km=50,
+            left_cols=("a_lat", "a_lon"),
+            right_cols=("b_lat", "b_lon"),
+        ).collect()
+    }
+    assert got == {(1, 10)}
+    with pytest.raises(ValueError):
+        within_distance_join(left, right, max_km=60)
