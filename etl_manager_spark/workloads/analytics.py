@@ -3185,3 +3185,111 @@ def spatial_join_customer_supplier(spark, sf_dir):
         .cast("long")
         .alias("distance_q"),
     )
+
+
+@workload(
+    "gini_revenue_customers",
+    """
+    WITH per_cust AS (
+      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS rev_c,
+             o_custkey
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT rev_c,
+             ROW_NUMBER() OVER (ORDER BY rev_c ASC, o_custkey ASC) AS i
+      FROM per_cust
+    ),
+    m AS (
+      SELECT COUNT(*) AS n, SUM(rev_c) AS s, SUM(i * rev_c) AS si
+      FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           CAST(FLOOR((2.0 * CAST(si AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
+                       - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE))
+                      * 1000000000.0 + 0.5) AS BIGINT) AS gini_q
+    FROM m
+    """,
+    category="statistics",
+)
+def gini_revenue_customers(spark, sf_dir):
+    """Gini coefficient of customer revenue — the Lorenz-curve summary
+    next to the Pareto cut: G = 2·Σi·xᵢ/(n·Σx) − (n+1)/n over
+    ascending-sorted values. Every moment is integer (cents, ranks,
+    rank×cents products — all exact in BIGINT at any realistic scale);
+    the coefficient is one fixed IEEE expression. The rank runs over
+    the customer AGGREGATE; ties in revenue break by custkey so the
+    rank-weighted sum is identical in both engines."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    per_cust = t["orders"].groupBy("o_custkey").agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("rev_c")
+    )
+    w = Window.orderBy(F.asc("rev_c"), F.asc("o_custkey"))
+    ranked = per_cust.select(
+        "rev_c", F.row_number().over(w).alias("i")
+    )
+    m = ranked.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rev_c").alias("s"),
+        F.sum(F.col("i") * F.col("rev_c")).alias("si"),
+    )
+    n_d = F.col("n").cast("double")
+    gini = (
+        F.lit(2.0) * F.col("si").cast("double") / (n_d * F.col("s").cast("double"))
+        - (n_d + F.lit(1.0)) / n_d
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.floor(gini * F.lit(1000000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("gini_q"),
+    )
+
+
+@workload(
+    "feature_hash_documents",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id, tok
+      FROM (SELECT doc_id, UNNEST({_TOK}) AS tok FROM documents)
+      WHERE tok <> ''
+    )
+    SELECT doc_id,
+           CAST(('0x' || SUBSTR(MD5(tok), 1, 8))::BIGINT % 16 AS INTEGER)
+             AS dim,
+           COUNT(*) AS cnt
+    FROM toks
+    GROUP BY doc_id, dim
+    """,
+    category="text",
+)
+def feature_hash_documents(spark, sf_dir):
+    """The hashing trick: bag-of-words folded into 16 dimensions via
+    dim = md5(token)[:8] mod 16 — fixed-width features with no
+    vocabulary table, the standard when the vocab is unbounded (URLs,
+    n-grams) and exact ids don't matter. md5-prefix hashing is the
+    house cross-engine hash (same as the MinHash chain — xxhash64 has
+    no DuckDB twin); the fold is one explode + hash-agg on
+    (doc, dim), map-side combinable. Emits sparse (doc_id, dim, cnt)
+    rows — the join-friendly layout; densify with a 16-slot pivot when
+    a model wants arrays."""
+    t = load_tables(spark, sf_dir)
+    toks = (
+        spread(t["documents"], spark)
+        .select("doc_id", F.explode(R.tokens("text")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    dim = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10)
+        .cast("long")
+        % 16
+    ).cast("int")
+    return toks.groupBy("doc_id", dim.alias("dim")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
