@@ -3293,3 +3293,160 @@ def feature_hash_documents(spark, sf_dir):
     return toks.groupBy("doc_id", dim.alias("dim")).agg(
         F.count(F.lit(1)).alias("cnt")
     )
+
+
+@workload(
+    "balanced_downsample_events",
+    """
+    WITH m AS (
+      SELECT MIN(c) AS target FROM (
+        SELECT COUNT(*) AS c FROM events GROUP BY event_type
+      )
+    ),
+    ranked AS (
+      SELECT event_type, event_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type
+               ORDER BY SUBSTR(MD5(CAST(event_id AS VARCHAR)), 1, 16),
+                        event_id
+             ) AS rn
+      FROM events
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(event_id) AS BIGINT) AS id_checksum
+    FROM ranked CROSS JOIN m
+    WHERE rn <= target
+    GROUP BY event_type
+    """,
+    category="sampling",
+)
+def balanced_downsample_events(spark, sf_dir):
+    """Balanced class downsampling: every event_type is cut to the
+    MINORITY class size, choosing rows by their md5(event_id) hash
+    order — a deterministic shuffle, so the 'random' subset is
+    reproducible anywhere and the oracle replays it exactly. The
+    per-class quota is a broadcast 1-row MIN over the class counts;
+    selection is one window over event_type (rank in hash order,
+    event_id tiebreak). Emits per-class kept-count (all equal to the
+    minority size — the balance proof) plus an id checksum pinning THE
+    SAME rows were chosen, not merely the same number."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    target = (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy()
+        .agg(F.min("c").alias("target"))
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 16),
+        F.col("event_id"),
+    )
+    ranked = ev.select(
+        "event_type", "event_id", F.row_number().over(w).alias("rn")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(target))
+        .filter(F.col("rn") <= F.col("target"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.sum("event_id").cast("long").alias("id_checksum"),
+        )
+    )
+
+
+@workload(
+    "countmin_calibration_events",
+    """
+    WITH exact AS (
+      SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id
+    ),
+    rows_ AS (SELECT UNNEST(range(0, 3)) AS d),
+    cells AS (
+      SELECT d,
+             ('0x' || SUBSTR(MD5(CAST(d AS VARCHAR) || ':'
+                                 || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+               % 64 AS w,
+             SUM(c) AS cell
+      FROM exact CROSS JOIN rows_
+      GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT e.user_id, e.c AS exact_c,
+             MIN(cl.cell) AS est_c
+      FROM exact e
+      CROSS JOIN rows_ r
+      JOIN cells cl
+        ON cl.d = r.d
+       AND cl.w = ('0x' || SUBSTR(MD5(CAST(r.d AS VARCHAR) || ':'
+                                      || CAST(e.user_id AS VARCHAR)), 1, 8))::BIGINT % 64
+      GROUP BY e.user_id, e.c
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(CASE WHEN est_c = exact_c THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact,
+           CAST(MAX(est_c - exact_c) AS BIGINT) AS max_overestimate,
+           CAST(SUM(est_c - exact_c) AS BIGINT) AS total_overestimate
+    FROM est
+    """,
+    category="sketch",
+)
+def countmin_calibration_events(spark, sf_dir):
+    """Count-min sketch calibration: build a 3×64 CMS of per-user event
+    counts with the house md5-prefix hash (cross-engine), read every
+    key back (estimate = MIN over the 3 hashed cells) and report the
+    overestimate against exact counts — sketches only ever OVERcount,
+    and this audit measures by how much at this key cardinality. The
+    sketch build is the real distributed shape: one exact pre-aggregate
+    on user_id, then a 3-row explode and a (row, cell) hash-agg —
+    192 cells total, mergeable across partitions/streams by addition.
+    The readback joins keys to their cells by recomputing the hash
+    (no sketch state on the driver)."""
+    t = load_tables(spark, sf_dir)
+    exact = t["events"].groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+
+    def cell_of(d_col, key_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            d_col.cast("string"),
+                            F.lit(":"),
+                            key_col.cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 64
+        )
+
+    rows = spark.range(3).select(F.col("id").alias("d"))
+    cells = (
+        exact.crossJoin(F.broadcast(rows))
+        .groupBy("d", cell_of(F.col("d"), F.col("user_id")).alias("w"))
+        .agg(F.sum("c").alias("cell"))
+    )
+    est = (
+        exact.crossJoin(F.broadcast(rows))
+        .withColumn("w", cell_of(F.col("d"), F.col("user_id")))
+        .join(F.broadcast(cells), on=["d", "w"])
+        .groupBy("user_id", F.col("c").alias("exact_c"))
+        .agg(F.min("cell").alias("est_c"))
+    )
+    diff = F.col("est_c") - F.col("exact_c")
+    return est.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum(F.when(diff == 0, 1).otherwise(0)).cast("long").alias("n_exact"),
+        F.max(diff).cast("long").alias("max_overestimate"),
+        F.sum(diff).cast("long").alias("total_overestimate"),
+    )
