@@ -12,7 +12,6 @@ brute-force oracle would expose as a hash mismatch if it did.
 
 from __future__ import annotations
 
-import math
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -60,12 +59,10 @@ def within_distance_join(
         )
     llat, llon = (F.col(c) for c in left_cols)
     rlat, rlon = (F.col(c) for c in right_cols)
-    neighbor = F.explode(
-        F.array(*[F.lit(d) for d in (-1, 0, 1)])
-    )
+    offsets = F.array(F.lit(-1), F.lit(0), F.lit(1))
     l_cells = (
-        left.withColumn("_dy", neighbor)
-        .withColumn("_dx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        left.withColumn("_dy", F.explode(offsets))
+        .withColumn("_dx", F.explode(offsets))
         .withColumn("_cell_lat", F.floor(llat).cast("int") + F.col("_dy"))
         .withColumn("_cell_lon", F.floor(llon).cast("int") + F.col("_dx"))
         .drop("_dy", "_dx")
@@ -73,8 +70,7 @@ def within_distance_join(
     r_cells = right.withColumn(
         "_cell_lat", F.floor(rlat).cast("int")
     ).withColumn("_cell_lon", F.floor(rlon).cast("int"))
-    lpref = l_cells
-    cand = lpref.join(r_cells, on=["_cell_lat", "_cell_lon"]).drop(
+    cand = l_cells.join(r_cells, on=["_cell_lat", "_cell_lon"]).drop(
         "_cell_lat", "_cell_lon"
     )
     dist = haversine_km(llat, llon, rlat, rlon)
