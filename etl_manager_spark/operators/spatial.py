@@ -2,12 +2,14 @@
 
 The scalable shape for "find pairs within d km": never the cross join —
 bucket both sides into 1° grid cells, explode one side to its 3×3
-neighborhood, equi-join on the cell key (an ordinary hash shuffle), and
-verify candidates with the exact haversine. Completeness: for
-|lat| ≤ 60° a 1°-cell neighborhood covers every pair within ~55 km
-(great-circle distance ≥ 111.32·cos(max|φ|)·Δλ°, and cos 60° = ½), so a
-50 km threshold can't lose a pair to the prefilter — which the
-brute-force oracle would expose as a hash mismatch if it did.
+neighborhood (longitude cells wrap at the antimeridian — found by the
+brute-force oracle at sf0.1, where a ±179.9° pair 36 km apart fell out
+of an unwrapped neighborhood), equi-join on the cell key (an ordinary
+hash shuffle), and verify candidates with the exact haversine.
+Completeness: for |lat| ≤ 60° a 1°-cell neighborhood covers every pair
+within ~55 km (great-circle distance ≥ 111.32·cos(max|φ|)·Δλ°, and
+cos 60° = ½), so a 50 km threshold can't lose a pair to the prefilter —
+which the brute-force oracle would expose as a hash mismatch if it did.
 """
 
 from __future__ import annotations
@@ -60,16 +62,29 @@ def within_distance_join(
     llat, llon = (F.col(c) for c in left_cols)
     rlat, rlon = (F.col(c) for c in right_cols)
     offsets = F.array(F.lit(-1), F.lit(0), F.lit(1))
+
+    def wrap_lon(cell):
+        # the longitude cell ring wraps at the antimeridian: cell −180
+        # and cell 179 are NEIGHBORS (a pair at ±179.9° is ~20 km apart
+        # at the equator). pmod keeps the key canonical in [−180, 179];
+        # plain % would keep the dividend's sign. The haversine itself
+        # is wrap-safe (sin²(Δλ/2) is symmetric/periodic) — only the
+        # equi-join key needs the wrap.
+        return (F.pmod(cell + 180, F.lit(360)) - 180).cast("int")
+
     l_cells = (
         left.withColumn("_dy", F.explode(offsets))
         .withColumn("_dx", F.explode(offsets))
         .withColumn("_cell_lat", F.floor(llat).cast("int") + F.col("_dy"))
-        .withColumn("_cell_lon", F.floor(llon).cast("int") + F.col("_dx"))
+        .withColumn(
+            "_cell_lon",
+            wrap_lon(F.floor(llon).cast("int") + F.col("_dx")),
+        )
         .drop("_dy", "_dx")
     )
     r_cells = right.withColumn(
         "_cell_lat", F.floor(rlat).cast("int")
-    ).withColumn("_cell_lon", F.floor(rlon).cast("int"))
+    ).withColumn("_cell_lon", wrap_lon(F.floor(rlon).cast("int")))
     cand = l_cells.join(r_cells, on=["_cell_lat", "_cell_lon"]).drop(
         "_cell_lat", "_cell_lon"
     )

@@ -1056,3 +1056,25 @@ def test_within_distance_join_cell_boundaries(spark):
     assert got == {(1, 10)}
     with pytest.raises(ValueError):
         within_distance_join(left, right, max_km=60)
+
+
+def test_within_distance_join_antimeridian_wrap(spark):
+    """A pair straddling ±180° longitude is ~tens of km apart and must
+    survive the grid prefilter (cells −180 and 179 are neighbors)."""
+    from etl_manager_spark.operators.spatial import within_distance_join
+
+    left = spark.createDataFrame(
+        [(1, 4.2, 179.74)], "lid long, a_lat double, a_lon double"
+    )
+    right = spark.createDataFrame(
+        [(10, 4.14, -179.94)], "rid long, b_lat double, b_lon double"
+    )
+    rows = within_distance_join(
+        left,
+        right,
+        max_km=50,
+        left_cols=("a_lat", "a_lon"),
+        right_cols=("b_lat", "b_lon"),
+    ).collect()
+    assert [(r.lid, r.rid) for r in rows] == [(1, 10)]
+    assert abs(rows[0].distance_km - 36.1099) < 0.01
