@@ -3450,3 +3450,135 @@ def countmin_calibration_events(spark, sf_dir):
         F.max(diff).cast("long").alias("max_overestimate"),
         F.sum(diff).cast("long").alias("total_overestimate"),
     )
+
+
+@workload(
+    "conversion_latency_events",
+    """
+    WITH fv AS (
+      SELECT user_id, MIN(ts) AS first_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    fp AS (
+      SELECT e.user_id, MIN(e.ts) AS first_purchase
+      FROM events e JOIN fv ON fv.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= fv.first_view
+      GROUP BY e.user_id
+    )
+    SELECT EPOCH_US(fp.first_purchase - fv.first_view) // 3600000000
+             AS latency_bucket_h,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM fv JOIN fp ON fp.user_id = fv.user_id
+    GROUP BY 1
+    """,
+    category="events",
+)
+def conversion_latency_events(spark, sf_dir):
+    """Conversion-latency distribution: hours between a user's first
+    view and their first subsequent purchase, bucketed to whole hours —
+    the time-to-convert histogram next to the funnel's count view.
+    Latency is INTEGER microsecond arithmetic end to end (min
+    timestamps, difference, integer division), so bucket boundaries
+    cannot drift between engines. Shape: two min-aggregates on user_id
+    and one join on the same key — a bucketed-by-user layout runs the
+    whole thing exchange-free after the first shuffle."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    fv = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("first_view")
+    )
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(fv, on="user_id")
+        .filter(F.col("ts") >= F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    bucket = F.expr(
+        "(unix_micros(CAST(first_purchase AS TIMESTAMP))"
+        " - unix_micros(CAST(first_view AS TIMESTAMP))) DIV 3600000000"
+    )
+    return (
+        fv.join(fp, on="user_id")
+        .groupBy(bucket.alias("latency_bucket_h"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@workload(
+    "bounce_rate_sessions",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN EPOCH_US(ts) - LAG(EPOCH_US(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    > 1800000000
+                  OR LAG(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id,
+             SUM(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM ordered
+    ),
+    sessions AS (
+      SELECT user_id, sid, COUNT(*) AS n_events
+      FROM numbered GROUP BY user_id, sid
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           CAST(FLOOR(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                           AS DOUBLE) / COUNT(*)
+                      * 1000000000.0 + 0.5) AS BIGINT) AS bounce_rate_q
+    FROM sessions
+    """,
+    category="events",
+)
+def bounce_rate_sessions(spark, sf_dir):
+    """Bounce rate: the share of 30-minute-gap sessions containing a
+    single event — the engagement-quality headline next to the
+    sessionization and concurrency views. Same gap/flag-sum
+    sessionization as events_sessionization (event_id tiebreak for
+    simultaneous events), session sizes are integers, and the rate is
+    one int/int division quantized at the end."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    micros = F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+    new_session = F.when(
+        F.lag("ts").over(w).isNull()
+        | ((micros - F.lag(micros).over(w)) > 1800000000),
+        1,
+    ).otherwise(0)
+    # the flag-sum window must walk the SAME (ts, event_id) total order
+    # the flag was computed in — ts alone is ambiguous on simultaneous
+    # events and would let engines split phantom sessions differently
+    wsum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    numbered = ev.select(
+        "user_id", new_session.alias("new_session"), "ts", "event_id"
+    ).select("user_id", F.sum("new_session").over(wsum).alias("sid"))
+    sessions = numbered.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    bounces = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return sessions.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        bounces.cast("long").alias("n_bounces"),
+        F.floor(
+            bounces.cast("double")
+            / F.count(F.lit(1))
+            * F.lit(1000000000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("bounce_rate_q"),
+    )
