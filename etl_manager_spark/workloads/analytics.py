@@ -3582,3 +3582,90 @@ def bounce_rate_sessions(spark, sf_dir):
         .cast("long")
         .alias("bounce_rate_q"),
     )
+
+
+@workload(
+    "ushape_attribution_events",
+    """
+    WITH pairs AS (
+      SELECT p.event_id AS purchase_id, t.event_id AS touch_id,
+             t.event_type AS touch_type, t.ts AS t_ts
+      FROM events p
+      JOIN events t
+        ON t.user_id = p.user_id
+       AND t.event_type IN ('view', 'click')
+       AND t.ts <= p.ts
+       AND t.ts > p.ts - INTERVAL 7 DAY
+      WHERE p.event_type = 'purchase'
+    ),
+    positioned AS (
+      SELECT purchase_id, touch_type,
+             ROW_NUMBER() OVER (PARTITION BY purchase_id
+                                ORDER BY t_ts, touch_id) AS pos,
+             COUNT(*) OVER (PARTITION BY purchase_id) AS n
+      FROM pairs
+    ),
+    credited AS (
+      SELECT purchase_id, touch_type,
+             CAST(FLOOR(
+               CASE WHEN n = 1 THEN 1.0
+                    WHEN n = 2 THEN 0.5
+                    WHEN pos = 1 OR pos = n THEN 0.4
+                    ELSE 0.2 / (n - 2) END
+               * 1000000000.0 + 0.5) AS BIGINT) AS credit_q
+      FROM positioned
+    )
+    SELECT touch_type, CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(SUM(credit_q) AS BIGINT) AS credit_q_total
+    FROM credited GROUP BY touch_type
+    """,
+    category="analytics",
+)
+def ushape_attribution_events(spark, sf_dir):
+    """Position-based (U-shaped, 40/20/40) attribution next to the
+    linear model: first and last touch of each purchase's 7-day path
+    take 0.4 each, the middles share 0.2 (n=1 → 1.0, n=2 → 0.5/0.5).
+    Touch order is the total (t_ts, touch_id) order, so position
+    assignment is identical in both engines; each credit is one fixed
+    CASE expression, nano-quantized before the integer rollup. Same
+    join/window shuffle shape as the linear model — only the credit
+    formula changes, which is the point of keeping attribution models
+    as expressions, not pipelines."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    e = t["events"]
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    touches = e.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("touch_type"),
+    )
+    pairs = purchases.join(
+        touches,
+        (F.col("t_user") == F.col("p_user"))
+        & (F.col("t_ts") <= F.col("p_ts"))
+        & (F.col("t_ts") > F.col("p_ts") - F.expr("INTERVAL 7 DAYS")),
+    )
+    wp = Window.partitionBy("purchase_id")
+    wo = wp.orderBy("t_ts", "touch_id")
+    n = F.count(F.lit(1)).over(wp)
+    pos = F.row_number().over(wo)
+    credit = (
+        F.when(n == 1, F.lit(1.0))
+        .when(n == 2, F.lit(0.5))
+        .when((pos == 1) | (pos == n), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (n - 2))
+    )
+    credited = pairs.select(
+        "purchase_id", "touch_type", R.quantize(credit).alias("credit_q")
+    )
+    return credited.groupBy("touch_type").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.sum("credit_q").cast("long").alias("credit_q_total"),
+    )

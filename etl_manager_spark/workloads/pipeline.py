@@ -3093,3 +3093,54 @@ def gdpr_cascade_delete_audit(spark, sf_dir):
     for c in counts[1:]:
         out = out.crossJoin(F.broadcast(c))
     return out
+
+
+@workload(
+    "cluster_size_distribution_neardup",
+    f"""
+    WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM dup_pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM dup_pairs
+    ),
+    reach(id, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id
+    ),
+    clusters AS (SELECT id, MIN(label) AS cluster_id FROM reach GROUP BY id),
+    sizes AS (
+      SELECT cluster_id, COUNT(*) AS cluster_size
+      FROM clusters GROUP BY cluster_id
+    )
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * COUNT(*) AS BIGINT) AS n_documents
+    FROM sizes GROUP BY cluster_size
+    """,
+    category="dedup",
+)
+def cluster_size_distribution_neardup(spark, sf_dir):
+    """Size distribution of the near-duplicate clusters — the dedup
+    impact report: how many groups of each size exist and how many
+    documents they hold (documents − clusters = rows a collapse
+    removes). Two integer aggregates over the component assignment
+    (operators/dedup.py: near_dup_clusters on the stored pair table);
+    the oracle re-derives components with the shared recursive-CTE
+    reachability and rolls up identically."""
+    pairs = neardup_pairs_stored(spark, sf_dir)
+    clusters = D.near_dup_clusters(pairs)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1)))
+        .cast("long")
+        .alias("n_documents"),
+    ).select(
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        "n_clusters",
+        "n_documents",
+    )
