@@ -3669,3 +3669,77 @@ def ushape_attribution_events(spark, sf_dir):
         F.count(F.lit(1)).alias("n_touches"),
         F.sum("credit_q").cast("long").alias("credit_q_total"),
     )
+
+
+@workload(
+    "daily_value_percentiles_events",
+    """
+    WITH d AS (
+      SELECT DATE_TRUNC('day', ts) AS day, event_type, value, event_id
+      FROM events
+    ),
+    ranked AS (
+      SELECT day, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY day, event_type
+                                ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY day, event_type) AS n
+      FROM d
+    )
+    SELECT CAST(day AS DATE) AS day, event_type,
+           CAST(MAX(n) AS BIGINT) AS n_events,
+           CAST(FLOOR(MAX(CASE WHEN rn = CAST(CEIL(n * 0.5) AS BIGINT)
+                               THEN value END) * 1000000.0 + 0.5) AS BIGINT)
+             AS p50_q,
+           CAST(FLOOR(MAX(CASE WHEN rn = CAST(CEIL(n * 0.9) AS BIGINT)
+                               THEN value END) * 1000000.0 + 0.5) AS BIGINT)
+             AS p90_q
+    FROM ranked GROUP BY day, event_type
+    """,
+    category="statistics",
+)
+def daily_value_percentiles_events(spark, sf_dir):
+    """Daily P50/P90 value bands per event type — the operational-
+    dashboard percentile query, computed EXACTLY by rank selection
+    (value at rank ⌈q·n⌉ under the total (value, event_id) order)
+    rather than an interpolating percentile whose midpoint arithmetic
+    engines disagree on. One window per (day, type) partition + one
+    rollup on the same key — a single shuffle family. n·0.5 / n·0.9
+    are exact doubles for any realistic n, so ⌈·⌉ is engine-stable."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    d = t["events"].select(
+        F.date_trunc("day", "ts").alias("day_ts"),
+        "event_type",
+        "value",
+        "event_id",
+    )
+    wp = Window.partitionBy("day_ts", "event_type")
+    wo = wp.orderBy("value", "event_id")
+    ranked = d.select(
+        "day_ts",
+        "event_type",
+        "value",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+
+    def pick(q):
+        at = F.ceil(F.col("n") * F.lit(q)).cast("long")
+        return F.floor(
+            F.max(F.when(F.col("rn") == at, F.col("value")))
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        ).cast("long")
+
+    return ranked.groupBy("day_ts", "event_type").agg(
+        F.max("n").cast("long").alias("n_events"),
+        pick(0.5).alias("p50_q"),
+        pick(0.9).alias("p90_q"),
+    ).select(
+        F.col("day_ts").cast("date").alias("day"),
+        "event_type",
+        "n_events",
+        "p50_q",
+        "p90_q",
+    )

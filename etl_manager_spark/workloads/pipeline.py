@@ -3144,3 +3144,60 @@ def cluster_size_distribution_neardup(spark, sf_dir):
         "n_clusters",
         "n_documents",
     )
+
+
+@workload(
+    "multimodal_media_clusters",
+    f"""
+    WITH RECURSIVE {_SYNTH_MEDIA_CTE},
+    p AS (
+      SELECT media_id,
+             CAST(LIST_SUM(LIST_TRANSFORM(range(0, 16),
+               j -> CASE WHEN ('0x' || substr(raw, CAST(8 * j + 1 AS INTEGER), 8))::BIGINT
+                              >= 2147483648
+                         THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS phash
+      FROM (SELECT media_id,
+                   substr(repeat(sha256(content_hex), 3), 1, 128) AS raw
+            FROM media)
+    ),
+    b AS (
+      SELECT media_id, phash, CAST(band AS INTEGER) AS band,
+             (phash >> CAST(band * 4 AS INTEGER)) & 15 AS bv
+      FROM p, range(0, 4) t(band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.media_id AS id_a, c.media_id AS id_b
+      FROM b a JOIN b c ON a.band = c.band AND a.bv = c.bv
+                       AND a.media_id < c.media_id
+      WHERE bit_count(xor(a.phash, c.phash)) <= 3
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM cand
+      UNION SELECT id_b, id_a FROM cand
+    ),
+    reach(id, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id
+    )
+    SELECT id AS media_id, MIN(label) AS cluster_id
+    FROM reach GROUP BY id
+    """,
+    category="multimodal",
+)
+def multimodal_media_clusters(spark, sf_dir):
+    """The media-dedup chain end to end: perceptual hash → banded
+    Hamming-LSH pairs → connected components — image near-duplicate
+    GROUPS, the multimodal twin of the text dedup chain, built by
+    composing the same operators (operators/multimodal.py
+    perceptual_hash, operators/dedup.py hamming_near_dup_pairs +
+    near_dup_clusters). The oracle replays hash, banding, Hamming
+    verify, and recursive-CTE reachability in one statement."""
+    media = M.synthetic_media(spark, n=64)
+    hashed = M.perceptual_hash(media, bits=16)
+    pairs = D.hamming_near_dup_pairs(
+        hashed, "media_id", "phash", bits=16, bands=4, max_hamming=3
+    )
+    return D.near_dup_clusters(pairs).select(
+        F.col("id").alias("media_id"), "cluster_id"
+    )
