@@ -56,11 +56,9 @@ def tfidf_top_terms_documents(spark, sf_dir):
 
 _BM25_TERMS = ["join", "scan", "sort", "window"]
 
-
-@workload(
-    "bm25_rank_documents",
-    rf"""
-    WITH lens AS (
+# Shared BM25 CTE chain (ends in a `bm25(id, score_q)` relation) — used by
+# the ranking workload AND the nDCG evaluation oracle so they cannot drift.
+_BM25_CTES = rf"""lens AS (
       SELECT doc_id AS id,
              LEN(LIST_FILTER({_TOK}, x -> x <> '')) AS dl
       FROM documents
@@ -90,12 +88,21 @@ _BM25_TERMS = ["join", "scan", "sort", "window"]
              MAX(CASE WHEN term = 'sort' THEN contrib END) AS c2,
              MAX(CASE WHEN term = 'window' THEN contrib END) AS c3
       FROM per_term GROUP BY id
-    )
-    SELECT id,
-           CAST(FLOOR((COALESCE(c0, 0.0) + COALESCE(c1, 0.0)
-                       + COALESCE(c2, 0.0) + COALESCE(c3, 0.0))
-                      * 1000000000.0 + 0.5) AS BIGINT) AS score_q
-    FROM pivoted
+    ),
+    bm25 AS (
+      SELECT id,
+             CAST(FLOOR((COALESCE(c0, 0.0) + COALESCE(c1, 0.0)
+                         + COALESCE(c2, 0.0) + COALESCE(c3, 0.0))
+                        * 1000000000.0 + 0.5) AS BIGINT) AS score_q
+      FROM pivoted
+    )"""
+
+
+@workload(
+    "bm25_rank_documents",
+    f"""
+    WITH {_BM25_CTES}
+    SELECT id, score_q FROM bm25
     """,
     category="text",
 )
@@ -3742,4 +3749,176 @@ def daily_value_percentiles_events(spark, sf_dir):
         "n_events",
         "p50_q",
         "p90_q",
+    )
+
+
+@workload(
+    "ndcg_bm25_documents",
+    f"""
+    WITH {_BM25_CTES},
+    rel AS (
+      SELECT id, SUM(tf) AS rel FROM tf GROUP BY id
+    ),
+    joined AS (
+      SELECT b.id, b.score_q, r.rel FROM bm25 b JOIN rel r ON r.id = b.id
+    ),
+    by_score AS (
+      SELECT rel, ROW_NUMBER() OVER (ORDER BY score_q DESC, id ASC) AS rnk
+      FROM joined QUALIFY rnk <= 10
+    ),
+    by_rel AS (
+      SELECT rel, ROW_NUMBER() OVER (ORDER BY rel DESC, id ASC) AS rnk
+      FROM joined QUALIFY rnk <= 10
+    ),
+    dcg AS (
+      SELECT SUM(CAST(FLOOR(CAST(rel AS DOUBLE) / LOG2(rnk + 1.0)
+                            * 1000000000.0 + 0.5) AS BIGINT)) AS dcg_q
+      FROM by_score
+    ),
+    idcg AS (
+      SELECT SUM(CAST(FLOOR(CAST(rel AS DOUBLE) / LOG2(rnk + 1.0)
+                            * 1000000000.0 + 0.5) AS BIGINT)) AS idcg_q
+      FROM by_rel
+    )
+    SELECT dcg_q, idcg_q,
+           CAST(FLOOR(CAST(dcg_q AS DOUBLE) / CAST(idcg_q AS DOUBLE)
+                      * 1000000000.0 + 0.5) AS BIGINT) AS ndcg_q
+    FROM dcg CROSS JOIN idcg
+    """,
+    category="text",
+)
+def ndcg_bm25_documents(spark, sf_dir):
+    """nDCG@10 of the BM25 ranking against graded relevance (relevance
+    = total query-term occurrences) — the retrieval-evaluation metric
+    next to the rankers themselves; the eval harness every retrieval
+    pipeline needs is just more columns. Each rank's rel/log₂(rank+1)
+    term is nano-quantized BEFORE the 10-term sum (order-free integer
+    DCG), the ideal ranking reuses the same quantization, and nDCG is
+    one int/int division. The oracle shares the BM25 CTE chain with the
+    ranking workload so scorer and evaluator cannot drift."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    docs = spread(t["documents"], spark)
+    scores = R.bm25_scores(docs, _BM25_TERMS)
+    rel = (
+        docs.select(
+            F.col("doc_id").alias("id"),
+            F.explode(R.tokens("text")).alias("term"),
+        )
+        .filter(F.col("term").isin(_BM25_TERMS))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("rel"))
+    )
+    joined = scores.join(rel, on="id")
+    term_q = lambda: F.floor(
+        F.col("rel").cast("double")
+        / F.log2(F.col("rnk") + F.lit(1.0))
+        * F.lit(1000000000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    by_score = (
+        joined.withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.desc("score_q"), F.asc("id"))
+            ),
+        )
+        .filter(F.col("rnk") <= 10)
+        .select(term_q().alias("t"))
+        .groupBy()
+        .agg(F.sum("t").alias("dcg_q"))
+    )
+    by_rel = (
+        joined.withColumn(
+            "rnk",
+            F.row_number().over(Window.orderBy(F.desc("rel"), F.asc("id"))),
+        )
+        .filter(F.col("rnk") <= 10)
+        .select(term_q().alias("t"))
+        .groupBy()
+        .agg(F.sum("t").alias("idcg_q"))
+    )
+    return (
+        by_score.crossJoin(F.broadcast(by_rel))
+        .select(
+            "dcg_q",
+            "idcg_q",
+            F.floor(
+                F.col("dcg_q").cast("double")
+                / F.col("idcg_q").cast("double")
+                * F.lit(1000000000.0)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("ndcg_q"),
+        )
+    )
+
+
+@workload(
+    "user_activity_features",
+    """
+    WITH mx AS (SELECT MAX(ts) AS tmax FROM events),
+    aged AS (
+      SELECT user_id, value,
+             epoch_us(tmax - ts) // 86400000000 AS age_d
+      FROM events CROSS JOIN mx
+    )
+    SELECT user_id,
+           CAST(SUM(CASE WHEN age_d < 7 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_7d,
+           CAST(SUM(CASE WHEN age_d < 14 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_14d,
+           CAST(SUM(CASE WHEN age_d < 28 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_28d,
+           CAST(SUM(CASE WHEN age_d < 7
+                         THEN CAST(value AS DECIMAL(18,2)) END) * 100
+                AS BIGINT) AS value_7d_c,
+           CAST(SUM(CASE WHEN age_d < 28
+                         THEN CAST(value AS DECIMAL(18,2)) END) * 100
+                AS BIGINT) AS value_28d_c,
+           CAST(MIN(age_d) AS BIGINT) AS days_since_last
+    FROM aged GROUP BY user_id
+    """,
+    category="analytics",
+)
+def user_activity_features(spark, sf_dir):
+    """Trailing-window feature table (7/14/28-day activity counts,
+    value sums in exact cents, recency) — the one-pass conditional-
+    aggregation shape feature stores use instead of three windowed
+    self-joins: ONE scan, ONE hash-agg on user_id, every window a CASE
+    inside the same aggregate. Ages are whole days from integer
+    microsecond division against the broadcast corpus max; NULL (not 0)
+    value sums when a window is empty, so downstream imputation can
+    tell 'inactive' from 'spent nothing'."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    mx = ev.groupBy().agg(F.max("ts").alias("tmax"))
+    age = F.expr(
+        "(unix_micros(CAST(tmax AS TIMESTAMP))"
+        " - unix_micros(CAST(ts AS TIMESTAMP))) DIV 86400000000"
+    )
+    dec = F.col("value").cast("decimal(18,2)")
+
+    def n_within(d):
+        return F.sum(F.when(F.col("age_d") < d, 1).otherwise(0)).cast("long")
+
+    def v_within(d):
+        return (
+            F.sum(F.when(F.col("age_d") < d, dec)) * 100
+        ).cast("long")
+
+    return (
+        ev.crossJoin(F.broadcast(mx))
+        .select("user_id", "value", age.alias("age_d"))
+        .groupBy("user_id")
+        .agg(
+            n_within(7).alias("n_7d"),
+            n_within(14).alias("n_14d"),
+            n_within(28).alias("n_28d"),
+            v_within(7).alias("value_7d_c"),
+            v_within(28).alias("value_28d_c"),
+            F.min("age_d").cast("long").alias("days_since_last"),
+        )
     )
