@@ -2203,10 +2203,9 @@ def acf_lag_events_value(spark, sf_dir):
     )
 
 
-@workload(
-    "rrf_fuse_bm25_tfidf_documents",
-    rf"""
-    WITH lens AS (
+# Shared BM25 + TF-IDF top-100 rank-list CTE chain (ends in btop/ttop) —
+# used by the RRF fusion workload and the RBO overlap evaluation.
+_RANK_LISTS_CTES = rf"""lens AS (
       SELECT doc_id AS id,
              LEN(LIST_FILTER({_TOK}, x -> x <> '')) AS dl
       FROM documents
@@ -2270,7 +2269,13 @@ def acf_lag_events_value(spark, sf_dir):
     ttop AS (
       SELECT id, ROW_NUMBER() OVER (ORDER BY s DESC, id ASC) AS r
       FROM tscore QUALIFY r <= 100
-    ),
+    )"""
+
+
+@workload(
+    "rrf_fuse_bm25_tfidf_documents",
+    f"""
+    WITH {_RANK_LISTS_CTES},
     fused AS (
       SELECT COALESCE(b.id, t.id) AS doc_id, b.r AS br, t.r AS tr,
              (0.0 + COALESCE(1.0 / (60 + b.r), 0.0)
@@ -3921,4 +3926,208 @@ def user_activity_features(spark, sf_dir):
             v_within(28).alias("value_28d_c"),
             F.min("age_d").cast("long").alias("days_since_last"),
         )
+    )
+
+
+_RBO_WEIGHTS = [1.0, 0.9, 0.81, 0.7290000000000001, 0.6561, 0.5904900000000001, 0.531441, 0.4782969000000001, 0.4304672100000001, 0.3874204890000001]  # 0.9^(d-1), d = 1..10 — Python-computed literals
+# so neither engine's pow() enters the comparison
+
+
+@workload(
+    "rbo_bm25_vs_tfidf",
+    f"""
+    WITH {_RANK_LISTS_CTES},
+    depths AS (SELECT UNNEST(range(1, 11)) AS d),
+    ovl AS (
+      SELECT depths.d,
+             (SELECT COUNT(*) FROM btop b JOIN ttop t ON b.id = t.id
+              WHERE b.r <= depths.d AND t.r <= depths.d) AS x_d
+      FROM depths
+    ),
+    terms AS (
+      SELECT d, x_d,
+             CAST(FLOOR(0.09999999999999998
+                        * ([1.0, 0.9, 0.81, 0.7290000000000001, 0.6561, 0.5904900000000001, 0.531441, 0.4782969000000001, 0.4304672100000001, 0.3874204890000001][d])
+                        * CAST(x_d AS DOUBLE) / CAST(d AS DOUBLE)
+                        * 1000000000.0 + 0.5) AS BIGINT) AS term_q
+      FROM ovl
+    )
+    SELECT CAST(SUM(term_q) AS BIGINT) AS rbo_q,
+           CAST(MAX(CASE WHEN d = 10 THEN x_d END) AS BIGINT) AS overlap_at_10
+    FROM terms
+    """,
+    category="text",
+)
+def rbo_bm25_vs_tfidf(spark, sf_dir):
+    """Rank-biased overlap (p = 0.9, truncated at depth 10) between the
+    BM25 and TF-IDF rankings of the same query — the top-weighted
+    list-agreement metric that, with nDCG, completes the retrieval-eval
+    pair: nDCG judges one ranking against relevance, RBO judges two
+    rankings against each other. The p-weights are PYTHON-computed
+    double literals embedded in both engines (repr round-trip), so
+    neither engine's pow() enters the comparison; each depth's
+    (1-p)·p^(d-1)·X_d/d term is quantized before the 10-term integer
+    sum. Depth overlaps X_d are integer counts over the two 100-row
+    rank lists."""
+    from pyspark.sql import Window
+
+    from etl_manager_spark.functions.exact import lit_double_array
+    from etl_manager_spark.operators import ranking as R
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    bm = R.bm25_scores(docs, _BM25_TERMS, top=100)
+    qterms = sorted(set(_BM25_TERMS))
+    tf = R.term_frequencies(docs).filter(F.col("term").isin(qterms))
+    dfreq = R.document_frequencies(tf)
+    n_docs = docs.select("doc_id").distinct().count()
+    per = tf.join(F.broadcast(dfreq), on="term").withColumn(
+        "contrib",
+        F.col("tf").cast("double")
+        * F.log(F.lit(float(n_docs)) / F.col("df")),
+    )
+    piv = per.groupBy("id").agg(
+        *[
+            F.max(F.when(F.col("term") == q, F.col("contrib"))).alias(
+                f"_c{i}"
+            )
+            for i, q in enumerate(qterms)
+        ]
+    )
+    score = F.lit(0.0)
+    for i in range(len(qterms)):
+        score = score + F.coalesce(F.col(f"_c{i}"), F.lit(0.0))
+    ti = (
+        piv.select("id", R.quantize(score).alias("score_q"))
+        .orderBy(F.desc("score_q"), F.asc("id"))
+        .limit(100)
+    )
+    btop = bm.select(
+        "id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score_q"), F.asc("id")))
+        .alias("br"),
+    )
+    ttop = ti.select(
+        "id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score_q"), F.asc("id")))
+        .alias("tr"),
+    )
+    both = btop.join(ttop, on="id").select("br", "tr")
+    depths = spark.range(1, 11).select(F.col("id").cast("int").alias("d"))
+    overlaps = (
+        F.broadcast(depths)
+        .crossJoin(both)
+        .filter((F.col("br") <= F.col("d")) & (F.col("tr") <= F.col("d")))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("x_d"))
+    )
+    # depths with zero overlap contribute 0 — restore them via left join
+    overlaps = depths.join(overlaps, on="d", how="left").select(
+        "d", F.coalesce("x_d", F.lit(0)).alias("x_d")
+    )
+    w = F.element_at(lit_double_array(_RBO_WEIGHTS), F.col("d"))
+    term_q = F.floor(
+        F.lit(1.0 - 0.9)
+        * w
+        * F.col("x_d").cast("double")
+        / F.col("d").cast("double")
+        * F.lit(1000000000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    return overlaps.select(
+        term_q.alias("term_q"),
+        F.when(F.col("d") == 10, F.col("x_d")).alias("x10"),
+    ).groupBy().agg(
+        F.sum("term_q").cast("long").alias("rbo_q"),
+        F.max("x10").cast("long").alias("overlap_at_10"),
+    )
+
+
+@workload(
+    "session_duration_stats",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN EPOCH_US(ts) - LAG(EPOCH_US(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    > 1800000000
+                  OR LAG(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM ordered
+    ),
+    sessions AS (
+      SELECT user_id, sid,
+             EPOCH_US(MAX(ts) - MIN(ts)) AS dur_us,
+             COUNT(*) AS n_events
+      FROM numbered GROUP BY user_id, sid
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(dur_us) AS BIGINT) AS total_duration_us,
+           CAST(MAX(dur_us) AS BIGINT) AS max_duration_us,
+           CAST(FLOOR(CAST(SUM(dur_us) AS DOUBLE) / COUNT(*)
+                      * 0.000001 * 1000000000.0 + 0.5) AS BIGINT)
+             AS avg_duration_s_q,
+           CAST(SUM(n_events) AS BIGINT) AS n_events_total
+    FROM sessions
+    """,
+    category="events",
+)
+def session_duration_stats(spark, sf_dir):
+    """Session dwell-time summary over the 30-minute-gap sessions:
+    durations are exact integer microseconds (max − min per session),
+    totals and max are integer reductions, and only the average is a
+    single division (µs → seconds, quantized). Same tie-safe
+    sessionization as bounce_rate_sessions — one window family on
+    user_id, one rollup."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    micros = F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+    new_session = F.when(
+        F.lag("ts").over(w).isNull()
+        | ((micros - F.lag(micros).over(w)) > 1800000000),
+        1,
+    ).otherwise(0)
+    wsum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    numbered = ev.select(
+        "user_id",
+        "ts",
+        micros.alias("us"),
+        new_session.alias("new_session"),
+        "event_id",
+    ).select(
+        "user_id", "us", F.sum("new_session").over(wsum).alias("sid")
+    )
+    sessions = numbered.groupBy("user_id", "sid").agg(
+        (F.max("us") - F.min("us")).alias("dur_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return sessions.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("dur_us").cast("long").alias("total_duration_us"),
+        F.max("dur_us").cast("long").alias("max_duration_us"),
+        F.floor(
+            F.sum("dur_us").cast("double")
+            / F.count(F.lit(1))
+            * F.lit(0.000001)
+            * F.lit(1000000000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("avg_duration_s_q"),
+        F.sum("n_events").cast("long").alias("n_events_total"),
     )
