@@ -42,6 +42,7 @@ class PlanReport:
     codegen_stages: int
     cartesian_products: int
     take_ordered: bool
+    single_partition_windows: int
 
     @property
     def has_pushed_filters(self) -> bool:
@@ -54,6 +55,27 @@ class PlanReport:
             if not cols <= allowed:
                 return False
         return True
+
+
+def _count_single_partition_windows(simple: str) -> int:
+    """Window operators fed (directly or through a Sort/WindowGroupLimit)
+    by an ``Exchange SinglePartition`` — the shape an unpartitioned
+    ``Window.orderBy(...)`` plans: every row funnels into ONE task for the
+    sort + window, a non-starter when the windowed dimension grows with
+    the data. Detected on the simple-mode tree, where a node's input is
+    printed on the immediately following lines."""
+    lines = simple.splitlines()
+    flagged_exchanges: set[int] = set()
+    for i, line in enumerate(lines):
+        if "Window" not in line:
+            continue
+        for j in range(i + 1, min(i + 4, len(lines))):
+            if "Exchange SinglePartition" in lines[j]:
+                flagged_exchanges.add(j)
+                break
+            if "Exchange" in lines[j]:  # some other partitioning feeds it
+                break
+    return len(flagged_exchanges)
 
 
 def plan_report(df: "DataFrame") -> PlanReport:
@@ -74,6 +96,7 @@ def plan_report(df: "DataFrame") -> PlanReport:
         codegen_stages=len(set(re.findall(r"\*\((\d+)\)", simple))),
         cartesian_products=len(re.findall(r"CartesianProduct", text)),
         take_ordered=("TakeOrderedAndProject" in text),
+        single_partition_windows=_count_single_partition_windows(simple),
     )
 
 
@@ -107,6 +130,12 @@ def lint_plan(
       reader (non-pushable expression, or a cast hiding the column).
     - ``wide-scan``: a scan reading more than ``wide_scan_columns``
       columns — projection pruning probably failed (SELECT * somewhere).
+    - ``single-partition-window``: a Window fed by an Exchange
+      SinglePartition — an unpartitioned ``Window.orderBy``; the whole
+      input sorts in ONE task. Legitimate only when the window's input
+      is provably bounded (a post-``limit(k)`` frame, a ≤k-row
+      aggregate); over a dimension that grows with the data it is the
+      canonical 100 TB cliff.
     - ``global-sort``: a rangepartitioning exchange — a full global sort;
       for top-k, TakeOrderedAndProject should have replaced it.
     - ``many-shuffles``: more than ``max_shuffles`` hash exchanges —
@@ -164,6 +193,16 @@ def lint_plan(
                     "likely failed (SELECT * upstream?)",
                 )
             )
+    if r.single_partition_windows:
+        warnings.append(
+            PlanWarning(
+                "single-partition-window",
+                f"{r.single_partition_windows} Window(s) fed by Exchange "
+                "SinglePartition — unpartitioned Window.orderBy sorts ALL "
+                "rows in one task; bound the input (limit(k)) or use a "
+                "two-phase per-partition rank + offset",
+            )
+        )
     if "rangepartitioning" in r.text and not r.take_ordered:
         warnings.append(
             PlanWarning(

@@ -2554,7 +2554,9 @@ def pmi_collocations_documents(spark, sf_dir):
                ORDER BY ABS(cusum_q) DESC, day ASC) AS rn
       FROM cs
     )
-    SELECT event_type, day AS change_day, cusum_q FROM r WHERE rn = 1
+    SELECT event_type, day AS change_day,
+           CAST(cusum_q AS BIGINT) AS cusum_q
+    FROM r WHERE rn = 1
     """,
     category="timeseries",
 )
@@ -2809,7 +2811,7 @@ def vocab_kl_drift_documents(spark, sf_dir):
                        WHERE vc.v > e.edge) AS INTEGER) AS bin
       FROM vc
     )
-    SELECT bin, SUM(c) AS n_orders,
+    SELECT bin, CAST(SUM(c) AS BIGINT) AS n_orders,
            MIN(v) AS min_price, MAX(v) AS max_price
     FROM binned GROUP BY bin
     """,
@@ -2948,7 +2950,8 @@ def pareto_revenue_concentration(spark, sf_dir):
                   * 1000000000.0 + 0.5) AS BIGINT) AS w_q
       FROM events CROSS JOIN mx
     )
-    SELECT user_id, SUM(w_q) AS engagement_q, COUNT(*) AS n_events
+    SELECT user_id, CAST(SUM(w_q) AS BIGINT) AS engagement_q,
+           COUNT(*) AS n_events
     FROM scored GROUP BY user_id
     """,
     category="timeseries",
@@ -3776,13 +3779,15 @@ def daily_value_percentiles_events(spark, sf_dir):
       FROM joined QUALIFY rnk <= 10
     ),
     dcg AS (
-      SELECT SUM(CAST(FLOOR(CAST(rel AS DOUBLE) / LOG2(rnk + 1.0)
-                            * 1000000000.0 + 0.5) AS BIGINT)) AS dcg_q
+      SELECT CAST(SUM(CAST(FLOOR(CAST(rel AS DOUBLE) / LOG2(rnk + 1.0)
+                            * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS dcg_q
       FROM by_score
     ),
     idcg AS (
-      SELECT SUM(CAST(FLOOR(CAST(rel AS DOUBLE) / LOG2(rnk + 1.0)
-                            * 1000000000.0 + 0.5) AS BIGINT)) AS idcg_q
+      SELECT CAST(SUM(CAST(FLOOR(CAST(rel AS DOUBLE) / LOG2(rnk + 1.0)
+                            * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS idcg_q
       FROM by_rel
     )
     SELECT dcg_q, idcg_q,

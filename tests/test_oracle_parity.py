@@ -75,12 +75,81 @@ def values_equal(a, b):
     return a == b
 
 
+# DuckDB scalar type → Spark dtype strings the driver's dtype-tagged hash
+# treats as the same family. Anything NOT in this map and not a container
+# (LIST/STRUCT/MAP) is a type with no Spark twin — HUGEINT being the classic:
+# DuckDB types SUM(BIGINT) as int128, Spark emits int64, values identical but
+# the driver hash differs (the round-5 failure class this gate now catches).
+_DUCK_TO_SPARK = {
+    "BOOLEAN": {"boolean"},
+    "TINYINT": {"tinyint"},
+    "SMALLINT": {"smallint"},
+    "INTEGER": {"int"},
+    "BIGINT": {"bigint"},
+    "FLOAT": {"float"},
+    "DOUBLE": {"double"},
+    "VARCHAR": {"string"},
+    "DATE": {"date"},
+    "TIME": {"string"},  # Spark has no TIME; oracles must not emit it
+    "TIMESTAMP": {"timestamp", "timestamp_ntz"},
+    "TIMESTAMP WITH TIME ZONE": {"timestamp"},
+    "BLOB": {"binary"},
+}
+
+# Types DuckDB can infer that have NO Spark twin — an oracle emitting one of
+# these can never driver-green even when every value matches.
+_FORBIDDEN_TOKENS = (
+    "HUGEINT",
+    "UHUGEINT",
+    "UTINYINT",
+    "USMALLINT",
+    "UINTEGER",
+    "UBIGINT",
+    "INTERVAL",
+    "UUID",
+    "BIT",
+)
+
+
+def check_duck_types(name, duck_cols, duck_types, spark_dtypes):
+    """Fail when an oracle's DECLARED DuckDB result type cannot hash-match
+    Spark's output type, regardless of values (see _DUCK_TO_SPARK)."""
+    spark_by_col = dict(spark_dtypes)
+    problems = []
+    for col, dtype in zip(duck_cols, duck_types):
+        dt = str(dtype).upper()
+        for tok in _FORBIDDEN_TOKENS:
+            if tok in dt:
+                problems.append(
+                    f"{col}: oracle emits {dt} (contains {tok} — no Spark "
+                    f"twin; CAST the SQL, e.g. CAST(SUM(...) AS BIGINT))"
+                )
+                break
+        else:
+            sdt = spark_by_col.get(col, "").lower()
+            if dt.startswith("DECIMAL"):
+                if not sdt.startswith("decimal"):
+                    problems.append(f"{col}: oracle DECIMAL vs spark {sdt}")
+            elif dt in _DUCK_TO_SPARK:
+                if sdt not in _DUCK_TO_SPARK[dt]:
+                    problems.append(f"{col}: oracle {dt} vs spark {sdt}")
+            # containers (LIST/STRUCT/MAP/ARRAY) pass the twin check once the
+            # forbidden-token scan above has cleared their element types
+    return problems
+
+
 @pytest.mark.parametrize("name", ORACLE_NAMES)
 def test_oracle_parity(name, spark, duck, sf_dir_oracle):
     wl = REGISTRY[name]
     sdf = wl.fn(spark, sf_dir_oracle)
     spark_cols = sdf.columns
     spark_rows = [tuple(r) for r in sdf.collect()]
+
+    rel = duck.sql(wl.oracle)
+    type_problems = check_duck_types(
+        name, rel.columns, rel.types, sdf.dtypes
+    )
+    assert not type_problems, f"{name}: oracle type mismatch: {type_problems}"
 
     res = duck.execute(wl.oracle)
     duck_cols = [d[0] for d in res.description]
@@ -101,6 +170,41 @@ def test_oracle_parity(name, spark, duck, sf_dir_oracle):
             if not values_equal(sv, dv):
                 mismatches.append((i, cols[c], sv, dv))
     assert not mismatches, f"{name}: first mismatches {mismatches[:5]}"
+
+
+def test_type_gate_catches_uncast_sum(duck):
+    """An uncast SUM(BIGINT) types as HUGEINT in DuckDB — the gate must
+    reject it even though every VALUE would compare equal (round-5 driver
+    hash-fail class)."""
+    rel = duck.sql("SELECT SUM(x) AS s FROM (SELECT CAST(1 AS BIGINT) AS x)")
+    problems = check_duck_types("injected", rel.columns, rel.types, [("s", "bigint")])
+    assert problems and "HUGEINT" in problems[0]
+    # and the cast fixes it
+    rel2 = duck.sql(
+        "SELECT CAST(SUM(x) AS BIGINT) AS s FROM (SELECT CAST(1 AS BIGINT) AS x)"
+    )
+    assert not check_duck_types("ok", rel2.columns, rel2.types, [("s", "bigint")])
+
+
+def test_catalog_type_scan_catches_injection(duck):
+    """tools.lint_catalog.scan_oracle_types flags a registry entry whose
+    oracle emits HUGEINT."""
+    from types import SimpleNamespace
+
+    from tools.lint_catalog import scan_oracle_types
+
+    fake = {
+        "bad_q": SimpleNamespace(
+            oracle_spec=object(),
+            oracle="SELECT SUM(o_custkey) AS s FROM orders",
+        ),
+        "good_q": SimpleNamespace(
+            oracle_spec=object(),
+            oracle="SELECT CAST(SUM(o_custkey) AS BIGINT) AS s FROM orders",
+        ),
+    }
+    bad = scan_oracle_types(fake)
+    assert "bad_q" in bad and "good_q" not in bad
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY_NAMES)

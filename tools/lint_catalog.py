@@ -18,6 +18,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # row-at-a-time Python is the documented point of these two (bounded input)
 ROW_UDF_ALLOWED = {"udtf_event_runs_per_user", "udtf_token_explode_documents"}
 
+# single-partition Window allowed ONLY where the window input is provably
+# bounded — a post-limit(k) frame or a fixed-k aggregate. Each entry's bound
+# is stated in the workload docstring; anything else planning an Exchange
+# SinglePartition under a Window is a critical lint failure.
+SP_WINDOW_ALLOWED: set[str] = set()
+
 
 def main() -> None:
     from pyspark.sql import SparkSession
@@ -52,11 +58,23 @@ def main() -> None:
         for name, codes in report.items()
         if "cartesian-product" in codes
         or ("python-row-udf" in codes and name not in ROW_UDF_ALLOWED)
+        or (
+            "single-partition-window" in codes
+            and name not in SP_WINDOW_ALLOWED
+        )
     )
+
+    # Oracle declared-type scan: an oracle whose DuckDB result type has no
+    # Spark twin (HUGEINT from an uncast SUM(BIGINT) being the classic) can
+    # never driver-green even with identical values. Mirrors the check in
+    # tests/test_oracle_parity.py but runs catalog-wide without Spark.
+    oracle_type_bad = scan_oracle_types(reg)
+
     out = {
         "queries_total": len(reg),
         "queries_flagged": len(report),
         "critical": critical,
+        "oracle_type_errors": oracle_type_bad,
         "errors": errors,
         "warnings": report,
     }
@@ -73,12 +91,49 @@ def main() -> None:
                 "queries_total": out["queries_total"],
                 "queries_flagged": out["queries_flagged"],
                 "critical": critical,
+                "oracle_type_errors": oracle_type_bad,
                 "errors": len(errors),
             }
         )
     )
-    if critical or errors:
+    if critical or errors or oracle_type_bad:
         sys.exit(1)
+
+
+def scan_oracle_types(reg) -> dict[str, list[str]]:
+    """Plan (not run) every oracle in DuckDB against empty same-schema views
+    and reject declared result types with no Spark twin."""
+    import duckdb
+
+    from etl_manager_spark.workloads.tables import TABLE_NAMES
+
+    sf = os.environ.get("SPARK_GRAFT_LINT_SF_DIR", "/root/testdata/sf0.001")
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    forbidden = (
+        "HUGEINT", "UHUGEINT", "UTINYINT", "USMALLINT",
+        "UINTEGER", "UBIGINT", "INTERVAL", "UUID",
+    )
+    bad: dict[str, list[str]] = {}
+    for name in sorted(reg):
+        spec = reg[name].oracle_spec
+        if spec is None:
+            continue
+        try:
+            rel = con.sql(reg[name].oracle)
+        except Exception:  # noqa: BLE001 - parity test reports run errors
+            continue
+        hits = [
+            f"{col}: {dtype}"
+            for col, dtype in zip(rel.columns, rel.types)
+            if any(tok in str(dtype).upper() for tok in forbidden)
+        ]
+        if hits:
+            bad[name] = hits
+    return bad
 
 
 if __name__ == "__main__":
