@@ -26,16 +26,41 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry["q3_shipping_priority"].fn(spark, "/root/testdata/sf0.001")
 
 
+def _staleness_order(names) -> list[str]:
+    """Never-driver-green queries first, then stalest green round, then
+    name — so a driver that samples a PREFIX of the catalog always
+    verifies the least-recently-confirmed queries. The ledger
+    (driver_green.json) is regenerated from the CORRECTNESS_r*.json
+    files by tools/regen_driver_green.py — never hand-kept."""
+    import json
+
+    ledger_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "etl_manager_spark",
+        "workloads",
+        "driver_green.json",
+    )
+    try:
+        with open(ledger_path) as fh:
+            green = json.load(fh)
+    except Exception:  # noqa: BLE001 - no ledger → plain name order
+        green = {}
+    return sorted(names, key=lambda n: (green.get(n, -1), n))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {name: wl.fn for name, wl in load_registry().items()}
+    """One entry per implemented operator from SURVEY.md §2 (iteration
+    order: least-recently-driver-verified first)."""
+    registry = load_registry()
+    return {name: registry[name].fn for name in _staleness_order(registry)}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every SQL-expressible query (same column
     aliases as the Spark side; value-exact — see functions/exact.py)."""
+    registry = load_registry()
     return {
-        name: wl.oracle
-        for name, wl in load_registry().items()
-        if wl.oracle is not None
+        name: registry[name].oracle
+        for name in _staleness_order(registry)
+        if registry[name].oracle is not None
     }

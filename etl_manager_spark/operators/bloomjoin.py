@@ -62,31 +62,40 @@ def build_key_bloom(
 ) -> list[int]:
     """Build the bloom bitmap of ``dim[key_col]`` as ``num_bits/64`` longs.
 
-    One distributed pass: explode each key's hash positions, aggregate the
-    distinct position set (bounded by ``num_bits`` ints regardless of dim
-    cardinality), fold into the bitmap driver-side. The driver never sees
-    keys — only set bit positions, at most ``num_bits`` of them.
+    One distributed pass: explode each key's hash positions, OR each
+    position's bit into its 64-bit WORD with a hash aggregate on the word
+    index (map-side combinable — no aggregation buffer ever holds more
+    than the populated word count), then collect only the ≤ num_bits/64
+    non-zero word rows. The driver never sees keys, and no single
+    buffer/row ever holds the full position multiset — the failure mode
+    of a collect_set formulation at large num_bits.
 
     Sizing: fpp ≈ (1 - e^(-kn/m))^k. The 16 Kib / 2-hash default gives
     fpp < 1% up to ~1 500 keys; callers at larger dim cardinality pass
-    num_bits ≈ 10·n for ~1.2% fpp at k=2.
+    num_bits ≈ 10·n for ~1.2% fpp at k=2. Driver cost is one row per
+    populated word (16 B each): ~250 MB at the 10⁹-bit/10⁸-key end.
     """
     if num_bits % _WORD:
         raise ValueError(f"num_bits must be a multiple of {_WORD}")
-    row = (
+    rows = (
         dim.select(
             F.explode(
                 _positions(F.col(key_col), num_bits, num_hashes)
             ).alias("pos")
         )
-        .agg(F.collect_set("pos").alias("ps"))
-        .first()
+        .select(
+            F.expr(f"CAST(pos DIV {_WORD} AS INT)").alias("w"),
+            F.expr(f"SHIFTLEFT(CAST(1 AS BIGINT), CAST(pos % {_WORD} AS INT))").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("word"))
+        .collect()
     )
+    # JVM longs are already signed 64-bit — safe as Spark literals as-is
     words = [0] * (num_bits // _WORD)
-    for p in row["ps"] or []:
-        words[p // _WORD] |= 1 << (p % _WORD)
-    # Spark long literals are signed 64-bit
-    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    for r in rows:
+        words[r["w"]] = r["word"]
+    return words
 
 
 def might_contain(

@@ -506,26 +506,56 @@ def sorted_neighborhood_pairs(
     O(w·|distinct|) comparison budget no matter how skewed any block is.
 
     Candidates come from ``lead(1..w-1)`` over the sorted order, then
-    the exact Levenshtein gate. The rank window is UNPARTITIONED — bound
-    is the distinct-name vocabulary, not the table (same contract as
-    fuzzy_name_pairs); for a vocabulary too big for one partition, run
-    multi-pass over ``repartitionByRange`` with boundary-overlap
-    replication of w-1 rows per range, which preserves exactly this
-    pair set.
+    the exact Levenshtein gate. Scale shape: ``repartitionByRange`` on
+    the name (contiguous lexicographic slices per partition, pinned with
+    a localCheckpoint), the lead window runs PER PARTITION, and each
+    partition's first ``w-1`` names are replicated into the previous
+    non-empty partition so boundary-straddling neighborhoods survive —
+    exactly the pair set of a global sort, with no Exchange
+    SinglePartition and a fixed w-1-row overlap per range.
 
     Returns (name_a, name_b, distance) with name_a < name_b (sort-order
     adjacency implies lexicographic order)."""
     from pyspark.sql import Window
 
+    spark = df.sparkSession
+    parts = spark.sparkContext.defaultParallelism
     names = df.select(F.col(name_col).alias("name_a")).distinct()
-    w = Window.orderBy("name_a")
-    cands = names.select(
+    base = (
+        names.repartitionByRange(parts, "name_a")
+        .withColumn("_snp", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    wloc = Window.partitionBy("_snp").orderBy("name_a")
+    # first w-1 names of each partition, re-addressed to the PREVIOUS
+    # non-empty partition (range partitions can legally come up empty)
+    present = sorted(r["_snp"] for r in base.select("_snp").distinct().collect())
+    prev_of = {p: q for q, p in zip(present, present[1:])}
+    if prev_of:
+        remap = spark.createDataFrame(
+            [(p, q) for p, q in prev_of.items()], "_snp int, _prev int"
+        )
+        heads = (
+            base.withColumn("_rn", F.row_number().over(wloc))
+            .filter(F.col("_rn") <= window - 1)
+            .join(F.broadcast(remap), "_snp")
+            .select(
+                F.col("_prev").alias("_snp"),
+                "name_a",
+                F.lit(True).alias("_replica"),
+            )
+        )
+        aug = base.withColumn("_replica", F.lit(False)).unionByName(heads)
+    else:
+        aug = base.withColumn("_replica", F.lit(False))
+    cands = aug.select(
         "name_a",
+        "_replica",
         *[
-            F.lead("name_a", i).over(w).alias(f"_n{i}")
+            F.lead("name_a", i).over(wloc).alias(f"_n{i}")
             for i in range(1, window)
         ],
-    )
+    ).filter(~F.col("_replica"))
     pairs = (
         cands.select(
             "name_a",

@@ -1,0 +1,171 @@
+"""Global ordered prefix aggregates without a single-partition window.
+
+``SUM(x) OVER (ORDER BY k)`` / ``ROW_NUMBER() OVER (ORDER BY k)`` with no
+PARTITION BY plan an ``Exchange SinglePartition``: every row funnels into
+ONE task for the sort and the running aggregate — the canonical 100 TB
+cliff for "rank all customers / cumulative revenue" analytics.
+
+:func:`ordered_cumsum` is the scale-safe formulation (the same two-phase
+composition as ``operators.sampling.assign_row_ids``): range-partition on
+the order keys (one shuffle, contiguous key ranges per partition), run the
+window LOCALLY per partition, aggregate one (count, Σvalue…) row per
+partition, prefix-sum those O(partitions) scalars on the driver, broadcast
+the offsets back, and add. Bitwise-identical to the global window for any
+associative integer aggregate, and no partition ever sorts more than its
+own slice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def ordered_cumsum(
+    df: DataFrame,
+    order_cols: list[Column],
+    value_cols: list[str] | None = None,
+    rank_name: str | None = None,
+    n_partitions: int | None = None,
+    cum_suffix: str = "_cum",
+) -> DataFrame:
+    """Running totals (and/or a 1-based global rank) in total
+    ``order_cols`` order, as ``<value>_cum`` LONG columns.
+
+    ``order_cols`` must be a total order (include a tiebreak column) or
+    the running values are not reproducible. ``value_cols`` must be
+    integer-typed (the offset prefix-sum is exact int arithmetic; floats
+    would reassociate). One range shuffle + one O(partitions) driver
+    prefix-sum; the per-partition window partitions BY partition id, so
+    the plan never contains an Exchange SinglePartition."""
+    value_cols = list(value_cols or [])
+    spark = df.sparkSession
+    parts = n_partitions or spark.sparkContext.defaultParallelism
+    # localCheckpoint pins ONE materialization: the totals pass and the
+    # numbering pass must observe the identical partition assignment
+    # (range boundaries come from a sample — recomputing the shuffle
+    # could legally re-draw them)
+    base = (
+        df.repartitionByRange(parts, *order_cols)
+        .withColumn("_ocs_part", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    totals = (
+        base.groupBy("_ocs_part")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            *[F.sum(v).cast("long").alias(f"_s_{v}") for v in value_cols],
+        )
+        .orderBy("_ocs_part")
+        .collect()
+    )
+    rows, acc_n = [], 0
+    acc_v = dict.fromkeys(value_cols, 0)
+    for r in totals:
+        rows.append((r["_ocs_part"], acc_n, *[acc_v[v] for v in value_cols]))
+        acc_n += r["_n"]
+        for v in value_cols:
+            acc_v[v] += r[f"_s_{v}"] or 0
+    schema = "_ocs_part int, _ocs_n0 long" + "".join(
+        f", _ocs_o_{v} long" for v in value_cols
+    )
+    off = spark.createDataFrame(rows, schema)
+    local = Window.partitionBy("_ocs_part").orderBy(*order_cols)
+    out = base.join(F.broadcast(off), "_ocs_part")
+    for v in value_cols:
+        out = out.withColumn(
+            f"{v}{cum_suffix}",
+            (
+                F.sum(v)
+                .over(local.rowsBetween(Window.unboundedPreceding, 0))
+                .cast("long")
+                + F.col(f"_ocs_o_{v}")
+            ).cast("long"),
+        )
+    if rank_name is not None:
+        out = out.withColumn(
+            rank_name,
+            (F.row_number().over(local).cast("long") + F.col("_ocs_n0")).cast(
+                "long"
+            ),
+        )
+    return out.drop("_ocs_part", "_ocs_n0", *[f"_ocs_o_{v}" for v in value_cols])
+
+
+def ordered_lag(
+    df: DataFrame,
+    sort_keys: list[tuple[str, str]],
+    value_col: str,
+    lag_name: str,
+    offset: int = 1,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """``LAG(value, offset) OVER (ORDER BY …)`` without the
+    single-partition window: range-partition on the sort keys, replicate
+    each partition's LAST ``offset`` rows into the next non-empty
+    partition (so the first rows of every partition still see their
+    predecessors), lag locally, drop the replicas. Exactly the global
+    window's answer with a fixed ``offset``-row overlap per range.
+
+    ``sort_keys`` is ``[(col, "asc"|"desc"), …]`` and must be a total
+    order for reproducible results."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    parts = n_partitions or spark.sparkContext.defaultParallelism
+
+    def _cols(rev: bool = False) -> list[Column]:
+        out = []
+        for c, d in sort_keys:
+            asc = (d == "asc") != rev
+            out.append(F.col(c).asc() if asc else F.col(c).desc())
+        return out
+
+    base = (
+        df.repartitionByRange(parts, *_cols())
+        .withColumn("_olg_part", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    present = sorted(
+        r["_olg_part"] for r in base.select("_olg_part").distinct().collect()
+    )
+    nxt = {p: q for p, q in zip(present, present[1:])}
+    if nxt:
+        remap = spark.createDataFrame(
+            [(p, q) for p, q in nxt.items()], "_olg_part int, _next int"
+        )
+        w_desc = Window.partitionBy("_olg_part").orderBy(*_cols(rev=True))
+        tails = (
+            base.withColumn("_rn", F.row_number().over(w_desc))
+            .filter(F.col("_rn") <= offset)
+            .drop("_rn")
+            .join(F.broadcast(remap), "_olg_part")
+            .drop("_olg_part")
+            .withColumnRenamed("_next", "_olg_part")
+            .withColumn("_olg_rep", F.lit(True))
+        )
+        aug = base.withColumn("_olg_rep", F.lit(False)).unionByName(tails)
+    else:
+        aug = base.withColumn("_olg_rep", F.lit(False))
+    w_asc = Window.partitionBy("_olg_part").orderBy(*_cols())
+    return (
+        aug.withColumn(lag_name, F.lag(value_col, offset).over(w_asc))
+        .filter(~F.col("_olg_rep"))
+        .drop("_olg_part", "_olg_rep")
+    )
+
+
+def ntile_from_rank(rank_col: str, n_col: str, tiles: int) -> Column:
+    """ANSI ``NTILE(tiles)`` computed from a 1-based global rank and the
+    total row count — so quantile scoring composes with the two-phase
+    rank above instead of an unpartitioned NTILE window. ANSI semantics
+    (identical in Spark and DuckDB): the first ``N % tiles`` buckets get
+    ``N DIV tiles + 1`` rows, the rest ``N DIV tiles``."""
+    q = f"({n_col} DIV {tiles})"
+    r = f"({n_col} % {tiles})"
+    return F.expr(
+        f"CAST(CASE WHEN {rank_col} <= {r} * ({q} + 1) "
+        f"THEN ({rank_col} - 1) DIV ({q} + 1) + 1 "
+        f"ELSE {r} + ({rank_col} - {r} * ({q} + 1) - 1) DIV {q} + 1 "
+        f"END AS INT)"
+    )

@@ -63,6 +63,23 @@ def within_distance_join(
     rlat, rlon = (F.col(c) for c in right_cols)
     offsets = F.array(F.lit(-1), F.lit(0), F.lit(1))
 
+    def guard_lat(lat: Column) -> Column:
+        # the OTHER half of the completeness envelope: beyond ±60° a
+        # 1°-lon cell narrows below 55 km and the 3×3 prefilter silently
+        # DROPS true pairs — fail loudly on the offending row instead
+        # (in-plan raise_error: distributed, no extra validation scan)
+        return F.when(
+            F.abs(lat) > F.lit(60.0),
+            F.raise_error(
+                F.format_string(
+                    "within_distance_join: |lat| > 60 breaks the 1°-cell "
+                    "3×3 completeness envelope (got lat=%s); widen the "
+                    "cell neighborhood for polar data",
+                    lat.cast("string"),
+                )
+            ).cast("double"),
+        ).otherwise(lat.cast("double"))
+
     def wrap_lon(cell):
         # the longitude cell ring wraps at the antimeridian: cell −180
         # and cell 179 are NEIGHBORS (a pair at ±179.9° is ~20 km apart
@@ -75,7 +92,9 @@ def within_distance_join(
     l_cells = (
         left.withColumn("_dy", F.explode(offsets))
         .withColumn("_dx", F.explode(offsets))
-        .withColumn("_cell_lat", F.floor(llat).cast("int") + F.col("_dy"))
+        .withColumn(
+            "_cell_lat", F.floor(guard_lat(llat)).cast("int") + F.col("_dy")
+        )
         .withColumn(
             "_cell_lon",
             wrap_lon(F.floor(llon).cast("int") + F.col("_dx")),
@@ -83,7 +102,7 @@ def within_distance_join(
         .drop("_dy", "_dx")
     )
     r_cells = right.withColumn(
-        "_cell_lat", F.floor(rlat).cast("int")
+        "_cell_lat", F.floor(guard_lat(rlat)).cast("int")
     ).withColumn("_cell_lon", wrap_lon(F.floor(rlon).cast("int")))
     cand = l_cells.join(r_cells, on=["_cell_lat", "_cell_lon"]).drop(
         "_cell_lat", "_cell_lon"

@@ -30,6 +30,39 @@ def grouped_topk(
     )
 
 
+def rank_bounded(
+    df: DataFrame,
+    sort_keys: list[tuple[str, str]],
+    rank_name: str = "rnk",
+) -> DataFrame:
+    """1-based global rank for a BOUNDED frame (post-``limit(k)``)
+    WITHOUT a Window — ``row_number() OVER (ORDER BY …)`` would plan an
+    Exchange SinglePartition even over 10 rows, tripping the
+    single-partition-window lint. Instead: collect the k rows into one
+    array (1-row aggregate), ``sort_array`` for the total order,
+    ``posexplode`` back out; rank = position + 1.
+
+    ``sort_keys`` is ``[(col, "asc"|"desc"), …]`` and must be a total
+    order; ``desc`` keys must be numeric (they are negated to ride the
+    ascending struct sort). ONLY for frames already bounded to ~k rows —
+    the whole frame materializes in one aggregation buffer."""
+    keys = []
+    for i, (c, d) in enumerate(sort_keys):
+        col = F.col(c)
+        keys.append((-col if d == "desc" else col).alias(f"_k{i}"))
+    arr = df.groupBy().agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(*keys, F.struct(*df.columns).alias("_p"))
+            )
+        ).alias("_a")
+    )
+    return arr.select(F.posexplode("_a").alias("_pos", "_s")).select(
+        (F.col("_pos") + 1).cast("int").alias(rank_name),
+        F.col("_s._p.*"),
+    )
+
+
 def partial_topk_prefilter(
     df: DataFrame,
     group_cols: list[str],

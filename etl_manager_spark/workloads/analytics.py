@@ -2821,28 +2821,26 @@ def equidepth_bins_orders_price(spark, sf_dir):
     """Equi-depth (decile) discretization with STORED edges — the
     train/broadcast/apply shape every feature pipeline uses: exact
     decile edges from the cumulative distribution of DISTINCT values
-    (sort the value-count table, not the fact table — the window runs
-    over |distinct| rows), broadcast the 9-row edge table, and assign
+    (sort the value-count table, not the fact table — and the running
+    count is the two-phase range-partitioned ``ordered_cumsum``, so
+    even a near-unique domain like o_totalprice never funnels into
+    one task), broadcast the 9-row edge table, and assign
     each order its bin as 1 + edges-strictly-below, a map-side
     broadcast-count with no tie ambiguity (value-based, so engines
     can't disagree on equal ranks). Emits per-bin counts and bounds.
     The oracle replays edges and assignment with a correlated COUNT."""
-    from pyspark.sql import Window
+    from etl_manager_spark.operators.prefix import ordered_cumsum
 
     t = load_tables(spark, sf_dir)
     orders = t["orders"]
     vc = orders.groupBy(F.col("o_totalprice").alias("v")).agg(
         F.count(F.lit(1)).alias("c")
     )
-    w = Window.orderBy("v")
-    cum = vc.select(
-        "v",
-        F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
-        F.sum("c").over(
-            Window.partitionBy().rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).alias("n"),
+    tot = vc.groupBy().agg(F.sum("c").cast("long").alias("n"))
+    cum = (
+        ordered_cumsum(vc, [F.asc("v")], ["c"])
+        .crossJoin(F.broadcast(tot))
+        .select("v", F.col("c_cum").alias("cum"), "n")
     )
     deciles = spark.range(1, 10).select(F.col("id").alias("d"))
     edges = (
@@ -2903,11 +2901,14 @@ def pareto_revenue_concentration(spark, sf_dir):
     feeds the salting/broadcast decisions elsewhere in the engine.
     EVERYTHING stays integer: per-customer revenue in exact cents
     (decimal sum ×100), the cumulative sum an associative integer
-    window over the CUSTOMER aggregate (|customers| rows, custkey
-    tiebreak), and the 80% test the cross-multiplied ``5·cum ≥
-    4·total`` — no float enters until the final share ratio, so
+    running total over the CUSTOMER aggregate (|customers| rows,
+    custkey tiebreak) via the two-phase range-partitioned
+    ``ordered_cumsum`` — per-partition windows + driver prefix-summed
+    offsets, NO Exchange SinglePartition even when customers outgrow
+    one task — and the 80% test the cross-multiplied ``5·cum ≥
+    4·total``: no float enters until the final share ratio, so
     engines cannot disagree on the boundary row."""
-    from pyspark.sql import Window
+    from etl_manager_spark.operators.prefix import ordered_cumsum
 
     t = load_tables(spark, sf_dir)
     per_cust = t["orders"].groupBy("o_custkey").agg(
@@ -2916,12 +2917,12 @@ def pareto_revenue_concentration(spark, sf_dir):
         .alias("rev_c")
     )
     tot = per_cust.groupBy().agg(F.sum("rev_c").alias("total_c"))
-    w = Window.orderBy(F.desc("rev_c"), F.asc("o_custkey"))
-    ranked = per_cust.select(
-        "rev_c",
-        F.sum("rev_c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum_c"),
-        F.row_number().over(w).alias("rnk"),
-    )
+    ranked = ordered_cumsum(
+        per_cust,
+        [F.desc("rev_c"), F.asc("o_custkey")],
+        ["rev_c"],
+        rank_name="rnk",
+    ).select("rev_c", F.col("rev_c_cum").alias("cum_c"), "rnk")
     hit = F.when(
         F.col("cum_c") * 5 >= F.col("total_c") * 4, F.col("rnk")
     )
@@ -3021,9 +3022,12 @@ def ratio_to_report_nation_revenue(spark, sf_dir):
     a share of its region and of the grand total — the window/aggregate
     composition every BI rollup needs (a window over an AGGREGATE, 25
     rows, not the fact table). Revenue is integer cents (decimal sum
-    ×100) so the window totals are exact integer reductions regardless
-    of accumulation order; each share is one int→double division,
-    quantized. Dimensions broadcast; the single fact shuffle is the
+    ×100) so the totals are exact integer reductions regardless of
+    accumulation order; each share is one int→double division,
+    quantized. The region total is a partitioned window (hash on
+    regionkey); the GRAND total is a broadcast 1-row aggregate rather
+    than an unpartitioned window, so no Exchange SinglePartition.
+    Dimensions broadcast; the single fact shuffle is the
     customer⋈orders key join."""
     from pyspark.sql import Window
 
@@ -3049,15 +3053,18 @@ def ratio_to_report_nation_revenue(spark, sf_dir):
         )
     )
     wr = Window.partitionBy("regionkey")
-    wt = Window.partitionBy()
-    share = lambda w: F.floor(
+    grand = per_nation.groupBy().agg(
+        F.sum("rev_c").cast("long").alias("_total_c")
+    )
+    share = lambda denom: F.floor(
         F.col("rev_c").cast("double")
-        / F.sum("rev_c").over(w).cast("double")
+        / denom.cast("double")
         * F.lit(1000000000.0)
         + F.lit(0.5)
     ).cast("long")
     return (
-        per_nation.join(
+        per_nation.crossJoin(F.broadcast(grand))
+        .join(
             F.broadcast(t["region"]),
             F.col("r_regionkey") == F.col("regionkey"),
         )
@@ -3065,8 +3072,8 @@ def ratio_to_report_nation_revenue(spark, sf_dir):
             F.col("r_name").alias("region"),
             "nation",
             F.col("rev_c").alias("revenue_cents"),
-            share(wr).alias("share_of_region_q"),
-            share(wt).alias("share_of_total_q"),
+            share(F.sum("rev_c").over(wr)).alias("share_of_region_q"),
+            share(F.col("_total_c")).alias("share_of_total_q"),
         )
     )
 
@@ -3096,11 +3103,13 @@ def ratio_to_report_nation_revenue(spark, sf_dir):
 def mom_revenue_growth(spark, sf_dir):
     """Month-over-month growth: monthly revenue (integer cents), LAG to
     the prior month, growth = rev/prev − 1 quantized — the standard
-    period-over-period report. The window runs over the MONTH aggregate
-    (a few dozen rows), not orders; first month emits NULL growth
-    rather than a fake 0 so downstream charts can distinguish 'no
-    prior' from 'flat'."""
-    from pyspark.sql import Window
+    period-over-period report. The lag runs over the MONTH aggregate
+    via the two-phase range-partitioned ``ordered_lag`` (per-partition
+    lag + tail replication across range boundaries — no
+    single-partition window even over a centuries-long series); first
+    month emits NULL growth rather than a fake 0 so downstream charts
+    can distinguish 'no prior' from 'flat'."""
+    from etl_manager_spark.operators.prefix import ordered_lag
 
     t = load_tables(spark, sf_dir)
     monthly = t["orders"].groupBy(
@@ -3110,8 +3119,8 @@ def mom_revenue_growth(spark, sf_dir):
         .cast("long")
         .alias("rev_c")
     )
-    w = Window.orderBy("month")
-    prev = F.lag("rev_c").over(w)
+    lagged = ordered_lag(monthly, [("month", "asc")], "rev_c", "prev_cents")
+    prev = F.col("prev_cents")
     growth = F.when(
         prev.isNull(), F.lit(None).cast("long")
     ).otherwise(
@@ -3121,10 +3130,10 @@ def mom_revenue_growth(spark, sf_dir):
             + F.lit(0.5)
         ).cast("long")
     )
-    return monthly.select(
+    return lagged.select(
         F.col("month").cast("date").alias("month"),
         F.col("rev_c").alias("revenue_cents"),
-        prev.alias("prev_cents"),
+        "prev_cents",
         growth.alias("growth_q"),
     )
 
@@ -3236,8 +3245,11 @@ def gini_revenue_customers(spark, sf_dir):
     rank×cents products — all exact in BIGINT at any realistic scale);
     the coefficient is one fixed IEEE expression. The rank runs over
     the customer AGGREGATE; ties in revenue break by custkey so the
-    rank-weighted sum is identical in both engines."""
-    from pyspark.sql import Window
+    rank-weighted sum is identical in both engines. Rank is the
+    two-phase range-partitioned ``ordered_cumsum`` (per-partition
+    row_number + driver offsets) — no single-partition window even
+    when the customer dimension outgrows one task."""
+    from etl_manager_spark.operators.prefix import ordered_cumsum
 
     t = load_tables(spark, sf_dir)
     per_cust = t["orders"].groupBy("o_custkey").agg(
@@ -3245,10 +3257,9 @@ def gini_revenue_customers(spark, sf_dir):
         .cast("long")
         .alias("rev_c")
     )
-    w = Window.orderBy(F.asc("rev_c"), F.asc("o_custkey"))
-    ranked = per_cust.select(
-        "rev_c", F.row_number().over(w).alias("i")
-    )
+    ranked = ordered_cumsum(
+        per_cust, [F.asc("rev_c"), F.asc("o_custkey")], rank_name="i"
+    ).select("rev_c", "i")
     m = ranked.groupBy().agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("rev_c").alias("s"),
@@ -3805,8 +3816,11 @@ def ndcg_bm25_documents(spark, sf_dir):
     term is nano-quantized BEFORE the 10-term sum (order-free integer
     DCG), the ideal ranking reuses the same quantization, and nDCG is
     one int/int division. The oracle shares the BM25 CTE chain with the
-    ranking workload so scorer and evaluator cannot drift."""
-    from pyspark.sql import Window
+    ranking workload so scorer and evaluator cannot drift. Top-10
+    selection is ``orderBy().limit(10)`` (TakeOrdered heap — never a
+    corpus-wide single-partition sort); ranks are then assigned to the
+    bounded 10-row frame windowlessly via ``rank_bounded``."""
+    from etl_manager_spark.operators.topk import rank_bounded
 
     t = load_tables(spark, sf_dir)
     docs = spread(t["documents"], spark)
@@ -3828,23 +3842,19 @@ def ndcg_bm25_documents(spark, sf_dir):
         + F.lit(0.5)
     ).cast("long")
     by_score = (
-        joined.withColumn(
-            "rnk",
-            F.row_number().over(
-                Window.orderBy(F.desc("score_q"), F.asc("id"))
-            ),
+        rank_bounded(
+            joined.orderBy(F.desc("score_q"), F.asc("id")).limit(10),
+            [("score_q", "desc"), ("id", "asc")],
         )
-        .filter(F.col("rnk") <= 10)
         .select(term_q().alias("t"))
         .groupBy()
         .agg(F.sum("t").alias("dcg_q"))
     )
     by_rel = (
-        joined.withColumn(
-            "rnk",
-            F.row_number().over(Window.orderBy(F.desc("rel"), F.asc("id"))),
+        rank_bounded(
+            joined.orderBy(F.desc("rel"), F.asc("id")).limit(10),
+            [("rel", "desc"), ("id", "asc")],
         )
-        .filter(F.col("rnk") <= 10)
         .select(term_q().alias("t"))
         .groupBy()
         .agg(F.sum("t").alias("idcg_q"))
@@ -3973,11 +3983,12 @@ def rbo_bm25_vs_tfidf(spark, sf_dir):
     neither engine's pow() enters the comparison; each depth's
     (1-p)·p^(d-1)·X_d/d term is quantized before the 10-term integer
     sum. Depth overlaps X_d are integer counts over the two 100-row
-    rank lists."""
-    from pyspark.sql import Window
-
+    rank lists; both lists come from ``orderBy().limit(100)``
+    (TakeOrdered heap) and are ranked windowlessly via
+    ``rank_bounded`` — no corpus-wide single-partition sort."""
     from etl_manager_spark.functions.exact import lit_double_array
     from etl_manager_spark.operators import ranking as R
+    from etl_manager_spark.operators.topk import rank_bounded
 
     t = load_tables(spark, sf_dir)
     docs = t["documents"]
@@ -4007,18 +4018,12 @@ def rbo_bm25_vs_tfidf(spark, sf_dir):
         .orderBy(F.desc("score_q"), F.asc("id"))
         .limit(100)
     )
-    btop = bm.select(
-        "id",
-        F.row_number()
-        .over(Window.orderBy(F.desc("score_q"), F.asc("id")))
-        .alias("br"),
-    )
-    ttop = ti.select(
-        "id",
-        F.row_number()
-        .over(Window.orderBy(F.desc("score_q"), F.asc("id")))
-        .alias("tr"),
-    )
+    btop = rank_bounded(
+        bm, [("score_q", "desc"), ("id", "asc")], rank_name="br"
+    ).select("id", "br")
+    ttop = rank_bounded(
+        ti, [("score_q", "desc"), ("id", "asc")], rank_name="tr"
+    ).select("id", "tr")
     both = btop.join(ttop, on="id").select("br", "tr")
     depths = spark.range(1, 11).select(F.col("id").cast("int").alias("d"))
     overlaps = (

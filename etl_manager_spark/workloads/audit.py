@@ -358,14 +358,15 @@ def event_transition_matrix(spark, sf_dir):
 )
 def rfm_user_scores(spark, sf_dir):
     """RFM (recency/frequency/monetary) customer scoring: one decimal-
-    exact aggregate per user, then three NTILE(5) quintile windows under
-    total orders (user_id tiebreak → deterministic). The windows are
-    global but their input is one row per USER (not per event) — at 100 TB
-    the per-user aggregate is the shuffle; the quintile assignment ranks
-    the much smaller user dimension (range-partition + offset composition,
-    see operators/sampling.assign_row_ids, when even users outgrow one
-    partition)."""
+    exact aggregate per user, then three quintile assignments under
+    total orders (user_id tiebreak → deterministic). Each quintile is a
+    two-phase range-partitioned rank (``ordered_cumsum`` — per-partition
+    row_number + driver-prefix-summed offsets, NO single-partition NTILE
+    window) composed with the closed-form ANSI NTILE bucket formula
+    (``ntile_from_rank``), so the user dimension scales past one task.
+    Answers are bitwise-identical to NTILE(5) OVER (ORDER BY …)."""
     from etl_manager_spark.functions.exact import dec_sum
+    from etl_manager_spark.operators.prefix import ntile_from_rank, ordered_cumsum
 
     t = load_tables(spark, sf_dir)
     agg = t["events"].groupBy("user_id").agg(
@@ -373,17 +374,21 @@ def rfm_user_scores(spark, sf_dir):
         F.count(F.lit(1)).alias("frequency"),
         dec_sum("value").alias("monetary"),
     )
-    return agg.select(
+    ranked = ordered_cumsum(
+        agg, [F.desc("last_ts"), F.asc("user_id")], rank_name="_r_rnk"
+    )
+    ranked = ordered_cumsum(
+        ranked, [F.desc("frequency"), F.asc("user_id")], rank_name="_f_rnk"
+    )
+    ranked = ordered_cumsum(
+        ranked, [F.desc("monetary"), F.asc("user_id")], rank_name="_m_rnk"
+    )
+    n_users = agg.groupBy().agg(F.count(F.lit(1)).alias("_n_users"))
+    return ranked.crossJoin(F.broadcast(n_users)).select(
         "user_id",
-        F.ntile(5)
-        .over(Window.orderBy(F.desc("last_ts"), F.asc("user_id")))
-        .alias("r_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.desc("frequency"), F.asc("user_id")))
-        .alias("f_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.desc("monetary"), F.asc("user_id")))
-        .alias("m_score"),
+        ntile_from_rank("_r_rnk", "_n_users", 5).alias("r_score"),
+        ntile_from_rank("_f_rnk", "_n_users", 5).alias("f_score"),
+        ntile_from_rank("_m_rnk", "_n_users", 5).alias("m_score"),
         "frequency",
         "monetary",
     )
@@ -512,20 +517,23 @@ def quarantine_bad_events(spark, sf_dir):
 )
 def cumulative_new_users_daily(spark, sf_dir):
     """User-acquisition curve: each user's first-seen day, daily new-user
-    counts, and the running total. The global running-sum window is safe
-    here because its input is one row per DAY (the heavy lifting — first-
-    seen per user — partial-aggregates on user_id first); a growth curve
-    over years is still only thousands of rows."""
+    counts, and the running total. The heavy lifting — first-seen per
+    user — partial-aggregates on user_id first; the running total over
+    the DAY aggregate is the two-phase range-partitioned
+    ``ordered_cumsum`` (per-partition windows + driver-prefix-summed
+    offsets), so even a decades-long curve never plans an Exchange
+    SinglePartition."""
+    from etl_manager_spark.operators.prefix import ordered_cumsum
+
     t = load_tables(spark, sf_dir)
     first_seen = t["events"].groupBy("user_id").agg(
         F.min(F.date_trunc("day", "ts")).cast("date").alias("day")
     )
     daily = first_seen.groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
-    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
-    return daily.select(
+    return ordered_cumsum(daily, [F.asc("day")], ["new_users"]).select(
         "day",
         "new_users",
-        F.sum("new_users").over(w).alias("cumulative_users"),
+        F.col("new_users_cum").alias("cumulative_users"),
     )
 
 

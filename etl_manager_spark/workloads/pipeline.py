@@ -1921,18 +1921,42 @@ def mixture_sample_token_budget(spark, sf_dir):
 
 
 
+_LAYOUT_SESSION: str | None = None
+_LAYOUT_ORPHAN_SECONDS = 3600.0
+
+
 def _layout_scratch(prefix: str) -> str:
-    """Fresh scratch dir for a layout workload, sweeping PREVIOUS runs'
-    dirs of the same prefix first (the returned DataFrame reads lazily
-    from the new dir, so cleanup can only happen on the NEXT invocation —
-    without the sweep, repeated bench runs accumulate temp tables)."""
+    """Fresh scratch dir for a layout workload, sweeping stale dirs of the
+    same prefix first (the returned DataFrame reads lazily from the new
+    dir, so cleanup can only happen on the NEXT invocation — without the
+    sweep, repeated bench runs accumulate temp tables).
+
+    The sweep is SCOPED (same hazard the minhash signature store fixed):
+    it removes only (a) THIS session's previous dirs — the session token
+    is embedded in the dir name — and (b) any-session dirs older than
+    ``_LAYOUT_ORPHAN_SECONDS`` (orphans of crashed runs). A concurrent
+    session's fresh dir (pytest and bench interleaving) is never
+    evicted mid-read."""
     import glob
     import shutil
     import tempfile
+    import time
+    import uuid
 
+    global _LAYOUT_SESSION
+    if _LAYOUT_SESSION is None:
+        _LAYOUT_SESSION = uuid.uuid4().hex[:8]
+    now = time.time()
+    mine = f"{prefix}s{_LAYOUT_SESSION}_"
     for stale in glob.glob(os.path.join(tempfile.gettempdir(), prefix + "*")):
-        shutil.rmtree(stale, ignore_errors=True)
-    return tempfile.mkdtemp(prefix=prefix)
+        try:
+            own = os.path.basename(stale).startswith(mine)
+            orphaned = now - os.path.getmtime(stale) > _LAYOUT_ORPHAN_SECONDS
+        except OSError:
+            continue
+        if own or orphaned:
+            shutil.rmtree(stale, ignore_errors=True)
+    return tempfile.mkdtemp(prefix=mine)
 
 
 @workload(
@@ -2647,12 +2671,18 @@ def similarity_topk_pq_adc(spark, sf_dir):
         .select("query_id", "neighbor_id")
     )
     # exact rescoring of the R-row shortlist: the query vector is picked
-    # from a literal array-of-arrays by query_id (qids are 0..4), so the
-    # rerank is a broadcast join + map — no second pass over the corpus
+    # from a literal MAP keyed by the actual query_id — NOT by array
+    # position, which would silently rescore against the wrong vector
+    # (or error under ANSI) the moment the query predicate leaves gaps
+    # in the id sequence. The rerank stays a broadcast map lookup — no
+    # second pass over the corpus.
     vv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     qv_by_id = F.element_at(
-        lit_double_matrix(qvecs),
-        (F.col("query_id") + 1).cast("int"),
+        F.map_from_arrays(
+            F.array(*[F.lit(q).cast("long") for q in qids]),
+            lit_double_matrix(qvecs),
+        ),
+        F.col("query_id"),
     )
     d2 = F.aggregate(
         F.zip_with(F.col("_vv"), qv_by_id, lambda a, b: (a - b) * (a - b)),

@@ -116,11 +116,13 @@ def q13_customer_order_distribution(spark, sf_dir):
     category="subquery",
 )
 def q15_top_supplier(spark, sf_dir):
-    """TPC-H Q15 shape: argmax over an aggregated view (scalar subquery →
-    window max, one pass, no re-aggregation). The revenue doubles are
-    decimal-exact so the equality comparison is portable across engines.
-    Scale: window over an unpartitioned max moves only the 1-row max per
-    partition after the agg (tiny); supplier side broadcasts."""
+    """TPC-H Q15 shape: argmax over an aggregated view. The scalar
+    subquery becomes a 1-row global max joined back by equality — the
+    supplier aggregate is computed once (ReuseExchange dedupes the
+    shuffle between the two consumers) and never funnels through a
+    single-partition window. The revenue doubles are decimal-exact so
+    the equality comparison is portable across engines; supplier side
+    broadcasts."""
     t = load_tables(spark, sf_dir)
     revenue = (
         t["lineitem"]
@@ -131,9 +133,10 @@ def q15_top_supplier(spark, sf_dir):
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(_REVENUE_SPARK().alias("total_revenue"))
     )
-    best = revenue.withColumn(
-        "_max_rev", F.max("total_revenue").over(Window.partitionBy())
-    ).filter(F.col("total_revenue") == F.col("_max_rev"))
+    max_rev = revenue.groupBy().agg(F.max("total_revenue").alias("_max_rev"))
+    best = revenue.join(
+        F.broadcast(max_rev), F.col("total_revenue") == F.col("_max_rev")
+    ).drop("_max_rev")
     return (
         F.broadcast(t["supplier"])
         .join(best, F.col("s_suppkey") == F.col("supplier_no"))

@@ -1078,3 +1078,26 @@ def test_within_distance_join_antimeridian_wrap(spark):
     ).collect()
     assert [(r.lid, r.rid) for r in rows] == [(1, 10)]
     assert abs(rows[0].distance_km - 36.1099) < 0.01
+
+
+def test_within_distance_join_rejects_polar_latitudes(spark):
+    """|lat| > 60° breaks the 1°-cell 3×3 completeness envelope — the
+    operator must fail loudly (in-plan raise_error), not silently drop
+    true pairs (round-5 advice)."""
+    from etl_manager_spark.operators.spatial import within_distance_join
+
+    left = spark.createDataFrame(
+        [(1, 75.0, 10.0)], "lid long, a_lat double, a_lon double"
+    )
+    right = spark.createDataFrame(
+        [(10, 75.1, 10.1)], "rid long, b_lat double, b_lon double"
+    )
+    df = within_distance_join(
+        left,
+        right,
+        max_km=50,
+        left_cols=("a_lat", "a_lon"),
+        right_cols=("b_lat", "b_lon"),
+    )
+    with pytest.raises(Exception, match="completeness envelope"):
+        df.collect()

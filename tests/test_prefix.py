@@ -1,0 +1,192 @@
+"""Tests for the two-phase ordered-prefix primitives (operators/prefix.py)
+and the windowless bounded rank (operators/topk.rank_bounded) — the
+scale-safe replacements for unpartitioned ``OVER (ORDER BY …)`` windows —
+plus the single-partition-window plan lint that enforces their use.
+
+Every test forces MORE partitions than would occur naturally (including
+empty ones) so range-boundary and empty-partition paths are exercised, and
+compares bitwise against the naive single-partition window on the same
+input.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from etl_manager_spark.operators.prefix import (
+    ntile_from_rank,
+    ordered_cumsum,
+    ordered_lag,
+)
+from etl_manager_spark.operators.topk import rank_bounded
+from etl_manager_spark.plans import lint_plan
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    # 101 rows, heavy ties in k (only 7 distinct) → tie groups straddle
+    # range-partition boundaries; id is the total-order tiebreak
+    rows = [(i, (i * 13) % 7, (i * 31) % 97) for i in range(101)]
+    return spark.createDataFrame(rows, "id long, k long, v long")
+
+
+def test_ordered_cumsum_matches_global_window(spark, frame):
+    w = Window.orderBy(F.asc("k"), F.asc("id")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    expected = sorted(
+        (r.id, r.c, r.rn)
+        for r in frame.select(
+            "id",
+            F.sum("v").over(w).cast("long").alias("c"),
+            F.row_number()
+            .over(Window.orderBy(F.asc("k"), F.asc("id")))
+            .cast("long")
+            .alias("rn"),
+        ).collect()
+    )
+    got = sorted(
+        (r.id, r.v_cum, r.rnk)
+        for r in ordered_cumsum(
+            frame,
+            [F.asc("k"), F.asc("id")],
+            ["v"],
+            rank_name="rnk",
+            n_partitions=13,
+        ).collect()
+    )
+    assert got == expected
+
+
+def test_ordered_cumsum_desc_and_more_partitions_than_rows(spark, frame):
+    small = frame.filter(F.col("id") < 5)
+    got = sorted(
+        (r.id, r.rnk)
+        for r in ordered_cumsum(
+            small, [F.desc("v"), F.asc("id")], rank_name="rnk", n_partitions=32
+        ).collect()
+    )
+    expected = sorted(
+        (r.id, r.rn)
+        for r in small.select(
+            "id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("v"), F.asc("id")))
+            .cast("long")
+            .alias("rn"),
+        ).collect()
+    )
+    assert got == expected
+
+
+def test_ordered_lag_matches_global_window(spark, frame):
+    for offset in (1, 3):
+        expected = sorted(
+            ((r.id, r.p) for r in frame.select(
+                "id", F.lag("v", offset).over(Window.orderBy("k", "id")).alias("p")
+            ).collect()),
+            key=lambda t: t[0],
+        )
+        got = sorted(
+            ((r.id, r.p) for r in ordered_lag(
+                frame,
+                [("k", "asc"), ("id", "asc")],
+                "v",
+                "p",
+                offset=offset,
+                n_partitions=13,
+            ).collect()),
+            key=lambda t: t[0],
+        )
+        assert got == expected, f"offset={offset}"
+
+
+def test_ntile_from_rank_matches_ansi_ntile(spark):
+    # N not divisible by tiles → uneven buckets, the tricky branch
+    for n in (3, 7, 12, 25, 100):
+        df = spark.range(1, n + 1).select(F.col("id").alias("rn"))
+        got = {
+            r.rn: r.b
+            for r in df.select(
+                "rn", ntile_from_rank("rn", str(n), 5).alias("b")
+            ).collect()
+        }
+        expected = {
+            r.rn: r.b
+            for r in df.select(
+                "rn", F.ntile(5).over(Window.orderBy("rn")).alias("b")
+            ).collect()
+        }
+        assert got == expected, f"n={n}"
+
+
+def test_rank_bounded_matches_row_number(spark, frame):
+    top = frame.orderBy(F.desc("v"), F.asc("id")).limit(10)
+    expected = sorted(
+        (r.rnk, r.id)
+        for r in top.select(
+            F.row_number()
+            .over(Window.orderBy(F.desc("v"), F.asc("id")))
+            .alias("rnk"),
+            "id",
+        ).collect()
+    )
+    got = sorted(
+        (r.rnk, r.id)
+        for r in rank_bounded(top, [("v", "desc"), ("id", "asc")]).collect()
+    )
+    assert got == expected
+    # empty input → zero rows, schema intact
+    empty = rank_bounded(
+        frame.filter(F.lit(False)), [("v", "desc"), ("id", "asc")]
+    )
+    assert empty.count() == 0
+    assert empty.columns[0] == "rnk"
+
+
+def test_lint_flags_single_partition_window(spark, frame):
+    bad = frame.select(
+        "id", F.row_number().over(Window.orderBy("k", "id")).alias("r")
+    )
+    codes = [w.code for w in lint_plan(bad)]
+    assert "single-partition-window" in codes
+
+    good = frame.select(
+        "id",
+        F.row_number().over(Window.partitionBy("k").orderBy("id")).alias("r"),
+    )
+    assert "single-partition-window" not in [w.code for w in lint_plan(good)]
+
+    rewritten = ordered_cumsum(
+        frame, [F.asc("k"), F.asc("id")], ["v"], rank_name="rnk"
+    )
+    assert "single-partition-window" not in [
+        w.code for w in lint_plan(rewritten)
+    ]
+
+
+def test_equidepth_parity_at_sf01(spark):
+    """Round-6 ask: the two-phase equi-depth rewrite must oracle-match at
+    sf0.1 too — ties across range-partition boundaries are where
+    two-phase CDFs go wrong, and sf0.01 alone may not produce them."""
+    from etl_manager_spark.workloads import load_registry
+
+    sf = "/root/testdata/sf0.1"
+    wl = load_registry()["equidepth_bins_orders_price"]
+    sdf = wl.fn(spark, sf)
+    srows = sorted(
+        tuple(r[c] for c in sorted(sdf.columns)) for r in sdf.collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{sf}/orders.parquet')"
+    )
+    res = con.execute(wl.oracle)
+    cols = [d[0] for d in res.description]
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    drows = sorted(tuple(row[i] for i in idx) for row in res.fetchall())
+    assert sorted(sdf.columns) == sorted(cols)
+    assert srows == drows
