@@ -141,6 +141,11 @@ def main() -> None:
         if prev_files and not failures:
             with open(prev_files[-1]) as fh:
                 prev = json.load(fh)
+            # driver rounds wrap the bench line under "parsed" (and keep
+            # only the slowest-N compact query map — the delta compares
+            # whatever is common)
+            if isinstance(prev, dict) and isinstance(prev.get("parsed"), dict):
+                prev = prev["parsed"]
             prev_q = prev.get("queries", {}) if isinstance(prev, dict) else {}
             ratios = {
                 q: round(timings[q] / prev_q[q], 3)

@@ -1,0 +1,1147 @@
+"""Round-6 catalog additions: retrieval-evaluation metrics (MRR, P/R@k,
+AP@10), rank statistics (tie-aware Spearman, Kendall τ-b, two-sample KS),
+robust time-series estimators (seasonality index, moving median, z-score
+anomalies, Theil–Sen slope), graph similarity (common-neighbor Jaccard),
+and text metrics (readability, positional prefix dedup).
+
+House discipline throughout: decimal-exact sums, nano-quantization BEFORE
+order-free integer reductions, identical expression trees in the Spark code
+and the DuckDB oracle (column aliases match exactly), and NO
+single-partition windows — global ranks/CDFs go through the two-phase
+``ordered_cumsum``, bounded top-k frames through ``rank_bounded``, and
+per-entity windows are partitioned on keys whose groups stay small as data
+grows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from etl_manager_spark.operators import ranking as R
+from etl_manager_spark.operators.prefix import ordered_cumsum
+from etl_manager_spark.operators.topk import rank_bounded
+from etl_manager_spark.workloads import workload
+from etl_manager_spark.workloads.analytics import _BM25_CTES, _BM25_TERMS
+from etl_manager_spark.workloads.pipeline import _MINHASH_PAIRS_CTES
+from etl_manager_spark.workloads.tables import load_tables, spread
+
+_TOK = r"REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')"
+
+# Shared ground-truth threshold for the retrieval-eval family: a document
+# is "relevant" when it contains >= 5 total query-term occurrences. Shared
+# between the three metrics so they grade the same task.
+_REL_MIN = 5
+
+_REL_CTES = f"""rel AS (
+      SELECT id, CAST(SUM(tf) AS BIGINT) AS rel FROM tf GROUP BY id
+    ),
+    joined AS (
+      SELECT b.id, b.score_q, r.rel FROM bm25 b JOIN rel r ON r.id = b.id
+    )"""
+
+
+def _bm25_joined(spark, sf_dir):
+    """(id, score_q, rel) for every doc matching any query term — the
+    shared input of the retrieval-eval family (mirrors _REL_CTES)."""
+    t = load_tables(spark, sf_dir)
+    docs = spread(t["documents"], spark)
+    scores = R.bm25_scores(docs, _BM25_TERMS)
+    rel = (
+        docs.select(
+            F.col("doc_id").alias("id"),
+            F.explode(R.tokens("text")).alias("term"),
+        )
+        .filter(F.col("term").isin(_BM25_TERMS))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("rel"))
+    )
+    return scores.join(rel, on="id")
+
+
+@workload(
+    "mrr_bm25_documents",
+    f"""
+    WITH {_BM25_CTES},
+    {_REL_CTES},
+    top10 AS (
+      SELECT id, rel,
+             ROW_NUMBER() OVER (ORDER BY score_q DESC, id ASC) AS rnk
+      FROM joined QUALIFY rnk <= 10
+    )
+    SELECT CAST(COUNT(CASE WHEN rel >= {_REL_MIN} THEN 1 END) AS BIGINT)
+             AS n_rel_top10,
+           CAST(MIN(CASE WHEN rel >= {_REL_MIN} THEN rnk END) AS BIGINT)
+             AS first_rel_rank,
+           CAST(COALESCE(FLOOR(1000000000.0
+                / MIN(CASE WHEN rel >= {_REL_MIN} THEN rnk END) + 0.5), 0)
+             AS BIGINT) AS mrr_q
+    FROM top10
+    """,
+    category="text",
+)
+def mrr_bm25_documents(spark, sf_dir):
+    """Mean reciprocal rank of the BM25 ranking against the >= 5-term
+    ground truth — with nDCG and RBO, the third classic retrieval-eval
+    metric. Top-10 selection is ``orderBy().limit(10)`` (TakeOrdered
+    heap); the bounded frame is ranked windowlessly (rank_bounded), so
+    nothing corpus-sized ever funnels into one task. 1/rank quantizes to
+    one integer — no float ambiguity."""
+    top10 = rank_bounded(
+        _bm25_joined(spark, sf_dir)
+        .orderBy(F.desc("score_q"), F.asc("id"))
+        .limit(10),
+        [("score_q", "desc"), ("id", "asc")],
+    )
+    first = F.min(F.when(F.col("rel") >= _REL_MIN, F.col("rnk")))
+    return top10.groupBy().agg(
+        F.count(F.when(F.col("rel") >= _REL_MIN, F.lit(1)))
+        .cast("long")
+        .alias("n_rel_top10"),
+        first.cast("long").alias("first_rel_rank"),
+        F.coalesce(
+            F.floor(F.lit(1000000000.0) / first + F.lit(0.5)), F.lit(0)
+        )
+        .cast("long")
+        .alias("mrr_q"),
+    )
+
+
+@workload(
+    "precision_recall_at_5_bm25",
+    f"""
+    WITH {_BM25_CTES},
+    {_REL_CTES},
+    top5 AS (
+      SELECT id, rel,
+             ROW_NUMBER() OVER (ORDER BY score_q DESC, id ASC) AS rnk
+      FROM joined QUALIFY rnk <= 5
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_relevant
+      FROM rel WHERE rel >= {_REL_MIN}
+    ),
+    h AS (
+      SELECT CAST(COUNT(CASE WHEN rel >= {_REL_MIN} THEN 1 END) AS BIGINT)
+               AS n_hits
+      FROM top5
+    )
+    SELECT n_hits, n_relevant,
+           CAST(FLOOR(CAST(n_hits AS DOUBLE) / 5.0
+                      * 1000000000.0 + 0.5) AS BIGINT) AS precision_q,
+           CAST(FLOOR(CAST(n_hits AS DOUBLE) / n_relevant
+                      * 1000000000.0 + 0.5) AS BIGINT) AS recall_q
+    FROM h CROSS JOIN tot
+    """,
+    category="text",
+)
+def precision_recall_at_5_bm25(spark, sf_dir):
+    """Precision@5 / Recall@5 of the BM25 ranking against the shared
+    ground truth. The total-relevant count is a 1-row aggregate attached
+    by broadcast; the top-5 is a TakeOrdered heap — both sides scale."""
+    joined = _bm25_joined(spark, sf_dir)
+    top5 = joined.orderBy(F.desc("score_q"), F.asc("id")).limit(5)
+    tot = (
+        joined.filter(F.col("rel") >= _REL_MIN)
+        .groupBy()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_relevant"))
+    )
+    hits = top5.groupBy().agg(
+        F.count(F.when(F.col("rel") >= _REL_MIN, F.lit(1)))
+        .cast("long")
+        .alias("n_hits")
+    )
+    return hits.crossJoin(F.broadcast(tot)).select(
+        "n_hits",
+        "n_relevant",
+        F.floor(
+            F.col("n_hits").cast("double") / F.lit(5.0)
+            * F.lit(1000000000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("precision_q"),
+        F.floor(
+            F.col("n_hits").cast("double") / F.col("n_relevant")
+            * F.lit(1000000000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("recall_q"),
+    )
+
+
+@workload(
+    "average_precision_bm25",
+    f"""
+    WITH {_BM25_CTES},
+    {_REL_CTES},
+    top10 AS (
+      SELECT id, rel,
+             ROW_NUMBER() OVER (ORDER BY score_q DESC, id ASC) AS rnk
+      FROM joined QUALIFY rnk <= 10
+    ),
+    pat AS (
+      SELECT a.rnk,
+             CAST(COUNT(CASE WHEN b.rel >= {_REL_MIN} THEN 1 END) AS BIGINT)
+               AS cnt_rel
+      FROM top10 a JOIN top10 b ON b.rnk <= a.rnk
+      WHERE a.rel >= {_REL_MIN}
+      GROUP BY a.rnk
+    ),
+    s AS (
+      SELECT CAST(COALESCE(SUM(
+               CAST(FLOOR(CAST(cnt_rel AS DOUBLE) / rnk
+                          * 1000000000.0 + 0.5) AS BIGINT)), 0) AS BIGINT)
+               AS sum_p_q
+      FROM pat
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_relevant
+      FROM rel WHERE rel >= {_REL_MIN}
+    )
+    SELECT n_relevant, sum_p_q,
+           CAST(CASE WHEN n_relevant > 0
+                THEN FLOOR(CAST(sum_p_q AS DOUBLE) / n_relevant + 0.5)
+                ELSE 0 END AS BIGINT) AS ap_q
+    FROM s CROSS JOIN tot
+    """,
+    category="text",
+)
+def average_precision_bm25(spark, sf_dir):
+    """Average precision at 10: Σ P@i over relevant ranks i, / total
+    relevant. Each P@i comes from a 10×10 self-join of the BOUNDED
+    top-10 frame (b.rnk <= a.rnk) — no running window at all; each P@i
+    quantizes before the integer sum."""
+    joined = _bm25_joined(spark, sf_dir)
+    top10 = rank_bounded(
+        joined.orderBy(F.desc("score_q"), F.asc("id")).limit(10),
+        [("score_q", "desc"), ("id", "asc")],
+    ).localCheckpoint(eager=True)  # tiny frame, read twice below
+    a = top10.alias("a")
+    b = top10.alias("b")
+    pat = (
+        a.join(b, F.col("b.rnk") <= F.col("a.rnk"))
+        .filter(F.col("a.rel") >= _REL_MIN)
+        .groupBy(F.col("a.rnk").alias("rnk"))
+        .agg(
+            F.count(F.when(F.col("b.rel") >= _REL_MIN, F.lit(1)))
+            .cast("long")
+            .alias("cnt_rel")
+        )
+    )
+    s = pat.groupBy().agg(
+        F.coalesce(
+            F.sum(
+                F.floor(
+                    F.col("cnt_rel").cast("double") / F.col("rnk")
+                    * F.lit(1000000000.0)
+                    + F.lit(0.5)
+                ).cast("long")
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("sum_p_q")
+    )
+    tot = (
+        joined.filter(F.col("rel") >= _REL_MIN)
+        .groupBy()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_relevant"))
+    )
+    return s.crossJoin(F.broadcast(tot)).select(
+        "n_relevant",
+        "sum_p_q",
+        F.when(
+            F.col("n_relevant") > 0,
+            F.floor(
+                F.col("sum_p_q").cast("double") / F.col("n_relevant")
+                + F.lit(0.5)
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("ap_q"),
+    )
+
+
+# --------------------------------------------------------------------- #
+# rank statistics
+
+
+def _avg_rank2(df, value_col: str, out_col: str):
+    """Tie-aware average rank × 2 (so it stays INTEGER) per distinct
+    value: avg position of a tie group of size c starting after
+    cum_before rows = cum_before + (c+1)/2 → doubled: 2·cum_before+c+1.
+    The cumulative count runs through the two-phase ordered_cumsum — no
+    single-partition window over the value domain."""
+    vc = df.groupBy(F.col(value_col).alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    cum = ordered_cumsum(vc, [F.asc("v")], ["c"])
+    return cum.select(
+        F.col("v").alias(value_col),
+        (F.lit(2) * F.col("c_cum") - F.col("c") + F.lit(1))
+        .cast("long")
+        .alias(out_col),
+    )
+
+
+@workload(
+    "spearman_price_custkey_orders",
+    """
+    WITH vcx AS (
+      SELECT o_totalprice AS v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders GROUP BY 1
+    ),
+    rx AS (
+      SELECT v, CAST(2 * (SUM(c) OVER (ORDER BY v)) - c + 1 AS BIGINT) AS r2
+      FROM vcx
+    ),
+    vcy AS (
+      SELECT o_custkey AS v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders GROUP BY 1
+    ),
+    ry AS (
+      SELECT v, CAST(2 * (SUM(c) OVER (ORDER BY v)) - c + 1 AS BIGINT) AS r2
+      FROM vcy
+    ),
+    j AS (
+      SELECT CAST(rx.r2 AS DECIMAL(19,0)) AS x,
+             CAST(ry.r2 AS DECIMAL(19,0)) AS y
+      FROM orders o
+      JOIN rx ON rx.v = o.o_totalprice
+      JOIN ry ON ry.v = o.o_custkey
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx,
+             CAST(SUM(y * y) AS DOUBLE) AS syy,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy
+      FROM j
+    )
+    SELECT CAST(n AS BIGINT) AS n_orders,
+           CAST(FLOOR((n * sxy - sx * sy)
+                / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy))
+                * 1000000000.0 + 0.5) AS BIGINT) AS spearman_q
+    FROM m
+    """,
+    category="statistics",
+)
+def spearman_price_custkey_orders(spark, sf_dir):
+    """Tie-aware Spearman rank correlation between o_totalprice and
+    o_custkey — Pearson over average ranks. Ranks are computed per
+    DISTINCT value (value-count table + two-phase ordered_cumsum, never
+    a row-level global sort), doubled to stay integer under ties, and
+    joined back by value. Moments accumulate in DECIMAL(19,0)→(38,0)
+    products — exact in both engines — with ONE double conversion each
+    before the closing Pearson expression."""
+    t = load_tables(spark, sf_dir)
+    orders = t["orders"].select("o_totalprice", "o_custkey")
+    rx = _avg_rank2(orders, "o_totalprice", "r2x")
+    ry = _avg_rank2(orders, "o_custkey", "r2y")
+    j = orders.join(rx, on="o_totalprice").join(ry, on="o_custkey").select(
+        F.col("r2x").cast("decimal(19,0)").alias("x"),
+        F.col("r2y").cast("decimal(19,0)").alias("y"),
+    )
+    m = j.groupBy().agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return m.select(
+        n.cast("long").alias("n_orders"),
+        F.floor(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+            * F.lit(1000000000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("spearman_q"),
+    )
+
+
+_DAILY_MEAN_SQL = """daily AS (
+      SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+             CAST(FLOOR(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                        / COUNT(*) * 1000000000.0 + 0.5) AS BIGINT) AS mv_q
+      FROM events GROUP BY 1
+    )"""
+
+
+def _daily_mean(spark, sf_dir):
+    """(day, mv_q): nano-quantized daily mean of events.value — the
+    shared integer-exact series of the time-series estimators (mirrors
+    _DAILY_MEAN_SQL)."""
+    t = load_tables(spark, sf_dir)
+    return t["events"].groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(
+        F.floor(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+            * F.lit(1000000000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("mv_q")
+    )
+
+
+@workload(
+    "kendall_tau_daily_value",
+    f"""
+    WITH {_DAILY_MEAN_SQL},
+    pairs AS (
+      SELECT a.mv_q AS xa, b.mv_q AS xb
+      FROM daily a JOIN daily b ON a.day < b.day
+    ),
+    cd AS (
+      SELECT CAST(COUNT(CASE WHEN xb > xa THEN 1 END) AS BIGINT)
+               AS concordant,
+             CAST(COUNT(CASE WHEN xb < xa THEN 1 END) AS BIGINT)
+               AS discordant,
+             CAST(COUNT(*) AS BIGINT) AS n0
+      FROM pairs
+    ),
+    ty AS (
+      SELECT CAST(COALESCE(SUM((c * (c - 1)) // 2), 0) AS BIGINT)
+               AS tie_pairs
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM daily GROUP BY mv_q)
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily)
+    SELECT n_days, concordant, discordant,
+           CAST(FLOOR(CAST(concordant - discordant AS DOUBLE)
+                / SQRT(CAST(n0 AS DOUBLE) * CAST(n0 - tie_pairs AS DOUBLE))
+                * 1000000000.0 + 0.5) AS BIGINT) AS tau_b_q
+    FROM cd CROSS JOIN ty CROSS JOIN nn
+    """,
+    category="statistics",
+)
+def kendall_tau_daily_value(spark, sf_dir):
+    """Kendall τ-b between time (day order) and the daily mean value —
+    the trend test behind "is this metric drifting". O(days²) pairs is
+    the RIGHT cost model: the pair space is calendar-bounded (31 days →
+    465 pairs, a century → ~666k), never data-bounded; the heavy
+    reduction is the per-day aggregate. Days are strictly ordered (no
+    x-ties), value ties enter via the τ-b denominator."""
+    daily = _daily_mean(spark, sf_dir).localCheckpoint(eager=True)
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(b, F.col("a.day") < F.col("b.day")).select(
+        F.col("a.mv_q").alias("xa"), F.col("b.mv_q").alias("xb")
+    )
+    cd = pairs.groupBy().agg(
+        F.count(F.when(F.col("xb") > F.col("xa"), F.lit(1)))
+        .cast("long")
+        .alias("concordant"),
+        F.count(F.when(F.col("xb") < F.col("xa"), F.lit(1)))
+        .cast("long")
+        .alias("discordant"),
+        F.count(F.lit(1)).cast("long").alias("n0"),
+    )
+    ty = (
+        daily.groupBy("mv_q")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .groupBy()
+        .agg(
+            F.coalesce(
+                F.sum(F.expr("(c * (c - 1)) DIV 2")), F.lit(0)
+            )
+            .cast("long")
+            .alias("tie_pairs")
+        )
+    )
+    nn = daily.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    return (
+        cd.crossJoin(F.broadcast(ty))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "n_days",
+            "concordant",
+            "discordant",
+            F.floor(
+                (F.col("concordant") - F.col("discordant")).cast("double")
+                / F.sqrt(
+                    F.col("n0").cast("double")
+                    * (F.col("n0") - F.col("tie_pairs")).cast("double")
+                )
+                * F.lit(1000000000.0)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("tau_b_q"),
+        )
+    )
+
+
+@workload(
+    "ks_statistic_view_vs_click",
+    """
+    WITH f AS (
+      SELECT event_type, value FROM events
+      WHERE event_type IN ('view', 'click')
+    ),
+    vc AS (
+      SELECT value AS v,
+             CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END)
+                  AS BIGINT) AS cv,
+             CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END)
+                  AS BIGINT) AS cc
+      FROM f GROUP BY 1
+    ),
+    cum AS (
+      SELECT CAST(SUM(cv) OVER (ORDER BY v) AS BIGINT) AS cumv,
+             CAST(SUM(cc) OVER (ORDER BY v) AS BIGINT) AS cumc
+      FROM vc
+    ),
+    tot AS (
+      SELECT CAST(SUM(cv) AS BIGINT) AS n_view,
+             CAST(SUM(cc) AS BIGINT) AS n_click
+      FROM vc
+    ),
+    d AS (
+      SELECT CAST(MAX(ABS(cumv * n_click - cumc * n_view)) AS BIGINT)
+               AS d_num
+      FROM cum CROSS JOIN tot
+    )
+    SELECT n_view, n_click, d_num,
+           CAST(FLOOR(CAST(d_num AS DOUBLE)
+                / (CAST(n_view AS DOUBLE) * CAST(n_click AS DOUBLE))
+                * 1000000000.0 + 0.5) AS BIGINT) AS ks_q
+    FROM d CROSS JOIN tot
+    """,
+    category="statistics",
+)
+def ks_statistic_view_vs_click(spark, sf_dir):
+    """Exact two-sample Kolmogorov–Smirnov statistic between the value
+    distributions of 'view' and 'click' events: D = max |F₁−F₂| over
+    the merged support. The sup runs over DISTINCT values with BOTH
+    empirical CDFs carried by one two-phase ordered_cumsum (two value
+    columns, one range shuffle), and the comparison is the
+    cross-multiplied integer |cumv·n₂ − cumc·n₁| — no float until the
+    final normalization. Exact-integer bound: cum·n < 2⁶³ holds through
+    ~3·10⁹ rows per class."""
+    t = load_tables(spark, sf_dir)
+    f = t["events"].filter(F.col("event_type").isin("view", "click"))
+    vc = f.groupBy(F.col("value").alias("v")).agg(
+        F.count(F.when(F.col("event_type") == "view", F.lit(1)))
+        .cast("long")
+        .alias("cv"),
+        F.count(F.when(F.col("event_type") == "click", F.lit(1)))
+        .cast("long")
+        .alias("cc"),
+    )
+    cum = ordered_cumsum(vc, [F.asc("v")], ["cv", "cc"])
+    tot = vc.groupBy().agg(
+        F.sum("cv").cast("long").alias("n_view"),
+        F.sum("cc").cast("long").alias("n_click"),
+    )
+    d = (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy()
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cv_cum") * F.col("n_click")
+                    - F.col("cc_cum") * F.col("n_view")
+                )
+            )
+            .cast("long")
+            .alias("d_num")
+        )
+    )
+    return d.crossJoin(F.broadcast(tot)).select(
+        "n_view",
+        "n_click",
+        "d_num",
+        F.floor(
+            F.col("d_num").cast("double")
+            / (F.col("n_view").cast("double") * F.col("n_click").cast("double"))
+            * F.lit(1000000000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("ks_q"),
+    )
+
+
+# --------------------------------------------------------------------- #
+# time series
+
+
+@workload(
+    "dow_seasonality_events",
+    """
+    WITH per AS (
+      SELECT CAST(DAYOFWEEK(ts) + 1 AS INTEGER) AS dow,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s
+      FROM events GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS st,
+             CAST(COUNT(*) AS BIGINT) AS nt
+      FROM events
+    )
+    SELECT dow, n,
+           CAST(FLOOR(s / n * 1000000000.0 + 0.5) AS BIGINT)
+             AS mean_value_q,
+           CAST(FLOOR((s / n) / (st / nt) * 1000000000.0 + 0.5) AS BIGINT)
+             AS seasonal_index_q
+    FROM per CROSS JOIN tot
+    """,
+    category="timeseries",
+)
+def dow_seasonality_events(spark, sf_dir):
+    """Day-of-week seasonal index: mean value per weekday ÷ grand mean —
+    the multiplicative seasonality factor every forecasting pipeline
+    extracts first. Decimal-exact sums; the grand mean attaches by
+    broadcast. Spark's dayofweek is 1=Sunday; DuckDB's is 0=Sunday, so
+    the oracle adds 1."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    per = ev.groupBy(F.dayofweek("ts").cast("int").alias("dow")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("s"),
+    )
+    tot = ev.groupBy().agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("st"),
+        F.count(F.lit(1)).cast("long").alias("nt"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "dow",
+        "n",
+        F.floor(
+            F.col("s") / F.col("n") * F.lit(1000000000.0) + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("mean_value_q"),
+        F.floor(
+            (F.col("s") / F.col("n"))
+            / (F.col("st") / F.col("nt"))
+            * F.lit(1000000000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("seasonal_index_q"),
+    )
+
+
+@workload(
+    "moving_median_daily_value",
+    f"""
+    WITH {_DAILY_MEAN_SQL}
+    SELECT a.day, a.mv_q,
+           CAST(COUNT(b.mv_q) AS BIGINT) AS n_window,
+           quantile_cont(b.mv_q, 0.5) AS med7
+    FROM daily a
+    JOIN daily b ON b.day <= a.day AND b.day >= a.day - 6
+    GROUP BY a.day, a.mv_q
+    """,
+    category="timeseries",
+)
+def moving_median_daily_value(spark, sf_dir):
+    """7-day trailing moving MEDIAN of the daily mean — the robust
+    smoother (a single outlier day moves a moving average, not a moving
+    median). The window realizes as a range self-join of the
+    calendar-bounded day table (≤7 partners/day); the median
+    interpolates between nano-quantized INTEGER daily means, so the
+    half-way interpolation (a+b)/2 is exact in IEEE and identical in
+    both engines."""
+    daily = _daily_mean(spark, sf_dir).localCheckpoint(eager=True)
+    a, b = daily.alias("a"), daily.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("b.day") <= F.col("a.day"))
+            & (F.col("b.day") >= F.date_sub(F.col("a.day"), 6)),
+        )
+        .groupBy(F.col("a.day").alias("day"), F.col("a.mv_q").alias("mv_q"))
+        .agg(
+            F.count("b.mv_q").cast("long").alias("n_window"),
+            F.expr("percentile(b.mv_q, 0.5D)").alias("med7"),
+        )
+    )
+
+
+@workload(
+    "zscore_anomaly_days",
+    """
+    WITH daily AS (
+      SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS tot_c
+      FROM events GROUP BY 1
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(tot_c AS DECIMAL(19,0))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(tot_c AS DECIMAL(19,0))
+                      * CAST(tot_c AS DECIMAL(19,0))) AS DOUBLE) AS ss
+      FROM daily
+    ),
+    z AS (
+      SELECT day, tot_c,
+             CAST(FLOOR((tot_c - s / n)
+                  / SQRT((ss - s * s / n) / (n - 1.0))
+                  * 1000000000.0 + 0.5) AS BIGINT) AS z_q
+      FROM daily CROSS JOIN m
+    )
+    SELECT day, tot_c AS total_cents, z_q,
+           ABS(z_q) > 2000000000 AS is_anomaly
+    FROM z
+    """,
+    category="timeseries",
+)
+def zscore_anomaly_days(spark, sf_dir):
+    """Daily-revenue anomaly flags: z-score of each day's total (exact
+    cents) against the all-days mean/σ — moments accumulate in
+    DECIMAL(19,0)→(38,0) exactly, σ is one closing IEEE expression, and
+    the ±2σ flag compares QUANTIZED z against the integer 2·10⁹, so the
+    boundary decision is engine-independent."""
+    t = load_tables(spark, sf_dir)
+    daily = t["events"].groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("tot_c")
+    )
+    d19 = F.col("tot_c").cast("decimal(19,0)")
+    m = daily.groupBy().agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(d19).cast("double").alias("s"),
+        F.sum(d19 * d19).cast("double").alias("ss"),
+    )
+    n, s, ss = F.col("n"), F.col("s"), F.col("ss")
+    z = daily.crossJoin(F.broadcast(m)).select(
+        "day",
+        "tot_c",
+        F.floor(
+            (F.col("tot_c") - s / n)
+            / F.sqrt((ss - s * s / n) / (n - F.lit(1.0)))
+            * F.lit(1000000000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("z_q"),
+    )
+    return z.select(
+        "day",
+        F.col("tot_c").alias("total_cents"),
+        "z_q",
+        (F.abs(F.col("z_q")) > F.lit(2000000000)).alias("is_anomaly"),
+    )
+
+
+@workload(
+    "theil_sen_daily_value_trend",
+    f"""
+    WITH {_DAILY_MEAN_SQL},
+    mn AS (SELECT MIN(day) AS d0 FROM daily),
+    idx AS (
+      SELECT CAST(day - d0 AS BIGINT) AS i, mv_q
+      FROM daily CROSS JOIN mn
+    ),
+    slopes AS (
+      SELECT CAST(FLOOR(CAST(b.mv_q - a.mv_q AS DOUBLE) / (b.i - a.i)
+                        + 0.5) AS BIGINT) AS slope_q
+      FROM idx a JOIN idx b ON a.i < b.i
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           quantile_cont(slope_q, 0.5) AS sen_slope_q
+    FROM slopes
+    """,
+    category="timeseries",
+)
+def theil_sen_daily_value_trend(spark, sf_dir):
+    """Theil–Sen robust trend of the daily mean: the MEDIAN of all
+    pairwise slopes — the estimator that shrugs off 29% outliers where
+    OLS (regression_price_by_quantity's shape) folds. The pair space is
+    calendar-bounded (days², not rows²); each slope is
+    rounded-to-integer in quantized units/day before the median, whose
+    half-interpolation is exact."""
+    daily = _daily_mean(spark, sf_dir)
+    mn = daily.groupBy().agg(F.min("day").alias("d0"))
+    idx = daily.crossJoin(F.broadcast(mn)).select(
+        F.datediff(F.col("day"), F.col("d0")).cast("long").alias("i"),
+        "mv_q",
+    ).localCheckpoint(eager=True)
+    a, b = idx.alias("a"), idx.alias("b")
+    slopes = a.join(b, F.col("a.i") < F.col("b.i")).select(
+        F.floor(
+            (F.col("b.mv_q") - F.col("a.mv_q")).cast("double")
+            / (F.col("b.i") - F.col("a.i"))
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("slope_q")
+    )
+    return slopes.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.expr("percentile(slope_q, 0.5D)").alias("sen_slope_q"),
+    )
+
+
+# --------------------------------------------------------------------- #
+# graph similarity
+
+
+@workload(
+    "jaccard_common_neighbors_neardup",
+    f"""
+    WITH {_MINHASH_PAIRS_CTES},
+    edges AS (SELECT id_a, id_b FROM dup_pairs),
+    nbrs AS (
+      SELECT id_a AS node, id_b AS nbr FROM edges
+      UNION ALL SELECT id_b, id_a FROM edges
+    ),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM nbrs GROUP BY node
+    ),
+    common AS (
+      SELECT e.id_a, e.id_b, CAST(COUNT(*) AS BIGINT) AS cn
+      FROM edges e
+      JOIN nbrs na ON na.node = e.id_a
+      JOIN nbrs nb ON nb.node = e.id_b AND nb.nbr = na.nbr
+      WHERE na.nbr <> e.id_a AND na.nbr <> e.id_b
+      GROUP BY e.id_a, e.id_b
+    ),
+    j AS (
+      SELECT e.id_a, e.id_b,
+             CAST(COALESCE(c.cn, 0) AS BIGINT) AS common_neighbors,
+             CAST(da.deg + db.deg - 2 - COALESCE(c.cn, 0) AS BIGINT)
+               AS union_neighbors
+      FROM edges e
+      LEFT JOIN common c ON c.id_a = e.id_a AND c.id_b = e.id_b
+      JOIN deg da ON da.node = e.id_a
+      JOIN deg db ON db.node = e.id_b
+    )
+    SELECT id_a, id_b, common_neighbors, union_neighbors,
+           CAST(CASE WHEN union_neighbors > 0
+                THEN FLOOR(CAST(common_neighbors AS DOUBLE)
+                           / union_neighbors * 1000000000.0 + 0.5)
+                ELSE 0 END AS BIGINT) AS jaccard_cn_q
+    FROM j
+    """,
+    category="graph",
+)
+def jaccard_common_neighbors_neardup(spark, sf_dir):
+    """Common-neighbor Jaccard for every near-dup EDGE (a,b): |N(a)∩N(b)
+    \\ {a,b}| over |N(a)∪N(b) \\ {a,b}| — the structural-similarity score
+    link-prediction and cluster-refinement read off the dedup graph.
+    Shape: the stored edge table (ingest-maintained) symmetrizes once,
+    common neighbors come from one equi-join on the neighbor id, and
+    degrees attach by broadcast-sized aggregates — work is O(Σ deg²)
+    like the triangle count, never all-pairs."""
+    from etl_manager_spark.workloads.graphs import _neardup_pairs
+
+    edges = _neardup_pairs(spark, sf_dir).select("id_a", "id_b")
+    nbrs = edges.select(
+        F.col("id_a").alias("node"), F.col("id_b").alias("nbr")
+    ).unionByName(
+        edges.select(F.col("id_b").alias("node"), F.col("id_a").alias("nbr"))
+    )
+    deg = nbrs.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    na = nbrs.select(F.col("node").alias("id_a"), F.col("nbr").alias("x"))
+    nb = nbrs.select(F.col("node").alias("id_b"), F.col("nbr").alias("x"))
+    common = (
+        edges.join(na, on="id_a")
+        .join(nb, on=["id_b", "x"])
+        .filter((F.col("x") != F.col("id_a")) & (F.col("x") != F.col("id_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("common_neighbors"))
+    )
+    out = (
+        edges.join(common, on=["id_a", "id_b"], how="left")
+        .join(deg.withColumnRenamed("node", "id_a").withColumnRenamed("deg", "deg_a"), on="id_a")
+        .join(deg.withColumnRenamed("node", "id_b").withColumnRenamed("deg", "deg_b"), on="id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.coalesce("common_neighbors", F.lit(0))
+            .cast("long")
+            .alias("common_neighbors"),
+            (F.col("deg_a") + F.col("deg_b") - F.lit(2)
+             - F.coalesce("common_neighbors", F.lit(0)))
+            .cast("long")
+            .alias("union_neighbors"),
+        )
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        "common_neighbors",
+        "union_neighbors",
+        F.when(
+            F.col("union_neighbors") > 0,
+            F.floor(
+                F.col("common_neighbors").cast("double")
+                / F.col("union_neighbors")
+                * F.lit(1000000000.0)
+                + F.lit(0.5)
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("jaccard_cn_q"),
+    )
+
+
+# --------------------------------------------------------------------- #
+# text metrics
+
+
+@workload(
+    "flesch_reading_ease_documents",
+    rf"""
+    WITH feats AS (
+      SELECT doc_id,
+             CAST(LEN(LIST_FILTER({_TOK}, x -> x <> '')) AS BIGINT)
+               AS n_words,
+             CAST(LEN(regexp_extract_all(text, '[aeiouyAEIOUY]+'))
+                  AS BIGINT) AS n_syllables,
+             CAST(GREATEST(1, LEN(regexp_extract_all(text, '[.!?]+')))
+                  AS BIGINT) AS n_sentences
+      FROM documents
+    )
+    SELECT doc_id, n_words, n_syllables,
+           CAST(FLOOR((206.835
+                - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words))
+                * 1000000000.0 + 0.5) AS BIGINT) AS flesch_q
+    FROM feats WHERE n_words > 0
+    """,
+    category="text",
+)
+def flesch_reading_ease_documents(spark, sf_dir):
+    """Flesch reading-ease per document with the standard vowel-group
+    syllable heuristic — the classic text-quality feature next to the
+    Gopher gates. Words/syllables/sentences are single regexp passes
+    (JVM-side, codegen'd into the scan); sentence count floors at 1 for
+    punctuation-free corpora. One fixed IEEE expression closes it."""
+    t = load_tables(spark, sf_dir)
+    words = F.size(F.filter(R.tokens("text"), lambda x: x != ""))
+    syll = F.size(
+        F.regexp_extract_all("text", F.lit(r"[aeiouyAEIOUY]+"), F.lit(0))
+    )
+    sents = F.greatest(
+        F.lit(1),
+        F.size(F.regexp_extract_all("text", F.lit(r"[.!?]+"), F.lit(0))),
+    )
+    feats = spread(t["documents"], spark).select(
+        "doc_id",
+        words.cast("long").alias("n_words"),
+        syll.cast("long").alias("n_syllables"),
+        sents.cast("long").alias("n_sentences"),
+    )
+    return feats.filter(F.col("n_words") > 0).select(
+        "doc_id",
+        "n_words",
+        "n_syllables",
+        F.floor(
+            (
+                F.lit(206.835)
+                - F.lit(1.015)
+                * (F.col("n_words").cast("double") / F.col("n_sentences"))
+                - F.lit(84.6)
+                * (F.col("n_syllables").cast("double") / F.col("n_words"))
+            )
+            * F.lit(1000000000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("flesch_q"),
+    )
+
+
+@workload(
+    "doc_prefix_duplicates_documents",
+    rf"""
+    WITH p AS (
+      SELECT doc_id,
+             ARRAY_TO_STRING(LIST_FILTER({_TOK}, x -> x <> '')[1:2], ' ')
+               AS prefix
+      FROM documents
+    )
+    SELECT prefix, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+    FROM p GROUP BY prefix HAVING COUNT(*) > 1
+    """,
+    category="dedup",
+)
+def doc_prefix_duplicates_documents(spark, sf_dir):
+    """Positional prefix dedup: documents sharing their first two tokens
+    — the boilerplate-header detector (crawled pages repeat nav/footer
+    prefixes long before their bodies near-duplicate). Complements the
+    sliding n-gram boilerplate miner (corpus_ngram_boilerplate): this is
+    POSITION-anchored, one hash-agg on the prefix, no window fan-out."""
+    t = load_tables(spark, sf_dir)
+    prefix = F.array_join(
+        F.slice(F.filter(R.tokens("text"), lambda x: x != ""), 1, 2), " "
+    )
+    return (
+        spread(t["documents"], spark)
+        .select("doc_id", prefix.alias("prefix"))
+        .groupBy("prefix")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("min_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+@workload(
+    "percent_rank_orders_per_customer",
+    """
+    SELECT o_orderkey, o_custkey,
+           PERCENT_RANK() OVER
+             (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+             AS pr,
+           CUME_DIST() OVER
+             (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+             AS cd
+    FROM orders
+    """,
+    category="window",
+)
+def percent_rank_orders_per_customer(spark, sf_dir):
+    """PERCENT_RANK and CUME_DIST of each order's price within its
+    customer — the remaining two ANSI rank functions the window family
+    hadn't covered. Partitioned on o_custkey (groups stay small as data
+    grows — one hash exchange, no global sort); both outputs are exact
+    small-integer ratios, bitwise-identical across engines."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return t["orders"].select(
+        "o_orderkey",
+        "o_custkey",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+@workload(
+    "conditional_entropy_event_chain",
+    """
+    WITH seq AS (
+      SELECT event_type AS prev,
+             LEAD(event_type) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    pairs AS (
+      SELECT prev, nxt, CAST(COUNT(*) AS BIGINT) AS c
+      FROM seq WHERE nxt IS NOT NULL GROUP BY prev, nxt
+    ),
+    pv AS (SELECT prev, CAST(SUM(c) AS BIGINT) AS cp FROM pairs GROUP BY prev),
+    n AS (SELECT CAST(SUM(c) AS BIGINT) AS nt FROM pairs),
+    terms AS (
+      SELECT CAST(FLOOR(CAST(c AS DOUBLE) / nt
+                        * LOG2(CAST(cp AS DOUBLE) / c)
+                        * 1000000000.0 + 0.5) AS BIGINT) AS t_q
+      FROM pairs JOIN pv USING (prev) CROSS JOIN n
+    )
+    SELECT nt AS n_transitions, cond_entropy_q
+    FROM (SELECT CAST(SUM(t_q) AS BIGINT) AS cond_entropy_q FROM terms)
+    CROSS JOIN n
+    """,
+    category="events",
+)
+def conditional_entropy_event_chain(spark, sf_dir):
+    """Conditional entropy H(next | prev) of the per-user event chain —
+    the single number that says how predictable user behavior is (0 =
+    deterministic funnels, log₂5 ≈ 2.32 = uniform chaos); the companion
+    scalar to the full transition matrix (event_transition_matrix).
+    Per-user LEAD windows (partitioned), then each (prev,next) term
+    quantizes BEFORE the order-free integer sum."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t["events"].select(
+        F.col("event_type").alias("prev"),
+        F.lead("event_type").over(w).alias("nxt"),
+    )
+    pairs = (
+        seq.filter(F.col("nxt").isNotNull())
+        .groupBy("prev", "nxt")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    pv = pairs.groupBy("prev").agg(F.sum("c").cast("long").alias("cp"))
+    n = pairs.groupBy().agg(F.sum("c").cast("long").alias("nt"))
+    terms = (
+        pairs.join(F.broadcast(pv), on="prev")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.floor(
+                F.col("c").cast("double")
+                / F.col("nt")
+                * F.log2(F.col("cp").cast("double") / F.col("c"))
+                * F.lit(1000000000.0)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("t_q")
+        )
+    )
+    s = terms.groupBy().agg(
+        F.sum("t_q").cast("long").alias("cond_entropy_q")
+    )
+    return s.crossJoin(F.broadcast(n)).select(
+        F.col("nt").alias("n_transitions"), "cond_entropy_q"
+    )
+
+
+@workload(
+    "norm_quartiles_embeddings_label",
+    """
+    WITH norms AS (
+      SELECT label,
+             CAST(FLOOR(SQRT(LIST_AGGREGATE(
+                    LIST_TRANSFORM(CAST(embedding AS DOUBLE[]),
+                                   x -> x * x), 'sum'))
+                  * 1000000000.0 + 0.5) AS BIGINT) AS norm_q
+      FROM embeddings
+    )
+    SELECT CAST(label AS INTEGER) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           quantile_cont(norm_q, 0.25) AS q1,
+           quantile_cont(norm_q, 0.5) AS med,
+           quantile_cont(norm_q, 0.75) AS q3
+    FROM norms GROUP BY label
+    """,
+    category="statistics",
+)
+def norm_quartiles_embeddings_label(spark, sf_dir):
+    """Per-label quartiles of the embedding L2 norm — the drift check
+    run before any cosine search (un-normalized clusters poison inner-
+    product shortcuts). The per-row norm is a sequential in-row fold
+    (identical order both engines), quantized to an integer so the
+    quartile interpolation between neighbors is exact IEEE."""
+    t = load_tables(spark, sf_dir)
+    sumsq = F.aggregate(
+        F.transform(
+            F.col("embedding"), lambda x: x.cast("double") * x.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norms = spread(t["embeddings"], spark).select(
+        "label",
+        F.floor(F.sqrt(sumsq) * F.lit(1000000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("norm_q"),
+    )
+    return norms.groupBy(F.col("label").cast("int").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("percentile(norm_q, 0.25D)").alias("q1"),
+        F.expr("percentile(norm_q, 0.5D)").alias("med"),
+        F.expr("percentile(norm_q, 0.75D)").alias("q3"),
+    )
