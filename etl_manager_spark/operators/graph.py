@@ -224,3 +224,67 @@ def bfs_distances(
         visited = visited.unionAll(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return visited
+
+
+def kcore_subgraph(
+    pairs: DataFrame,
+    k: int = 2,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 8,
+) -> DataFrame:
+    """The k-core of an undirected pair graph: the maximal subgraph in
+    which every node has degree >= k — the standard "dense backbone"
+    extraction (Seidman 1983). In a near-duplicate graph the 2-core
+    separates genuinely clustered templates (cycles/cliques) from
+    chain-shaped borderline matches that a single weak edge strings
+    together; chains peel away entirely.
+
+    Algorithm: synchronous peeling to fixpoint. Each round computes node
+    degrees over the surviving edge set (one hash-agg on the symmetrized
+    list) and drops every edge with an endpoint below k (two LEFT SEMI
+    joins — broadcast-eligible once the survivor set shrinks). The edge
+    set only shrinks, so the fixpoint is the k-core exactly (the peeling
+    order never changes the result). Each round localCheckpoints the
+    shrunken edges: the set is re-scanned twice per round and an
+    unbroken lineage would replay every earlier round's joins.
+
+    Rounds needed = peeling depth (longest chain of cascading removals),
+    <= graph diameter; near-dup components are shallow by construction.
+    Raises if ``max_rounds`` is hit without convergence rather than
+    returning a superset silently. Because extra rounds are no-ops after
+    the fixpoint, a fixed-depth unrolled-SQL oracle with >= the true
+    depth agrees exactly.
+
+    Returns the surviving canonical edge list (id_a < id_b).
+    """
+    e = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = e.count()
+    for _ in range(max_rounds):
+        sym = e.select(F.col("a").alias("node")).unionAll(
+            e.select(F.col("b").alias("node"))
+        )
+        keep = (
+            sym.groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("node")
+        )
+        e2 = (
+            e.join(keep.withColumnRenamed("node", "a"), on="a", how="semi")
+            .join(keep.withColumnRenamed("node", "b"), on="b", how="semi")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        n2 = e2.count()
+        if n2 == n_edges:
+            return e2.select(F.col("a").alias(id_a), F.col("b").alias(id_b))
+        e, n_edges = e2, n2
+    raise RuntimeError(
+        f"k-core peeling did not converge in {max_rounds} rounds; "
+        "raise max_rounds (and widen the oracle unrolling to match)"
+    )

@@ -105,6 +105,7 @@ def load_registry() -> dict[str, Workload]:
         audit,
         curation,
         graphs,
+        hygiene,
         metrics,
         pipeline,
         relational,

@@ -1,0 +1,575 @@
+"""Round-6 catalog additions: corpus-hygiene and drift diagnostics.
+
+Cross-document duplicated-SPAN detection (the maximal-verbatim-run shape
+behind suffix-array training-data dedup, expressed as shingle islands),
+the k-core backbone of the near-dup graph, population-stability drift
+(PSI), DAU/MAU stickiness, inter-arrival burstiness, and the event-chain
+Markov transition matrix.
+
+House discipline throughout: identical expression trees in the Spark code
+and the DuckDB oracle, nano-quantized floats at every emission point,
+decimal-exact integer moments, and no single-partition windows — every
+window here is partitioned on doc_id / user_id / bounded aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from etl_manager_spark.operators import graph as G
+from etl_manager_spark.operators.ranking import quantize
+from etl_manager_spark.operators.text import tokens
+from etl_manager_spark.workloads import workload
+from etl_manager_spark.workloads.pipeline import (
+    _MINHASH_PAIRS_CTES,
+    neardup_pairs_stored,
+)
+from etl_manager_spark.workloads.tables import load_tables, spread
+
+_TOK_SQL = r"REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')"
+
+
+# --------------------------------------------------------------------- #
+# cross-document duplicated spans
+
+
+@workload(
+    "dupspan_coverage_documents",
+    f"""
+    WITH toksrc AS (
+      SELECT doc_id, {_TOK_SQL} AS toks FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             UNNEST(list_transform(range(len(toks) - 2),
+               i -> {{'pos': i,
+                      'gram': toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]}}))
+               AS u
+      FROM toksrc
+    ),
+    grams AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM g),
+    dup AS (
+      SELECT gram FROM grams GROUP BY gram
+      HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    duppos AS (
+      SELECT doc_id, pos FROM grams WHERE gram IN (SELECT gram FROM dup)
+    ),
+    runs AS (
+      SELECT doc_id, pos,
+             LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      FROM duppos
+    ),
+    flagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN prev IS NULL OR pos - prev > 3 THEN 1 ELSE 0 END
+               AS is_new,
+             CASE WHEN prev IS NULL THEN 3
+                  ELSE LEAST(3, pos - prev) END AS covered_add
+      FROM runs
+    ),
+    islands AS (
+      SELECT doc_id, pos, covered_add,
+             SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged
+    ),
+    spans AS (
+      SELECT doc_id, island,
+             MAX(pos) - MIN(pos) + 3 AS span_tokens
+      FROM islands GROUP BY doc_id, island
+    ),
+    per_doc AS (
+      SELECT i.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_dup_positions,
+             CAST(MAX(i.island) AS BIGINT) AS n_spans,
+             CAST(SUM(i.covered_add) AS BIGINT) AS covered_tokens
+      FROM islands i GROUP BY i.doc_id
+    ),
+    span_max AS (
+      SELECT doc_id, CAST(MAX(span_tokens) AS BIGINT) AS max_span_tokens
+      FROM spans GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           COALESCE(p.n_dup_positions, 0) AS n_dup_positions,
+           COALESCE(p.n_spans, 0) AS n_spans,
+           COALESCE(m.max_span_tokens, 0) AS max_span_tokens,
+           COALESCE(p.covered_tokens, 0) AS covered_tokens,
+           CAST(len(t.toks) AS BIGINT) AS total_tokens,
+           CAST(FLOOR(CAST(COALESCE(p.covered_tokens, 0) AS DOUBLE)
+                      / len(t.toks) * 1000000000.0 + 0.5) AS BIGINT)
+             AS covered_frac_q
+    FROM toksrc t
+    LEFT JOIN per_doc p ON p.doc_id = t.doc_id
+    LEFT JOIN span_max m ON m.doc_id = t.doc_id
+    """,
+    category="text",
+)
+def dupspan_coverage_documents(spark, sf_dir):
+    """Cross-document duplicated-span coverage — the Lee et al. (2022)
+    "deduplicating training data" signal, re-expressed for Spark: every
+    3-token shingle that appears in >= 2 distinct documents marks its
+    positions as duplicated; adjacent/overlapping marked shingles merge
+    into maximal spans (interval union via the island trick), and each
+    document reports its span count, longest span, and the exact
+    fraction of tokens covered by ANY cross-doc duplicated run. This is
+    the verbatim-copy detector that Jaccard-style whole-doc dedup
+    misses: a document that is 20% pasted boilerplate has low global
+    similarity to anyone but a long shared span.
+
+    Scale shape: one explode → (gram) hash-agg over cross-doc counts (a
+    key-shuffle whose cardinality is the shingle vocabulary), one
+    semi-join back, then windows partitioned by doc_id — per-partition
+    work is bounded by document length no matter the corpus size. No
+    suffix array needed: fixed-width shingle islands give the same span
+    geometry with only hash-joins (reference model: suffix-array
+    substring dedup; here a composition of exist-everywhere DataFrame
+    ops)."""
+    t = load_tables(spark, sf_dir)
+    docs = spread(t["documents"], spark)
+    toksrc = docs.select("doc_id", tokens("text").alias("toks"))
+    grams = toksrc.filter(F.size("toks") >= 3).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, size(toks)-3),"
+                " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+            )
+        ).alias("pos", "gram"),
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    duppos = grams.join(dup, on="gram", how="semi").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = duppos.withColumn("prev", F.lag("pos").over(w)).select(
+        "doc_id",
+        "pos",
+        F.when(
+            F.col("prev").isNull() | (F.col("pos") - F.col("prev") > 3), 1
+        )
+        .otherwise(0)
+        .alias("is_new"),
+        F.when(F.col("prev").isNull(), 3)
+        .otherwise(F.least(F.lit(3), F.col("pos") - F.col("prev")))
+        .alias("covered_add"),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = islands.groupBy("doc_id", "island").agg(
+        (F.max("pos") - F.min("pos") + 3).alias("span_tokens")
+    )
+    per_doc = islands.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_positions"),
+        F.max("island").cast("long").alias("n_spans"),
+        F.sum("covered_add").cast("long").alias("covered_tokens"),
+    )
+    span_max = spans.groupBy("doc_id").agg(
+        F.max("span_tokens").cast("long").alias("max_span_tokens")
+    )
+    return (
+        toksrc.join(per_doc, on="doc_id", how="left")
+        .join(span_max, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce("n_dup_positions", F.lit(0)).alias("n_dup_positions"),
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("max_span_tokens", F.lit(0)).alias("max_span_tokens"),
+            F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+            F.size("toks").cast("long").alias("total_tokens"),
+            quantize(
+                F.coalesce("covered_tokens", F.lit(0)).cast("double")
+                / F.size("toks")
+            ).alias("covered_frac_q"),
+        )
+    )
+
+
+# --------------------------------------------------------------------- #
+# k-core backbone of the near-dup graph
+
+_KCORE_ROUNDS = 8
+
+
+def _kcore_oracle() -> str:
+    rounds = []
+    for i in range(_KCORE_ROUNDS):
+        # AS MATERIALIZED is load-bearing: each round references the
+        # previous edge set three times, so DuckDB's default CTE
+        # inlining would expand e_N into 3^N copies of the base scan.
+        rounds.append(
+            f"""d{i} AS MATERIALIZED (
+      SELECT node FROM (
+        SELECT a AS node FROM e{i} UNION ALL SELECT b FROM e{i}
+      ) GROUP BY node HAVING COUNT(*) >= 2
+    ),
+    e{i + 1} AS MATERIALIZED (
+      SELECT a, b FROM e{i}
+      WHERE a IN (SELECT node FROM d{i})
+        AND b IN (SELECT node FROM d{i})
+    )"""
+        )
+    chain = ",\n    ".join(rounds)
+    return f"""
+    WITH {_MINHASH_PAIRS_CTES},
+    e0 AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM dup_pairs),
+    {chain}
+    SELECT node AS doc_id, CAST(COUNT(*) AS BIGINT) AS core_deg
+    FROM (
+      SELECT a AS node FROM e{_KCORE_ROUNDS}
+      UNION ALL SELECT b FROM e{_KCORE_ROUNDS}
+    ) GROUP BY node
+    """
+
+
+@workload(
+    "kcore_neardup_graph",
+    _kcore_oracle,
+    category="graph",
+)
+def kcore_neardup_graph(spark, sf_dir):
+    """2-core of the near-duplicate graph (operators/graph.py:
+    kcore_subgraph) — the dense backbone after chains peel away. A node
+    surviving the 2-core sits on a cycle of >= 3 mutually-similar
+    documents (safe to collapse aggressively); nodes that peel were
+    strung together by single borderline edges and deserve review.
+    Returns each surviving node with its within-core degree.
+
+    Spark side iterates synchronous peeling to FIXPOINT (asserting
+    convergence within the unroll budget); the oracle unrolls the same
+    peeling a fixed 8 rounds — sound because peeling is monotone and
+    rounds past the fixpoint are no-ops, so any unroll >= the true
+    peeling depth is exact."""
+    core = G.kcore_subgraph(
+        neardup_pairs_stored(spark, sf_dir), k=2, max_rounds=_KCORE_ROUNDS
+    )
+    sym = core.select(F.col("id_a").alias("node")).unionAll(
+        core.select(F.col("id_b").alias("node"))
+    )
+    return sym.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("core_deg")
+    ).select(F.col("node").alias("doc_id"), "core_deg")
+
+
+# --------------------------------------------------------------------- #
+# population-stability drift (PSI)
+
+
+@workload(
+    "psi_drift_orders_price",
+    """
+    WITH bounds AS (
+      SELECT MIN(epoch_us(o_orderdate)) AS us0,
+             MAX(epoch_us(o_orderdate)) AS us1,
+             MIN(o_totalprice) AS pmin,
+             MAX(o_totalprice) AS pmax
+      FROM orders
+    ),
+    tagged AS (
+      SELECT LEAST(9, CAST(FLOOR((o_totalprice - pmin) / (pmax - pmin)
+                                 * 10.0) AS BIGINT)) AS bin,
+             CASE WHEN epoch_us(o_orderdate) * 2 < us0 + us1
+                  THEN 1 ELSE 0 END AS is_a
+      FROM orders CROSS JOIN bounds
+    ),
+    counts AS (
+      SELECT bin,
+             CAST(SUM(is_a) AS BIGINT) AS cnt_a,
+             CAST(SUM(1 - is_a) AS BIGINT) AS cnt_b
+      FROM tagged GROUP BY bin
+    ),
+    bins AS (SELECT UNNEST(range(10)) AS bin),
+    filled AS (
+      SELECT b.bin,
+             COALESCE(c.cnt_a, 0) AS cnt_a,
+             COALESCE(c.cnt_b, 0) AS cnt_b
+      FROM bins b LEFT JOIN counts c ON c.bin = b.bin
+    ),
+    tot AS (
+      SELECT CAST(SUM(cnt_a) AS BIGINT) AS na,
+             CAST(SUM(cnt_b) AS BIGINT) AS nb
+      FROM filled
+    )
+    SELECT CAST(f.bin AS BIGINT) AS bin, f.cnt_a, f.cnt_b,
+           CAST(FLOOR((
+             (CAST(f.cnt_a + 1 AS DOUBLE) / (t.na + 10)
+              - CAST(f.cnt_b + 1 AS DOUBLE) / (t.nb + 10))
+             * LN((CAST(f.cnt_a + 1 AS DOUBLE) / (t.na + 10))
+                  / (CAST(f.cnt_b + 1 AS DOUBLE) / (t.nb + 10)))
+           ) * 1000000000.0 + 0.5) AS BIGINT) AS psi_contrib_q
+    FROM filled f CROSS JOIN tot t
+    """,
+    category="drift",
+)
+def psi_drift_orders_price(spark, sf_dir):
+    """Population Stability Index of the order-price distribution,
+    first half of the date range vs second half — the industry drift
+    gate for features/labels between a training snapshot and serving
+    traffic (PSI > 0.2 = investigate). Ten equal-width bins over the
+    pooled global [min, max]; add-one smoothing keeps empty bins finite;
+    per-bin contributions (pa − pb)·ln(pa/pb) are quantized so the sum
+    is engine-exact.
+
+    Scale shape: one broadcast 1-row bounds aggregate, one 10-key
+    hash-agg with map-side partials over the fact table (integer µs
+    midpoint test — no timezone arithmetic), and a 10-row bin spine
+    left-join. Nothing shuffles more than the 10-row aggregate."""
+    t = load_tables(spark, sf_dir)
+    orders = t["orders"]
+    bounds = orders.agg(
+        F.min(F.unix_micros(F.col("o_orderdate").cast("timestamp"))).alias(
+            "us0"
+        ),
+        F.max(F.unix_micros(F.col("o_orderdate").cast("timestamp"))).alias(
+            "us1"
+        ),
+        F.min("o_totalprice").alias("pmin"),
+        F.max("o_totalprice").alias("pmax"),
+    )
+    tagged = orders.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.lit(9),
+            F.floor(
+                (F.col("o_totalprice") - F.col("pmin"))
+                / (F.col("pmax") - F.col("pmin"))
+                * F.lit(10.0)
+            ).cast("long"),
+        ).alias("bin"),
+        F.when(
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")) * 2
+            < F.col("us0") + F.col("us1"),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_a"),
+    )
+    counts = tagged.groupBy("bin").agg(
+        F.sum("is_a").cast("long").alias("cnt_a"),
+        F.sum(1 - F.col("is_a")).cast("long").alias("cnt_b"),
+    )
+    bins = spark.range(10).select(F.col("id").alias("bin"))
+    filled = (
+        bins.join(counts, on="bin", how="left")
+        .select(
+            "bin",
+            F.coalesce("cnt_a", F.lit(0)).alias("cnt_a"),
+            F.coalesce("cnt_b", F.lit(0)).alias("cnt_b"),
+        )
+    )
+    tot = filled.agg(
+        F.sum("cnt_a").cast("long").alias("na"),
+        F.sum("cnt_b").cast("long").alias("nb"),
+    )
+    pa = (F.col("cnt_a") + 1).cast("double") / (F.col("na") + 10)
+    pb = (F.col("cnt_b") + 1).cast("double") / (F.col("nb") + 10)
+    return filled.crossJoin(F.broadcast(tot)).select(
+        F.col("bin").cast("long").alias("bin"),
+        "cnt_a",
+        "cnt_b",
+        quantize((pa - pb) * F.log(pa / pb)).alias("psi_contrib_q"),
+    )
+
+
+# --------------------------------------------------------------------- #
+# DAU/MAU stickiness
+
+
+@workload(
+    "stickiness_dau_mau_events",
+    """
+    WITH dau AS (
+      SELECT DATE_TRUNC('month', ts) AS month,
+             DATE_TRUNC('day', ts) AS dy,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+      FROM events GROUP BY 1, 2
+    ),
+    daily AS (
+      SELECT month,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(dau) AS BIGINT) AS sum_dau
+      FROM dau GROUP BY month
+    ),
+    mau AS (
+      SELECT DATE_TRUNC('month', ts) AS month,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+      FROM events GROUP BY month
+    )
+    SELECT d.month, m.mau, d.n_days, d.sum_dau,
+           CAST(FLOOR(CAST(d.sum_dau AS DOUBLE) / (d.n_days * m.mau)
+                      * 1000000000.0 + 0.5) AS BIGINT) AS stickiness_q
+    FROM daily d JOIN mau m ON m.month = d.month
+    """,
+    category="behavior",
+)
+def stickiness_dau_mau_events(spark, sf_dir):
+    """DAU/MAU stickiness per month — the canonical engagement ratio
+    (avg daily actives over monthly actives; 1.0 = every monthly user
+    shows up every day). Exact: integer DAU/MAU counts, one closing
+    IEEE division. Scale shape: two distinct-aggregates (map-side
+    partial on (month, day, user) then (month, day)), joined on the
+    month key — the join is over |months| rows."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    dau = ev.groupBy(
+        F.date_trunc("month", "ts").cast("date").alias("month"),
+        F.date_trunc("day", "ts").cast("date").alias("dy"),
+    ).agg(F.count_distinct("user_id").cast("long").alias("dau"))
+    daily = dau.groupBy("month").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("dau").cast("long").alias("sum_dau"),
+    )
+    mau = ev.groupBy(
+        F.date_trunc("month", "ts").cast("date").alias("month")
+    ).agg(
+        F.count_distinct("user_id").cast("long").alias("mau")
+    )
+    return daily.join(mau, on="month").select(
+        "month",
+        "mau",
+        "n_days",
+        "sum_dau",
+        quantize(
+            F.col("sum_dau").cast("double")
+            / (F.col("n_days") * F.col("mau"))
+        ).alias("stickiness_q"),
+    )
+
+
+# --------------------------------------------------------------------- #
+# inter-arrival burstiness
+
+
+@workload(
+    "interarrival_burstiness_events",
+    """
+    WITH gaps AS (
+      SELECT user_id,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    ),
+    m AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_gaps,
+             CAST(SUM(CAST(gap_us AS DECIMAL(38,0))) AS BIGINT)
+               AS sum_gap_us,
+             CAST(SUM(CAST(gap_us AS DECIMAL(38,0))
+                      * CAST(gap_us AS DECIMAL(38,0))) AS DOUBLE) AS ss,
+             CAST(SUM(CAST(gap_us AS DECIMAL(38,0))) AS DOUBLE) AS s,
+             CAST(COUNT(*) AS DOUBLE) AS n
+      FROM gaps WHERE gap_us IS NOT NULL
+      GROUP BY user_id HAVING COUNT(*) >= 2
+    )
+    SELECT user_id, n_gaps, sum_gap_us,
+           CAST(FLOOR(SQRT((ss - s * s / n) / (n - 1.0)) / (s / n)
+                      * 1000000000.0 + 0.5) AS BIGINT) AS cv_q
+    FROM m
+    """,
+    category="behavior",
+)
+def interarrival_burstiness_events(spark, sf_dir):
+    """Per-user inter-arrival burstiness: the coefficient of variation
+    of gaps between consecutive events (CV ≈ 1 = Poisson-like, ≫ 1 =
+    bursty sessions, ≪ 1 = metronome/bot). Gaps are exact integer µs
+    under the house (ts, event_id) total order; moments accumulate in
+    DECIMAL(38,0); σ/mean is one closing IEEE expression, quantized.
+
+    Scale shape: one window partitioned by user_id (per-user history —
+    the same per-entity contract as every sessionization query), one
+    hash-agg. Users with < 2 gaps are excluded (σ undefined)."""
+    t = load_tables(spark, sf_dir)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = t["events"].select(
+        "user_id", (us - F.lag(us).over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    g38 = F.col("gap_us").cast("decimal(38,0)")
+    m = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            F.sum(g38).cast("long").alias("sum_gap_us"),
+            F.sum(g38 * g38).cast("double").alias("ss"),
+            F.sum(g38).cast("double").alias("s"),
+            F.count(F.lit(1)).cast("double").alias("n"),
+        )
+        .filter(F.col("n_gaps") >= 2)
+    )
+    n, s, ss = F.col("n"), F.col("s"), F.col("ss")
+    return m.select(
+        "user_id",
+        "n_gaps",
+        "sum_gap_us",
+        F.floor(
+            F.sqrt((ss - s * s / n) / (n - F.lit(1.0)))
+            / (s / n)
+            * F.lit(1000000000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("cv_q"),
+    )
+
+
+# --------------------------------------------------------------------- #
+# Markov transition matrix of the event chain
+
+
+@workload(
+    "markov_transitions_events",
+    """
+    WITH chain AS (
+      SELECT event_type AS src,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      FROM events
+    ),
+    trans AS (
+      SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM chain WHERE dst IS NOT NULL GROUP BY src, dst
+    ),
+    tot AS (
+      SELECT src, CAST(SUM(cnt) AS BIGINT) AS total FROM trans GROUP BY src
+    )
+    SELECT t.src, t.dst, t.cnt,
+           CAST(FLOOR(CAST(t.cnt AS DOUBLE) / g.total
+                      * 1000000000.0 + 0.5) AS BIGINT) AS prob_q
+    FROM trans t JOIN tot g ON g.src = t.src
+    """,
+    category="behavior",
+)
+def markov_transitions_events(spark, sf_dir):
+    """First-order Markov transition matrix of the per-user event chain
+    (P(next=dst | cur=src)) — the generative twin of
+    conditional_entropy_event_chain: same chain, full matrix instead of
+    one scalar, feeding next-action prediction and anomalous-flow
+    detection. Exact integer counts; one quantized division per cell.
+
+    Scale shape: the chain window is partitioned by user_id; transition
+    counts hash-agg onto |event_types|² keys (bounded by the type
+    vocabulary, not the row count); the row-total join is over that
+    same bounded matrix."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chain = t["events"].select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    trans = chain.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    tot = trans.groupBy("src").agg(F.sum("cnt").cast("long").alias("total"))
+    return trans.join(tot, on="src").select(
+        "src",
+        "dst",
+        "cnt",
+        quantize(F.col("cnt").cast("double") / F.col("total")).alias(
+            "prob_q"
+        ),
+    )

@@ -1101,3 +1101,94 @@ def test_within_distance_join_rejects_polar_latitudes(spark):
     )
     with pytest.raises(Exception, match="completeness envelope"):
         df.collect()
+
+
+# --------------------------------------------------------------------- #
+# k-core (operators/graph.py: kcore_subgraph)
+
+
+def test_kcore_chain_peels_clique_survives(spark):
+    """A 4-chain has no 2-core; a triangle IS its own 2-core; a chain
+    dangling off a clique peels back exactly to the clique."""
+    from etl_manager_spark.operators.graph import kcore_subgraph
+
+    # chain 1-2-3-4 + triangle 10-11-12 + tail 12-13-14
+    edges = [
+        (1, 2), (2, 3), (3, 4),
+        (10, 11), (11, 12), (10, 12),
+        (12, 13), (13, 14),
+    ]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    core = kcore_subgraph(pairs, k=2)
+    got = sorted(tuple(r) for r in core.collect())
+    assert got == [(10, 11), (10, 12), (11, 12)]
+
+
+def test_kcore_raises_when_unroll_budget_too_small(spark):
+    """A long chain cascades one removal per round — max_rounds=1 must
+    raise rather than silently return a superset of the core."""
+    import pytest
+
+    from etl_manager_spark.operators.graph import kcore_subgraph
+
+    chain = [(i, i + 1) for i in range(6)]
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        kcore_subgraph(pairs, k=2, max_rounds=1)
+
+
+def test_kcore_3core_of_k4_minus_edge(spark):
+    """K4 is a 3-core; remove one edge and the 3-core vanishes (every
+    node drops below degree 3 after the first peel cascades)."""
+    from etl_manager_spark.operators.graph import kcore_subgraph
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    pairs = spark.createDataFrame(k4, "id_a long, id_b long")
+    assert kcore_subgraph(pairs, k=3).count() == 6
+    pairs_minus = spark.createDataFrame(k4[:-1], "id_a long, id_b long")
+    assert kcore_subgraph(pairs_minus, k=3).count() == 0
+
+
+def test_dupspan_island_merge_handcrafted(spark, tmp_path):
+    """Span geometry on a corpus built by hand: touching shingles merge
+    into one span, a >3 position gap splits spans, unique docs report
+    zeros, and covered_frac is exact."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_manager_spark.workloads.hygiene import dupspan_coverage_documents
+
+    texts = {
+        1: "a b c d e f",              # one dup trigram at pos 0
+        2: "a b c x y z",              # fully covered via chained overlaps
+        3: "q r s t u v w",            # nothing shared
+        4: "x y z a b c x y z",        # fully covered, one island
+        5: "a b c m1 m2 m3 m4 a b c",  # two disjoint spans (gap > 3)
+    }
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(texts), type=pa.int64()),
+            "text": pa.array(list(texts.values())),
+            "lang": pa.array(["en"] * 5),
+            "source": pa.array(["t"] * 5),
+            "n_chars": pa.array([len(t) for t in texts.values()], type=pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in dupspan_coverage_documents(spark, str(tmp_path)).collect()
+    }
+    assert got[3] == dict(doc_id=3, n_dup_positions=0, n_spans=0,
+                          max_span_tokens=0, covered_tokens=0,
+                          total_tokens=7, covered_frac_q=0)
+    assert got[1] == dict(doc_id=1, n_dup_positions=1, n_spans=1,
+                          max_span_tokens=3, covered_tokens=3,
+                          total_tokens=6, covered_frac_q=500000000)
+    assert got[2]["covered_tokens"] == 6 and got[2]["n_spans"] == 1
+    assert got[2]["covered_frac_q"] == 1000000000
+    assert got[4] == dict(doc_id=4, n_dup_positions=5, n_spans=1,
+                          max_span_tokens=9, covered_tokens=9,
+                          total_tokens=9, covered_frac_q=1000000000)
+    assert got[5]["n_spans"] == 2 and got[5]["max_span_tokens"] == 3
+    assert got[5]["covered_tokens"] == 6 and got[5]["covered_frac_q"] == 600000000
