@@ -573,3 +573,81 @@ def markov_transitions_events(spark, sf_dir):
             "prob_q"
         ),
     )
+
+
+# --------------------------------------------------------------------- #
+# activity streaks — Spark 4 recursive CTE vs an independent islands oracle
+
+
+@workload(
+    "activity_streaks_recursive_events",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(DATE_TRUNC('day', ts) AS DATE) AS day
+      FROM events
+    ),
+    grouped AS (
+      SELECT user_id, day,
+             day - CAST(ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY day) AS INTEGER) AS grp
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len
+      FROM grouped GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(MAX(len) AS BIGINT) AS max_streak_days,
+           CAST(SUM(len) AS BIGINT) AS active_days
+    FROM streaks GROUP BY user_id
+    """,
+    category="behavior",
+)
+def activity_streaks_recursive_events(spark, sf_dir):
+    """Per-user consecutive-active-day streaks, computed with Spark 4's
+    WITH RECURSIVE: seed at streak STARTS (active days with no active
+    predecessor — an anti-join), then walk day+1 chains recursively.
+    The recursion is safe by construction: the domain is acyclic (days
+    only increase), each (user, day) extends exactly one start's chain
+    (UNION ALL never duplicates), and depth is bounded by the calendar.
+
+    The oracle is deliberately a DIFFERENT algorithm — the classic
+    gaps-and-islands (day − row_number partitions consecutive runs) —
+    so engine and oracle agree via independent derivations rather than
+    replaying one formulation.
+
+    Scale shape: the recursive step is a per-round (user_id, day)
+    hash-join of the frontier against the distinct-day table, the same
+    frontier-expansion contract as BFS; rounds = longest streak
+    (calendar-bounded), rows per round shrink monotonically."""
+    t = load_tables(spark, sf_dir)
+    view = f"_r6_days_{abs(hash(sf_dir)) % 10**8}"
+    t["events"].select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct().createOrReplaceTempView(view)
+    return spark.sql(f"""
+      WITH RECURSIVE chain(user_id, start_day, day) AS (
+        SELECT d.user_id, d.day, d.day
+        FROM {view} d
+        WHERE NOT EXISTS (
+          SELECT 1 FROM {view} p
+          WHERE p.user_id = d.user_id AND p.day = DATE_ADD(d.day, -1)
+        )
+        UNION ALL
+        SELECT c.user_id, c.start_day, n.day
+        FROM chain c
+        JOIN {view} n
+          ON n.user_id = c.user_id AND n.day = DATE_ADD(c.day, 1)
+      ),
+      streaks AS (
+        SELECT user_id, start_day,
+               CAST(COUNT(*) AS BIGINT) AS len
+        FROM chain GROUP BY user_id, start_day
+      )
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_streaks,
+             CAST(MAX(len) AS BIGINT) AS max_streak_days,
+             CAST(SUM(len) AS BIGINT) AS active_days
+      FROM streaks GROUP BY user_id
+    """)

@@ -1145,3 +1145,380 @@ def norm_quartiles_embeddings_label(spark, sf_dir):
         F.expr("percentile(norm_q, 0.5D)").alias("med"),
         F.expr("percentile(norm_q, 0.75D)").alias("q3"),
     )
+
+
+# --------------------------------------------------------------------- #
+# rank-based hypothesis tests (round 6, batch 2)
+
+
+@workload(
+    "mannwhitney_view_vs_click",
+    """
+    WITH pool AS (
+      SELECT event_type, value FROM events
+      WHERE event_type IN ('view', 'click')
+    ),
+    vc AS (
+      SELECT value AS v, CAST(COUNT(*) AS BIGINT) AS c FROM pool GROUP BY 1
+    ),
+    r AS (
+      SELECT v, c,
+             CAST(2 * (SUM(c) OVER (ORDER BY v)) - c + 1 AS BIGINT) AS r2
+      FROM vc
+    ),
+    ranked AS (
+      SELECT p.event_type, r.r2 FROM pool p JOIN r ON r.v = p.value
+    ),
+    agg AS (
+      SELECT
+        CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n1,
+        CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n2,
+        CAST(SUM(CASE WHEN event_type = 'view'
+                 THEN CAST(r2 AS DECIMAL(19,0)) END) AS BIGINT) AS r1_2
+      FROM ranked
+    ),
+    ties AS (
+      SELECT CAST(SUM(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))
+                      * CAST(c AS DECIMAL(19,0))
+                      - CAST(c AS DECIMAL(19,0))) AS DOUBLE) AS tie_t
+      FROM vc
+    )
+    SELECT n1 AS n_view, n2 AS n_click,
+           CAST(r1_2 - n1 * (n1 + 1) AS BIGINT) AS u1_2,
+           CAST(FLOOR(
+             (CAST(r1_2 - n1 * (n1 + 1) AS DOUBLE) - CAST(n1 AS DOUBLE) * n2)
+             / (2.0 * SQRT(CAST(n1 AS DOUBLE) * n2 / 12.0
+                 * ((CAST(n1 + n2 AS DOUBLE) + 1.0)
+                    - tie_t / (CAST(n1 + n2 AS DOUBLE)
+                               * (CAST(n1 + n2 AS DOUBLE) - 1.0)))))
+             * 1000000000.0 + 0.5) AS BIGINT) AS z_q
+    FROM agg CROSS JOIN ties
+    """,
+    category="statistics",
+)
+def mannwhitney_view_vs_click(spark, sf_dir):
+    """Mann–Whitney U rank-sum test: do 'view' and 'click' events draw
+    their values from the same distribution? — the non-parametric twin
+    of welch_t_view_vs_click (no normality assumption). Tie-aware:
+    average ranks come DOUBLED from the distinct-value count table (so
+    they stay integers), the U statistic is exact integer arithmetic,
+    and the tie-corrected normal approximation's z is ONE closing IEEE
+    expression over integer-derived doubles, quantized.
+
+    Scale shape: ranks per DISTINCT value via the two-phase
+    ordered_cumsum (never a row-level global sort), one value-key join
+    back, one scalar aggregate. Same contract as Spearman/KS."""
+    t = load_tables(spark, sf_dir)
+    pool = t["events"].filter(
+        F.col("event_type").isin("view", "click")
+    ).select("event_type", "value")
+    r = _avg_rank2(pool, "value", "r2")
+    ranked = pool.join(r, on="value").select("event_type", "r2")
+    agg = ranked.agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "view",
+                F.col("r2").cast("decimal(19,0)"),
+            )
+        )
+        .cast("long")
+        .alias("r1_2"),
+    )
+    vc = pool.groupBy(F.col("value").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    c19 = F.col("c").cast("decimal(19,0)")
+    ties = vc.agg(
+        F.sum(c19 * c19 * c19 - c19).cast("double").alias("tie_t")
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    nd = (n1 + n2).cast("double")
+    u1_2 = F.col("r1_2") - n1 * (n1 + 1)
+    return agg.crossJoin(F.broadcast(ties)).select(
+        n1.alias("n_view"),
+        n2.alias("n_click"),
+        u1_2.cast("long").alias("u1_2"),
+        F.floor(
+            (u1_2.cast("double") - n1.cast("double") * n2)
+            / (
+                F.lit(2.0)
+                * F.sqrt(
+                    n1.cast("double") * n2 / F.lit(12.0)
+                    * (
+                        (nd + F.lit(1.0))
+                        - F.col("tie_t") / (nd * (nd - F.lit(1.0)))
+                    )
+                )
+            )
+            * F.lit(1000000000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("z_q"),
+    )
+
+
+@workload(
+    "kruskal_wallis_value_by_type",
+    """
+    WITH vc AS (
+      SELECT value AS v, CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1
+    ),
+    r AS (
+      SELECT v, c,
+             CAST(2 * (SUM(c) OVER (ORDER BY v)) - c + 1 AS BIGINT) AS r2
+      FROM vc
+    ),
+    grp AS (
+      SELECT e.event_type,
+             CAST(COUNT(*) AS BIGINT) AS nj,
+             CAST(SUM(CAST(r.r2 AS DECIMAL(19,0))) AS DECIMAL(19,0)) AS rj2
+      FROM events e JOIN r ON r.v = e.value
+      GROUP BY e.event_type
+    ),
+    terms AS (
+      SELECT CAST(SUM(CAST(FLOOR(
+               CAST(rj2 * rj2 AS DOUBLE) / nj + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_terms,
+             CAST(SUM(nj) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM grp
+    ),
+    ties AS (
+      SELECT CAST(SUM(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))
+                      * CAST(c AS DECIMAL(19,0))
+                      - CAST(c AS DECIMAL(19,0))) AS DOUBLE) AS tie_t
+      FROM vc
+    )
+    SELECT n AS n_events, k AS k_groups,
+           CAST(FLOOR(
+             (3.0 * sum_terms / (CAST(n AS DOUBLE) * (n + 1.0))
+              - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+             * 1000000000.0 + 0.5) AS BIGINT) AS h_q,
+           CAST(FLOOR(
+             (3.0 * sum_terms / (CAST(n AS DOUBLE) * (n + 1.0))
+              - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+             / (1.0 - tie_t / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                               * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)))
+             * 1000000000.0 + 0.5) AS BIGINT) AS h_adj_q
+    FROM terms CROSS JOIN ties
+    """,
+    category="statistics",
+)
+def kruskal_wallis_value_by_type(spark, sf_dir):
+    """Kruskal–Wallis H: one-way ANOVA on RANKS across all event types
+    (k-sample generalization of Mann–Whitney). Doubled average ranks
+    from the distinct-value table keep every rank-sum integer; the
+    per-group Σ(Rj²/nj) terms are rounded to integers from IDENTICAL
+    doubles in both engines so the k-term sum is order-free; H and its
+    tie-corrected form are closing IEEE expressions, quantized.
+
+    Scale shape: ranks per DISTINCT value (two-phase cumsum), one join
+    back on the value key, a |types|-key aggregate — identical shuffle
+    budget to a plain GROUP BY."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select("event_type", "value")
+    r = _avg_rank2(ev, "value", "r2")
+    grp = (
+        ev.join(r.withColumnRenamed("value", "value"), on="value")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("nj"),
+            F.sum(F.col("r2").cast("decimal(19,0)"))
+            .cast("decimal(19,0)")
+            .alias("rj2"),
+        )
+    )
+    terms = grp.agg(
+        F.sum(
+            F.floor(
+                (F.col("rj2") * F.col("rj2")).cast("double") / F.col("nj")
+                + F.lit(0.5)
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("sum_terms"),
+        F.sum("nj").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    vc = ev.groupBy(F.col("value").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    c19 = F.col("c").cast("decimal(19,0)")
+    ties = vc.agg(
+        F.sum(c19 * c19 * c19 - c19).cast("double").alias("tie_t")
+    )
+    nD = F.col("n").cast("double")
+    h = (
+        F.lit(3.0) * F.col("sum_terms") / (nD * (F.col("n") + F.lit(1.0)))
+        - F.lit(3.0) * (nD + F.lit(1.0))
+    )
+    d = F.lit(1.0) - F.col("tie_t") / (nD * nD * nD - nD)
+    q = lambda col: F.floor(col * F.lit(1000000000.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    return terms.crossJoin(F.broadcast(ties)).select(
+        F.col("n").alias("n_events"),
+        F.col("k").alias("k_groups"),
+        q(h).alias("h_q"),
+        q(h / d).alias("h_adj_q"),
+    )
+
+
+# --------------------------------------------------------------------- #
+# clustering quality (centroid-based silhouette)
+
+
+@workload(
+    "silhouette_embeddings_labels",
+    """
+    WITH flat AS (
+      SELECT label,
+             UNNEST(list_transform(range(len(embedding)),
+               i -> {'dim': i,
+                     'xq': CAST(FLOOR(CAST(embedding[i+1] AS DOUBLE)
+                            * 1000000000.0 + 0.5) AS BIGINT)})) AS u
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label AS clabel, u.dim AS dim,
+             CAST(SUM(u.xq) AS BIGINT) AS sq,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM flat GROUP BY label, u.dim
+    ),
+    cvecs AS (
+      SELECT clabel,
+             LIST(CAST(sq AS DOUBLE) / (n * 1000000000.0) ORDER BY dim)
+               AS cvec
+      FROM cent GROUP BY clabel
+    ),
+    dists AS (
+      SELECT e.vec_id, e.label, c.clabel,
+             SQRT(LIST_AGGREGATE(
+               list_transform(range(len(e.embedding)),
+                 i -> (CAST(e.embedding[i+1] AS DOUBLE) - c.cvec[i+1])
+                      * (CAST(e.embedding[i+1] AS DOUBLE) - c.cvec[i+1])),
+               'sum')) AS dist
+      FROM embeddings e CROSS JOIN cvecs c
+    ),
+    ab AS (
+      SELECT vec_id, label,
+             MIN(CASE WHEN clabel = label THEN dist END) AS a,
+             MIN(CASE WHEN clabel <> label THEN dist END) AS b
+      FROM dists GROUP BY vec_id, label
+    ),
+    s AS (
+      SELECT label,
+             CAST(FLOOR((b - a) / GREATEST(a, b) * 1000000000.0 + 0.5)
+               AS BIGINT) AS s_q
+      FROM ab
+    )
+    SELECT CAST(label AS INTEGER) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(FLOOR(CAST(SUM(s_q) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT)
+             AS mean_s_q,
+           CAST(MIN(s_q) AS BIGINT) AS min_s_q
+    FROM s GROUP BY label
+    """,
+    category="statistics",
+)
+def silhouette_embeddings_labels(spark, sf_dir):
+    """Per-label simplified silhouette over the embedding space:
+    a = distance to the OWN label centroid, b = distance to the nearest
+    OTHER centroid, s = (b−a)/max(a,b) — the standard clustering-quality
+    score in its centroid form (exact-SQL-expressible, O(n·k) instead of
+    the O(n²) pairwise original). Centroids are exact: per-dim values
+    nano-quantize to int64 BEFORE the cross-row sum (order-free), and
+    the per-row distance is a sequential in-row fold over identical
+    doubles in both engines (the norm_quartiles idiom).
+
+    Scale shape: one explode → (label, dim) hash-agg for centroids
+    (|labels|·dims keys), a broadcast of the k-row centroid table, one
+    map-side distance computation, one (vec_id)-key aggregate. No
+    pairwise anything."""
+    t = load_tables(spark, sf_dir)
+    emb = spread(t["embeddings"], spark)
+    flat = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "label",
+        "dim",
+        F.floor(F.col("x").cast("double") * F.lit(1000000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("xq"),
+    )
+    cent = flat.groupBy(
+        F.col("label").alias("clabel"), "dim"
+    ).agg(
+        F.sum("xq").cast("long").alias("sq"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    cvecs = cent.groupBy("clabel").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("dim"),
+                        (
+                            F.col("sq").cast("double")
+                            / (F.col("n") * F.lit(1000000000.0))
+                        ).alias("c"),
+                    )
+                )
+            ),
+            lambda s: s["c"],
+        ).alias("cvec")
+    )
+    dists = emb.crossJoin(F.broadcast(cvecs)).select(
+        "vec_id",
+        "label",
+        "clabel",
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding"),
+                    F.col("cvec"),
+                    lambda x, c: (x.cast("double") - c)
+                    * (x.cast("double") - c),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        ).alias("dist"),
+    )
+    ab = dists.groupBy("vec_id", "label").agg(
+        F.min(
+            F.when(F.col("clabel") == F.col("label"), F.col("dist"))
+        ).alias("a"),
+        F.min(
+            F.when(F.col("clabel") != F.col("label"), F.col("dist"))
+        ).alias("b"),
+    )
+    s = ab.select(
+        "label",
+        F.floor(
+            (F.col("b") - F.col("a"))
+            / F.greatest(F.col("a"), F.col("b"))
+            * F.lit(1000000000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("s_q"),
+    )
+    return s.groupBy(F.col("label").cast("int").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.floor(
+            F.sum("s_q").cast("double") / F.count(F.lit(1)) + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("mean_s_q"),
+        F.min("s_q").cast("long").alias("min_s_q"),
+    )
