@@ -176,3 +176,104 @@ def holt_per_key(
             "level_q long, trend_q long"
         ),
     )
+
+
+def holt_winters_additive_per_key(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "day",
+    id_col: str = "day",
+    value_col: str = "v",
+    period: int = 7,
+) -> DataFrame:
+    """Holt–Winters ADDITIVE smoothing per key in event-time order —
+    level + trend + a ``period``-slot seasonal cycle, the triple-
+    exponential member of the family next to :func:`ewma_per_key` and
+    :func:`holt_per_key`. With all three smoothing constants pinned at
+    ½ (exponent shifts) and a zero-initialized seasonal cycle the whole
+    trajectory is a deterministic IEEE expression chain:
+
+    * ``ℓ_1 = v_1``, ``b_1 = 0``, seasonal slots start at 0
+    * ``ℓ_i = ½·(v_i − s_{i−m}) + ½·(ℓ_{i−1} + b_{i−1})``
+    * ``b_i = ½·(ℓ_i − ℓ_{i−1}) + ½·b_{i−1}``
+    * ``s_i = ½·(v_i − ℓ_i) + ½·s_{i−m}``  (``s_{i−m} = 0`` while the
+      cycle is still filling)
+
+    Every step evaluates the recurrences as literally written, so a
+    DuckDB recursive CTE carrying the last ``period`` seasonal values
+    in a LIST column and replaying the same expression text produces
+    bitwise-identical doubles.
+
+    Scale shape: identical to holt_per_key — one shuffle on the key,
+    sorted-stream Arrow fold; per-key state is 2 doubles + a
+    ``period``-slot ring, independent of series length.
+
+    Returns (<key_col>, <id_col>, level_q, trend_q, seasonal_q)
+    nano-quantized."""
+    import math
+    from collections import deque
+
+    import numpy as np
+    import pandas as pd
+
+    def _fold_stream(batches):
+        last_key = None
+        lvl = 0.0
+        trd = 0.0
+        ring: deque = deque()
+        for pdf in batches:
+            keys = pdf[key_col].to_numpy()
+            vals = pdf[value_col].to_numpy()
+            out_l = np.empty(len(pdf), dtype=np.int64)
+            out_b = np.empty(len(pdf), dtype=np.int64)
+            out_s = np.empty(len(pdf), dtype=np.int64)
+            for i in range(len(pdf)):
+                k = keys[i]
+                v = float(vals[i])
+                if k != last_key:
+                    lvl = v
+                    trd = 0.0
+                    ring = deque()
+                    s_new = 0.5 * (v - lvl) + 0.5 * 0.0
+                    last_key = k
+                else:
+                    s_old = ring[0] if len(ring) >= period else 0.0
+                    prev = lvl
+                    lvl = 0.5 * (v - s_old) + 0.5 * (prev + trd)
+                    trd = 0.5 * (lvl - prev) + 0.5 * trd
+                    s_new = 0.5 * (v - lvl) + 0.5 * s_old
+                if len(ring) >= period:
+                    ring.popleft()
+                ring.append(s_new)
+                out_l[i] = math.floor(lvl * 1e9 + 0.5)
+                out_b[i] = math.floor(trd * 1e9 + 0.5)
+                out_s[i] = math.floor(s_new * 1e9 + 0.5)
+            yield pd.DataFrame(
+                {
+                    key_col: keys,
+                    id_col: pdf[id_col].to_numpy(),
+                    "level_q": out_l,
+                    "trend_q": out_b,
+                    "seasonal_q": out_s,
+                }
+            )
+
+    key_dtype = df.schema[key_col].dataType.simpleString()
+    id_dtype = df.schema[id_col].dataType.simpleString()
+    # ts/id may be the SAME column (a daily series is ordered and
+    # identified by its day) — dedupe before select
+    cols = list(dict.fromkeys([key_col, ts_col, id_col, value_col]))
+    order = list(dict.fromkeys([key_col, ts_col, id_col]))
+    slim = (
+        df.select(*cols)
+        .filter(F.col(value_col).isNotNull())
+        .repartition(F.col(key_col))
+        .sortWithinPartitions(*order)
+    )
+    return slim.mapInPandas(
+        _fold_stream,
+        schema=(
+            f"{key_col} {key_dtype}, {id_col} {id_dtype}, "
+            "level_q long, trend_q long, seasonal_q long"
+        ),
+    )

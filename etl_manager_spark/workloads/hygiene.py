@@ -651,3 +651,148 @@ def activity_streaks_recursive_events(spark, sf_dir):
              CAST(SUM(len) AS BIGINT) AS active_days
       FROM streaks GROUP BY user_id
     """)
+
+
+# --------------------------------------------------------------------- #
+# semi-supervised label spreading over the near-dup graph
+
+_LANGID_SCORES_SQL = """
+      SELECT doc_id, lang,
+             LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+'),
+                 t -> LOWER(t) IN ('der','die','das','und','ist'))) AS s_de,
+             LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+'),
+                 t -> LOWER(t) IN ('the','a','of','and','to'))) AS s_en,
+             LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+'),
+                 t -> LOWER(t) IN ('el','la','de','y','que'))) AS s_es,
+             LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+'),
+                 t -> LOWER(t) IN ('le','la','de','et','que'))) AS s_fr
+      FROM documents
+"""
+
+
+@workload(
+    "label_spreading_neardup",
+    f"""
+    WITH {_MINHASH_PAIRS_CTES},
+    sym AS MATERIALIZED (
+      SELECT id_a AS src, id_b AS dst FROM dup_pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM dup_pairs
+    ),
+    lab0 AS MATERIALIZED (
+      SELECT d.doc_id AS id, d.lang AS lbl FROM documents d
+      WHERE d.doc_id IN (SELECT src FROM sym)
+    ),
+    t1 AS (
+      SELECT s.src AS id, l.lbl, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM sym s JOIN lab0 l ON l.id = s.dst
+      GROUP BY s.src, l.lbl
+    ),
+    lab1 AS MATERIALIZED (
+      SELECT id, lbl FROM t1
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY id
+                                 ORDER BY cnt DESC, lbl ASC) = 1
+    ),
+    t2 AS (
+      SELECT s.src AS id, l.lbl, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM sym s JOIN lab1 l ON l.id = s.dst
+      GROUP BY s.src, l.lbl
+    ),
+    lab2 AS (
+      SELECT id, lbl FROM t2
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY id
+                                 ORDER BY cnt DESC, lbl ASC) = 1
+    )
+    SELECT l0.id AS doc_id, l0.lbl AS lang, l2.lbl AS spread_lang,
+           (l0.lbl <> l2.lbl) AS relabeled
+    FROM lab0 l0 JOIN lab2 l2 ON l2.id = l0.id
+    """,
+    category="graph",
+)
+def label_spreading_neardup(spark, sf_dir):
+    """Two rounds of majority label spreading over the near-duplicate
+    graph: each node takes the most common CURRENT label among its
+    neighbors (ties break to the lexicographically smallest) — the
+    semi-supervised cleanup that re-labels a document whose declared
+    ``lang`` disagrees with every near-duplicate's. ``relabeled`` marks
+    the disagreements worth auditing.
+
+    Deterministic by construction: integer votes, total tie order.
+    Scale shape: per round one (node)-key join + one (node, label)
+    hash-agg + one argmax window PARTITIONED BY node (bounded by the
+    node's degree, not the graph); two rounds unrolled — the same
+    bounded-round contract as the unrolled PageRank."""
+    pairs = neardup_pairs_stored(spark, sf_dir)
+    sym = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionAll(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    t = load_tables(spark, sf_dir)
+    lab0 = (
+        t["documents"]
+        .select(F.col("doc_id").alias("id"), F.col("lang").alias("lbl"))
+        .join(sym.select(F.col("src").alias("id")).distinct(), on="id", how="semi")
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("cnt"), F.asc("lbl"))
+
+    def spread_round(labels):
+        tally = (
+            sym.join(labels.withColumnRenamed("id", "dst"), on="dst")
+            .groupBy(F.col("src").alias("id"), "lbl")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+        return (
+            tally.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("id", "lbl")
+        )
+
+    lab2 = spread_round(spread_round(lab0))
+    return (
+        lab0.join(lab2.withColumnRenamed("lbl", "lbl2"), on="id")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("lbl").alias("lang"),
+            F.col("lbl2").alias("spread_lang"),
+            (F.col("lbl") != F.col("lbl2")).alias("relabeled"),
+        )
+    )
+
+
+@workload(
+    "langid_confusion_documents",
+    f"""
+    WITH scores AS ({_LANGID_SCORES_SQL}),
+    pred AS (
+      SELECT doc_id, lang,
+             CASE WHEN GREATEST(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
+                  WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                  WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                  WHEN s_es >= s_fr THEN 'es'
+                  ELSE 'fr' END AS predicted_lang
+      FROM scores
+    )
+    SELECT lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred GROUP BY lang, predicted_lang
+    """,
+    category="text",
+)
+def langid_confusion_documents(spark, sf_dir):
+    """Language-ID confusion matrix: declared ``lang`` × heuristic
+    prediction (operators/text.py: language_id), the evaluation rollup
+    of lang_id_documents — off-diagonal mass is either metadata rot or
+    classifier weakness, and which cell tells you which fix. One
+    map-side classification + one |langs|² hash-agg."""
+    from etl_manager_spark.operators import text as X
+
+    t = load_tables(spark, sf_dir)
+    return (
+        spread(t["documents"], spark)
+        .select("lang", X.language_id("text").alias("predicted_lang"))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )

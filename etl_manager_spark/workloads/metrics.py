@@ -1522,3 +1522,102 @@ def silhouette_embeddings_labels(spark, sf_dir):
         .alias("mean_s_q"),
         F.min("s_q").cast("long").alias("min_s_q"),
     )
+
+
+# --------------------------------------------------------------------- #
+# triple-exponential smoothing (Holt–Winters additive)
+
+
+@workload(
+    "holt_winters_daily_by_type",
+    """
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+             CAST(CAST(FLOOR(CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                    AS DOUBLE) / COUNT(*) * 1000000000.0 + 0.5) AS BIGINT)
+               AS DOUBLE) / 1000000000.0 AS v
+      FROM events GROUP BY 1, 2
+    ),
+    numbered AS (
+      SELECT event_type, day, v,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      FROM daily
+    ),
+    fold AS (
+      SELECT event_type, day, rn,
+             v AS l, CAST(0.0 AS DOUBLE) AS b, CAST(0.0 AS DOUBLE) AS s,
+             [CAST(0.0 AS DOUBLE)] AS ring
+      FROM numbered WHERE rn = 1
+      UNION ALL
+      SELECT n.event_type, n.day, n.rn,
+             0.5 * (n.v - (CASE WHEN len(f.ring) >= 7
+                                THEN f.ring[1] ELSE 0.0 END))
+               + 0.5 * (f.l + f.b),
+             0.5 * ((0.5 * (n.v - (CASE WHEN len(f.ring) >= 7
+                                        THEN f.ring[1] ELSE 0.0 END))
+                     + 0.5 * (f.l + f.b)) - f.l) + 0.5 * f.b,
+             0.5 * (n.v - (0.5 * (n.v - (CASE WHEN len(f.ring) >= 7
+                                              THEN f.ring[1] ELSE 0.0 END))
+                           + 0.5 * (f.l + f.b)))
+               + 0.5 * (CASE WHEN len(f.ring) >= 7
+                             THEN f.ring[1] ELSE 0.0 END),
+             list_append(
+               CASE WHEN len(f.ring) >= 7 THEN f.ring[2:] ELSE f.ring END,
+               0.5 * (n.v - (0.5 * (n.v - (CASE WHEN len(f.ring) >= 7
+                                                THEN f.ring[1] ELSE 0.0 END))
+                             + 0.5 * (f.l + f.b)))
+                 + 0.5 * (CASE WHEN len(f.ring) >= 7
+                               THEN f.ring[1] ELSE 0.0 END))
+      FROM numbered n JOIN fold f
+        ON n.event_type = f.event_type AND n.rn = f.rn + 1
+    )
+    SELECT event_type, day,
+           CAST(FLOOR(l * 1000000000.0 + 0.5) AS BIGINT) AS level_q,
+           CAST(FLOOR(b * 1000000000.0 + 0.5) AS BIGINT) AS trend_q,
+           CAST(FLOOR(s * 1000000000.0 + 0.5) AS BIGINT) AS seasonal_q
+    FROM fold
+    """,
+    category="timeseries",
+)
+def holt_winters_daily_by_type(spark, sf_dir):
+    """Holt–Winters ADDITIVE smoothing of each event type's daily mean
+    (operators/timeseries.py: holt_winters_additive_per_key) — level +
+    trend + a 7-slot weekly seasonal cycle, completing the exponential-
+    smoothing family (EWMA → Holt → Holt–Winters). α=β=γ=½ keeps every
+    product an exponent shift; the input series is the nano-quantized
+    daily mean (integer-derived, identical in both engines); and the
+    oracle replays the literal recurrences in a recursive CTE whose
+    seasonal ring travels as a LIST column (slot drop + append each
+    step), producing bitwise-identical doubles. Shape: one shuffle on
+    the series key, sorted-stream Arrow fold with 2 doubles + a 7-slot
+    ring of state."""
+    from etl_manager_spark.operators.timeseries import (
+        holt_winters_additive_per_key,
+    )
+
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t["events"]
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+        )
+        .agg(
+            (
+                F.floor(
+                    F.sum(F.col("value").cast("decimal(18,2)"))
+                    .cast("double")
+                    / F.count(F.lit(1))
+                    * F.lit(1000000000.0)
+                    + F.lit(0.5)
+                )
+                .cast("long")
+                .cast("double")
+                / F.lit(1000000000.0)
+            ).alias("v")
+        )
+    )
+    return holt_winters_additive_per_key(
+        daily, key_col="event_type", ts_col="day", id_col="day",
+        value_col="v", period=7,
+    )
