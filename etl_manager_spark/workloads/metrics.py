@@ -1621,3 +1621,168 @@ def holt_winters_daily_by_type(spark, sf_dir):
         daily, key_col="event_type", ts_col="day", id_col="day",
         value_col="v", period=7,
     )
+
+
+# --------------------------------------------------------------------- #
+# density clustering (DBSCAN classification over a bounded sub-corpus)
+
+_DBSCAN_EPS2_Q = 1330000000  # eps^2 = 1.33 in nano-quantized units
+_DBSCAN_MINPTS = 4  # core = >= 4 neighbors (self excluded)
+
+
+@workload(
+    "dbscan_core_border_noise_embeddings",
+    f"""
+    WITH RECURSIVE sub AS MATERIALIZED (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500
+    ),
+    pairs AS MATERIALIZED (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             CAST(FLOOR(LIST_AGGREGATE(
+               list_transform(range(len(a.embedding)),
+                 i -> (CAST(a.embedding[i+1] AS DOUBLE)
+                       - CAST(b.embedding[i+1] AS DOUBLE))
+                    * (CAST(a.embedding[i+1] AS DOUBLE)
+                       - CAST(b.embedding[i+1] AS DOUBLE))),
+               'sum') * 1000000000.0 + 0.5) AS BIGINT) AS d2_q
+      FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+    ),
+    nbrs AS MATERIALIZED (
+      SELECT ia AS id, ib AS nb FROM pairs WHERE d2_q <= {_DBSCAN_EPS2_Q}
+      UNION ALL
+      SELECT ib, ia FROM pairs WHERE d2_q <= {_DBSCAN_EPS2_Q}
+    ),
+    deg AS MATERIALIZED (
+      SELECT id, CAST(COUNT(*) AS BIGINT) AS n FROM nbrs GROUP BY id
+    ),
+    core AS MATERIALIZED (
+      SELECT id FROM deg WHERE n >= {_DBSCAN_MINPTS}
+    ),
+    core_edges AS MATERIALIZED (
+      SELECT n.id AS a, n.nb AS b FROM nbrs n
+      WHERE n.id IN (SELECT id FROM core)
+        AND n.nb IN (SELECT id FROM core)
+    ),
+    reach(id, root) AS (
+      SELECT id, id FROM core
+      UNION
+      SELECT e.b, r.root FROM core_edges e JOIN reach r ON e.a = r.id
+    ),
+    clusters AS MATERIALIZED (
+      SELECT id, CAST(MIN(root) AS BIGINT) AS cid FROM reach GROUP BY id
+    ),
+    bord AS (
+      SELECT n.id, CAST(MIN(c.cid) AS BIGINT) AS cid
+      FROM nbrs n JOIN clusters c ON c.id = n.nb
+      WHERE n.id NOT IN (SELECT id FROM core)
+      GROUP BY n.id
+    )
+    SELECT s.vec_id,
+           CAST(COALESCE(d.n, 0) AS BIGINT) AS n_neighbors,
+           CASE WHEN cl.cid IS NOT NULL THEN 'core'
+                WHEN b.cid IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role,
+           COALESCE(cl.cid, b.cid) AS cluster_id
+    FROM sub s
+    LEFT JOIN deg d ON d.id = s.vec_id
+    LEFT JOIN clusters cl ON cl.id = s.vec_id
+    LEFT JOIN bord b ON b.id = s.vec_id
+    """,
+    category="clustering",
+)
+def dbscan_core_border_noise_embeddings(spark, sf_dir):
+    """DBSCAN point classification over the embedding space: core
+    (>= minPts eps-neighbors), border (non-core within eps of a core),
+    noise — plus the density cluster id (connected components of the
+    core-core eps-graph, min-id canonical, borders adopting the
+    smallest adjacent core cluster). Completes the clustering family
+    next to k-means and the silhouette score with the density-based
+    member. Exact: pair distances are the shared sequential in-row fold
+    over identical doubles, nano-quantized BEFORE the eps comparison so
+    the boundary decision is engine-independent; every later step is
+    integer/set logic.
+
+    Scale shape: exact distances run on a BOUNDED sub-corpus (vec_id <
+    500 — the same bounded-window contract as the minhash pair mining's
+    doc_id < 200); at production scale candidate pairs come from the
+    LSH/IVF index maintained by the similarity pipeline instead of the
+    quadratic join, and everything downstream of ``pairs`` is unchanged
+    (degree count, core filter, CC on the core graph)."""
+    from etl_manager_spark.operators.dedup import near_dup_clusters
+
+    t = load_tables(spark, sf_dir)
+    sub = (
+        t["embeddings"]
+        .filter(F.col("vec_id") < 500)
+        .select("vec_id", "embedding")
+        .localCheckpoint(eager=True)
+    )
+    a, b = sub.alias("a"), sub.alias("b")
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("a.embedding"),
+            F.col("b.embedding"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("ia"),
+        F.col("b.vec_id").alias("ib"),
+        F.floor(d2 * F.lit(1000000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("d2_q"),
+    )
+    near = pairs.filter(F.col("d2_q") <= _DBSCAN_EPS2_Q).localCheckpoint(
+        eager=True
+    )
+    nbrs = near.select(
+        F.col("ia").alias("id"), F.col("ib").alias("nb")
+    ).unionAll(near.select(F.col("ib").alias("id"), F.col("ia").alias("nb")))
+    deg = nbrs.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    core = deg.filter(F.col("n") >= _DBSCAN_MINPTS).select("id")
+    core_edges = (
+        near.join(core.withColumnRenamed("id", "ia"), on="ia", how="semi")
+        .join(core.withColumnRenamed("id", "ib"), on="ib", how="semi")
+        .select(F.col("ia").alias("id_a"), F.col("ib").alias("id_b"))
+    )
+    cc = near_dup_clusters(core_edges)
+    clusters = (
+        core.join(cc, on="id", how="left")
+        .select(
+            "id",
+            F.coalesce("cluster_id", F.col("id")).cast("long").alias("cid"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    bord = (
+        nbrs.join(core, on="id", how="anti")
+        .join(clusters.withColumnRenamed("id", "nb"), on="nb")
+        .groupBy("id")
+        .agg(F.min("cid").cast("long").alias("bcid"))
+    )
+    return (
+        sub.select("vec_id")
+        .join(deg.withColumnRenamed("id", "vec_id"), on="vec_id", how="left")
+        .join(
+            clusters.select(
+                F.col("id").alias("vec_id"), F.col("cid").alias("core_cid")
+            ),
+            on="vec_id",
+            how="left",
+        )
+        .join(
+            bord.withColumnRenamed("id", "vec_id"), on="vec_id", how="left"
+        )
+        .select(
+            "vec_id",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_neighbors"),
+            F.when(F.col("core_cid").isNotNull(), "core")
+            .when(F.col("bcid").isNotNull(), "border")
+            .otherwise("noise")
+            .alias("role"),
+            F.coalesce("core_cid", "bcid").alias("cluster_id"),
+        )
+    )
