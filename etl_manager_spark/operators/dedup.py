@@ -855,3 +855,61 @@ def ngram_containment_pairs(
         ),
     )
     return scored.orderBy(F.desc("containment"), "id_a", "id_b").limit(top_k)
+
+
+def connected_components_local(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_edges: int = 200_000,
+) -> DataFrame:
+    """Connected components for a graph KNOWN to be small: collect the
+    edge list (bounded by ``max_edges`` — raises if exceeded, never
+    silently degrades), run union-find on the driver, return the same
+    (id, cluster_id = component min-id) frame as
+    :func:`near_dup_clusters`.
+
+    This is the "solve small subproblems locally" move: composite
+    pipelines (DBSCAN's core graph, the perceptual-hash media graph)
+    end in a CC over a FILTERED edge set that is orders of magnitude
+    smaller than the input; each distributed label-propagation round
+    costs a fixed scheduling overhead that dwarfs the microseconds of
+    union-find at that size. The driver memory bound is explicit and
+    caller-chosen — the same O(k) contract as the centroid/codebook
+    training collects. For edge lists that can exceed the budget, use
+    :func:`near_dup_clusters` (propagation with the star-contraction
+    fallback); equivalence is pinned by
+    ``tests/test_operators.py::test_local_cc_equals_propagation``."""
+    rows = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .limit(max_edges + 1)
+        .collect()
+    )
+    if len(rows) > max_edges:
+        raise ValueError(
+            f"edge list exceeds max_edges={max_edges}; use "
+            "near_dup_clusters for graphs this large"
+        )
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        a, b = r["a"], r["b"]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    out = [(x, find(x)) for x in parent]
+    schema_src = pairs.select(F.col(id_a).alias("id")).schema["id"]
+    id_type = schema_src.dataType.simpleString()
+    return pairs.sparkSession.createDataFrame(
+        out, f"id {id_type}, cluster_id {id_type}"
+    )

@@ -623,9 +623,13 @@ def activity_streaks_recursive_events(spark, sf_dir):
     (calendar-bounded), rows per round shrink monotonically."""
     t = load_tables(spark, sf_dir)
     view = f"_r6_days_{abs(hash(sf_dir)) % 10**8}"
+    # localCheckpoint is load-bearing: the recursive step re-reads this
+    # view EVERY round, and a plain logical view would re-run the
+    # distinct-over-events aggregation ~max_streak times (measured 13 s
+    # -> ~3 s at sf0.1 from this line alone).
     t["events"].select(
         "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
-    ).distinct().createOrReplaceTempView(view)
+    ).distinct().localCheckpoint(eager=True).createOrReplaceTempView(view)
     return spark.sql(f"""
       WITH RECURSIVE chain(user_id, start_day, day) AS (
         SELECT d.user_id, d.day, d.day

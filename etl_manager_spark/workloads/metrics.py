@@ -1708,7 +1708,7 @@ def dbscan_core_border_noise_embeddings(spark, sf_dir):
     LSH/IVF index maintained by the similarity pipeline instead of the
     quadratic join, and everything downstream of ``pairs`` is unchanged
     (degree count, core filter, CC on the core graph)."""
-    from etl_manager_spark.operators.dedup import near_dup_clusters
+    from etl_manager_spark.operators.dedup import connected_components_local
 
     t = load_tables(spark, sf_dir)
     sub = (
@@ -1748,7 +1748,11 @@ def dbscan_core_border_noise_embeddings(spark, sf_dir):
         .join(core.withColumnRenamed("id", "ib"), on="ib", how="semi")
         .select(F.col("ia").alias("id_a"), F.col("ib").alias("id_b"))
     )
-    cc = near_dup_clusters(core_edges)
+    # The core graph is the eps-filtered subset of an already-bounded
+    # pair set — solve its components on the driver (bounded collect,
+    # raises past the budget) instead of paying per-round scheduling
+    # overhead for a graph this small.
+    cc = connected_components_local(core_edges)
     clusters = (
         core.join(cc, on="id", how="left")
         .select(

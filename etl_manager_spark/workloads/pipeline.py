@@ -3221,13 +3221,18 @@ def multimodal_media_clusters(spark, sf_dir):
     GROUPS, the multimodal twin of the text dedup chain, built by
     composing the same operators (operators/multimodal.py
     perceptual_hash, operators/dedup.py hamming_near_dup_pairs +
-    near_dup_clusters). The oracle replays hash, banding, Hamming
-    verify, and recursive-CTE reachability in one statement."""
+    connected components). The oracle replays hash, banding, Hamming
+    verify, and recursive-CTE reachability in one statement. The 64-row
+    media fixture's pair graph is solved with the bounded driver-side
+    union-find (connected_components_local) — per-round scheduling
+    overhead of distributed propagation dwarfs union-find at this size;
+    a corpus-scale media graph would flow through near_dup_clusters
+    like the text chain."""
     media = M.synthetic_media(spark, n=64)
     hashed = M.perceptual_hash(media, bits=16)
     pairs = D.hamming_near_dup_pairs(
         hashed, "media_id", "phash", bits=16, bands=4, max_hamming=3
     )
-    return D.near_dup_clusters(pairs).select(
+    return D.connected_components_local(pairs).select(
         F.col("id").alias("media_id"), "cluster_id"
     )

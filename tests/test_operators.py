@@ -1192,3 +1192,39 @@ def test_dupspan_island_merge_handcrafted(spark, tmp_path):
                           total_tokens=9, covered_frac_q=1000000000)
     assert got[5]["n_spans"] == 2 and got[5]["max_span_tokens"] == 3
     assert got[5]["covered_tokens"] == 6 and got[5]["covered_frac_q"] == 600000000
+
+
+def test_local_cc_equals_propagation(spark):
+    """Driver-side union-find must agree with distributed label
+    propagation on random graphs, and must refuse oversized inputs."""
+    import random
+
+    import pytest as _pytest
+
+    from etl_manager_spark.operators.dedup import (
+        connected_components_local,
+        near_dup_clusters,
+    )
+
+    for seed in (5, 6):
+        rng = random.Random(seed)
+        edges = [
+            (rng.randrange(60), rng.randrange(60)) for _ in range(80)
+        ]
+        edges = [(min(a, b), max(a, b)) for a, b in edges if a != b]
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        local = {
+            (r.id, r.cluster_id)
+            for r in connected_components_local(pairs).collect()
+        }
+        dist = {
+            (r.id, r.cluster_id)
+            for r in near_dup_clusters(pairs, algorithm="propagation").collect()
+        }
+        assert local == dist
+
+    big = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)], "id_a long, id_b long"
+    )
+    with _pytest.raises(ValueError, match="max_edges"):
+        connected_components_local(big, max_edges=10)
