@@ -800,3 +800,104 @@ def langid_confusion_documents(spark, sf_dir):
         .groupBy("lang", "predicted_lang")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
+
+
+# --------------------------------------------------------------------- #
+# leakage-safe dataset splitting (cluster-aware train/val/test)
+
+
+@workload(
+    "leakage_safe_split_documents",
+    f"""
+    WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM dup_pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM dup_pairs
+    ),
+    reach(id, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id
+    ),
+    cc AS (SELECT id, MIN(label) AS cid FROM reach GROUP BY id),
+    assigned AS (
+      SELECT d.doc_id,
+             CAST(COALESCE(cc.cid, d.doc_id) AS BIGINT) AS cluster_id
+      FROM documents d LEFT JOIN cc ON cc.id = d.doc_id
+    ),
+    split AS (
+      SELECT doc_id, cluster_id,
+             CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8)
+                       < 'cccccccc' THEN 'train'
+                  WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8)
+                       < 'e6666666' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM assigned
+    ),
+    audit AS (
+      SELECT cluster_id,
+             CAST(COUNT(*) AS BIGINT) AS cluster_size,
+             CAST(COUNT(DISTINCT split) AS BIGINT) AS n_splits
+      FROM split GROUP BY cluster_id
+    )
+    SELECT s.doc_id, s.cluster_id, s.split,
+           a.cluster_size, (a.n_splits = 1) AS leakage_free
+    FROM split s JOIN audit a ON a.cluster_id = s.cluster_id
+    """,
+    category="curation",
+)
+def leakage_safe_split_documents(spark, sf_dir):
+    """CLUSTER-AWARE train/val/test split (80/10/10): the split draw
+    hashes the near-duplicate CLUSTER id, not the document id, so every
+    member of a duplicate cluster lands in the SAME split — the guard
+    against the classic eval contamination where a near-copy of a
+    training document sits in the test set and inflates every metric.
+    Documents outside the pair graph are their own singleton cluster.
+    ``leakage_free`` is the data-derived audit (distinct splits per
+    cluster == 1) — true by construction here, and the column a
+    pipeline asserts on when the split column arrives from elsewhere.
+
+    Composition: stored pair table → connected components
+    (operators/dedup.py) → the SAME md5-hex threshold draw as
+    sampling.split_column, on the cluster key. Scale shape: the CC
+    assignment is dedup-pipeline state (maintained incrementally); the
+    split itself is a pure per-row projection plus one bounded
+    per-cluster audit aggregate."""
+    from etl_manager_spark.operators.dedup import near_dup_clusters
+    from etl_manager_spark.operators.sampling import (
+        _threshold_hex,
+        hash_bucket,
+    )
+
+    t = load_tables(spark, sf_dir)
+    cc = near_dup_clusters(neardup_pairs_stored(spark, sf_dir))
+    assigned = (
+        t["documents"]
+        .select("doc_id")
+        .join(cc.withColumnRenamed("id", "doc_id"), on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").cast("long").alias("cluster_id"),
+        )
+    )
+    draw = hash_bucket(F.col("cluster_id"))
+    split = assigned.select(
+        "doc_id",
+        "cluster_id",
+        F.when(draw < F.lit(_threshold_hex(0.8)), "train")
+        .when(draw < F.lit(_threshold_hex(0.9)), "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    audit = split.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size"),
+        F.count_distinct("split").cast("long").alias("n_splits"),
+    )
+    return split.join(audit, on="cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "split",
+        "cluster_size",
+        (F.col("n_splits") == 1).alias("leakage_free"),
+    )
