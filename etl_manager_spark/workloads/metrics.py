@@ -1818,3 +1818,92 @@ def dbscan_core_border_noise_embeddings(spark, sf_dir):
             F.coalesce("core_cid", "bcid").alias("cluster_id"),
         )
     )
+
+
+# --------------------------------------------------------------------- #
+# robust means (winsorized / trimmed)
+
+
+@workload(
+    "winsorized_mean_value_by_type",
+    """
+    WITH q AS (
+      SELECT event_type,
+             CAST(FLOOR(value * 1000000000.0 + 0.5) AS BIGINT) AS vq
+      FROM events
+    ),
+    bounds AS (
+      SELECT event_type,
+             quantile_cont(vq, 0.1) AS lo,
+             quantile_cont(vq, 0.9) AS hi
+      FROM q GROUP BY event_type
+    )
+    SELECT q.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN CAST(q.vq AS DOUBLE) >= b.lo
+                          AND CAST(q.vq AS DOUBLE) <= b.hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(FLOOR(CAST(SUM(CASE WHEN CAST(q.vq AS DOUBLE) >= b.lo
+                                     AND CAST(q.vq AS DOUBLE) <= b.hi
+                                    THEN q.vq END) AS DOUBLE)
+                      / SUM(CASE WHEN CAST(q.vq AS DOUBLE) >= b.lo
+                                  AND CAST(q.vq AS DOUBLE) <= b.hi
+                                 THEN 1 ELSE 0 END) + 0.5) AS BIGINT)
+             AS trimmed_mean_q,
+           CAST(FLOOR(CAST(SUM(CAST(FLOOR(
+                  LEAST(GREATEST(CAST(q.vq AS DOUBLE), b.lo), b.hi) + 0.5)
+                  AS BIGINT)) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT)
+             AS winsorized_mean_q
+    FROM q JOIN bounds b ON b.event_type = q.event_type
+    GROUP BY q.event_type
+    """,
+    category="statistics",
+)
+def winsorized_mean_value_by_type(spark, sf_dir):
+    """Robust per-type means: 10%-TRIMMED (drop beyond the P10/P90
+    fence) and WINSORIZED (clamp to the fence) — the outlier-resistant
+    location estimates next to the MAD/IQR spread family. Values are
+    nano-quantized BEFORE the percentile (the norm_quartiles idiom, so
+    both engines interpolate between identical integers); clamped
+    values round to integers from identical doubles; every sum is exact
+    int64; one closing division each, quantized to integer means.
+
+    Scale shape: one |types|-key percentile aggregate (Spark's exact
+    percentile — a per-group sorted digest), a broadcast of the k-row
+    bounds table, one conditional hash-agg. No windows, no global
+    sort."""
+    t = load_tables(spark, sf_dir)
+    q = t["events"].select(
+        "event_type",
+        F.floor(F.col("value") * F.lit(1000000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("vq"),
+    )
+    bounds = q.groupBy("event_type").agg(
+        F.expr("percentile(vq, 0.1D)").alias("lo"),
+        F.expr("percentile(vq, 0.9D)").alias("hi"),
+    )
+    j = q.join(F.broadcast(bounds), on="event_type")
+    vqd = F.col("vq").cast("double")
+    kept = (vqd >= F.col("lo")) & (vqd <= F.col("hi"))
+    clamped = (
+        F.floor(
+            F.least(F.greatest(vqd, F.col("lo")), F.col("hi")) + F.lit(0.5)
+        ).cast("long")
+    )
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.floor(
+            F.sum(F.when(kept, F.col("vq"))).cast("double")
+            / F.sum(F.when(kept, 1).otherwise(0))
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("trimmed_mean_q"),
+        F.floor(
+            F.sum(clamped).cast("double") / F.count(F.lit(1)) + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("winsorized_mean_q"),
+    )
