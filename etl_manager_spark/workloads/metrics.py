@@ -1907,3 +1907,144 @@ def winsorized_mean_value_by_type(spark, sf_dir):
         .cast("long")
         .alias("winsorized_mean_q"),
     )
+
+
+# --------------------------------------------------------------------- #
+# survival analysis (Kaplan–Meier)
+
+
+@workload(
+    "kaplan_meier_first_purchase",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'purchase'
+                      THEN CAST(DATE_TRUNC('day', ts) AS DATE) END)
+               AS death_day,
+             MAX(CAST(DATE_TRUNC('day', ts) AS DATE)) AS last_day
+      FROM events GROUP BY user_id
+    ),
+    obs AS (
+      SELECT user_id,
+             COALESCE(death_day, last_day) AS x,
+             (death_day IS NOT NULL) AS is_death
+      FROM per_user
+    ),
+    rd AS (
+      SELECT x AS t,
+             CAST(SUM(CASE WHEN is_death THEN 1 ELSE 0 END) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS e
+      FROM obs GROUP BY x
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM obs),
+    a1 AS (
+      SELECT LIST({'t': t, 'd': d, 'e': e} ORDER BY t) AS arr, nn.n
+      FROM rd CROSS JOIN nn GROUP BY nn.n
+    ),
+    a2 AS (
+      SELECT arr, n,
+             list_transform(range(len(arr)),
+               i -> n - COALESCE(LIST_AGGREGATE(
+                      list_transform(arr[1:i], x -> x.e), 'sum'), 0)) AS r
+      FROM a1
+    ),
+    a3 AS (
+      SELECT arr, r,
+             list_transform(range(len(arr)),
+               i -> CAST(r[i+1] - arr[i+1].d AS DOUBLE) / r[i+1]) AS f
+      FROM a2
+    ),
+    a4 AS (
+      SELECT arr, r,
+             list_transform(range(len(arr)),
+               i -> LIST_AGGREGATE(f[1:i+1], 'product')) AS s
+      FROM a3
+    ),
+    idx AS (
+      SELECT UNNEST(range(len(arr))) AS i, arr, r, s FROM a4
+    )
+    SELECT arr[i+1].t AS day,
+           CAST(r[i+1] AS BIGINT) AS at_risk,
+           CAST(arr[i+1].d AS BIGINT) AS deaths,
+           CAST(arr[i+1].e - arr[i+1].d AS BIGINT) AS censored,
+           CAST(FLOOR(s[i+1] * 1000000000.0 + 0.5) AS BIGINT) AS surv_q
+    FROM idx
+    """,
+    category="survival",
+)
+def kaplan_meier_first_purchase(spark, sf_dir):
+    """Kaplan–Meier survival curve for time-to-first-purchase with
+    right-censoring at each user's last observed day (lost to
+    follow-up) — the survival-analysis member of the catalog:
+    S(t) = Π_{s≤t} (1 − d_s/r_s) over the observed exit days. With
+    interim censoring the product does NOT telescope to an empirical
+    CDF, so this is the genuine estimator.
+
+    Exactness: d/r are small exact integers; each step factor is the
+    same double in both engines; the running product is a sequential
+    fold over the ORDERED factor array — the whole curve lives in ONE
+    row of arrays (the exit-day domain is calendar-bounded), so there
+    is no window, no global sort, and no cross-row float reduction
+    anywhere. Scale shape: one (user)-key aggregate over the fact
+    table, one |days|-key aggregate, then O(days²) in-row array math on
+    a single row."""
+    t = load_tables(spark, sf_dir)
+    day = F.date_trunc("day", "ts").cast("date")
+    per_user = t["events"].groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "purchase", day)).alias(
+            "death_day"
+        ),
+        F.max(day).alias("last_day"),
+    )
+    obs = per_user.select(
+        F.coalesce("death_day", "last_day").alias("x"),
+        F.col("death_day").isNotNull().alias("is_death"),
+    )
+    rd = obs.groupBy(F.col("x").alias("t")).agg(
+        F.sum(F.when(F.col("is_death"), 1).otherwise(0))
+        .cast("long")
+        .alias("d"),
+        F.count(F.lit(1)).cast("long").alias("e"),
+    )
+    nn = obs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a1 = rd.agg(
+        F.array_sort(F.collect_list(F.struct("t", "d", "e"))).alias("arr")
+    ).crossJoin(F.broadcast(nn))
+    a2 = a1.withColumn(
+        "r",
+        F.expr(
+            "transform(sequence(0, size(arr)-1),"
+            " i -> n - aggregate(slice(arr, 1, i), 0L, (a, x) -> a + x.e))"
+        ),
+    )
+    a3 = a2.withColumn(
+        "f",
+        F.expr(
+            "transform(sequence(0, size(arr)-1),"
+            " i -> CAST(r[i] - arr[i].d AS DOUBLE) / r[i])"
+        ),
+    )
+    a4 = a3.withColumn(
+        "s",
+        F.expr(
+            "transform(sequence(0, size(arr)-1),"
+            " i -> aggregate(slice(f, 1, i+1), CAST(1.0 AS DOUBLE),"
+            " (a, x) -> a * x))"
+        ),
+    )
+    return a4.select(
+        F.posexplode(F.expr("sequence(0, size(arr)-1)")).alias("_p", "i"),
+        "arr",
+        "r",
+        "s",
+    ).select(
+        F.expr("arr[i].t").alias("day"),
+        F.expr("r[i]").cast("long").alias("at_risk"),
+        F.expr("arr[i].d").cast("long").alias("deaths"),
+        F.expr("arr[i].e - arr[i].d").cast("long").alias("censored"),
+        F.floor(
+            F.expr("s[i]") * F.lit(1000000000.0) + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("surv_q"),
+    )
