@@ -607,46 +607,68 @@ def markov_transitions_events(spark, sf_dir):
 def activity_streaks_recursive_events(spark, sf_dir):
     """Per-user consecutive-active-day streaks, computed with Spark 4's
     WITH RECURSIVE: seed at streak STARTS (active days with no active
-    predecessor — an anti-join), then walk day+1 chains recursively.
+    predecessor — an anti-join), then walk the day chains recursively.
     The recursion is safe by construction: the domain is acyclic (days
     only increase), each (user, day) extends exactly one start's chain
     (UNION ALL never duplicates), and depth is bounded by the calendar.
+
+    The walk is STRIDE-COMPRESSED: a single per-user window pass
+    precomputes, for every active day, how many of the next
+    ``STRIDE-1`` days are consecutively active (``step``), and each
+    recursion round jumps ``step`` days and accumulates ``len`` in a
+    carried column instead of counting emitted rows. Rounds drop from
+    max_streak (30 at sf0.1 → 4.6 s) to ceil(max_streak/STRIDE) (4
+    rounds → 1.5 s); per-round scheduling overhead, not data volume,
+    dominates recursive-CTE latency, so fewer rounds is the lever.
 
     The oracle is deliberately a DIFFERENT algorithm — the classic
     gaps-and-islands (day − row_number partitions consecutive runs) —
     so engine and oracle agree via independent derivations rather than
     replaying one formulation.
 
-    Scale shape: the recursive step is a per-round (user_id, day)
-    hash-join of the frontier against the distinct-day table, the same
-    frontier-expansion contract as BFS; rounds = longest streak
-    (calendar-bounded), rows per round shrink monotonically."""
+    Scale shape: the stride table is one window over (user_id, day) —
+    partitioned by user, never global; the recursive step is a
+    per-round (user_id, day) hash-join of the shrinking frontier
+    against the checkpointed stride table, the same frontier-expansion
+    contract as BFS."""
     t = load_tables(spark, sf_dir)
     view = f"_r6_days_{abs(hash(sf_dir)) % 10**8}"
+    STRIDE = 8
+    w = Window.partitionBy("user_id").orderBy("day")
+    # step = largest s < STRIDE with day+1..day+s all active: build the
+    # conjunction incrementally so one window pass yields all leads.
+    days = t["events"].select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct()
+    cond = F.lit(0)
+    run = F.lit(True)
+    for k in range(1, STRIDE):
+        run = run & (F.lead("day", k).over(w) == F.date_add("day", k))
+        cond = F.when(run, F.lit(k)).otherwise(cond)
     # localCheckpoint is load-bearing: the recursive step re-reads this
     # view EVERY round, and a plain logical view would re-run the
-    # distinct-over-events aggregation ~max_streak times (measured 13 s
-    # -> ~3 s at sf0.1 from this line alone).
-    t["events"].select(
-        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
-    ).distinct().localCheckpoint(eager=True).createOrReplaceTempView(view)
+    # distinct + window ~rounds times.
+    days.select("user_id", "day", cond.alias("step")).coalesce(
+        8
+    ).localCheckpoint(eager=True).createOrReplaceTempView(view)
     return spark.sql(f"""
-      WITH RECURSIVE chain(user_id, start_day, day) AS (
-        SELECT d.user_id, d.day, d.day
+      WITH RECURSIVE chain(user_id, start_day, day, len) AS (
+        SELECT d.user_id, d.day, d.day, CAST(1 AS BIGINT)
         FROM {view} d
         WHERE NOT EXISTS (
           SELECT 1 FROM {view} p
           WHERE p.user_id = d.user_id AND p.day = DATE_ADD(d.day, -1)
         )
         UNION ALL
-        SELECT c.user_id, c.start_day, n.day
+        SELECT c.user_id, c.start_day, DATE_ADD(c.day, s.step),
+               c.len + s.step
         FROM chain c
-        JOIN {view} n
-          ON n.user_id = c.user_id AND n.day = DATE_ADD(c.day, 1)
+        JOIN {view} s
+          ON s.user_id = c.user_id AND s.day = c.day AND s.step > 0
       ),
       streaks AS (
         SELECT user_id, start_day,
-               CAST(COUNT(*) AS BIGINT) AS len
+               CAST(MAX(len) AS BIGINT) AS len
         FROM chain GROUP BY user_id, start_day
       )
       SELECT user_id,
