@@ -19,6 +19,9 @@ Parity map (reference → here):
 * ``delete_job`` + S3 temp-folder removal (``etl.py:719-743``) →
   :meth:`SparkJob.cleanup` — removes the job's scratch dir and any
   sys.path entries a timed-out (zombie) run left behind.
+* github zipball deps (``etl.py:343-369, 457-476``; ``utils.py:128-155``)
+  → ``py_resources/zipball_urls.txt`` + :mod:`.vendor` (fetch, un-nest,
+  re-zip, sys.path / ``--py-files``).
 
 Job contract: ``job.py`` runs with globals ``spark`` (SparkSession),
 ``job_arguments`` (dict), and ``metadata_base_path`` (str | None).
@@ -122,6 +125,12 @@ class SparkJob:
         self.py_resources = self._gather("py_resources", (".py", ".zip"))
         self.resource_paths = self._gather("resources", None)
         self.metadata_paths = self._gather("metadata", (".json",))
+        # A26: github-zipball python deps (reference etl.py:343-369) —
+        # vendored lazily (first run() or explicit vendor_py_resources()).
+        from .vendor import read_zipball_urls  # deferred: vendor imports JobError
+
+        self.zipball_urls = read_zipball_urls(self.job_folder, self.shared_resources)
+        self.vendored_resources: list[str] = []
         self.job_run_state: str = "READY"
         self._temp_dir: str | None = None
 
@@ -162,6 +171,36 @@ class SparkJob:
                 found[fname] = d
         return [os.path.join(d, f) for f, d in found.items()]
 
+    def vendor_py_resources(self, fetcher=None) -> list[str]:
+        """Fetch + re-zip the job's github-zipball dependencies into the
+        job scratch dir (A26; reference ``sync_job_to_s3_folder``
+        etl.py:486-491 — its S3 upload becomes a local artifact that
+        ``run()`` puts on sys.path, or that a cluster submit passes via
+        ``--py-files``). Idempotent per job lifecycle; ``cleanup()``
+        discards the artifacts. ``fetcher(url, dest)`` overrides the
+        urllib default (offline tests use ``file://`` URLs instead)."""
+        from .vendor import vendor_all  # deferred: vendor imports JobError
+
+        if not self.zipball_urls:
+            self.vendored_resources = []
+            return []
+        dest = os.path.join(self.temp_dir, "vendored")
+        vendored = vendor_all(self.zipball_urls, dest, fetcher)
+        static_names = {os.path.basename(p) for p in self.py_resources}
+        clashes = sorted(
+            os.path.basename(v)
+            for v in vendored
+            if os.path.basename(v) in static_names
+        )
+        if clashes:
+            raise JobError(
+                f"vendored zipball(s) {clashes!r} collide with static "
+                "py_resources of the same name (reference dedupe check, "
+                "etl.py:332-341)"
+            )
+        self.vendored_resources = vendored
+        return vendored
+
     @property
     def metadata_base_path(self) -> str | None:
         for base in (self.job_folder, self.shared_resources):
@@ -190,8 +229,10 @@ class SparkJob:
             "metadata_base_path": self.metadata_base_path,
             "job_temp_path": self.temp_dir,
         }
+        if self.zipball_urls and not self.vendored_resources:
+            self.vendor_py_resources()
         added_paths = []
-        for res in self.py_resources:
+        for res in self.py_resources + self.vendored_resources:
             target = res if res.endswith(".zip") else os.path.dirname(res)
             if target not in sys.path:
                 sys.path.insert(0, target)
@@ -254,8 +295,9 @@ class SparkJob:
         if self._temp_dir is not None:
             shutil.rmtree(self._temp_dir, ignore_errors=True)
             self._temp_dir = None
-        for res in self.py_resources:
+        for res in self.py_resources + self.vendored_resources:
             target = res if res.endswith(".zip") else os.path.dirname(res)
             while target in sys.path:
                 sys.path.remove(target)
+        self.vendored_resources = []
         self.job_run_state = "READY"

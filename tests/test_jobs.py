@@ -130,3 +130,131 @@ def test_shared_resource_merge_and_duplicate_rejection(tmp_path, spark):
     (shared / "py_resources" / "helper_mod.py").write_text("VALUE = 0\n")
     with pytest.raises(JobError, match="duplicate resource"):
         SparkJob(job, shared_resources=str(shared))
+
+
+# ---------------------------------------------------------------------------
+# A26 — github zipball vendoring (reference etl.py:457-476, utils.py:128-155)
+# ---------------------------------------------------------------------------
+
+import zipfile  # noqa: E402
+
+from etl_manager_spark.jobs.vendor import (  # noqa: E402
+    read_zipball_urls,
+    repo_name_from_url,
+    vendor_all,
+    vendor_zipball,
+)
+
+
+def make_zipball(tmp_path, repo="fakepkg", ref="main", value=7):
+    """Build a GitHub-shaped zipball fixture: the package nested under a
+    single `<repo>-<ref>/` top folder, at a file:// URL whose path ends
+    `/<org>/<repo>/archive/<ref>.zip` (same segments a github URL has)."""
+    src = tmp_path / "_zipball_src" / f"{repo}-{ref}"
+    pkg = src / repo
+    pkg.mkdir(parents=True)
+    (pkg / "__init__.py").write_text(f"ANSWER = {value}\n")
+    (pkg / "extra.py").write_text("def double(x):\n    return 2 * x\n")
+    url_dir = tmp_path / "ghmirror" / "someorg" / repo / "archive"
+    url_dir.mkdir(parents=True)
+    zip_path = url_dir / f"{ref}.zip"
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for p in sorted(src.rglob("*")):
+            zf.write(p, p.relative_to(src.parent))
+    return f"file://{zip_path}"
+
+
+def test_repo_name_from_url():
+    url = "https://github.com/moj-analytical-services/gluejobutils/archive/master.zip"
+    assert repo_name_from_url(url) == "gluejobutils"
+    # file:// fixtures carry the same /<repo>/archive/<ref>.zip shape
+    assert repo_name_from_url("file:///tmp/x/org/mypkg/archive/main.zip") == "mypkg"
+    with pytest.raises(JobError, match="cannot derive"):
+        repo_name_from_url("file:///flat.zip")
+
+
+def test_vendor_zipball_unnests_to_zip_root(tmp_path):
+    url = make_zipball(tmp_path, repo="fakepkg", value=7)
+    out = vendor_zipball(url, str(tmp_path / "vendored"))
+    assert os.path.basename(out) == "fakepkg.zip"
+    with zipfile.ZipFile(out) as zf:
+        names = set(zf.namelist())
+    # package importable from zip root — no fakepkg-main/ nesting left
+    assert "fakepkg/__init__.py" in names
+    assert not any(n.startswith("fakepkg-main/") for n in names)
+    # download scratch removed (reference os.remove(this_zip_path))
+    assert not any(
+        f.endswith("_zipball_download.zip")
+        for f in os.listdir(tmp_path / "vendored")
+    )
+
+
+def test_vendor_rejects_multi_root_and_zip_slip(tmp_path):
+    flat = tmp_path / "org" / "flatpkg" / "archive"
+    flat.mkdir(parents=True)
+    zp = flat / "v1.zip"
+    with zipfile.ZipFile(zp, "w") as zf:
+        zf.writestr("a.py", "A = 1\n")
+        zf.writestr("b.py", "B = 2\n")
+    with pytest.raises(JobError, match="exactly one top-level folder"):
+        vendor_zipball(f"file://{zp}", str(tmp_path / "v1"))
+    evil = tmp_path / "org" / "evilpkg" / "archive"
+    evil.mkdir(parents=True)
+    zp2 = evil / "v1.zip"
+    with zipfile.ZipFile(zp2, "w") as zf:
+        zf.writestr("evilpkg-v1/ok.py", "OK = 1\n")
+        zf.writestr("../escape.txt", "pwned")
+    with pytest.raises(JobError, match="escapes the extraction root"):
+        vendor_zipball(f"file://{zp2}", str(tmp_path / "v2"))
+    assert not (tmp_path / "escape.txt").exists()
+
+
+def test_vendor_all_rejects_duplicate_repo_names(tmp_path):
+    url = make_zipball(tmp_path, repo="dupe")
+    with pytest.raises(JobError, match="duplicate zipball package names"):
+        vendor_all([url, url], str(tmp_path / "out"))
+
+
+def test_job_vendors_zipballs_and_imports_them(tmp_path, spark):
+    url = make_zipball(tmp_path, repo="fakepkg", value=7)
+    job = make_job(
+        tmp_path,
+        """
+        import fakepkg
+        from fakepkg.extra import double
+        result = double(fakepkg.ANSWER)
+        """,
+    )
+    (tmp_path / "myjob" / "py_resources" / "zipball_urls.txt").write_text(
+        f"{url}\nshort\n\n"  # >10-char filter parity (etl.py:367)
+    )
+    j = SparkJob(job)
+    assert j.zipball_urls == [url]
+    out = j.run(spark)
+    assert out["result"] == 14
+    vendored = j.vendored_resources
+    assert len(vendored) == 1 and vendored[0].endswith("fakepkg.zip")
+    j.cleanup()
+    assert j.vendored_resources == []
+    assert not any("fakepkg.zip" in p for p in __import__("sys").path)
+    assert not os.path.exists(vendored[0])
+
+
+def test_shared_zipball_urls_merge_and_static_clash(tmp_path, spark):
+    url = make_zipball(tmp_path, repo="sharedpkg", value=3)
+    job = make_job(tmp_path, "import sharedpkg\nresult = sharedpkg.ANSWER\n")
+    shared = tmp_path / "shared"
+    (shared / "py_resources").mkdir(parents=True)
+    (shared / "py_resources" / "zipball_urls.txt").write_text(url + "\n")
+    j = SparkJob(job, shared_resources=str(shared))
+    assert j.run(spark)["result"] == 3
+    j.cleanup()
+    # a static py_resources zip named like the vendored artifact is ambiguous
+    (tmp_path / "myjob" / "py_resources" / "sharedpkg.zip").write_bytes(b"PK")
+    j2 = SparkJob(job, shared_resources=str(shared))
+    with pytest.raises(JobError, match="collide with static"):
+        j2.vendor_py_resources()
+
+
+def test_read_zipball_urls_missing_files(tmp_path):
+    assert read_zipball_urls(str(tmp_path)) == []
