@@ -341,3 +341,143 @@ def twa_user_value_daily(spark, sf_dir):
         .cast("long")
         .alias("twa_q"),
     )
+
+
+# --------------------------------------------------------------------- #
+# BPE tokenizer training + vocabulary encoding (operators/bpe.py)
+
+
+def _bpe_merge_list_sql(syms: str = "syms", lft: str = "b.lft", rgt: str = "b.rgt") -> str:
+    """Positional left-to-right non-overlapping merge of (lft, rgt) in a
+    symbol list — no sequential fold, so DuckDB's list lambdas express it
+    directly. matched(i) = pair starts at i AND (distinct pair OR an even
+    run-offset — inside an L-run with lft=rgt, merges take offsets
+    0,2,4…); consumed(i) = matched(i-1). Equivalent to the driver loop in
+    operators/bpe.py merge_pair_ltr (left fold with skip)."""
+
+    def run_offset(i: str) -> str:
+        return (
+            f"({i} - 1 - COALESCE(list_max(list_filter(range(1, {i}), "
+            f"j -> {syms}[j] <> {lft})), 0))"
+        )
+
+    def matched(i: str) -> str:
+        return (
+            f"({syms}[{i}] = {lft} AND {i} < len({syms}) "
+            f"AND {syms}[{i}+1] = {rgt} "
+            f"AND ({lft} <> {rgt} OR ({run_offset(i)}) % 2 = 0))"
+        )
+
+    return f"""
+      flatten(list_transform(range(1, len({syms})+1), i ->
+        CASE WHEN {matched('i')} THEN [{lft} || {rgt}]
+             WHEN i > 1 AND {matched('(i-1)')} THEN []
+             ELSE [{syms}[i]] END))"""
+
+
+def _bpe_chain_sql(num_merges: int, vocab_limit: int) -> str:
+    """The unrolled learning rounds as a WITH-clause body: w0 = the
+    top-N word-frequency dictionary, then per round r: p_r (weighted
+    adjacent-pair counts), b_r (argmax, tie-break count desc / pair asc),
+    w_{r+1} (merged dictionary). Every round CTE is MATERIALIZED — w_r
+    and b_r are each referenced twice, and DuckDB's default CTE inlining
+    would re-expand the chain exponentially."""
+    parts = [
+        f"""w0 AS MATERIALIZED (
+      SELECT word, CAST(cnt AS BIGINT) AS freq,
+             list_transform(range(1, LEN(word)+1), i -> word[i]) AS syms
+      FROM (SELECT tok AS word, COUNT(*) AS cnt
+            FROM (SELECT UNNEST(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]+')) AS tok
+                  FROM documents)
+            WHERE LEN(tok) >= 2
+            GROUP BY tok ORDER BY cnt DESC, tok LIMIT {vocab_limit})
+    )"""
+    ]
+    for r in range(num_merges):
+        parts.append(
+            f""",
+    p{r} AS MATERIALIZED (
+      SELECT (p).l AS lft, (p).r AS rgt, CAST(SUM(freq) AS BIGINT) AS pair_freq
+      FROM (SELECT freq, UNNEST(CASE WHEN len(syms) < 2 THEN []
+             ELSE list_transform(range(1, len(syms)), i ->
+                  {{'l': syms[i], 'r': syms[i+1]}}) END) AS p FROM w{r})
+      GROUP BY 1, 2
+    ),
+    b{r} AS MATERIALIZED (
+      SELECT lft, rgt, pair_freq FROM p{r}
+      ORDER BY pair_freq DESC, lft, rgt LIMIT 1
+    ),
+    w{r + 1} AS MATERIALIZED (
+      SELECT word, freq,
+             CASE WHEN b.lft IS NULL THEN syms
+                  ELSE {_bpe_merge_list_sql()} END AS syms
+      FROM w{r} LEFT JOIN b{r} b ON TRUE
+    )"""
+        )
+    return "".join(parts)
+
+
+_BPE_K = 8
+_BPE_VOCAB = 2000
+
+
+def _bpe_learn_oracle() -> str:
+    union = "\n      UNION ALL ".join(
+        f"SELECT {r + 1} AS merge_rank, lft, rgt, pair_freq FROM b{r}"
+        for r in range(_BPE_K)
+    )
+    return f"""
+    WITH {_bpe_chain_sql(_BPE_K, _BPE_VOCAB)}
+    SELECT * FROM ({union}) ORDER BY merge_rank
+    """
+
+
+@workload("bpe_learn_merges_documents", _bpe_learn_oracle, category="text")
+def bpe_learn_merges_documents(spark, sf_dir):
+    """Learn the top-8 BPE merges from the corpus (operators/bpe.py).
+
+    Distributed word-count dictionary (map-side-combined groupBy +
+    TakeOrdered top-2000) → driver merge rounds on the bounded dictionary
+    (the IVF/PQ-codebook precedent — at 100 TB only the token count grows;
+    the dictionary is bounded by language). Oracle replays the rounds as
+    an unrolled MATERIALIZED-CTE chain with a positional merge lambda."""
+    from etl_manager_spark.operators import bpe as B
+
+    t = load_tables(spark, sf_dir)
+    merges, _ = B.learn_bpe(
+        spark, spread(t["documents"], spark),
+        num_merges=_BPE_K, vocab_limit=_BPE_VOCAB,
+    )
+    return B.merges_df(spark, merges)
+
+
+def _bpe_encode_oracle() -> str:
+    return f"""
+    WITH {_bpe_chain_sql(_BPE_K, _BPE_VOCAB)}
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(COALESCE(LEN(w.syms), LEN(t.tok))) AS BIGINT) AS n_bpe_syms
+    FROM (SELECT doc_id,
+                 UNNEST(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]+')) AS tok
+          FROM documents) t
+    LEFT JOIN w{_BPE_K} w ON t.tok = w.word
+    GROUP BY t.doc_id
+    """
+
+
+@workload("bpe_vocab_encode_documents", _bpe_encode_oracle, category="text")
+def bpe_vocab_encode_documents(spark, sf_dir):
+    """Encode every document with the learned BPE vocabulary: per-doc
+    token count + post-merge symbol count (OOV words fall back to char
+    count). The learned dictionary ships as a broadcast literal map —
+    tokens never shuffle; the only exchange is the per-doc re-agg. The
+    corpus-scale path is pure JVM expressions (regexp_extract_all +
+    map lookup), so it rides whole-stage codegen at any scale."""
+    from etl_manager_spark.operators import bpe as B
+
+    t = load_tables(spark, sf_dir)
+    docs = spread(t["documents"], spark)
+    _, final_symbols = B.learn_bpe(
+        spark, docs, num_merges=_BPE_K, vocab_limit=_BPE_VOCAB
+    )
+    return B.encode_symbol_counts(docs, final_symbols)

@@ -1228,3 +1228,29 @@ def test_local_cc_equals_propagation(spark):
     )
     with _pytest.raises(ValueError, match="max_edges"):
         connected_components_local(big, max_edges=10)
+
+
+def test_bpe_merge_pair_ltr_runs_and_ties():
+    from etl_manager_spark.operators.bpe import learn_merges, merge_pair_ltr
+
+    # left-to-right non-overlap in same-symbol runs
+    assert merge_pair_ltr(list("aaa"), "a", "a") == ["aa", "a"]
+    assert merge_pair_ltr(list("aaaa"), "a", "a") == ["aa", "aa"]
+    assert merge_pair_ltr(list("abab"), "a", "b") == ["ab", "ab"]
+    assert merge_pair_ltr(list("abb"), "a", "b") == ["ab", "b"]
+    # merged symbols are eligible in later rounds, not the same round
+    assert merge_pair_ltr(["ab", "c", "ab"], "ab", "c") == ["abc", "ab"]
+
+    # deterministic tie-break: count desc, then pair asc
+    merges, words = learn_merges([("ba", 2), ("ab", 2)], num_merges=1)
+    assert merges == [(1, "a", "b", 2)]
+    assert words["ab"] == ["ab"] and words["ba"] == ["b", "a"]
+
+    # multiplicity counting: 'aaa' contributes (a,a) twice per occurrence
+    merges, _ = learn_merges([("aaa", 1), ("bc", 1)], num_merges=1)
+    assert merges[0][1:] == ("a", "a", 2)
+
+    # fewer pairs than rounds -> stops early
+    merges, _ = learn_merges([("ab", 1)], num_merges=5)
+    assert [m[0] for m in merges] == [1, 2][: len(merges)]
+    assert merges[0][1:3] == ("a", "b")
