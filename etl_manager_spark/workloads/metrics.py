@@ -2052,3 +2052,346 @@ def kaplan_meier_first_purchase(spark, sf_dir):
         .cast("long")
         .alias("surv_q"),
     )
+
+
+# --------------------------------------------------------------------- #
+# Classifier evaluation: calibration / ROC-AUC of a deterministic
+# quality-style score against the language label (round 6)
+
+# The "classifier": p = min(1, 3·stopword_ratio) — the English-stopword
+# fraction is genuinely predictive of lang='en', and the score is one
+# division + one multiply + one min over integer counts, so it is
+# bitwise-portable across engines (no transcendentals).
+_P_SQL = r"""LEAST(1.0, 3.0 * (CAST(LEN(LIST_FILTER(
+        REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'),
+        t -> LOWER(t) IN ('the','a','an','of','and','to','in','is','it','that')
+      )) AS DOUBLE)
+      / CAST(LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) AS DOUBLE)))"""
+
+
+def _p_col():
+    from etl_manager_spark.operators import text as X
+
+    return F.least(F.lit(1.0), F.lit(3.0) * X.stopword_ratio("text"))
+
+
+@workload(
+    "calibration_bins_documents",
+    f"""
+    WITH scored AS (
+      SELECT {_P_SQL} AS p,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    rows_q AS (
+      SELECT CAST(LEAST(9, CAST(FLOOR(p * 10.0) AS INT)) AS INT) AS bin,
+             CAST(FLOOR(p * 1000000000.0 + 0.5) AS BIGINT) AS p_q,
+             CAST(FLOOR((p - y) * (p - y) * 1000000000.0 + 0.5) AS BIGINT) AS sq_q,
+             y
+      FROM scored
+    )
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           CAST(FLOOR(CAST(SUM(p_q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                / 1000000000.0 * 1000000000.0 + 0.5) AS BIGINT) AS mean_p_q,
+           CAST(FLOOR(CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                * 1000000000.0 + 0.5) AS BIGINT) AS frac_pos_q,
+           CAST(FLOOR(CAST(SUM(sq_q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                / 1000000000.0 * 1000000000.0 + 0.5) AS BIGINT) AS brier_q
+    FROM rows_q GROUP BY bin
+    """,
+    category="evaluation",
+)
+def calibration_bins_documents(spark, sf_dir):
+    """Reliability diagram + per-bin Brier score for a deterministic text
+    classifier (p = min(1, 3·stopword_ratio) vs lang='en'). Fixed-width
+    probability bins → a single map-side-combined groupBy, NO ranking
+    window (the ntile-based alternative is the single-partition-window
+    anti-pattern). Per-row nano-quantization before the integer sums keeps
+    the bin means order-free; Brier contributions are quantized per row
+    for the same reason."""
+    t = load_tables(spark, sf_dir)
+    p = _p_col()
+    y = F.when(F.col("lang") == "en", 1).otherwise(0)
+    rows = spread(t["documents"], spark).select(
+        F.least(F.lit(9), F.floor(p * F.lit(10.0)).cast("int")).cast("int").alias("bin"),
+        R.quantize(p).alias("p_q"),
+        R.quantize(
+            (p - y.cast("double")) * (p - y.cast("double"))
+        ).alias("sq_q"),
+        y.alias("y"),
+    )
+    n_d = F.count(F.lit(1)).cast("double")
+    return rows.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.floor(
+            F.sum("p_q").cast("double") / n_d / F.lit(1000000000.0)
+            * F.lit(1000000000.0) + F.lit(0.5)
+        ).cast("long").alias("mean_p_q"),
+        F.floor(
+            F.sum("y").cast("double") / n_d * F.lit(1000000000.0) + F.lit(0.5)
+        ).cast("long").alias("frac_pos_q"),
+        F.floor(
+            F.sum("sq_q").cast("double") / n_d / F.lit(1000000000.0)
+            * F.lit(1000000000.0) + F.lit(0.5)
+        ).cast("long").alias("brier_q"),
+    )
+
+
+@workload(
+    "roc_auc_stopword_lang_documents",
+    f"""
+    WITH scored AS (
+      SELECT CAST(FLOOR({_P_SQL} * 1000.0) AS INT) AS p_m,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    lv AS (
+      SELECT p_m, CAST(SUM(y) AS BIGINT) AS pos_at,
+             CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg_at
+      FROM scored GROUP BY p_m
+    ),
+    cum AS (
+      SELECT a.p_m, a.pos_at, a.neg_at,
+             CAST(COALESCE(SUM(b.neg_at), 0) AS BIGINT) AS neg_below
+      FROM lv a LEFT JOIN lv b ON b.p_m < a.p_m
+      GROUP BY a.p_m, a.pos_at, a.neg_at
+    )
+    SELECT CAST(SUM(pos_at) AS BIGINT) AS n_pos,
+           CAST(SUM(neg_at) AS BIGINT) AS n_neg,
+           CAST(FLOOR(CAST(SUM(pos_at * (2 * neg_below + neg_at)) AS DOUBLE)
+                / CAST(2 * SUM(pos_at) * SUM(neg_at) AS DOUBLE)
+                * 1000000000.0 + 0.5) AS BIGINT) AS auc_q
+    FROM cum
+    """,
+    category="evaluation",
+)
+def roc_auc_stopword_lang_documents(spark, sf_dir):
+    """ROC-AUC via the tie-corrected Mann-Whitney identity on a
+    MILLI-QUANTIZED score domain: AUC·2·n⁺·n⁻ = Σ_levels pos·(2·neg_below
+    + neg_at). Quantizing to ≤1001 levels bounds the cumulative step to a
+    constant-size level table at any corpus size, and the below-count is
+    a broadcast theta-join over that table — no global ranking window
+    (the classic rank-sum formulation is a corpus-wide sort). Integer
+    numerator/denominator → one final division."""
+    t = load_tables(spark, sf_dir)
+    p = _p_col()
+    y = F.when(F.col("lang") == "en", 1).otherwise(0)
+    lv = (
+        spread(t["documents"], spark)
+        .select(
+            F.floor(p * F.lit(1000.0)).cast("int").alias("p_m"),
+            y.alias("y"),
+        )
+        .groupBy("p_m")
+        .agg(
+            F.sum("y").cast("long").alias("pos_at"),
+            (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("neg_at"),
+        )
+    )
+    b = lv.select(
+        F.col("p_m").alias("b_p_m"), F.col("neg_at").alias("b_neg_at")
+    )
+    cum = (
+        lv.join(F.broadcast(b), F.col("b_p_m") < F.col("p_m"), "left")
+        .groupBy("p_m", "pos_at", "neg_at")
+        .agg(F.coalesce(F.sum("b_neg_at"), F.lit(0)).cast("long").alias("neg_below"))
+    )
+    return cum.agg(
+        F.sum("pos_at").cast("long").alias("n_pos"),
+        F.sum("neg_at").cast("long").alias("n_neg"),
+        F.floor(
+            F.sum(F.col("pos_at") * (F.lit(2) * F.col("neg_below") + F.col("neg_at")))
+            .cast("double")
+            / (F.lit(2) * F.sum("pos_at") * F.sum("neg_at")).cast("double")
+            * F.lit(1000000000.0) + F.lit(0.5)
+        ).cast("long").alias("auc_q"),
+    )
+
+
+# --------------------------------------------------------------------- #
+# Resampling + influence diagnostics (round 6)
+
+# Poisson(1) CDF thresholds on a 1e6 grid (exact literals shared by both
+# engines; approximation error is irrelevant — only parity matters).
+_POIS_SQL = """CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+               WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3
+               WHEN u < 996340 THEN 4 WHEN u < 999406 THEN 5
+               ELSE 6 END"""
+
+
+@workload(
+    "bootstrap_poisson_ci_events",
+    f"""
+    WITH ev AS (
+      SELECT CAST(FLOOR(value * 1000000000.0 + 0.5) AS BIGINT) AS y_q,
+             event_id % 100003 AS k FROM events
+    ),
+    ex AS (
+      SELECT y_q, ((k * 2654435761 + b * 97003) % 1000000) AS u, b
+      FROM ev CROSS JOIN (SELECT UNNEST(range(200)) AS b)
+    ),
+    m AS (
+      SELECT b,
+             CAST(SUM(({_POIS_SQL}) * y_q) AS DOUBLE)
+               / CAST(SUM({_POIS_SQL}) AS DOUBLE) AS mean_v
+      FROM ex GROUP BY b HAVING SUM({_POIS_SQL}) > 0
+    ),
+    s AS (SELECT LIST_SORT(LIST(mean_v)) AS arr, COUNT(*) AS n FROM m),
+    f AS (
+      SELECT CAST(FLOOR(CAST(SUM(y_q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                  / 1000000000.0 * 1000000000.0 + 0.5) AS BIGINT) AS full_mean_q
+      FROM ev
+    )
+    SELECT CAST(s.n AS BIGINT) AS n_resamples,
+           CAST(FLOOR(arr[6] / 1000000000.0 * 1000000000.0 + 0.5)
+                AS BIGINT) AS boot_lo_q,
+           CAST(FLOOR(arr[195] / 1000000000.0 * 1000000000.0 + 0.5)
+                AS BIGINT) AS boot_hi_q,
+           f.full_mean_q
+    FROM s CROSS JOIN f
+    """,
+    category="evaluation",
+)
+def bootstrap_poisson_ci_events(spark, sf_dir):
+    """95% percentile-bootstrap CI for mean(value) via the POISSON
+    bootstrap — the resampling scheme that actually distributes: instead
+    of drawing indices (which needs a global row order), every row gets a
+    deterministic pseudo-Poisson(1) weight per resample b, so the whole
+    thing is one explode (×B) + one map-side-combined groupBy(b). B=200
+    resample means (exact integer numerators over nano-quantized values),
+    sorted once (200-element array, driver-side cost zero) — order stats
+    6/195 are the 2.5%/97.5% bounds. No window, no collect of data rows;
+    at 100 TB the ×200 fan-out happens in the scan stage and the shuffle
+    carries 200 partial sums per partition."""
+    t = load_tables(spark, sf_dir)
+    ev = spread(t["events"], spark).select(
+        R.quantize(F.col("value")).alias("y_q"),
+        (F.col("event_id") % F.lit(100003)).alias("k"),
+    )
+    # explode the resample ids in the scan stage (×B fan-out, no join)
+    ex = ev.select(
+        "y_q", "k", F.explode(F.sequence(F.lit(0), F.lit(199))).alias("b")
+    ).select(
+        "y_q", "b",
+        ((F.col("k") * F.lit(2654435761) + F.col("b") * F.lit(97003))
+         % F.lit(1000000)).alias("u"),
+    )
+    w = F.expr(_POIS_SQL)
+    m = (
+        ex.groupBy("b")
+        .agg(
+            F.sum(w * F.col("y_q")).alias("num"),
+            F.sum(w).alias("den"),
+        )
+        .filter(F.col("den") > 0)
+        .select((F.col("num").cast("double") / F.col("den").cast("double")).alias("mean_v"))
+    )
+    s = m.agg(
+        F.sort_array(F.collect_list("mean_v")).alias("arr"),
+        F.count(F.lit(1)).cast("long").alias("n_resamples"),
+    ).select(
+        "n_resamples",
+        F.floor(
+            F.element_at("arr", 6) / F.lit(1000000000.0)
+            * F.lit(1000000000.0) + F.lit(0.5)
+        ).cast("long").alias("boot_lo_q"),
+        F.floor(
+            F.element_at("arr", 195) / F.lit(1000000000.0)
+            * F.lit(1000000000.0) + F.lit(0.5)
+        ).cast("long").alias("boot_hi_q"),
+    )
+    f = ev.agg(
+        F.floor(
+            F.sum("y_q").cast("double") / F.count(F.lit(1)).cast("double")
+            / F.lit(1000000000.0) * F.lit(1000000000.0) + F.lit(0.5)
+        ).cast("long").alias("full_mean_q")
+    )
+    return s.crossJoin(F.broadcast(f))
+
+
+@workload(
+    "logo_slope_influence_events",
+    """
+    WITH g AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(DATE_PART('hour', ts) AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(DATE_PART('hour', ts) AS DECIMAL(18,2))
+                      * CAST(DATE_PART('hour', ts) AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(DATE_PART('hour', ts) AS DECIMAL(18,2))
+                      * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+      FROM events GROUP BY event_type
+    ),
+    tot AS (
+      SELECT COUNT(*) AS tn,
+             CAST(SUM(CAST(DATE_PART('hour', ts) AS DECIMAL(18,2))) AS DOUBLE) AS tsx,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS tsy,
+             CAST(SUM(CAST(DATE_PART('hour', ts) AS DECIMAL(18,2))
+                      * CAST(DATE_PART('hour', ts) AS DECIMAL(18,2))) AS DOUBLE) AS tsxx,
+             CAST(SUM(CAST(DATE_PART('hour', ts) AS DECIMAL(18,2))
+                      * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS tsxy
+      FROM events
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_g,
+           CAST(FLOOR((tn * tsxy - tsx * tsy) / (tn * tsxx - tsx * tsx)
+                * 1000000000.0 + 0.5) AS BIGINT) AS slope_full_q,
+           CAST(FLOOR(((tn - n) * (tsxy - sxy) - (tsx - sx) * (tsy - sy))
+                / ((tn - n) * (tsxx - sxx) - (tsx - sx) * (tsx - sx))
+                * 1000000000.0 + 0.5) AS BIGINT) AS slope_wo_q,
+           CAST(FLOOR((((tn - n) * (tsxy - sxy) - (tsx - sx) * (tsy - sy))
+                / ((tn - n) * (tsxx - sxx) - (tsx - sx) * (tsx - sx))
+                - (tn * tsxy - tsx * tsy) / (tn * tsxx - tsx * tsx))
+                * 1000000000.0 + 0.5) AS BIGINT) AS delta_q
+    FROM g CROSS JOIN tot
+    """,
+    category="evaluation",
+)
+def logo_slope_influence_events(spark, sf_dir):
+    """Leave-one-group-out influence of each event_type on the global
+    OLS slope value~hour: closed-form from sufficient statistics, so the
+    'retrain without group g' is totals-minus-group arithmetic — one
+    decimal-exact aggregate per grouping plus a 1-row broadcast, never a
+    per-group re-scan (the naive LOGO is |groups| passes over the corpus).
+    The moment sums follow regression_price_by_quantity's exact-decimal
+    discipline; slopes are single IEEE expressions over those doubles."""
+    from etl_manager_spark.functions.exact import dec_sum, dec_sumprod, dec_sumsq
+
+    t = load_tables(spark, sf_dir)
+    ev = spread(t["events"], spark).select(
+        "event_type", F.hour("ts").alias("x"), "value"
+    )
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dec_sum("x").alias("sx"),
+        dec_sum("value").alias("sy"),
+        dec_sumsq("x").alias("sxx"),
+        dec_sumprod("x", "value").alias("sxy"),
+    )
+    tot = ev.agg(
+        F.count(F.lit(1)).alias("tn"),
+        dec_sum("x").alias("tsx"),
+        dec_sum("value").alias("tsy"),
+        dec_sumsq("x").alias("tsxx"),
+        dec_sumprod("x", "value").alias("tsxy"),
+    )
+    j = g.crossJoin(F.broadcast(tot))
+    tn, tsx, tsy = F.col("tn"), F.col("tsx"), F.col("tsy")
+    tsxx, tsxy = F.col("tsxx"), F.col("tsxy")
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy = F.col("sxx"), F.col("sxy")
+    slope_full = (tn * tsxy - tsx * tsy) / (tn * tsxx - tsx * tsx)
+    slope_wo = ((tn - n) * (tsxy - sxy) - (tsx - sx) * (tsy - sy)) / (
+        (tn - n) * (tsxx - sxx) - (tsx - sx) * (tsx - sx)
+    )
+    return j.select(
+        "event_type",
+        n.cast("long").alias("n_g"),
+        R.quantize(slope_full).alias("slope_full_q"),
+        R.quantize(slope_wo).alias("slope_wo_q"),
+        R.quantize(slope_wo - slope_full).alias("delta_q"),
+    )
