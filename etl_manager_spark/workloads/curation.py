@@ -481,3 +481,100 @@ def bpe_vocab_encode_documents(spark, sf_dir):
         spark, docs, num_merges=_BPE_K, vocab_limit=_BPE_VOCAB
     )
     return B.encode_symbol_counts(docs, final_symbols)
+
+
+# --------------------------------------------------------------------- #
+# Coreset selection: greedy k-center (farthest-point) over embeddings
+
+_KC_ROUNDS = 8  # selections after the deterministic seed
+_KC_DIM = 64
+
+
+def _kc_sqdist_sql(emb_a: str, emb_b: str) -> str:
+    """Squared L2 as the house sequential in-row fold (bitwise-identical
+    to Spark's zip_with + aggregate left fold over the same doubles)."""
+    return (
+        f"LIST_AGGREGATE(LIST_TRANSFORM(RANGE(1, {_KC_DIM + 1}), i -> "
+        f"({emb_a}[i] - {emb_b}[i]) * ({emb_a}[i] - {emb_b}[i])), 'sum')"
+    )
+
+
+def _kcenter_oracle() -> str:
+    parts = [f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    c0 AS MATERIALIZED (SELECT vec_id, emb FROM e ORDER BY vec_id LIMIT 1),
+    m0 AS MATERIALIZED (
+      SELECT e.vec_id, e.emb, {_kc_sqdist_sql('e.emb', 'c.emb')} AS dmin
+      FROM e CROSS JOIN c0 c
+    )"""]
+    for r in range(1, _KC_ROUNDS + 1):
+        parts.append(f""",
+    b{r} AS MATERIALIZED (
+      SELECT vec_id, emb, dmin FROM m{r - 1} ORDER BY dmin DESC, vec_id LIMIT 1
+    )""")
+        if r < _KC_ROUNDS:
+            parts.append(f""",
+    m{r} AS MATERIALIZED (
+      SELECT m.vec_id, m.emb,
+             LEAST(m.dmin, {_kc_sqdist_sql('m.emb', 'b.emb')}) AS dmin
+      FROM m{r - 1} m CROSS JOIN b{r} b
+    )""")
+    union = "\n      UNION ALL ".join(
+        [
+            "SELECT 1 AS sel_rank, vec_id, CAST(-1 AS BIGINT) AS dmin_q FROM c0"
+        ]
+        + [
+            f"SELECT {r + 1} AS sel_rank, vec_id, "
+            f"CAST(FLOOR(dmin * 1000000000.0 + 0.5) AS BIGINT) AS dmin_q "
+            f"FROM b{r}"
+            for r in range(1, _KC_ROUNDS + 1)
+        ]
+    )
+    parts.append(f"\n    SELECT * FROM ({union}) ORDER BY sel_rank")
+    return "".join(parts)
+
+
+@workload("kcenter_coreset_embeddings", _kcenter_oracle, category="curation")
+def kcenter_coreset_embeddings(spark, sf_dir):
+    """Greedy k-center (farthest-point) coreset selection — the classic
+    max-diversity subset pick for training-data curation (2-approximation
+    of the k-center objective). Deterministic seed = min vec_id; each
+    round keeps a running min-squared-distance column (one LEAST against
+    the newly selected center, never a re-scan of the selected set) and
+    takes the argmax via a TakeOrdered heap + 1-row collect. At 100 TB:
+    k bounded rounds of map-only work + k tiny collects; distances are
+    the house sequential in-row fold, so the oracle's unrolled
+    MATERIALIZED chain matches bitwise."""
+    import math
+
+    from etl_manager_spark.functions.exact import lit_double_array
+
+    t = load_tables(spark, sf_dir)
+    e = (
+        spread(t["embeddings"], spark)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+        .localCheckpoint()
+    )
+
+    def sqdist(center_vals):
+        lit_c = lit_double_array(center_vals)
+        return F.aggregate(
+            F.zip_with(F.col("emb"), lit_c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    seed = e.orderBy("vec_id").limit(1).collect()[0]
+    sel = [(1, seed["vec_id"], -1)]
+    df = e.withColumn("dmin", sqdist(list(seed["emb"])))
+    for r in range(2, _KC_ROUNDS + 2):
+        b = df.orderBy(F.desc("dmin"), F.asc("vec_id")).limit(1).collect()[0]
+        # same binary64 ops as the SQL quantize: floor(d·1e9 + 0.5)
+        sel.append((r, b["vec_id"], int(math.floor(b["dmin"] * 1e9 + 0.5))))
+        if r < _KC_ROUNDS + 1:
+            df = df.withColumn(
+                "dmin", F.least(F.col("dmin"), sqdist(list(b["emb"])))
+            )
+    return spark.createDataFrame(sel, "sel_rank int, vec_id long, dmin_q long")

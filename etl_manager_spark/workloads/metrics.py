@@ -2395,3 +2395,209 @@ def logo_slope_influence_events(spark, sf_dir):
         R.quantize(slope_wo).alias("slope_wo_q"),
         R.quantize(slope_wo - slope_full).alias("delta_q"),
     )
+
+
+# --------------------------------------------------------------------- #
+# Corpus power-law + feature-relevance diagnostics (round 6)
+
+
+@workload(
+    "zipf_fit_documents",
+    r"""
+    WITH top AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT LOWER(UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'))) AS tok
+            FROM documents)
+      GROUP BY tok ORDER BY freq DESC, tok LIMIT 1000
+    ),
+    ranked AS (
+      SELECT a.tok, a.freq,
+             1 + COUNT(b.tok) AS rnk
+      FROM top a LEFT JOIN top b
+        ON b.freq > a.freq OR (b.freq = a.freq AND b.tok < a.tok)
+      GROUP BY a.tok, a.freq
+    ),
+    q AS (
+      SELECT CAST(FLOOR(LN(CAST(rnk AS DOUBLE)) * 1000000000.0 + 0.5) AS BIGINT) AS x_q,
+             CAST(FLOOR(LN(CAST(freq AS DOUBLE)) * 1000000000.0 + 0.5) AS BIGINT) AS y_q,
+             CAST(FLOOR(LN(CAST(rnk AS DOUBLE)) * LN(CAST(rnk AS DOUBLE))
+                  * 1000000000.0 + 0.5) AS BIGINT) AS xx_q,
+             CAST(FLOOR(LN(CAST(rnk AS DOUBLE)) * LN(CAST(freq AS DOUBLE))
+                  * 1000000000.0 + 0.5) AS BIGINT) AS xy_q
+      FROM ranked
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(FLOOR((COUNT(*) * (CAST(SUM(xy_q) AS DOUBLE) / 1000000000.0)
+                       - (CAST(SUM(x_q) AS DOUBLE) / 1000000000.0)
+                         * (CAST(SUM(y_q) AS DOUBLE) / 1000000000.0))
+                / (COUNT(*) * (CAST(SUM(xx_q) AS DOUBLE) / 1000000000.0)
+                   - (CAST(SUM(x_q) AS DOUBLE) / 1000000000.0)
+                     * (CAST(SUM(x_q) AS DOUBLE) / 1000000000.0))
+                * 1000000000.0 + 0.5) AS BIGINT) AS slope_q,
+           CAST(FLOOR(((CAST(SUM(y_q) AS DOUBLE) / 1000000000.0)
+                       - (COUNT(*) * (CAST(SUM(xy_q) AS DOUBLE) / 1000000000.0)
+                          - (CAST(SUM(x_q) AS DOUBLE) / 1000000000.0)
+                            * (CAST(SUM(y_q) AS DOUBLE) / 1000000000.0))
+                         / (COUNT(*) * (CAST(SUM(xx_q) AS DOUBLE) / 1000000000.0)
+                            - (CAST(SUM(x_q) AS DOUBLE) / 1000000000.0)
+                              * (CAST(SUM(x_q) AS DOUBLE) / 1000000000.0))
+                         * (CAST(SUM(x_q) AS DOUBLE) / 1000000000.0))
+                / COUNT(*) * 1000000000.0 + 0.5) AS BIGINT) AS intercept_q
+    FROM q
+    """,
+    category="evaluation",
+)
+def zipf_fit_documents(spark, sf_dir):
+    """Zipf power-law fit: OLS of ln(freq) on ln(rank) over the top-1000
+    token table (slope ≈ -1 for natural text — a corpus-health gate that
+    catches boilerplate floods and tokenizer damage). Ranks come from a
+    broadcast theta-join COUNT over the bounded 1000-row table — no
+    global ranking window; the log moments are nano-quantized per row so
+    the sums are order-free integers, and slope/intercept are single IEEE
+    expressions written identically in both engines."""
+    t = load_tables(spark, sf_dir)
+    top = (
+        spread(t["documents"], spark)
+        .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("tok0"))
+        .select(F.lower("tok0").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("tok"))
+        .limit(1000)
+    )
+    b = top.select(F.col("tok").alias("b_tok"), F.col("freq").alias("b_freq"))
+    ranked = (
+        top.join(
+            F.broadcast(b),
+            (F.col("b_freq") > F.col("freq"))
+            | ((F.col("b_freq") == F.col("freq")) & (F.col("b_tok") < F.col("tok"))),
+            "left",
+        )
+        .groupBy("tok", "freq")
+        .agg((F.lit(1) + F.count("b_tok")).alias("rnk"))
+    )
+    lx = F.log(F.col("rnk").cast("double"))
+    ly = F.log(F.col("freq").cast("double"))
+    q = ranked.select(
+        R.quantize(lx).alias("x_q"),
+        R.quantize(ly).alias("y_q"),
+        R.quantize(lx * lx).alias("xx_q"),
+        R.quantize(lx * ly).alias("xy_q"),
+    )
+    n = F.count(F.lit(1))
+    sx = F.sum("x_q").cast("double") / F.lit(1000000000.0)
+    sy = F.sum("y_q").cast("double") / F.lit(1000000000.0)
+    sxx = F.sum("xx_q").cast("double") / F.lit(1000000000.0)
+    sxy = F.sum("xy_q").cast("double") / F.lit(1000000000.0)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return q.agg(
+        n.cast("long").alias("n_terms"),
+        R.quantize(slope).alias("slope_q"),
+        R.quantize((sy - slope * sx) / n).alias("intercept_q"),
+    )
+
+
+@workload(
+    "feature_mi_documents",
+    r"""
+    WITH feats AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             CAST(LEAST(9, CAST(FLOOR(CAST(n_chars AS DOUBLE) / 400.0) AS INT)) AS INT) AS len_bin,
+             CAST(LEAST(9, CAST(FLOOR(
+               CAST(LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'),
+                 t -> LOWER(t) IN ('the','a','an','of','and','to','in','is','it','that')
+               )) AS DOUBLE)
+               / CAST(LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) AS DOUBLE)
+               * 20.0) AS INT)) AS INT) AS stop_bin,
+             CAST(LEAST(9, CAST(FLOOR(
+               CAST(LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) AS DOUBLE) / 40.0
+             ) AS INT)) AS INT) AS nword_bin
+      FROM documents
+    ),
+    melted AS (
+      SELECT 'len_bin' AS feature, len_bin AS bin, y FROM feats
+      UNION ALL SELECT 'stop_bin', stop_bin, y FROM feats
+      UNION ALL SELECT 'nword_bin', nword_bin, y FROM feats
+    ),
+    cells AS (
+      SELECT feature, bin, y, CAST(COUNT(*) AS BIGINT) AS c
+      FROM melted GROUP BY feature, bin, y
+    ),
+    mb AS (SELECT feature, bin, CAST(SUM(c) AS BIGINT) AS rb FROM cells GROUP BY 1, 2),
+    my AS (SELECT feature, y, CAST(SUM(c) AS BIGINT) AS ry FROM cells GROUP BY 1, 2),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM feats)
+    SELECT c.feature,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(CAST(FLOOR(
+             (CAST(c.c AS DOUBLE) / CAST(nn.n AS DOUBLE))
+             * LN((CAST(c.c AS DOUBLE) * CAST(nn.n AS DOUBLE))
+                  / (CAST(mb.rb AS DOUBLE) * CAST(my.ry AS DOUBLE)))
+             * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS mi_scaled
+    FROM cells c
+    JOIN mb ON mb.feature = c.feature AND mb.bin = c.bin
+    JOIN my ON my.feature = c.feature AND my.y = c.y
+    CROSS JOIN nn
+    GROUP BY c.feature
+    """,
+    category="evaluation",
+)
+def feature_mi_documents(spark, sf_dir):
+    """Mutual information I(feature_bin; lang='en') for three bounded-bin
+    document features — the feature-selection primitive for quality
+    classifiers. One melt (explode, ×3 in the scan stage) + one
+    groupBy(feature, bin, y) over a ≤|features|·10·2-cell table; the
+    marginals join back as broadcasts. Per-cell contributions are
+    nano-quantized before the (≤20-term) integer sum, so the result is
+    order-free (the vocab_kl_drift discipline)."""
+    from etl_manager_spark.operators import text as X
+
+    t = load_tables(spark, sf_dir)
+    y = F.when(F.col("lang") == "en", 1).otherwise(0)
+    len_bin = F.least(
+        F.lit(9), F.floor(F.col("n_chars").cast("double") / F.lit(400.0)).cast("int")
+    ).cast("int")
+    stop_bin = F.least(
+        F.lit(9),
+        F.floor(X.stopword_ratio("text") * F.lit(20.0)).cast("int"),
+    ).cast("int")
+    nword_bin = F.least(
+        F.lit(9),
+        F.floor(
+            F.size(F.split(F.trim("text"), r"\s+")).cast("double") / F.lit(40.0)
+        ).cast("int"),
+    ).cast("int")
+    feats = spread(t["documents"], spark).select(
+        y.alias("y"),
+        len_bin.alias("len_bin"),
+        stop_bin.alias("stop_bin"),
+        nword_bin.alias("nword_bin"),
+    )
+    melted = feats.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("len_bin").alias("feature"), F.col("len_bin").alias("bin")),
+                F.struct(F.lit("stop_bin").alias("feature"), F.col("stop_bin").alias("bin")),
+                F.struct(F.lit("nword_bin").alias("feature"), F.col("nword_bin").alias("bin")),
+            )
+        ).alias("f"),
+        "y",
+    ).select(F.col("f.feature").alias("feature"), F.col("f.bin").alias("bin"), "y")
+    cells = melted.groupBy("feature", "bin", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    mb = cells.groupBy("feature", "bin").agg(F.sum("c").cast("long").alias("rb"))
+    my = cells.groupBy("feature", "y").agg(F.sum("c").cast("long").alias("ry"))
+    nn = feats.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    j = (
+        cells.join(F.broadcast(mb), ["feature", "bin"])
+        .join(F.broadcast(my), ["feature", "y"])
+        .crossJoin(F.broadcast(nn))
+    )
+    term = (F.col("c").cast("double") / F.col("n").cast("double")) * F.log(
+        (F.col("c").cast("double") * F.col("n").cast("double"))
+        / (F.col("rb").cast("double") * F.col("ry").cast("double"))
+    )
+    return j.groupBy("feature").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum(R.quantize(term)).cast("long").alias("mi_scaled"),
+    )
