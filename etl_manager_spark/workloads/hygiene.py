@@ -923,3 +923,193 @@ def leakage_safe_split_documents(spark, sf_dir):
         "cluster_size",
         (F.col("n_splits") == 1).alias("leakage_free"),
     )
+
+
+# --------------------------------------------------------------------- #
+# Cross-source overlap matrix + embedding drift (round 6, batch 4)
+
+
+@workload(
+    "source_overlap_matrix_documents",
+    r"""
+    WITH sh AS (
+      SELECT DISTINCT source, shingle
+      FROM (
+        SELECT source,
+               UNNEST(CASE WHEN LEN(arr) >= 5 THEN
+                 LIST_TRANSFORM(RANGE(1, LEN(arr) - 3),
+                   i -> MD5(ARRAY_TO_STRING(arr[i:i+4], ' ')))
+               ELSE [] END) AS shingle
+        FROM (SELECT source,
+                     REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+') AS arr
+              FROM documents)
+      )
+    ),
+    sizes AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_shingles
+      FROM sh GROUP BY source
+    ),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT i.src_a, i.src_b, i.n_common,
+           sa.n_shingles AS n_a, sb.n_shingles AS n_b,
+           CAST(FLOOR(CAST(i.n_common AS DOUBLE)
+                / CAST(sa.n_shingles + sb.n_shingles - i.n_common AS DOUBLE)
+                * 1000000000.0 + 0.5) AS BIGINT) AS jaccard_q
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.src_a
+    JOIN sizes sb ON sb.source = i.src_b
+    """,
+    category="hygiene",
+)
+def source_overlap_matrix_documents(spark, sf_dir):
+    """Pairwise 5-token-shingle Jaccard between sources — the
+    contamination matrix that tells you which crawls/feeds duplicate each
+    other before mixing them into a training set. Shingles hash to md5 in
+    the scan stage (fan-out rides the generator, never materialized),
+    the distinct (source, shingle) set is one shuffle keyed by shingle,
+    and the pair counts are a self-equijoin on that key — output and the
+    sizes join are bounded by |sources|² (domain-bounded dimension, 20
+    here). No windows."""
+    t = load_tables(spark, sf_dir)
+    sh = (
+        spread(t["documents"], spark)
+        .select(
+            "source",
+            F.split(F.lower(F.trim("text")), r"\s+").alias("arr"),
+        )
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(arr) >= 5 THEN "
+                    "transform(sequence(1, size(arr) - 4), "
+                    "i -> md5(concat_ws(' ', slice(arr, i, 5)))) "
+                    "ELSE array() END"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles")
+    )
+    b = sh.select(F.col("source").alias("src_b"), "shingle")
+    inter = (
+        sh.select(F.col("source").alias("src_a"), "shingle")
+        .join(b, "shingle")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a", "src_b", "n_common", "n_a", "n_b",
+            F.floor(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
+                * F.lit(1000000000.0) + F.lit(0.5)
+            ).cast("long").alias("jaccard_q"),
+        )
+    )
+
+
+@workload(
+    "embedding_drift_halves",
+    """
+    WITH e AS (
+      SELECT vec_id % 2 AS half, CAST(embedding AS DOUBLE[]) AS emb
+      FROM embeddings
+    ),
+    dims AS (
+      SELECT half, i AS dim,
+             CAST(FLOOR(emb[i] * 1000000000.0 + 0.5) AS BIGINT) AS x_q
+      FROM e CROSS JOIN UNNEST(RANGE(1, 65)) AS t(i)
+    ),
+    means AS (
+      SELECT half, dim,
+             CAST(SUM(x_q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               / 1000000000.0 AS m
+      FROM dims GROUP BY half, dim
+    ),
+    paired AS (
+      SELECT a.dim, a.m AS m0, b.m AS m1
+      FROM means a JOIN means b ON a.dim = b.dim
+      WHERE a.half = 0 AND b.half = 1
+    ),
+    vecs AS (
+      SELECT LIST(m0 ORDER BY dim) AS v0, LIST(m1 ORDER BY dim) AS v1
+      FROM paired
+    )
+    SELECT CAST(FLOOR(LIST_AGGREGATE(LIST_TRANSFORM(RANGE(1, 65),
+               i -> (v0[i] - v1[i]) * (v0[i] - v1[i])), 'sum')
+             * 1000000000.0 + 0.5) AS BIGINT) AS l2sq_drift_q,
+           CAST(FLOOR(LIST_AGGREGATE(LIST_TRANSFORM(RANGE(1, 65),
+               i -> v0[i] * v1[i]), 'sum')
+             / (SQRT(LIST_AGGREGATE(LIST_TRANSFORM(RANGE(1, 65),
+                  i -> v0[i] * v0[i]), 'sum'))
+                * SQRT(LIST_AGGREGATE(LIST_TRANSFORM(RANGE(1, 65),
+                  i -> v1[i] * v1[i]), 'sum')))
+             * 1000000000.0 + 0.5) AS BIGINT) AS cos_means_q
+    FROM vecs
+    """,
+    category="hygiene",
+)
+def embedding_drift_halves(spark, sf_dir):
+    """Embedding-distribution drift monitor: mean vector of each corpus
+    half (vec_id parity), then squared-L2 distance and cosine between the
+    two means. Per-(row, dim) values are nano-quantized BEFORE the
+    per-dim integer sums (order-free across partitions); the final 64-dim
+    reductions run over dim-ORDERED arrays with the shared sequential
+    in-row fold, so no cross-row float accumulation exists anywhere.
+    Shuffle is keyed by (half, dim) — 128 groups, map-side combined."""
+    t = load_tables(spark, sf_dir)
+    e = spread(t["embeddings"], spark).select(
+        (F.col("vec_id") % 2).alias("half"),
+        F.col("embedding").cast("array<double>").alias("emb"),
+    )
+    dims = e.select(
+        "half",
+        F.explode(F.expr(
+            "transform(sequence(1, 64), i -> "
+            "struct(i AS dim, CAST(floor(element_at(emb, i) * 1000000000.0 + 0.5) AS BIGINT) AS x_q))"
+        )).alias("d"),
+    ).select("half", F.col("d.dim").alias("dim"), F.col("d.x_q").alias("x_q"))
+    means = dims.groupBy("half", "dim").agg(
+        (
+            F.sum("x_q").cast("double") / F.count(F.lit(1)).cast("double")
+            / F.lit(1000000000.0)
+        ).alias("m")
+    )
+    a = means.filter(F.col("half") == 0).select("dim", F.col("m").alias("m0"))
+    b = means.filter(F.col("half") == 1).select("dim", F.col("m").alias("m1"))
+    paired = a.join(b, "dim")
+    vecs = paired.agg(
+        F.expr("transform(sort_array(collect_list(struct(dim, m0))), s -> s.m0)").alias("v0"),
+        F.expr("transform(sort_array(collect_list(struct(dim, m1))), s -> s.m1)").alias("v1"),
+    )
+
+    def fold(expr_body):
+        return F.expr(
+            f"aggregate(transform(sequence(1, 64), i -> {expr_body}), "
+            "cast(0.0 as double), (acc, v) -> acc + v)"
+        )
+
+    l2 = fold("(element_at(v0, i) - element_at(v1, i)) * (element_at(v0, i) - element_at(v1, i))")
+    dot01 = fold("element_at(v0, i) * element_at(v1, i)")
+    n0 = fold("element_at(v0, i) * element_at(v0, i)")
+    n1 = fold("element_at(v1, i) * element_at(v1, i)")
+    return vecs.select(
+        F.floor(l2 * F.lit(1000000000.0) + F.lit(0.5)).cast("long").alias("l2sq_drift_q"),
+        F.floor(
+            dot01 / (F.sqrt(n0) * F.sqrt(n1)) * F.lit(1000000000.0) + F.lit(0.5)
+        ).cast("long").alias("cos_means_q"),
+    )

@@ -2601,3 +2601,106 @@ def feature_mi_documents(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_cells"),
         F.sum(R.quantize(term)).cast("long").alias("mi_scaled"),
     )
+
+
+@workload(
+    "conformal_interval_events",
+    """
+    WITH ev AS (
+      SELECT event_type, value,
+             CAST(FLOOR(value * 1000000000.0 + 0.5) AS BIGINT) AS y_q,
+             event_id % 2 = 0 AS is_cal
+      FROM events
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_cal,
+             CAST(SUM(y_q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               / 1000000000.0 AS mean_v
+      FROM ev WHERE is_cal GROUP BY event_type
+    ),
+    r AS (
+      SELECT ev.event_type, ev.is_cal,
+             CAST(FLOOR(ABS(ev.value - m.mean_v) * 1000000000.0 + 0.5)
+                  AS BIGINT) AS r_q
+      FROM ev JOIN m ON m.event_type = ev.event_type
+    ),
+    qh AS (
+      SELECT event_type, quantile_cont(r_q, 0.9) AS q_hat
+      FROM r WHERE is_cal GROUP BY event_type
+    ),
+    cov AS (
+      SELECT r.event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_test,
+             CAST(FLOOR(CAST(SUM(CASE WHEN r.r_q <= qh.q_hat THEN 1 ELSE 0 END)
+                             AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE) * 1000000000.0 + 0.5)
+                  AS BIGINT) AS coverage_q
+      FROM r JOIN qh ON qh.event_type = r.event_type
+      WHERE NOT r.is_cal GROUP BY r.event_type
+    )
+    SELECT m.event_type, m.n_cal, cov.n_test, qh.q_hat, cov.coverage_q
+    FROM m JOIN qh ON qh.event_type = m.event_type
+    JOIN cov ON cov.event_type = m.event_type
+    """,
+    category="evaluation",
+)
+def conformal_interval_events(spark, sf_dir):
+    """Split-conformal prediction intervals: per-type mean predictor fit
+    on the calibration half (even event_id), 90th-percentile residual
+    radius q̂ from the calibration residuals (exact percentile over
+    nano-quantized ints — the norm_quartiles idiom), then the marginal
+    coverage audit on the held-out half (should be ≈0.9). Per-type
+    aggregates with 5-row broadcast joins; no global sort or window —
+    the residual quantile is a per-group exact percentile aggregate."""
+    t = load_tables(spark, sf_dir)
+    ev = spread(t["events"], spark).select(
+        "event_type",
+        "value",
+        R.quantize(F.col("value")).alias("y_q"),
+        (F.col("event_id") % 2 == 0).alias("is_cal"),
+    )
+    m = (
+        ev.filter("is_cal")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cal"),
+            (
+                F.sum("y_q").cast("double") / F.count(F.lit(1)).cast("double")
+                / F.lit(1000000000.0)
+            ).alias("mean_v"),
+        )
+    )
+    r = ev.join(F.broadcast(m), "event_type").select(
+        "event_type",
+        "is_cal",
+        F.floor(
+            F.abs(F.col("value") - F.col("mean_v")) * F.lit(1000000000.0)
+            + F.lit(0.5)
+        ).cast("long").alias("r_q"),
+    )
+    qh = (
+        r.filter("is_cal")
+        .groupBy("event_type")
+        .agg(F.expr("percentile(r_q, 0.9D)").alias("q_hat"))
+    )
+    cov = (
+        r.filter(~F.col("is_cal"))
+        .join(F.broadcast(qh), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.floor(
+                F.sum(
+                    F.when(F.col("r_q") <= F.col("q_hat"), 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1)).cast("double")
+                * F.lit(1000000000.0) + F.lit(0.5)
+            ).cast("long").alias("coverage_q"),
+        )
+    )
+    return (
+        m.join(qh, "event_type")
+        .join(cov, "event_type")
+        .select("event_type", "n_cal", "n_test", "q_hat", "coverage_q")
+    )
