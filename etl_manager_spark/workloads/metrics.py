@@ -2704,3 +2704,199 @@ def conformal_interval_events(spark, sf_dir):
         .join(cov, "event_type")
         .select("event_type", "n_cal", "n_test", "q_hat", "coverage_q")
     )
+
+
+@workload(
+    "mase_seasonal_naive_daily",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(FLOOR(value * 1000000000.0 + 0.5) AS BIGINT))
+                  AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000000.0 AS m
+      FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT event_type, day, m,
+             LAG(m, 7) OVER (PARTITION BY event_type ORDER BY day) AS f,
+             LAG(m, 1) OVER (PARTITION BY event_type ORDER BY day) AS prev
+      FROM daily
+    ),
+    q AS (
+      SELECT event_type,
+             CAST(FLOOR(ABS(m - f) * 1000000000.0 + 0.5) AS BIGINT) AS e_q,
+             CAST(FLOOR(ABS(m - prev) * 1000000000.0 + 0.5) AS BIGINT) AS n_q
+      FROM lagged WHERE f IS NOT NULL AND prev IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(FLOOR((CAST(SUM(e_q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+                / (CAST(SUM(n_q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+                * 1000000000.0 + 0.5) AS BIGINT) AS mase_q
+    FROM q GROUP BY event_type
+    """,
+    category="evaluation",
+)
+def mase_seasonal_naive_daily(spark, sf_dir):
+    """Forecast backtest: MASE of the weekly seasonal-naive forecast
+    (ŷ_d = y_{d-7 obs}) against the one-step naive baseline, per event
+    type on the daily mean-value series. Windows are partitioned by
+    event_type and bounded by the calendar (the kaplan_meier contract);
+    daily means are exact-integer sums, per-day errors nano-quantized
+    before the order-free MASE sums. MASE < 1e9 (i.e. < 1.0) means the
+    seasonal forecast beats naive — the standard drift gate before
+    trusting a seasonality assumption at scale."""
+    t = load_tables(spark, sf_dir)
+    daily = (
+        spread(t["events"], spark)
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(
+            (
+                F.sum(R.quantize(F.col("value"))).cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / F.lit(1000000000.0)
+            ).alias("m")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        F.lag("m", 7).over(w).alias("f"),
+        F.lag("m", 1).over(w).alias("prev"),
+        "m",
+    ).filter(F.col("f").isNotNull() & F.col("prev").isNotNull())
+    q = lagged.select(
+        "event_type",
+        F.floor(F.abs(F.col("m") - F.col("f")) * F.lit(1000000000.0) + F.lit(0.5))
+        .cast("long").alias("e_q"),
+        F.floor(F.abs(F.col("m") - F.col("prev")) * F.lit(1000000000.0) + F.lit(0.5))
+        .cast("long").alias("n_q"),
+    )
+    cnt = F.count(F.lit(1))
+    return q.groupBy("event_type").agg(
+        cnt.cast("long").alias("n_days"),
+        F.floor(
+            (F.sum("e_q").cast("double") / cnt.cast("double"))
+            / (F.sum("n_q").cast("double") / cnt.cast("double"))
+            * F.lit(1000000000.0) + F.lit(0.5)
+        ).cast("long").alias("mase_q"),
+    )
+
+
+@workload(
+    "bootstrap_lift_ci_events",
+    f"""
+    WITH ev AS (
+      SELECT CAST(FLOOR(value * 1000000000.0 + 0.5) AS BIGINT) AS y_q,
+             event_type = 'click' AS is_click,
+             event_id % 100003 AS k
+      FROM events WHERE event_type IN ('view', 'click')
+    ),
+    ex AS (
+      SELECT y_q, is_click,
+             ((k * 2654435761 + b * 97003) % 1000000) AS u, b
+      FROM ev CROSS JOIN (SELECT UNNEST(range(200)) AS b)
+    ),
+    m AS (
+      SELECT b,
+             CAST(SUM(CASE WHEN is_click THEN ({_POIS_SQL}) * y_q ELSE 0 END)
+                  AS DOUBLE)
+               / CAST(SUM(CASE WHEN is_click THEN {_POIS_SQL} ELSE 0 END)
+                  AS DOUBLE)
+             - CAST(SUM(CASE WHEN NOT is_click THEN ({_POIS_SQL}) * y_q ELSE 0 END)
+                  AS DOUBLE)
+               / CAST(SUM(CASE WHEN NOT is_click THEN {_POIS_SQL} ELSE 0 END)
+                  AS DOUBLE) AS lift_v
+      FROM ex GROUP BY b
+      HAVING SUM(CASE WHEN is_click THEN {_POIS_SQL} ELSE 0 END) > 0
+         AND SUM(CASE WHEN NOT is_click THEN {_POIS_SQL} ELSE 0 END) > 0
+    ),
+    s AS (SELECT LIST_SORT(LIST(lift_v)) AS arr, COUNT(*) AS n FROM m),
+    f AS (
+      SELECT CAST(FLOOR((CAST(SUM(CASE WHEN is_click THEN y_q ELSE 0 END) AS DOUBLE)
+                   / CAST(SUM(CASE WHEN is_click THEN 1 ELSE 0 END) AS DOUBLE)
+                   - CAST(SUM(CASE WHEN NOT is_click THEN y_q ELSE 0 END) AS DOUBLE)
+                   / CAST(SUM(CASE WHEN NOT is_click THEN 1 ELSE 0 END) AS DOUBLE))
+                  / 1000000000.0 * 1000000000.0 + 0.5) AS BIGINT) AS lift_full_q
+      FROM ev
+    )
+    SELECT CAST(s.n AS BIGINT) AS n_resamples,
+           CAST(FLOOR(arr[6] / 1000000000.0 * 1000000000.0 + 0.5)
+                AS BIGINT) AS lift_lo_q,
+           CAST(FLOOR(arr[195] / 1000000000.0 * 1000000000.0 + 0.5)
+                AS BIGINT) AS lift_hi_q,
+           f.lift_full_q
+    FROM s CROSS JOIN f
+    """,
+    category="evaluation",
+)
+def bootstrap_lift_ci_events(spark, sf_dir):
+    """A/B lift with uncertainty: 95% Poisson-bootstrap CI for
+    mean(click value) − mean(view value) — the resampling complement to
+    welch_t / mannwhitney. Same distributed shape as
+    bootstrap_poisson_ci_events (deterministic pseudo-Poisson weight per
+    row × resample, one explode + one map-combined groupBy(b)); each
+    resample's lift is a difference of two exact-integer-ratio means. A
+    CI excluding 0 is the decision gate."""
+    t = load_tables(spark, sf_dir)
+    ev = (
+        spread(t["events"], spark)
+        .filter(F.col("event_type").isin("view", "click"))
+        .select(
+            R.quantize(F.col("value")).alias("y_q"),
+            (F.col("event_type") == "click").alias("is_click"),
+            (F.col("event_id") % F.lit(100003)).alias("k"),
+        )
+    )
+    ex = ev.select(
+        "y_q", "is_click", "k",
+        F.explode(F.sequence(F.lit(0), F.lit(199))).alias("b"),
+    ).select(
+        "y_q", "is_click", "b",
+        ((F.col("k") * F.lit(2654435761) + F.col("b") * F.lit(97003))
+         % F.lit(1000000)).alias("u"),
+    )
+    w = F.expr(_POIS_SQL)
+    ck = F.when(F.col("is_click"), w).otherwise(F.lit(0))
+    vw = F.when(~F.col("is_click"), w).otherwise(F.lit(0))
+    m = (
+        ex.groupBy("b")
+        .agg(
+            F.sum(ck * F.col("y_q")).alias("cnum"),
+            F.sum(ck).alias("cden"),
+            F.sum(vw * F.col("y_q")).alias("vnum"),
+            F.sum(vw).alias("vden"),
+        )
+        .filter((F.col("cden") > 0) & (F.col("vden") > 0))
+        .select(
+            (
+                F.col("cnum").cast("double") / F.col("cden").cast("double")
+                - F.col("vnum").cast("double") / F.col("vden").cast("double")
+            ).alias("lift_v")
+        )
+    )
+    s = m.agg(
+        F.sort_array(F.collect_list("lift_v")).alias("arr"),
+        F.count(F.lit(1)).cast("long").alias("n_resamples"),
+    ).select(
+        "n_resamples",
+        F.floor(
+            F.element_at("arr", 6) / F.lit(1000000000.0)
+            * F.lit(1000000000.0) + F.lit(0.5)
+        ).cast("long").alias("lift_lo_q"),
+        F.floor(
+            F.element_at("arr", 195) / F.lit(1000000000.0)
+            * F.lit(1000000000.0) + F.lit(0.5)
+        ).cast("long").alias("lift_hi_q"),
+    )
+    ic = F.when(F.col("is_click"), 1).otherwise(0)
+    iv = F.when(~F.col("is_click"), 1).otherwise(0)
+    f = ev.agg(
+        F.floor(
+            (
+                F.sum(ic * F.col("y_q")).cast("double") / F.sum(ic).cast("double")
+                - F.sum(iv * F.col("y_q")).cast("double") / F.sum(iv).cast("double")
+            )
+            / F.lit(1000000000.0) * F.lit(1000000000.0) + F.lit(0.5)
+        ).cast("long").alias("lift_full_q")
+    )
+    return s.crossJoin(F.broadcast(f))
