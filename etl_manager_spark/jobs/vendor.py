@@ -42,7 +42,10 @@ from .runner import JobError
 # (etl.py:367) — blank lines and stray short tokens are dropped.
 _MIN_URL_LEN = 10
 
-ZIPBALL_LIST_FILENAME = "zipball_urls.txt"
+# our convention first, then the reference's exact filename
+# (example/glue_jobs/simple_etl_job/glue_py_resources/github_zip_urls.txt)
+ZIPBALL_LIST_FILENAMES = ("zipball_urls.txt", "github_zip_urls.txt")
+ZIPBALL_LIST_FILENAME = ZIPBALL_LIST_FILENAMES[0]
 
 Fetcher = Callable[[str, str], None]
 
@@ -62,11 +65,12 @@ def read_zipball_urls(
     for base in (job_folder, shared_resources):
         if not base:
             continue
-        path = os.path.join(base, "py_resources", ZIPBALL_LIST_FILENAME)
-        if not os.path.isfile(path):
-            continue
-        with open(path, encoding="utf-8") as fh:
-            urls.extend(line.strip() for line in fh)
+        for fname in ZIPBALL_LIST_FILENAMES:
+            path = os.path.join(base, "py_resources", fname)
+            if not os.path.isfile(path):
+                continue
+            with open(path, encoding="utf-8") as fh:
+                urls.extend(line.strip() for line in fh)
     return [u for u in urls if len(u) > _MIN_URL_LEN]
 
 

@@ -258,3 +258,16 @@ def test_shared_zipball_urls_merge_and_static_clash(tmp_path, spark):
 
 def test_read_zipball_urls_missing_files(tmp_path):
     assert read_zipball_urls(str(tmp_path)) == []
+
+
+def test_reference_filename_and_example_url_parse(tmp_path, spark):
+    # the reference's exact filename convention is accepted too, and its
+    # example URL parses to the repo name (etl.py:467 url.split("/")[4])
+    url = make_zipball(tmp_path, repo="gluejobutils", value=2)
+    job = make_job(tmp_path, "import gluejobutils\nresult = gluejobutils.ANSWER\n")
+    (tmp_path / "myjob" / "py_resources" / "github_zip_urls.txt").write_text(url + "\n")
+    j = SparkJob(job)
+    assert j.run(spark)["result"] == 2
+    j.cleanup()
+    ref_url = "https://github.com/moj-analytical-services/gluejobutils/archive/master.zip"
+    assert repo_name_from_url(ref_url) == "gluejobutils"
