@@ -619,3 +619,96 @@ def test_assortativity_single_row_reduction(plans):
     # moment reduction ends in one global aggregate; degree tables join
     # by broadcast (node-sized) or hash — never cartesian
     assert r.cartesian_products == 0
+
+
+# --------------------------------------------------------------------- #
+# round-6 batch: tokenizer / evaluation / resampling / hygiene contracts
+
+
+def test_bpe_encode_single_shuffle_map_lookup(plans):
+    # encode = tokenize + broadcast-map lookup + per-doc re-agg: the ONLY
+    # exchange is the doc_id aggregation; no joins, no windows
+    r = plans("bpe_vocab_encode_documents")
+    assert r.shuffle_exchanges <= 1, r.text[:1500]
+    assert r.sortmerge_joins == 0 and r.cartesian_products == 0
+    assert r.single_partition_windows == 0
+
+
+def test_calibration_pure_groupby(plans):
+    r = plans("calibration_bins_documents")
+    assert r.shuffle_exchanges <= 1
+    assert r.sortmerge_joins == 0 and r.broadcast_joins == 0
+    assert r.single_partition_windows == 0
+
+
+def test_roc_auc_level_table_broadcast_theta(plans):
+    # ranks come from a broadcast theta-join over the <=1001-level table,
+    # never a global ranking window
+    r = plans("roc_auc_stopword_lang_documents")
+    assert r.broadcast_joins >= 1, r.text[:1500]
+    assert r.single_partition_windows == 0
+
+
+def test_bootstrap_no_windows_no_joins_on_data(plans):
+    # Poisson bootstrap: explode + groupBy(b); the only join is the 1-row
+    # broadcast of the full-sample mean
+    r = plans("bootstrap_poisson_ci_events")
+    assert r.single_partition_windows == 0
+    assert r.sortmerge_joins == 0 and r.cartesian_products == 0
+    assert r.broadcast_joins >= 1
+
+
+def test_bootstrap_lift_same_shape(plans):
+    r = plans("bootstrap_lift_ci_events")
+    assert r.single_partition_windows == 0
+    assert r.sortmerge_joins == 0 and r.cartesian_products == 0
+    assert r.has_pushed_filters  # event_type IN (view, click) reaches scan
+
+
+def test_logo_influence_single_pass_plus_broadcast(plans):
+    # group stats + 1-row totals broadcast — never |groups| re-scans
+    r = plans("logo_slope_influence_events")
+    assert r.broadcast_joins >= 1
+    assert r.sortmerge_joins == 0
+    assert r.single_partition_windows == 0
+
+
+def test_conformal_broadcast_dimension_joins(plans):
+    r = plans("conformal_interval_events")
+    assert r.broadcast_joins >= 2, r.text[:1500]
+    assert r.sortmerge_joins == 0
+    assert r.single_partition_windows == 0
+
+
+def test_zipf_topk_heap_and_broadcast_ranks(plans):
+    r = plans("zipf_fit_documents")
+    assert r.take_ordered, "top-1000 must plan TakeOrderedAndProject"
+    assert r.broadcast_joins >= 1
+    assert r.single_partition_windows == 0
+
+
+def test_feature_mi_broadcast_marginals(plans):
+    r = plans("feature_mi_documents")
+    assert r.broadcast_joins >= 3, r.text[:1500]
+    assert r.cartesian_products == 0
+    assert r.single_partition_windows == 0
+
+
+def test_source_overlap_one_shingle_key_join(plans):
+    # the pair mine is an equijoin keyed by shingle; size lookups broadcast
+    r = plans("source_overlap_matrix_documents")
+    assert r.cartesian_products == 0
+    assert r.broadcast_joins >= 2
+    assert r.single_partition_windows == 0
+
+
+def test_mase_windows_partitioned_by_type(plans):
+    r = plans("mase_seasonal_naive_daily")
+    assert r.single_partition_windows == 0
+    assert r.sortmerge_joins == 0 and r.cartesian_products == 0
+
+
+def test_embedding_drift_bounded_shuffles(plans):
+    r = plans("embedding_drift_halves")
+    assert r.single_partition_windows == 0
+    assert r.cartesian_products == 0
