@@ -1175,3 +1175,117 @@ def collation_case_insensitive_group(spark, sf_dir):
             "n_parts",
         )
     )
+
+
+@workload(
+    "l_diversity_audit_events",
+    """
+    SELECT hod, band, n, l
+    FROM (
+      SELECT CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hod,
+             CAST(FLOOR(value / 50.0) AS BIGINT) AS band,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT event_type) AS BIGINT) AS l
+      FROM events GROUP BY 1, 2
+    )
+    WHERE l < 3
+    """,
+    category="etl",
+)
+def l_diversity_audit_events(spark, sf_dir):
+    """The l-diversity companion to k_anonymity_audit_events: quasi-id
+    cells (hour-of-day, value band) whose SENSITIVE attribute
+    (event_type) takes fewer than l=3 distinct values — k-anonymous
+    groups that still leak by homogeneity. One groupBy with a distinct
+    count; the shuffle is bounded by the quasi-id domain."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy(
+            F.hour("ts").alias("hod"),
+            F.floor(F.col("value") / F.lit(50.0)).alias("band"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.countDistinct("event_type").cast("long").alias("l"),
+        )
+        .filter(F.col("l") < 3)
+    )
+
+
+@workload(
+    "t_closeness_audit_events",
+    """
+    WITH cells AS (
+      SELECT CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hod,
+             CAST(FLOOR(value / 50.0) AS BIGINT) AS band,
+             event_type, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2, 3
+    ),
+    grp AS (
+      SELECT hod, band, CAST(SUM(c) AS BIGINT) AS n_g
+      FROM cells GROUP BY 1, 2
+    ),
+    gtot AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS ct FROM events GROUP BY 1
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events),
+    terms AS (
+      SELECT c.hod, c.band, g.n_g,
+             CAST(FLOOR(ABS(CAST(c.c AS DOUBLE) / CAST(g.n_g AS DOUBLE)
+                            - CAST(gl.ct AS DOUBLE) / CAST(nn.n AS DOUBLE))
+                  * 1000000000.0 + 0.5) AS BIGINT) AS diff_q,
+             CAST(FLOOR(CAST(gl.ct AS DOUBLE) / CAST(nn.n AS DOUBLE)
+                  * 1000000000.0 + 0.5) AS BIGINT) AS p_q
+      FROM cells c
+      JOIN grp g ON g.hod = c.hod AND g.band = c.band
+      JOIN gtot gl ON gl.event_type = c.event_type
+      CROSS JOIN nn
+    )
+    SELECT hod, band, n_g,
+           CAST(SUM(diff_q) + (1000000000 - SUM(p_q)) AS BIGINT) AS tvd2_q
+    FROM terms GROUP BY hod, band, n_g
+    """,
+    category="etl",
+)
+def t_closeness_audit_events(spark, sf_dir):
+    """t-closeness: per quasi-id cell, total-variation distance between
+    the cell's sensitive-value (event_type) distribution and the global
+    one — the release gate k-anonymity and l-diversity both miss (a
+    group can be large AND diverse yet still skewed). Emitted as
+    2·TVD·1e9 = Σ_present |p_g − p|·1e9 + mass of ABSENT types
+    (1e9 − Σ_present p·1e9), so missing categories are charged without
+    densifying the cube. Per-cell terms nano-quantized before the
+    bounded (≤|types|-term) integer sums; global marginals broadcast."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    cells = ev.groupBy(
+        F.hour("ts").alias("hod"),
+        F.floor(F.col("value") / F.lit(50.0)).alias("band"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    grp = cells.groupBy("hod", "band").agg(F.sum("c").cast("long").alias("n_g"))
+    glob = ev.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("ct"))
+    nn = ev.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    terms = (
+        cells.join(grp, ["hod", "band"])
+        .join(F.broadcast(glob), "event_type")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "hod", "band", "n_g",
+            F.floor(
+                F.abs(
+                    F.col("c").cast("double") / F.col("n_g").cast("double")
+                    - F.col("ct").cast("double") / F.col("n").cast("double")
+                ) * F.lit(1000000000.0) + F.lit(0.5)
+            ).cast("long").alias("diff_q"),
+            F.floor(
+                F.col("ct").cast("double") / F.col("n").cast("double")
+                * F.lit(1000000000.0) + F.lit(0.5)
+            ).cast("long").alias("p_q"),
+        )
+    )
+    return terms.groupBy("hod", "band", "n_g").agg(
+        (F.sum("diff_q") + (F.lit(1000000000) - F.sum("p_q")))
+        .cast("long").alias("tvd2_q")
+    )
