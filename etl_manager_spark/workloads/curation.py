@@ -578,3 +578,60 @@ def kcenter_coreset_embeddings(spark, sf_dir):
                 "dmin", F.least(F.col("dmin"), sqdist(list(b["emb"])))
             )
     return spark.createDataFrame(sel, "sel_rank int, vec_id long, dmin_q long")
+
+
+def _bpe_fertility_oracle() -> str:
+    return f"""
+    WITH {_bpe_chain_sql(_BPE_K, _BPE_VOCAB)},
+    enc AS (
+      SELECT t.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(COALESCE(LEN(w.syms), LEN(t.tok))) AS BIGINT) AS n_syms
+      FROM (SELECT doc_id,
+                   UNNEST(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]+')) AS tok
+            FROM documents) t
+      LEFT JOIN w{_BPE_K} w ON t.tok = w.word
+      GROUP BY t.doc_id
+    )
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(enc.n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(enc.n_syms) AS BIGINT) AS n_syms,
+           CAST(FLOOR(CAST(SUM(enc.n_syms) AS DOUBLE)
+                / CAST(SUM(enc.n_tokens) AS DOUBLE)
+                * 1000000000.0 + 0.5) AS BIGINT) AS fertility_q
+    FROM enc JOIN documents d ON d.doc_id = enc.doc_id
+    GROUP BY d.lang
+    """
+
+
+@workload("bpe_fertility_by_lang", _bpe_fertility_oracle, category="text")
+def bpe_fertility_by_lang(spark, sf_dir):
+    """Tokenizer fertility (symbols per word) by language — THE
+    cross-lingual tokenizer-quality gate: a vocabulary trained on a
+    lopsided mix over-fragments the minority languages, and this query
+    is how you see it before burning compute. Same broadcast-dictionary
+    encode as bpe_vocab_encode_documents, re-aggregated per lang via a
+    doc_id join back to the documents dimension."""
+    from etl_manager_spark.operators import bpe as B
+
+    t = load_tables(spark, sf_dir)
+    docs = spread(t["documents"], spark)
+    _, final_symbols = B.learn_bpe(
+        spark, docs, num_merges=_BPE_K, vocab_limit=_BPE_VOCAB
+    )
+    enc = B.encode_symbol_counts(docs, final_symbols)
+    return (
+        enc.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum("n_bpe_syms").cast("long").alias("n_syms"),
+            F.floor(
+                F.sum("n_bpe_syms").cast("double")
+                / F.sum("n_tokens").cast("double")
+                * F.lit(1000000000.0) + F.lit(0.5)
+            ).cast("long").alias("fertility_q"),
+        )
+    )
