@@ -1254,3 +1254,65 @@ def test_bpe_merge_pair_ltr_runs_and_ties():
     merges, _ = learn_merges([("ab", 1)], num_merges=5)
     assert [m[0] for m in merges] == [1, 2][: len(merges)]
     assert merges[0][1:3] == ("a", "b")
+
+
+def test_bpe_encode_symbol_counts_oov_fallback(spark):
+    from etl_manager_spark.operators.bpe import encode_symbol_counts
+
+    docs = spark.createDataFrame(
+        [(1, "Hello hello WORLD unknownword"), (2, "a xy")],
+        "doc_id long, text string",
+    )
+    # dict: 'hello' encodes to 3 symbols, 'xy' to 1; others fall back to
+    # char count ('world'→5, 'unknownword'→11, 'a'→1)
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["n_bpe_syms"])
+        for r in encode_symbol_counts(
+            docs, {"hello": ["he", "ll", "o"], "xy": ["xy"]}
+        ).collect()
+    }
+    assert out[1] == (4, 3 + 3 + 5 + 11)
+    assert out[2] == (2, 1 + 1)
+
+
+def test_kcenter_greedy_picks_spread_points(spark, sf_dir):
+    # hand-crafted: seed=min id at origin; farthest point then alternates
+    from etl_manager_spark.workloads.curation import kcenter_coreset_embeddings
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import tempfile, os
+
+    pts = {
+        0: [0.0] * 64,
+        1: [10.0] + [0.0] * 63,          # farthest from origin -> pick 2nd
+        2: [0.0, 8.0] + [0.0] * 62,      # farthest from {0,1} -> pick 3rd
+        3: [1.0] + [0.0] * 63,           # near origin, picked late
+        4: [9.0] + [0.0] * 63,           # near point 1
+        5: [0.0, 7.5] + [0.0] * 62,      # near point 2
+        6: [5.0, 4.0] + [0.0] * 62,
+        7: [2.0, 2.0] + [0.0] * 62,
+        8: [0.5, 0.5] + [0.0] * 62,
+        9: [4.0, 4.0] + [0.0] * 62,
+    }
+    with tempfile.TemporaryDirectory() as td:
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(list(pts), pa.int64()),
+                "embedding": pa.array(
+                    [pa.array(v, pa.float32()) for v in pts.values()],
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array([0] * len(pts), pa.int32()),
+            }
+        )
+        pq.write_table(tbl, os.path.join(td, "embeddings.parquet"))
+        rows = kcenter_coreset_embeddings(spark, td).collect()
+    order = [r["vec_id"] for r in sorted(rows, key=lambda r: r["sel_rank"])]
+    assert order[0] == 0            # deterministic seed = min vec_id
+    assert order[1] == 1            # farthest point
+    assert order[2] == 2            # farthest from the selected pair
+    assert rows[0]["dmin_q"] == -1  # seed sentinel
+    # every selected point is distinct and dmin is non-increasing after r=2
+    assert len(set(order)) == len(order)
+    dmins = [r["dmin_q"] for r in sorted(rows, key=lambda r: r["sel_rank"])][1:]
+    assert all(a >= b for a, b in zip(dmins, dmins[1:]))
