@@ -47,6 +47,7 @@ SUPPORTED_FORMATS = (
     "csv",
     "csv_quoted_nodate",
     "regex",
+    "fixedwidth",  # beyond reference: positional line-scan (readers.py)
     "orc",
     "par",  # vestigial alias for parquet kept for metadata compat
     "parquet",

@@ -43,6 +43,11 @@ _FORMAT_DEFAULTS: dict[str, tuple[str, dict[str, Any]]] = {
     # Line-oriented regex extraction; handled specially in readers.py via
     # spark.read.text + regexp_extract. The option carries the pattern.
     "regex": ("text", {"input.regex": "(.*)"}),
+    # Fixed-width line scan (legacy mainframe/log layouts); handled in
+    # readers.py via spark.read.text + substring projections. The option
+    # carries the per-column byte widths as a comma string, positional
+    # like the headerless csv format.
+    "fixedwidth": ("text", {"widths": ""}),
 }
 
 

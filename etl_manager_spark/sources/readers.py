@@ -38,6 +38,9 @@ def read_table(spark: "SparkSession", table: "TableMeta", path: str) -> "DataFra
     * ``regex`` — ``spark.read.text`` + one ``regexp_extract`` per column
       (group i+1), the Spark-native RegexSerDe
       (``specs/regex_specific.json:5-11``).
+    * ``fixedwidth`` — ``spark.read.text`` + positional ``substring``
+      slices (space-padded fields trimmed before the declared-type cast);
+      the legacy-layout sibling of ``regex``, scan-only like it.
 
     Declared partition columns are recovered from Hive-style directory names
     by Spark's partition discovery and cast to their declared types.
@@ -54,6 +57,29 @@ def read_table(spark: "SparkSession", table: "TableMeta", path: str) -> "DataFra
             .alias(field.name)
             for i, field in enumerate(data_schema.fields)
         ]
+        return df.select(*projections)
+
+    if table.data_format == "fixedwidth":
+        raw = options.get("widths", "")
+        widths = (
+            [int(w) for w in str(raw).split(",") if str(w).strip()]
+            if not isinstance(raw, (list, tuple))
+            else [int(w) for w in raw]
+        )
+        if len(widths) != len(data_schema.fields):
+            raise ValueError(
+                f"fixedwidth needs one width per declared column "
+                f"({len(data_schema.fields)}), got {widths!r}"
+            )
+        df = spark.read.text(path)
+        start, projections = 1, []
+        for w, field in zip(widths, data_schema.fields):
+            projections.append(
+                F.trim(F.substring(F.col("value"), start, w))
+                .cast(field.dataType)
+                .alias(field.name)
+            )
+            start += w
         return df.select(*projections)
 
     if table.data_format == "csv_quoted_nodate":

@@ -51,8 +51,10 @@ def write_table(
     """Write ``df`` to ``path`` in the table's declared format, partitioned
     by its declared partition columns."""
     fmt, options = spark_format_and_options(table.data_format, table.format_options)
-    if table.data_format == "regex":
-        raise ValueError("regex tables are read-only (RegexSerDe is scan-only)")
+    if table.data_format in ("regex", "fixedwidth"):
+        raise ValueError(
+            f"{table.data_format} tables are read-only (line-scan formats)"
+        )
     conformed = conform(df, table)
     writer = conformed.write.mode(mode).options(**options).format(fmt)
     if table.partitions:
@@ -81,8 +83,10 @@ def overwrite_partitions(
         )
     spark = df.sparkSession
     fmt, options = spark_format_and_options(table.data_format, table.format_options)
-    if table.data_format == "regex":
-        raise ValueError("regex tables are read-only (RegexSerDe is scan-only)")
+    if table.data_format in ("regex", "fixedwidth"):
+        raise ValueError(
+            f"{table.data_format} tables are read-only (line-scan formats)"
+        )
     conformed = conform(df, table)
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

@@ -3236,3 +3236,63 @@ def multimodal_media_clusters(spark, sf_dir):
     return D.connected_components_local(pairs).select(
         F.col("id").alias("media_id"), "cluster_id"
     )
+
+
+@workload(
+    "fixedwidth_scan_orders",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    category="formats",
+)
+def fixedwidth_scan_orders(spark, sf_dir):
+    """The fixed-width line-scan path (legacy mainframe/COBOL layouts)
+    under the driver's hash gate: orders rendered as padded fixed-width
+    text, read back through the `fixedwidth` TableMeta format
+    (spark.read.text + positional substring slices, trim, declared-type
+    cast — all scan-stage JVM projections) and aggregated. The oracle
+    aggregates the original parquet — green = every line parsed back
+    value-exact, doubles included (shortest-round-trip text form)."""
+    from etl_manager_spark.meta.table import TableMeta
+
+    t = load_tables(spark, sf_dir)
+    scratch = _layout_scratch("fixedwidth_scan_")
+    path = os.path.join(scratch, "orders_fw")
+    (
+        t["orders"]
+        .select(
+            F.concat(
+                F.rpad(F.col("o_orderkey").cast("string"), 12, " "),
+                F.rpad(F.col("o_custkey").cast("string"), 12, " "),
+                F.rpad(F.col("o_orderstatus"), 4, " "),
+                F.rpad(F.col("o_totalprice").cast("string"), 24, " "),
+            ).alias("value")
+        )
+        .write.mode("overwrite")
+        .text(path)
+    )
+    fw_meta = TableMeta(
+        name="orders_fw",
+        location="orders_fw",
+        data_format="fixedwidth",
+        columns=[
+            {"name": "o_orderkey", "type": "long"},
+            {"name": "o_custkey", "type": "long"},
+            {"name": "o_orderstatus", "type": "character"},
+            {"name": "o_totalprice", "type": "double"},
+        ],
+        format_options={"widths": "12,12,4,24"},
+    )
+    parsed = fw_meta.read(spark, path)
+    from etl_manager_spark.functions.exact import dec_sum
+
+    return parsed.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        dec_sum("o_totalprice").alias("price_sum"),
+    )

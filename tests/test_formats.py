@@ -193,3 +193,43 @@ def test_overwrite_partitions_requires_partitions(spark, tmp_path):
     t = TableMeta(name="t", location="t", data_format="parquet", columns=BASE_COLUMNS)
     with pytest.raises(ValueError, match="partitioned"):
         overwrite_partitions(spark.createDataFrame(ROWS), t, str(tmp_path / "x"))
+
+
+def test_fixedwidth_read_trim_cast_and_refusals(spark, tmp_path):
+    from etl_manager_spark.meta.table import TableMeta
+
+    lines = [
+        "1           alpha   12.5                ",
+        "23          beta    -0.25               ",
+    ]
+    src = tmp_path / "fw"
+    src.mkdir()
+    (src / "part-0.txt").write_text("\n".join(lines) + "\n")
+    meta = TableMeta(
+        name="fw",
+        location="fw",
+        data_format="fixedwidth",
+        columns=[
+            {"name": "id", "type": "long"},
+            {"name": "tag", "type": "character"},
+            {"name": "val", "type": "double"},
+        ],
+        format_options={"widths": "12,8,20"},
+    )
+    rows = {r["id"]: (r["tag"], r["val"]) for r in meta.read(spark, str(src)).collect()}
+    assert rows == {1: ("alpha", 12.5), 23: ("beta", -0.25)}
+
+    import pytest as _pytest
+
+    bad = TableMeta(
+        name="fw2", location="fw2", data_format="fixedwidth",
+        columns=[{"name": "id", "type": "long"}],
+        format_options={"widths": "12,8"},
+    )
+    with _pytest.raises(ValueError, match="one width per declared column"):
+        bad.read(spark, str(src))
+
+    from etl_manager_spark.sources.writers import write_table
+
+    with _pytest.raises(ValueError, match="read-only"):
+        write_table(spark.range(1), meta, str(tmp_path / "out"))
