@@ -2900,3 +2900,176 @@ def bootstrap_lift_ci_events(spark, sf_dir):
         ).cast("long").alias("lift_full_q")
     )
     return s.crossJoin(F.broadcast(f))
+
+
+@workload(
+    "ccf_click_purchase_daily",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(FLOOR(value * 1000000000.0 + 0.5) AS BIGINT))
+                  AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000000.0 AS m
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY 1, 2
+    ),
+    c AS (SELECT day, m FROM daily WHERE event_type = 'click'),
+    p AS (SELECT day, m FROM daily WHERE event_type = 'purchase'),
+    pairs AS (
+      SELECT l.lag, c.m AS x, p.m AS y
+      FROM c
+      CROSS JOIN (SELECT UNNEST(range(-3, 4)) AS lag) l
+      JOIN p ON p.day = c.day + CAST(l.lag AS INTEGER)
+    ),
+    q AS (
+      SELECT lag,
+             CAST(FLOOR(x * 1000000000.0 + 0.5) AS BIGINT) AS x_q,
+             CAST(FLOOR(y * 1000000000.0 + 0.5) AS BIGINT) AS y_q,
+             CAST(FLOOR(x * x * 1000000000.0 + 0.5) AS BIGINT) AS xx_q,
+             CAST(FLOOR(y * y * 1000000000.0 + 0.5) AS BIGINT) AS yy_q,
+             CAST(FLOOR(x * y * 1000000000.0 + 0.5) AS BIGINT) AS xy_q
+      FROM pairs
+    )
+    SELECT CAST(lag AS INTEGER) AS lag,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(FLOOR((COUNT(*) * (CAST(SUM(xy_q) AS DOUBLE) / 1000000000.0)
+                       - (CAST(SUM(x_q) AS DOUBLE) / 1000000000.0)
+                         * (CAST(SUM(y_q) AS DOUBLE) / 1000000000.0))
+                / (SQRT(COUNT(*) * (CAST(SUM(xx_q) AS DOUBLE) / 1000000000.0)
+                        - (CAST(SUM(x_q) AS DOUBLE) / 1000000000.0)
+                          * (CAST(SUM(x_q) AS DOUBLE) / 1000000000.0))
+                   * SQRT(COUNT(*) * (CAST(SUM(yy_q) AS DOUBLE) / 1000000000.0)
+                          - (CAST(SUM(y_q) AS DOUBLE) / 1000000000.0)
+                            * (CAST(SUM(y_q) AS DOUBLE) / 1000000000.0)))
+                * 1000000000.0 + 0.5) AS BIGINT) AS ccf_q
+    FROM q GROUP BY lag
+    """,
+    category="statistics",
+)
+def ccf_click_purchase_daily(spark, sf_dir):
+    """Lead-lag discovery: cross-correlation of the click and purchase
+    daily mean series at lags −3…+3 — does click activity anticipate
+    purchases? Lags come from a 7-element explode + a DAY EQUIJOIN
+    (day = day + lag), never a window; the log... moments are quantized
+    per (lag, day) pair so the per-lag Pearson sums are order-free, and
+    the closing correlation is one IEEE expression shared with the
+    oracle. The series is calendar-bounded per type."""
+    t = load_tables(spark, sf_dir)
+    daily = (
+        spread(t["events"], spark)
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(
+            (
+                F.sum(R.quantize(F.col("value"))).cast("double")
+                / F.count(F.lit(1)).cast("double") / F.lit(1000000000.0)
+            ).alias("m")
+        )
+    )
+    c = daily.filter(F.col("event_type") == "click").select("day", F.col("m").alias("x"))
+    p = daily.filter(F.col("event_type") == "purchase").select(
+        F.col("day").alias("p_day"), F.col("m").alias("y")
+    )
+    pairs = (
+        c.select("day", "x", F.explode(F.sequence(F.lit(-3), F.lit(3))).alias("lag"))
+        .join(
+            F.broadcast(p),
+            F.col("p_day") == F.date_add(F.col("day"), F.col("lag")),
+        )
+    )
+    q = pairs.select(
+        "lag",
+        R.quantize(F.col("x")).alias("x_q"),
+        R.quantize(F.col("y")).alias("y_q"),
+        R.quantize(F.col("x") * F.col("x")).alias("xx_q"),
+        R.quantize(F.col("y") * F.col("y")).alias("yy_q"),
+        R.quantize(F.col("x") * F.col("y")).alias("xy_q"),
+    )
+    n = F.count(F.lit(1))
+    sx = F.sum("x_q").cast("double") / F.lit(1000000000.0)
+    sy = F.sum("y_q").cast("double") / F.lit(1000000000.0)
+    sxx = F.sum("xx_q").cast("double") / F.lit(1000000000.0)
+    syy = F.sum("yy_q").cast("double") / F.lit(1000000000.0)
+    sxy = F.sum("xy_q").cast("double") / F.lit(1000000000.0)
+    return q.groupBy(F.col("lag").cast("int").alias("lag")).agg(
+        n.cast("long").alias("n_days"),
+        R.quantize(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+        ).alias("ccf_q"),
+    )
+
+
+@workload(
+    "cmh_odds_ratio_events",
+    """
+    WITH cells AS (
+      SELECT CAST(EXTRACT(dow FROM ts) AS INTEGER) AS stratum,
+             CAST(SUM(CASE WHEN EXTRACT(hour FROM ts) < 12
+                            AND event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN EXTRACT(hour FROM ts) < 12
+                            AND event_type <> 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b,
+             CAST(SUM(CASE WHEN EXTRACT(hour FROM ts) >= 12
+                            AND event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c,
+             CAST(SUM(CASE WHEN EXTRACT(hour FROM ts) >= 12
+                            AND event_type <> 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS d
+      FROM events GROUP BY 1
+    ),
+    terms AS (
+      SELECT CAST(FLOOR(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                  / CAST(a + b + c + d AS DOUBLE)
+                  * 1000000000.0 + 0.5) AS BIGINT) AS num_q,
+             CAST(FLOOR(CAST(b AS DOUBLE) * CAST(c AS DOUBLE)
+                  / CAST(a + b + c + d AS DOUBLE)
+                  * 1000000000.0 + 0.5) AS BIGINT) AS den_q
+      FROM cells
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+           CAST(FLOOR(CAST(SUM(num_q) AS DOUBLE) / CAST(SUM(den_q) AS DOUBLE)
+                * 1000000000.0 + 0.5) AS BIGINT) AS cmh_or_q
+    FROM terms
+    """,
+    category="statistics",
+)
+def cmh_odds_ratio_events(spark, sf_dir):
+    """Cochran–Mantel–Haenszel pooled odds ratio: association between
+    morning activity (hour < 12) and purchasing, stratified by
+    day-of-week so weekly traffic mix can't confound it — the stratified
+    2×2 analysis plain odds ratios get wrong (Simpson's trap). One
+    groupBy(dow) of conditional counts; per-stratum a·d/n and b·c/n terms
+    quantized before the 7-term sums; one closing division. Strata are
+    domain-bounded, so this is a constant-size reduction at any scale."""
+    t = load_tables(spark, sf_dir)
+    am = F.hour("ts") < 12
+    purch = F.col("event_type") == "purchase"
+    cells = (
+        spread(t["events"], spark)
+        .groupBy(F.dayofweek("ts").alias("dow_spark"))
+        .agg(
+            F.sum((am & purch).cast("int")).cast("long").alias("a"),
+            F.sum((am & ~purch).cast("int")).cast("long").alias("b"),
+            F.sum((~am & purch).cast("int")).cast("long").alias("c"),
+            F.sum((~am & ~purch).cast("int")).cast("long").alias("d"),
+        )
+    )
+    n_all = (F.col("a") + F.col("b") + F.col("c") + F.col("d")).cast("double")
+    terms = cells.select(
+        F.floor(
+            F.col("a").cast("double") * F.col("d").cast("double") / n_all
+            * F.lit(1000000000.0) + F.lit(0.5)
+        ).cast("long").alias("num_q"),
+        F.floor(
+            F.col("b").cast("double") * F.col("c").cast("double") / n_all
+            * F.lit(1000000000.0) + F.lit(0.5)
+        ).cast("long").alias("den_q"),
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.floor(
+            F.sum("num_q").cast("double") / F.sum("den_q").cast("double")
+            * F.lit(1000000000.0) + F.lit(0.5)
+        ).cast("long").alias("cmh_or_q"),
+    )
