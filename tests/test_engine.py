@@ -74,3 +74,18 @@ def test_analyze_collects_stats(spark, tmp_path):
         assert "rows" in stats, detail  # rowCount recorded for the optimizer
     finally:
         db.delete_database(spark)
+
+
+def test_cli_list_oracle_and_verify(capsys):
+    from etl_manager_spark.__main__ import main
+
+    assert main(["list", "--category", "formats"]) == 0
+    out = capsys.readouterr().out
+    assert "fixedwidth_scan_orders" in out and "sql-oracle" in out
+
+    assert main(["oracle", "q1_pricing_summary"]) == 0
+    assert "l_returnflag" in capsys.readouterr().out
+
+    assert main(["oracle", "nonexistent_query"]) == 2
+    assert main(["verify", "l_diversity_audit_events"]) == 0
+    assert "match the DuckDB oracle" in capsys.readouterr().out
