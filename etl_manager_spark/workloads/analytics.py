@@ -4141,3 +4141,77 @@ def session_duration_stats(spark, sf_dir):
         .alias("avg_duration_s_q"),
         F.sum("n_events").cast("long").alias("n_events_total"),
     )
+
+
+@workload(
+    "nearest_supplier_per_customer",
+    """
+    WITH c AS (
+      SELECT c_custkey,
+             (c_custkey * 37) % 12000 / 100.0 - 60 AS c_lat,
+             (c_custkey * 73) % 36000 / 100.0 - 180 AS c_lon
+      FROM customer
+    ),
+    s AS (
+      SELECT s_suppkey,
+             (s_suppkey * 41) % 12000 / 100.0 - 60 AS s_lat,
+             (s_suppkey * 97) % 36000 / 100.0 - 180 AS s_lon
+      FROM supplier
+    ),
+    scored AS (
+      SELECT c_custkey,
+             CAST(FLOOR(12742.0 * ASIN(SQRT(
+               SIN(RADIANS(c_lat - s_lat) / 2)
+                 * SIN(RADIANS(c_lat - s_lat) / 2)
+               + COS(RADIANS(s_lat)) * COS(RADIANS(c_lat))
+                 * SIN(RADIANS(c_lon - s_lon) / 2)
+                 * SIN(RADIANS(c_lon - s_lon) / 2)
+             )) * 1000000.0 + 0.5) AS BIGINT) * 1000000 + s_suppkey AS pack
+      FROM c CROSS JOIN s
+    )
+    SELECT c_custkey,
+           CAST(MIN(pack) % 1000000 AS BIGINT) AS s_suppkey,
+           CAST(MIN(pack) // 1000000 AS BIGINT) AS distance_q
+    FROM scored GROUP BY c_custkey
+    """,
+    category="join",
+)
+def nearest_supplier_per_customer(spark, sf_dir):
+    """Exact 1-nearest-neighbor spatial join: every customer's closest
+    supplier. The supplier dimension is the (bounded) small side, so it
+    BROADCASTS and the argmin is a map-side aggregate — no shuffle of
+    the customer side at all beyond the final per-key min combine. Ties
+    and libm ulp noise are handled by the packed-integer total order
+    (mm-quantized distance · 1e6 + suppkey) — MIN over one BIGINT is
+    deterministic where min_by over doubles is not. At a truly large
+    right side, swap the broadcast for operators/spatial.py's 1°-grid
+    prefilter with expanding-ring fallback; the argmin packing is
+    unchanged."""
+    t = load_tables(spark, sf_dir)
+    cust = t["customer"].select(
+        "c_custkey",
+        ((F.col("c_custkey") * 37) % 12000 / F.lit(100.0) - 60).alias("c_lat"),
+        ((F.col("c_custkey") * 73) % 36000 / F.lit(100.0) - 180).alias("c_lon"),
+    )
+    supp = t["supplier"].select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 41) % 12000 / F.lit(100.0) - 60).alias("s_lat"),
+        ((F.col("s_suppkey") * 97) % 36000 / F.lit(100.0) - 180).alias("s_lon"),
+    )
+    from etl_manager_spark.operators.spatial import haversine_km
+
+    d = haversine_km(
+        F.col("c_lat"), F.col("c_lon"), F.col("s_lat"), F.col("s_lon")
+    )
+    pack = (
+        F.floor(d * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+        * F.lit(1000000)
+        + F.col("s_suppkey")
+    )
+    scored = cust.crossJoin(F.broadcast(supp)).select(
+        "c_custkey", pack.alias("pack")
+    )
+    return scored.groupBy("c_custkey").agg(
+        (F.min("pack") % F.lit(1000000)).cast("long").alias("s_suppkey"),
+        F.floor(F.min("pack") / F.lit(1000000)).cast("long").alias("distance_q"),
+    )
