@@ -4215,3 +4215,65 @@ def nearest_supplier_per_customer(spark, sf_dir):
         (F.min("pack") % F.lit(1000000)).cast("long").alias("s_suppkey"),
         F.floor(F.min("pack") / F.lit(1000000)).cast("long").alias("distance_q"),
     )
+
+
+@workload(
+    "skyline_orders_price_date",
+    """
+    WITH o AS (
+      SELECT o_orderkey, o_orderdate AS day,
+             CAST(FLOOR(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+               AS price_c
+      FROM orders
+    )
+    SELECT a.o_orderkey, a.day,
+           CAST(a.price_c AS BIGINT) AS price_c
+    FROM o a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM o b
+      WHERE b.price_c <= a.price_c AND b.day >= a.day
+        AND (b.price_c < a.price_c OR b.day > a.day)
+    )
+    """,
+    category="analytics",
+)
+def skyline_orders_price_date(spark, sf_dir):
+    """Skyline (Pareto front) of orders under (price ↓, recency ↑):
+    orders no other order beats on both dimensions — the preference-query
+    operator family. The naive form is an O(n²) NOT-EXISTS self-join;
+    this plan is two-phase over the BOUNDED date domain instead: per-day
+    min price (one groupBy, ≤|calendar| rows), a strict-suffix min over
+    that table via a broadcast theta-join, then one map-side row filter
+    — an order survives iff it is its day's minimum AND strictly cheaper
+    than every later day's minimum. Equal (day, price) twins don't
+    dominate each other, so both survive (matching strict dominance).
+    Prices compared in exact cents; the oracle IS the brute-force
+    dominance test, so any pruning bug hash-mismatches."""
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].select(
+        "o_orderkey",
+        F.col("o_orderdate").alias("day"),
+        F.floor(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("price_c"),
+    )
+    daymin = o.groupBy("day").agg(F.min("price_c").alias("minp"))
+    later = daymin.select(
+        F.col("day").alias("l_day"), F.col("minp").alias("l_minp")
+    )
+    sufmin = (
+        daymin.join(F.broadcast(later), F.col("l_day") > F.col("day"), "left")
+        .groupBy("day", "minp")
+        .agg(F.min("l_minp").alias("suf_minp"))
+    )
+    return (
+        o.join(F.broadcast(sufmin), "day")
+        .filter(
+            (F.col("price_c") == F.col("minp"))
+            & (
+                F.col("suf_minp").isNull()
+                | (F.col("price_c") < F.col("suf_minp"))
+            )
+        )
+        .select("o_orderkey", "day", F.col("price_c").cast("long").alias("price_c"))
+    )
