@@ -89,3 +89,24 @@ def test_cli_list_oracle_and_verify(capsys):
     assert main(["oracle", "nonexistent_query"]) == 2
     assert main(["verify", "l_diversity_audit_events"]) == 0
     assert "match the DuckDB oracle" in capsys.readouterr().out
+
+
+def test_cli_verify_reports_mismatch(monkeypatch, capsys):
+    # sabotage one oracle: the CLI must exit 1 and print the first diff
+    from etl_manager_spark import workloads
+    from etl_manager_spark.__main__ import main
+
+    reg = workloads.load_registry()
+    real = reg["l_diversity_audit_events"]
+    import dataclasses
+
+    bad = dataclasses.replace(
+        real, oracle_spec=real.oracle.replace("l < 3", "l < 2")
+    )
+    monkeypatch.setitem(reg, "l_diversity_audit_events", bad)
+    monkeypatch.setattr(workloads, "load_registry", lambda: reg)
+    import etl_manager_spark.__main__ as cli
+
+    monkeypatch.setattr(cli, "_registry", lambda: reg)
+    assert main(["verify", "l_diversity_audit_events"]) == 1
+    assert "MISMATCH" in capsys.readouterr().out

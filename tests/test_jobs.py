@@ -271,3 +271,17 @@ def test_reference_filename_and_example_url_parse(tmp_path, spark):
     j.cleanup()
     ref_url = "https://github.com/moj-analytical-services/gluejobutils/archive/master.zip"
     assert repo_name_from_url(ref_url) == "gluejobutils"
+
+
+def test_vendor_fetch_failure_surfaces_as_job_error(tmp_path):
+    def boom(url, dest):
+        raise OSError("network unreachable")
+
+    with pytest.raises(JobError, match="failed to fetch"):
+        vendor_zipball(
+            "https://github.com/org/pkg/archive/main.zip",
+            str(tmp_path / "v"),
+            fetcher=boom,
+        )
+    # no half-written download left behind
+    assert not list((tmp_path / "v").glob("*")) if (tmp_path / "v").exists() else True
