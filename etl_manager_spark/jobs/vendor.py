@@ -84,7 +84,10 @@ def repo_name_from_url(url: str) -> str:
     back to the reference's positional rule."""
     parts = [p for p in urlparse(url).path.split("/") if p]
     if "archive" in parts[1:]:
-        return parts[parts.index("archive") - 1]
+        # last occurrence: an ORG named "archive" must not shadow the
+        # /<repo>/archive/<ref>.zip structural segment
+        idx = len(parts) - 1 - parts[::-1].index("archive")
+        return parts[idx - 1]
     split = url.split("/")
     if len(split) > 4 and split[4]:
         return split[4]

@@ -285,3 +285,10 @@ def test_vendor_fetch_failure_surfaces_as_job_error(tmp_path):
         )
     # no half-written download left behind
     assert not list((tmp_path / "v").glob("*")) if (tmp_path / "v").exists() else True
+
+
+def test_repo_name_org_named_archive():
+    # the structural /archive/ segment is the LAST one — an org literally
+    # named "archive" must not shadow it
+    url = "https://github.com/archive/mypkg/archive/main.zip"
+    assert repo_name_from_url(url) == "mypkg"
