@@ -2112,15 +2112,20 @@ def calibration_bins_documents(spark, sf_dir):
     the bin means order-free; Brier contributions are quantized per row
     for the same reason."""
     t = load_tables(spark, sf_dir)
-    p = _p_col()
-    y = F.when(F.col("lang") == "en", 1).otherwise(0)
-    rows = spread(t["documents"], spark).select(
+    # stage p once: the stopword-ratio expression costs a regex split per
+    # evaluation, and bin/p_q/sq_q would otherwise evaluate it 4× per row
+    staged = spread(t["documents"], spark).select(
+        _p_col().alias("p"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    p, y = F.col("p"), F.col("y")
+    rows = staged.select(
         F.least(F.lit(9), F.floor(p * F.lit(10.0)).cast("int")).cast("int").alias("bin"),
         R.quantize(p).alias("p_q"),
         R.quantize(
             (p - y.cast("double")) * (p - y.cast("double"))
         ).alias("sq_q"),
-        y.alias("y"),
+        "y",
     )
     n_d = F.count(F.lit(1)).cast("double")
     return rows.groupBy("bin").agg(
