@@ -2557,21 +2557,31 @@ def feature_mi_documents(spark, sf_dir):
     from etl_manager_spark.operators import text as X
 
     t = load_tables(spark, sf_dir)
+    # stage the token array once — stop_bin and nword_bin would otherwise
+    # re-run the regex split 3× per row (same math as stopword_ratio)
+    staged = spread(t["documents"], spark).select(
+        "lang",
+        "n_chars",
+        F.split(F.trim("text"), r"\s+").alias("arr"),
+    )
     y = F.when(F.col("lang") == "en", 1).otherwise(0)
     len_bin = F.least(
         F.lit(9), F.floor(F.col("n_chars").cast("double") / F.lit(400.0)).cast("int")
     ).cast("int")
+    stop = F.size(
+        F.filter(F.col("arr"), lambda tk: F.lower(tk).isin(*X.STOPWORDS))
+    )
     stop_bin = F.least(
         F.lit(9),
-        F.floor(X.stopword_ratio("text") * F.lit(20.0)).cast("int"),
+        F.floor(
+            stop.cast("double") / F.size("arr").cast("double") * F.lit(20.0)
+        ).cast("int"),
     ).cast("int")
     nword_bin = F.least(
         F.lit(9),
-        F.floor(
-            F.size(F.split(F.trim("text"), r"\s+")).cast("double") / F.lit(40.0)
-        ).cast("int"),
+        F.floor(F.size("arr").cast("double") / F.lit(40.0)).cast("int"),
     ).cast("int")
-    feats = spread(t["documents"], spark).select(
+    feats = staged.select(
         y.alias("y"),
         len_bin.alias("len_bin"),
         stop_bin.alias("stop_bin"),
