@@ -677,3 +677,66 @@ def gopher_quality_flags_vectorized(
     return df.select(
         F.col(id_col).alias("doc_id"), _flags(F.col(text_col)).alias("_g")
     ).select("doc_id", "_g.*")
+
+
+def cdc_chunk_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    mod: int = 1_000_000_007,
+    mask: int = 63,
+) -> DataFrame:
+    """Content-defined chunking (FastCDC-style): cut wherever the
+    Karp-Rabin hash of the trailing ``window`` chars ≡ 0 (mod mask+1) —
+    the dedup-storage primitive whose boundaries survive insertions
+    (fixed-size chunking shifts every boundary after an edit; CDC
+    boundaries are content-anchored). Shares the fingerprint fold of
+    :func:`with_rolling_fingerprint`, so the whole thing is scan-stage
+    JVM expressions: char codes staged once, per-position window hashes,
+    boundary filter, segment lengths — all integer arithmetic, no floats
+    anywhere. Emits per-doc chunk count and min/max chunk length.
+
+    A production variant adds min/max chunk-size clamps (FastCDC's
+    normalized chunking); the boundary RULE is the portable part and is
+    what the oracle replays."""
+    s = _normalize_for_fp(F.col(text_col), window)
+    staged = df.select(id_col, char_codes(s).alias("_codes"))
+    codes = F.col("_codes")
+    n_windows = F.greatest(F.size(codes) - (window - 1), F.lit(1))
+    offsets = F.sequence(F.lit(0), F.lit(window - 1))
+
+    def whash(i):
+        return F.aggregate(
+            offsets,
+            F.lit(0).cast("long"),
+            lambda acc, k: (acc * 31 + F.element_at(codes, i + k)) % mod,
+        )
+
+    L = F.size(codes)
+    cuts = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda i: F.when(
+                whash(i) % F.lit(mask + 1) == 0, i + F.lit(window - 1)
+            ).otherwise(F.lit(0)),
+        ),
+        lambda x: (x > 0) & (x < L),
+    )
+    with_ends = staged.select(
+        id_col,
+        L.alias("n_chars"),
+        F.concat(cuts, F.array(L)).alias("ends"),
+    )
+    lens = F.transform(
+        F.sequence(F.lit(1), F.size("ends")),
+        lambda k: F.element_at("ends", k)
+        - F.when(k == 1, F.lit(0)).otherwise(F.element_at("ends", k - 1)),
+    )
+    return with_ends.select(
+        id_col,
+        F.size("ends").cast("long").alias("n_chunks"),
+        F.array_max(lens).cast("long").alias("max_chunk"),
+        F.array_min(lens).cast("long").alias("min_chunk"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )

@@ -4277,3 +4277,91 @@ def skyline_orders_price_date(spark, sf_dir):
         )
         .select("o_orderkey", "day", F.col("price_c").cast("long").alias("price_c"))
     )
+
+
+@workload(
+    "kneser_ney_bigram_score_documents",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id, LIST_FILTER({{_TOK}}, x -> x <> '') AS tt FROM documents
+    ),
+    pairs AS (
+      SELECT doc_id AS id,
+             UNNEST(tt[1:LEN(tt)-1]) AS w1,
+             UNNEST(tt[2:LEN(tt)]) AS w2
+      FROM toks WHERE LEN(tt) >= 2
+    ),
+    bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+           FROM pairs GROUP BY w1, w2),
+    ctx AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+                   CAST(COUNT(*) AS BIGINT) AS n1f
+            FROM bc GROUP BY w1),
+    back AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1b FROM bc GROUP BY w2),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1tot FROM bc),
+    scored AS (
+      SELECT id,
+             CAST(FLOOR(LN(
+               (CAST(c12 AS DOUBLE) - 0.75
+                + 0.75 * CAST(n1f AS DOUBLE)
+                  * (CAST(n1b AS DOUBLE) / CAST(n1tot AS DOUBLE)))
+               / CAST(c1 AS DOUBLE))
+               * 1000000000.0 + 0.5) AS BIGINT) AS logp_q
+      FROM pairs JOIN bc USING (w1, w2) JOIN ctx USING (w1)
+      JOIN back USING (w2) CROSS JOIN tot
+    )
+    SELECT id, COUNT(*) AS n_bigrams,
+           CAST(SUM(logp_q) AS BIGINT) AS sum_logp_q
+    FROM scored GROUP BY id
+    """.replace("{_TOK}", r"REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')"),
+    category="text",
+)
+def kneser_ney_bigram_score_documents(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram scoring (fixed discount d=0.75) —
+    the smoothing that actually models continuation probability, vs the
+    add-1 variant in bigram_lm_score_documents:
+    P(w2|w1) = (c12 − d + d·N1+(w1·)·Pcont(w2)) / c1, with
+    Pcont(w2) = N1+(·w2) / |bigram types|. All four count tables come
+    from ONE bigram aggregate (context totals, forward and backward
+    continuation counts are rollups of it), joined back on w1/w2 —
+    count-table joins, no windows. Per-bigram log-probs nano-quantized
+    before the exact per-doc integer sum (the add-1 discipline)."""
+    t = load_tables(spark, sf_dir)
+    toks = spread(t["documents"], spark).select(
+        F.col("doc_id").alias("id"),
+        F.filter(F.split(F.trim("text"), r"\s+"), lambda x: x != "").alias("tt"),
+    ).filter(F.size("tt") >= 2)
+    pairs = toks.select(
+        "id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tt) - 1), i -> "
+                "named_struct('w1', element_at(tt, i), 'w2', element_at(tt, i + 1)))"
+            )
+        ).alias("p"),
+    ).select("id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    bc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    ctx = bc.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("n1f"),
+    )
+    back = bc.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("n1b"))
+    tot = bc.agg(F.count(F.lit(1)).cast("long").alias("n1tot"))
+    logp = F.log(
+        (
+            F.col("c12").cast("double") - F.lit(0.75)
+            + F.lit(0.75) * F.col("n1f").cast("double")
+            * (F.col("n1b").cast("double") / F.col("n1tot").cast("double"))
+        )
+        / F.col("c1").cast("double")
+    )
+    scored = (
+        pairs.join(bc, ["w1", "w2"])
+        .join(ctx, ["w1"])
+        .join(back, ["w2"])
+        .crossJoin(F.broadcast(tot))
+        .select("id", R.quantize(logp).alias("logp_q"))
+    )
+    return scored.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("logp_q").cast("long").alias("sum_logp_q"),
+    )

@@ -3296,3 +3296,51 @@ def fixedwidth_scan_orders(spark, sf_dir):
         F.sum("o_orderkey").cast("long").alias("key_sum"),
         dec_sum("o_totalprice").alias("price_sum"),
     )
+
+
+@workload(
+    "cdc_chunk_stats_documents",
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN LENGTH(s0) < 8 THEN RPAD(s0, 8, ' ') ELSE s0 END AS s
+      FROM (SELECT doc_id, LOWER(REGEXP_REPLACE(text, '\s+', ' ', 'g')) AS s0
+            FROM documents)
+    ),
+    h AS (
+      SELECT doc_id, LENGTH(s) AS L,
+             LIST_FILTER(LIST_TRANSFORM(
+               RANGE(1, GREATEST(LENGTH(s) - 7, 1) + 1),
+               i -> CASE WHEN LIST_REDUCE(
+                      LIST_TRANSFORM(RANGE(i, i + 8),
+                        j -> CAST(ASCII(SUBSTRING(s, CAST(j AS INTEGER), 1)) AS BIGINT)),
+                      (acc, x) -> (acc * 31 + x) % 1000000007) % 64 = 0
+                    THEN i + 7 ELSE 0 END),
+               x -> x > 0 AND x < LENGTH(s)) AS cuts
+      FROM base
+    ),
+    seg AS (
+      SELECT doc_id, L, cuts || [CAST(L AS BIGINT)] AS ends FROM h
+    )
+    SELECT doc_id,
+           CAST(LEN(ends) AS BIGINT) AS n_chunks,
+           CAST(LIST_MAX(LIST_TRANSFORM(RANGE(1, LEN(ends) + 1),
+                k -> ends[k] - CASE WHEN k = 1 THEN 0 ELSE ends[k-1] END))
+                AS BIGINT) AS max_chunk,
+           CAST(LIST_MIN(LIST_TRANSFORM(RANGE(1, LEN(ends) + 1),
+                k -> ends[k] - CASE WHEN k = 1 THEN 0 ELSE ends[k-1] END))
+                AS BIGINT) AS min_chunk,
+           CAST(L AS BIGINT) AS n_chars
+    FROM seg
+    """,
+    category="text",
+)
+def cdc_chunk_stats_documents(spark, sf_dir):
+    """Content-defined chunk boundaries per document (operators/text.py
+    cdc_chunk_stats): Karp-Rabin window hash ≡ 0 (mod 64) cuts — the
+    storage-dedup chunking whose boundaries survive edits. Pure integer
+    scan-stage expressions sharing the fingerprint fold; the oracle
+    replays the identical fold (list_reduce's first-element seed equals
+    the 0-init after one step since every char code < modulus)."""
+    t = load_tables(spark, sf_dir)
+    return X.cdc_chunk_stats(spread(t["documents"], spark))
