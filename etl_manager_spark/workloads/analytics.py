@@ -4149,13 +4149,15 @@ def session_duration_stats(spark, sf_dir):
     WITH c AS (
       SELECT c_custkey,
              (c_custkey * 37) % 12000 / 100.0 - 60 AS c_lat,
-             (c_custkey * 73) % 36000 / 100.0 - 180 AS c_lon
+             (c_custkey * 73) % 36000 / 100.0 - 180 AS c_lon,
+             COS(RADIANS((c_custkey * 37) % 12000 / 100.0 - 60)) AS c_cos
       FROM customer
     ),
     s AS (
       SELECT s_suppkey,
              (s_suppkey * 41) % 12000 / 100.0 - 60 AS s_lat,
-             (s_suppkey * 97) % 36000 / 100.0 - 180 AS s_lon
+             (s_suppkey * 97) % 36000 / 100.0 - 180 AS s_lon,
+             COS(RADIANS((s_suppkey * 41) % 12000 / 100.0 - 60)) AS s_cos
       FROM supplier
     ),
     scored AS (
@@ -4163,7 +4165,7 @@ def session_duration_stats(spark, sf_dir):
              CAST(FLOOR(12742.0 * ASIN(SQRT(
                SIN(RADIANS(c_lat - s_lat) / 2)
                  * SIN(RADIANS(c_lat - s_lat) / 2)
-               + COS(RADIANS(s_lat)) * COS(RADIANS(c_lat))
+               + s_cos * c_cos
                  * SIN(RADIANS(c_lon - s_lon) / 2)
                  * SIN(RADIANS(c_lon - s_lon) / 2)
              )) * 1000000.0 + 0.5) AS BIGINT) * 1000000 + s_suppkey AS pack
@@ -4188,21 +4190,32 @@ def nearest_supplier_per_customer(spark, sf_dir):
     prefilter with expanding-ring fallback; the argmin packing is
     unchanged."""
     t = load_tables(spark, sf_dir)
+    # cos(lat) precomputed per ROW on each side (15k + 1k evaluations)
+    # instead of per PAIR (2×15M) — bitwise-identical values, ~1/3 less
+    # trig in the pair loop; the oracle stages the same columns
     cust = t["customer"].select(
         "c_custkey",
         ((F.col("c_custkey") * 37) % 12000 / F.lit(100.0) - 60).alias("c_lat"),
         ((F.col("c_custkey") * 73) % 36000 / F.lit(100.0) - 180).alias("c_lon"),
+        F.cos(
+            F.radians((F.col("c_custkey") * 37) % 12000 / F.lit(100.0) - 60)
+        ).alias("c_cos"),
     )
     supp = t["supplier"].select(
         "s_suppkey",
         ((F.col("s_suppkey") * 41) % 12000 / F.lit(100.0) - 60).alias("s_lat"),
         ((F.col("s_suppkey") * 97) % 36000 / F.lit(100.0) - 180).alias("s_lon"),
+        F.cos(
+            F.radians((F.col("s_suppkey") * 41) % 12000 / F.lit(100.0) - 60)
+        ).alias("s_cos"),
     )
-    from etl_manager_spark.operators.spatial import haversine_km
-
-    d = haversine_km(
-        F.col("c_lat"), F.col("c_lon"), F.col("s_lat"), F.col("s_lon")
+    dphi = F.radians(F.col("c_lat") - F.col("s_lat"))
+    dlmb = F.radians(F.col("c_lon") - F.col("s_lon"))
+    a = (
+        F.sin(dphi / 2) * F.sin(dphi / 2)
+        + F.col("s_cos") * F.col("c_cos") * F.sin(dlmb / 2) * F.sin(dlmb / 2)
     )
+    d = F.lit(12742.0) * F.asin(F.sqrt(a))
     pack = (
         F.floor(d * F.lit(1000000.0) + F.lit(0.5)).cast("long")
         * F.lit(1000000)
