@@ -4193,7 +4193,10 @@ def nearest_supplier_per_customer(spark, sf_dir):
     # cos(lat) precomputed per ROW on each side (15k + 1k evaluations)
     # instead of per PAIR (2×15M) — bitwise-identical values, ~1/3 less
     # trig in the pair loop; the oracle stages the same columns
-    cust = t["customer"].select(
+    # spread(): the single-file fixture is ONE input split, and the BNLJ
+    # runs on the STREAM side's partitions — unspread, all 15M pair
+    # distances serialize on one core
+    cust = spread(t["customer"], spark).select(
         "c_custkey",
         ((F.col("c_custkey") * 37) % 12000 / F.lit(100.0) - 60).alias("c_lat"),
         ((F.col("c_custkey") * 73) % 36000 / F.lit(100.0) - 180).alias("c_lon"),
