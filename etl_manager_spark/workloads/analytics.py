@@ -4381,3 +4381,109 @@ def kneser_ney_bigram_score_documents(spark, sf_dir):
         F.count(F.lit(1)).alias("n_bigrams"),
         F.sum("logp_q").cast("long").alias("sum_logp_q"),
     )
+
+
+@workload(
+    "theil_decomposition_nation_revenue",
+    """
+    WITH cust AS (
+      SELECT c.c_nationkey AS nat, o.o_custkey AS ck,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS r
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(r AS DECIMAL(18,2))) AS DOUBLE) AS sr
+      FROM cust
+    ),
+    terms AS (
+      SELECT nat,
+             CAST(FLOOR((r / (sr / n)) * LN(r / (sr / n)) / n
+                  * 1000000000.0 + 0.5) AS BIGINT) AS t_q
+      FROM cust CROSS JOIN tot
+    ),
+    grp AS (
+      SELECT c.nat, CAST(COUNT(*) AS BIGINT) AS ng,
+             CAST(SUM(CAST(c.r AS DECIMAL(18,2))) AS DOUBLE) AS sg
+      FROM cust c GROUP BY c.nat
+    ),
+    btw AS (
+      SELECT CAST(SUM(CAST(FLOOR(
+               (CAST(ng AS DOUBLE) / n) * ((sg / ng) / (sr / n))
+               * LN((sg / ng) / (sr / n)) * 1000000000.0 + 0.5) AS BIGINT))
+             AS BIGINT) AS theil_between_q
+      FROM grp CROSS JOIN tot
+    )
+    SELECT tot.n AS n_customers,
+           CAST((SELECT SUM(t_q) FROM terms) AS BIGINT) AS theil_total_q,
+           btw.theil_between_q,
+           CAST((SELECT SUM(t_q) FROM terms) - btw.theil_between_q AS BIGINT)
+             AS theil_within_q
+    FROM tot CROSS JOIN btw
+    """,
+    category="analytics",
+)
+def theil_decomposition_nation_revenue(spark, sf_dir):
+    """Theil-T inequality of per-customer revenue, decomposed into
+    BETWEEN-nation and WITHIN-nation components — the decomposability
+    gini_revenue_customers can't offer (Gini doesn't split additively;
+    Theil does: T = T_between + T_within). Per-customer and per-nation
+    contributions are nano-quantized before the order-free integer sums;
+    the within term is the exact integer difference, so the identity
+    holds by construction at the emitted precision. Shuffles: the
+    orders⋈customer join and two bounded aggregates — no windows, no
+    sorts."""
+    from etl_manager_spark.functions.exact import dec_sum
+
+    t = load_tables(spark, sf_dir)
+    cust = (
+        t["orders"]
+        .join(
+            F.broadcast(t["customer"].select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(F.col("c_nationkey").alias("nat"), F.col("o_custkey").alias("ck"))
+        .agg(dec_sum("o_totalprice").alias("r"))
+    )
+    tot = cust.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        dec_sum("r").alias("sr"),
+    )
+    mu = F.col("sr") / F.col("n")
+    terms = cust.crossJoin(F.broadcast(tot)).select(
+        "nat",
+        F.floor(
+            (F.col("r") / mu) * F.log(F.col("r") / mu) / F.col("n")
+            * F.lit(1000000000.0) + F.lit(0.5)
+        ).cast("long").alias("t_q"),
+    )
+    total = terms.agg(F.sum("t_q").cast("long").alias("theil_total_q"))
+    grp = cust.groupBy("nat").agg(
+        F.count(F.lit(1)).cast("long").alias("ng"),
+        dec_sum("r").alias("sg"),
+    )
+    mug = F.col("sg") / F.col("ng")
+    btw = (
+        grp.crossJoin(F.broadcast(tot))
+        .select(
+            F.floor(
+                (F.col("ng").cast("double") / F.col("n"))
+                * (mug / mu) * F.log(mug / mu)
+                * F.lit(1000000000.0) + F.lit(0.5)
+            ).cast("long").alias("b_q")
+        )
+        .agg(F.sum("b_q").cast("long").alias("theil_between_q"))
+    )
+    return (
+        tot.select(F.col("n").alias("n_customers"))
+        .crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(btw))
+        .select(
+            "n_customers",
+            "theil_total_q",
+            "theil_between_q",
+            (F.col("theil_total_q") - F.col("theil_between_q"))
+            .cast("long").alias("theil_within_q"),
+        )
+    )

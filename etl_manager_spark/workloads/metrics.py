@@ -3088,3 +3088,172 @@ def cmh_odds_ratio_events(spark, sf_dir):
             * F.lit(1000000000.0) + F.lit(0.5)
         ).cast("long").alias("cmh_or_q"),
     )
+
+
+@workload(
+    "did_estimator_events",
+    """
+    WITH bounds AS (
+      SELECT MIN(epoch_us(ts)) AS us0, MAX(epoch_us(ts)) AS us1 FROM events
+    ),
+    cells AS (
+      SELECT CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS treated,
+             CASE WHEN epoch_us(ts) * 2 >= us0 + us1 THEN 1 ELSE 0 END AS post,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))
+                      * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS ss
+      FROM events CROSS JOIN bounds
+      GROUP BY 1, 2
+    ),
+    wide AS (
+      SELECT
+        MAX(CASE WHEN treated = 1 AND post = 1 THEN s / n END) AS m_t1,
+        MAX(CASE WHEN treated = 1 AND post = 0 THEN s / n END) AS m_t0,
+        MAX(CASE WHEN treated = 0 AND post = 1 THEN s / n END) AS m_c1,
+        MAX(CASE WHEN treated = 0 AND post = 0 THEN s / n END) AS m_c0,
+        MAX(CASE WHEN treated = 1 AND post = 1
+                 THEN (ss - s * s / n) / (n - 1) / n END) AS v_t1,
+        MAX(CASE WHEN treated = 1 AND post = 0
+                 THEN (ss - s * s / n) / (n - 1) / n END) AS v_t0,
+        MAX(CASE WHEN treated = 0 AND post = 1
+                 THEN (ss - s * s / n) / (n - 1) / n END) AS v_c1,
+        MAX(CASE WHEN treated = 0 AND post = 0
+                 THEN (ss - s * s / n) / (n - 1) / n END) AS v_c0,
+        CAST(SUM(n) AS BIGINT) AS n_total
+      FROM cells
+    )
+    SELECT n_total,
+           CAST(FLOOR(((m_t1 - m_t0) - (m_c1 - m_c0)) * 1000000000.0 + 0.5)
+                AS BIGINT) AS did_q,
+           CAST(FLOOR(SQRT(v_t1 + v_t0 + v_c1 + v_c0) * 1000000000.0 + 0.5)
+                AS BIGINT) AS se_q,
+           CAST(FLOOR(((m_t1 - m_t0) - (m_c1 - m_c0))
+                / SQRT(v_t1 + v_t0 + v_c1 + v_c0)
+                * 1000000000.0 + 0.5) AS BIGINT) AS z_q
+    FROM wide
+    """,
+    category="statistics",
+)
+def did_estimator_events(spark, sf_dir):
+    """Difference-in-differences: the causal workhorse for natural
+    experiments. Synthetic assignment (treated = odd user_id; post = the
+    integer-µs time midpoint, the psi_drift idiom) over a 2×2 of
+    decimal-exact cell moments; DiD, its standard error
+    (√Σ var_i/n_i over the four cells), and the z statistic are single
+    IEEE expressions over those exact doubles. One map-combined groupBy
+    and a 4-row pivot — nothing scales with data but the scan."""
+    from etl_manager_spark.functions.exact import dec_sum, dec_sumsq
+
+    t = load_tables(spark, sf_dir)
+    ev = spread(t["events"], spark)
+    b = ev.agg(
+        F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("us0"),
+        F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("us1"),
+    )
+    cells = (
+        ev.crossJoin(F.broadcast(b))
+        .groupBy(
+            F.when(F.col("user_id") % 2 == 1, 1).otherwise(0).alias("treated"),
+            F.when(
+                F.unix_micros(F.col("ts").cast("timestamp")) * 2
+                >= F.col("us0") + F.col("us1"),
+                1,
+            ).otherwise(0).alias("post"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            dec_sum("value").alias("s"),
+            dec_sumsq("value").alias("ss"),
+        )
+    )
+    mean = F.col("s") / F.col("n")
+    varm = (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (
+        F.col("n") - 1
+    ) / F.col("n")
+
+    def cell(tr, po, expr):
+        return F.max(
+            F.when((F.col("treated") == tr) & (F.col("post") == po), expr)
+        )
+
+    wide = cells.agg(
+        cell(1, 1, mean).alias("m_t1"),
+        cell(1, 0, mean).alias("m_t0"),
+        cell(0, 1, mean).alias("m_c1"),
+        cell(0, 0, mean).alias("m_c0"),
+        cell(1, 1, varm).alias("v_t1"),
+        cell(1, 0, varm).alias("v_t0"),
+        cell(0, 1, varm).alias("v_c1"),
+        cell(0, 0, varm).alias("v_c0"),
+        F.sum("n").cast("long").alias("n_total"),
+    )
+    did = (F.col("m_t1") - F.col("m_t0")) - (F.col("m_c1") - F.col("m_c0"))
+    se = F.sqrt(F.col("v_t1") + F.col("v_t0") + F.col("v_c1") + F.col("v_c0"))
+    return wide.select(
+        "n_total",
+        R.quantize(did).alias("did_q"),
+        R.quantize(se).alias("se_q"),
+        R.quantize(did / se).alias("z_q"),
+    )
+
+
+@workload(
+    "peak_detection_daily_events",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(FLOOR(value * 1000000000.0 + 0.5) AS BIGINT))
+                  AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000000.0 AS m
+      FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT event_type, day, m,
+             LAG(m) OVER (PARTITION BY event_type ORDER BY day) AS prev,
+             LEAD(m) OVER (PARTITION BY event_type ORDER BY day) AS nxt
+      FROM daily
+    )
+    SELECT event_type, day,
+           CAST(FLOOR(m * 1000000000.0 + 0.5) AS BIGINT) AS m_q,
+           CAST(FLOOR((m - GREATEST(prev, nxt)) * 1000000000.0 + 0.5)
+                AS BIGINT) AS margin_q
+    FROM lagged
+    WHERE prev IS NOT NULL AND nxt IS NOT NULL
+      AND m > prev AND m >= nxt
+    """,
+    category="statistics",
+)
+def peak_detection_daily_events(spark, sf_dir):
+    """Local-maximum peaks on the per-type daily mean series (plateau
+    leading edge: strictly above the previous day, at-or-above the next)
+    with the margin over the taller neighbor — the alerting primitive
+    behind spike detection. Per-type calendar-bounded windows (the
+    kaplan_meier contract); daily means are exact-integer ratios so the
+    peak predicate compares identical doubles in both engines."""
+    t = load_tables(spark, sf_dir)
+    daily = (
+        spread(t["events"], spark)
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(
+            (
+                F.sum(R.quantize(F.col("value"))).cast("double")
+                / F.count(F.lit(1)).cast("double") / F.lit(1000000000.0)
+            ).alias("m")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type", "day", "m",
+        F.lag("m").over(w).alias("prev"),
+        F.lead("m").over(w).alias("nxt"),
+    )
+    return lagged.filter(
+        F.col("prev").isNotNull()
+        & F.col("nxt").isNotNull()
+        & (F.col("m") > F.col("prev"))
+        & (F.col("m") >= F.col("nxt"))
+    ).select(
+        "event_type", "day",
+        R.quantize(F.col("m")).alias("m_q"),
+        R.quantize(F.col("m") - F.greatest("prev", "nxt")).alias("margin_q"),
+    )
