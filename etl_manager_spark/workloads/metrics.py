@@ -3257,3 +3257,355 @@ def peak_detection_daily_events(spark, sf_dir):
         R.quantize(F.col("m")).alias("m_q"),
         R.quantize(F.col("m") - F.greatest("prev", "nxt")).alias("margin_q"),
     )
+
+
+@workload(
+    "record_highs_daily_events",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(FLOOR(value * 1000000000.0 + 0.5) AS BIGINT))
+                  AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000000.0 AS m
+      FROM events GROUP BY 1, 2
+    )
+    SELECT a.event_type, a.day,
+           CAST(FLOOR(a.m * 1000000000.0 + 0.5) AS BIGINT) AS m_q
+    FROM daily a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM daily b
+      WHERE b.event_type = a.event_type AND b.day < a.day AND b.m >= a.m
+    ) AND EXISTS (
+      SELECT 1 FROM daily b WHERE b.event_type = a.event_type AND b.day < a.day
+    )
+    """,
+    category="statistics",
+)
+def record_highs_daily_events(spark, sf_dir):
+    """Running-record days: dates whose daily mean strictly beats every
+    earlier day of the same type (the monitoring 'new all-time high'
+    signal; day 1 excluded — a record needs history). Expressed as a
+    per-type anti-join against earlier-and-not-lower days — an equijoin
+    on event_type with a date/value theta residual, NOT a running-max
+    window, so nothing serializes; per-type daily series are
+    calendar-bounded."""
+    t = load_tables(spark, sf_dir)
+    daily = (
+        spread(t["events"], spark)
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(
+            (
+                F.sum(R.quantize(F.col("value"))).cast("double")
+                / F.count(F.lit(1)).cast("double") / F.lit(1000000000.0)
+            ).alias("m")
+        )
+    )
+    b = daily.select(
+        F.col("event_type").alias("b_type"),
+        F.col("day").alias("b_day"),
+        F.col("m").alias("b_m"),
+    )
+    beaten = daily.join(
+        F.broadcast(b),
+        (F.col("b_type") == F.col("event_type"))
+        & (F.col("b_day") < F.col("day"))
+        & (F.col("b_m") >= F.col("m")),
+        "left_anti",
+    )
+    has_history = daily.groupBy("event_type").agg(F.min("day").alias("day0"))
+    return (
+        beaten.join(F.broadcast(has_history), "event_type")
+        .filter(F.col("day") > F.col("day0"))
+        .select("event_type", "day", R.quantize(F.col("m")).alias("m_q"))
+    )
+
+
+@workload(
+    "haar_energy_daily_events",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(FLOOR(value * 1000000000.0 + 0.5) AS BIGINT))
+                  AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000000.0 AS m
+      FROM events GROUP BY 1, 2
+    ),
+    d0 AS (
+      SELECT d.event_type,
+             DATEDIFF('day', t0.day0, d.day) AS i, d.m
+      FROM daily d
+      JOIN (SELECT event_type, MIN(day) AS day0 FROM daily GROUP BY 1) t0
+        ON t0.event_type = d.event_type
+    ),
+    l1 AS (
+      SELECT event_type, i // 2 AS j,
+             MAX(CASE WHEN i % 2 = 1 THEN m END)
+               - MAX(CASE WHEN i % 2 = 0 THEN m END) AS diff,
+             (MAX(CASE WHEN i % 2 = 0 THEN m END)
+               + MAX(CASE WHEN i % 2 = 1 THEN m END)) / 2 AS avg2,
+             COUNT(*) AS cnt
+      FROM d0 GROUP BY 1, 2
+    ),
+    l2 AS (
+      SELECT event_type, j // 2 AS j,
+             MAX(CASE WHEN j % 2 = 1 THEN avg2 END)
+               - MAX(CASE WHEN j % 2 = 0 THEN avg2 END) AS diff,
+             (MAX(CASE WHEN j % 2 = 0 THEN avg2 END)
+               + MAX(CASE WHEN j % 2 = 1 THEN avg2 END)) / 2 AS avg2,
+             COUNT(*) AS cnt
+      FROM l1 WHERE cnt = 2 GROUP BY 1, 2
+    ),
+    l3 AS (
+      SELECT event_type, j // 2 AS j,
+             MAX(CASE WHEN j % 2 = 1 THEN avg2 END)
+               - MAX(CASE WHEN j % 2 = 0 THEN avg2 END) AS diff,
+             COUNT(*) AS cnt
+      FROM l2 WHERE cnt = 2 GROUP BY 1, 2
+    )
+    SELECT event_type, level,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CAST(FLOOR(diff * diff / 2.0 * 1000000000.0 + 0.5)
+                AS BIGINT)) AS BIGINT) AS energy_q
+    FROM (
+      SELECT event_type, 1 AS level, diff FROM l1 WHERE cnt = 2
+      UNION ALL SELECT event_type, 2, diff FROM l2 WHERE cnt = 2
+      UNION ALL SELECT event_type, 3, diff FROM l3 WHERE cnt = 2
+    )
+    GROUP BY event_type, level
+    """,
+    category="statistics",
+)
+def haar_energy_daily_events(spark, sf_dir):
+    """Haar wavelet energy per dyadic level (1=2-day, 2=4-day, 3=8-day
+    detail) of the per-type daily mean series — which timescale carries
+    the variance (daily noise vs weekly structure). Each level is one
+    bounded groupBy on integer buckets (i//2 with conditional
+    aggregates), never a window or sort; incomplete trailing pairs drop
+    (cnt=2 guard) identically in both engines. Per-pair energies are
+    nano-quantized before the order-free sums."""
+    t = load_tables(spark, sf_dir)
+    daily = (
+        spread(t["events"], spark)
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(
+            (
+                F.sum(R.quantize(F.col("value"))).cast("double")
+                / F.count(F.lit(1)).cast("double") / F.lit(1000000000.0)
+            ).alias("m")
+        )
+    )
+    t0 = daily.groupBy("event_type").agg(F.min("day").alias("day0"))
+    d0 = daily.join(F.broadcast(t0), "event_type").select(
+        "event_type", F.datediff("day", "day0").alias("i"), "m"
+    )
+
+    def halve(df, idx, val):
+        even = F.max(F.when(F.col(idx) % 2 == 0, F.col(val)))
+        odd = F.max(F.when(F.col(idx) % 2 == 1, F.col(val)))
+        return df.groupBy(
+            "event_type", (F.col(idx) - F.col(idx) % 2).alias("_p")
+        ).agg(
+            (odd - even).alias("diff"),
+            ((even + odd) / 2).alias("avg2"),
+            F.count(F.lit(1)).alias("cnt"),
+        ).select(
+            "event_type", (F.col("_p") / 2).cast("long").alias("j"),
+            "diff", "avg2", "cnt",
+        )
+
+    l1 = halve(d0, "i", "m")
+    l2 = halve(l1.filter("cnt = 2"), "j", "avg2")
+    l3 = halve(l2.filter("cnt = 2"), "j", "avg2")
+    stacked = (
+        l1.filter("cnt = 2").select("event_type", F.lit(1).alias("level"), "diff")
+        .unionByName(
+            l2.filter("cnt = 2").select("event_type", F.lit(2).alias("level"), "diff")
+        )
+        .unionByName(
+            l3.filter("cnt = 2").select("event_type", F.lit(3).alias("level"), "diff")
+        )
+    )
+    return stacked.groupBy("event_type", "level").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(
+            F.floor(
+                F.col("diff") * F.col("diff") / F.lit(2.0)
+                * F.lit(1000000000.0) + F.lit(0.5)
+            ).cast("long")
+        ).cast("long").alias("energy_q"),
+    )
+
+
+@workload(
+    "newey_west_trend_daily",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(FLOOR(value * 1000000000.0 + 0.5) AS BIGINT))
+                  AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000000.0 AS m
+      FROM events GROUP BY 1, 2
+    ),
+    d0 AS (
+      SELECT d.event_type, DATEDIFF('day', t0.day0, d.day) AS t, d.m
+      FROM daily d
+      JOIN (SELECT event_type, MIN(day) AS day0 FROM daily GROUP BY 1) t0
+        ON t0.event_type = d.event_type
+    ),
+    mom AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(t) AS BIGINT) AS sx,
+             CAST(SUM(t * t) AS BIGINT) AS sxx,
+             CAST(SUM(CAST(FLOOR(m * 1000000000.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS sy_q,
+             CAST(SUM(CAST(FLOOR(t * m * 1000000000.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS sxy_q
+      FROM d0 GROUP BY event_type
+    ),
+    fit AS (
+      SELECT event_type, n, sx, sxx,
+             (n * (CAST(sxy_q AS DOUBLE) / 1000000000.0)
+              - sx * (CAST(sy_q AS DOUBLE) / 1000000000.0))
+             / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx) AS b,
+             ((CAST(sy_q AS DOUBLE) / 1000000000.0)
+              - (n * (CAST(sxy_q AS DOUBLE) / 1000000000.0)
+                 - sx * (CAST(sy_q AS DOUBLE) / 1000000000.0))
+                / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                * sx) / n AS a
+      FROM mom
+    ),
+    resid AS (
+      SELECT d.event_type, d.t, d.m - (f.a + f.b * d.t) AS e
+      FROM d0 d JOIN fit f ON f.event_type = d.event_type
+    ),
+    gam AS (
+      SELECT r1.event_type, l.lag,
+             CAST(SUM(CAST(FLOOR(r1.e * r2.e * 1000000000.0 + 0.5)
+                  AS BIGINT)) AS BIGINT) AS g_q,
+             CAST(COUNT(*) AS BIGINT) AS npairs
+      FROM resid r1
+      CROSS JOIN (SELECT UNNEST(range(0, 4)) AS lag) l
+      JOIN resid r2 ON r2.event_type = r1.event_type
+                   AND r2.t = r1.t + CAST(l.lag AS INTEGER)
+      GROUP BY 1, 2
+    ),
+    lrv AS (
+      SELECT g.event_type,
+             CAST(SUM(CAST(FLOOR(
+               (CASE WHEN g.lag = 0
+                     THEN CAST(g.g_q AS DOUBLE) / 1000000000.0 / m.n
+                     ELSE 2.0 * (1.0 - CAST(g.lag AS DOUBLE) / 4.0)
+                          * (CAST(g.g_q AS DOUBLE) / 1000000000.0 / m.n)
+                END) * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 1000000000.0 AS v
+      FROM gam g JOIN mom m ON m.event_type = g.event_type
+      GROUP BY g.event_type
+    )
+    SELECT f.event_type, f.n AS n_days,
+           CAST(FLOOR(f.b * 1000000000.0 + 0.5) AS BIGINT) AS slope_q,
+           CAST(FLOOR(SQRT(l.v * f.n
+                / (f.n * CAST(f.sxx AS DOUBLE) - CAST(f.sx AS DOUBLE) * f.sx))
+                * 1000000000.0 + 0.5) AS BIGINT) AS se_nw_q
+    FROM fit f JOIN lrv l ON l.event_type = f.event_type
+    """,
+    category="statistics",
+)
+def newey_west_trend_daily(spark, sf_dir):
+    """Daily-trend slope with a Newey-West (HAC, Bartlett window, L=3)
+    standard error per event type — the autocorrelation-robust SE plain
+    OLS gets wrong on serially-correlated series. Residual
+    autocovariances come from LAG EQUIJOINS (t = t + lag), never a
+    window; the day index is datediff from the per-type minimum (one
+    bounded join, no ranking). Per-pair residual products are
+    nano-quantized before the order-free sums; slope/SE are single IEEE
+    expressions over the exact moments, shared with the oracle.
+    Bartlett long-run variance: γ0 + 2·Σ(1 − l/4)·γl."""
+    t = load_tables(spark, sf_dir)
+    daily = (
+        spread(t["events"], spark)
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(
+            (
+                F.sum(R.quantize(F.col("value"))).cast("double")
+                / F.count(F.lit(1)).cast("double") / F.lit(1000000000.0)
+            ).alias("m")
+        )
+    )
+    t0 = daily.groupBy("event_type").agg(F.min("day").alias("day0"))
+    d0 = daily.join(F.broadcast(t0), "event_type").select(
+        "event_type", F.datediff("day", "day0").alias("t"), "m"
+    )
+    mom = d0.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("t").cast("long").alias("sx"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("sxx"),
+        F.sum(R.quantize(F.col("m"))).cast("long").alias("sy_q"),
+        F.sum(R.quantize(F.col("t") * F.col("m"))).cast("long").alias("sxy_q"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy = F.col("sy_q").cast("double") / F.lit(1000000000.0)
+    sxy = F.col("sxy_q").cast("double") / F.lit(1000000000.0)
+    den = n * sxx.cast("double") - sx.cast("double") * sx
+    b = (n * sxy - sx * sy) / den
+    fit = mom.select(
+        "event_type", "n", "sx", "sxx",
+        b.alias("b"),
+        ((sy - b * sx) / n).alias("a"),
+    )
+    resid = d0.join(F.broadcast(fit), "event_type").select(
+        "event_type", "t",
+        (F.col("m") - (F.col("a") + F.col("b") * F.col("t"))).alias("e"),
+    )
+    r2 = resid.select(
+        F.col("event_type").alias("r2_type"),
+        F.col("t").alias("r2_t"),
+        F.col("e").alias("r2_e"),
+    )
+    gam = (
+        resid.select(
+            "event_type", "t", "e",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("lag"),
+        )
+        .join(
+            F.broadcast(r2),
+            (F.col("r2_type") == F.col("event_type"))
+            & (F.col("r2_t") == F.col("t") + F.col("lag")),
+        )
+        .groupBy("event_type", "lag")
+        .agg(
+            F.sum(R.quantize(F.col("e") * F.col("r2_e")))
+            .cast("long").alias("g_q")
+        )
+    )
+    lrv = (
+        gam.join(F.broadcast(mom.select("event_type", "n")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            (
+                F.sum(
+                    R.quantize(
+                        F.when(
+                            F.col("lag") == 0,
+                            F.col("g_q").cast("double")
+                            / F.lit(1000000000.0) / F.col("n"),
+                        ).otherwise(
+                            F.lit(2.0)
+                            * (F.lit(1.0)
+                               - F.col("lag").cast("double") / F.lit(4.0))
+                            * (F.col("g_q").cast("double")
+                               / F.lit(1000000000.0) / F.col("n"))
+                        )
+                    )
+                ).cast("double") / F.lit(1000000000.0)
+            ).alias("v")
+        )
+    )
+    out = fit.join(lrv, "event_type")
+    se = F.sqrt(
+        F.col("v") * F.col("n")
+        / (F.col("n") * F.col("sxx").cast("double")
+           - F.col("sx").cast("double") * F.col("sx"))
+    )
+    return out.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        R.quantize(F.col("b")).alias("slope_q"),
+        R.quantize(se).alias("se_nw_q"),
+    )
