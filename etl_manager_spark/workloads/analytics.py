@@ -4487,3 +4487,94 @@ def theil_decomposition_nation_revenue(spark, sf_dir):
             .cast("long").alias("theil_within_q"),
         )
     )
+
+
+@workload(
+    "heaps_law_fit_documents",
+    r"""
+    WITH cps AS (SELECT UNNEST([63, 125, 188, 250, 313, 375, 438, 500]) AS cp),
+    scaled AS (
+      SELECT CAST(CAST(cp AS DOUBLE) / 500.0
+                  * (SELECT COUNT(*) FROM documents) AS BIGINT) AS cp_n
+      FROM cps
+    ),
+    tok AS (
+      SELECT doc_id, UNNEST(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]+')) AS tk
+      FROM documents
+    ),
+    pts AS (
+      SELECT s.cp_n,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(COUNT(DISTINCT t.tk) AS BIGINT) AS vocab
+      FROM tok t JOIN scaled s ON t.doc_id < s.cp_n
+      GROUP BY s.cp_n
+    ),
+    q AS (
+      SELECT CAST(FLOOR(LN(CAST(n_tokens AS DOUBLE)) * 1000000000.0 + 0.5)
+                  AS BIGINT) AS x_q,
+             CAST(FLOOR(LN(CAST(vocab AS DOUBLE)) * 1000000000.0 + 0.5)
+                  AS BIGINT) AS y_q,
+             CAST(FLOOR(LN(CAST(n_tokens AS DOUBLE))
+                        * LN(CAST(n_tokens AS DOUBLE))
+                  * 1000000000.0 + 0.5) AS BIGINT) AS xx_q,
+             CAST(FLOOR(LN(CAST(n_tokens AS DOUBLE))
+                        * LN(CAST(vocab AS DOUBLE))
+                  * 1000000000.0 + 0.5) AS BIGINT) AS xy_q
+      FROM pts
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(FLOOR((COUNT(*) * (CAST(SUM(xy_q) AS DOUBLE) / 1000000000.0)
+                       - (CAST(SUM(x_q) AS DOUBLE) / 1000000000.0)
+                         * (CAST(SUM(y_q) AS DOUBLE) / 1000000000.0))
+                / (COUNT(*) * (CAST(SUM(xx_q) AS DOUBLE) / 1000000000.0)
+                   - (CAST(SUM(x_q) AS DOUBLE) / 1000000000.0)
+                     * (CAST(SUM(x_q) AS DOUBLE) / 1000000000.0))
+                * 1000000000.0 + 0.5) AS BIGINT) AS beta_q
+    FROM q
+    """,
+    category="text",
+)
+def heaps_law_fit_documents(spark, sf_dir):
+    """Heaps'-law exponent: vocabulary grows as V(n) ∝ n^β (β ≈ 0.4-0.6
+    for natural text; β near 0 screams boilerplate, near 1 screams
+    noise/garbage). Eight corpus-prefix checkpoints (scaled by corpus
+    size so the query is sf-independent) each count tokens and distinct
+    vocabulary via ONE fan-out join (token × matching checkpoints) + one
+    distinct aggregate — no ordering, no windows; β is the ln-ln OLS
+    slope over the 8 quantized points (the zipf_fit discipline)."""
+    t = load_tables(spark, sf_dir)
+    docs = spread(t["documents"], spark)
+    n_docs = docs.count()
+    cps = [int(c / 500.0 * n_docs) for c in (63, 125, 188, 250, 313, 375, 438, 500)]
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("tk"),
+    )
+    scaled = spark.createDataFrame([(c,) for c in cps], "cp_n long")
+    pts = (
+        tok.join(F.broadcast(scaled), F.col("doc_id") < F.col("cp_n"))
+        .groupBy("cp_n")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.countDistinct("tk").cast("long").alias("vocab"),
+        )
+    )
+    lx = F.log(F.col("n_tokens").cast("double"))
+    ly = F.log(F.col("vocab").cast("double"))
+    q = pts.select(
+        R.quantize(lx).alias("x_q"),
+        R.quantize(ly).alias("y_q"),
+        R.quantize(lx * lx).alias("xx_q"),
+        R.quantize(lx * ly).alias("xy_q"),
+    )
+    n = F.count(F.lit(1))
+    sx = F.sum("x_q").cast("double") / F.lit(1000000000.0)
+    sy = F.sum("y_q").cast("double") / F.lit(1000000000.0)
+    sxx = F.sum("xx_q").cast("double") / F.lit(1000000000.0)
+    sxy = F.sum("xy_q").cast("double") / F.lit(1000000000.0)
+    return q.agg(
+        n.cast("long").alias("n_points"),
+        R.quantize((n * sxy - sx * sy) / (n * sxx - sx * sx)).alias("beta_q"),
+    )

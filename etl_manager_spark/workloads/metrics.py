@@ -3609,3 +3609,155 @@ def newey_west_trend_daily(spark, sf_dir):
         R.quantize(F.col("b")).alias("slope_q"),
         R.quantize(se).alias("se_nw_q"),
     )
+
+
+def _rs_sql() -> str:
+    """R/S of one block: arr is the block's day-ordered mean list; the
+    range of cumulative deviations over the population std, every
+    reduction a positional in-row fold (w ≤ 16, O(w²) is free)."""
+    s1 = "LIST_AGGREGATE(arr, 'sum')"
+    mu = f"({s1} / LEN(arr))"
+    cums = (
+        f"LIST_TRANSFORM(RANGE(1, LEN(arr) + 1), i -> "
+        f"LIST_AGGREGATE(arr[1:i], 'sum') - i * {mu})"
+    )
+    s2 = f"LIST_AGGREGATE(LIST_TRANSFORM(arr, v -> (v - {mu}) * (v - {mu})), 'sum')"
+    return (
+        f"(LIST_MAX({cums}) - LIST_MIN({cums})) / SQRT({s2} / LEN(arr))"
+    )
+
+
+@workload(
+    "hurst_rs_daily_events",
+    f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(FLOOR(value * 1000000000.0 + 0.5) AS BIGINT))
+                  AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000000.0 AS m
+      FROM events GROUP BY 1, 2
+    ),
+    d0 AS (
+      SELECT d.event_type, DATEDIFF('day', t0.day0, d.day) AS t, d.m
+      FROM daily d
+      JOIN (SELECT event_type, MIN(day) AS day0 FROM daily GROUP BY 1) t0
+        ON t0.event_type = d.event_type
+    ),
+    blocks AS (
+      SELECT d.event_type, w.w, d.t // w.w AS b,
+             LIST(d.m ORDER BY d.t) AS arr
+      FROM d0 d CROSS JOIN (SELECT UNNEST([4, 8, 16]) AS w) w
+      GROUP BY 1, 2, 3
+      HAVING COUNT(*) = w.w
+    ),
+    rs AS (
+      SELECT event_type, w,
+             CAST(FLOOR({_rs_sql()} * 1000000000.0 + 0.5) AS BIGINT) AS rs_q
+      FROM blocks
+      WHERE {_rs_sql()} > 0
+    ),
+    pts AS (
+      SELECT event_type, w,
+             CAST(SUM(rs_q) AS DOUBLE) / COUNT(*) / 1000000000.0 AS mean_rs
+      FROM rs GROUP BY 1, 2
+    ),
+    q AS (
+      SELECT event_type,
+             CAST(FLOOR(LN(CAST(w AS DOUBLE)) * 1000000000.0 + 0.5) AS BIGINT) AS x_q,
+             CAST(FLOOR(LN(mean_rs) * 1000000000.0 + 0.5) AS BIGINT) AS y_q,
+             CAST(FLOOR(LN(CAST(w AS DOUBLE)) * LN(CAST(w AS DOUBLE))
+                  * 1000000000.0 + 0.5) AS BIGINT) AS xx_q,
+             CAST(FLOOR(LN(CAST(w AS DOUBLE)) * LN(mean_rs)
+                  * 1000000000.0 + 0.5) AS BIGINT) AS xy_q
+      FROM pts
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(FLOOR((COUNT(*) * (CAST(SUM(xy_q) AS DOUBLE) / 1000000000.0)
+                       - (CAST(SUM(x_q) AS DOUBLE) / 1000000000.0)
+                         * (CAST(SUM(y_q) AS DOUBLE) / 1000000000.0))
+                / (COUNT(*) * (CAST(SUM(xx_q) AS DOUBLE) / 1000000000.0)
+                   - (CAST(SUM(x_q) AS DOUBLE) / 1000000000.0)
+                     * (CAST(SUM(x_q) AS DOUBLE) / 1000000000.0))
+                * 1000000000.0 + 0.5) AS BIGINT) AS hurst_q
+    FROM q GROUP BY event_type
+    """,
+    category="statistics",
+)
+def hurst_rs_daily_events(spark, sf_dir):
+    """Hurst exponent by rescaled-range (R/S) analysis of the per-type
+    daily mean series: H ≈ 0.5 = random walk, > 0.5 = long-memory
+    persistence, < 0.5 = mean reversion. Complete dyadic blocks at
+    w ∈ {{4, 8, 16}} (integer-bucket groupBy, never a window); each
+    block's R/S is computed over its day-ORDERED in-row array with the
+    shared sequential folds, quantized per block; H is the ln-ln OLS
+    slope of mean R/S on w (the zipf/heaps discipline)."""
+    t = load_tables(spark, sf_dir)
+    daily = (
+        spread(t["events"], spark)
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(
+            (
+                F.sum(R.quantize(F.col("value"))).cast("double")
+                / F.count(F.lit(1)).cast("double") / F.lit(1000000000.0)
+            ).alias("m")
+        )
+    )
+    t0 = daily.groupBy("event_type").agg(F.min("day").alias("day0"))
+    d0 = daily.join(F.broadcast(t0), "event_type").select(
+        "event_type", F.datediff("day", "day0").alias("t"), "m"
+    )
+    blocks = (
+        d0.select(
+            "event_type", "t", "m",
+            F.explode(F.array(F.lit(4), F.lit(8), F.lit(16))).alias("w"),
+        )
+        .groupBy("event_type", "w", F.floor(F.col("t") / F.col("w")).alias("b"))
+        .agg(
+            F.expr("transform(sort_array(collect_list(struct(t, m))), s -> s.m)")
+            .alias("arr"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .filter(F.col("cnt") == F.col("w"))
+    )
+    s1 = "aggregate(arr, cast(0.0 as double), (acc, v) -> acc + v)"
+    mu = f"({s1} / size(arr))"
+    cums = (
+        f"transform(sequence(1, size(arr)), i -> "
+        f"aggregate(slice(arr, 1, i), cast(0.0 as double), (acc, v) -> acc + v)"
+        f" - i * {mu})"
+    )
+    s2 = (
+        f"aggregate(transform(arr, v -> (v - {mu}) * (v - {mu})), "
+        "cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    rs_expr = (
+        f"(array_max({cums}) - array_min({cums})) / sqrt({s2} / size(arr))"
+    )
+    rs = blocks.select(
+        "event_type", "w", F.expr(rs_expr).alias("rs_v")
+    ).filter(F.col("rs_v") > 0).select(
+        "event_type", "w", R.quantize(F.col("rs_v")).alias("rs_q")
+    )
+    pts = rs.groupBy("event_type", "w").agg(
+        (
+            F.sum("rs_q").cast("double") / F.count(F.lit(1)) / F.lit(1000000000.0)
+        ).alias("mean_rs")
+    )
+    lx = F.log(F.col("w").cast("double"))
+    ly = F.log(F.col("mean_rs"))
+    q = pts.select(
+        "event_type",
+        R.quantize(lx).alias("x_q"),
+        R.quantize(ly).alias("y_q"),
+        R.quantize(lx * lx).alias("xx_q"),
+        R.quantize(lx * ly).alias("xy_q"),
+    )
+    n = F.count(F.lit(1))
+    sx = F.sum("x_q").cast("double") / F.lit(1000000000.0)
+    sy = F.sum("y_q").cast("double") / F.lit(1000000000.0)
+    sxx = F.sum("xx_q").cast("double") / F.lit(1000000000.0)
+    sxy = F.sum("xy_q").cast("double") / F.lit(1000000000.0)
+    return q.groupBy("event_type").agg(
+        n.cast("long").alias("n_points"),
+        R.quantize((n * sxy - sx * sy) / (n * sxx - sx * sx)).alias("hurst_q"),
+    )
