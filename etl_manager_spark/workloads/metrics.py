@@ -15,6 +15,8 @@ grows.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -3760,4 +3762,223 @@ def hurst_rs_daily_events(spark, sf_dir):
     return q.groupBy("event_type").agg(
         n.cast("long").alias("n_points"),
         R.quantize((n * sxy - sx * sy) / (n * sxx - sx * sx)).alias("hurst_q"),
+    )
+
+
+@workload(
+    "weekly_spectral_power_events",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(FLOOR(value * 1000000000.0 + 0.5) AS BIGINT))
+                  AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000000.0 AS m
+      FROM events GROUP BY 1, 2
+    ),
+    d0 AS (
+      SELECT d.event_type, DATEDIFF('day', t0.day0, d.day) AS t, d.m
+      FROM daily d
+      JOIN (SELECT event_type, MIN(day) AS day0 FROM daily GROUP BY 1) t0
+        ON t0.event_type = d.event_type
+    ),
+    terms AS (
+      SELECT event_type,
+             CAST(FLOOR(m * COS(2 * PI() * t / 7.0) * 1000000000.0 + 0.5)
+                  AS BIGINT) AS c_q,
+             CAST(FLOOR(m * SIN(2 * PI() * t / 7.0) * 1000000000.0 + 0.5)
+                  AS BIGINT) AS s_q,
+             CAST(FLOOR(m * 1000000000.0 + 0.5) AS BIGINT) AS m_q,
+             CAST(FLOOR(m * m * 1000000000.0 + 0.5) AS BIGINT) AS mm_q
+      FROM d0
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(FLOOR(
+             ((CAST(SUM(c_q) AS DOUBLE) / 1000000000.0)
+                * (CAST(SUM(c_q) AS DOUBLE) / 1000000000.0)
+              + (CAST(SUM(s_q) AS DOUBLE) / 1000000000.0)
+                * (CAST(SUM(s_q) AS DOUBLE) / 1000000000.0))
+             / COUNT(*)
+             / ((CAST(SUM(mm_q) AS DOUBLE) / 1000000000.0)
+                - (CAST(SUM(m_q) AS DOUBLE) / 1000000000.0)
+                  * (CAST(SUM(m_q) AS DOUBLE) / 1000000000.0) / COUNT(*))
+             * 1000000000.0 + 0.5) AS BIGINT) AS weekly_power_ratio_q
+    FROM terms GROUP BY event_type
+    """,
+    category="statistics",
+)
+def weekly_spectral_power_events(spark, sf_dir):
+    """Single-bin spectral test at the 7-day period (Goertzel form):
+    |Σ m_t·e^(−2πit/7)|² / n over the series' total variance — how much
+    of the variance is a weekly cycle. Pure per-row trig + one
+    map-combined groupBy per type: the frequency-domain seasonality
+    check without an FFT (one bin is all the gate needs). Per-row
+    cos/sin terms nano-quantized before the order-free sums."""
+    t = load_tables(spark, sf_dir)
+    daily = (
+        spread(t["events"], spark)
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(
+            (
+                F.sum(R.quantize(F.col("value"))).cast("double")
+                / F.count(F.lit(1)).cast("double") / F.lit(1000000000.0)
+            ).alias("m")
+        )
+    )
+    t0 = daily.groupBy("event_type").agg(F.min("day").alias("day0"))
+    d0 = daily.join(F.broadcast(t0), "event_type").select(
+        "event_type", F.datediff("day", "day0").alias("t"), "m"
+    )
+    ang = F.lit(2.0) * F.lit(math.pi) * F.col("t") / F.lit(7.0)
+    terms = d0.select(
+        "event_type",
+        R.quantize(F.col("m") * F.cos(ang)).alias("c_q"),
+        R.quantize(F.col("m") * F.sin(ang)).alias("s_q"),
+        R.quantize(F.col("m")).alias("m_q"),
+        R.quantize(F.col("m") * F.col("m")).alias("mm_q"),
+    )
+    n = F.count(F.lit(1))
+    sc = F.sum("c_q").cast("double") / F.lit(1000000000.0)
+    ss = F.sum("s_q").cast("double") / F.lit(1000000000.0)
+    sm = F.sum("m_q").cast("double") / F.lit(1000000000.0)
+    smm = F.sum("mm_q").cast("double") / F.lit(1000000000.0)
+    power = (sc * sc + ss * ss) / n
+    var = smm - sm * sm / n
+    return terms.groupBy("event_type").agg(
+        n.cast("long").alias("n_days"),
+        R.quantize(power / var).alias("weekly_power_ratio_q"),
+    )
+
+
+@workload(
+    "pacf_daily_events",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(FLOOR(value * 1000000000.0 + 0.5) AS BIGINT))
+                  AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000000.0 AS m
+      FROM events GROUP BY 1, 2
+    ),
+    d0 AS (
+      SELECT d.event_type, DATEDIFF('day', t0.day0, d.day) AS t,
+             d.m - a.mu AS e
+      FROM daily d
+      JOIN (SELECT event_type, MIN(day) AS day0 FROM daily GROUP BY 1) t0
+        ON t0.event_type = d.event_type
+      JOIN (SELECT event_type,
+                   CAST(SUM(CAST(FLOOR(m * 1000000000.0 + 0.5) AS BIGINT))
+                        AS DOUBLE) / COUNT(*) / 1000000000.0 AS mu
+            FROM daily GROUP BY 1) a
+        ON a.event_type = d.event_type
+    ),
+    gam AS (
+      SELECT r1.event_type, l.lag,
+             CAST(SUM(CAST(FLOOR(r1.e * r2.e * 1000000000.0 + 0.5) AS BIGINT))
+                  AS DOUBLE) / 1000000000.0 AS g
+      FROM d0 r1
+      CROSS JOIN (SELECT UNNEST(range(0, 4)) AS lag) l
+      JOIN d0 r2 ON r2.event_type = r1.event_type
+                AND r2.t = r1.t + CAST(l.lag AS INTEGER)
+      GROUP BY 1, 2
+    ),
+    rho AS (
+      SELECT event_type,
+             MAX(CASE WHEN lag = 1 THEN g END)
+               / MAX(CASE WHEN lag = 0 THEN g END) AS r1,
+             MAX(CASE WHEN lag = 2 THEN g END)
+               / MAX(CASE WHEN lag = 0 THEN g END) AS r2,
+             MAX(CASE WHEN lag = 3 THEN g END)
+               / MAX(CASE WHEN lag = 0 THEN g END) AS r3
+      FROM gam GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(FLOOR(r1 * 1000000000.0 + 0.5) AS BIGINT) AS pacf1_q,
+           CAST(FLOOR((r2 - r1 * r1) / (1 - r1 * r1)
+                * 1000000000.0 + 0.5) AS BIGINT) AS pacf2_q,
+           CAST(FLOOR(
+             (r3 - (r1 - ((r2 - r1 * r1) / (1 - r1 * r1)) * r1) * r2
+                 - ((r2 - r1 * r1) / (1 - r1 * r1)) * r1)
+             / (1 - (r1 - ((r2 - r1 * r1) / (1 - r1 * r1)) * r1) * r1
+                  - ((r2 - r1 * r1) / (1 - r1 * r1)) * r2)
+             * 1000000000.0 + 0.5) AS BIGINT) AS pacf3_q
+    FROM rho
+    """,
+    category="statistics",
+)
+def pacf_daily_events(spark, sf_dir):
+    """Partial autocorrelation at lags 1-3 via the Durbin-Levinson
+    recursion — the AR-order diagnostic the raw ACF can't give (ACF at
+    lag 2 conflates direct and propagated correlation; PACF isolates the
+    direct part). Autocovariances come from lag EQUIJOINS on the day
+    index (the newey_west shape, no windows); the recursion is scalar
+    algebra over ρ1..ρ3, written as one identical expression tree in
+    both engines. φ22=(ρ2−ρ1²)/(1−ρ1²); φ21=ρ1−φ22ρ1;
+    φ33=(ρ3−φ21ρ2−φ22ρ1)/(1−φ21ρ1−φ22ρ2)."""
+    t = load_tables(spark, sf_dir)
+    daily = (
+        spread(t["events"], spark)
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(
+            (
+                F.sum(R.quantize(F.col("value"))).cast("double")
+                / F.count(F.lit(1)).cast("double") / F.lit(1000000000.0)
+            ).alias("m")
+        )
+    )
+    t0 = daily.groupBy("event_type").agg(F.min("day").alias("day0"))
+    mu = daily.groupBy("event_type").agg(
+        (
+            F.sum(R.quantize(F.col("m"))).cast("double")
+            / F.count(F.lit(1)) / F.lit(1000000000.0)
+        ).alias("mu")
+    )
+    d0 = (
+        daily.join(F.broadcast(t0), "event_type")
+        .join(F.broadcast(mu), "event_type")
+        .select(
+            "event_type",
+            F.datediff("day", "day0").alias("t"),
+            (F.col("m") - F.col("mu")).alias("e"),
+        )
+    )
+    r2c = d0.select(
+        F.col("event_type").alias("r2_type"),
+        F.col("t").alias("r2_t"),
+        F.col("e").alias("r2_e"),
+    )
+    gam = (
+        d0.select(
+            "event_type", "t", "e",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("lag"),
+        )
+        .join(
+            F.broadcast(r2c),
+            (F.col("r2_type") == F.col("event_type"))
+            & (F.col("r2_t") == F.col("t") + F.col("lag")),
+        )
+        .groupBy("event_type", "lag")
+        .agg(
+            (
+                F.sum(R.quantize(F.col("e") * F.col("r2_e"))).cast("double")
+                / F.lit(1000000000.0)
+            ).alias("g")
+        )
+    )
+
+    def at(lag):
+        return F.max(F.when(F.col("lag") == lag, F.col("g")))
+
+    rho = gam.groupBy("event_type").agg(
+        (at(1) / at(0)).alias("r1"),
+        (at(2) / at(0)).alias("r2"),
+        (at(3) / at(0)).alias("r3"),
+    )
+    r1, r2_, r3 = F.col("r1"), F.col("r2"), F.col("r3")
+    phi22 = (r2_ - r1 * r1) / (1 - r1 * r1)
+    phi21 = r1 - phi22 * r1
+    phi33 = (r3 - phi21 * r2_ - phi22 * r1) / (1 - phi21 * r1 - phi22 * r2_)
+    return rho.select(
+        "event_type",
+        R.quantize(r1).alias("pacf1_q"),
+        R.quantize(phi22).alias("pacf2_q"),
+        R.quantize(phi33).alias("pacf3_q"),
     )

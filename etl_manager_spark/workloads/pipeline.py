@@ -3344,3 +3344,91 @@ def cdc_chunk_stats_documents(spark, sf_dir):
     the 0-init after one step since every char code < modulus)."""
     t = load_tables(spark, sf_dir)
     return X.cdc_chunk_stats(spread(t["documents"], spark))
+
+
+@workload(
+    "intrinsic_dim_twonn_embeddings",
+    """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+      FROM embeddings WHERE vec_id < 500
+    ),
+    pairs AS (
+      SELECT a.vec_id AS i,
+             LIST_AGGREGATE(LIST_TRANSFORM(RANGE(1, 65), k ->
+               (a.emb[k] - b.emb[k]) * (a.emb[k] - b.emb[k])), 'sum') AS dsq
+      FROM e a JOIN e b ON a.vec_id <> b.vec_id
+    ),
+    d1 AS (
+      SELECT i, MIN(dsq) AS d1sq FROM pairs GROUP BY i HAVING MIN(dsq) > 0
+    ),
+    d2 AS (
+      SELECT p.i, d1.d1sq, MIN(p.dsq) AS d2sq
+      FROM pairs p JOIN d1 ON d1.i = p.i
+      WHERE p.dsq > d1.d1sq
+      GROUP BY p.i, d1.d1sq
+    ),
+    terms AS (
+      SELECT CAST(FLOOR(LN(d2sq / d1sq) * 1000000000.0 + 0.5) AS BIGINT)
+               AS ln_q
+      FROM d2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_used,
+           CAST(FLOOR(2.0 * COUNT(*)
+                / (CAST(SUM(ln_q) AS DOUBLE) / 1000000000.0)
+                * 1000000000.0 + 0.5) AS BIGINT) AS intrinsic_dim_q
+    FROM terms
+    """,
+    category="similarity",
+)
+def intrinsic_dim_twonn_embeddings(spark, sf_dir):
+    """TwoNN intrinsic-dimension estimate (Facco et al. 2017): the MLE
+    ID = N / Σ ln(r2/r1) from each point's two nearest neighbors —
+    the manifold-dimension diagnostic that tells you whether 64-dim
+    embeddings really occupy 64 dimensions (PCA/IVF/PQ budgets hang on
+    it). Exact squared distances over a BOUNDED sample (vec_id < 500,
+    the DBSCAN sub-corpus contract; at production scale the r1/r2 pairs
+    come from the ANN index instead of the quadratic join); r1/r2 via
+    two grouped MINs (strict-greater for the second), exact-duplicate
+    points dropped identically in both engines. Squared distances halve
+    the log: ID = 2N / Σ ln(d2²/d1²)."""
+    t = load_tables(spark, sf_dir)
+    e = (
+        spread(t["embeddings"], spark)
+        .filter(F.col("vec_id") < 500)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    )
+    b = e.select(F.col("vec_id").alias("j"), F.col("emb").alias("emb_b"))
+    dsq = F.aggregate(
+        F.zip_with(F.col("emb"), F.col("emb_b"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    pairs = (
+        e.join(F.broadcast(b), F.col("vec_id") != F.col("j"))
+        .select(F.col("vec_id").alias("i"), dsq.alias("dsq"))
+    )
+    d1 = (
+        pairs.groupBy("i")
+        .agg(F.min("dsq").alias("d1sq"))
+        .filter(F.col("d1sq") > 0)
+    )
+    d2 = (
+        pairs.join(F.broadcast(d1), "i")
+        .filter(F.col("dsq") > F.col("d1sq"))
+        .groupBy("i", "d1sq")
+        .agg(F.min("dsq").alias("d2sq"))
+    )
+    from etl_manager_spark.operators.ranking import quantize
+
+    terms = d2.select(
+        quantize(F.log(F.col("d2sq") / F.col("d1sq"))).alias("ln_q")
+    )
+    n = F.count(F.lit(1))
+    return terms.agg(
+        n.cast("long").alias("n_used"),
+        F.floor(
+            F.lit(2.0) * n / (F.sum("ln_q").cast("double") / F.lit(1000000000.0))
+            * F.lit(1000000000.0) + F.lit(0.5)
+        ).cast("long").alias("intrinsic_dim_q"),
+    )
