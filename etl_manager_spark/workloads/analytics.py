@@ -4578,3 +4578,76 @@ def heaps_law_fit_documents(spark, sf_dir):
         n.cast("long").alias("n_points"),
         R.quantize((n * sxy - sx * sy) / (n * sxx - sx * sx)).alias("beta_q"),
     )
+
+
+@workload(
+    "symspell_pairs_vocab_documents",
+    r"""
+    WITH vocab AS (
+      SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT LOWER(UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'))) AS tok
+            FROM documents)
+      WHERE LEN(tok) >= 4
+      GROUP BY tok ORDER BY freq DESC, tok LIMIT 2000
+    ),
+    dels AS (
+      SELECT DISTINCT word, freq,
+             UNNEST(LIST_TRANSFORM(RANGE(0, LEN(word) + 1), i ->
+               CASE WHEN i = 0 THEN word
+                    ELSE SUBSTRING(word, 1, CAST(i - 1 AS INTEGER))
+                         || SUBSTRING(word, CAST(i + 1 AS INTEGER),
+                                      LEN(word) - CAST(i AS INTEGER))
+               END)) AS variant
+      FROM vocab
+    )
+    SELECT DISTINCT a.word AS w1, b.word AS w2,
+           a.freq AS freq1, b.freq AS freq2
+    FROM dels a JOIN dels b
+      ON a.variant = b.variant AND a.word < b.word
+    WHERE LEVENSHTEIN(a.word, b.word) = 1
+    """,
+    category="dedup",
+)
+def symspell_pairs_vocab_documents(spark, sf_dir):
+    """Edit-distance-1 vocabulary pairs via SymSpell deletion
+    neighborhoods — the scalable spelling-dedup blocking: each word emits
+    itself + its 1-deletion variants (O(V·L) candidates), pairs share a
+    variant via one equijoin, and the exact levenshtein runs ONLY on
+    candidates — never the O(V²) all-pairs the naive edit-distance join
+    needs. Verification filter (= 1) makes the blocking loss-free for
+    distance-1 typos; the oracle replays generation + join + verify."""
+    t = load_tables(spark, sf_dir)
+    vocab = (
+        spread(t["documents"], spark)
+        .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("tok0"))
+        .select(F.lower("tok0").alias("word"))
+        .filter(F.length("word") >= 4)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("word"))
+        .limit(2000)
+    )
+    dels = vocab.select(
+        "word", "freq",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, length(word)), i -> "
+                "CASE WHEN i = 0 THEN word "
+                "ELSE concat(substring(word, 1, i - 1), "
+                "substring(word, i + 1, length(word) - i)) END)"
+            )
+        ).alias("variant"),
+    ).distinct()
+    b = dels.select(
+        F.col("word").alias("w2"),
+        F.col("freq").alias("freq2"),
+        "variant",
+    )
+    return (
+        dels.select(F.col("word").alias("w1"), F.col("freq").alias("freq1"), "variant")
+        .join(b, "variant")
+        .filter(F.col("w1") < F.col("w2"))
+        .filter(F.levenshtein("w1", "w2") == 1)
+        .select("w1", "w2", "freq1", "freq2")
+        .distinct()
+    )

@@ -3982,3 +3982,109 @@ def pacf_daily_events(spark, sf_dir):
         R.quantize(phi22).alias("pacf2_q"),
         R.quantize(phi33).alias("pacf3_q"),
     )
+
+
+@workload(
+    "rolling_origin_backtest_daily",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(FLOOR(value * 1000000000.0 + 0.5) AS BIGINT))
+                  AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000000.0 AS m
+      FROM events GROUP BY 1, 2
+    ),
+    d0 AS (
+      SELECT d.event_type, DATEDIFF('day', t0.day0, d.day) AS t, d.m
+      FROM daily d
+      JOIN (SELECT event_type, MIN(day) AS day0 FROM daily GROUP BY 1) t0
+        ON t0.event_type = d.event_type
+    ),
+    origins AS (SELECT UNNEST([14, 17, 20, 23, 26]) AS c),
+    train AS (
+      SELECT d.event_type, o.c,
+             CAST(COUNT(*) AS BIGINT) AS n_train,
+             CAST(SUM(CAST(FLOOR(d.m * 1000000000.0 + 0.5) AS BIGINT))
+                  AS DOUBLE) / COUNT(*) / 1000000000.0 AS fc
+      FROM d0 d CROSS JOIN origins o
+      WHERE d.t < o.c
+      GROUP BY 1, 2
+    ),
+    test AS (
+      SELECT d.event_type, o.c,
+             CAST(COUNT(*) AS BIGINT) AS n_test,
+             CAST(SUM(CAST(FLOOR(ABS(d.m - tr.fc) * 1000000000.0 + 0.5)
+                  AS BIGINT)) AS BIGINT) AS ae_q
+      FROM d0 d
+      CROSS JOIN origins o
+      JOIN train tr ON tr.event_type = d.event_type AND tr.c = o.c
+      WHERE d.t >= o.c AND d.t < o.c + 4
+      GROUP BY 1, 2
+    )
+    SELECT tr.event_type, CAST(tr.c AS INTEGER) AS origin,
+           tr.n_train, te.n_test,
+           CAST(FLOOR(CAST(te.ae_q AS DOUBLE) / te.n_test / 1000000000.0
+                * 1000000000.0 + 0.5) AS BIGINT) AS mae_q
+    FROM train tr JOIN test te
+      ON te.event_type = tr.event_type AND te.c = tr.c
+    """,
+    category="evaluation",
+)
+def rolling_origin_backtest_daily(spark, sf_dir):
+    """Rolling-origin (expanding-window) forecast backtest: at five
+    cutoffs, fit the mean forecast on days before the origin and score
+    MAE on the next 4 days — the cross-validation scheme that respects
+    time (random k-fold leaks the future). Origins are a literal spine
+    joined against the day index (the heaps-checkpoint pattern); no
+    windows, per-day absolute errors quantized before the sums."""
+    t = load_tables(spark, sf_dir)
+    daily = (
+        spread(t["events"], spark)
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(
+            (
+                F.sum(R.quantize(F.col("value"))).cast("double")
+                / F.count(F.lit(1)).cast("double") / F.lit(1000000000.0)
+            ).alias("m")
+        )
+    )
+    t0 = daily.groupBy("event_type").agg(F.min("day").alias("day0"))
+    d0 = daily.join(F.broadcast(t0), "event_type").select(
+        "event_type", F.datediff("day", "day0").alias("t"), "m"
+    )
+    origins = spark.createDataFrame([(c,) for c in (14, 17, 20, 23, 26)], "c int")
+    train = (
+        d0.crossJoin(F.broadcast(origins))
+        .filter(F.col("t") < F.col("c"))
+        .groupBy("event_type", "c")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_train"),
+            (
+                F.sum(R.quantize(F.col("m"))).cast("double")
+                / F.count(F.lit(1)) / F.lit(1000000000.0)
+            ).alias("fc"),
+        )
+    )
+    test = (
+        d0.crossJoin(F.broadcast(origins))
+        .filter((F.col("t") >= F.col("c")) & (F.col("t") < F.col("c") + 4))
+        .join(F.broadcast(train), ["event_type", "c"])
+        .groupBy("event_type", "c")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(R.quantize(F.abs(F.col("m") - F.col("fc"))))
+            .cast("long").alias("ae_q"),
+        )
+    )
+    return (
+        train.join(test.select("event_type", "c", "n_test", "ae_q"), ["event_type", "c"])
+        .select(
+            "event_type",
+            F.col("c").cast("int").alias("origin"),
+            "n_train",
+            "n_test",
+            F.floor(
+                F.col("ae_q").cast("double") / F.col("n_test")
+                / F.lit(1000000000.0) * F.lit(1000000000.0) + F.lit(0.5)
+            ).cast("long").alias("mae_q"),
+        )
+    )
