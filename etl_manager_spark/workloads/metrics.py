@@ -4088,3 +4088,68 @@ def rolling_origin_backtest_daily(spark, sf_dir):
             ).cast("long").alias("mae_q"),
         )
     )
+
+
+@workload(
+    "gamma_fit_interpurchase_events",
+    """
+    WITH p AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+      FROM events WHERE event_type = 'purchase'
+    ),
+    gaps AS (
+      SELECT us - prev AS g FROM p WHERE prev IS NOT NULL AND us > prev
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(g AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(g AS DECIMAL(38,0)) * CAST(g AS DECIMAL(38,0)))
+                  AS DOUBLE) AS s2
+      FROM gaps
+    )
+    SELECT n AS n_gaps,
+           CAST(FLOOR((s1 / n) * (s1 / n)
+                / ((s2 - s1 * s1 / n) / (n - 1))
+                * 1000000000.0 + 0.5) AS BIGINT) AS shape_k_q,
+           CAST(FLOOR(((s2 - s1 * s1 / n) / (n - 1)) / (s1 / n) / 1000000.0
+                * 1000000000.0 + 0.5) AS BIGINT) AS scale_theta_s_q
+    FROM mom
+    """,
+    category="statistics",
+)
+def gamma_fit_interpurchase_events(spark, sf_dir):
+    """Method-of-moments gamma fit of inter-purchase times: shape
+    k = μ²/σ², scale θ = σ²/μ (seconds) — k < 1 means bursty purchasing,
+    k > 1 regular cadence; the parametric summary a mean alone hides.
+    Gaps come from a per-user lag window under the (ts, event_id) total
+    order (the burstiness contract); moments are DECIMAL(38,0)-exact
+    (µs² products overflow int64); k and θ are single IEEE expressions
+    over the exact doubles."""
+    t = load_tables(spark, sf_dir)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = (
+        spread(t["events"], spark)
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", us.alias("us"), F.lag(us).over(w).alias("prev"))
+    )
+    gaps = p.filter(
+        F.col("prev").isNotNull() & (F.col("us") > F.col("prev"))
+    ).select((F.col("us") - F.col("prev")).alias("g"))
+    mom = gaps.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("g").cast("decimal(38,0)")).cast("double").alias("s1"),
+        F.sum(
+            F.col("g").cast("decimal(38,0)") * F.col("g").cast("decimal(38,0)")
+        ).cast("double").alias("s2"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    mu = s1 / n
+    var = (s2 - s1 * s1 / n) / (n - 1)
+    return mom.select(
+        n.alias("n_gaps"),
+        R.quantize(mu * mu / var).alias("shape_k_q"),
+        R.quantize(var / mu / F.lit(1000000.0)).alias("scale_theta_s_q"),
+    )

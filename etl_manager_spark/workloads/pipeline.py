@@ -3432,3 +3432,76 @@ def intrinsic_dim_twonn_embeddings(spark, sf_dir):
             * F.lit(1000000000.0) + F.lit(0.5)
         ).cast("long").alias("intrinsic_dim_q"),
     )
+
+
+@workload(
+    "multimodal_audio_rms",
+    f"""
+    WITH {_SYNTH_MEDIA_CTE},
+    raw AS (
+      SELECT media_id,
+             substr(repeat(sha256(content_hex), 2), 1, 128) AS r
+      FROM media
+    ),
+    frames AS (
+      SELECT media_id,
+             LIST_TRANSFORM(range(0, 4), f ->
+               SQRT(CAST(LIST_SUM(LIST_TRANSFORM(range(0, 16), k ->
+                 (('0x' || substr(r, CAST(2 * (f * 16 + k) + 1 AS INTEGER), 2))::BIGINT - 128)
+                 * (('0x' || substr(r, CAST(2 * (f * 16 + k) + 1 AS INTEGER), 2))::BIGINT - 128)
+               )) AS DOUBLE) / 16.0)) AS rms
+      FROM raw
+    )
+    SELECT media_id,
+           CAST(4 AS INTEGER) AS n_frames,
+           CAST(LIST_MAX(LIST_TRANSFORM(rms,
+                v -> CAST(FLOOR(v * 1000000000.0 + 0.5) AS BIGINT)))
+                AS BIGINT) AS max_rms_q,
+           CAST(LIST_SUM(LIST_TRANSFORM(rms,
+                v -> CAST(FLOOR(v * 1000000000.0 + 0.5) AS BIGINT))) // 4
+                AS BIGINT) AS mean_rms_q
+    FROM frames
+    """,
+    category="multimodal",
+)
+def multimodal_audio_rms(spark, sf_dir):
+    """Windowed audio-energy profile over the opaque media payload: a
+    deterministic fake decode (sha256 chain of the hex rendering — the
+    phash convention, so DuckDB's VARCHAR-only sha256 reproduces it)
+    yields 64 centered byte 'samples'; 4 frames of 16 samples each get
+    an RMS, emitted as per-media max and mean frame energy. The whole
+    pipeline is scan-stage JVM expressions (sha2/substring/conv) — the
+    shape a real PCM decoder plugs into via mapInPandas, with the Spark
+    plumbing (framing, per-frame reduction, per-media rollup) already
+    exact-tested."""
+    media = M.synthetic_media(spark, n=64)
+    raw = F.substring(
+        F.repeat(F.sha2(F.lower(F.hex("content")), 256), 2), 1, 128
+    )
+    staged = media.select("media_id", raw.alias("r"))
+
+    def sample(pos_expr):
+        return (
+            f"(CAST(conv(substring(r, {pos_expr}, 2), 16, 10) AS BIGINT) - 128)"
+        )
+
+    rms_arr = F.expr(
+        "transform(sequence(0, 3), f -> "
+        "sqrt(CAST(aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, k) -> "
+        f"acc + {sample('2 * (f * 16 + k) + 1')} * {sample('2 * (f * 16 + k) + 1')}"
+        ") AS DOUBLE) / 16.0))"
+    )
+    frames = staged.select("media_id", rms_arr.alias("rms"))
+    rms_q = F.expr(
+        "transform(rms, v -> CAST(floor(v * 1000000000.0 + 0.5) AS BIGINT))"
+    )
+    return frames.select(
+        "media_id",
+        F.lit(4).cast("int").alias("n_frames"),
+        F.array_max(rms_q).cast("long").alias("max_rms_q"),
+        F.floor(
+            F.aggregate(
+                rms_q, F.lit(0).cast("long"), lambda acc, v: acc + v
+            ) / F.lit(4)
+        ).cast("long").alias("mean_rms_q"),
+    )
