@@ -3505,3 +3505,64 @@ def multimodal_audio_rms(spark, sf_dir):
             ) / F.lit(4)
         ).cast("long").alias("mean_rms_q"),
     )
+
+
+@workload(
+    "identity_stitching_events",
+    """
+    WITH RECURSIVE raw_edges AS (
+      SELECT DISTINCT user_id AS u,
+             1000000 + CAST(json_extract(props, '$.k') AS BIGINT) AS d
+      FROM events
+    ),
+    edges AS (
+      SELECT u AS src, d AS dst FROM raw_edges
+      UNION
+      SELECT d AS src, u AS dst FROM raw_edges
+    ),
+    reach(id, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id
+    ),
+    assign AS (
+      SELECT id, MIN(label) AS cluster_id FROM reach GROUP BY id
+    )
+    SELECT cluster_id,
+           CAST(SUM(CASE WHEN id < 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_users,
+           CAST(SUM(CASE WHEN id >= 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_devices
+    FROM assign GROUP BY cluster_id
+    """,
+    category="graph",
+)
+def identity_stitching_events(spark, sf_dir):
+    """Identity resolution: connected components of the bipartite
+    user ↔ device graph (device = the props.k key, offset into a
+    disjoint id space) — the cross-id-space stitching every analytics
+    stack needs before user-level metrics. Edges are the DISTINCT
+    (user, device) observations (one hash-agg over the scan); components
+    come from the shared CC operator (large-star/small-star under
+    `auto`), so a device shared by two users merges their identities
+    transitively. Output: per stitched identity, its user and device
+    counts. The oracle is the recursive-CTE reachability fixpoint."""
+    t = load_tables(spark, sf_dir)
+    edges = (
+        spread(t["events"], spark)
+        .select(
+            F.col("user_id").alias("id_a"),
+            (
+                F.lit(1000000)
+                + F.get_json_object("props", "$.k").cast("long")
+            ).alias("id_b"),
+        )
+        .distinct()
+    )
+    assign = D.near_dup_clusters(edges)
+    return assign.groupBy("cluster_id").agg(
+        F.sum(F.when(F.col("id") < 1000000, 1).otherwise(0))
+        .cast("long").alias("n_users"),
+        F.sum(F.when(F.col("id") >= 1000000, 1).otherwise(0))
+        .cast("long").alias("n_devices"),
+    )

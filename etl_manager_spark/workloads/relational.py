@@ -1677,3 +1677,37 @@ def bloom_prefilter_join_orders(spark, sf_dir):
         F.count(F.lit(1)).alias("n_orders"),
         dec_sum("o_totalprice").alias("revenue"),
     )
+
+
+@workload(
+    "rollup_grouping_id_events",
+    """
+    SELECT event_type,
+           CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hod,
+           CAST(GROUPING(event_type) AS INTEGER) AS g_type,
+           CAST(GROUPING(CAST(EXTRACT(hour FROM ts) AS INTEGER)) AS INTEGER)
+             AS g_hod,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY ROLLUP(event_type, CAST(EXTRACT(hour FROM ts) AS INTEGER))
+    """,
+    category="relational",
+)
+def rollup_grouping_id_events(spark, sf_dir):
+    """ROLLUP with GROUPING() indicator columns — the flags that let a
+    consumer tell a real NULL key from a subtotal row (the classic
+    rollup-consumption bug). Same single-pass partial-aggregated rollup
+    as rollup_revenue_region_nation, plus the grouping metadata both
+    engines define identically (1 = aggregated-away level)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .withColumn("hod", F.hour("ts"))
+        .rollup("event_type", "hod")
+        .agg(
+            F.grouping("event_type").cast("int").alias("g_type"),
+            F.grouping("hod").cast("int").alias("g_hod"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .select("event_type", "hod", "g_type", "g_hod", "n")
+    )
