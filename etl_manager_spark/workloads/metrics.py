@@ -4153,3 +4153,136 @@ def gamma_fit_interpurchase_events(spark, sf_dir):
         R.quantize(mu * mu / var).alias("shape_k_q"),
         R.quantize(var / mu / F.lit(1000000.0)).alias("scale_theta_s_q"),
     )
+
+
+@workload(
+    "qq_distance_view_click",
+    """
+    WITH q AS (
+      SELECT event_type,
+             CAST(FLOOR(value * 1000000000.0 + 0.5) AS BIGINT) AS v_q
+      FROM events WHERE event_type IN ('view', 'click')
+    ),
+    dec AS (
+      SELECT event_type,
+             quantile_cont(v_q, 0.1) AS d1, quantile_cont(v_q, 0.2) AS d2,
+             quantile_cont(v_q, 0.3) AS d3, quantile_cont(v_q, 0.4) AS d4,
+             quantile_cont(v_q, 0.5) AS d5, quantile_cont(v_q, 0.6) AS d6,
+             quantile_cont(v_q, 0.7) AS d7, quantile_cont(v_q, 0.8) AS d8,
+             quantile_cont(v_q, 0.9) AS d9
+      FROM q GROUP BY event_type
+    )
+    SELECT CAST(FLOOR((ABS(a.d1 - b.d1) + ABS(a.d2 - b.d2) + ABS(a.d3 - b.d3)
+                 + ABS(a.d4 - b.d4) + ABS(a.d5 - b.d5) + ABS(a.d6 - b.d6)
+                 + ABS(a.d7 - b.d7) + ABS(a.d8 - b.d8) + ABS(a.d9 - b.d9))
+                / 9.0 / 1000000000.0 * 1000000000.0 + 0.5) AS BIGINT)
+             AS qq_dist_q,
+           CAST(FLOOR(GREATEST(ABS(a.d1 - b.d1), ABS(a.d2 - b.d2),
+                 ABS(a.d3 - b.d3), ABS(a.d4 - b.d4), ABS(a.d5 - b.d5),
+                 ABS(a.d6 - b.d6), ABS(a.d7 - b.d7), ABS(a.d8 - b.d8),
+                 ABS(a.d9 - b.d9)) / 1000000000.0 * 1000000000.0 + 0.5)
+                AS BIGINT) AS qq_max_q
+    FROM dec a CROSS JOIN dec b
+    WHERE a.event_type = 'view' AND b.event_type = 'click'
+    """,
+    category="statistics",
+)
+def qq_distance_view_click(spark, sf_dir):
+    """Q-Q distance between the view and click value distributions: mean
+    and max absolute decile gap — the location-aware complement to the KS
+    statistic (KS sees only the worst CDF gap; deciles localize WHERE the
+    distributions diverge). Exact interpolated deciles over nano-quantized
+    ints per group (the norm_quartiles idiom), then a 2-row pivot and one
+    closing expression — no global sort."""
+    t = load_tables(spark, sf_dir)
+    q = (
+        spread(t["events"], spark)
+        .filter(F.col("event_type").isin("view", "click"))
+        .select("event_type", R.quantize(F.col("value")).alias("v_q"))
+    )
+    aggs = [
+        F.expr(f"percentile(v_q, {p/10.0}D)").alias(f"d{p}") for p in range(1, 10)
+    ]
+    dec = q.groupBy("event_type").agg(*aggs)
+    a = dec.filter(F.col("event_type") == "view").drop("event_type")
+    bcols = [F.col(f"d{p}").alias(f"b{p}") for p in range(1, 10)]
+    b = dec.filter(F.col("event_type") == "click").select(*bcols)
+    diffs = [F.abs(F.col(f"d{p}") - F.col(f"b{p}")) for p in range(1, 10)]
+    total = diffs[0]
+    for d in diffs[1:]:
+        total = total + d
+    return a.crossJoin(F.broadcast(b)).select(
+        F.floor(
+            total / F.lit(9.0) / F.lit(1000000000.0)
+            * F.lit(1000000000.0) + F.lit(0.5)
+        ).cast("long").alias("qq_dist_q"),
+        F.floor(
+            F.greatest(*diffs) / F.lit(1000000000.0)
+            * F.lit(1000000000.0) + F.lit(0.5)
+        ).cast("long").alias("qq_max_q"),
+    )
+
+
+@workload(
+    "hill_tail_index_orders",
+    """
+    WITH topk AS (
+      SELECT CAST(FLOOR(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+               AS v_c
+      FROM orders ORDER BY v_c DESC, o_orderkey LIMIT 101
+    ),
+    thr AS (SELECT MIN(v_c) AS vmin FROM topk),
+    terms AS (
+      SELECT CAST(FLOOR(LN(CAST(t.v_c AS DOUBLE) / CAST(thr.vmin AS DOUBLE))
+                   * 1000000000.0 + 0.5) AS BIGINT) AS ln_q,
+             t.v_c
+      FROM topk t CROSS JOIN thr
+      WHERE t.v_c > thr.vmin
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS k_used,
+           CAST(FLOOR(CAST(COUNT(*) AS DOUBLE)
+                / (CAST(SUM(ln_q) AS DOUBLE) / 1000000000.0)
+                * 1000000000.0 + 0.5) AS BIGINT) AS hill_alpha_q
+    FROM terms
+    """,
+    category="statistics",
+)
+def hill_tail_index_orders(spark, sf_dir):
+    """Hill estimator of the heavy-tail index α over the top-100 order
+    values: α = k / Σ ln(x_i / x_threshold) — small α means a fat tail
+    where a handful of orders dominate revenue (the risk gate behind the
+    pareto/gini views, but parametric). Top-(k+1) via a TakeOrdered heap
+    with a deterministic tie-break, the (k+1)-th value as the threshold,
+    per-order log ratios quantized before the exact sum — no global
+    sort, no window. Exact-cent integers remove float compare risk in
+    the heap."""
+    t = load_tables(spark, sf_dir)
+    topk = (
+        t["orders"]
+        .select(
+            F.floor(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long").alias("v_c"),
+            "o_orderkey",
+        )
+        .orderBy(F.desc("v_c"), F.asc("o_orderkey"))
+        .limit(101)
+        .select("v_c")
+    )
+    thr = topk.agg(F.min("v_c").alias("vmin"))
+    terms = (
+        topk.crossJoin(F.broadcast(thr))
+        .filter(F.col("v_c") > F.col("vmin"))
+        .select(
+            R.quantize(
+                F.log(F.col("v_c").cast("double") / F.col("vmin").cast("double"))
+            ).alias("ln_q")
+        )
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("long").alias("k_used"),
+        F.floor(
+            F.count(F.lit(1)).cast("double")
+            / (F.sum("ln_q").cast("double") / F.lit(1000000000.0))
+            * F.lit(1000000000.0) + F.lit(0.5)
+        ).cast("long").alias("hill_alpha_q"),
+    )
