@@ -4286,3 +4286,97 @@ def hill_tail_index_orders(spark, sf_dir):
             * F.lit(1000000000.0) + F.lit(0.5)
         ).cast("long").alias("hill_alpha_q"),
     )
+
+
+@workload(
+    "brier_decomposition_documents",
+    f"""
+    WITH scored AS (
+      SELECT {_P_SQL} AS p,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    binned AS (
+      SELECT CAST(LEAST(9, CAST(FLOOR(p * 10.0) AS INT)) AS INT) AS bin,
+             CAST(FLOOR(p * 1000000000.0 + 0.5) AS BIGINT) AS p_q, y
+      FROM scored
+    ),
+    bins AS (
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS nb,
+             CAST(SUM(p_q) AS DOUBLE) / COUNT(*) / 1000000000.0 AS conf,
+             CAST(SUM(y) AS DOUBLE) / COUNT(*) AS acc
+      FROM binned GROUP BY bin
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS DOUBLE) / COUNT(*) AS base
+      FROM binned
+    )
+    SELECT tot.n AS n_docs,
+           CAST(FLOOR(SUM(CAST(FLOOR(
+             (CAST(nb AS DOUBLE) / tot.n) * (conf - acc) * (conf - acc)
+             * 1000000000.0 + 0.5) AS BIGINT)) / 1000000000.0
+             * 1000000000.0 + 0.5) AS BIGINT) AS reliability_q,
+           CAST(FLOOR(SUM(CAST(FLOOR(
+             (CAST(nb AS DOUBLE) / tot.n) * (acc - tot.base) * (acc - tot.base)
+             * 1000000000.0 + 0.5) AS BIGINT)) / 1000000000.0
+             * 1000000000.0 + 0.5) AS BIGINT) AS resolution_q,
+           CAST(FLOOR(tot.base * (1.0 - tot.base) * 1000000000.0 + 0.5)
+                AS BIGINT) AS uncertainty_q
+    FROM bins CROSS JOIN tot
+    GROUP BY tot.n, tot.base
+    """,
+    category="evaluation",
+)
+def brier_decomposition_documents(spark, sf_dir):
+    """Murphy decomposition of the Brier score over the stopword
+    classifier's 10 fixed-width bins: Brier ≈ RELIABILITY (calibration
+    gap, lower better) − RESOLUTION (discrimination, higher better) +
+    UNCERTAINTY (base-rate entropy, fixed) — the standard forecast
+    verification that says WHY a probabilistic classifier is bad.
+    Per-bin terms are nano-quantized before the ≤10-term sums; the bin
+    table reuses calibration_bins_documents' window-free shape."""
+    t = load_tables(spark, sf_dir)
+    staged = spread(t["documents"], spark).select(
+        _p_col().alias("p"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    binned = staged.select(
+        F.least(F.lit(9), F.floor(F.col("p") * F.lit(10.0)).cast("int"))
+        .cast("int").alias("bin"),
+        R.quantize(F.col("p")).alias("p_q"),
+        "y",
+    )
+    bins = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("nb"),
+        (F.sum("p_q").cast("double") / F.count(F.lit(1)) / F.lit(1000000000.0))
+        .alias("conf"),
+        (F.sum("y").cast("double") / F.count(F.lit(1))).alias("acc"),
+    )
+    tot = binned.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum("y").cast("double") / F.count(F.lit(1))).alias("base"),
+    )
+    j = bins.crossJoin(F.broadcast(tot))
+    rel_t = R.quantize(
+        (F.col("nb").cast("double") / F.col("n"))
+        * (F.col("conf") - F.col("acc")) * (F.col("conf") - F.col("acc"))
+    )
+    res_t = R.quantize(
+        (F.col("nb").cast("double") / F.col("n"))
+        * (F.col("acc") - F.col("base")) * (F.col("acc") - F.col("base"))
+    )
+    return j.groupBy("n", "base").agg(
+        F.floor(
+            F.sum(rel_t) / F.lit(1000000000.0) * F.lit(1000000000.0) + F.lit(0.5)
+        ).cast("long").alias("reliability_q"),
+        F.floor(
+            F.sum(res_t) / F.lit(1000000000.0) * F.lit(1000000000.0) + F.lit(0.5)
+        ).cast("long").alias("resolution_q"),
+    ).select(
+        F.col("n").alias("n_docs"),
+        "reliability_q",
+        "resolution_q",
+        R.quantize(F.col("base") * (F.lit(1.0) - F.col("base")))
+        .alias("uncertainty_q"),
+    )
