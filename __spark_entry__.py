@@ -26,26 +26,60 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry["q3_shipping_priority"].fn(spark, "/root/testdata/sf0.001")
 
 
+# Queries the judge explicitly asked to see driver-green next round
+# (VERDICT r6 tasks #1/#7): the 4 sampled-but-never-green wounds plus the
+# 2 component paths (A29 job runner, B7 regex scan) that have never had a
+# driver row. They lead the never-green block regardless of name order.
+_DRIVER_PRIORITY = (
+    "ndcg_bm25_documents",
+    "time_decay_engagement_events",
+    "similarity_topk_lsh",
+    "similarity_topk_ivf",
+    "run_job_etl_output",
+    "regex_scan_event_log",
+)
+
+
 def _staleness_order(names) -> list[str]:
-    """Never-driver-green queries first, then stalest green round, then
-    name — so a driver that samples a PREFIX of the catalog always
-    verifies the least-recently-confirmed queries. The ledger
-    (driver_green.json) is regenerated from the CORRECTNESS_r*.json
-    files by tools/regen_driver_green.py — never hand-kept."""
+    """Least-trusted queries first, so a driver that samples a PREFIX of
+    the catalog always verifies where the evidence is weakest:
+
+    1. never-green priority queries (judge-flagged open wounds),
+    2. sampled-but-never-green (a driver row exists and it wasn't green —
+       fixed oracles awaiting confirmation),
+    3. never-sampled (parity-green only),
+    4. green, stalest confirming round first,
+    ties by name. Both ledgers (driver_green.json / driver_sampled.json)
+    are regenerated from the CORRECTNESS_r*.json files by
+    tools/regen_driver_green.py — never hand-kept."""
     import json
 
-    ledger_path = os.path.join(
+    wdir = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         "etl_manager_spark",
         "workloads",
-        "driver_green.json",
     )
-    try:
-        with open(ledger_path) as fh:
-            green = json.load(fh)
-    except Exception:  # noqa: BLE001 - no ledger → plain name order
-        green = {}
-    return sorted(names, key=lambda n: (green.get(n, -1), n))
+
+    def _load(fname):
+        try:
+            with open(os.path.join(wdir, fname)) as fh:
+                return json.load(fh)
+        except Exception:  # noqa: BLE001 - no ledger → empty
+            return {}
+
+    green = _load("driver_green.json")
+    sampled = _load("driver_sampled.json")
+
+    def key(n):
+        if n in green:
+            return (3, green[n], 0, n)
+        if n in _DRIVER_PRIORITY:
+            return (0, 0, _DRIVER_PRIORITY.index(n), n)
+        if n in sampled:
+            return (1, 0, 0, n)
+        return (2, 0, 0, n)
+
+    return sorted(names, key=key)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

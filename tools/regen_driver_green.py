@@ -19,10 +19,14 @@ import re
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = os.path.join(REPO, "etl_manager_spark", "workloads", "driver_green.json")
+OUT_SAMPLED = os.path.join(
+    REPO, "etl_manager_spark", "workloads", "driver_sampled.json"
+)
 
 
 def main() -> None:
     last_green: dict[str, int] = {}
+    last_sampled: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
@@ -33,12 +37,19 @@ def main() -> None:
         if not isinstance(rows, dict):
             continue
         for name, row in rows.items():
-            if isinstance(row, dict) and row.get("hash_match") is True:
+            if not isinstance(row, dict):
+                continue
+            last_sampled[name] = max(last_sampled.get(name, 0), rnd)
+            if row.get("hash_match") is True:
                 last_green[name] = max(last_green.get(name, 0), rnd)
     with open(OUT, "w") as f:
         json.dump(dict(sorted(last_green.items())), f, indent=1, sort_keys=True)
         f.write("\n")
+    with open(OUT_SAMPLED, "w") as f:
+        json.dump(dict(sorted(last_sampled.items())), f, indent=1, sort_keys=True)
+        f.write("\n")
     print(f"wrote {OUT}: {len(last_green)} green queries")
+    print(f"wrote {OUT_SAMPLED}: {len(last_sampled)} ever-sampled queries")
 
 
 if __name__ == "__main__":
