@@ -496,6 +496,7 @@ def sorted_neighborhood_pairs(
     name_col: str,
     window: int = 3,
     max_distance: int = 3,
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """Sorted-neighborhood entity resolution (Hernández & Stolfo): sort
     the DISTINCT ``name_col`` values lexicographically and compare each
@@ -509,17 +510,22 @@ def sorted_neighborhood_pairs(
     the exact Levenshtein gate. Scale shape: ``repartitionByRange`` on
     the name (contiguous lexicographic slices per partition, pinned with
     a localCheckpoint), the lead window runs PER PARTITION, and each
-    partition's first ``w-1`` names are replicated into the previous
-    non-empty partition so boundary-straddling neighborhoods survive —
+    partition receives the first ``w-1`` names of ALL following
+    partitions combined (``chained_overlap_entries`` walks forward until
+    w-1 successor rows are accumulated — a single-neighbor copy silently
+    drops boundary pairs whenever a range holds fewer than w-1 names,
+    the normal regime when parallelism ≫ vocabulary/partition) —
     exactly the pair set of a global sort, with no Exchange
-    SinglePartition and a fixed w-1-row overlap per range.
+    SinglePartition and a w-1-row overlap per range.
 
     Returns (name_a, name_b, distance) with name_a < name_b (sort-order
     adjacency implies lexicographic order)."""
     from pyspark.sql import Window
 
+    from etl_manager_spark.operators.prefix import chained_overlap_entries
+
     spark = df.sparkSession
-    parts = spark.sparkContext.defaultParallelism
+    parts = n_partitions or spark.sparkContext.defaultParallelism
     names = df.select(F.col(name_col).alias("name_a")).distinct()
     base = (
         names.repartitionByRange(parts, "name_a")
@@ -527,18 +533,17 @@ def sorted_neighborhood_pairs(
         .localCheckpoint(eager=True)
     )
     wloc = Window.partitionBy("_snp").orderBy("name_a")
-    # first w-1 names of each partition, re-addressed to the PREVIOUS
-    # non-empty partition (range partitions can legally come up empty)
-    present = sorted(r["_snp"] for r in base.select("_snp").distinct().collect())
-    prev_of = {p: q for q, p in zip(present, present[1:])}
-    if prev_of:
-        remap = spark.createDataFrame(
-            [(p, q) for p, q in prev_of.items()], "_snp int, _prev int"
-        )
+    counts = sorted(
+        (r["_snp"], r["_c"])
+        for r in base.groupBy("_snp").agg(F.count(F.lit(1)).alias("_c")).collect()
+    )
+    plan = chained_overlap_entries(counts, window - 1, successors=True)
+    if plan:
+        remap = spark.createDataFrame(plan, "_snp int, _lim int, _prev int")
         heads = (
             base.withColumn("_rn", F.row_number().over(wloc))
-            .filter(F.col("_rn") <= window - 1)
             .join(F.broadcast(remap), "_snp")
+            .filter(F.col("_rn") <= F.col("_lim"))
             .select(
                 F.col("_prev").alias("_snp"),
                 "name_a",

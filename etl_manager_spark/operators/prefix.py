@@ -92,6 +92,42 @@ def ordered_cumsum(
     return out.drop("_ocs_part", "_ocs_n0", *[f"_ocs_o_{v}" for v in value_cols])
 
 
+def chained_overlap_entries(
+    counts: list[tuple[int, int]],
+    need: int,
+    successors: bool = True,
+) -> list[tuple[int, int, int]]:
+    """Replication plan for range-partition boundary overlaps that stays
+    correct when partitions are THINNER than the overlap width.
+
+    ``counts`` is ``[(partition_id, row_count), …]`` in global range
+    order. Returns ``[(src, limit, dst)]`` rows meaning: the first
+    ``limit`` rows of ``src`` (rows ranked from the partition HEAD when
+    ``successors=True``, from the TAIL when ``False``) replicate into
+    ``dst``. The walk continues past the immediate neighbor until each
+    destination has accumulated exactly ``need`` overlap rows (or the
+    table runs out) — replicating only from the single adjacent
+    partition silently drops boundary-straddling rows whenever a
+    partition holds fewer than ``need`` rows (parallelism ≫ rows/range,
+    the normal cluster regime). O(partitions²) worst case on the driver
+    for pathologically thin layouts, O(partitions) when ranges hold
+    ≥ ``need`` rows."""
+    entries: list[tuple[int, int, int]] = []
+    ids = [p for p, _ in counts]
+    n = dict(counts)
+    for i, dst in enumerate(ids):
+        remaining = need
+        walk = ids[i + 1 :] if successors else reversed(ids[:i])
+        for src in walk:
+            take = min(n[src], remaining)
+            if take > 0:
+                entries.append((src, take, dst))
+                remaining -= take
+            if remaining == 0:
+                break
+    return entries
+
+
 def ordered_lag(
     df: DataFrame,
     sort_keys: list[tuple[str, str]],
@@ -102,10 +138,12 @@ def ordered_lag(
 ) -> DataFrame:
     """``LAG(value, offset) OVER (ORDER BY …)`` without the
     single-partition window: range-partition on the sort keys, replicate
-    each partition's LAST ``offset`` rows into the next non-empty
-    partition (so the first rows of every partition still see their
-    predecessors), lag locally, drop the replicas. Exactly the global
-    window's answer with a fixed ``offset``-row overlap per range.
+    into each partition the LAST ``offset`` rows of ALL its predecessors
+    combined (walking back across partitions until ``offset`` rows are
+    accumulated — a single-neighbor copy silently returns NULL whenever
+    a range holds fewer than ``offset`` rows), lag locally, drop the
+    replicas. Exactly the global window's answer with an ``offset``-row
+    overlap per range.
 
     ``sort_keys`` is ``[(col, "asc"|"desc"), …]`` and must be a total
     order for reproducible results."""
@@ -126,22 +164,22 @@ def ordered_lag(
         .withColumn("_olg_part", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
-    present = sorted(
-        r["_olg_part"] for r in base.select("_olg_part").distinct().collect()
+    counts = sorted(
+        (r["_olg_part"], r["_c"])
+        for r in base.groupBy("_olg_part").agg(F.count(F.lit(1)).alias("_c")).collect()
     )
-    nxt = {p: q for p, q in zip(present, present[1:])}
-    if nxt:
+    plan = chained_overlap_entries(counts, offset, successors=False)
+    if plan:
         remap = spark.createDataFrame(
-            [(p, q) for p, q in nxt.items()], "_olg_part int, _next int"
+            plan, "_olg_part int, _lim int, _dst int"
         )
         w_desc = Window.partitionBy("_olg_part").orderBy(*_cols(rev=True))
         tails = (
             base.withColumn("_rn", F.row_number().over(w_desc))
-            .filter(F.col("_rn") <= offset)
-            .drop("_rn")
             .join(F.broadcast(remap), "_olg_part")
-            .drop("_olg_part")
-            .withColumnRenamed("_next", "_olg_part")
+            .filter(F.col("_rn") <= F.col("_lim"))
+            .drop("_rn", "_lim", "_olg_part")
+            .withColumnRenamed("_dst", "_olg_part")
             .withColumn("_olg_rep", F.lit(True))
         )
         aug = base.withColumn("_olg_rep", F.lit(False)).unionByName(tails)

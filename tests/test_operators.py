@@ -922,6 +922,32 @@ def test_sorted_neighborhood_pairs_hand_fixture(spark):
     assert ("apple", "banana") not in {(a, b) for a, b, _ in got}
 
 
+def test_sorted_neighborhood_pairs_thin_partitions(spark):
+    """Partitions thinner than window-1 names (parallelism >= vocabulary):
+    boundary neighborhoods must chain across multiple FOLLOWING
+    partitions (round-6 advisor repro: 6 names / 8 partitions / window=3
+    lost every lead-2 pair). Compare against the brute-force global-sort
+    pair set with no distance gate so every neighborhood pair counts."""
+    from etl_manager_spark.operators.dedup import sorted_neighborhood_pairs
+
+    names = sorted(["alpha", "beta", "gamma", "delta", "epsilon", "zeta"])
+    df = spark.createDataFrame([(n,) for n in names * 2], ["name"])
+    for n_parts, window in [(8, 3), (12, 4), (6, 6), (2, 3)]:
+        expected = {
+            (names[i], names[j])
+            for i in range(len(names))
+            for j in range(i + 1, min(i + window, len(names)))
+        }
+        got = {
+            (r["name_a"], r["name_b"])
+            for r in sorted_neighborhood_pairs(
+                df, "name", window=window, max_distance=10**6,
+                n_partitions=n_parts,
+            ).collect()
+        }
+        assert got == expected, f"n_partitions={n_parts} window={window}"
+
+
 def test_holt_per_key_matches_pandas_reference(spark):
     """holt_per_key vs an independent per-group pandas fold, including
     across Arrow-batch boundaries (single partition forces one stream)."""

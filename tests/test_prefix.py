@@ -104,6 +104,60 @@ def test_ordered_lag_matches_global_window(spark, frame):
         assert got == expected, f"offset={offset}"
 
 
+def test_ordered_lag_thin_partitions(spark):
+    """Partitions THINNER than the offset (n_partitions >= rows): the
+    overlap must chain across multiple preceding partitions, not just
+    the immediate neighbor (round-6 advisor repro: 6 rows / 6
+    partitions / offset=2 returned NULL everywhere)."""
+    rows = [(i, i * 10) for i in range(6)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    for n_parts, offset in [(6, 2), (8, 3), (12, 5), (3, 4)]:
+        expected = sorted(
+            (r.id, r.p)
+            for r in df.select(
+                "id", F.lag("v", offset).over(Window.orderBy("id")).alias("p")
+            ).collect()
+        )
+        got = sorted(
+            (r.id, r.p)
+            for r in ordered_lag(
+                df, [("id", "asc")], "v", "p",
+                offset=offset, n_partitions=n_parts,
+            ).collect()
+        )
+        assert got == expected, f"n_partitions={n_parts} offset={offset}"
+
+
+def test_chained_overlap_entries_properties():
+    """Driver-side replication plan: each destination accumulates
+    exactly `need` rows (or everything available), drawn from the
+    nearest partitions first, never from itself, never more rows than a
+    source holds."""
+    from etl_manager_spark.operators.prefix import chained_overlap_entries
+
+    import itertools
+    for sizes in itertools.product([0, 1, 2, 5], repeat=4):
+        counts = [(p, c) for p, c in enumerate(sizes) if c > 0]
+        for need in (1, 2, 3, 7):
+            for successors in (True, False):
+                plan = chained_overlap_entries(counts, need, successors)
+                n = dict(counts)
+                ids = [p for p, _ in counts]
+                got = {}
+                for src, lim, dst in plan:
+                    assert src != dst
+                    assert 1 <= lim <= n[src]
+                    assert (src > dst) == successors
+                    got[dst] = got.get(dst, 0) + lim
+                for i, dst in enumerate(ids):
+                    avail = sum(
+                        n[p] for p in (ids[i + 1:] if successors else ids[:i])
+                    )
+                    assert got.get(dst, 0) == min(need, avail), (
+                        sizes, need, successors, dst,
+                    )
+
+
 def test_ntile_from_rank_matches_ansi_ntile(spark):
     # N not divisible by tiles → uneven buckets, the tricky branch
     for n in (3, 7, 12, 25, 100):
