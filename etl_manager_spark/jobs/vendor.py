@@ -60,7 +60,11 @@ def read_zipball_urls(
     """Collect zipball URLs from ``py_resources/zipball_urls.txt`` in the
     job folder and, when given, the shared resources folder (reference
     ``_get_github_resource_list``, etl.py:343-369 — same file-per-folder
-    convention, same >10-char line filter, job-local lines first)."""
+    convention, same >10-char line filter, job-local lines first). The
+    two accepted filenames are ALTERNATIVE spellings of the same list
+    (the reference reads exactly one file per folder): only the first
+    one present in a folder is read, so a folder carrying both does not
+    produce duplicate URLs and a spurious duplicate-package JobError."""
     urls: list[str] = []
     for base in (job_folder, shared_resources):
         if not base:
@@ -71,6 +75,7 @@ def read_zipball_urls(
                 continue
             with open(path, encoding="utf-8") as fh:
                 urls.extend(line.strip() for line in fh)
+            break
     return [u for u in urls if len(u) > _MIN_URL_LEN]
 
 

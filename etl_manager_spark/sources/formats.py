@@ -45,8 +45,11 @@ _FORMAT_DEFAULTS: dict[str, tuple[str, dict[str, Any]]] = {
     "regex": ("text", {"input.regex": "(.*)"}),
     # Fixed-width line scan (legacy mainframe/log layouts); handled in
     # readers.py via spark.read.text + substring projections. The option
-    # carries the per-column byte widths as a comma string, positional
-    # like the headerless csv format.
+    # carries the per-column CHARACTER widths as a comma string,
+    # positional like the headerless csv format. Widths count decoded
+    # characters, not bytes (F.substring is character-based) — a
+    # byte-offset layout with multibyte text needs a byte-width variant,
+    # which this format deliberately does not promise.
     "fixedwidth": ("text", {"widths": ""}),
 }
 

@@ -60,6 +60,9 @@ def read_table(spark: "SparkSession", table: "TableMeta", path: str) -> "DataFra
         return df.select(*projections)
 
     if table.data_format == "fixedwidth":
+        # widths are CHARACTER counts (F.substring slices decoded
+        # characters) — see formats.py; byte-offset layouts with
+        # multibyte text are out of scope for this format.
         raw = options.get("widths", "")
         widths = (
             [int(w) for w in str(raw).split(",") if str(w).strip()]

@@ -260,6 +260,22 @@ def test_read_zipball_urls_missing_files(tmp_path):
     assert read_zipball_urls(str(tmp_path)) == []
 
 
+def test_read_zipball_urls_filenames_are_alternatives(tmp_path):
+    """A folder carrying BOTH accepted list filenames reads only the
+    first (they are alternative spellings of one list, not additive —
+    reading both duplicated every URL and made vendor_all raise a
+    spurious duplicate-package JobError)."""
+    res = tmp_path / "py_resources"
+    res.mkdir()
+    url = "https://github.com/someorg/fakepkg/archive/main.zip"
+    (res / "zipball_urls.txt").write_text(url + "\n")
+    (res / "github_zip_urls.txt").write_text(url + "\n")
+    assert read_zipball_urls(str(tmp_path)) == [url]
+    # the second filename still works when it is the only one present
+    (res / "zipball_urls.txt").unlink()
+    assert read_zipball_urls(str(tmp_path)) == [url]
+
+
 def test_reference_filename_and_example_url_parse(tmp_path, spark):
     # the reference's exact filename convention is accepted too, and its
     # example URL parses to the repo name (etl.py:467 url.split("/")[4])
