@@ -136,6 +136,11 @@ def lint_plan(
       is provably bounded (a post-``limit(k)`` frame, a ≤k-row
       aggregate); over a dimension that grows with the data it is the
       canonical 100 TB cliff.
+    - ``unbounded-percentile``: an exact ``percentile``/``median``
+      aggregate — its per-group buffer holds every distinct value in one
+      task; over a domain that grows with the data it OOMs a single
+      executor even when the shuffle shape is clean. Legitimate only
+      when the group's value domain is provably bounded.
     - ``global-sort``: a rangepartitioning exchange — a full global sort;
       for top-k, TakeOrderedAndProject should have replaced it.
     - ``many-shuffles``: more than ``max_shuffles`` hash exchanges —
@@ -193,6 +198,28 @@ def lint_plan(
                     "likely failed (SELECT * upstream?)",
                 )
             )
+    # exact percentile/median aggregates buffer every distinct value of a
+    # group in ONE task (ObjectHashAggregate counts-map, sorted at eval);
+    # over a continuous/near-unique domain the buffer grows linearly with
+    # the data even when the shuffle shape is clean — invisible to the
+    # single-partition-window check. approx_percentile (bounded sketch)
+    # is deliberately not flagged.
+    _noapprox = r.text.replace("approx_percentile(", "").replace(
+        "percentile_approx(", ""
+    )
+    exact_pct = len(re.findall(r"\b(?:percentile|median)\(", _noapprox))
+    if exact_pct:
+        warnings.append(
+            PlanWarning(
+                "unbounded-percentile",
+                f"{exact_pct} exact percentile/median aggregate(s): the "
+                "per-group buffer holds every distinct value in one task "
+                "— safe only when the group's value domain is provably "
+                "bounded (state the bound in the workload docstring); "
+                "otherwise use operators/quantiles.py's rank-quantile "
+                "CDF or approx_percentile",
+            )
+        )
     if r.single_partition_windows:
         warnings.append(
             PlanWarning(

@@ -164,17 +164,40 @@ def profile_approx_quantiles(
     one-pass sketch, this harness proves it's trustworthy on your data.
     The sketch value differs across engines, so the output exposes the
     exact (interpolating) percentile — identical in Spark and DuckDB's
-    ``quantile_cont`` — plus portable booleans."""
-    aggs = []
-    for p in probabilities:
-        tag = str(p).replace(".", "_")
-        exact = F.expr(f"percentile({value_col}, {p})")
-        approx = F.expr(f"approx_percentile({value_col}, {p}, {accuracy})")
-        aggs.append(exact.alias(f"p{tag}_exact"))
-        aggs.append(
+    ``quantile_cont`` — plus portable booleans.
+
+    The exact side comes from the distributed rank-quantile CDF
+    (``operators/quantiles.py``), not the built-in exact percentile
+    aggregate, whose per-group buffer holds every distinct value in one
+    task — the very failure mode this harness exists to let you avoid.
+    The sketch side stays a plain (mergeable, bounded) aggregate; the
+    two join on the group key (both are |groups|-row tables)."""
+    from etl_manager_spark.operators.quantiles import grouped_exact_percentiles
+
+    tags = [str(p).replace(".", "_") for p in probabilities]
+    exact = grouped_exact_percentiles(
+        df,
+        [group_col],
+        value_col,
+        {f"p{tag}_exact": p for tag, p in zip(tags, probabilities)},
+    )
+    approx = df.groupBy(group_col).agg(
+        *[
+            F.expr(f"approx_percentile({value_col}, {p}, {accuracy})")
+            .cast("double")
+            .alias(f"_approx_{tag}")
+            for tag, p in zip(tags, probabilities)
+        ]
+    )
+    out = exact.join(approx, group_col)
+    cols = [F.col(group_col)]
+    for tag in tags:
+        cols.append(F.col(f"p{tag}_exact"))
+        cols.append(
             (
-                F.abs(approx.cast("double") - exact) / F.abs(exact)
+                F.abs(F.col(f"_approx_{tag}") - F.col(f"p{tag}_exact"))
+                / F.abs(F.col(f"p{tag}_exact"))
                 <= F.lit(rel_tol)
             ).alias(f"p{tag}_within_tol")
         )
-    return df.groupBy(group_col).agg(*aggs)
+    return out.select(*cols)

@@ -956,21 +956,24 @@ def mad_robust_outliers_events(spark, sf_dir):
     """Robust (median/MAD) outlier detection per group — the z-score
     gate's heavy-tail-safe sibling: center = exact median, spread =
     median absolute deviation, outlier iff |v − med| > 3·1.4826·MAD.
-    Medians are exact sort-based percentiles (interpolating the middle
-    pair identically in both engines — deterministic, unlike mean-based
-    double sums), so no quantization is needed before the gate. Shape:
-    two grouped median passes + one broadcast-join flag pass; grouped
-    exact medians sort within groups only, which at 100 TB is the usual
-    per-group sort-agg (swap in approx_percentile when a tolerance is
-    acceptable — see the sketch-calibration workloads)."""
+    Medians are exact interpolated percentiles computed by the
+    distributed rank-quantile operator (operators/quantiles.py) — the
+    built-in ``median`` buffers every distinct value of a group in one
+    task, and with ~5 event types over a continuous domain that buffer
+    grows linearly with the data. Shape: two grouped CDF passes (each a
+    hash-agg + range shuffle of the DISTINCT-value table, memory bounded
+    by the partition slice) + one broadcast-join flag pass; the
+    interpolation replays Spark's formula bit-for-bit so the answer is
+    unchanged."""
+    from etl_manager_spark.operators.quantiles import grouped_exact_percentiles
+
     t = load_tables(spark, sf_dir)
     ev = t["events"]
-    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
-    mad = (
-        ev.join(F.broadcast(med), on="event_type")
-        .groupBy("event_type")
-        .agg(F.median(F.abs(F.col("value") - F.col("med"))).alias("mad"))
+    med = grouped_exact_percentiles(ev, ["event_type"], "value", {"med": 0.5})
+    adev = ev.join(F.broadcast(med), on="event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("med")).alias("_adev")
     )
+    mad = grouped_exact_percentiles(adev, ["event_type"], "_adev", {"mad": 0.5})
     flagged = (
         ev.join(F.broadcast(med), on="event_type")
         .join(F.broadcast(mad), on="event_type")

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from etl_manager_spark.operators import ranking as R
 from etl_manager_spark.operators.prefix import ordered_cumsum
+from etl_manager_spark.operators.quantiles import grouped_exact_percentiles
 from etl_manager_spark.operators.topk import rank_bounded
 from etl_manager_spark.workloads import workload
 from etl_manager_spark.workloads.analytics import _BM25_CTES, _BM25_TERMS
@@ -1164,16 +1165,21 @@ def norm_quartiles_embeddings_label(spark, sf_dir):
         lambda acc, x: acc + x,
     )
     norms = spread(t["embeddings"], spark).select(
-        "label",
+        F.col("label").cast("int").alias("label"),
         F.floor(F.sqrt(sumsq) * F.lit(1000000000.0) + F.lit(0.5))
         .cast("long")
         .alias("norm_q"),
     )
-    return norms.groupBy(F.col("label").cast("int").alias("label")).agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.expr("percentile(norm_q, 0.25D)").alias("q1"),
-        F.expr("percentile(norm_q, 0.5D)").alias("med"),
-        F.expr("percentile(norm_q, 0.75D)").alias("q3"),
+    # distributed rank-quantile operator (operators/quantiles.py): the
+    # per-label norm domain is near-unique, so the built-in percentile's
+    # per-group buffer grows with the data; the CDF formulation bounds
+    # memory by the range-partition slice and interpolates identically
+    return grouped_exact_percentiles(
+        norms,
+        ["label"],
+        "norm_q",
+        {"q1": 0.25, "med": 0.5, "q3": 0.75},
+        count_name="n",
     )
 
 
@@ -1874,9 +1880,10 @@ def winsorized_mean_value_by_type(spark, sf_dir):
     values round to integers from identical doubles; every sum is exact
     int64; one closing division each, quantized to integer means.
 
-    Scale shape: one |types|-key percentile aggregate (Spark's exact
-    percentile — a per-group sorted digest), a broadcast of the k-row
-    bounds table, one conditional hash-agg. No windows, no global
+    Scale shape: a distributed rank-quantile CDF for the |types|-row
+    bounds table (operators/quantiles.py — memory bounded by the
+    range-partition slice, never by group size), a broadcast of the
+    k-row bounds, one conditional hash-agg. No windows, no global
     sort."""
     t = load_tables(spark, sf_dir)
     q = t["events"].select(
@@ -1885,9 +1892,11 @@ def winsorized_mean_value_by_type(spark, sf_dir):
         .cast("long")
         .alias("vq"),
     )
-    bounds = q.groupBy("event_type").agg(
-        F.expr("percentile(vq, 0.1D)").alias("lo"),
-        F.expr("percentile(vq, 0.9D)").alias("hi"),
+    # distributed rank-quantile CDF (operators/quantiles.py) — per-type
+    # nano-quantized domains are near-unique, so the built-in exact
+    # percentile's per-group buffer grows with the data
+    bounds = grouped_exact_percentiles(
+        q, ["event_type"], "vq", {"lo": 0.1, "hi": 0.9}
     )
     j = q.join(F.broadcast(bounds), on="event_type")
     vqd = F.col("vq").cast("double")
@@ -2665,11 +2674,12 @@ def feature_mi_documents(spark, sf_dir):
 def conformal_interval_events(spark, sf_dir):
     """Split-conformal prediction intervals: per-type mean predictor fit
     on the calibration half (even event_id), 90th-percentile residual
-    radius q̂ from the calibration residuals (exact percentile over
-    nano-quantized ints — the norm_quartiles idiom), then the marginal
+    radius q̂ from the calibration residuals (exact interpolated
+    percentile over nano-quantized ints via the distributed
+    rank-quantile CDF — operators/quantiles.py), then the marginal
     coverage audit on the held-out half (should be ≈0.9). Per-type
-    aggregates with 5-row broadcast joins; no global sort or window —
-    the residual quantile is a per-group exact percentile aggregate."""
+    aggregates with 5-row broadcast joins; no global sort, no window,
+    no data-proportional percentile buffer."""
     t = load_tables(spark, sf_dir)
     ev = spread(t["events"], spark).select(
         "event_type",
@@ -2696,10 +2706,11 @@ def conformal_interval_events(spark, sf_dir):
             + F.lit(0.5)
         ).cast("long").alias("r_q"),
     )
-    qh = (
-        r.filter("is_cal")
-        .groupBy("event_type")
-        .agg(F.expr("percentile(r_q, 0.9D)").alias("q_hat"))
+    # distributed rank-quantile CDF (operators/quantiles.py): calibration
+    # residuals are a near-unique nano-quantized domain per type — the
+    # built-in percentile's single-task buffer is the 100 TB cliff here
+    qh = grouped_exact_percentiles(
+        r.filter("is_cal"), ["event_type"], "r_q", {"q_hat": 0.9}
     )
     cov = (
         r.filter(~F.col("is_cal"))
@@ -2717,8 +2728,8 @@ def conformal_interval_events(spark, sf_dir):
         )
     )
     return (
-        m.join(qh, "event_type")
-        .join(cov, "event_type")
+        m.join(F.broadcast(qh), "event_type")
+        .join(F.broadcast(cov), "event_type")
         .select("event_type", "n_cal", "n_test", "q_hat", "coverage_q")
     )
 
@@ -4192,18 +4203,22 @@ def qq_distance_view_click(spark, sf_dir):
     and max absolute decile gap — the location-aware complement to the KS
     statistic (KS sees only the worst CDF gap; deciles localize WHERE the
     distributions diverge). Exact interpolated deciles over nano-quantized
-    ints per group (the norm_quartiles idiom), then a 2-row pivot and one
-    closing expression — no global sort."""
+    ints per group via the distributed rank-quantile CDF
+    (operators/quantiles.py — both groups span the whole fact table, the
+    regime where the built-in percentile buffer is the 100 TB cliff),
+    then a 2-row pivot and one closing expression — no global sort."""
     t = load_tables(spark, sf_dir)
     q = (
         spread(t["events"], spark)
         .filter(F.col("event_type").isin("view", "click"))
         .select("event_type", R.quantize(F.col("value")).alias("v_q"))
     )
-    aggs = [
-        F.expr(f"percentile(v_q, {p/10.0}D)").alias(f"d{p}") for p in range(1, 10)
-    ]
-    dec = q.groupBy("event_type").agg(*aggs)
+    # distributed rank-quantile CDF (operators/quantiles.py): two groups
+    # spanning the whole fact table — exactly the few-huge-groups regime
+    # where the built-in percentile's per-group buffer grows linearly
+    dec = grouped_exact_percentiles(
+        q, ["event_type"], "v_q", {f"d{p}": p / 10.0 for p in range(1, 10)}
+    )
     a = dec.filter(F.col("event_type") == "view").drop("event_type")
     bcols = [F.col(f"d{p}").alias(f"b{p}") for p in range(1, 10)]
     b = dec.filter(F.col("event_type") == "click").select(*bcols)

@@ -904,11 +904,21 @@ def subquery_scalar_above_avg(spark, sf_dir):
 )
 def agg_median_acctbal_by_nation(spark, sf_dir):
     """Exact median (interpolating continuous percentile — same definition
-    in Spark `percentile` and DuckDB `quantile_cont`)."""
+    in Spark `percentile` and DuckDB `quantile_cont`), computed by the
+    distributed rank-quantile operator (operators/quantiles.py) instead
+    of the built-in aggregate: 25 nations × a near-unique balance domain
+    means per-group percentile buffers grow linearly with the data —
+    the ordered-cumsum CDF bounds memory by the range-partition slice
+    and replays the identical interpolation bit-for-bit."""
+    from etl_manager_spark.operators.quantiles import grouped_exact_percentiles
+
     t = load_tables(spark, sf_dir)
-    return t["customer"].groupBy("c_nationkey").agg(
-        F.expr("percentile(c_acctbal, 0.5)").alias("median_acctbal"),
-        F.count(F.lit(1)).alias("n_customers"),
+    return grouped_exact_percentiles(
+        t["customer"],
+        ["c_nationkey"],
+        "c_acctbal",
+        {"median_acctbal": 0.5},
+        count_name="n_customers",
     )
 
 

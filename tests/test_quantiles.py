@@ -1,0 +1,71 @@
+"""grouped_exact_percentiles must be bit-identical to Spark's built-in
+exact percentile aggregate — it exists to replace that aggregate where
+per-group value domains grow with the data, so any deviation is a bug.
+
+Cases forced: heavy ties, near-unique domains, single-row groups,
+percentile 0/0.5/1 plus awkward fractions, thinner range partitions
+than values, and integral vs double value columns.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_manager_spark.operators.quantiles import grouped_exact_percentiles
+
+PCTS = {"p0": 0.0, "q1": 0.25, "med": 0.5, "p63": 0.63, "p90": 0.9, "p100": 1.0}
+
+
+def _builtin(df, gcol, vcol):
+    aggs = [
+        F.expr(f"percentile({vcol}, {p}D)").alias(name)
+        for name, p in PCTS.items()
+    ] + [F.count(F.col(vcol)).cast("long").alias("n")]  # non-null count — the N percentile uses
+    return {
+        tuple(r[g] for g in [gcol]): r.asDict()
+        for r in df.groupBy(gcol).agg(*aggs).collect()
+    }
+
+
+def _ours(df, gcol, vcol, n_partitions):
+    out = grouped_exact_percentiles(
+        df, [gcol], vcol, PCTS, count_name="n", n_partitions=n_partitions
+    )
+    return {tuple(r[g] for g in [gcol]): r.asDict() for r in out.collect()}
+
+
+@pytest.mark.parametrize("n_partitions", [1, 7, 64])
+def test_matches_builtin_percentile_mixed_groups(spark, n_partitions):
+    rng = random.Random(42)
+    rows = []
+    # group a: heavy ties; group b: near-unique; group c: single row;
+    # group d: two rows (interpolation across the only boundary)
+    rows += [("a", float(rng.randint(0, 5))) for _ in range(200)]
+    rows += [("b", rng.uniform(-100, 100)) for _ in range(199)]
+    rows += [("c", 3.25)]
+    rows += [("d", 1.0), ("d", 2.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    exp = _builtin(df, "g", "v")
+    got = _ours(df, "g", "v", n_partitions)
+    assert got == exp  # dict equality → bit-identical doubles
+
+
+def test_matches_builtin_percentile_long_values(spark):
+    rng = random.Random(7)
+    rows = [(i % 3, rng.randint(-10**12, 10**12)) for i in range(500)]
+    df = spark.createDataFrame(rows, "g int, v long")
+    exp = _builtin(df, "g", "v")
+    got = _ours(df, "g", "v", 16)
+    assert got == exp
+
+
+def test_nulls_ignored_like_builtin(spark):
+    rows = [("a", None), ("a", 1.0), ("a", 2.0), ("a", None), ("a", 3.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    exp = _builtin(df, "g", "v")
+    got = _ours(df, "g", "v", 4)
+    assert got == exp
+    assert got[("a",)]["n"] == 3

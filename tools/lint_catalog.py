@@ -24,6 +24,17 @@ ROW_UDF_ALLOWED = {"udtf_event_runs_per_user", "udtf_token_explode_documents"}
 # SinglePartition under a Window is a critical lint failure.
 SP_WINDOW_ALLOWED: set[str] = set()
 
+# exact percentile/median aggregates allowed ONLY where the per-group value
+# domain is provably bounded (the bound is stated in the workload
+# docstring); over a domain that grows with the data the single-task
+# buffer is a 100 TB OOM — use operators/quantiles.py instead.
+PCT_ALLOWED = {
+    # ≤7 nano-quantized daily means per (day) group — calendar-bounded
+    "moving_median_daily_value",
+    # pairwise slopes over calendar days: days² values total, one group
+    "theil_sen_daily_value_trend",
+}
+
 
 def main() -> None:
     from pyspark.sql import SparkSession
@@ -62,6 +73,7 @@ def main() -> None:
             "single-partition-window" in codes
             and name not in SP_WINDOW_ALLOWED
         )
+        or ("unbounded-percentile" in codes and name not in PCT_ALLOWED)
     )
 
     # Oracle declared-type scan: an oracle whose DuckDB result type has no
