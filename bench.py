@@ -10,6 +10,12 @@ or a stray GC pause, and round-over-round regressions are detectable. The
 same JSON is also written to BENCH_LOCAL.json next to this script so the
 result parses standalone even if stdout is truncated. First a warmup query
 spins up the JVM so per-query numbers exclude session startup.
+
+The STREAMING category runs in its own FRESH SparkSession after the batch
+catalog finishes (round-6 lesson: micro-batch scheduling latency measured
+inside a session already ~300 queries deep drifted up to 1.8× with zero
+code changes — the streaming timers were measuring session debris, not
+plans). Isolation makes streaming numbers comparable round-over-round.
 """
 
 from __future__ import annotations
@@ -22,21 +28,18 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-
+def build_session(cpus: str, app: str):
     from pyspark.sql import SparkSession
 
-    spark = (
+    return (
         SparkSession.builder.master(f"local[{cpus}]")
-        .appName("etl_manager_spark-bench")
+        .appName(app)
         .config("spark.sql.shuffle.partitions", str(int(cpus)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", "32g")
         .config("spark.ui.enabled", "false")
-        # a 161-query session accumulates localCheckpoint/persist blocks
+        # a 300+-query session accumulates localCheckpoint/persist blocks
         # that are only freed when a JVM GC collects the dead RDD refs
         # (ContextCleaner); the default periodicGC interval is 30 MIN —
         # longer than the whole bench — so storage memory filled up and
@@ -44,24 +47,22 @@ def main() -> None:
         .config("spark.cleaner.periodicGC.interval", "30s")
         .getOrCreate()
     )
-    spark.sparkContext.setLogLevel("ERROR")
 
-    from etl_manager_spark.workloads import load_registry
 
-    registry = load_registry()
-
-    # warmup: JVM + parquet footer caches, the Python/Arrow worker pool,
-    # and the streaming state-store machinery — first use of each costs
-    # seconds and would otherwise be billed to whichever query runs first
+def warm_batch(spark, sf_dir: str) -> None:
+    """JVM + parquet footer caches and the Python/Arrow worker pool —
+    first use of each costs seconds and would otherwise be billed to
+    whichever query runs first."""
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
-    # first DataFrame->RDD conversion in a session costs ~1 s (deserializer
-    # setup); spread()'s partition-count probe uses it, so warm it here
-    spark.read.parquet(f"{sf_dir}/embeddings.parquet").rdd.getNumPartitions()
     import pandas as pd  # noqa: F401
 
     spark.range(1000).mapInPandas(
         lambda it: it, schema="id long"
     ).write.mode("overwrite").format("noop").save()
+
+
+def warm_streaming(spark) -> None:
+    """Streaming state-store + micro-batch machinery."""
     warm_stream = (
         spark.readStream.format("rate").option("numPartitions", "1").load()
         .groupBy("value").count()
@@ -70,13 +71,12 @@ def main() -> None:
     )
     warm_stream.awaitTermination()
 
+
+def run_queries(spark, names, registry, sf_dir, n_runs, timings, failures):
     import gc
 
-    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     shuffle_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    timings: dict[str, float] = {}
-    failures: dict[str, str] = {}
-    for name in sorted(registry):
+    for name in names:
         fn = registry[name].fn
         runs: list[float] = []
         try:
@@ -96,15 +96,50 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 - report and continue
             failures[name] = f"{type(exc).__name__}: {exc}"[:200]
         # measure each query against a clean session, not the debris of
-        # the previous 160: drop explicit caches, then release the Python
-        # refs so ContextCleaner can evict checkpoint blocks JVM-side;
-        # re-assert the session confs a crashed workload may have left
-        # mid-override (the streaming helpers restore in finally, but a
-        # KeyboardInterrupt-shaped failure could skip it)
-        df = None
+        # the previous hundreds: drop explicit caches, then release the
+        # Python refs so ContextCleaner can evict checkpoint blocks
+        # JVM-side; re-assert the session confs a crashed workload may
+        # have left mid-override (the streaming helpers restore in
+        # finally, but a KeyboardInterrupt-shaped failure could skip it)
+        df = None  # noqa: F841
         spark.catalog.clearCache()
         spark.conf.set("spark.sql.shuffle.partitions", shuffle_parts)
         gc.collect()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+
+    from etl_manager_spark.workloads import load_registry
+
+    registry = load_registry()
+    batch_names = sorted(
+        n for n in registry if registry[n].category != "streaming"
+    )
+    stream_names = sorted(
+        n for n in registry if registry[n].category == "streaming"
+    )
+
+    timings: dict[str, float] = {}
+    failures: dict[str, str] = {}
+
+    spark = build_session(cpus, "etl_manager_spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    warm_batch(spark, sf_dir)
+    run_queries(spark, batch_names, registry, sf_dir, n_runs, timings, failures)
+    spark.stop()
+
+    # streaming in a FRESH session: availableNow micro-batch latency is
+    # dominated by scheduler machinery, which degrades measurably in a
+    # long-lived session — isolate so the number tracks the code
+    spark = build_session(cpus, "etl_manager_spark-bench-streaming")
+    spark.sparkContext.setLogLevel("ERROR")
+    warm_batch(spark, sf_dir)
+    warm_streaming(spark)
+    run_queries(spark, stream_names, registry, sf_dir, n_runs, timings, failures)
+    spark.stop()
 
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
     out = {
@@ -116,7 +151,10 @@ def main() -> None:
         # the host is noisy (shared box): every per-query number is the
         # median of n_runs executions after one untimed warmup pass;
         # "value" is the sum of medians
-        "protocol": f"median_of_{n_runs}_per_query_after_warmup",
+        "protocol": (
+            f"median_of_{n_runs}_per_query_after_warmup;"
+            "streaming_category_in_fresh_session"
+        ),
     }
     if failures:
         out["failures"] = failures
@@ -172,8 +210,8 @@ def main() -> None:
         sys.stderr.write(f"bench delta skipped: {exc}\n")
 
     # The driver records only the last ~2000 bytes of stdout; the full
-    # 100+-query line is ~3.3 KB, so printing it verbatim decapitates the
-    # JSON and the driver records parsed=null. Print instead a compact
+    # 300+-query line is much larger, so printing it verbatim decapitates
+    # the JSON and the driver records parsed=null. Print instead a compact
     # line (same shape, slowest queries only, sized to fit the capture)
     # and point at BENCH_LOCAL.json for the complete per-query map.
     # Failures never ride along verbatim (a broken-fixture round once

@@ -59,6 +59,7 @@ def build_key_bloom(
     key_col: str,
     num_bits: int = 1 << 14,
     num_hashes: int = 2,
+    max_bits: int = 1 << 27,
 ) -> list[int]:
     """Build the bloom bitmap of ``dim[key_col]`` as ``num_bits/64`` longs.
 
@@ -73,10 +74,25 @@ def build_key_bloom(
     Sizing: fpp ≈ (1 - e^(-kn/m))^k. The 16 Kib / 2-hash default gives
     fpp < 1% up to ~1 500 keys; callers at larger dim cardinality pass
     num_bits ≈ 10·n for ~1.2% fpp at k=2. Driver cost is one row per
-    populated word (16 B each): ~250 MB at the 10⁹-bit/10⁸-key end.
+    populated word: the bitmap itself is num_bits/8 bytes but the
+    collect()ed rows cost ~10× that transiently, so ``max_bits``
+    (default 2²⁷ = 128 Mib → a 16 MB bitmap, ~13 M keys at 10 bits/key)
+    refuses sizes that would OOM the driver instead of letting the
+    collect discover it; raise it explicitly only with driver memory to
+    match, or switch to the engine-native
+    ``spark.sql.optimizer.runtime.bloomFilter`` / a semi-join, which
+    never materialize the bitmap on the driver.
     """
     if num_bits % _WORD:
         raise ValueError(f"num_bits must be a multiple of {_WORD}")
+    if num_bits > max_bits:
+        raise ValueError(
+            f"num_bits={num_bits} exceeds max_bits={max_bits}: the driver "
+            f"would collect up to {num_bits // _WORD} word rows "
+            f"(~{num_bits // _WORD * 160 // 2**20} MB transient). Pass a "
+            "larger max_bits only with driver memory to match, or use a "
+            "semi-join / Spark's runtime bloom filter instead"
+        )
     rows = (
         dim.select(
             F.explode(

@@ -80,7 +80,16 @@ def grouped_value_cdf(
     )
     per_group: dict[tuple, list[tuple[int, int]]] = defaultdict(list)
     for r in totals.collect():
-        per_group[tuple(r[g] for g in gcols)].append((r["_qp"], r["_qn"]))
+        gk = tuple(r[g] for g in gcols)
+        if any(v is None for v in gk):
+            # the offset/rank attachment joins are equi-joins, which would
+            # silently DROP a null group where groupBy+percentile keeps it
+            # — refuse loudly rather than diverge from the aggregate
+            raise ValueError(
+                f"grouped percentiles: null group key {dict(zip(gcols, gk))} "
+                "— coalesce or filter null group keys before calling"
+            )
+        per_group[gk].append((r["_qp"], r["_qn"]))
     off_rows, n_by_group = [], {}
     for gk, lst in per_group.items():
         acc = 0

@@ -107,8 +107,17 @@ def spread(df: DataFrame, spark: SparkSession, min_partitions: int | None = None
     HOFs, Arrow UDFs) over a small local file serialize onto one core — at
     sf0.1 ``documents.parquet`` is a single split and the profile/lang-id
     stages ran single-threaded. Guarded: at production scale the input
-    arrives in many splits and this is a no-op (no shuffle)."""
+    arrives in many splits and this is a no-op (no shuffle). The
+    few-splits probe is ``len(df.inputFiles())`` — plan metadata only;
+    ``df.rdd.getNumPartitions()`` would force an RDD conversion of the
+    analyzed plan on every call just to read a number. One multi-row-
+    group file can under-count as 1 split and repartition needlessly —
+    harmless (the no-op direction, many files, stays exact)."""
     target = min_partitions or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    try:
+        n_splits = len(df.inputFiles())
+    except Exception:  # noqa: BLE001 - non-scan plan → assume spread needed
+        n_splits = 0
+    if n_splits >= target:
         return df
     return df.repartition(target)

@@ -901,6 +901,37 @@ def test_bloom_prefiltered_join_refuses_outer(spark, sf_dir):
         build_key_bloom(dim, "c_custkey", num_bits=100)
 
 
+def test_build_key_bloom_driver_ceiling_property(spark, sf_dir):
+    """The max_bits guard refuses any num_bits above the ceiling BEFORE
+    any distributed work (a driver-OOM-by-collect must fail fast), and
+    accepts any word-aligned size at or below it."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from etl_manager_spark.operators.bloomjoin import build_key_bloom
+
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey").limit(50)
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        words=st.integers(min_value=1, max_value=1 << 20),
+        max_words=st.integers(min_value=1, max_value=1 << 12),
+    )
+    def check(words, max_words):
+        num_bits, max_bits = words * 64, max_words * 64
+        if num_bits > max_bits:
+            with pytest.raises(ValueError, match="exceeds max_bits"):
+                build_key_bloom(dim, "c_custkey", num_bits=num_bits, max_bits=max_bits)
+        elif num_bits <= 1 << 16:  # only actually build small bitmaps
+            got = build_key_bloom(dim, "c_custkey", num_bits=num_bits, max_bits=max_bits)
+            assert len(got) == words
+
+    check()
+    # the default ceiling itself refuses the documented 10⁹-bit end
+    with pytest.raises(ValueError, match="exceeds max_bits"):
+        build_key_bloom(dim, "c_custkey", num_bits=1 << 30)
+
+
 def test_sorted_neighborhood_pairs_hand_fixture(spark):
     """Window-3 adjacency over the sorted distinct names: each name is
     compared to its 2 successors only; typo'd blocking keys still pair."""

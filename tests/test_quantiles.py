@@ -62,6 +62,46 @@ def test_matches_builtin_percentile_long_values(spark):
     assert got == exp
 
 
+def test_property_matches_builtin_random_multisets(spark):
+    """Hypothesis sweep: arbitrary small multisets (heavy tie mass from
+    the tiny integer domain) across awkward partition counts must stay
+    dict-equal to the builtin, including the interpolation short-circuit
+    paths (lower==higher rank, equal bracketing keys)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        values=st.lists(
+            st.integers(min_value=-3, max_value=3), min_size=1, max_size=25
+        ),
+        n_parts=st.sampled_from([1, 5, 31]),
+        p=st.sampled_from([0.0, 0.17, 0.5, 0.99, 1.0]),
+    )
+    def check(values, n_parts, p):
+        df = spark.createDataFrame(
+            [("g", float(v)) for v in values], "g string, v double"
+        )
+        exp = df.groupBy("g").agg(
+            F.expr(f"percentile(v, {p}D)").alias("q")
+        ).collect()[0]["q"]
+        got = grouped_exact_percentiles(
+            df, ["g"], "v", {"q": p}, n_partitions=n_parts
+        ).collect()[0]["q"]
+        assert got == exp, (values, n_parts, p)
+
+    check()
+
+
+def test_null_group_key_refused(spark):
+    """A null GROUP key would be silently dropped by the internal
+    equi-joins where groupBy+percentile keeps it — must refuse loudly."""
+    rows = [("a", 1.0), (None, 2.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    with pytest.raises(ValueError, match="null group key"):
+        grouped_exact_percentiles(df, ["g"], "v", {"med": 0.5}).collect()
+
+
 def test_nulls_ignored_like_builtin(spark):
     rows = [("a", None), ("a", 1.0), ("a", 2.0), ("a", None), ("a", 3.0)]
     df = spark.createDataFrame(rows, "g string, v double")
