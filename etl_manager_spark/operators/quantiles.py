@@ -49,6 +49,7 @@ def grouped_value_cdf(
     group_cols: list[str],
     value_col: str,
     n_partitions: int | None = None,
+    max_groups: int = 100_000,
 ) -> tuple[DataFrame, dict[tuple, int]]:
     """(group…, _qv double, _qc long, _cum long) — distinct-value counts
     with EXACT per-group cumulative counts in value order, plus the
@@ -78,8 +79,25 @@ def grouped_value_cdf(
     totals = base.groupBy("_qp", *gcols).agg(
         F.sum("_qc").cast("long").alias("_qn")
     )
+    # the few-groups contract, enforced by bounding the collect itself
+    # (no extra job, driver memory capped even when violated): totals has
+    # at most partitions + groups rows, so anything past the cap means
+    # too many groups — offsets and the rank table are driver-side
+    # O(groups); at high group cardinality use the plain partitioned
+    # window/aggregate instead (each group is small there, so the
+    # builtin buffer is fine too)
+    cap = max_groups + parts
+    rows = totals.limit(cap + 1).collect()
+    if len(rows) > cap:
+        raise ValueError(
+            f"grouped percentiles: more than ~{max_groups} groups "
+            f"(totals exceeded {cap} rows) — this operator is for FEW "
+            "huge groups (driver offsets are O(groups)); with many "
+            "small groups the built-in percentile/percentile_approx "
+            "per group is the right shape"
+        )
     per_group: dict[tuple, list[tuple[int, int]]] = defaultdict(list)
-    for r in totals.collect():
+    for r in rows:
         gk = tuple(r[g] for g in gcols)
         if any(v is None for v in gk):
             # the offset/rank attachment joins are equi-joins, which would
@@ -126,6 +144,7 @@ def grouped_exact_percentiles(
     percentiles: dict[str, float],
     count_name: str | None = None,
     n_partitions: int | None = None,
+    max_groups: int = 100_000,
 ) -> DataFrame:
     """One row per group with a DOUBLE column per requested percentile
     (``percentiles`` maps output column name → fraction in [0, 1]),
@@ -136,7 +155,9 @@ def grouped_exact_percentiles(
     contract (few-but-huge groups)."""
     gcols = list(group_cols)
     names = list(percentiles)
-    cdf, n_by_group = grouped_value_cdf(df, gcols, value_col, n_partitions)
+    cdf, n_by_group = grouped_value_cdf(
+        df, gcols, value_col, n_partitions, max_groups
+    )
     spark = df.sparkSession
 
     # rank plan: for each (group, percentile), the two 1-based cum ranks

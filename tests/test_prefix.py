@@ -104,6 +104,26 @@ def test_ordered_lag_matches_global_window(spark, frame):
         assert got == expected, f"offset={offset}"
 
 
+def test_ordered_cumsum_thin_partitions(spark):
+    """More partitions than rows (every non-empty partition holds one
+    row, many empty): offsets must still chain exactly — the layout that
+    exposed the single-neighbor defect in ordered_lag."""
+    rows = [(i, i + 1) for i in range(5)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    got = sorted(
+        (r.id, r.v_cum, r.rn)
+        for r in ordered_cumsum(
+            df, [F.asc("id")], ["v"], rank_name="rn", n_partitions=16
+        ).collect()
+    )
+    expected = []
+    acc = 0
+    for i in range(5):
+        acc += i + 1
+        expected.append((i, acc, i + 1))
+    assert got == expected
+
+
 def test_ordered_lag_thin_partitions(spark):
     """Partitions THINNER than the offset (n_partitions >= rows): the
     overlap must chain across multiple preceding partitions, not just

@@ -93,6 +93,23 @@ def test_property_matches_builtin_random_multisets(spark):
     check()
 
 
+def test_max_groups_ceiling_refused(spark):
+    """The few-huge-groups contract is enforced: a high-cardinality group
+    key must be refused before the driver materializes O(groups) offsets
+    (the collect itself is LIMIT-bounded, so even the refusal path holds
+    only ~max_groups rows)."""
+    df = spark.range(200).selectExpr("id as g", "cast(id as double) as v")
+    with pytest.raises(ValueError, match="FEW huge groups"):
+        grouped_exact_percentiles(
+            df, ["g"], "v", {"med": 0.5}, n_partitions=4, max_groups=50
+        )
+    # at or under the ceiling it works
+    got = grouped_exact_percentiles(
+        df, ["g"], "v", {"med": 0.5}, n_partitions=4, max_groups=200
+    )
+    assert got.count() == 200
+
+
 def test_null_group_key_refused(spark):
     """A null GROUP key would be silently dropped by the internal
     equi-joins where groupBy+percentile keeps it — must refuse loudly."""
