@@ -148,20 +148,24 @@ def bloom_prefiltered_join(
     how: str = "semi",
     num_bits: int = 1 << 14,
     num_hashes: int = 2,
+    max_bits: int = 1 << 27,
 ) -> DataFrame:
     """``fact ⋈ dim`` with the fact side bloom-pruned before its shuffle.
 
     Exact: identical rows to the plain join for ``semi``/``inner`` (no
     false negatives; false positives are removed by the join itself).
     Outer joins are refused — pre-filtering the probe side would drop
-    unmatched rows an outer join must keep.
+    unmatched rows an outer join must keep. ``max_bits`` forwards to
+    :func:`build_key_bloom`'s driver-memory ceiling, so the advertised
+    large-cardinality sizing (num_bits ≈ 10·n) stays reachable through
+    this wrapper when the driver is provisioned for it.
     """
     if how not in ("semi", "leftsemi", "left_semi", "inner"):
         raise ValueError(
             f"bloom_prefiltered_join: how={how!r} — the prefilter drops "
             "fact rows without a dim match, which only semi/inner allow"
         )
-    words = build_key_bloom(dim, dim_key, num_bits, num_hashes)
+    words = build_key_bloom(dim, dim_key, num_bits, num_hashes, max_bits)
     pruned = fact.filter(
         might_contain(F.col(fact_key), words, num_hashes)
     )

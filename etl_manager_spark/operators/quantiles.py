@@ -12,14 +12,17 @@ large fraction of the table — is exactly where this module applies.
 :func:`grouped_exact_percentiles` reproduces the aggregate's answer
 bit-for-bit from the DISTINCT value-count table instead:
 
-1. hash-agg to (group, value, count) — the only pass over the fact rows;
+1. hash-agg to (group, value, count) — the only pass over the fact rows.
+   Group keys ride in a STRUCT so null group keys group and join
+   null-safely, exactly like ``groupBy`` treats them;
 2. range-partition on (group, value); per-partition cumulative counts
    via a window PARTITIONED by (partition, group) — no task ever sorts
    more than its own range slice;
 3. per-(partition, group) totals are collected (O(partitions + groups)
-   rows — the few-groups contract) and prefix-summed on the driver into
-   broadcast offsets, giving exact per-group cumulative ranks
-   (the ``operators.prefix.ordered_cumsum`` idiom, grouped);
+   rows, LIMIT-bounded by ``max_groups`` — the few-groups contract) and
+   prefix-summed on the driver into broadcast offsets, giving exact
+   per-group cumulative ranks (the ``operators.prefix.ordered_cumsum``
+   idiom, grouped);
 4. each requested percentile needs at most TWO ranks (floor/ceil of the
    0-based position ``p·(n-1)``); a broadcast rank table joins the CDF
    and a conditional-min hash-agg finds the two bracketing values;
@@ -29,9 +32,15 @@ bit-for-bit from the DISTINCT value-count table instead:
    results are IEEE-identical to the built-in aggregate (and therefore
    to DuckDB's ``quantile_cont``, which the catalog oracles use).
 
+Null semantics match the builtin: null VALUES are ignored for the
+percentile but counted by ``count_name`` (a true COUNT(*)); a group
+whose values are ALL null still emits its row, with NULL percentiles;
+null GROUP KEYS form their own group.
+
 NOT for high-cardinality groups (per-user, per-key): there the driver
-offset table is O(groups) and the built-in percentile's per-group buffer
-is small anyway — use the plain aggregate or ``percentile_approx``.
+offset table is O(groups) — enforced by ``max_groups`` — and the
+built-in percentile's per-group buffer is small anyway; use the plain
+aggregate or ``percentile_approx``.
 """
 
 from __future__ import annotations
@@ -43,6 +52,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+_GK = "_qg"  # struct-wrapped group key: null-safe in groupBy AND joins
+
 
 def grouped_value_cdf(
     df: DataFrame,
@@ -50,91 +61,99 @@ def grouped_value_cdf(
     value_col: str,
     n_partitions: int | None = None,
     max_groups: int = 100_000,
-) -> tuple[DataFrame, dict[tuple, int]]:
-    """(group…, _qv double, _qc long, _cum long) — distinct-value counts
-    with EXACT per-group cumulative counts in value order, plus the
-    per-group totals as a driver-side dict (keyed by group tuple).
+) -> tuple[DataFrame, dict[tuple, int], dict[tuple, int]]:
+    """(_qg struct, _qv double, _qc long, _cum long) — distinct-value
+    counts with EXACT per-group cumulative counts in value order, plus
+    two driver-side dicts keyed by group tuple: non-null value count
+    (the percentile N) and total row count (COUNT(*)). Groups whose
+    values are all null appear in the dicts (n=0) but have no CDF rows.
 
     Scale shape: one hash-agg over the fact rows, one range shuffle of
     the distinct-value table, a window partitioned by (partition, group)
     so no task sorts beyond its own slice, and an O(partitions + groups)
-    driver collect for the offsets (each group's range is contiguous, so
-    the totals table has at most partitions + groups rows). Values are
-    compared as doubles: exact for integral inputs up to 2^53 — the
-    nano-quantized catalog domain — and for native float/double columns.
+    LIMIT-bounded driver collect for the offsets (each group's range is
+    contiguous, so the totals table has at most partitions + groups
+    rows). Values are compared as doubles: exact for integral inputs up
+    to 2^53 — the nano-quantized catalog domain — and for native
+    float/double columns.
     """
     spark = df.sparkSession
     parts = n_partitions or spark.sparkContext.defaultParallelism
     gcols = list(group_cols)
-    vc = (
-        df.filter(F.col(value_col).isNotNull())
-        .groupBy(*gcols, F.col(value_col).cast("double").alias("_qv"))
-        .agg(F.count(F.lit(1)).cast("long").alias("_qc"))
-    )
+    vc = df.groupBy(
+        F.struct(*gcols).alias(_GK), F.col(value_col).cast("double").alias("_qv")
+    ).agg(F.count(F.lit(1)).cast("long").alias("_qc"))
     base = (
-        vc.repartitionByRange(parts, *gcols, "_qv")
+        vc.filter(F.col("_qv").isNotNull())
+        .repartitionByRange(parts, _GK, "_qv")
         .withColumn("_qp", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
-    totals = base.groupBy("_qp", *gcols).agg(
-        F.sum("_qc").cast("long").alias("_qn")
-    )
-    # the few-groups contract, enforced by bounding the collect itself
-    # (no extra job, driver memory capped even when violated): totals has
-    # at most partitions + groups rows, so anything past the cap means
-    # too many groups — offsets and the rank table are driver-side
-    # O(groups); at high group cardinality use the plain partitioned
-    # window/aggregate instead (each group is small there, so the
-    # builtin buffer is fine too)
+    totals = base.groupBy("_qp", _GK).agg(F.sum("_qc").cast("long").alias("_qn"))
+    # the few-groups contract, enforced by bounding the collects
+    # themselves (no extra job, driver memory capped even when violated):
+    # totals has at most partitions + groups rows, so anything past the
+    # cap means too many groups — offsets and the rank table are
+    # driver-side O(groups); at high group cardinality use the plain
+    # partitioned window/aggregate instead (each group is small there,
+    # so the builtin buffer is fine too)
     cap = max_groups + parts
     rows = totals.limit(cap + 1).collect()
-    if len(rows) > cap:
+    null_rows = (
+        vc.filter(F.col("_qv").isNull())
+        .select(_GK, "_qc")
+        .limit(max_groups + 1)
+        .collect()
+    )
+    if len(rows) > cap or len(null_rows) > max_groups:
         raise ValueError(
-            f"grouped percentiles: more than ~{max_groups} groups "
-            f"(totals exceeded {cap} rows) — this operator is for FEW "
-            "huge groups (driver offsets are O(groups)); with many "
-            "small groups the built-in percentile/percentile_approx "
-            "per group is the right shape"
+            f"grouped percentiles: more than ~{max_groups} groups — this "
+            "operator is for FEW huge groups (driver offsets are "
+            "O(groups)); with many small groups the built-in "
+            "percentile/percentile_approx per group is the right shape"
         )
     per_group: dict[tuple, list[tuple[int, int]]] = defaultdict(list)
     for r in rows:
-        gk = tuple(r[g] for g in gcols)
-        if any(v is None for v in gk):
-            # the offset/rank attachment joins are equi-joins, which would
-            # silently DROP a null group where groupBy+percentile keeps it
-            # — refuse loudly rather than diverge from the aggregate
-            raise ValueError(
-                f"grouped percentiles: null group key {dict(zip(gcols, gk))} "
-                "— coalesce or filter null group keys before calling"
-            )
-        per_group[gk].append((r["_qp"], r["_qn"]))
-    off_rows, n_by_group = [], {}
+        per_group[tuple(r[_GK])].append((r["_qp"], r["_qn"]))
+    off_rows, n_by_group, rows_by_group = [], {}, {}
     for gk, lst in per_group.items():
         acc = 0
         for p, n in sorted(lst):
-            off_rows.append((p, *gk, acc))
+            off_rows.append((p, gk, acc))
             acc += n
         n_by_group[gk] = acc
-    gfields = base.select(*gcols).schema.fields
+        rows_by_group[gk] = acc
+    for r in null_rows:
+        gk = tuple(r[_GK])
+        n_by_group.setdefault(gk, 0)
+        rows_by_group[gk] = rows_by_group.get(gk, 0) + r["_qc"]
+    gk_type = T.StructType(
+        [
+            T.StructField(f.name, f.dataType, f.nullable)
+            for f in df.select(*gcols).schema.fields
+        ]
+    )
     off_schema = T.StructType(
-        [T.StructField("_qp", T.IntegerType(), False)]
-        + list(gfields)
-        + [T.StructField("_off", T.LongType(), False)]
+        [
+            T.StructField("_qp", T.IntegerType(), False),
+            T.StructField(_GK, gk_type, False),
+            T.StructField("_off", T.LongType(), False),
+        ]
     )
     off = spark.createDataFrame(off_rows, off_schema)
     local_w = (
-        Window.partitionBy("_qp", *gcols)
+        Window.partitionBy("_qp", _GK)
         .orderBy("_qv")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     cdf = (
-        base.join(F.broadcast(off), ["_qp", *gcols])
+        base.join(F.broadcast(off), ["_qp", _GK])
         .withColumn(
             "_cum", (F.sum("_qc").over(local_w) + F.col("_off")).cast("long")
         )
         .drop("_qp", "_off")
     )
-    return cdf, n_by_group
+    return cdf, n_by_group, rows_by_group
 
 
 def grouped_exact_percentiles(
@@ -150,32 +169,37 @@ def grouped_exact_percentiles(
     (``percentiles`` maps output column name → fraction in [0, 1]),
     bit-identical to ``F.expr(f"percentile({value_col}, p)")`` per group
     — but with memory bounded by the range-partition slice instead of
-    the group size. Optional ``count_name`` adds the per-group row count
-    (exact, from the same pass). See the module docstring for the scale
-    contract (few-but-huge groups)."""
+    the group size. Optional ``count_name`` adds the per-group TOTAL row
+    count (COUNT(*), null values included — matching the count column
+    the queries this replaces computed alongside the percentile). See
+    the module docstring for the scale contract and null semantics."""
     gcols = list(group_cols)
     names = list(percentiles)
-    cdf, n_by_group = grouped_value_cdf(
+    cdf, n_by_group, rows_by_group = grouped_value_cdf(
         df, gcols, value_col, n_partitions, max_groups
     )
     spark = df.sparkSession
+    gk_type = cdf.schema[_GK].dataType
 
     # rank plan: for each (group, percentile), the two 1-based cum ranks
     # bracketing the 0-based position p·(n-1), plus Spark's interpolation
-    # weights computed driver-side in the same double arithmetic
+    # weights computed driver-side in the same double arithmetic. Groups
+    # with zero non-null values get no rank rows: their percentiles are
+    # NULL (builtin behavior), restored by the left join below.
     rank_rows = []
     for gk, n in n_by_group.items():
+        if n == 0:
+            continue
         for i, name in enumerate(names):
             pos = percentiles[name] * (n - 1)
             lo0, hi0 = math.floor(pos), math.ceil(pos)
             rank_rows.append(
-                (*gk, i, int(lo0) + 1, int(hi0) + 1,
+                (gk, i, int(lo0) + 1, int(hi0) + 1,
                  float(hi0 - pos), float(pos - lo0))
             )
-    gfields = cdf.select(*gcols).schema.fields
     rank_schema = T.StructType(
-        list(gfields)
-        + [
+        [
+            T.StructField(_GK, gk_type, False),
             T.StructField("_qi", T.IntegerType(), False),
             T.StructField("_klo", T.LongType(), False),
             T.StructField("_khi", T.LongType(), False),
@@ -185,13 +209,13 @@ def grouped_exact_percentiles(
     )
     ranks = spark.createDataFrame(rank_rows, rank_schema)
     brackets = (
-        cdf.join(F.broadcast(ranks), gcols)
-        .groupBy(*gcols, "_qi")
+        cdf.join(F.broadcast(ranks), _GK)
+        .groupBy(_GK, "_qi")
         .agg(
             F.min(F.when(F.col("_cum") >= F.col("_klo"), F.col("_qv"))).alias("_lov"),
             F.min(F.when(F.col("_cum") >= F.col("_khi"), F.col("_qv"))).alias("_hiv"),
         )
-        .join(F.broadcast(ranks), [*gcols, "_qi"])
+        .join(F.broadcast(ranks), [_GK, "_qi"])
     )
     # Percentile.getPercentile replay: return lower when the two ranks
     # coincide OR both ranks land on the same key; else interpolate with
@@ -203,18 +227,24 @@ def grouped_exact_percentiles(
             F.col("_wlo") * F.col("_lov") + F.col("_whi") * F.col("_hiv")
         )
     )
-    wide = brackets.select(*gcols, "_qi", val.alias("_val")).groupBy(*gcols).agg(
+    pivoted = brackets.select(_GK, "_qi", val.alias("_val")).groupBy(_GK).agg(
         *[
             F.min(F.when(F.col("_qi") == i, F.col("_val"))).alias(name)
             for i, name in enumerate(names)
         ]
     )
+    # the authoritative group list (includes all-null-value groups) comes
+    # from the driver dicts; left join restores NULL percentiles for
+    # groups that have no bracket rows
+    g_fields = [T.StructField(_GK, gk_type, False)]
+    g_rows: list[tuple] = [(gk,) for gk in rows_by_group]
     if count_name is not None:
-        n_schema = T.StructType(
-            list(gfields) + [T.StructField(count_name, T.LongType(), False)]
-        )
-        n_df = spark.createDataFrame(
-            [(*gk, n) for gk, n in n_by_group.items()], n_schema
-        )
-        wide = wide.join(F.broadcast(n_df), gcols)
-    return wide
+        g_fields.append(T.StructField(count_name, T.LongType(), False))
+        g_rows = [(gk, rows_by_group[gk]) for gk in rows_by_group]
+    groups_df = spark.createDataFrame(g_rows, T.StructType(g_fields))
+    wide = groups_df.join(F.broadcast(pivoted), _GK, "left")
+    return wide.select(
+        *[F.col(f"{_GK}.{g}").alias(g) for g in gcols],
+        *names,
+        *([count_name] if count_name is not None else []),
+    )

@@ -207,7 +207,12 @@ def lint_plan(
     _noapprox = r.text.replace("approx_percentile(", "").replace(
         "percentile_approx(", ""
     )
-    exact_pct = len(re.findall(r"\b(?:percentile|median)\(", _noapprox))
+    # dedupe by the full call text: each aggregate renders several times
+    # in a formatted plan (partial + final HashAggregate nodes and their
+    # detail lines), so a raw hit count would over-report
+    exact_pct = len(
+        set(re.findall(r"\b(?:percentile|median)\([^)]*\)?", _noapprox))
+    )
     if exact_pct:
         warnings.append(
             PlanWarning(

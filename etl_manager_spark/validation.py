@@ -156,6 +156,7 @@ def profile_approx_quantiles(
     probabilities: tuple[float, ...] = (0.5, 0.9),
     rel_tol: float = 0.05,
     accuracy: int = 10_000,
+    max_groups: int = 100_000,
 ) -> "DataFrame":
     """Per-group quantiles with exact values AND flags that the
     approx_percentile sketch (Greenwald-Khanna, ``accuracy``) lands
@@ -171,16 +172,26 @@ def profile_approx_quantiles(
     aggregate, whose per-group buffer holds every distinct value in one
     task — the very failure mode this harness exists to let you avoid.
     The sketch side stays a plain (mergeable, bounded) aggregate; the
-    two join on the group key (both are |groups|-row tables)."""
+    two join on the group key (both are |groups|-row tables). Profiling
+    a group column with MORE than ``max_groups`` keys falls back to the
+    built-in aggregate (identical values): with many groups each group's
+    distinct-value buffer is a small slice of the data, so the builtin
+    is the right shape there — the CDF's driver offsets are not."""
     from etl_manager_spark.operators.quantiles import grouped_exact_percentiles
 
     tags = [str(p).replace(".", "_") for p in probabilities]
-    exact = grouped_exact_percentiles(
-        df,
-        [group_col],
-        value_col,
-        {f"p{tag}_exact": p for tag, p in zip(tags, probabilities)},
-    )
+    exact_names = {f"p{tag}_exact": p for tag, p in zip(tags, probabilities)}
+    try:
+        exact = grouped_exact_percentiles(
+            df, [group_col], value_col, exact_names, max_groups=max_groups
+        )
+    except ValueError:
+        exact = df.groupBy(group_col).agg(
+            *[
+                F.expr(f"percentile({value_col}, {p})").alias(name)
+                for name, p in exact_names.items()
+            ]
+        )
     approx = df.groupBy(group_col).agg(
         *[
             F.expr(f"approx_percentile({value_col}, {p}, {accuracy})")
@@ -189,15 +200,23 @@ def profile_approx_quantiles(
             for tag, p in zip(tags, probabilities)
         ]
     )
-    out = exact.join(approx, group_col)
+    # null-safe equi-join (struct-wrapped key): a NULL group is a real
+    # group in both sides and must survive the join
+    out = (
+        exact.withColumn("_pk", F.struct(group_col))
+        .join(approx.withColumn("_pk", F.struct(group_col)).drop(group_col), "_pk")
+        .drop("_pk")
+    )
     cols = [F.col(group_col)]
     for tag in tags:
         cols.append(F.col(f"p{tag}_exact"))
+        # multiplication form: |approx − exact| ≤ rel_tol·|exact| — same
+        # predicate as the ratio without ANSI divide-by-zero when the
+        # exact percentile is 0 (a zero exact then requires a zero sketch)
         cols.append(
             (
                 F.abs(F.col(f"_approx_{tag}") - F.col(f"p{tag}_exact"))
-                / F.abs(F.col(f"p{tag}_exact"))
-                <= F.lit(rel_tol)
+                <= F.lit(rel_tol) * F.abs(F.col(f"p{tag}_exact"))
             ).alias(f"p{tag}_within_tol")
         )
     return out.select(*cols)

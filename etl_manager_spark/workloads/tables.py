@@ -12,6 +12,7 @@ as a raw long; timestamp-typed data is just cast to TIMESTAMP_NTZ.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Mapping
 from typing import Iterator
 
@@ -107,16 +108,47 @@ def spread(df: DataFrame, spark: SparkSession, min_partitions: int | None = None
     HOFs, Arrow UDFs) over a small local file serialize onto one core — at
     sf0.1 ``documents.parquet`` is a single split and the profile/lang-id
     stages ran single-threaded. Guarded: at production scale the input
-    arrives in many splits and this is a no-op (no shuffle). The
-    few-splits probe is ``len(df.inputFiles())`` — plan metadata only;
-    ``df.rdd.getNumPartitions()`` would force an RDD conversion of the
-    analyzed plan on every call just to read a number. One multi-row-
-    group file can under-count as 1 split and repartition needlessly —
-    harmless (the no-op direction, many files, stays exact)."""
+    arrives in many splits and this is a no-op (no shuffle).
+
+    The probe replays Spark's FilePartition math over ``df.inputFiles()``
+    plus local file sizes (plan metadata + stat calls — never the RDD
+    conversion ``df.rdd.getNumPartitions()`` forces): maxSplitBytes =
+    min(maxPartitionBytes, max(openCostInBytes, bytesPerCore)), splits ≈
+    padded-total / maxSplitBytes. A raw file COUNT would be wrong in both
+    directions — many small files pack into few task partitions (probe
+    must still repartition), one big file splits into many (probe must
+    not add a full-table exchange). Non-local URIs (no cheap stat) are
+    treated as already-spread: at scale not shuffling is the safe side."""
     target = min_partitions or spark.sparkContext.defaultParallelism
     try:
-        n_splits = len(df.inputFiles())
+        files = df.inputFiles()
     except Exception:  # noqa: BLE001 - non-scan plan → assume spread needed
+        files = []
+    sizes = []
+    for f in files:
+        path = f[7:] if f.startswith("file://") else f
+        if path.startswith(("s3", "hdfs", "abfs", "gs", "wasb")) or "://" in path:
+            return df  # remote storage → production layout, leave it alone
+        try:
+            sizes.append(os.path.getsize(path))
+        except OSError:
+            return df
+    if files:
+        open_cost = int(
+            spark.conf.get("spark.sql.files.openCostInBytes", str(4 * 1024 * 1024))
+        )
+        max_part = int(
+            spark.conf.get(
+                "spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024)
+            )
+        )
+        padded = sum(s + open_cost for s in sizes)
+        bytes_per_core = max(
+            1, padded // spark.sparkContext.defaultParallelism
+        )
+        max_split = min(max_part, max(open_cost, bytes_per_core))
+        n_splits = max(1, -(-padded // max_split))
+    else:
         n_splits = 0
     if n_splits >= target:
         return df

@@ -4,7 +4,9 @@ per-group value domains grow with the data, so any deviation is a bug.
 
 Cases forced: heavy ties, near-unique domains, single-row groups,
 percentile 0/0.5/1 plus awkward fractions, thinner range partitions
-than values, and integral vs double value columns.
+than values, integral vs double value columns, null values (ignored by
+the percentile, counted by COUNT(*)), ALL-null groups (row kept, NULL
+percentile), and null GROUP keys (their own group, like groupBy).
 """
 
 from __future__ import annotations
@@ -23,9 +25,9 @@ def _builtin(df, gcol, vcol):
     aggs = [
         F.expr(f"percentile({vcol}, {p}D)").alias(name)
         for name, p in PCTS.items()
-    ] + [F.count(F.col(vcol)).cast("long").alias("n")]  # non-null count — the N percentile uses
+    ] + [F.count(F.lit(1)).cast("long").alias("n")]  # COUNT(*) — count_name parity
     return {
-        tuple(r[g] for g in [gcol]): r.asDict()
+        r[gcol]: r.asDict()
         for r in df.groupBy(gcol).agg(*aggs).collect()
     }
 
@@ -34,7 +36,7 @@ def _ours(df, gcol, vcol, n_partitions):
     out = grouped_exact_percentiles(
         df, [gcol], vcol, PCTS, count_name="n", n_partitions=n_partitions
     )
-    return {tuple(r[g] for g in [gcol]): r.asDict() for r in out.collect()}
+    return {r[gcol]: r.asDict() for r in out.collect()}
 
 
 @pytest.mark.parametrize("n_partitions", [1, 7, 64])
@@ -110,19 +112,20 @@ def test_max_groups_ceiling_refused(spark):
     assert got.count() == 200
 
 
-def test_null_group_key_refused(spark):
-    """A null GROUP key would be silently dropped by the internal
-    equi-joins where groupBy+percentile keeps it — must refuse loudly."""
-    rows = [("a", 1.0), (None, 2.0)]
-    df = spark.createDataFrame(rows, "g string, v double")
-    with pytest.raises(ValueError, match="null group key"):
-        grouped_exact_percentiles(df, ["g"], "v", {"med": 0.5}).collect()
-
-
-def test_nulls_ignored_like_builtin(spark):
-    rows = [("a", None), ("a", 1.0), ("a", 2.0), ("a", None), ("a", 3.0)]
+def test_null_values_all_null_groups_and_null_group_keys(spark):
+    """Builtin parity on every null axis at once: null values are
+    ignored by the percentile but counted by COUNT(*); a group whose
+    values are ALL null keeps its row with NULL percentiles; a null
+    group KEY forms its own group (groupBy semantics)."""
+    rows = [
+        ("a", None), ("a", 1.0), ("a", 2.0), ("a", None), ("a", 3.0),
+        ("b", None), ("b", None),          # all-null group
+        (None, 10.0), (None, 20.0), (None, None),  # null group key
+    ]
     df = spark.createDataFrame(rows, "g string, v double")
     exp = _builtin(df, "g", "v")
-    got = _ours(df, "g", "v", 4)
+    got = _ours(df, "g", "v", 8)
     assert got == exp
-    assert got[("a",)]["n"] == 3
+    assert got["a"]["n"] == 5 and got["b"]["n"] == 2 and got[None]["n"] == 3
+    assert got["b"]["med"] is None
+    assert got[None]["med"] == 15.0

@@ -64,3 +64,33 @@ def test_profile_numeric_columns_one_pass(spark):
     plan = prof._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Scan ") <= 1, final
+
+
+def test_profile_approx_quantiles_dirty_group_keys_and_fallback(spark):
+    """The quantile profiler must survive the data profilers get pointed
+    at: a NULL group key is profiled as its own group (not dropped, not
+    a crash), and a group cardinality above max_groups falls back to the
+    built-in aggregate with identical values."""
+    from pyspark.sql import functions as F
+
+    from etl_manager_spark.validation import profile_approx_quantiles
+
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0), (None, 10.0), (None, 30.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        r["g"]: r.asDict()
+        for r in profile_approx_quantiles(df, "g", "v").collect()
+    }
+    assert got["a"]["p0_5_exact"] == 2.0 and got["a"]["p0_5_within_tol"]
+    assert got[None]["p0_5_exact"] == 20.0  # NULL group profiled, kept
+
+    # cardinality above the ceiling → builtin fallback, same answer
+    big = spark.range(300).selectExpr("id as g", "cast(id as double) as v")
+    out = profile_approx_quantiles(big, "g", "v", max_groups=50)
+    exp = big.groupBy("g").agg(
+        F.expr("percentile(v, 0.5)").alias("p0_5_exact")
+    )
+    assert out.count() == 300
+    got_med = {r["g"]: r["p0_5_exact"] for r in out.collect()}
+    exp_med = {r["g"]: r["p0_5_exact"] for r in exp.collect()}
+    assert got_med == exp_med

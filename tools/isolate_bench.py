@@ -19,7 +19,6 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -38,7 +37,7 @@ def main() -> None:
         print("nothing to isolate")
         return
 
-    from bench import build_session, warm_batch, warm_streaming
+    from bench import build_session, run_queries, warm_batch, warm_streaming
 
     from etl_manager_spark.workloads import load_registry
 
@@ -49,17 +48,17 @@ def main() -> None:
     if any(registry[n].category == "streaming" for n in names):
         warm_streaming(spark)
 
+    # reuse the bench's own measurement loop so the isolated numbers carry
+    # the SAME protocol (untimed warmup pass, median-of-n, and the
+    # between-query hygiene: clearCache + conf re-assert + gc) — without
+    # the hygiene, query k would time against queries 1..k-1's debris,
+    # which is precisely the contamination this tool exists to rule out
     isolated: dict[str, float] = {}
-    for name in names:
-        fn = registry[name].fn
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        runs = []
-        for _ in range(n_runs):
-            start = time.perf_counter()
-            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            runs.append(time.perf_counter() - start)
-        isolated[name] = round(sorted(runs)[len(runs) // 2], 3)
+    failures: dict[str, str] = {}
+    run_queries(spark, names, registry, sf_dir, n_runs, isolated, failures)
     spark.stop()
+    if failures:
+        sys.stderr.write(f"isolate failures: {json.dumps(failures)}\n")
 
     delta["isolated_remeasure"] = {
         "protocol": f"fresh_session_median_of_{n_runs}_after_warmup",
