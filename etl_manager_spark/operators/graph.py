@@ -138,25 +138,34 @@ def degree_assortativity(
     du = deg.select(F.col("u"), F.col("deg").alias("dx"))
     dv = deg.select(F.col("u").alias("v"), F.col("deg").alias("dy"))
     ends = sym.join(du, "u").join(dv, "v")
+    # DECIMAL(38,0) moments: hub-heavy graphs overflow int64 silently
+    # (deg ~1e6 squared, summed over 1e9 edges ≈ 1e21 > 2^63), and the
+    # n·sxy − sx·sy closing products square the exposure; 38 decimal
+    # digits hold deg²·edges up to ~1e38, and the sums stay exact
+    # integer arithmetic so the bitwise-parity contract is unchanged
+    dec, d19 = "decimal(38,0)", "decimal(19,0)"
     m = ends.groupBy().agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("dx").alias("sx"),
-        F.sum("dy").alias("sy"),
-        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
-        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
-        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("dx").cast(d19)).cast(dec).alias("sx"),
+        F.sum(F.col("dy").cast(d19)).cast(dec).alias("sy"),
+        F.sum(F.col("dx").cast(d19) * F.col("dx").cast(d19)).cast(dec).alias("sxx"),
+        F.sum(F.col("dy").cast(d19) * F.col("dy").cast(d19)).cast(dec).alias("syy"),
+        F.sum(F.col("dx").cast(d19) * F.col("dy").cast(d19)).cast(dec).alias("sxy"),
     )
-    # numerator and the two variance terms are pure BIGINT arithmetic
-    # (exact); only the final sqrt/divide are IEEE ops, written once
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
-        "double"
-    )
-    varx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
-        "double"
-    )
-    vary = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
-        "double"
-    )
+    # numerator and the two variance terms are exact decimal arithmetic;
+    # only the final sqrt/divide are IEEE ops, written once
+    num = (
+        (F.col("n") * F.col("sxy")).cast(dec)
+        - (F.col("sx") * F.col("sy")).cast(dec)
+    ).cast("double")
+    varx = (
+        (F.col("n") * F.col("sxx")).cast(dec)
+        - (F.col("sx") * F.col("sx")).cast(dec)
+    ).cast("double")
+    vary = (
+        (F.col("n") * F.col("syy")).cast(dec)
+        - (F.col("sy") * F.col("sy")).cast(dec)
+    ).cast("double")
     # degenerate graph (all degrees equal, e.g. a perfect matching):
     # variance 0 → division yields NaN/Inf and the quantization cast
     # diverges between engines; define r = 0 there, as both sides must
@@ -195,6 +204,8 @@ def bfs_distances(
     Returns (id, dist) — BFS layer per reachable node, source at 0.
     Exact by induction (layer d is found at round d and never revisited),
     so a recursive-CTE reachability-with-min-distance oracle agrees."""
+    from pyspark.sql import types as T
+
     sym = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionAll(
@@ -203,9 +214,19 @@ def bfs_distances(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # seed schema DERIVED from the edge columns: hard-coding 'id long'
+    # made string-id graphs silently return only the source (the long ==
+    # string join cast every id to null) and crashed on string sources
+    id_type = sym.schema["src"].dataType
     visited = (
         sym.sparkSession.createDataFrame(
-            [(source_id, 0)], "id long, dist int"
+            [(source_id, 0)],
+            T.StructType(
+                [
+                    T.StructField("id", id_type, False),
+                    T.StructField("dist", T.IntegerType(), False),
+                ]
+            ),
         )
         .localCheckpoint(eager=True)
     )

@@ -28,14 +28,26 @@ _HEX_SPACE = 16**8
 def _threshold_hex(fraction: float) -> str:
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    if fraction >= 1.0:
+        # keep-all must really keep ALL: clamping to 'ffffffff' with a
+        # strict < would drop rows whose draw is exactly 'ffffffff'
+        # (p = 2^-32 per row — real losses at corpus scale). 'g' sorts
+        # above every hex digit, so draw < 'g' is always true while the
+        # predicate stays a pure string comparison in every engine.
+        return "g"
     return format(min(int(fraction * _HEX_SPACE), _HEX_SPACE - 1), "08x")
 
 
 def hash_bucket(id_col: Column | str) -> Column:
     """The row's 8-hex-char md5 draw (lowercase) — uniform, deterministic,
-    identical in any engine hashing the same string rendering of the id."""
+    identical in any engine hashing the same string rendering of the id.
+    NULL ids are coalesced to the empty string first: md5(NULL) is NULL
+    and every NULL-compare predicate silently mis-routes (split sends the
+    rows to 'test' regardless of fraction; sample drops them even at
+    fraction 1.0) — with the coalesce all null-id rows share ONE
+    deterministic draw and are kept or routed all-or-nothing."""
     c = F.col(id_col) if isinstance(id_col, str) else id_col
-    return F.substring(F.md5(c.cast("string")), 1, 8)
+    return F.substring(F.md5(F.coalesce(c.cast("string"), F.lit(""))), 1, 8)
 
 
 def split_column(id_col: Column | str, train_fraction: float = 0.8) -> Column:
@@ -63,7 +75,7 @@ def split_sql(id_expr: str, train_fraction: float = 0.8) -> str:
     engines): same md5-hex comparison this module's Spark expressions
     compile to."""
     return (
-        f"CASE WHEN substr(md5(CAST({id_expr} AS VARCHAR)), 1, 8)"
+        f"CASE WHEN substr(md5(COALESCE(CAST({id_expr} AS VARCHAR), '')), 1, 8)"
         f" < '{_threshold_hex(train_fraction)}' THEN 'train' ELSE 'test' END"
     )
 
@@ -110,7 +122,7 @@ def stratified_sample_sql(
     default_fraction: float = 0.0,
 ) -> str:
     """The equivalent ANSI-SQL predicate (for oracles / other engines)."""
-    draw = f"substr(md5(CAST({id_expr} AS VARCHAR)), 1, 8)"
+    draw = f"substr(md5(COALESCE(CAST({id_expr} AS VARCHAR), '')), 1, 8)"
     whens = "".join(
         f" WHEN {strata_expr} = '{value}' THEN {draw} < '{_threshold_hex(frac)}'"
         for value, frac in sorted(fractions.items())
@@ -221,8 +233,16 @@ def temperature_resample(
         strata_col,
         "n_in_stratum",
         # explicit FLOOR on both engines: a bare cast would truncate in
-        # Spark but round in DuckDB
-        F.floor(F.lit(total_budget) * F.col("_sqrt_q") / F.col("_total_q"))
+        # Spark but round in DuckDB. The product is computed in DOUBLE:
+        # budget × sqrt_q as BIGINT overflows int64 silently (Spark) or
+        # errors (DuckDB) once a stratum holds ~1e9 rows; in double the
+        # quotient is identical wherever the integer product fits 2^53
+        # and stays finite (merely ~ulp-approximate) beyond it
+        F.floor(
+            F.lit(float(total_budget))
+            * F.col("_sqrt_q").cast("double")
+            / F.col("_total_q").cast("double")
+        )
         .cast("long")
         .alias("quota"),
     )
@@ -249,15 +269,17 @@ def temperature_resample_sql(
     ),
     quotas AS (
       SELECT stratum, n_in_stratum,
-             CAST(FLOOR({total_budget} * sqrt_q
-                  / (SELECT SUM(sqrt_q) FROM counts)) AS BIGINT) AS quota
+             CAST(FLOOR(CAST({total_budget} AS DOUBLE)
+                  * CAST(sqrt_q AS DOUBLE)
+                  / CAST((SELECT SUM(sqrt_q) FROM counts) AS DOUBLE))
+                  AS BIGINT) AS quota
       FROM counts
     ),
     ranked AS (
       SELECT t.*, q.n_in_stratum, q.quota,
              CAST(ROW_NUMBER() OVER (
                PARTITION BY {strata_expr}
-               ORDER BY substr(md5(CAST({id_expr} AS VARCHAR)), 1, 8),
+               ORDER BY substr(md5(COALESCE(CAST({id_expr} AS VARCHAR), '')), 1, 8),
                         {id_expr} ASC) AS INTEGER) AS rk
       FROM {table} t JOIN quotas q ON {strata_expr} = q.stratum
     )

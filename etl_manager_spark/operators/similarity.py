@@ -36,8 +36,32 @@ def l2_norm(a: Column) -> Column:
     )
 
 
+def safe_cosine_expr(dot_col: Column, norm_a: Column, norm_b: Column) -> Column:
+    """cosine = dot/(‖a‖·‖b‖), with ZERO-NORM vectors scoring 0.0 instead
+    of NaN. The NaN matters: Spark orders NaN ABOVE every double, so one
+    all-zero embedding would rank 1 for EVERY query in every top-k path
+    and pass every ``>= threshold`` gate, while the numpy kernels' NaN
+    compares False — the variants would silently disagree. 0.0 ("no
+    similarity") is the standard convention and keeps all kernels
+    bitwise-aligned."""
+    denom = norm_a * norm_b
+    return F.when(denom == F.lit(0.0), F.lit(0.0)).otherwise(dot_col / denom)
+
+
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    return safe_cosine_expr(dot(a, b), l2_norm(a), l2_norm(b))
+
+
+def _safe_outer_sims(dots, norms_a, norms_b):
+    """numpy twin of :func:`safe_cosine_expr`: dots/(‖a‖⊗‖b‖) with
+    zero-denominator pairs scoring 0.0 — same convention, bitwise-equal
+    elsewhere (the division is elementwise IEEE either way)."""
+    import numpy as np
+
+    denom = np.multiply.outer(norms_a, norms_b)
+    out = np.zeros_like(dots)
+    np.divide(dots, denom, out=out, where=denom != 0)
+    return out
 
 
 def _seq_norms(A):
@@ -61,6 +85,43 @@ def _seq_dots(A, B):
     for k in range(A.shape[1]):
         acc += np.multiply.outer(A[:, k], B[:, k])
     return acc
+
+
+def _collect_training_sample(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    sample_fraction: float,
+    train_sample: int,
+    what: str,
+) -> list[tuple]:
+    """Shared driver-side training-sample collect for the stored-index
+    trainers (IVF / PCA / PQ): hash-filter the corpus to the requested
+    fraction (the same md5 draw as sampling.stratified_sample, so the
+    sample is reproducible under any partitioning), then collect with a
+    LIMIT-bounded guard — the cap (max(100k, 50·train_sample) rows)
+    refuses a corpus-sized collect with sizing guidance instead of
+    OOMing the driver."""
+    from etl_manager_spark.operators.sampling import _threshold_hex, hash_bucket
+
+    filtered = corpus
+    if sample_fraction < 1.0:
+        filtered = corpus.filter(
+            hash_bucket(id_col) < F.lit(_threshold_hex(sample_fraction))
+        )
+    cap = max(100_000, 50 * train_sample)
+    rows = (
+        filtered.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
+        .limit(cap + 1)
+        .collect()
+    )
+    if len(rows) > cap:
+        raise ValueError(
+            f"{what} training sample collect would exceed {cap} rows; pass "
+            "sample_fraction ≈ train_sample/|corpus| so only the hash-"
+            "filtered sample reaches the driver"
+        )
+    return [(r[0], r[1]) for r in rows]
 
 
 def cosine_topk(
@@ -103,9 +164,10 @@ def cosine_topk(
             "query_id",
             "neighbor_id",
             *extra,
-            (
-                dot(F.col("_qvec"), F.col("_cvec"))
-                / (F.col("_qnorm") * F.col("_cnorm"))
+            safe_cosine_expr(
+                dot(F.col("_qvec"), F.col("_cvec")),
+                F.col("_qnorm"),
+                F.col("_cnorm"),
             ).alias("cosine_sim"),
         )
     )
@@ -168,7 +230,7 @@ def _score_rect_group(pdf: pd.DataFrame) -> pd.DataFrame:
     V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
     Q, C = V[is_q], V[~is_q]
     qi, ci = ids[is_q], ids[~is_q]
-    sims = _seq_dots(Q, C) / np.multiply.outer(_seq_norms(Q), _seq_norms(C))
+    sims = _safe_outer_sims(_seq_dots(Q, C), _seq_norms(Q), _seq_norms(C))
     a, b = np.nonzero(qi[:, None] != ci[None, :])
     return pd.DataFrame(
         {"query_id": qi[a], "neighbor_id": ci[b], "cosine_sim": sims[a, b]}
@@ -305,8 +367,8 @@ def cosine_near_dup_pairs(
         .select(
             "id_a",
             "id_b",
-            (
-                dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+            safe_cosine_expr(
+                dot(F.col("_va"), F.col("_vb")), F.col("_na"), F.col("_nb")
             ).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
@@ -376,7 +438,7 @@ def cosine_near_dup_pairs_blocked(
             return pd.DataFrame({"id_a": [], "id_b": [], "cosine_sim": []}).astype(
                 {"id_a": "int64", "id_b": "int64", "cosine_sim": "float64"}
             )
-        sims = _seq_dots(A, B) / np.multiply.outer(_seq_norms(A), _seq_norms(B))
+        sims = _safe_outer_sims(_seq_dots(A, B), _seq_norms(A), _seq_norms(B))
         # within a block (bi==bj) each unordered pair appears twice in the
         # A×B grid — keep the ia<ib triangle; across blocks it appears once
         # (blocks are disjoint), so keep all and orient id_a=min, id_b=max.
@@ -442,7 +504,7 @@ def cosine_near_dup_pairs_lsh(
             )
         V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
         norms = _seq_norms(V)
-        sims = _seq_dots(V, V) / np.multiply.outer(norms, norms)
+        sims = _safe_outer_sims(_seq_dots(V, V), norms, norms)
         keep = (ids[:, None] < ids[None, :]) & (sims >= threshold)
         ai, bi = np.nonzero(keep)
         return pd.DataFrame(
@@ -513,26 +575,10 @@ def ivf_train_centroids(
     train_sample/|corpus| so the collect is sample-sized; the guard below
     refuses a collect that would materialize far more than the training
     set, pointing at the knob instead of OOMing the driver."""
-    from etl_manager_spark.operators.sampling import hash_bucket, _threshold_hex
-
-    filtered = corpus
-    if sample_fraction < 1.0:
-        filtered = corpus.filter(
-            hash_bucket(id_col) < F.lit(_threshold_hex(sample_fraction))
-        )
-    cap = max(100_000, 50 * train_sample)
-    rows = (
-        filtered.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
-        .limit(cap + 1)
-        .collect()
+    rows = _collect_training_sample(
+        corpus, id_col, vec_col, sample_fraction, train_sample, "IVF"
     )
-    if len(rows) > cap:
-        raise ValueError(
-            f"IVF training sample collect would exceed {cap} rows; pass "
-            "sample_fraction ≈ train_sample/|corpus| so only the hash-"
-            "filtered sample reaches the driver"
-        )
-    return _sorted_sample_centroids([(r[0], r[1]) for r in rows], num_lists, train_sample)
+    return _sorted_sample_centroids(rows, num_lists, train_sample)
 
 
 def cosine_topk_ivf(
@@ -670,7 +716,7 @@ def semantic_dedup_pairs(
             return empty
         V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
         norms = _seq_norms(V)
-        sims = _seq_dots(V, V) / np.multiply.outer(norms, norms)
+        sims = _safe_outer_sims(_seq_dots(V, V), norms, norms)
         keep = (ids[:, None] < ids[None, :]) & (sims >= threshold)
         ai, bi = np.nonzero(keep)
         if len(ai) == 0:
@@ -752,27 +798,11 @@ def pca_train_components(
     no TakeOrdered over the corpus; at 100 TB pass ``sample_fraction``
     ≈ train_sample/|corpus| so only the sample reaches the driver.
     Returns (mean, components)."""
-    from etl_manager_spark.operators.sampling import _threshold_hex, hash_bucket
-
-    filtered = corpus
-    if sample_fraction < 1.0:
-        filtered = corpus.filter(
-            hash_bucket(id_col) < F.lit(_threshold_hex(sample_fraction))
-        )
-    cap = max(100_000, 50 * train_sample)
-    rows = (
-        filtered.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
-        .limit(cap + 1)
-        .collect()
+    rows = _collect_training_sample(
+        corpus, id_col, vec_col, sample_fraction, train_sample, "PCA"
     )
-    if len(rows) > cap:
-        raise ValueError(
-            f"PCA training sample collect would exceed {cap} rows; pass "
-            "sample_fraction ≈ train_sample/|corpus| so only the hash-"
-            "filtered sample reaches the driver"
-        )
     return _sorted_sample_pca(
-        [(r[0], r[1]) for r in rows], n_components, train_sample
+        rows, n_components, train_sample
     )
 
 
@@ -882,26 +912,11 @@ def pq_train_codebooks(
     """Driver-side PQ training over the deterministic hash-threshold
     sample — same collect contract and OOM guard as
     :func:`ivf_train_centroids`."""
-    from etl_manager_spark.operators.sampling import _threshold_hex, hash_bucket
-
-    filtered = corpus
-    if sample_fraction < 1.0:
-        filtered = corpus.filter(
-            hash_bucket(id_col) < F.lit(_threshold_hex(sample_fraction))
-        )
-    cap = max(100_000, 50 * train_sample)
-    rows = (
-        filtered.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
-        .limit(cap + 1)
-        .collect()
+    rows = _collect_training_sample(
+        corpus, id_col, vec_col, sample_fraction, train_sample, "PQ"
     )
-    if len(rows) > cap:
-        raise ValueError(
-            f"PQ training sample collect would exceed {cap} rows; pass "
-            "sample_fraction ≈ train_sample/|corpus|"
-        )
     return _sorted_sample_pq(
-        [(r[0], r[1]) for r in rows], num_subspaces, num_centroids, train_sample
+        rows, num_subspaces, num_centroids, train_sample
     )
 
 
@@ -1015,6 +1030,13 @@ def mmr_select(
     the result is bitwise-reproducible (the DuckDB oracle unrolls the
     same k argmax steps over the same sims).
 
+    A candidate with NO pair rows (a single-candidate shortlist) rides
+    in as a ``b_nid``-null row — callers join the pair table LEFT so the
+    query still emits its one pick instead of silently vanishing. A pair
+    present in only one orientation is looked up both ways; a genuinely
+    missing pair raises with the offending ids (the rectangle contract
+    is enforced with a message, not an executor KeyError).
+
     Scale: the loop is inherently sequential per query, but its input is
     the candidate SHORTLIST (k²·queries pair rows, not corpus-sized) —
     one shuffle on query_id into the Arrow stage."""
@@ -1028,7 +1050,21 @@ def mmr_select(
         sim_ab: dict = {}
         for r in group.itertuples():
             simq[int(r.a_nid)] = float(r.a_simq)
-            sim_ab[(int(r.a_nid), int(r.b_nid))] = float(r.sim_ab)
+            if r.b_nid is not None and not pd.isna(r.b_nid):
+                sim_ab[(int(r.a_nid), int(r.b_nid))] = float(r.sim_ab)
+
+        def pair_sim(c, s):
+            v = sim_ab.get((c, s))
+            if v is None:
+                v = sim_ab.get((s, c))
+            if v is None:
+                raise ValueError(
+                    f"mmr_select: query {qid} is missing the pair sim for "
+                    f"({c}, {s}) in either orientation — the input must "
+                    "carry the full candidate×candidate rectangle"
+                )
+            return v
+
         remaining = sorted(simq)
         selected: list = []
         out = []
@@ -1039,7 +1075,7 @@ def mmr_select(
                     # true max over selected — NEGATIVE sims stay
                     # negative (an anti-similar pick is a diversity
                     # bonus under standard MMR, not clamped to 0)
-                    mx = max(sim_ab[(c, s)] for s in selected)
+                    mx = max(pair_sim(c, s) for s in selected)
                 else:
                     mx = 0.0
                 score = lam * simq[c] - (1.0 - lam) * mx

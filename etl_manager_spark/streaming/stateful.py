@@ -99,23 +99,14 @@ def user_counters(
     )
 
 
-def run_user_counters_to_memory(
-    spark,
-    sf_dir: str,
-    name: str = "stateful_user_counters",
-    state_partitions: int | None = 8,
-):
-    """availableNow execution of the stateful counters over the events file
-    stream; returns the final per-user counter table.
-
-    ``state_partitions`` pins ``spark.sql.shuffle.partitions`` for the
-    query's lifetime (restored after): a stateful query's state-store
-    partition count is FIXED at first start by the checkpoint, and each
-    partition runs a Python state worker per micro-batch — size it to key
-    cardinality/throughput, not to the session's relational default."""
-    from etl_manager_spark.streaming.windows import read_events_stream
-
-    stream = user_counters(read_events_stream(spark, sf_dir))
+def _run_to_memory(spark, stream, name: str, state_partitions: int | None):
+    """Shared availableNow runner for the stateful wrappers: pin
+    ``spark.sql.shuffle.partitions`` for the query's lifetime (restored
+    in finally — a stateful query's state-store partition count is FIXED
+    at first start by the checkpoint, and each partition runs a Python
+    state worker per micro-batch, so size it to key cardinality, not the
+    session's relational default), run to the memory sink, and return
+    the sink table."""
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
@@ -130,6 +121,22 @@ def run_user_counters_to_memory(
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
+
+
+def run_user_counters_to_memory(
+    spark,
+    sf_dir: str,
+    name: str = "stateful_user_counters",
+    state_partitions: int | None = 8,
+):
+    """availableNow execution of the stateful counters over the events file
+    stream; returns the final per-user counter table (see
+    :func:`_run_to_memory` for the shuffle-partition pinning rationale)."""
+    from etl_manager_spark.streaming.windows import read_events_stream
+
+    stream = user_counters(read_events_stream(spark, sf_dir))
+    _run_to_memory(spark, stream, name, state_partitions)
     # update-mode memory sink may hold one row per micro-batch per user;
     # keep the latest per user
     from pyspark.sql import Window
@@ -222,20 +229,7 @@ def run_funnel_to_memory(
     from etl_manager_spark.streaming.windows import read_events_stream
 
     stream = funnel_stages(read_events_stream(spark, sf_dir), steps)
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    if state_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    try:
-        q = (
-            stream.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    _run_to_memory(spark, stream, name, state_partitions)
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy(

@@ -1763,7 +1763,7 @@ def skew_hotkey_stress_events(spark, sf_dir):
     FROM documents
     WHERE CASE
       WHEN lang = 'en' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
-      WHEN lang = 'es' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'ffffffff'
+      WHEN lang = 'es' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'g'
       WHEN lang = 'fr' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'
       ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '19999999'
     END
@@ -2828,20 +2828,23 @@ def similarity_mmr_diversified(spark, sf_dir):
         F.col("_cv").alias("_bv"),
         F.col("_cn").alias("_bn"),
     )
+    # LEFT join so a query whose shortlist has exactly ONE candidate
+    # still reaches mmr_select (as a b_nid-null row) instead of silently
+    # vanishing from the output; sims through the zero-norm-safe kernel
     pairs = (
         candv.join(
             b,
             (F.col("query_id") == F.col("_bq"))
             & (F.col("a_nid") != F.col("b_nid")),
+            "left",
         )
         .select(
             "query_id",
             "a_nid",
             "a_simq",
             "b_nid",
-            (
-                S.dot(F.col("_cv"), F.col("_bv"))
-                / (F.col("_cn") * F.col("_bn"))
+            S.safe_cosine_expr(
+                S.dot(F.col("_cv"), F.col("_bv")), F.col("_cn"), F.col("_bn")
             ).alias("sim_ab"),
         )
     )
