@@ -65,12 +65,22 @@ def heavy_hitters_two_pass(
         thr = n / (k + 1)
         yield pd.DataFrame({col: [v for v, c in counts.items() if c > thr]})
 
-    cands = (
-        df.select(col)
-        .filter(F.col(col).isNotNull())
-        .mapInPandas(_local_candidates, schema=f"{col} {dtype}")
-        .distinct()
-    )
+    # NaN is a VALUE to Spark (passes isNotNull, groups and joins as
+    # itself) but the pandas→Arrow return path re-reads float NaN as the
+    # NA marker — a NaN candidate emitted from the Python pass arrives
+    # as NULL and the semi-join drops every NaN row, silently missing a
+    # NaN heavy hitter. Route NaN around the Python pass entirely: it is
+    # ONE value, so one JVM-side candidate row covers it exactly (a
+    # superset-only widening; pass 2's exact count and global threshold
+    # still decide whether it is emitted).
+    clean = df.select(col).filter(F.col(col).isNotNull())
+    is_float = dtype in ("float", "double")
+    pandas_side = clean.filter(~F.isnan(col)) if is_float else clean
+    cands = pandas_side.mapInPandas(
+        _local_candidates, schema=f"{col} {dtype}"
+    ).distinct()
+    if is_float:
+        cands = cands.unionAll(clean.filter(F.isnan(col)).limit(1))
     total = df.filter(F.col(col).isNotNull()).groupBy().agg(
         F.count(F.lit(1)).alias("_n_total")
     )

@@ -101,7 +101,13 @@ def extract_features(
                         hashlib.sha256(b).hexdigest() if b is not None else None
                         for b in pdf["content"]
                     ],
-                    "n_bytes": [len(b) if b is not None else 0 for b in pdf["content"]],
+                    # NULL content → NULL n_bytes (not 0): matches
+                    # media_stats' LENGTH(content) semantics, so the two
+                    # paths agree and 0-byte real payloads stay
+                    # distinguishable from missing ones
+                    "n_bytes": [
+                        len(b) if b is not None else None for b in pdf["content"]
+                    ],
                     "feature": [decode(b) for b in pdf["content"]],
                 }
             )

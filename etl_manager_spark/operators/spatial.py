@@ -59,6 +59,20 @@ def within_distance_join(
         raise ValueError(
             f"max_km={max_km} exceeds the 1°-cell completeness bound (55)"
         )
+    # the coordinate references are unqualified F.col(...)s evaluated on
+    # the joined frame, so any coordinate name present on BOTH sides is
+    # ambiguous at analysis (the 'lat'/'lon' defaults fail the moment
+    # both inputs use them) — fail fast with the rename guidance instead
+    # of surfacing Spark's AMBIGUOUS_REFERENCE later
+    clash = ({*left_cols} | {*right_cols}) & (
+        set(left.columns) & set(right.columns)
+    )
+    if clash:
+        raise ValueError(
+            f"within_distance_join: coordinate column(s) {sorted(clash)} "
+            "exist on BOTH sides — rename one side's coordinates "
+            "(e.g. a_lat/a_lon vs b_lat/b_lon) before joining"
+        )
     llat, llon = (F.col(c) for c in left_cols)
     rlat, rlon = (F.col(c) for c in right_cols)
     offsets = F.array(F.lit(-1), F.lit(0), F.lit(1))

@@ -71,8 +71,12 @@ def quality_score(text_col: Column | str) -> Column:
     n_distinct = distinct_token_count(c)
     length_ok = (F.length(c) >= 20) & (F.length(c) <= 100000)
     diversity = n_distinct.cast("double") / n_tok.cast("double")
+    # split('') returns [''] (size 1), so the n_tok == 0 arm alone never
+    # fires — the explicit empty/whitespace-only test makes the intended
+    # score-0 path real (an empty document must not outscore real ones
+    # via the phantom '' token's perfect diversity)
     return (
-        F.when(n_tok == 0, F.lit(0.0))
+        F.when((F.trim(c) == "") | (n_tok == 0), F.lit(0.0))
         .otherwise(
             (length_ok.cast("double") + (diversity > 0.1).cast("double") + diversity)
             / F.lit(3.0)
@@ -224,7 +228,10 @@ def rolling_fingerprint_vectorized(
         def one(t):
             if t is None:
                 return None
-            s = re.sub(r"\s+", " ", t).lower()
+            # re.ASCII pins \s to the JVM regexp_replace default (ASCII
+            # whitespace only) — without it Python collapses \xa0 /
+            #   etc. and the fingerprint diverges from the JVM twin
+            s = re.sub(r"\s+", " ", t, flags=re.ASCII).lower()
             if len(s) < window:
                 s = s.ljust(window, " ")
             codes = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(
@@ -280,7 +287,8 @@ def text_profile_vectorized(
             if t is None:
                 rows.append((None, None, None, None, None, None))
                 continue
-            toks = split(t.strip(" "))
+            stripped = t.strip(" ")
+            toks = split(stripped)
             n_tok = len(toks)
             n_distinct = len(set(toks))
             n_chars = len(t)
@@ -289,7 +297,14 @@ def text_profile_vectorized(
             ratio = n_stop / n_tok
             diversity = n_distinct / n_tok
             length_ok = 1.0 if 20 <= n_chars <= 100000 else 0.0
-            quality = (length_ok + (1.0 if diversity > 0.1 else 0.0) + diversity) / 3.0
+            # JVM-path parity: empty/whitespace-only documents score 0.0
+            # (split('') yields [''], so n_tok alone can't detect them)
+            if stripped == "" or n_tok == 0:
+                quality = 0.0
+            else:
+                quality = (
+                    length_ok + (1.0 if diversity > 0.1 else 0.0) + diversity
+                ) / 3.0
             fp = hashlib.md5(" ".join(lowered).encode("utf-8")).hexdigest()
             rows.append((n_tok, n_distinct, n_chars, ratio, quality, fp))
         return pd.DataFrame(
@@ -322,6 +337,7 @@ def text_profile(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     staged = df.select(
         F.col(id_col),
         F.length(text_col).alias("n_chars"),
+        (F.trim(F.col(text_col)) == "").alias("_tp_empty"),
         tokens(text_col).alias("_tp_toks"),
     )
     toks = F.col("_tp_toks")
@@ -330,7 +346,9 @@ def text_profile(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     n_stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS)))
     diversity = n_distinct.cast("double") / n_tok.cast("double")
     length_ok = (F.col("n_chars") >= 20) & (F.col("n_chars") <= 100000)
-    quality = F.when(n_tok == 0, F.lit(0.0)).otherwise(
+    # split('') yields [''] so n_tok == 0 alone never fires — the staged
+    # emptiness test makes the score-0 arm real (quality_score parity)
+    quality = F.when(F.col("_tp_empty") | (n_tok == 0), F.lit(0.0)).otherwise(
         (length_ok.cast("double") + (diversity > 0.1).cast("double") + diversity)
         / F.lit(3.0)
     )
@@ -385,21 +403,24 @@ def chunk_documents(
         ),
         F.lit(stride),
     )
+    # the caller's id column name is PRESERVED (renaming to a hardcoded
+    # 'doc_id' broke joins back to the source and the documented
+    # pack_sequences(chunks, id_col=...) pairing)
     return (
         df.select(
-            F.col(id_col).alias("doc_id"),
+            F.col(id_col).alias(id_col),
             toks.alias("_toks"),
             F.explode(starts).alias("_start"),
         )
         .select(
-            "doc_id",
+            id_col,
             (F.col("_start") / F.lit(stride)).cast("int").alias("chunk_idx"),
             F.slice(
                 F.col("_toks"), F.col("_start") + 1, F.lit(chunk_tokens)
             ).alias("_chunk"),
         )
         .select(
-            "doc_id",
+            id_col,
             "chunk_idx",
             F.size("_chunk").alias("n_tokens"),
             F.array_join("_chunk", " ").alias("chunk_text"),
@@ -412,14 +433,19 @@ def chunk_documents(
 # boilerplate, PII scrubbing
 
 
-def repeated_ngram_fraction(text_col: Column | str, n: int = 3) -> Column:
+def repeated_ngram_fraction(
+    text_col: Column | str, n: int = 3, toks: Column | None = None
+) -> Column:
     """Fraction of a document's n-grams that are repeats of an earlier
     n-gram (0.0 = all unique): the Gopher-style repetition gate that
     catches looping/boilerplate generation. Pure JVM expressions — the
     n-gram list is built with sequence+slice, so the whole rule runs
     inside codegen with no Python and no shuffle. Documents with fewer
-    than n tokens score 0.0."""
-    toks = tokens(text_col)
+    than n tokens score 0.0. Pass ``toks`` to reuse an already-built
+    token array instead of re-running the regex split on the raw text
+    (the hot-path composition in :func:`gopher_quality_flags`)."""
+    if toks is None:
+        toks = tokens(text_col)
     n_toks = F.size(toks)
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(n_toks - F.lit(n - 1), F.lit(1))),
@@ -462,7 +488,7 @@ def gopher_quality_flags(
     stop_hits = F.size(
         F.filter(toks, lambda t: F.lower(t).isin(list(STOPWORDS)))
     )
-    rep3 = repeated_ngram_fraction(text_col, n=3)
+    rep3 = repeated_ngram_fraction(text_col, n=3, toks=toks)
     flags = {
         "ok_token_count": (n_toks >= min_tokens) & (n_toks <= max_tokens),
         "ok_mean_word_len": (mean_len >= min_mean_word_len)
@@ -487,16 +513,20 @@ def gopher_quality_flags(
 # identically (no backreferences, no lookaround).
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    ("phone", r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}", "<PHONE>"),
     ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}", "<PHONE>"),
 )
 
 
 def scrub_pii(text_col: Column | str) -> Column:
-    """Replace email / phone / IPv4 literals with typed placeholder tokens
+    """Replace email / IPv4 / phone literals with typed placeholder tokens
     — the redaction step before text leaves a controlled zone. A chain of
-    ``regexp_replace`` calls (order matters: emails first, so their digit
-    runs can't half-match the phone pattern), all JVM-side."""
+    ``regexp_replace`` calls (order matters twice: emails first so their
+    digit runs can't half-match the phone pattern, and IPv4 BEFORE phone —
+    the phone pattern accepts '.' as a separator, so a dotted quad like
+    192.168.100.200 would otherwise redact as <PHONE> and downstream
+    audits keyed on placeholder type would miscount categories), all
+    JVM-side."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     for _, pattern, replacement in PII_PATTERNS:
         c = F.regexp_replace(c, pattern, replacement)

@@ -117,17 +117,22 @@ def table_diff(
     if compare_cols is None:
         shared = [c for c in before.columns if c in set(after.columns)]
         compare_cols = [c for c in shared if c not in set(keys)]
+    # keys ride in a struct so the full-outer join is NULL-SAFE on key
+    # columns too (struct equality treats null fields as equal, like
+    # merge_upsert's explicit <=> at line 57): with a plain on=keys join
+    # a NULL-keyed row never matches itself and reports as both 'added'
+    # AND 'removed'
     b = before.select(
-        *[F.col(k).alias(k) for k in keys],
+        F.struct(*keys).alias("_td_k"),
         *[F.col(c).alias(f"_b_{c}") for c in compare_cols],
         F.lit(True).alias("_in_b"),
     )
     a = after.select(
-        *[F.col(k).alias(k) for k in keys],
+        F.struct(*keys).alias("_td_k"),
         *[F.col(c).alias(f"_a_{c}") for c in compare_cols],
         F.lit(True).alias("_in_a"),
     )
-    joined = b.join(a, on=keys, how="full_outer")
+    joined = b.join(a, on="_td_k", how="full_outer")
     same = F.lit(True)
     for c in compare_cols:
         same = same & F.col(f"_b_{c}").eqNullSafe(F.col(f"_a_{c}"))
@@ -137,4 +142,7 @@ def table_diff(
         .when(same, F.lit("unchanged"))
         .otherwise(F.lit("changed"))
     )
-    return joined.select(*keys, status.alias("diff_status"))
+    return joined.select(
+        *[F.col(f"_td_k.{k}").alias(k) for k in keys],
+        status.alias("diff_status"),
+    )

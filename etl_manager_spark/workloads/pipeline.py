@@ -75,7 +75,7 @@ def dedup_exact_events_by_user_type(spark, sf_dir):
            CAST(LENGTH(text) AS INTEGER) AS n_chars,
            CAST(LEN(LIST_FILTER(toks, t -> LOWER(t) IN {_STOP_SQL})) AS DOUBLE)
              / CAST(LEN(toks) AS DOUBLE) AS stopword_ratio,
-           CASE WHEN LEN(toks) = 0 THEN 0.0 ELSE
+           CASE WHEN TRIM(text) = '' OR LEN(toks) = 0 THEN 0.0 ELSE
              ((CASE WHEN LENGTH(text) BETWEEN 20 AND 100000 THEN 1.0 ELSE 0.0 END)
               + (CASE WHEN CAST(LEN(LIST_DISTINCT(toks)) AS DOUBLE) / CAST(LEN(toks) AS DOUBLE) > 0.1
                       THEN 1.0 ELSE 0.0 END)
@@ -1193,7 +1193,8 @@ def profile_customer_columns(spark, sf_dir):
     ),
     scored AS (
       SELECT doc_id, lang,
-             CASE WHEN LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) = 0 THEN 0.0
+             CASE WHEN TRIM(text) = ''
+                    OR LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) = 0 THEN 0.0
              ELSE ((CASE WHEN LENGTH(text) BETWEEN 20 AND 100000 THEN 1.0 ELSE 0.0 END)
                    + (CASE WHEN CAST(LEN(LIST_DISTINCT(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'))) AS DOUBLE)
                            / CAST(LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) AS DOUBLE) > 0.1
@@ -2097,15 +2098,15 @@ def gopher_quality_documents(spark, sf_dir):
              text || ' contact user' || doc_id || '@example.com or +1-555-01'
                   || doc_id || ' at 10.0.' || doc_id % 256 || '.7',
              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-             '\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}', '<PHONE>', 'g'),
-             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'))
+             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+             '\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}', '<PHONE>', 'g'))
              AS scrubbed_md5,
            CONTAINS(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(
              text || ' contact user' || doc_id || '@example.com or +1-555-01'
                   || doc_id || ' at 10.0.' || doc_id % 256 || '.7',
              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-             '\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}', '<PHONE>', 'g'),
              '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+             '\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}', '<PHONE>', 'g'),
              '<EMAIL>') AS has_email_token
     FROM documents
     """,

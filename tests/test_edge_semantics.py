@@ -137,3 +137,103 @@ def test_assortativity_decimal_moments_match_small_graph(spark):
     dy = np.array([deg[v] for u, v in sym], dtype=float)
     r = np.corrcoef(dx, dy)[0, 1]
     assert row["r_q"] == int(np.floor(r * 1e9 + 0.5))
+
+
+def test_table_diff_null_key_matches_itself(spark):
+    """A NULL-keyed row present unchanged in both snapshots must report
+    'unchanged' — the plain equi-join reported it as added AND removed."""
+    from etl_manager_spark.operators.upsert import table_diff
+
+    before = spark.createDataFrame([(None, 1), (1, 2)], "k int, v int")
+    after = spark.createDataFrame([(None, 1), (1, 3)], "k int, v int")
+    got = {r["k"]: r["diff_status"] for r in table_diff(before, after, ["k"]).collect()}
+    assert got == {None: "unchanged", 1: "changed"}
+
+
+def test_chunk_documents_preserves_id_column_name(spark):
+    from etl_manager_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(7, "a b c d e f")], "user_id long, text string"
+    )
+    out = chunk_documents(df, id_col="user_id", chunk_tokens=4, overlap_tokens=1)
+    assert "user_id" in out.columns and "doc_id" not in out.columns
+    assert out.join(df, on="user_id").count() == out.count()
+
+
+def test_empty_document_scores_zero_quality(spark):
+    from etl_manager_spark.operators.text import quality_score, text_profile
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "a real document with several tokens here")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["q"]
+        for r in df.select("doc_id", quality_score("text").alias("q")).collect()
+    }
+    assert got[1] == 0.0 and got[2] == 0.0 and got[3] > 0.5
+    prof = {r["doc_id"]: r["quality"] for r in text_profile(df).collect()}
+    assert prof[1] == 0.0 and prof[2] == 0.0
+
+
+def test_text_profile_vectorized_empty_doc_parity(spark):
+    from etl_manager_spark.operators.text import (
+        text_profile,
+        text_profile_vectorized,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "some words here")], "doc_id long, text string"
+    )
+    jvm = {r["doc_id"]: r["quality"] for r in text_profile(df).collect()}
+    vec = {r["doc_id"]: r["quality"] for r in text_profile_vectorized(df).collect()}
+    assert jvm == vec
+
+
+def test_scrub_pii_ip_not_redacted_as_phone(spark):
+    from etl_manager_spark.operators.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [(1, "ip 192.168.100.200 end"), (2, "call +1-555-0123 now")],
+        "id long, text string",
+    )
+    got = {r["id"]: r["s"] for r in df.select("id", scrub_pii("text").alias("s")).collect()}
+    assert got[1] == "ip <IP> end"
+    assert "<PHONE>" in got[2]
+
+
+def test_heavy_hitters_nan_candidate_not_missed(spark):
+    from etl_manager_spark.operators.frequency import heavy_hitters_two_pass
+
+    rows = [(float("nan"),)] * 40 + [(1.0,)] * 5 + [(float(i),) for i in range(2, 30)]
+    df = spark.createDataFrame(rows, "v double").repartition(8)
+    got = heavy_hitters_two_pass(df, "v", k=4).collect()
+    import math
+
+    assert any(math.isnan(r["v"]) for r in got), "NaN heavy hitter missed"
+
+
+def test_within_distance_join_rejects_shared_coordinate_names(spark):
+    from etl_manager_spark.operators.spatial import within_distance_join
+
+    left = spark.createDataFrame([(1, 10.0, 10.0)], "id long, lat double, lon double")
+    right = spark.createDataFrame([(2, 10.1, 10.1)], "rid long, lat double, lon double")
+    with pytest.raises(ValueError, match="BOTH sides"):
+        within_distance_join(left, right, max_km=50)
+
+
+def test_extract_features_null_content_null_bytes(spark):
+    from etl_manager_spark.operators import multimodal as M
+
+    media = M.synthetic_media(spark, n=4).select(
+        "media_id",
+        F.when(F.col("media_id") == 0, F.lit(None).cast("binary"))
+        .otherwise(F.col("content"))
+        .alias("content"),
+        "meta",
+    )
+    feats = {r["media_id"]: r["n_bytes"] for r in M.extract_features(media, feature_dim=4).collect()}
+    stats = {r["media_id"]: r["n_bytes"] for r in M.media_stats(media).collect()}
+    assert feats[0] is None and stats[0] is None  # consistent NULL semantics
+    assert feats[1] == stats[1] and feats[1] is not None
