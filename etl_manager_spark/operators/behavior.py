@@ -49,8 +49,22 @@ def funnel(
 
     Returns one row per step: (step, step_name, n_users), where n_users
     counts users whose funnel reached at least that step — including
-    zero-count rows for steps nobody reached."""
-    assert steps, "funnel needs at least one step"
+    zero-count rows for steps nobody reached.
+
+    Step names must be DISTINCT: the walk tags each event with
+    ``array_position`` (first occurrence), so a repeated step name could
+    never match its later position and that step would silently report
+    0 users — refused loudly instead (``funnel_step_arrivals`` handles
+    repeated names via its per-step join chain)."""
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    if len(set(steps)) != len(steps):
+        raise ValueError(
+            f"funnel steps must be distinct, got {steps!r} — "
+            "array_position tags events with the FIRST occurrence, so a "
+            "repeated step name can never be reached; use "
+            "funnel_step_arrivals for repeated-step funnels"
+        )
     ts_type = events.schema[ts_col].dataType
     steps_arr = F.array(*[F.lit(s) for s in steps])
     per_event = events.filter(F.col(type_col).isin(list(steps))).select(
@@ -108,11 +122,12 @@ def funnel_step_arrivals(
     ts_col: str = "ts",
     type_col: str = "event_type",
 ) -> list[DataFrame]:
-    """The lazy per-step arrival plans behind :func:`funnel` — step i's
-    frame is one row per user who reached step i, with their arrival time.
-    Exposed separately so plan-quality tests (and callers wanting the
-    per-user detail rather than the counts) can inspect/reuse the plans;
-    ``funnel`` persists each while counting, then unpersists."""
+    """Per-step arrival plans as a chained min-after-previous join —
+    step i's frame is one row per user who reached step i, with their
+    arrival time. The O(1)-state-per-user-per-step alternative to
+    :func:`funnel`'s sorted-walk (which gathers each user's funnel
+    events into one array): use this form for per-user arrival detail,
+    repeated step names, or adversarial per-user event volumes."""
     arrivals: list[DataFrame] = []
     prev: DataFrame | None = None
     for s in steps:

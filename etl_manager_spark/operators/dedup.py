@@ -85,6 +85,47 @@ def minhash_signatures(
     )
 
 
+def band_bucket_keys(
+    sigs: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """(id, bucket) rows from a minhash signature table: signatures split
+    into ``bands`` contiguous groups of ``num_hashes // bands`` rows, each
+    group md5-folded into one bucket key prefixed with its band index.
+    THE single band-key derivation — the batch self-join path
+    (:func:`minhash_near_duplicates`) and the incremental new-vs-corpus
+    path (:func:`incremental_minhash_dedup`) must bucket identical
+    signatures identically, so both call this (two drifting copies would
+    silently make incremental dedup miss matches the batch path finds)."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be a multiple of bands "
+            f"({bands}) — a truncating split would silently ignore the "
+            "trailing signatures and weaken LSH recall"
+        )
+    rows_per_band = num_hashes // bands
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                *[
+                    F.col(f"minhash_{b * rows_per_band + i}")
+                    for i in range(rows_per_band)
+                ],
+            )
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    return sigs.select(id_col, *band_cols).select(
+        id_col,
+        F.explode(
+            F.array(*[
+                F.concat_ws(":", F.lit(str(b)), F.col(f"band_{b}"))
+                for b in range(bands)
+            ])
+        ).alias("bucket"),
+    )
+
+
 def minhash_near_duplicates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -105,28 +146,8 @@ def minhash_near_duplicates(
     would dominate at 100 TB. The exact-verify join re-reads only candidate
     pairs' token sets.
     """
-    assert num_hashes % bands == 0
-    rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, num_hashes)
-    band_cols = [
-        F.md5(
-            F.concat_ws(
-                "|",
-                *[F.col(f"minhash_{b * rows_per_band + i}") for i in range(rows_per_band)],
-            )
-        ).alias(f"band_{b}")
-        for b in range(bands)
-    ]
-    banded = sigs.select(id_col, *band_cols)
-    buckets = banded.select(
-        id_col,
-        F.explode(
-            F.array(*[
-                F.concat_ws(":", F.lit(str(b)), F.col(f"band_{b}"))
-                for b in range(bands)
-            ])
-        ).alias("bucket"),
-    )
+    buckets = band_bucket_keys(sigs, id_col, num_hashes, bands)
     # cap degenerate buckets before the quadratic self-join
     sized = buckets.withColumn(
         "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("bucket"))
@@ -427,7 +448,12 @@ def simhash(
     iff the vote sum is positive.
 
     Pure expression pipeline: explode → per-bit vote columns → sum → bit
-    assembly. One shuffle. ``bits`` ≤ 32 keeps the signature in a long."""
+    assembly. One shuffle. ``bits`` must be ≤ 32: each bit reads one hex
+    digit of md5 (32 digits total) — beyond that, substring returns ''
+    and the bit would silently vote -1 for every document (constant-zero
+    high bits that make banded candidate generation degenerate)."""
+    if not 1 <= bits <= 32:
+        raise ValueError(f"simhash bits must be in [1, 32], got {bits}")
     toks = df.select(
         F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
     )
@@ -606,40 +632,16 @@ def incremental_minhash_dedup(
 
     Returns (new_id, corpus_id, jaccard) for verified matches — the
     batch rows to drop (or link) before appending."""
-    assert num_hashes % bands == 0
-    rows_per_band = num_hashes // bands
     if corpus_sigs is None:
         corpus_sigs = minhash_signatures(corpus_df, id_col, text_col, num_hashes)
     new_sigs = minhash_signatures(new_df, id_col, text_col, num_hashes)
-
-    def bucket_keys(sigs: DataFrame) -> DataFrame:
-        band_cols = [
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    *[
-                        F.col(f"minhash_{b * rows_per_band + i}")
-                        for i in range(rows_per_band)
-                    ],
-                )
-            ).alias(f"band_{b}")
-            for b in range(bands)
-        ]
-        banded = sigs.select(id_col, *band_cols)
-        return banded.select(
-            id_col,
-            F.explode(
-                F.array(*[
-                    F.concat_ws(":", F.lit(str(b)), F.col(f"band_{b}"))
-                    for b in range(bands)
-                ])
-            ).alias("bucket"),
-        )
-
-    corpus_buckets = bucket_keys(corpus_sigs).withColumn(
+    # band keys come from the SAME derivation as the batch path
+    # (band_bucket_keys) — a drifting copy here would silently bucket
+    # identical signatures differently and miss matches
+    corpus_buckets = band_bucket_keys(corpus_sigs, id_col, num_hashes, bands).withColumn(
         "_bn", F.count(F.lit(1)).over(Window.partitionBy("bucket"))
     ).filter(F.col("_bn") <= max_bucket_size).drop("_bn")
-    new_buckets = bucket_keys(new_sigs)
+    new_buckets = band_bucket_keys(new_sigs, id_col, num_hashes, bands)
     cand = (
         new_buckets.alias("n")
         .join(corpus_buckets.alias("c"), on="bucket")

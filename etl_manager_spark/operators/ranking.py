@@ -108,6 +108,12 @@ def bm25_scores(
     Returns (id, score_q) — nano-quantized; ``top`` optionally keeps the
     global top-N rows (ordered score desc, id asc)."""
     qterms = sorted(set(query_terms))
+    if not qterms:
+        raise ValueError(
+            "bm25_scores: query_terms is empty (the query tokenized to "
+            "nothing upstream?) — every document would score 0; filter "
+            "empty queries out before scoring"
+        )
     n_docs = df.select(F.col(id_col)).distinct().count()
     lens = df.select(
         F.col(id_col).alias("id"),

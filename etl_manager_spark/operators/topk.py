@@ -44,12 +44,20 @@ def rank_bounded(
 
     ``sort_keys`` is ``[(col, "asc"|"desc"), …]`` and must be a total
     order; ``desc`` keys must be numeric (they are negated to ride the
-    ascending struct sort). ONLY for frames already bounded to ~k rows —
-    the whole frame materializes in one aggregation buffer."""
+    ascending struct sort). NULL ordering matches the window it
+    replaces: asc → NULLS FIRST (the struct sort's native order), desc →
+    NULLS LAST via an explicit isNull flag field — a bare negation would
+    leave NULL ranked FIRST on desc keys, silently shifting every real
+    rank down one. ONLY for frames already bounded to ~k rows — the
+    whole frame materializes in one aggregation buffer."""
     keys = []
     for i, (c, d) in enumerate(sort_keys):
         col = F.col(c)
-        keys.append((-col if d == "desc" else col).alias(f"_k{i}"))
+        if d == "desc":
+            keys.append(col.isNull().alias(f"_n{i}"))  # False < True → nulls last
+            keys.append((-col).alias(f"_k{i}"))
+        else:
+            keys.append(col.alias(f"_k{i}"))
     arr = df.groupBy().agg(
         F.sort_array(
             F.collect_list(
@@ -72,14 +80,22 @@ def partial_topk_prefilter(
 ) -> DataFrame:
     """Salted two-stage prefilter for grouped top-k over few giant groups:
     rank within (group, input-partition-id) first — the salt spreads a giant
-    group over all reducers — keeping k rows per (group, partition). A final
-    :func:`grouped_topk` then ranks only k·num_partitions rows per group
-    instead of the whole group."""
+    group over all reducers — keeping the top k VALUES per (group,
+    partition). A final :func:`grouped_topk` then ranks only
+    ~k·num_partitions rows per group instead of the whole group.
+
+    Uses ``rank()`` (not ``row_number``): value ties at the local k
+    boundary ALL survive, so the kept set is a superset of the true
+    top-k under ANY downstream tiebreak — a row_number cut would break
+    ties arbitrarily per partition and could drop true winners whenever
+    the caller's final order tiebreaks differently (nondeterministic
+    results on tied values). Heavy ties keep more rows; the prefilter is
+    a bound, not the answer."""
     part = df.withColumn("_pid", F.spark_partition_id())
     order = F.col(value_col).desc() if descending else F.col(value_col).asc()
     w = Window.partitionBy(*group_cols, "_pid").orderBy(order)
     return (
-        part.withColumn("_lr", F.row_number().over(w))
+        part.withColumn("_lr", F.rank().over(w))
         .filter(F.col("_lr") <= k)
         .drop("_pid", "_lr")
     )

@@ -75,6 +75,30 @@ def hourly_rollup(events: "DataFrame", watermark: str = "1 hour") -> "DataFrame"
     )
 
 
+_DURATION_UNITS = {
+    "microsecond": 1e-6, "millisecond": 1e-3, "second": 1.0,
+    "minute": 60.0, "hour": 3600.0, "day": 86400.0, "week": 604800.0,
+}
+
+
+def _duration_seconds(spec: str) -> int:
+    """Seconds in a Spark interval string like '10 minutes' / '1 hour'
+    (the CalendarInterval subset window() accepts). Sub-second components
+    must still sum to whole seconds for the rollup-multiple check."""
+    total = 0.0
+    parts = spec.strip().lower().split()
+    if len(parts) % 2 != 0 or not parts:
+        raise ValueError(f"unparseable interval: {spec!r}")
+    for qty, unit in zip(parts[::2], parts[1::2]):
+        unit = unit.rstrip("s")
+        if unit not in _DURATION_UNITS:
+            raise ValueError(f"unparseable interval unit in {spec!r}: {unit}")
+        total += float(qty) * _DURATION_UNITS[unit]
+    if total != int(total):
+        raise ValueError(f"interval {spec!r} is not a whole-second duration")
+    return int(total)
+
+
 def two_level_rollup(
     events: "DataFrame",
     small: str = "10 minutes",
@@ -94,7 +118,22 @@ def two_level_rollup(
     its fine windows necessarily closed by then, so emitted rows are
     complete and final. State: level 1 holds O(open small windows ×
     types), level 2 O(open big windows × types) — both bounded by the
-    watermark horizon, not the stream length."""
+    watermark horizon, not the stream length.
+
+    ``big`` must be an integer multiple of ``small``: the level-2 window
+    keys off ``window_time`` (= small-window end − 1µs), so a small
+    window STRADDLING a big boundary would be wholly assigned to the
+    LATER big window — silently moving its head events across the
+    boundary relative to the batch single-level rollup. Refused loudly."""
+    small_s = _duration_seconds(small)
+    big_s = _duration_seconds(big)
+    if small_s <= 0 or big_s % small_s != 0:
+        raise ValueError(
+            f"two_level_rollup: big ({big!r}) must be an integer multiple "
+            f"of small ({small!r}) — a straddling small window would be "
+            "wholly assigned to the later big window, silently "
+            "misaggregating the boundary"
+        )
     lvl1 = (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", small), F.col("event_type"))

@@ -237,3 +237,97 @@ def test_extract_features_null_content_null_bytes(spark):
     stats = {r["media_id"]: r["n_bytes"] for r in M.media_stats(media).collect()}
     assert feats[0] is None and stats[0] is None  # consistent NULL semantics
     assert feats[1] == stats[1] and feats[1] is not None
+
+
+def test_rank_bounded_null_desc_matches_window(spark):
+    """rank_bounded must rank NULLs LAST on desc keys, exactly like the
+    row_number window it replaces (desc default = NULLS LAST)."""
+    from pyspark.sql import Window
+
+    from etl_manager_spark.operators.topk import rank_bounded
+
+    rows = [(1, 5.0), (2, None), (3, 9.0), (4, 7.0), (5, None)]
+    df = spark.createDataFrame(rows, "id long, score double")
+    w = Window.orderBy(F.desc("score"), F.asc("id"))
+    exp = {
+        r["id"]: r["rnk"]
+        for r in df.select("id", F.row_number().over(w).alias("rnk")).collect()
+    }
+    got = {
+        r["id"]: r["rnk"]
+        for r in rank_bounded(df, [("score", "desc"), ("id", "asc")]).collect()
+    }
+    assert got == exp
+
+
+def test_partial_topk_prefilter_superset_under_any_tiebreak(spark):
+    """Value ties at the local k boundary all survive the prefilter, so
+    prefilter + grouped_topk equals plain grouped_topk regardless of the
+    final tiebreak (row_number would drop true winners arbitrarily)."""
+    from etl_manager_spark.operators.topk import (
+        grouped_topk,
+        partial_topk_prefilter,
+    )
+
+    rows = [("g", 5.0, i) for i in range(20)] + [("g", 4.0, 100 + i) for i in range(5)]
+    df = spark.createDataFrame(rows, "grp string, value double, id long").repartition(1)
+    order = [F.desc("value"), F.asc("id")]
+    exact = {
+        (r["grp"], r["id"])
+        for r in grouped_topk(df, ["grp"], order, k=3).collect()
+    }
+    pre = partial_topk_prefilter(df, ["grp"], "value", k=3)
+    two_phase = {
+        (r["grp"], r["id"])
+        for r in grouped_topk(pre, ["grp"], order, k=3).collect()
+    }
+    assert two_phase == exact  # ids 0,1,2 — smallest ids among the tie
+
+
+def test_funnel_rejects_repeated_steps(spark, sf_dir):
+    from etl_manager_spark.operators.behavior import funnel
+
+    events = spark.createDataFrame(
+        [(1, "view", "2026-01-01 00:00:00")], "user_id long, event_type string, ts string"
+    ).select("user_id", "event_type", F.col("ts").cast("timestamp"))
+    with pytest.raises(ValueError, match="must be distinct"):
+        funnel(events, ["view", "click", "view"])
+
+
+def test_simhash_rejects_bits_over_32(spark):
+    from etl_manager_spark.operators.dedup import simhash
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match=r"\[1, 32\]"):
+        simhash(df, bits=48)
+
+
+def test_minhash_bands_must_divide(spark):
+    from etl_manager_spark.operators.dedup import minhash_near_duplicates
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="multiple of bands"):
+        minhash_near_duplicates(df, num_hashes=8, bands=3).collect()
+
+
+def test_bm25_empty_query_rejected(spark):
+    from etl_manager_spark.operators.ranking import bm25_scores
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="query_terms is empty"):
+        bm25_scores(df, [])
+
+
+def test_two_level_rollup_rejects_non_multiple(spark):
+    from etl_manager_spark.streaming.windows import (
+        _duration_seconds,
+        two_level_rollup,
+    )
+
+    assert _duration_seconds("10 minutes") == 600
+    assert _duration_seconds("1 hour") == 3600
+    events = spark.readStream.format("rate").load().selectExpr(
+        "timestamp as ts", "'view' as event_type", "cast(value as double) as value"
+    )
+    with pytest.raises(ValueError, match="integer multiple"):
+        two_level_rollup(events, small="25 minutes", big="1 hour")
