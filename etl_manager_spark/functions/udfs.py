@@ -39,6 +39,13 @@ def quantize_embedding(vectors: pd.Series) -> pd.Series:
             return None
         x = np.asarray(vec, dtype=np.float64)
         peak = np.abs(x).max() if x.size else 0.0
+        if not np.isfinite(peak):
+            # NaN/Inf components make peak non-finite; the zero-guard
+            # doesn't fire and sign/floor astype(int8) of NaN is
+            # undefined-value casting — the whole vector would silently
+            # quantize to platform-dependent junk. NULL out instead
+            # (nulls propagate like any SQL expression over bad input).
+            return None
         if peak == 0.0:
             return np.zeros(x.size, dtype=np.int8)
         scaled = x * (127.0 / peak)
@@ -62,6 +69,16 @@ _CENTROID_SCHEMA = "label int, n long, centroid array<double>"
 def _centroid_of_group(pdf: pd.DataFrame) -> pd.DataFrame:
     import numpy as np
 
+    # NULL embeddings are ignored (SQL-aggregate semantics: the group row
+    # survives with the non-null rows' centroid; a group of ONLY nulls
+    # emits nothing) — np.stack over a None would otherwise abort the
+    # whole job on one bad row. A null LABEL is a legitimate group
+    # (groupBy keeps it): emitted as-is, not int()-coerced.
+    pdf = pdf[pdf["embedding"].notna()]
+    if pdf.empty:
+        return pd.DataFrame({"label": [], "n": [], "centroid": []}).astype(
+            {"label": "object", "n": "int64", "centroid": "object"}
+        )
     pdf = pdf.sort_values("_order_id")
     mat = np.stack(pdf["embedding"].map(lambda v: np.asarray(v, dtype=np.float64)))
     # Sequential left-fold over rows in id order (NOT np.sum/mean, whose
@@ -73,9 +90,11 @@ def _centroid_of_group(pdf: pd.DataFrame) -> pd.DataFrame:
     acc = mat[0].astype(np.float64, copy=True)
     for row in mat[1:]:
         acc = acc + row
+    raw_label = pdf["label"].iloc[0]
+    label = None if pd.isna(raw_label) else int(raw_label)
     return pd.DataFrame(
         {
-            "label": [int(pdf["label"].iloc[0])],
+            "label": [label],
             "n": [len(pdf)],
             "centroid": [acc / len(pdf)],
         }
@@ -132,23 +151,30 @@ def weighted_mean_cents(values: pd.Series, weights: pd.Series) -> float:
     batches of the group in, ONE scalar out — completes the UDF matrix
     next to scalar/grouped-map/mapInPandas/UDTF). Weighted mean computed
     exactly: values centi-quantized to int64, Σ(cents·w) and Σw as
-    integer sums (order-free), one correctly-rounded division at the end
-    — so the result is bitwise-reproducible under any partitioning and
-    the DuckDB oracle's SUM-based rendering matches.
+    ARBITRARY-PRECISION Python-int sums (order-free AND overflow-free —
+    an int64 numpy dot wraps silently past 2⁶³, and the DuckDB oracle's
+    SUM promotes to HUGEINT, so wrapping would be a silent engine
+    divergence on exactly the 'exact' path), one correctly-rounded
+    division at the end — so the result is bitwise-reproducible under
+    any partitioning. Rows with a NULL value or weight are skipped, the
+    same rows the oracle's SUM ignores (a NaN reaching
+    astype(int64) would silently contribute INT64_MIN).
 
     Partial aggregation still applies JVM-side for the shuffle: Spark
     feeds this UDAF each group's full Arrow stream post-exchange, but the
     exchange carries only the projected (value, weight) columns."""
     import numpy as np
 
-    cents = np.floor(values.to_numpy(dtype=np.float64) * 100.0 + 0.5).astype(
-        np.int64
-    )
-    w = weights.to_numpy(dtype=np.int64)
-    sw = int(w.sum())
+    vals = values.to_numpy(dtype=np.float64)
+    ws = weights.to_numpy(dtype=np.float64)
+    ok = ~(np.isnan(vals) | np.isnan(ws))
+    cents = np.floor(vals[ok] * 100.0 + 0.5).astype(np.int64)
+    w = ws[ok].astype(np.int64)
+    sw = sum(int(x) for x in w)
     if sw == 0:
         return float("nan")
-    return (int((cents * w).sum()) / sw) / 100.0
+    num = sum(int(c) * int(x) for c, x in zip(cents, w))
+    return (num / sw) / 100.0
 
 
 def event_runs_udtf():

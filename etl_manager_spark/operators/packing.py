@@ -44,11 +44,17 @@ def pack_sequences(
     gets a bin of its own (callers chunk oversized docs first, see
     :func:`etl_manager_spark.operators.text.chunk_documents`).
 
-    Shard = the shortest ``md5(id)`` hex prefix wide enough for
-    ``n_shards`` buckets, mod ``n_shards`` (one digit up to 16 shards) —
-    deterministic, uniform, and engine-independent, so the full packing
-    layout (shard, seq_id per doc) is reproducible anywhere, which is
-    what makes resumable / auditable training-data builds possible.
+    Shard = an ``md5(id)`` hex prefix mod ``n_shards`` — deterministic,
+    uniform, and engine-independent, so the full packing layout (shard,
+    seq_id per doc) is reproducible anywhere, which is what makes
+    resumable / auditable training-data builds possible. The prefix
+    width is the smallest where ``16^digits`` is an exact multiple of
+    ``n_shards`` (bit-for-bit the historical 1-digit rule for 16-shard
+    layouts), else wide enough that the modulo bias is ≤ 2⁻²⁰ — the
+    minimal-width rule gave the low shards up to 2× the documents of
+    the high ones whenever ``n_shards`` didn't divide ``16^digits``
+    (e.g. 10 shards from 1 digit: 6 shards at 2/16, 4 at 1/16), which
+    breaks the executor-sizing math the docstring prescribes.
 
     Scale shape: token counts are computed JVM-side; only (shard, id,
     n_tokens) reaches the grouped Arrow fold — a few bytes per document
@@ -66,24 +72,35 @@ def pack_sequences(
         raise ValueError(f"seq_tokens must be positive, got {seq_tokens}")
     if not 1 <= n_shards <= 16**8:
         raise ValueError(f"n_shards must be in [1, 16^8], got {n_shards}")
-    # smallest md5-hex prefix wide enough for n_shards buckets: 1 digit up
-    # to 16 shards (the oracle-replayable form), more digits for the
-    # 100 TB fan-outs the docstring prescribes — for n_shards <= 16 the
-    # assignment is bit-for-bit the historical single-digit rule
     digits = 1
-    while 16**digits < n_shards:
+    while 16**digits % n_shards != 0 and 16**digits < n_shards << 20:
         digits += 1
     slim = df.select(
         F.pmod(
             F.conv(
-                F.substring(F.md5(F.col(id_col).cast("string")), 1, digits), 16, 10
+                F.substring(
+                    # null ids coalesce to the empty-string draw, the
+                    # house rule from sampling.hash_bucket — md5(NULL) is
+                    # NULL and would put null-id docs in a NULL shard
+                    # outside the documented [0, n_shards) layout
+                    F.md5(F.coalesce(F.col(id_col).cast("string"), F.lit(""))),
+                    1,
+                    digits,
+                ),
+                16,
+                10,
             ).cast("long"),
             F.lit(n_shards),
         )
         .cast("int")
         .alias("shard"),
         F.col(id_col),
-        token_count(text_col).cast("long").alias("n_tokens"),
+        # null text counts 0 tokens: token_count(NULL) is NULL and a NaN
+        # reaching the greedy fold poisons every later comparison in the
+        # shard (each doc then opens its own bin, silently)
+        F.coalesce(token_count(text_col).cast("long"), F.lit(0)).alias(
+            "n_tokens"
+        ),
     )
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -137,7 +154,10 @@ def mixture_sample_by_token_budget(
     documents only."""
     from pyspark.sql import Window
 
-    order_key = F.md5(F.col(id_col).cast("string"))
+    # null-id coalesce per the sampling.hash_bucket rule: md5(NULL) is
+    # NULL and NULL sorts FIRST in the window — a null-id doc would jump
+    # the priority queue and consume budget ahead of every real document
+    order_key = F.md5(F.coalesce(F.col(id_col).cast("string"), F.lit("")))
     w = (
         Window.partitionBy(source_col)
         .orderBy(order_key, F.col(id_col))
@@ -156,7 +176,11 @@ def mixture_sample_by_token_budget(
         df.select(
             F.col(id_col),
             F.col(source_col),
-            token_count(text_col).cast("long").alias("n_tokens"),
+            # null text counts 0 tokens (window SUM would silently skip a
+            # NULL, letting the doc ride inside the budget for free)
+            F.coalesce(token_count(text_col).cast("long"), F.lit(0)).alias(
+                "n_tokens"
+            ),
         )
         .withColumn("cum_tokens", F.sum("n_tokens").over(w))
         .filter(F.col("cum_tokens") <= budget_expr)

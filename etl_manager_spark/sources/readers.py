@@ -22,6 +22,16 @@ if TYPE_CHECKING:  # pragma: no cover
     from etl_manager_spark.meta.table import TableMeta
 
 
+def _serde_cast(col, data_type):
+    """SerDe-faithful typed projection for text-derived fields: a
+    non-string target NULLs on empty/unparseable text (``try_cast`` —
+    Athena's SerDes emit NULL there) instead of throwing under Spark 4's
+    default ANSI cast; strings pass through as-is."""
+    if isinstance(data_type, T.StringType):
+        return col.cast(data_type)
+    return F.nullif(col, F.lit("")).try_cast(data_type)
+
+
 def read_table(spark: "SparkSession", table: "TableMeta", path: str) -> "DataFrame":
     """Read ``path`` per the table's declared format + schema.
 
@@ -32,73 +42,114 @@ def read_table(spark: "SparkSession", table: "TableMeta", path: str) -> "DataFra
       physical order.
     * ``csv_quoted_nodate`` — OpenCSVSerDe parity: read every field as
       string first, then cast to the declared types (Athena's OpenCSVSerde
-      reads all-string; ``specs/csv_quoted_nodate_specific.json:6-11``).
+      reads all-string; ``specs/csv_quoted_nodate_specific.json:6-11``);
+      unparseable values become NULL (try_cast), as the SerDe does.
     * ``json`` — JSON-lines, by-name field mapping with declared schema.
-    * ``parquet``/``orc``/``avro`` — native columnar readers, by-name.
+    * ``parquet``/``orc``/``avro`` — native columnar readers, by-name,
+      then aligned to the DECLARED schema: a declared nullable column
+      missing from older files is filled with typed nulls, a missing
+      non-nullable column is an error, and present columns are cast to
+      their declared types — the read-side mirror of the write path's
+      ``conform()`` (without it, schema drift silently leaked file
+      schemas to downstream consumers).
     * ``regex`` — ``spark.read.text`` + one ``regexp_extract`` per column
       (group i+1), the Spark-native RegexSerDe
-      (``specs/regex_specific.json:5-11``).
+      (``specs/regex_specific.json:5-11``). A line that does NOT match
+      the pattern yields a NULL row (SerDe behavior) — regexp_extract
+      alone returns '' there, which under ANSI would kill the read
+      casting to any non-string type.
     * ``fixedwidth`` — ``spark.read.text`` + positional ``substring``
       slices (space-padded fields trimmed before the declared-type cast);
       the legacy-layout sibling of ``regex``, scan-only like it.
 
-    Declared partition columns are recovered from Hive-style directory names
-    by Spark's partition discovery and cast to their declared types.
+    Declared partition columns are recovered from Hive-style directory
+    names by Spark's partition discovery and cast to their declared types
+    — for EVERY format (the text-based formats' scans discover partitions
+    exactly like the columnar ones; dropping them was a bug).
     """
     fmt, options = spark_format_and_options(table.data_format, table.format_options)
     data_schema = table.data_schema
 
     if table.data_format == "regex":
         pattern = options.get("input.regex", "(.*)")
-        df = spark.read.text(path)
+        raw = spark.read.text(path)
+        matched = F.col("value").rlike(pattern)
         projections = [
-            F.regexp_extract(F.col("value"), pattern, i + 1)
-            .cast(field.dataType)
+            F.when(
+                matched,
+                _serde_cast(
+                    F.regexp_extract(F.col("value"), pattern, i + 1),
+                    field.dataType,
+                ),
+            )
+            .otherwise(F.lit(None).cast(field.dataType))
             .alias(field.name)
             for i, field in enumerate(data_schema.fields)
         ]
-        return df.select(*projections)
+        part_cols = [c for c in raw.columns if c != "value"]
+        df = raw.select(*projections, *part_cols)
 
-    if table.data_format == "fixedwidth":
+    elif table.data_format == "fixedwidth":
         # widths are CHARACTER counts (F.substring slices decoded
         # characters) — see formats.py; byte-offset layouts with
         # multibyte text are out of scope for this format.
-        raw = options.get("widths", "")
+        raw_w = options.get("widths", "")
         widths = (
-            [int(w) for w in str(raw).split(",") if str(w).strip()]
-            if not isinstance(raw, (list, tuple))
-            else [int(w) for w in raw]
+            [int(w) for w in str(raw_w).split(",") if str(w).strip()]
+            if not isinstance(raw_w, (list, tuple))
+            else [int(w) for w in raw_w]
         )
         if len(widths) != len(data_schema.fields):
             raise ValueError(
                 f"fixedwidth needs one width per declared column "
                 f"({len(data_schema.fields)}), got {widths!r}"
             )
-        df = spark.read.text(path)
+        raw = spark.read.text(path)
         start, projections = 1, []
         for w, field in zip(widths, data_schema.fields):
             projections.append(
-                F.trim(F.substring(F.col("value"), start, w))
-                .cast(field.dataType)
-                .alias(field.name)
+                _serde_cast(
+                    F.trim(F.substring(F.col("value"), start, w)), field.dataType
+                ).alias(field.name)
             )
             start += w
-        return df.select(*projections)
+        part_cols = [c for c in raw.columns if c != "value"]
+        df = raw.select(*projections, *part_cols)
 
-    if table.data_format == "csv_quoted_nodate":
-        # OpenCSVSerDe parity: all-string read, then cast pass.
+    elif table.data_format == "csv_quoted_nodate":
+        # OpenCSVSerDe parity: all-string read, then a try_cast pass.
         string_schema = T.StructType(
             [T.StructField(f.name, T.StringType(), True) for f in data_schema.fields]
         )
-        df = spark.read.options(**options).schema(string_schema).csv(path)
-        return df.select(
-            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in data_schema.fields]
+        raw = spark.read.options(**options).schema(string_schema).csv(path)
+        part_cols = [c for c in raw.columns if c not in string_schema.names]
+        df = raw.select(
+            *[
+                _serde_cast(F.col(f.name), f.dataType).alias(f.name)
+                for f in data_schema.fields
+            ],
+            *part_cols,
         )
 
-    reader = spark.read.options(**options)
-    if table.data_format in ("csv", "json"):
-        reader = reader.schema(data_schema)
-    df = reader.format(fmt).load(path)
+    else:
+        reader = spark.read.options(**options)
+        if table.data_format in ("csv", "json"):
+            reader = reader.schema(data_schema)
+        df = reader.format(fmt).load(path)
+        if table.data_format in ("parquet", "orc", "avro"):
+            # declared-schema enforcement (read-side conform): older files
+            # may lack newly-declared columns or carry narrower types
+            for f in data_schema.fields:
+                if f.name not in df.columns:
+                    if not f.nullable:
+                        raise ValueError(
+                            f"read_table: declared non-nullable column "
+                            f"{f.name!r} is absent from the {fmt} files at "
+                            f"{path} — backfill it or declare it nullable"
+                        )
+                    df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+                else:
+                    df = df.withColumn(f.name, F.col(f.name).cast(f.dataType))
 
     # Recovered partition columns (directory-derived) arrive as strings or
     # inferred types; align them to the declared schema.

@@ -331,3 +331,97 @@ def test_two_level_rollup_rejects_non_multiple(spark):
     )
     with pytest.raises(ValueError, match="integer multiple"):
         two_level_rollup(events, small="25 minutes", big="1 hour")
+
+
+def test_pack_sequences_null_text_and_null_id(spark):
+    """A NULL-text doc packs as 0 tokens (a NaN poisoned the greedy fold
+    for the whole shard); a NULL-id doc lands in a real [0, n_shards)
+    shard via the coalesced hash draw."""
+    from etl_manager_spark.operators.packing import pack_sequences
+
+    rows = [(1, "a b c"), (2, None), (None, "d e"), (3, "f g h")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = pack_sequences(df, seq_tokens=8, n_shards=4).collect()
+    assert len(out) == 4
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[2]["n_tokens"] == 0
+    assert 0 <= by_id[None]["shard"] < 4
+
+
+def test_pack_sequences_shard_uniformity_non_power_of_16(spark):
+    """10 shards: the 1-digit rule gave shards 0-5 twice the mass of
+    6-9; the bias-bounded prefix must keep the spread tight."""
+    from etl_manager_spark.operators.packing import pack_sequences
+
+    df = spark.range(4000).selectExpr("id as doc_id", "'x y z' as text")
+    counts = {
+        r["shard"]: r["n"]
+        for r in pack_sequences(df, seq_tokens=64, n_shards=10)
+        .groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(counts) == set(range(10))
+    assert max(counts.values()) < 1.35 * min(counts.values()), counts
+
+
+def test_mixture_budget_null_text_costs_zero_not_free_ride(spark):
+    from etl_manager_spark.operators.packing import (
+        mixture_sample_by_token_budget,
+    )
+
+    rows = [(i, "s", "tok " * 4) for i in range(10)] + [(99, "s", None)]
+    df = spark.createDataFrame(rows, "doc_id int, source string, text string")
+    out = mixture_sample_by_token_budget(df, budgets={"s": 12}, default_budget=0)
+    got = out.collect()
+    # null-text doc may be kept (0 tokens) but never pushes cum past budget
+    assert all(r["cum_tokens"] <= 12 for r in got)
+    assert {r["n_tokens"] for r in got if r["doc_id"] == 99} <= {0}
+
+
+def test_weighted_mean_cents_nulls_and_bigint_products(spark):
+    from etl_manager_spark.functions.udfs import weighted_mean_cents
+
+    rows = [("g", 10.0, 1), ("g", None, 5), ("g", 20.0, None), ("g", 30.0, 3)]
+    df = spark.createDataFrame(rows, "g string, v double, w long")
+    got = df.groupBy("g").agg(
+        weighted_mean_cents("v", "w").alias("m")
+    ).collect()[0]["m"]
+    # only (10,1) and (30,3) count: (1000*1 + 3000*3)/4 = 2500 cents = 25.0
+    assert got == 25.0
+    # overflow-free: huge values × weights past int64
+    big = spark.createDataFrame(
+        [("h", 9e16, 10**9)] * 3, "g string, v double, w long"
+    )
+    got_big = big.groupBy("g").agg(
+        weighted_mean_cents("v", "w").alias("m")
+    ).collect()[0]["m"]
+    assert abs(got_big - 9e16) < 1e3  # int64 dot would have wrapped negative
+
+
+def test_label_centroids_null_label_and_null_embedding(spark):
+    from etl_manager_spark.functions.udfs import label_centroids
+
+    rows = [
+        (1, 0, [1.0, 1.0]),
+        (2, 0, None),            # ignored inside the group
+        (3, None, [3.0, 5.0]),   # null label = its own group
+        (4, 7, None),            # all-null group → no row
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    got = {r["label"]: (r["n"], list(r["centroid"])) for r in label_centroids(df).collect()}
+    assert got[0] == (1, [1.0, 1.0])
+    assert got[None] == (1, [3.0, 5.0])
+    assert 7 not in got
+
+
+def test_quantize_embedding_nan_vector_nulls(spark):
+    from etl_manager_spark.functions.udfs import quantized_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [1.0, float("nan"), 2.0]), (2, [1.0, -2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r["vec_id"]: r["q_embedding"] for r in quantized_embeddings(df).collect()}
+    assert got[1] is None
+    assert got[2] == [64, -127]

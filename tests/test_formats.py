@@ -233,3 +233,86 @@ def test_fixedwidth_read_trim_cast_and_refusals(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="read-only"):
         write_table(spark.range(1), meta, str(tmp_path / "out"))
+
+
+@pytest.mark.parametrize("fmt", ["csv_quoted_nodate", "regex", "fixedwidth"])
+def test_text_formats_keep_partition_columns(fmt, spark, tmp_path):
+    """Text-derived formats must surface Hive-style partition columns like
+    the columnar ones do — the early-return projections used to drop them."""
+    cols = [
+        {"name": "id", "type": "int"},
+        {"name": "name", "type": "character"},
+        {"name": "year", "type": "int"},
+    ]
+    opts = {}
+    if fmt == "regex":
+        opts = {"format_options": {"input.regex": "^([0-9]+),(\\w+)$"}}
+    elif fmt == "fixedwidth":
+        opts = {"format_options": {"widths": "3,5"}}
+    t = TableMeta(
+        name="t", location="t", data_format=fmt, columns=cols,
+        partitions=["year"], **opts,
+    )
+    base = tmp_path / fmt
+    for year, rows in [(2023, ["1,ann"]), (2024, ["2,bob"])]:
+        d = base / f"year={year}"
+        d.mkdir(parents=True)
+        if fmt == "fixedwidth":
+            rows = [r.replace(",", "").ljust(8) for r in
+                    [f"{r.split(',')[0]:<3}{r.split(',')[1]:<5}" for r in rows]]
+        (d / "part-0.txt" if fmt != "csv_quoted_nodate" else d / "part-0.csv").write_text(
+            "\n".join(rows) + "\n"
+        )
+    back = t.read(spark, str(base))
+    assert "year" in back.columns, back.columns
+    got = sorted((r.id, r.name, r.year) for r in back.collect())
+    assert got == [(1, "ann", 2023), (2, "bob", 2024)]
+
+
+def test_regex_nonmatching_line_yields_null_row(spark, tmp_path):
+    """RegexSerDe parity: a line that does not match the pattern yields a
+    NULL row — regexp_extract alone returns '', which under ANSI killed
+    the whole read when cast to int."""
+    t = TableMeta(
+        name="t", location="t", data_format="regex",
+        columns=[{"name": "status", "type": "int"},
+                 {"name": "msg", "type": "character"}],
+        format_options={"input.regex": "^([0-9]+) (\\w+)$"},
+    )
+    p = tmp_path / "log"
+    p.mkdir()
+    (p / "a.txt").write_text("200 ok\nMALFORMED LINE !!\n404 missing\n")
+    got = sorted(
+        ((r.status, r.msg) for r in t.read(spark, str(p)).collect()),
+        key=lambda x: (x[0] is None, x),
+    )
+    assert got == [(200, "ok"), (404, "missing"), (None, None)]
+
+
+def test_parquet_read_conforms_declared_schema(spark, tmp_path):
+    """Read-side conform: a declared nullable column missing from older
+    files is filled with typed nulls; a missing non-nullable column is an
+    error; present columns cast to declared types."""
+    old = spark.createDataFrame([Row(id=1, name="ann")])
+    p = str(tmp_path / "t")
+    old.write.parquet(p)
+    t = TableMeta(
+        name="t", location="t", data_format="parquet",
+        columns=[
+            {"name": "id", "type": "int"},
+            {"name": "name", "type": "character"},
+            {"name": "score", "type": "double", "nullable": True},
+        ],
+    )
+    back = t.read(spark, p)
+    assert back.schema["score"].dataType.simpleString() == "double"
+    assert [r.score for r in back.collect()] == [None]
+    t2 = TableMeta(
+        name="t", location="t", data_format="parquet",
+        columns=[
+            {"name": "id", "type": "int"},
+            {"name": "missing_hard", "type": "int", "nullable": False},
+        ],
+    )
+    with pytest.raises(ValueError, match="non-nullable"):
+        t2.read(spark, p)
