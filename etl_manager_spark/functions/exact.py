@@ -40,8 +40,12 @@ def dec_sum(col: Column | str, typ: str = DEFAULT_DECIMAL) -> Column:
 
 def dec_avg(col: Column | str, typ: str = DEFAULT_DECIMAL) -> Column:
     """Exact-sum average: decimal sum → double, / count — a single IEEE
-    division, bitwise-reproducible anywhere."""
-    return F.sum(dec(col, typ)).cast("double") / F.count(F.lit(1))
+    division, bitwise-reproducible anywhere. Divides by the NON-NULL
+    count of the column (SQL AVG semantics) — dividing by COUNT(*) would
+    silently deflate the average the moment a nullable column is
+    averaged, diverging from any AVG-based oracle."""
+    d = dec(col, typ)
+    return F.sum(d).cast("double") / F.count(d)
 
 
 def dec_sumsq(col: Column | str, typ: str = DEFAULT_DECIMAL) -> Column:

@@ -68,8 +68,14 @@ def cost_timeout_minutes(
     workers: int = 2,
 ) -> int:
     """timeout_minutes = 60 * max_cost / (0.44 * DPU * workers) — the
-    reference's budget→timeout conversion (etl.py:138-152)."""
-    return int(60 * max_cost / (WORKER_HOURLY_COST * dpu_per_worker * workers))
+    reference's budget→timeout conversion (etl.py:138-152). Floored to a
+    1-minute minimum: a sub-minute budget truncating to 0 would mean
+    thread.join(0) — instant JobTimedOut for jobs finishing in
+    milliseconds (the reference's golden values 1363/272/68 are all ≥1,
+    so they are unchanged)."""
+    return max(
+        1, int(60 * max_cost / (WORKER_HOURLY_COST * dpu_per_worker * workers))
+    )
 
 
 _RESERVED_ARGUMENTS = {
@@ -203,10 +209,28 @@ class SparkJob:
 
     @property
     def metadata_base_path(self) -> str | None:
-        for base in (self.job_folder, self.shared_resources):
-            if base and os.path.isdir(os.path.join(base, "metadata")):
-                return os.path.join(base, "metadata")
-        return None
+        """One directory holding EVERY metadata json the job validated:
+        the job's own when the shared folder contributes none (and vice
+        versa); when both contribute, a merged staging dir under
+        temp_dir — returning just the job's directory silently hid the
+        shared_resources metadata that _gather collected and
+        duplicate-checked (job-local files win on no name clashes, which
+        the dedupe check already guarantees)."""
+        dirs = [
+            os.path.join(base, "metadata")
+            for base in (self.job_folder, self.shared_resources)
+            if base and os.path.isdir(os.path.join(base, "metadata"))
+        ]
+        if not dirs:
+            return None
+        if len(dirs) == 1:
+            return dirs[0]
+        merged = os.path.join(self.temp_dir, "metadata")
+        os.makedirs(merged, exist_ok=True)
+        for d in reversed(dirs):  # job-local copied last (wins on clash)
+            for fname in os.listdir(d):
+                shutil.copy2(os.path.join(d, fname), os.path.join(merged, fname))
+        return merged
 
     def run(self, spark: "SparkSession", timeout_minutes: int | None = None) -> dict[str, Any]:
         """Execute job.py in-process, synchronously (the reference's
@@ -215,13 +239,17 @@ class SparkJob:
         Returns the job script's globals (so tests/jobs can hand back
         results); raises the typed taxonomy on failure.
 
-        The timeout is BEST-EFFORT: on expiry, in-flight Spark jobs are
-        cancelled (``cancelAllJobs``) and :class:`JobTimedOut` raised, but
-        the job script's Python thread cannot be killed — a daemon thread
-        keeps running driver-side code until its next Spark action fails.
-        Run the job via ``spark-submit`` in a subprocess when a timed-out
-        job must be torn down completely (a killable process is the only
-        hard cancellation boundary Python offers)."""
+        The timeout is BEST-EFFORT: on expiry, THIS job's in-flight Spark
+        work is cancelled via its job group (``cancelJobGroup`` — the
+        group is set thread-locally inside the worker thread, so other
+        jobs and interactive queries sharing the SparkSession are
+        untouched; ``cancelAllJobs`` would abort those too) and
+        :class:`JobTimedOut` raised, but the job script's Python thread
+        cannot be killed — a daemon thread keeps running driver-side code
+        until its next Spark action fails. Run the job via
+        ``spark-submit`` in a subprocess when a timed-out job must be
+        torn down completely (a killable process is the only hard
+        cancellation boundary Python offers)."""
         timeout = timeout_minutes if timeout_minutes is not None else self.timeout_minutes
         init_globals = {
             "spark": spark,
@@ -240,9 +268,17 @@ class SparkJob:
 
         result: dict[str, Any] = {}
         error: list[BaseException] = []
+        job_group = f"sparkjob-{self.job_name}-{id(self)}"
 
         def _target() -> None:
             try:
+                # job group is THREAD-LOCAL on the SparkContext: set it
+                # inside the worker thread so a timeout cancels exactly
+                # this job's actions (interruptOnCancel interrupts the
+                # executor threads too)
+                spark.sparkContext.setJobGroup(
+                    job_group, f"SparkJob {self.job_name}", True
+                )
                 result.update(runpy.run_path(self.job_path, init_globals=init_globals))
             except BaseException as exc:  # noqa: BLE001
                 error.append(exc)
@@ -258,7 +294,7 @@ class SparkJob:
                 thread.join(timeout * 60)
                 if thread.is_alive():
                     self.job_run_state = "TIMEOUT"
-                    spark.sparkContext.cancelAllJobs()
+                    spark.sparkContext.cancelJobGroup(job_group)
                     raise JobTimedOut(
                         f"job {self.job_name} exceeded {timeout} min "
                         f"(elapsed {time.monotonic() - started:.0f}s)"

@@ -147,7 +147,15 @@ class DatabaseMeta:
         ``meta.py:812-844``): create missing tables; replace existing ones
         only when asked."""
         spark.sql(f"CREATE DATABASE IF NOT EXISTS {self.name}")
-        existing = {t.name for t in spark.catalog.listTables(self.name)}
+        # listTables includes session-local TEMP views regardless of the
+        # database filter — counting those as existing would silently
+        # skip creating the real catalog table whenever a temp view
+        # shares its name (register_temp_views creates exactly that)
+        existing = {
+            t.name
+            for t in spark.catalog.listTables(self.name)
+            if not t.isTemporary
+        }
         for t in self._tables:
             if t.name not in existing:
                 t.create_on_catalog(spark, self.name)
@@ -224,16 +232,42 @@ def database_from_catalog(spark: "SparkSession", database_name: str) -> Database
         description=db.description or "",
     )
     for tinfo in spark.catalog.listTables(database_name):
-        if tinfo.tableType == "VIEW":
+        # skip permanent views AND session temp views: temp views ride
+        # along in listTables for any database, cannot be database-
+        # qualified (spark.table('<db>.<tempview>') raises), and are not
+        # catalog state to introspect
+        if tinfo.tableType == "VIEW" or tinfo.isTemporary:
             continue
         df = spark.table(f"{database_name}.{tinfo.name}")
         columns = struct_type_to_columns(df.schema)
+        # real format + location from the catalog: hardcoding parquet /
+        # <db>/<name> mis-described csv/external tables, and a
+        # round-tripped read() would then apply the wrong reader or path
+        detail = {
+            r["col_name"]: r["data_type"]
+            for r in spark.sql(
+                f"DESCRIBE TABLE EXTENDED {database_name}.{tinfo.name}"
+            ).collect()
+        }
+        from etl_manager_spark.meta.table import SUPPORTED_FORMATS
+
+        provider = (detail.get("Provider") or "parquet").lower()
+        if provider not in SUPPORTED_FORMATS:
+            provider = "parquet"  # hive/unknown providers: best effort
+        # location is stored RELATIVE to the database base (full_path
+        # composes base/location); adopt the catalog's LOCATION when it
+        # sits under the base, else fall back to the name convention
+        location = tinfo.name
+        cat_loc = detail.get("Location") or ""
+        base = (db.locationUri or "").rstrip("/")
+        if base and cat_loc.startswith(base + "/"):
+            location = cat_loc[len(base) + 1 :]
         meta.add_table(
             TableMeta(
                 name=tinfo.name,
-                location=tinfo.name,
+                location=location,
                 columns=columns,
-                data_format="parquet",
+                data_format=provider,
                 description=tinfo.description or "",
             )
         )

@@ -161,6 +161,23 @@ class TableMeta:
                 raise MetadataError(str(exc)) from exc
             _validate_column_properties(col)
             validated.append(copy.deepcopy(col))
+        # reconcile BEFORE mutating: a new column list that drops a
+        # declared partition/primary-key column would otherwise raise a
+        # raw KeyError from the partition reorder with _columns already
+        # replaced and _partitions still pointing at the vanished column
+        new_names = {c["name"] for c in validated}
+        gone_parts = [p for p in self._partitions if p not in new_names]
+        if gone_parts:
+            raise MetadataError(
+                f"new column list drops declared partition column(s) "
+                f"{gone_parts} — clear or update .partitions first"
+            )
+        gone_pk = [k for k in self._primary_key if k not in new_names]
+        if gone_pk:
+            raise MetadataError(
+                f"new column list drops primary-key column(s) {gone_pk} "
+                "— clear or update .primary_key first"
+            )
         self._columns = validated
         self._reorder_partitions_last()
 
@@ -257,6 +274,10 @@ class TableMeta:
         missing = [p for p in partitions if p not in self.column_names]
         if missing:
             raise MetadataError(f"partition columns not in table: {missing}")
+        if len(set(partitions)) != len(partitions):
+            # a repeated name would duplicate the column dict in the
+            # reorder, corrupting the schema and emitting unparseable DDL
+            raise MetadataError(f"duplicate partition columns: {partitions}")
         self._partitions = list(partitions)
         self._reorder_partitions_last()
 
@@ -355,8 +376,11 @@ class TableMeta:
         )
         ddl = f"CREATE TABLE {qualified} (\n  {col_lines}\n)\nUSING {fmt}"
         if options:
+            # escape quotes like the COMMENT below — a quote/sep/escape
+            # option value containing ' rendered unparseable SQL
             opts = ", ".join(
-                f"`{k}` '{v}'" for k, v in sorted(options.items())
+                "`{}` '{}'".format(k, str(v).replace("'", "\\'"))
+                for k, v in sorted(options.items())
             )
             ddl += f"\nOPTIONS ({opts})"
         if self._partitions:

@@ -30,7 +30,9 @@ def _dsum(col: str) -> str:
 
 
 def _davg(col: str) -> str:
-    return f"CAST(SUM(CAST({col} AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)"
+    # COUNT(col), not COUNT(*): SQL AVG semantics (nulls excluded), the
+    # same denominator functions/exact.py:dec_avg uses
+    return f"CAST(SUM(CAST({col} AS DECIMAL(18,2))) AS DOUBLE) / COUNT({col})"
 
 
 _REVENUE_SPARK = (
@@ -874,7 +876,7 @@ def subquery_in_hot_parts(spark, sf_dir):
     SELECT o_orderpriority, COUNT(*) AS n_above_avg
     FROM orders
     WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-                                 / COUNT(*) FROM orders)
+                                 / COUNT(o_totalprice) FROM orders)
     GROUP BY o_orderpriority
     """,
     category="subquery",

@@ -110,3 +110,55 @@ def test_cli_verify_reports_mismatch(monkeypatch, capsys):
     monkeypatch.setattr(cli, "_registry", lambda: reg)
     assert main(["verify", "l_diversity_audit_events"]) == 1
     assert "MISMATCH" in capsys.readouterr().out
+
+
+def test_update_database_ignores_temp_views(spark, tmp_path):
+    """A session temp view sharing a table's name must not make
+    update_database skip creating the real catalog table."""
+    from etl_manager_spark import DatabaseMeta, TableMeta
+
+    t = TableMeta(
+        name="tv_clash", location="tv_clash", data_format="parquet",
+        columns=[{"name": "id", "type": "int"}],
+    )
+    db = DatabaseMeta(name="tvdb", bucket=str(tmp_path), base_folder="", description="x")
+    db.add_table(t)
+    spark.sql("DROP DATABASE IF EXISTS tvdb CASCADE")
+    df = spark.range(3).selectExpr("cast(id as int) as id")
+    t.write(df, mode="overwrite")
+    df.createOrReplaceTempView("tv_clash")  # the clash
+    try:
+        db.update_database(spark)
+        tables = {
+            (x.name, x.isTemporary)
+            for x in spark.catalog.listTables("tvdb")
+        }
+        assert ("tv_clash", False) in tables  # the REAL table exists
+        assert spark.sql("SELECT COUNT(*) c FROM tvdb.tv_clash").collect()[0].c == 3
+    finally:
+        spark.catalog.dropTempView("tv_clash")
+        spark.sql("DROP DATABASE IF EXISTS tvdb CASCADE")
+
+
+def test_database_from_catalog_skips_temp_views_and_reads_provider(spark, tmp_path):
+    from etl_manager_spark import DatabaseMeta, TableMeta
+    from etl_manager_spark.meta.database import database_from_catalog
+
+    t = TableMeta(
+        name="introspect_me", location="introspect_me", data_format="parquet",
+        columns=[{"name": "id", "type": "int"}],
+    )
+    db = DatabaseMeta(name="introdb", bucket=str(tmp_path), base_folder="", description="x")
+    db.add_table(t)
+    spark.sql("DROP DATABASE IF EXISTS introdb CASCADE")
+    t_df = spark.range(2).selectExpr("cast(id as int) as id")
+    t.write(t_df, mode="overwrite")
+    db.create_database(spark)
+    spark.range(1).createOrReplaceTempView("some_random_tempview")
+    try:
+        back = database_from_catalog(spark, "introdb")
+        assert back.table_names == ["introspect_me"]  # temp view not present
+        assert back.table("introspect_me").data_format == "parquet"
+    finally:
+        spark.catalog.dropTempView("some_random_tempview")
+        spark.sql("DROP DATABASE IF EXISTS introdb CASCADE")

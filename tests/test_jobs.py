@@ -308,3 +308,29 @@ def test_repo_name_org_named_archive():
     # named "archive" must not shadow it
     url = "https://github.com/archive/mypkg/archive/main.zip"
     assert repo_name_from_url(url) == "mypkg"
+
+
+def test_cost_timeout_minimum_one_minute():
+    from etl_manager_spark.jobs.runner import cost_timeout_minutes
+
+    assert cost_timeout_minutes(max_cost=0.01) == 1  # was 0 → instant timeout
+    assert cost_timeout_minutes(max_cost=20.0) == 1363  # golden unchanged
+
+
+def test_metadata_base_path_merges_shared(tmp_path, spark):
+    """Shared-resources metadata must be visible to the job alongside its
+    own — returning only the job's dir silently hid validated files."""
+    from etl_manager_spark.jobs.runner import SparkJob
+
+    job = tmp_path / "job"
+    (job / "metadata").mkdir(parents=True)
+    (job / "metadata" / "a.json").write_text('{"name": "a"}')
+    (job / "job.py").write_text("result = metadata_base_path\n")
+    shared = tmp_path / "shared"
+    (shared / "metadata").mkdir(parents=True)
+    (shared / "metadata" / "b.json").write_text('{"name": "b"}')
+    j = SparkJob(str(job), shared_resources=str(shared))
+    base = j.metadata_base_path
+    names = sorted(os.listdir(base))
+    assert names == ["a.json", "b.json"]
+    j.cleanup()

@@ -245,3 +245,60 @@ def test_markdown_doc():
     assert "| snapshot_month | int |" in doc
     assert "partition" in doc
     assert "sensitivity" in doc
+
+
+def test_columns_setter_refuses_dropping_partition_or_pk():
+    from etl_manager_spark.meta.table import MetadataError, TableMeta
+
+    t = TableMeta(
+        name="t", location="t", data_format="parquet",
+        columns=[
+            {"name": "a", "type": "int"},
+            {"name": "year", "type": "int"},
+        ],
+        partitions=["year"],
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(MetadataError, match="partition column"):
+        t.columns = [{"name": "a", "type": "int"}]
+    # object not corrupted: partitions and schema still intact
+    assert t.partitions == ["year"] and t.column_names == ["a", "year"]
+    t2 = TableMeta(
+        name="t2", location="t2", data_format="parquet",
+        columns=[{"name": "pk", "type": "int"}, {"name": "v", "type": "int"}],
+        primary_key=["pk"],
+    )
+    with _pytest.raises(MetadataError, match="primary-key"):
+        t2.columns = [{"name": "v", "type": "int"}]
+
+
+def test_partitions_setter_refuses_duplicates():
+    from etl_manager_spark.meta.table import MetadataError, TableMeta
+
+    t = TableMeta(
+        name="t", location="t", data_format="parquet",
+        columns=[{"name": "a", "type": "int"}, {"name": "y", "type": "int"}],
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(MetadataError, match="duplicate partition"):
+        t.partitions = ["y", "y"]
+
+
+def test_ddl_escapes_quotes_in_options():
+    from etl_manager_spark.meta.table import TableMeta
+
+    t = TableMeta(
+        name="t", location="t", data_format="csv",
+        columns=[{"name": "a", "type": "int"}],
+        format_options={"quote": "'"},
+    )
+
+    class _Db:
+        base_path = "/tmp/x"
+        name = "db"
+
+    t.database = _Db()
+    ddl = t.ddl()
+    assert "\\'" in ddl  # the quote option value is escaped
