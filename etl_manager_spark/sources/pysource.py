@@ -118,6 +118,46 @@ class _FileCommit(WriterCommitMessage):
         self.rows = rows
 
 
+def _write_task_tmp(path: str, iterator) -> "_FileCommit":
+    """Shared task body for both JSONL sinks: write the task's rows to a
+    uniquely-named temp file (creating the output directory if needed —
+    built-in formats create fresh paths, so must we) and return the
+    commit message. One implementation — the batch and streaming sinks
+    must never drift on the temp-file protocol."""
+    import json as _json
+    import os as _os
+    import uuid
+
+    from pyspark import TaskContext
+
+    _os.makedirs(path, exist_ok=True)
+    ctx = TaskContext.get()
+    tmp = _os.path.join(
+        path, f"_tmp-{ctx.partitionId()}-{uuid.uuid4().hex}.jsonl"
+    )
+    n = 0
+    with open(tmp, "w") as fh:
+        for row in iterator:
+            fh.write(_json.dumps(row.asDict()) + "\n")
+            n += 1
+    return _FileCommit(tmp, n)
+
+
+def _remove_message_files(messages) -> None:
+    """abort() cleanup: PySpark documents that a FAILED task's slot in
+    ``messages`` is None — iterating .filename blindly would crash abort
+    itself and mask the original task error."""
+    import os as _os
+
+    for m in messages:
+        if m is None:
+            continue
+        try:
+            _os.remove(m.filename)
+        except OSError:
+            pass
+
+
 class JsonlSinkWriter(DataSourceWriter):
     """Custom sink with the real two-phase commit protocol: each task
     writes to a uniquely-named temp file and returns a commit message;
@@ -127,47 +167,54 @@ class JsonlSinkWriter(DataSourceWriter):
     the same visibility contract as Hadoop output committers, expressed
     through ``pyspark.sql.datasource``."""
 
-    def __init__(self, options):
+    def __init__(self, options, overwrite: bool):
         self.path = options["path"]
+        self.overwrite = overwrite
 
     def write(self, iterator):
-        import json as _json
-        import os as _os
-        import uuid
-
-        from pyspark import TaskContext
-
-        ctx = TaskContext.get()
-        tmp = _os.path.join(
-            self.path, f"_tmp-{ctx.partitionId()}-{uuid.uuid4().hex}.jsonl"
-        )
-        n = 0
-        with open(tmp, "w") as fh:
-            for row in iterator:
-                fh.write(_json.dumps(row.asDict()) + "\n")
-                n += 1
-        return _FileCommit(tmp, n)
+        return _write_task_tmp(self.path, iterator)
 
     def commit(self, messages):
         import json as _json
         import os as _os
+        import uuid
 
+        # mode semantics honored at publish time: overwrite sweeps the
+        # previous write's parts (a smaller re-write used to leave stale
+        # part files behind); append publishes under unique names so an
+        # earlier write's parts are never clobbered
+        if self.overwrite:
+            for f in _os.listdir(self.path):
+                if f.startswith("part-") and f.endswith(".jsonl") or f == "_SUCCESS":
+                    try:
+                        _os.remove(_os.path.join(self.path, f))
+                    except OSError:
+                        pass
+        run_id = uuid.uuid4().hex[:8]
         total = 0
+        published = 0
         for i, m in enumerate(messages):
-            final = _os.path.join(self.path, f"part-{i:05d}.jsonl")
+            if m is None:
+                continue
+            suffix = "" if self.overwrite else f"-{run_id}"
+            final = _os.path.join(self.path, f"part-{i:05d}{suffix}.jsonl")
             _os.replace(m.filename, final)
             total += m.rows
+            published += 1
+        # sweep losers of speculative/retried attempts: every committed
+        # file is renamed by now, so any _tmp-* left is an orphan that a
+        # bare *.jsonl glob would double-read
+        for f in _os.listdir(self.path):
+            if f.startswith("_tmp-") and f.endswith(".jsonl"):
+                try:
+                    _os.remove(_os.path.join(self.path, f))
+                except OSError:
+                    pass
         with open(_os.path.join(self.path, "_SUCCESS"), "w") as fh:
-            fh.write(_json.dumps({"files": len(messages), "rows": total}))
+            fh.write(_json.dumps({"files": published, "rows": total}))
 
     def abort(self, messages):
-        import os as _os
-
-        for m in messages:
-            try:
-                _os.remove(m.filename)
-            except OSError:
-                pass
+        _remove_message_files(messages)
 
 
 class JsonlSinkDataSource(DataSource):
@@ -179,7 +226,7 @@ class JsonlSinkDataSource(DataSource):
         return "jsonlsink"
 
     def writer(self, schema, overwrite):
-        return JsonlSinkWriter(self.options)
+        return JsonlSinkWriter(self.options, overwrite)
 
 
 def register_sink(spark) -> None:
@@ -198,22 +245,7 @@ class JsonlStreamSinkWriter(DataSourceStreamWriter):
         self.path = options["path"]
 
     def write(self, iterator):
-        import json as _json
-        import os as _os
-        import uuid
-
-        from pyspark import TaskContext
-
-        ctx = TaskContext.get()
-        tmp = _os.path.join(
-            self.path, f"_tmp-{ctx.partitionId()}-{uuid.uuid4().hex}.jsonl"
-        )
-        n = 0
-        with open(tmp, "w") as fh:
-            for row in iterator:
-                fh.write(_json.dumps(row.asDict()) + "\n")
-                n += 1
-        return _FileCommit(tmp, n)
+        return _write_task_tmp(self.path, iterator)
 
     def commit(self, messages, batchId):
         import json as _json
@@ -221,15 +253,13 @@ class JsonlStreamSinkWriter(DataSourceStreamWriter):
 
         manifest = _os.path.join(self.path, f"batch-{batchId}.json")
         if _os.path.exists(manifest):  # replayed batch: already published
-            for m in messages:
-                try:
-                    _os.remove(m.filename)
-                except OSError:
-                    pass
+            _remove_message_files(messages)
             return
         total = 0
         files = []
         for i, m in enumerate(messages):
+            if m is None:
+                continue
             final = _os.path.join(self.path, f"batch-{batchId}-part-{i:05d}.jsonl")
             _os.replace(m.filename, final)
             files.append(_os.path.basename(final))
@@ -238,13 +268,7 @@ class JsonlStreamSinkWriter(DataSourceStreamWriter):
             fh.write(_json.dumps({"files": files, "rows": total}))
 
     def abort(self, messages, batchId):
-        import os as _os
-
-        for m in messages:
-            try:
-                _os.remove(m.filename)
-            except OSError:
-                pass
+        _remove_message_files(messages)
 
 
 class JsonlStreamSinkDataSource(DataSource):

@@ -28,11 +28,22 @@ if TYPE_CHECKING:  # pragma: no cover
 def conform(df: "DataFrame", table: "TableMeta") -> "DataFrame":
     """Project/cast ``df`` onto the table's declared schema. Missing nullable
     columns become typed nulls; extra columns are dropped; order is the
-    declared order (partitions last)."""
+    declared order (partitions last).
+
+    Column matching is CASE-INSENSITIVE, like Spark's own resolution
+    (default spark.sql.caseSensitive=false): a frame carrying 'USER_ID'
+    conforms onto a declared 'user_id' instead of being silently
+    replaced by a typed-null column (nullable) or refused (non-null) —
+    the present column is selected by its actual name and aliased to
+    the declared one."""
+    by_lower = {c.lower(): c for c in df.columns}
     projections = []
     for field in table.spark_schema.fields:
-        if field.name in df.columns:
-            projections.append(F.col(field.name).cast(field.dataType).alias(field.name))
+        actual = by_lower.get(field.name.lower())
+        if actual is not None:
+            projections.append(
+                F.col(actual).cast(field.dataType).alias(field.name)
+            )
         elif field.nullable:
             projections.append(F.lit(None).cast(field.dataType).alias(field.name))
         else:
@@ -82,21 +93,13 @@ def overwrite_partitions(
             "use write_table(..., mode='overwrite') for unpartitioned data"
         )
     spark = df.sparkSession
-    fmt, options = spark_format_and_options(table.data_format, table.format_options)
-    if table.data_format in ("regex", "fixedwidth"):
-        raise ValueError(
-            f"{table.data_format} tables are read-only (line-scan formats)"
-        )
-    conformed = conform(df, table)
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        (
-            conformed.write.mode("overwrite")
-            .options(**options)
-            .format(fmt)
-            .partitionBy(*table.partitions)
-            .save(path)
-        )
+        # ONE write path: the conf scope is this function's whole job;
+        # format resolution, the read-only guard, conform, and the
+        # writer chain live in write_table (a second copy had already
+        # started to drift and would silently diverge further)
+        write_table(df, table, path, mode="overwrite")
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

@@ -48,20 +48,28 @@ class FirstSeenProcessor(StatefulProcessor):
     ) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
-        changed: dict[str, int] = {}
+        # reduce the batch FIRST (pandas min per event_type), then touch
+        # state once per distinct type: the per-row form cost 2-3 state-
+        # server RPCs per input row (containsKey + getValue + update) —
+        # tens of thousands of round trips for a busy user's micro-batch
+        # where a handful suffice. getValue alone suffices for the probe
+        # (it returns None for an absent key).
+        mins: dict[str, int] = {}
         for pdf in rows:
             us = pdf["ts"].astype("int64") // 1000
-            for et, t in zip(pdf["event_type"], us):
+            batch_min = us.groupby(pdf["event_type"].values).min()
+            for et, t in batch_min.items():
                 t = int(t)
-                k = (et,)
-                prev = (
-                    self._first_seen.getValue(k)[0]
-                    if self._first_seen.containsKey(k)
-                    else None
-                )
-                if prev is None or t < prev:
-                    self._first_seen.updateValue(k, (t,))
-                    changed[et] = t
+                if et not in mins or t < mins[et]:
+                    mins[et] = t
+        changed: dict[str, int] = {}
+        for et, t in mins.items():
+            k = (et,)
+            got = self._first_seen.getValue(k)
+            prev = got[0] if got is not None else None
+            if prev is None or t < prev:
+                self._first_seen.updateValue(k, (t,))
+                changed[et] = t
         if changed:
             yield pd.DataFrame(
                 {
@@ -99,21 +107,10 @@ def run_first_seen_to_memory(
     first_seen) table with the event time as TIMESTAMP_NTZ."""
     from etl_manager_spark.streaming.windows import read_events_stream
 
+    from etl_manager_spark.streaming.stateful import _run_to_memory
+
     stream = first_seen_per_type(read_events_stream(spark, sf_dir))
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    if state_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    try:
-        q = (
-            stream.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    _run_to_memory(spark, stream, name, state_partitions)
     from pyspark.sql import Window
 
     # update-mode sink may carry one row per micro-batch per key; the

@@ -325,12 +325,17 @@ def streaming_cdc_upsert_latest_event(spark, sf_dir):
     behind an atomic swap. The returned final state must equal the batch
     answer — latest event per user — which is the oracle."""
     import glob
+    import os
     import shutil
     import tempfile
 
     # sweep previous runs' state (the result reads lazily from the new
-    # dir, so cleanup can only happen on the next invocation)
-    for stale in glob.glob(tempfile.gettempdir() + "/cdc_upsert_*"):
+    # dir, so cleanup can only happen on the next invocation). Scoped to
+    # THIS process's scratch dirs: a bare /tmp/cdc_upsert_* glob deleted
+    # state owned by a concurrently-running session (bench + pytest on
+    # one box) out from under its in-flight query.
+    prefix = f"cdc_upsert_p{os.getpid()}_"
+    for stale in glob.glob(os.path.join(tempfile.gettempdir(), prefix + "*")):
         shutil.rmtree(stale, ignore_errors=True)
 
     from etl_manager_spark.streaming.enrich import apply_cdc_stream
@@ -338,7 +343,7 @@ def streaming_cdc_upsert_latest_event(spark, sf_dir):
 
     from pyspark.sql import functions as F
 
-    scratch = tempfile.mkdtemp(prefix="cdc_upsert_")
+    scratch = tempfile.mkdtemp(prefix=prefix)
     changes = read_events_stream(spark, sf_dir).select(
         "user_id", "event_id", "ts", "event_type"
     )

@@ -425,3 +425,84 @@ def test_quantize_embedding_nan_vector_nulls(spark):
     got = {r["vec_id"]: r["q_embedding"] for r in quantized_embeddings(df).collect()}
     assert got[1] is None
     assert got[2] == [64, -127]
+
+
+def test_conform_case_insensitive_column_match(spark):
+    from etl_manager_spark import TableMeta
+    from etl_manager_spark.sources.writers import conform
+
+    t = TableMeta(
+        name="t", location="t", data_format="parquet",
+        columns=[{"name": "user_id", "type": "long"},
+                 {"name": "score", "type": "double"}],
+    )
+    df = spark.createDataFrame([(1, 2.5)], "USER_ID long, SCORE double")
+    out = conform(df, t)
+    assert out.columns == ["user_id", "score"]
+    r = out.collect()[0]
+    assert (r.user_id, r.score) == (1, 2.5)  # not silently nulled
+
+
+def test_jsonl_sink_overwrite_sweeps_stale_parts(spark, tmp_path):
+    """mode('overwrite') with fewer partitions must not leave the larger
+    previous write's part files behind; append must not clobber."""
+    import glob
+    import json
+
+    from etl_manager_spark.sources.pysource import register_sink
+
+    register_sink(spark)
+    path = str(tmp_path / "sink")
+    spark.range(40).repartition(4).write.format("jsonlsink").option(
+        "path", path
+    ).mode("append").save()
+    first = set(glob.glob(path + "/part-*.jsonl"))
+    assert len(first) == 4
+    spark.range(10).repartition(2).write.format("jsonlsink").option(
+        "path", path
+    ).mode("overwrite").save()
+    parts = glob.glob(path + "/part-*.jsonl")
+    assert len(parts) == 2  # stale parts swept
+    rows = []
+    for p in parts:
+        with open(p) as fh:
+            rows += [json.loads(line)["id"] for line in fh]
+    assert sorted(rows) == list(range(10))
+    # append after overwrite: old parts survive, new ones unique-named
+    spark.range(10, 15).repartition(1).write.format("jsonlsink").option(
+        "path", path
+    ).mode("append").save()
+    assert len(glob.glob(path + "/part-*.jsonl")) == 3
+    # no orphan temp files ever survive a commit
+    assert glob.glob(path + "/_tmp-*.jsonl") == []
+
+
+def test_jsonl_sink_creates_missing_directory(spark, tmp_path):
+    from etl_manager_spark.sources.pysource import register_sink
+
+    register_sink(spark)
+    fresh = str(tmp_path / "does" / "not" / "exist")
+    spark.range(5).coalesce(1).write.format("jsonlsink").option(
+        "path", fresh
+    ).mode("overwrite").save()
+    import glob
+
+    assert len(glob.glob(fresh + "/part-*.jsonl")) == 1
+
+
+def test_sink_abort_tolerates_none_messages():
+    """PySpark passes None for a failed task's commit slot — abort must
+    clean the surviving files instead of crashing on .filename."""
+    from etl_manager_spark.sources.pysource import _remove_message_files
+
+    class Msg:
+        def __init__(self, f):
+            self.filename = f
+
+    import tempfile
+    import os
+
+    f = tempfile.NamedTemporaryFile(delete=False)
+    f.close()
+    _remove_message_files([None, Msg(f.name), None])
+    assert not os.path.exists(f.name)
