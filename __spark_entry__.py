@@ -26,18 +26,11 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry["q3_shipping_priority"].fn(spark, "/root/testdata/sf0.001")
 
 
-# Queries the judge explicitly asked to see driver-green next round
-# (VERDICT r6 tasks #1/#7): the 4 sampled-but-never-green wounds plus the
-# 2 component paths (A29 job runner, B7 regex scan) that have never had a
-# driver row. They lead the never-green block regardless of name order.
-_DRIVER_PRIORITY = (
-    "ndcg_bm25_documents",
-    "time_decay_engagement_events",
-    "similarity_topk_lsh",
-    "similarity_topk_ivf",
-    "run_job_etl_output",
-    "regex_scan_event_log",
-)
+# Judge-flagged queries that must lead the driver sample regardless of
+# name order. Emptied for round 8 (VERDICT r7 task #1): all six round-7
+# priority entries went driver-green, so the staleness order now serves
+# the never-sampled tail first.
+_DRIVER_PRIORITY: tuple[str, ...] = ()
 
 
 def _staleness_order(names) -> list[str]:
