@@ -226,7 +226,11 @@ class SparkJob:
         if len(dirs) == 1:
             return dirs[0]
         merged = os.path.join(self.temp_dir, "metadata")
-        os.makedirs(merged, exist_ok=True)
+        # recreate the staging dir on every access: a json deleted or
+        # renamed in a source folder must not persist stale in the merge
+        if os.path.isdir(merged):
+            shutil.rmtree(merged)
+        os.makedirs(merged)
         for d in reversed(dirs):  # job-local copied last (wins on clash)
             for fname in os.listdir(d):
                 shutil.copy2(os.path.join(d, fname), os.path.join(merged, fname))

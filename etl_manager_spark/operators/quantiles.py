@@ -173,6 +173,14 @@ def grouped_exact_percentiles(
     count (COUNT(*), null values included — matching the count column
     the queries this replaces computed alongside the percentile). See
     the module docstring for the scale contract and null semantics."""
+    bad = {k: v for k, v in percentiles.items() if not 0.0 <= float(v) <= 1.0}
+    if bad:
+        # the builtin percentile() aggregate this claims bit-parity with
+        # raises on out-of-range fractions; silently returning NULL (rank
+        # beyond every cumulative count) would hide the caller's bug
+        raise ValueError(
+            f"percentile fractions must be in [0, 1], got {bad!r}"
+        )
     gcols = list(group_cols)
     names = list(percentiles)
     cdf, n_by_group, rows_by_group = grouped_value_cdf(

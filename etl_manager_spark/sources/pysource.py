@@ -118,12 +118,18 @@ class _FileCommit(WriterCommitMessage):
         self.rows = rows
 
 
-def _write_task_tmp(path: str, iterator) -> "_FileCommit":
+def _write_task_tmp(path: str, iterator, writer_id: str) -> "_FileCommit":
     """Shared task body for both JSONL sinks: write the task's rows to a
-    uniquely-named temp file (creating the output directory if needed —
-    built-in formats create fresh paths, so must we) and return the
-    commit message. One implementation — the batch and streaming sinks
-    must never drift on the temp-file protocol."""
+    temp file scoped by the owning writer's id (creating the output
+    directory if needed — built-in formats create fresh paths, so must
+    we) and return the commit message. One implementation — the batch
+    and streaming sinks must never drift on the temp-file protocol.
+
+    ``writer_id`` is chosen once at writer construction on the driver and
+    rides the pickled writer to every task, so a commit-time sweep can
+    target exactly this write's orphans: two concurrent jobs writing the
+    same path (or a batch append racing the streaming sink) never delete
+    each other's in-flight task files."""
     import json as _json
     import os as _os
     import uuid
@@ -133,7 +139,7 @@ def _write_task_tmp(path: str, iterator) -> "_FileCommit":
     _os.makedirs(path, exist_ok=True)
     ctx = TaskContext.get()
     tmp = _os.path.join(
-        path, f"_tmp-{ctx.partitionId()}-{uuid.uuid4().hex}.jsonl"
+        path, f"_tmp-{writer_id}-{ctx.partitionId()}-{uuid.uuid4().hex}.jsonl"
     )
     n = 0
     with open(tmp, "w") as fh:
@@ -168,11 +174,14 @@ class JsonlSinkWriter(DataSourceWriter):
     through ``pyspark.sql.datasource``."""
 
     def __init__(self, options, overwrite: bool):
+        import uuid
+
         self.path = options["path"]
         self.overwrite = overwrite
+        self.writer_id = uuid.uuid4().hex[:12]
 
     def write(self, iterator):
-        return _write_task_tmp(self.path, iterator)
+        return _write_task_tmp(self.path, iterator, self.writer_id)
 
     def commit(self, messages):
         import json as _json
@@ -202,10 +211,12 @@ class JsonlSinkWriter(DataSourceWriter):
             total += m.rows
             published += 1
         # sweep losers of speculative/retried attempts: every committed
-        # file is renamed by now, so any _tmp-* left is an orphan that a
-        # bare *.jsonl glob would double-read
+        # file is renamed by now, so any _tmp-<this writer's id>-* left is
+        # an orphan that a bare *.jsonl glob would double-read. Scoped to
+        # THIS writer's id — a concurrent job's in-flight task files (same
+        # path, different writer) must survive their own os.replace.
         for f in _os.listdir(self.path):
-            if f.startswith("_tmp-") and f.endswith(".jsonl"):
+            if f.startswith(f"_tmp-{self.writer_id}-") and f.endswith(".jsonl"):
                 try:
                     _os.remove(_os.path.join(self.path, f))
                 except OSError:
@@ -242,10 +253,13 @@ class JsonlStreamSinkWriter(DataSourceStreamWriter):
     offsets exactly, see SynthLogStreamReader)."""
 
     def __init__(self, options):
+        import uuid
+
         self.path = options["path"]
+        self.writer_id = uuid.uuid4().hex[:12]
 
     def write(self, iterator):
-        return _write_task_tmp(self.path, iterator)
+        return _write_task_tmp(self.path, iterator, self.writer_id)
 
     def commit(self, messages, batchId):
         import json as _json

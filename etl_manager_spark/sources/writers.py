@@ -35,8 +35,23 @@ def conform(df: "DataFrame", table: "TableMeta") -> "DataFrame":
     conforms onto a declared 'user_id' instead of being silently
     replaced by a typed-null column (nullable) or refused (non-null) —
     the present column is selected by its actual name and aliased to
-    the declared one."""
-    by_lower = {c.lower(): c for c in df.columns}
+    the declared one. Two input columns differing only by case that both
+    target a declared field are refused (Spark itself raises
+    AMBIGUOUS_REFERENCE for that resolution) rather than silently
+    resolved to whichever comes last in df.columns."""
+    from etl_manager_spark.meta.table import MetadataError
+
+    by_lower: dict[str, str] = {}
+    declared_lower = {f.name.lower() for f in table.spark_schema.fields}
+    for c in df.columns:
+        low = c.lower()
+        if low in by_lower and low in declared_lower and by_lower[low] != c:
+            raise MetadataError(
+                f"ambiguous columns for declared field {low!r}: DataFrame "
+                f"has both {by_lower[low]!r} and {c!r} (case-insensitive "
+                "resolution, matching Spark's AMBIGUOUS_REFERENCE)"
+            )
+        by_lower.setdefault(low, c)
     projections = []
     for field in table.spark_schema.fields:
         actual = by_lower.get(field.name.lower())

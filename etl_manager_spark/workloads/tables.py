@@ -101,6 +101,40 @@ def load_tables(spark: SparkSession, sf_dir: str) -> LazyTables:
     return LazyTables(spark, sf_dir)
 
 
+_SIZE_SUFFIXES = {
+    "b": 1,
+    "k": 1024,
+    "kb": 1024,
+    "m": 1024**2,
+    "mb": 1024**2,
+    "g": 1024**3,
+    "gb": 1024**3,
+    "t": 1024**4,
+    "tb": 1024**4,
+    "p": 1024**5,
+    "pb": 1024**5,
+}
+
+
+def _size_conf(spark: SparkSession, key: str, default: int) -> int:
+    """Read a byte-size session conf accepting Spark's size-suffix syntax
+    ('128m', '4mb', '1g' — JavaUtils.byteStringAs units), not just bare
+    ints; an unparseable value falls back to Spark's documented default
+    rather than raising inside every workload that probes file splits."""
+    raw = str(spark.conf.get(key, str(default))).strip().lower()
+    try:
+        return int(raw)
+    except ValueError:
+        pass
+    for suf in sorted(_SIZE_SUFFIXES, key=len, reverse=True):
+        if raw.endswith(suf):
+            try:
+                return int(raw[: -len(suf)].strip()) * _SIZE_SUFFIXES[suf]
+            except ValueError:
+                break
+    return default
+
+
 def spread(df: DataFrame, spark: SparkSession, min_partitions: int | None = None) -> DataFrame:
     """Round-robin repartition a scan whose file layout yields fewer splits
     than the session parallelism. A parquet file with one row group cannot
@@ -134,13 +168,11 @@ def spread(df: DataFrame, spark: SparkSession, min_partitions: int | None = None
         except OSError:
             return df
     if files:
-        open_cost = int(
-            spark.conf.get("spark.sql.files.openCostInBytes", str(4 * 1024 * 1024))
+        open_cost = _size_conf(
+            spark, "spark.sql.files.openCostInBytes", 4 * 1024 * 1024
         )
-        max_part = int(
-            spark.conf.get(
-                "spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024)
-            )
+        max_part = _size_conf(
+            spark, "spark.sql.files.maxPartitionBytes", 128 * 1024 * 1024
         )
         padded = sum(s + open_cost for s in sizes)
         bytes_per_core = max(

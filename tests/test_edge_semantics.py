@@ -506,3 +506,56 @@ def test_sink_abort_tolerates_none_messages():
     f.close()
     _remove_message_files([None, Msg(f.name), None])
     assert not os.path.exists(f.name)
+
+
+def test_jsonl_sink_commit_spares_concurrent_writers_tmp_files(spark, tmp_path):
+    """commit()'s orphan sweep is scoped to the committing writer's own
+    id: a concurrent job's in-flight _tmp- task files (same path,
+    different writer) must survive, or its later os.replace fails."""
+    import glob
+    import os
+
+    from etl_manager_spark.sources.pysource import register_sink
+
+    register_sink(spark)
+    path = tmp_path / "sink"
+    path.mkdir()
+    foreign = path / "_tmp-feedbeefcafe-0-deadbeef.jsonl"
+    foreign.write_text('{"id": 99}\n')
+    spark.range(5).coalesce(1).write.format("jsonlsink").option(
+        "path", str(path)
+    ).mode("append").save()
+    assert foreign.exists()  # concurrent writer's in-flight file intact
+    # and the committing writer still swept its own orphans: the only
+    # _tmp- file left is the foreign one
+    assert glob.glob(str(path / "_tmp-*.jsonl")) == [str(foreign)]
+    assert len(glob.glob(str(path / "part-*.jsonl"))) == 1
+    os.remove(foreign)
+
+
+def test_conform_rejects_case_ambiguous_columns(spark):
+    """Two input columns differing only by case that both target a
+    declared field must raise (Spark's AMBIGUOUS_REFERENCE), not let
+    dict order silently pick one."""
+    import pytest as _pytest
+
+    from etl_manager_spark import TableMeta
+    from etl_manager_spark.meta.table import MetadataError
+    from etl_manager_spark.sources.writers import conform
+
+    t = TableMeta(
+        name="t", location="t", data_format="parquet",
+        columns=[{"name": "user_id", "type": "long"}],
+    )
+    df = spark.createDataFrame([(1, 2)], "USER_ID long, user_id long")
+    with _pytest.raises(MetadataError, match="ambiguous.*USER_ID.*user_id"):
+        conform(df, t)
+    # collisions on columns NO declared field wants are still fine
+    t2 = TableMeta(
+        name="t2", location="t2", data_format="parquet",
+        columns=[{"name": "other", "type": "long"}],
+    )
+    df2 = spark.createDataFrame(
+        [(1, 2, 3)], "EXTRA long, extra long, other long"
+    )
+    assert conform(df2, t2).columns == ["other"]

@@ -334,3 +334,23 @@ def test_metadata_base_path_merges_shared(tmp_path, spark):
     names = sorted(os.listdir(base))
     assert names == ["a.json", "b.json"]
     j.cleanup()
+
+
+def test_metadata_base_path_reflects_source_deletions(tmp_path, spark):
+    """The merged staging dir is rebuilt per access: a json deleted from
+    a source folder must not persist stale within one SparkJob."""
+    from etl_manager_spark.jobs.runner import SparkJob
+
+    job = tmp_path / "job"
+    (job / "metadata").mkdir(parents=True)
+    (job / "metadata" / "a.json").write_text('{"name": "a"}')
+    (job / "job.py").write_text("result = 1\n")
+    shared = tmp_path / "shared"
+    (shared / "metadata").mkdir(parents=True)
+    (shared / "metadata" / "b.json").write_text('{"name": "b"}')
+    j = SparkJob(str(job), shared_resources=str(shared))
+    assert sorted(os.listdir(j.metadata_base_path)) == ["a.json", "b.json"]
+    (shared / "metadata" / "b.json").unlink()
+    (shared / "metadata" / "c.json").write_text('{"name": "c"}')
+    assert sorted(os.listdir(j.metadata_base_path)) == ["a.json", "c.json"]
+    j.cleanup()

@@ -129,3 +129,13 @@ def test_null_values_all_null_groups_and_null_group_keys(spark):
     assert got["a"]["n"] == 5 and got["b"]["n"] == 2 and got[None]["n"] == 3
     assert got["b"]["med"] is None
     assert got[None]["med"] == 15.0
+
+
+def test_rejects_out_of_range_fractions(spark):
+    """The builtin percentile() raises on fractions outside [0,1]; the
+    replacement must too, not return silent NULLs."""
+    df = spark.range(10).selectExpr("id % 2 as g", "cast(id as double) v")
+    with pytest.raises(ValueError, match=r"\[0, 1\].*1\.5"):
+        grouped_exact_percentiles(df, ["g"], "v", {"bad": 1.5})
+    with pytest.raises(ValueError, match=r"\[0, 1\]"):
+        grouped_exact_percentiles(df, ["g"], "v", {"bad": -0.1})

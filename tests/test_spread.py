@@ -55,3 +55,31 @@ def test_non_scan_plan_still_spreads(spark):
     df = spark.range(64).select((F.col("id") * 2).alias("v")).coalesce(1)
     out = spread(df, spark, min_partitions=4)
     assert out.rdd.getNumPartitions() == 4
+
+
+def test_size_conf_parses_spark_suffix_syntax(spark, tmp_path):
+    """A session configured with size-suffixed values ('128m' — valid
+    Spark syntax) must not raise inside spread()'s split probe."""
+    from etl_manager_spark.workloads.tables import _size_conf
+
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "128m")
+        assert _size_conf(
+            spark, "spark.sql.files.maxPartitionBytes", 0
+        ) == 128 * 1024 * 1024
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "4MB")
+        assert _size_conf(
+            spark, "spark.sql.files.maxPartitionBytes", 0
+        ) == 4 * 1024 * 1024
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1g")
+        p = str(tmp_path / "suffixed")
+        spark.range(100).coalesce(1).write.parquet(p)
+        out = spread(spark.read.parquet(p), spark, min_partitions=4)
+        assert out.count() == 100  # no ValueError inside the probe
+        # unparseable → documented default, never a raise (Spark rejects
+        # bad values for ITS keys at set-time, so use an unvalidated key)
+        spark.conf.set("graft.test.sizeConf", "bogus")
+        assert _size_conf(spark, "graft.test.sizeConf", 7) == 7
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
