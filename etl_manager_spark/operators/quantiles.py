@@ -83,12 +83,21 @@ def grouped_value_cdf(
     vc = df.groupBy(
         F.struct(*gcols).alias(_GK), F.col(value_col).cast("double").alias("_qv")
     ).agg(F.count(F.lit(1)).cast("long").alias("_qc"))
-    base = (
-        vc.filter(F.col("_qv").isNotNull())
-        .repartitionByRange(parts, _GK, "_qv")
+    # null rows ride the range shuffle and are split off AFTER the
+    # checkpoint (an optimizer barrier), for two reasons: (a) filtering
+    # vc on _qv lets Catalyst push isNotNull(<derived value expr>) below
+    # the aggregate — even into an upstream join's condition, where an
+    # ANSI-throwing expression (x/y guarded by the join predicate) is
+    # then evaluated on rows its guard excluded (theil_sen's pairwise
+    # slopes hit exactly this: isnotnull(a/b) reordered before a<b);
+    # (b) both branches reading one materialization means ONE pass over
+    # the fact rows instead of re-running the hash-agg for the null side.
+    base_all = (
+        vc.repartitionByRange(parts, _GK, "_qv")
         .withColumn("_qp", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
+    base = base_all.filter(F.col("_qv").isNotNull())
     totals = base.groupBy("_qp", _GK).agg(F.sum("_qc").cast("long").alias("_qn"))
     # the few-groups contract, enforced by bounding the collects
     # themselves (no extra job, driver memory capped even when violated):
@@ -100,7 +109,7 @@ def grouped_value_cdf(
     cap = max_groups + parts
     rows = totals.limit(cap + 1).collect()
     null_rows = (
-        vc.filter(F.col("_qv").isNull())
+        base_all.filter(F.col("_qv").isNull())
         .select(_GK, "_qc")
         .limit(max_groups + 1)
         .collect()

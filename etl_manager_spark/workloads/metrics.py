@@ -799,6 +799,8 @@ def theil_sen_daily_value_trend(spark, sf_dir):
     calendar-bounded (days², not rows²); each slope is
     rounded-to-integer in quantized units/day before the median, whose
     half-interpolation is exact."""
+    from etl_manager_spark.operators.quantiles import grouped_exact_percentiles
+
     daily = _daily_mean(spark, sf_dir)
     mn = daily.groupBy().agg(F.min("day").alias("d0"))
     idx = daily.crossJoin(F.broadcast(mn)).select(
@@ -807,18 +809,22 @@ def theil_sen_daily_value_trend(spark, sf_dir):
     ).localCheckpoint(eager=True)
     a, b = idx.alias("a"), idx.alias("b")
     slopes = a.join(b, F.col("a.i") < F.col("b.i")).select(
+        F.lit(1).alias("_g"),
         F.floor(
             (F.col("b.mv_q") - F.col("a.mv_q")).cast("double")
             / (F.col("b.i") - F.col("a.i"))
             + F.lit(0.5)
         )
         .cast("long")
-        .alias("slope_q")
+        .alias("slope_q"),
     )
-    return slopes.groupBy().agg(
-        F.count(F.lit(1)).cast("long").alias("n_pairs"),
-        F.expr("percentile(slope_q, 0.5D)").alias("sen_slope_q"),
-    )
+    # median via the range-partitioned CDF (single group): the pair space
+    # is days²/2 — span-bounded, but quadratic in a user-visible dimension
+    # (~6.7M values for a 10-year daily series), too big to buffer in one
+    # task's percentile map
+    return grouped_exact_percentiles(
+        slopes, ["_g"], "slope_q", {"sen_slope_q": 0.5}, count_name="n_pairs"
+    ).select("n_pairs", "sen_slope_q")
 
 
 # --------------------------------------------------------------------- #

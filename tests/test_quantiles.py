@@ -139,3 +139,25 @@ def test_rejects_out_of_range_fractions(spark):
         grouped_exact_percentiles(df, ["g"], "v", {"bad": 1.5})
     with pytest.raises(ValueError, match=r"\[0, 1\]"):
         grouped_exact_percentiles(df, ["g"], "v", {"bad": -0.1})
+
+
+def test_derived_ansi_throwing_value_column_survives(spark):
+    """The CDF's null split must not let Catalyst push isNotNull(<derived
+    expr>) below the aggregate into an upstream join condition: a value
+    column like a/b guarded by the join predicate b!=a would then be
+    evaluated on the rows its guard excluded and throw DIVIDE_BY_ZERO
+    under ANSI (theil_sen's pairwise slopes)."""
+    idx = spark.range(6).select(
+        F.col("id").cast("long").alias("i"),
+        (F.col("id") * 10).cast("long").alias("v"),
+    ).localCheckpoint(eager=True)
+    a, b = idx.alias("a"), idx.alias("b")
+    pairs = a.join(b, F.col("a.i") < F.col("b.i")).select(
+        F.lit(1).alias("g"),
+        (
+            (F.col("b.v") - F.col("a.v")).cast("double")
+            / (F.col("b.i") - F.col("a.i"))
+        ).alias("slope"),
+    )
+    out = grouped_exact_percentiles(pairs, ["g"], "slope", {"med": 0.5})
+    assert out.collect()[0]["med"] == 10.0

@@ -31,8 +31,6 @@ SP_WINDOW_ALLOWED: set[str] = set()
 PCT_ALLOWED = {
     # ≤7 nano-quantized daily means per (day) group — calendar-bounded
     "moving_median_daily_value",
-    # pairwise slopes over calendar days: days² values total, one group
-    "theil_sen_daily_value_trend",
 }
 
 
