@@ -33,6 +33,105 @@ PCT_ALLOWED = {
     "moving_median_daily_value",
 }
 
+# filter-not-pushed adjudication (round 8, VERDICT r7 task #2): the lint
+# flags every plan where a Filter node exists but no SUBSTANTIVE predicate
+# reached a scan (IsNotNull-only pushdown). Each flagged query below was
+# audited by dumping its executed plan's Filter conditions (the audit
+# procedure: extract every `Filter ...` node + `PushedFilters:` entry at
+# sf0.001 and classify the predicates). Three inherent classes — a query
+# NOT in this dict that trips the warning is a lint FAILURE until a fix
+# or an adjudicated entry lands:
+#
+#   null-guard — the only filters are Catalyst-inferred isnotnull() join/
+#     window key guards; IsNotNull IS pushed to the scan, the lint just
+#     (rightly) discounts it as non-substantive. Nothing else exists to
+#     push.
+#   derived — the substantive predicate references a column that does not
+#     exist at scan time: an aggregate output (HAVING), a window rank, a
+#     generator/explode product, a scalar-subquery comparison, or a
+#     broadcast-built lookup column.
+#   expr — the substantive predicate is a FUNCTION of scan columns
+#     (key % n sampling splits, size(split(text)), date-part extraction,
+#     from_json, md5-threshold sampling, try_cast on all-string text
+#     formats, column-to-column comparisons, salts): the parquet/csv
+#     reader API accepts only plain column-vs-literal comparisons, so
+#     these evaluate in the scan-adjacent codegen stage — the correct
+#     placement, one pass, nothing to fix.
+FNP_ALLOWED: dict[str, str] = {
+    "assoc_rules_event_pairs": "null-guard",
+    "assortativity_neardup_graph": "null-guard",
+    "bm25_rank_documents": "derived: term IN (...) on exploded terms",
+    "bpe_fertility_by_lang": "null-guard",
+    "chi2_event_type_by_dow": "expr: dayofweek(cast(ts as date))",
+    "churn_labels_events": "null-guard (+derived _c guard)",
+    "clustering_coefficient_neardup": "derived: degree >= 2 (agg output)",
+    "cohort_retention_events": "null-guard",
+    "conformal_interval_events": "expr: event_id % 2 calib/test split",
+    "curation_pipeline_documents": "expr: quality-score CASE over text",
+    "cusum_changepoint_events": "derived: rn = 1 (window)",
+    "decontaminate_train_vs_eval": "expr: doc_id % 10 split + size(split)",
+    "dupspan_coverage_documents": "expr: size(split(text)) >= 3; derived nd >= 2",
+    "embedding_drift_halves": "expr: vec_id % 2 halves",
+    "events_value_outliers": "derived: stddev expr from agg join",
+    "ewma_user_values": "null-guard",
+    "federated_join_formats": "expr: try_cast on all-string csv columns",
+    "fk_integrity_audit": "null-guard",
+    "fuzzy_dedup_part_names": "expr: element_at(split(p_name))",
+    "gdpr_cascade_delete_audit": "expr: c_custkey % 101 subject sample",
+    "grouping_sets_revenue": "null-guard",
+    "haar_energy_daily_events": "derived: cnt = 2 (pair agg)",
+    "heaps_law_fit_documents": "null-guard (+derived cp_n guard)",
+    "holt_linear_events": "null-guard",
+    "hurst_rs_daily_events": "expr: array-fold window validity check",
+    "incremental_minhash_dedup_documents": "expr: doc_id % 10 batch split; derived _bn cap",
+    "iqr_outlier_fences_events": "null-guard",
+    "jaccard_common_neighbors_neardup": "expr: col-to-col id_a != id_b",
+    "join_anti_customers_without_orders": "null-guard",
+    "join_left_customer_order_stats": "null-guard",
+    "join_right_supplier_nation": "null-guard",
+    "json_struct_parse_events": "expr: from_json(props).k >= 50",
+    "kruskal_wallis_value_by_type": "null-guard",
+    "label_spreading_neardup": "derived: rn = 1 (window)",
+    "mad_robust_outliers_events": "null-guard (CDF struct keys)",
+    "ndcg_bm25_documents": "derived: term IN on explode + size(rel-list)",
+    "newey_west_trend_daily": "null-guard",
+    "pacf_daily_events": "null-guard",
+    "pagerank_neardup_graph": "null-guard",
+    "pretrain_pipeline_documents": "expr: md5-threshold sampling + Arrow-UDF keep flag",
+    "q12_priority_by_quantity_band": "null-guard",
+    "q18_large_quantity_orders": "derived: HAVING total_qty > 250",
+    "range_join_value_buckets": "null-guard (broadcast bucket bounds)",
+    "ratio_to_report_nation_revenue": "null-guard",
+    "rbo_bm25_vs_tfidf": "derived: term IN on explode + rank lists",
+    "record_highs_daily_events": "null-guard (cast(ts as date) wrappers)",
+    "retraction_rollup_events": "expr: event_id % 53/37 retraction sample",
+    "rolling_origin_backtest_daily": "null-guard",
+    "rollup_revenue_region_nation": "null-guard",
+    "rrf_fuse_bm25_tfidf_documents": "derived: term IN on exploded terms",
+    "setop_all_multiset_variants": "expr: custkey % 2/3 branches; derived multiset counts",
+    "setop_customer_only_nations": "null-guard",
+    "setop_nations_with_both": "null-guard",
+    "silhouette_embeddings_labels": "expr: size(embedding) > 0",
+    "similarity_topk_pq_adc": "derived: rank <= k windows, col-to-col self-exclusion",
+    "skew_hotkey_stress_events": "expr: synthetic _salt guard",
+    "skew_salted_join_events_customer": "expr: synthetic _salt guard",
+    "skyline_orders_price_date": "derived: suffix-min window dominance test",
+    "source_overlap_matrix_documents": "null-guard",
+    "spearman_price_custkey_orders": "null-guard",
+    "string_agg_nations_per_region": "null-guard",
+    "subquery_in_hot_parts": "derived: HAVING n > 40",
+    "subquery_scalar_above_avg": "derived: scalar-subquery comparison",
+    "t_closeness_audit_events": "expr: hour(ts), floor(value/50) buckets",
+    "table_diff_orders_snapshots": "expr: o_orderkey % 89/97 snapshot split",
+    "temperature_resample_documents": "derived: rk <= quota (window vs agg)",
+    "theil_decomposition_nation_revenue": "null-guard",
+    "triangle_support_neardup": "null-guard",
+    "upsert_customer_batch": "derived: merge-presence/tombstone flags",
+    "weekly_spectral_power_events": "null-guard",
+    "winsorize_events_value": "null-guard",
+    "winsorized_mean_value_by_type": "null-guard (CDF struct keys)",
+}
+
 
 def main() -> None:
     from pyspark.sql import SparkSession
@@ -72,6 +171,7 @@ def main() -> None:
             and name not in SP_WINDOW_ALLOWED
         )
         or ("unbounded-percentile" in codes and name not in PCT_ALLOWED)
+        or ("filter-not-pushed" in codes and name not in FNP_ALLOWED)
     )
 
     # Oracle declared-type scan: an oracle whose DuckDB result type has no
