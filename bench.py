@@ -203,6 +203,18 @@ def main() -> None:
                 },
                 "ratios": dict(sorted(ratios.items())),
             }
+            # carry forward keys this generator doesn't own (isolated
+            # remeasures, hand-written adjudication notes): regenerating
+            # the delta must not erase the record of which past drifts
+            # were isolated and ruled noise vs real (round-8 lesson)
+            try:
+                with open(os.path.join(repo, "BENCH_DELTA.json")) as fh:
+                    old = json.load(fh)
+                for key, val in old.items():
+                    if key not in delta:
+                        delta[key] = val
+            except Exception:  # noqa: BLE001 - first run has no old file
+                pass
             with open(os.path.join(repo, "BENCH_DELTA.json"), "w") as fh:
                 json.dump(delta, fh, indent=1, sort_keys=True)
                 fh.write("\n")

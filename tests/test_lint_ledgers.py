@@ -1,0 +1,71 @@
+"""The lint adjudication ledgers (tools/lint_catalog.py) must stay in
+sync with the catalog: every entry names a real registered query (a
+rename would silently orphan its adjudication), and every query the
+LAST committed lint run flagged in a gated class is adjudicated (so the
+committed LINT_CATALOG.json and the ledgers never drift apart — the
+lint itself enforces this at run time; this test enforces it at review
+time without needing a SparkSession).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+import lint_catalog  # noqa: E402
+
+GATED = {
+    "filter-not-pushed": lint_catalog.FNP_ALLOWED,
+    "nested-loop-join": lint_catalog.NLJ_ALLOWED,
+    "many-shuffles": lint_catalog.MS_ALLOWED,
+    "unbounded-percentile": lint_catalog.PCT_ALLOWED,
+    "single-partition-window": lint_catalog.SP_WINDOW_ALLOWED,
+}
+
+
+@pytest.fixture(scope="module")
+def catalog_names():
+    from etl_manager_spark.workloads import load_registry
+
+    return set(load_registry())
+
+
+@pytest.fixture(scope="module")
+def lint_report():
+    with open(os.path.join(REPO, "LINT_CATALOG.json")) as fh:
+        return json.load(fh)
+
+
+@pytest.mark.parametrize("code", sorted(GATED))
+def test_every_ledger_entry_names_a_catalog_query(code, catalog_names):
+    orphans = sorted(set(GATED[code]) - catalog_names)
+    assert not orphans, (
+        f"{code} ledger entries with no catalog query (renamed/removed?): "
+        f"{orphans}"
+    )
+
+
+@pytest.mark.parametrize("code", sorted(GATED))
+def test_every_flagged_query_is_adjudicated(code, lint_report):
+    flagged = {
+        name
+        for name, codes in lint_report["warnings"].items()
+        if code in codes
+    }
+    missing = sorted(flagged - set(GATED[code]))
+    assert not missing, (
+        f"queries flagged {code} in the committed LINT_CATALOG.json but "
+        f"absent from the ledger — adjudicate or fix: {missing}"
+    )
+
+
+def test_committed_lint_run_was_clean(lint_report):
+    assert lint_report["critical"] == []
+    assert lint_report["errors"] == {}
+    assert lint_report["oracle_type_errors"] == {}
