@@ -213,10 +213,14 @@ class JsonlSinkWriter(DataSourceWriter):
         # sweep losers of speculative/retried attempts: every committed
         # file is renamed by now, so any _tmp-<this writer's id>-* left is
         # an orphan that a bare *.jsonl glob would double-read. Scoped to
-        # THIS writer's id — a concurrent job's in-flight task files (same
-        # path, different writer) must survive their own os.replace.
+        # THIS writer's id in append mode — a concurrent job's in-flight
+        # task files (same path, different writer) must survive their own
+        # os.replace. Overwrite mode sweeps EVERY _tmp-* instead: the
+        # caller declared the dataset replaced, which also reclaims
+        # orphans a hard-crashed previous writer (no abort ran) left.
+        sweep_prefix = "_tmp-" if self.overwrite else f"_tmp-{self.writer_id}-"
         for f in _os.listdir(self.path):
-            if f.startswith(f"_tmp-{self.writer_id}-") and f.endswith(".jsonl"):
+            if f.startswith(sweep_prefix) and f.endswith(".jsonl"):
                 try:
                     _os.remove(_os.path.join(self.path, f))
                 except OSError:

@@ -530,7 +530,15 @@ def test_jsonl_sink_commit_spares_concurrent_writers_tmp_files(spark, tmp_path):
     # _tmp- file left is the foreign one
     assert glob.glob(str(path / "_tmp-*.jsonl")) == [str(foreign)]
     assert len(glob.glob(str(path / "part-*.jsonl"))) == 1
-    os.remove(foreign)
+    # overwrite mode sweeps EVERY orphan temp (the dataset is declared
+    # replaced) — this is how a hard-crashed writer's leftovers get
+    # reclaimed
+    spark.range(3).coalesce(1).write.format("jsonlsink").option(
+        "path", str(path)
+    ).mode("overwrite").save()
+    assert not foreign.exists()
+    assert glob.glob(str(path / "_tmp-*.jsonl")) == []
+    assert os.path.exists(str(path / "_SUCCESS"))
 
 
 def test_conform_rejects_case_ambiguous_columns(spark):
