@@ -72,13 +72,21 @@ def read_table(spark: "SparkSession", table: "TableMeta", path: str) -> "DataFra
 
     if table.data_format == "regex":
         pattern = options.get("input.regex", "(.*)")
+        # Hive/Athena RegexSerDe uses Matcher.matches() — the pattern must
+        # consume the WHOLE line or the row is all-NULL. rlike/
+        # regexp_extract are find()-semantics (any substring), which would
+        # accept partial matches the SerDe rejects — and extract from the
+        # FIRST partial match at that. Anchoring in a non-capturing group
+        # preserves the user's group numbering and is a no-op for
+        # already-anchored patterns.
+        anchored = f"^(?:{pattern})$"
         raw = spark.read.text(path)
-        matched = F.col("value").rlike(pattern)
+        matched = F.col("value").rlike(anchored)
         projections = [
             F.when(
                 matched,
                 _serde_cast(
-                    F.regexp_extract(F.col("value"), pattern, i + 1),
+                    F.regexp_extract(F.col("value"), anchored, i + 1),
                     field.dataType,
                 ),
             )
@@ -138,18 +146,51 @@ def read_table(spark: "SparkSession", table: "TableMeta", path: str) -> "DataFra
         df = reader.format(fmt).load(path)
         if table.data_format in ("parquet", "orc", "avro"):
             # declared-schema enforcement (read-side conform): older files
-            # may lack newly-declared columns or carry narrower types
+            # may lack newly-declared columns or carry narrower types.
+            # Matching is CASE-INSENSITIVE like the write-side conform()
+            # and Spark's own resolution — a file column 'ID' satisfies a
+            # declared 'id'. (The previous case-sensitive check took the
+            # "absent" branch for such a column, and withColumn's
+            # case-insensitive resolution then REPLACED the real data with
+            # typed nulls — silent data loss on case drift.) Two file
+            # columns differing only by case that both target a declared
+            # field are ambiguous and refused.
+            from etl_manager_spark.meta.table import MetadataError
+
+            declared_lower = {f.name.lower() for f in data_schema.fields}
+            by_lower: dict[str, str] = {}
+            for c in df.columns:
+                low = c.lower()
+                if low in by_lower and low in declared_lower and by_lower[low] != c:
+                    raise MetadataError(
+                        f"read_table: ambiguous file columns for declared "
+                        f"field {low!r}: {fmt} files at {path} have both "
+                        f"{by_lower[low]!r} and {c!r}"
+                    )
+                by_lower.setdefault(low, c)
+            projections = []
             for f in data_schema.fields:
-                if f.name not in df.columns:
+                actual = by_lower.get(f.name.lower())
+                if actual is None:
                     if not f.nullable:
                         raise ValueError(
                             f"read_table: declared non-nullable column "
                             f"{f.name!r} is absent from the {fmt} files at "
                             f"{path} — backfill it or declare it nullable"
                         )
-                    df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+                    projections.append(
+                        F.lit(None).cast(f.dataType).alias(f.name)
+                    )
                 else:
-                    df = df.withColumn(f.name, F.col(f.name).cast(f.dataType))
+                    projections.append(
+                        F.col(actual).cast(f.dataType).alias(f.name)
+                    )
+            # keep non-declared columns (recovered partition dirs, extras
+            # the final declared-order select prunes) by their own names
+            passthrough = [
+                c for c in df.columns if c.lower() not in declared_lower
+            ]
+            df = df.select(*projections, *passthrough)
 
     # Recovered partition columns (directory-derived) arrive as strings or
     # inferred types; align them to the declared schema.

@@ -316,3 +316,107 @@ def test_parquet_read_conforms_declared_schema(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="non-nullable"):
         t2.read(spark, p)
+
+
+def test_parquet_read_survives_column_case_drift(spark, tmp_path):
+    """A file column 'ID' must satisfy a declared 'id' (case-insensitive,
+    like Spark's own resolution and the write-side conform()) — the old
+    case-sensitive check branched to "absent" and withColumn's resolver
+    then REPLACED the real data with typed nulls."""
+    from etl_manager_spark import TableMeta
+    from etl_manager_spark.sources.readers import read_table
+
+    p = str(tmp_path / "drift")
+    spark.createDataFrame([(1, "x")], "ID long, VAL string").write.parquet(p)
+    t = TableMeta(
+        name="t", location="t", data_format="parquet",
+        columns=[{"name": "id", "type": "long"},
+                 {"name": "val", "type": "character"}],
+    )
+    rows = read_table(spark, t, p).collect()
+    assert rows == [__import__("pyspark").sql.Row(id=1, val="x")]
+    # partitioned variant: the recovered partition dir column survives
+    p2 = str(tmp_path / "driftp")
+    spark.createDataFrame(
+        [(1, "x", "a")], "ID long, VAL string, day string"
+    ).write.partitionBy("day").parquet(p2)
+    t2 = TableMeta(
+        name="t2", location="t2", data_format="parquet",
+        columns=[{"name": "id", "type": "long"},
+                 {"name": "val", "type": "character"},
+                 {"name": "day", "type": "character"}],
+        partitions=["day"],
+    )
+    r2 = read_table(spark, t2, p2).collect()
+    assert [(r.id, r.val, r.day) for r in r2] == [(1, "x", "a")]
+
+
+def test_parquet_read_rejects_case_ambiguous_file_columns(spark, tmp_path):
+    import pytest as _pytest
+
+    from etl_manager_spark import TableMeta
+    from etl_manager_spark.meta.table import MetadataError
+    from etl_manager_spark.sources.readers import read_table
+
+    # Spark itself refuses to WRITE case-duplicate columns
+    # (COLUMN_ALREADY_EXISTS); other writers don't — craft the file with
+    # pyarrow, the way such files arrive in practice
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path / "ambig")
+    os.makedirs(p)
+    pq.write_table(
+        pa.table({"ID": [1], "id": [2]}), os.path.join(p, "part-0.parquet")
+    )
+    t = TableMeta(
+        name="t", location="t", data_format="parquet",
+        columns=[{"name": "id", "type": "long"}],
+    )
+    # Spark's parquet reader itself refuses case-duplicate columns under
+    # caseSensitive=false (COLUMN_ALREADY_EXISTS); read_table's own
+    # MetadataError covers case-sensitive sessions. Either way: refused,
+    # never silently resolved.
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    with _pytest.raises(
+        (MetadataError, AnalysisException), match="ambiguous|already exists"
+    ):
+        read_table(spark, t, p).collect()
+
+
+def test_regex_requires_full_line_match(spark, tmp_path):
+    """Hive/Athena RegexSerDe uses Matcher.matches(): a line the pattern
+    matches only PARTIALLY is an all-NULL row. find()-semantics rlike/
+    regexp_extract would instead accept (and extract from) the first
+    partial match."""
+    from etl_manager_spark import TableMeta
+    from etl_manager_spark.sources.readers import read_table
+
+    d = tmp_path / "rx"
+    d.mkdir()
+    (d / "f.txt").write_text("12-ab\n99-zz TRAILING\nnomatch\n")
+    t = TableMeta(
+        name="r", location="r", data_format="regex",
+        columns=[{"name": "n", "type": "int"},
+                 {"name": "w", "type": "character"}],
+        format_options={"input.regex": r"(\d+)-(\w+)"},
+    )
+    rows = sorted(
+        [(r.n, r.w) for r in read_table(spark, t, str(d)).collect()],
+        key=str,
+    )
+    assert rows == [(12, "ab"), (None, None), (None, None)]
+    # an already-anchored pattern behaves identically (the non-capturing
+    # wrap preserves group numbering)
+    t2 = TableMeta(
+        name="r2", location="r2", data_format="regex",
+        columns=[{"name": "n", "type": "int"},
+                 {"name": "w", "type": "character"}],
+        format_options={"input.regex": r"^(\d+)-(\w+)$"},
+    )
+    rows2 = sorted(
+        [(r.n, r.w) for r in read_table(spark, t2, str(d)).collect()],
+        key=str,
+    )
+    assert rows2 == rows
