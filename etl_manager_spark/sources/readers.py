@@ -67,6 +67,8 @@ def read_table(spark: "SparkSession", table: "TableMeta", path: str) -> "DataFra
     — for EVERY format (the text-based formats' scans discover partitions
     exactly like the columnar ones; dropping them was a bug).
     """
+    from etl_manager_spark.sources.resolve import quoted, resolve_columns
+
     fmt, options = spark_format_and_options(table.data_format, table.format_options)
     data_schema = table.data_schema
 
@@ -82,11 +84,23 @@ def read_table(spark: "SparkSession", table: "TableMeta", path: str) -> "DataFra
         anchored = f"^(?:{pattern})$"
         raw = spark.read.text(path)
         matched = F.col("value").rlike(anchored)
+        # Non-participating optional groups: Matcher.group(i) is null in
+        # the SerDe, so the column is NULL; Spark's regexp_extract returns
+        # '' for both a non-participating group and a participating
+        # empty-string match, so '' maps to NULL for EVERY declared type
+        # here (string included). Known divergence: a participating group
+        # that matched the empty string ((\w*) on an empty field) is ''
+        # in Hive but NULL here — regexp_extract cannot distinguish the
+        # two, and the non-participating case is the semantically loaded
+        # one.
         projections = [
             F.when(
                 matched,
                 _serde_cast(
-                    F.regexp_extract(F.col("value"), anchored, i + 1),
+                    F.nullif(
+                        F.regexp_extract(F.col("value"), anchored, i + 1),
+                        F.lit(""),
+                    ),
                     field.dataType,
                 ),
             )
@@ -154,20 +168,13 @@ def read_table(spark: "SparkSession", table: "TableMeta", path: str) -> "DataFra
             # case-insensitive resolution then REPLACED the real data with
             # typed nulls — silent data loss on case drift.) Two file
             # columns differing only by case that both target a declared
-            # field are ambiguous and refused.
-            from etl_manager_spark.meta.table import MetadataError
-
-            declared_lower = {f.name.lower() for f in data_schema.fields}
-            by_lower: dict[str, str] = {}
-            for c in df.columns:
-                low = c.lower()
-                if low in by_lower and low in declared_lower and by_lower[low] != c:
-                    raise MetadataError(
-                        f"read_table: ambiguous file columns for declared "
-                        f"field {low!r}: {fmt} files at {path} have both "
-                        f"{by_lower[low]!r} and {c!r}"
-                    )
-                by_lower.setdefault(low, c)
+            # field are ambiguous and refused. Shared resolver with the
+            # write side (sources/resolve.py) so the two can't drift.
+            declared_names = [f.name for f in data_schema.fields]
+            by_lower = resolve_columns(
+                df.columns, declared_names, f"read_table({fmt} at {path})"
+            )
+            declared_lower = {n.lower() for n in declared_names}
             projections = []
             for f in data_schema.fields:
                 actual = by_lower.get(f.name.lower())
@@ -183,21 +190,40 @@ def read_table(spark: "SparkSession", table: "TableMeta", path: str) -> "DataFra
                     )
                 else:
                     projections.append(
-                        F.col(actual).cast(f.dataType).alias(f.name)
+                        F.col(quoted(actual)).cast(f.dataType).alias(f.name)
                     )
             # keep non-declared columns (recovered partition dirs, extras
-            # the final declared-order select prunes) by their own names
+            # the final declared-order select prunes) by their own names —
+            # backtick-quoted, or an extra column literally named 'a.b'
+            # would parse as struct access and break a readable dataset
             passthrough = [
-                c for c in df.columns if c.lower() not in declared_lower
+                F.col(quoted(c))
+                for c in df.columns
+                if c.lower() not in declared_lower
             ]
             df = df.select(*projections, *passthrough)
 
     # Recovered partition columns (directory-derived) arrive as strings or
-    # inferred types; align them to the declared schema.
+    # inferred types — and possibly under case-drifted directory names
+    # (DAY=... for a declared 'day'); align name and type to the declared
+    # schema, case-insensitively like everything above.
     full = table.spark_schema
-    for pcol in table.partitions:
-        if pcol in df.columns:
-            df = df.withColumn(pcol, F.col(pcol).cast(full[pcol].dataType))
+    if table.partitions:
+        part_lower = resolve_columns(
+            df.columns, list(table.partitions), "read_table partitions"
+        )
+        renames = []
+        for pcol in table.partitions:
+            actual = part_lower.get(pcol.lower())
+            if actual is not None:
+                renames.append(
+                    F.col(quoted(actual)).cast(full[pcol].dataType).alias(pcol)
+                )
+        kept_lower = {p.lower() for p in table.partitions}
+        others = [
+            F.col(quoted(c)) for c in df.columns if c.lower() not in kept_lower
+        ]
+        df = df.select(*others, *renames)
 
     # By-name formats may return columns in file order; impose declared order
     # (and prune extras) so downstream positional consumers are stable.

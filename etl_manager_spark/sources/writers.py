@@ -39,19 +39,13 @@ def conform(df: "DataFrame", table: "TableMeta") -> "DataFrame":
     target a declared field are refused (Spark itself raises
     AMBIGUOUS_REFERENCE for that resolution) rather than silently
     resolved to whichever comes last in df.columns."""
-    from etl_manager_spark.meta.table import MetadataError
+    from etl_manager_spark.sources.resolve import resolve_columns
 
-    by_lower: dict[str, str] = {}
-    declared_lower = {f.name.lower() for f in table.spark_schema.fields}
-    for c in df.columns:
-        low = c.lower()
-        if low in by_lower and low in declared_lower and by_lower[low] != c:
-            raise MetadataError(
-                f"ambiguous columns for declared field {low!r}: DataFrame "
-                f"has both {by_lower[low]!r} and {c!r} (case-insensitive "
-                "resolution, matching Spark's AMBIGUOUS_REFERENCE)"
-            )
-        by_lower.setdefault(low, c)
+    by_lower = resolve_columns(
+        df.columns,
+        [f.name for f in table.spark_schema.fields],
+        "conform",
+    )
     projections = []
     for field in table.spark_schema.fields:
         actual = by_lower.get(field.name.lower())

@@ -420,3 +420,80 @@ def test_regex_requires_full_line_match(spark, tmp_path):
         key=str,
     )
     assert rows2 == rows
+
+
+def test_partition_column_case_drift_is_resolved(spark, tmp_path):
+    """Partition directories written as DAY=... must satisfy a declared
+    'day' partition — the same case-insensitive resolution as data
+    columns, or the recovered partition column silently vanishes from
+    the declared-order select."""
+    import shutil
+
+    from etl_manager_spark import TableMeta
+    from etl_manager_spark.sources.readers import read_table
+
+    p = tmp_path / "pcase"
+    spark.createDataFrame(
+        [(1, "x", "a"), (2, "y", "b")], "id long, val string, DAY string"
+    ).write.partitionBy("DAY").parquet(str(p))
+    # sanity: directories really are DAY=...
+    assert any(d.name.startswith("DAY=") for d in p.iterdir())
+    t = TableMeta(
+        name="t", location="t", data_format="parquet",
+        columns=[{"name": "id", "type": "long"},
+                 {"name": "val", "type": "character"},
+                 {"name": "day", "type": "character"}],
+        partitions=["day"],
+    )
+    rows = sorted(
+        [(r.id, r.val, r.day) for r in read_table(spark, t, str(p)).collect()]
+    )
+    assert rows == [(1, "x", "a"), (2, "y", "b")]
+    shutil.rmtree(p)
+
+
+def test_extra_file_column_with_dot_in_name_is_readable(spark, tmp_path):
+    """An undeclared file column literally named 'a.b' must be pruned,
+    not parsed as struct access (which breaks the whole read)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_manager_spark import TableMeta
+    from etl_manager_spark.sources.readers import read_table
+
+    p = tmp_path / "dotcol"
+    p.mkdir()
+    pq.write_table(
+        pa.table({"id": [1, 2], "price.usd": [9.5, 7.25]}),
+        str(p / "part-0.parquet"),
+    )
+    t = TableMeta(
+        name="t", location="t", data_format="parquet",
+        columns=[{"name": "id", "type": "long"}],
+    )
+    out = read_table(spark, t, str(p))
+    assert out.columns == ["id"]
+    assert sorted(r.id for r in out.collect()) == [1, 2]
+
+
+def test_regex_nonparticipating_group_is_null(spark, tmp_path):
+    """RegexSerDe parity: Matcher.group(i) is null for a non-participating
+    optional group, so the column is NULL — including string columns,
+    where regexp_extract alone would yield ''."""
+    from etl_manager_spark import TableMeta
+    from etl_manager_spark.sources.readers import read_table
+
+    d = tmp_path / "optg"
+    d.mkdir()
+    (d / "f.txt").write_text("12-ab\n34\n")
+    t = TableMeta(
+        name="r", location="r", data_format="regex",
+        columns=[{"name": "n", "type": "int"},
+                 {"name": "w", "type": "character"}],
+        format_options={"input.regex": r"(\d+)(?:-(\w+))?"},
+    )
+    rows = sorted(
+        [(r.n, r.w) for r in read_table(spark, t, str(d)).collect()],
+        key=str,
+    )
+    assert rows == [(12, "ab"), (34, None)]
