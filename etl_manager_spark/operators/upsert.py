@@ -6,11 +6,13 @@ are first-class DataFrame transforms.
 
 Scale design:
 
-* ``merge_upsert`` is ONE shuffle: a full outer join on the key. No
-  broadcast requirement — both sides may be arbitrarily large; with
-  bucketed tables on the key it is zero-exchange (see
-  operators/bucketing.py). Column-wise COALESCE keeps everything in
-  whole-stage codegen.
+* ``merge_upsert`` is one full-outer-join shuffle on the key plus one
+  source-side window shuffle for MERGE's source-key-uniqueness check
+  (the join hashes null-safe normalized keys, so the window exchange is
+  not reusable). No broadcast requirement — both sides may be
+  arbitrarily large; with bucketed tables on the key the join side is
+  zero-exchange (see operators/bucketing.py). Column-wise COALESCE
+  keeps everything in whole-stage codegen.
 * ``scd2_from_events`` is ONE shuffle: window over (key ORDER BY ts).
   At 100 TB the state per task is one key-group at a time — no skew
   beyond the hottest key's history length.
@@ -42,7 +44,15 @@ def merge_upsert(
     Source-side presence is detected with a sentinel marker column, not a
     key-NULL test, so NULL join keys (the join is null-safe) get correct
     update/delete semantics. Both relations must share a schema (same
-    columns); the result keeps the target's column order."""
+    columns); the result keeps the target's column order.
+
+    Duplicate keys in ``source`` are refused at execution time — SQL
+    MERGE (and Delta) raise "multiple source rows matched" there, and
+    silently fanning matched target rows out would corrupt the table.
+    The check is a window count partitioned by the key; the full-outer
+    join hashes on NULL-SAFE normalized keys (coalesce+isnull), so the
+    exchange is not reused and the check costs one extra source-side
+    shuffle — the price of MERGE's uniqueness contract."""
     cols = target.columns
     expected = set(cols) | ({delete_col} if delete_col else set())
     if set(source.columns) != expected:
@@ -52,8 +62,29 @@ def merge_upsert(
     marker = "_merge_s_present"
     if marker in source.columns:
         raise ValueError(f"merge_upsert: source may not contain {marker!r}")
+    key_w = Window.partitionBy(*[F.col(k) for k in key])
+    dup_msg = F.concat(
+        F.lit("merge_upsert: multiple source rows matched key ("),
+        F.concat_ws(", ", *[F.col(k).cast("string") for k in key]),
+        F.lit(") — deduplicate the source first"),
+    )
     t = target.alias("t")
-    s = source.withColumn(marker, F.lit(True)).alias("s")
+    # the duplicate assert rides INSIDE the marker column (which the
+    # downstream projections consume) — an unused check column would be
+    # pruned by Catalyst along with its raise. assert_true returns NULL
+    # on success, so the marker is True exactly where a source row exists.
+    s = (
+        source.withColumn("_merge_key_n", F.count(F.lit(1)).over(key_w))
+        .withColumn(
+            marker,
+            F.when(
+                F.assert_true(F.col("_merge_key_n") <= 1, dup_msg).isNull(),
+                F.lit(True),
+            ),
+        )
+        .drop("_merge_key_n")
+        .alias("s")
+    )
     cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in key]
     joined = t.join(s, on=cond, how="full_outer")
     s_present = F.col(f"s.{marker}").isNotNull()

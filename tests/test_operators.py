@@ -1373,3 +1373,23 @@ def test_kcenter_greedy_picks_spread_points(spark, sf_dir):
     assert len(set(order)) == len(order)
     dmins = [r["dmin_q"] for r in sorted(rows, key=lambda r: r["sel_rank"])][1:]
     assert all(a >= b for a, b in zip(dmins, dmins[1:]))
+
+
+def test_merge_upsert_rejects_duplicate_source_keys(spark):
+    """SQL MERGE (and Delta) raise 'multiple source rows matched' when a
+    target row matches more than one source row; silently fanning the
+    target out would corrupt the table. NULL keys count as duplicates of
+    each other (the join is null-safe)."""
+    from etl_manager_spark.operators.upsert import merge_upsert
+
+    tgt = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    dup = spark.createDataFrame([(2, "B"), (2, "B2")], "k long, v string")
+    with pytest.raises(Exception, match="multiple source rows matched"):
+        merge_upsert(tgt, dup, ["k"]).collect()
+    nulls = spark.createDataFrame([(None, "X"), (None, "Y")], "k long, v string")
+    with pytest.raises(Exception, match="multiple source rows matched"):
+        merge_upsert(tgt, nulls, ["k"]).collect()
+    # unique keys still merge
+    src = spark.createDataFrame([(2, "B"), (3, "C")], "k long, v string")
+    out = sorted((r.k, r.v) for r in merge_upsert(tgt, src, ["k"]).collect())
+    assert out == [(1, "a"), (2, "B"), (3, "C")]
