@@ -6,13 +6,14 @@ are first-class DataFrame transforms.
 
 Scale design:
 
-* ``merge_upsert`` is one full-outer-join shuffle on the key plus one
-  source-side window shuffle for MERGE's source-key-uniqueness check
-  (the join hashes null-safe normalized keys, so the window exchange is
-  not reusable). No broadcast requirement — both sides may be
-  arbitrarily large; with bucketed tables on the key the join side is
-  zero-exchange (see operators/bucketing.py). Column-wise COALESCE
-  keeps everything in whole-stage codegen.
+* ``merge_upsert`` is one full-outer-join shuffle on the key, plus one
+  source-side window shuffle for MERGE's matched-uniqueness check (the
+  join hashes null-safe normalized keys, so the window exchange is not
+  reusable; ``assume_unique_source=True`` skips it for pre-deduplicated
+  sources). No broadcast requirement — both sides may be arbitrarily
+  large; with bucketed tables on the key the join side is zero-exchange
+  (see operators/bucketing.py). Column-wise COALESCE keeps everything
+  in whole-stage codegen.
 * ``scd2_from_events`` is ONE shuffle: window over (key ORDER BY ts).
   At 100 TB the state per task is one key-group at a time — no skew
   beyond the hottest key's history length.
@@ -32,6 +33,7 @@ def merge_upsert(
     source: DataFrame,
     key: list[str],
     delete_col: str | None = None,
+    assume_unique_source: bool = False,
 ) -> DataFrame:
     """SQL MERGE semantics as a batch transform: rows whose key exists in
     ``source`` take the source's non-key columns verbatim — including NULLs,
@@ -46,13 +48,19 @@ def merge_upsert(
     update/delete semantics. Both relations must share a schema (same
     columns); the result keeps the target's column order.
 
-    Duplicate keys in ``source`` are refused at execution time — SQL
-    MERGE (and Delta) raise "multiple source rows matched" there, and
-    silently fanning matched target rows out would corrupt the table.
-    The check is a window count partitioned by the key; the full-outer
-    join hashes on NULL-SAFE normalized keys (coalesce+isnull), so the
-    exchange is not reused and the check costs one extra source-side
-    shuffle — the price of MERGE's uniqueness contract."""
+    MERGE's matched-uniqueness contract is enforced at execution time:
+    multiple source rows matching the SAME target row raise "multiple
+    source rows matched" (SQL MERGE / Delta behavior) instead of silently
+    fanning the target row out. Duplicate source keys that match NO
+    target row legally insert, exactly like MERGE's WHEN NOT MATCHED.
+    The assert lives in the JOIN CONDITION — join conditions are
+    evaluated on every key-matched pair and can never be column-pruned
+    away, so the check fires for count()-only consumers too, and it
+    never evaluates for unmatched rows. The per-key source count it
+    reads costs one source-side window shuffle; callers whose source is
+    key-unique by construction (e.g. a CDC batch already reduced with
+    row_number()==1 over the same key) pass ``assume_unique_source=True``
+    to skip it."""
     cols = target.columns
     expected = set(cols) | ({delete_col} if delete_col else set())
     if set(source.columns) != expected:
@@ -60,32 +68,29 @@ def merge_upsert(
             f"merge_upsert: schema mismatch target={cols} source={source.columns}"
         )
     marker = "_merge_s_present"
-    if marker in source.columns:
-        raise ValueError(f"merge_upsert: source may not contain {marker!r}")
-    key_w = Window.partitionBy(*[F.col(k) for k in key])
-    dup_msg = F.concat(
-        F.lit("merge_upsert: multiple source rows matched key ("),
-        F.concat_ws(", ", *[F.col(k).cast("string") for k in key]),
-        F.lit(") — deduplicate the source first"),
-    )
+    count_col = "_merge_key_n"
+    for reserved in (marker, count_col):
+        if reserved in source.columns or reserved in cols:
+            raise ValueError(
+                f"merge_upsert: input may not contain {reserved!r}"
+            )
     t = target.alias("t")
-    # the duplicate assert rides INSIDE the marker column (which the
-    # downstream projections consume) — an unused check column would be
-    # pruned by Catalyst along with its raise. assert_true returns NULL
-    # on success, so the marker is True exactly where a source row exists.
-    s = (
-        source.withColumn("_merge_key_n", F.count(F.lit(1)).over(key_w))
-        .withColumn(
-            marker,
-            F.when(
-                F.assert_true(F.col("_merge_key_n") <= 1, dup_msg).isNull(),
-                F.lit(True),
-            ),
-        )
-        .drop("_merge_key_n")
-        .alias("s")
-    )
+    s = source.withColumn(marker, F.lit(True))
     cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in key]
+    if not assume_unique_source:
+        key_w = Window.partitionBy(*[F.col(k) for k in key])
+        s = s.withColumn(count_col, F.count(F.lit(1)).over(key_w))
+        dup_msg = F.concat(
+            F.lit("merge_upsert: multiple source rows matched key ("),
+            F.concat_ws(
+                ", ", *[F.col(f"s.{k}").cast("string") for k in key]
+            ),
+            F.lit(") — deduplicate the source first"),
+        )
+        cond = cond + [
+            F.assert_true(F.col(f"s.{count_col}") <= 1, dup_msg).isNull()
+        ]
+    s = s.alias("s")
     joined = t.join(s, on=cond, how="full_outer")
     s_present = F.col(f"s.{marker}").isNotNull()
     if delete_col is not None:

@@ -87,7 +87,17 @@ def apply_cdc_stream(
             target = batch.sparkSession.createDataFrame(
                 [], reduced.select(data_cols).schema
             )
-        merged = merge_upsert(target, reduced, key=key, delete_col=delete_col)
+        # reduced is key-unique by construction (row_number()==1 over the
+        # same key right above) — skip merge's uniqueness window, which
+        # would re-shuffle every micro-batch to prove what the reduction
+        # already guarantees
+        merged = merge_upsert(
+            target,
+            reduced,
+            key=key,
+            delete_col=delete_col,
+            assume_unique_source=True,
+        )
         nxt = os.path.join(state_path, "_next")
         merged.write.mode("overwrite").parquet(nxt)
         old = os.path.join(state_path, "_old")

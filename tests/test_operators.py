@@ -1375,20 +1375,37 @@ def test_kcenter_greedy_picks_spread_points(spark, sf_dir):
     assert all(a >= b for a, b in zip(dmins, dmins[1:]))
 
 
-def test_merge_upsert_rejects_duplicate_source_keys(spark):
-    """SQL MERGE (and Delta) raise 'multiple source rows matched' when a
-    target row matches more than one source row; silently fanning the
-    target out would corrupt the table. NULL keys count as duplicates of
-    each other (the join is null-safe)."""
+def test_merge_upsert_matched_uniqueness_contract(spark):
+    """SQL MERGE (and Delta) raise 'multiple source rows matched' only
+    when several source rows match the SAME target row; unmatched
+    duplicate source keys legally insert (WHEN NOT MATCHED). The assert
+    lives in the join condition, so it cannot be column-pruned away —
+    count()-only consumers raise too."""
     from etl_manager_spark.operators.upsert import merge_upsert
 
     tgt = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
     dup = spark.createDataFrame([(2, "B"), (2, "B2")], "k long, v string")
     with pytest.raises(Exception, match="multiple source rows matched"):
         merge_upsert(tgt, dup, ["k"]).collect()
-    nulls = spark.createDataFrame([(None, "X"), (None, "Y")], "k long, v string")
+    # count() prunes every output column — the check must still fire
     with pytest.raises(Exception, match="multiple source rows matched"):
-        merge_upsert(tgt, nulls, ["k"]).collect()
+        merge_upsert(tgt, dup, ["k"]).count()
+    # duplicate source keys matching NO target row insert, like MERGE
+    udup = spark.createDataFrame([(9, "X"), (9, "Y")], "k long, v string")
+    out = sorted((r.k, r.v) for r in merge_upsert(tgt, udup, ["k"]).collect())
+    assert out == [(1, "a"), (2, "b"), (9, "X"), (9, "Y")]
+    # null keys are null-safe: two null-key source rows matching a
+    # null-key target row are duplicates
+    tnull = spark.createDataFrame([(None, "t")], "k long, v string")
+    ndup = spark.createDataFrame([(None, "X"), (None, "Y")], "k long, v string")
+    with pytest.raises(Exception, match="multiple source rows matched"):
+        merge_upsert(tnull, ndup, ["k"]).count()
+    # pre-deduplicated callers skip the uniqueness window
+    assert merge_upsert(tgt, dup, ["k"], assume_unique_source=True).count() == 3
+    # reserved internal names are refused up front
+    bad = spark.createDataFrame([(1, "a", 2)], "k long, v string, _merge_key_n int")
+    with pytest.raises(ValueError, match="_merge_key_n"):
+        merge_upsert(bad, bad, ["k"])
     # unique keys still merge
     src = spark.createDataFrame([(2, "B"), (3, "C")], "k long, v string")
     out = sorted((r.k, r.v) for r in merge_upsert(tgt, src, ["k"]).collect())
