@@ -20,8 +20,9 @@ row), so non-matching rows never enter the exchange. With a 1%-selective
 dim, the join shuffle shrinks ~100×.
 
 Build is distributed: each fact-side executor needs the bitmap, so the
-filter is built as ONE grouped aggregation over the dim keys (positions →
-collect_set, bounded by ``num_bits``) and shipped as a literal array of
+filter is built as ONE grouped aggregation over the dim keys (explode hash
+positions → per-WORD ``bit_or`` hash-agg, map-side combinable, collecting
+only the populated word rows) and shipped as a literal array of
 longs — never a per-key collect. No DataFrame.stat.bloomFilter is used
 (PySpark doesn't expose it); the hash family is xxhash64(key, seed), the
 same primitive Spark's internal BloomFilterAggregate uses.
@@ -72,7 +73,8 @@ def build_key_bloom(
     of a collect_set formulation at large num_bits.
 
     Sizing: fpp ≈ (1 - e^(-kn/m))^k. The 16 Kib / 2-hash default gives
-    fpp < 1% up to ~1 500 keys; callers at larger dim cardinality pass
+    fpp < 1% up to ~860 keys (m·ln(1/0.9) with k=2; at n=1 500 the fpp
+    is already ~2.8%); callers at larger dim cardinality pass
     num_bits ≈ 10·n for ~1.2% fpp at k=2. Driver cost is one row per
     populated word: the bitmap itself is num_bits/8 bytes but the
     collect()ed rows cost ~10× that transiently, so ``max_bits``
@@ -140,6 +142,32 @@ def might_contain(
     return cond
 
 
+_INTEGRAL = ("tinyint", "smallint", "int", "bigint")
+_FRACTIONAL = ("float", "double")
+
+
+def _common_hash_type(
+    f_type: str, d_type: str, fact_key: str, dim_key: str
+) -> str:
+    """The type both join keys are hashed AS, mirroring the widening the
+    join's own analysis applies: equal types pass through, integral pairs
+    widen to bigint, fractional pairs to double. Anything else (decimal
+    vs integral, string vs numeric, ...) is refused — Spark's coercion
+    there is subtle enough that a silent wrong guess would reintroduce
+    the false-negative bug this exists to prevent."""
+    if f_type == d_type:
+        return f_type
+    if f_type in _INTEGRAL and d_type in _INTEGRAL:
+        return "bigint"
+    if f_type in _FRACTIONAL and d_type in _FRACTIONAL:
+        return "double"
+    raise ValueError(
+        f"bloom_prefiltered_join: key types differ ({fact_key}: {f_type} "
+        f"vs {dim_key}: {d_type}) beyond integral/fractional widening — "
+        "cast one side explicitly so the hash domain is unambiguous"
+    )
+
+
 def bloom_prefiltered_join(
     fact: DataFrame,
     dim: DataFrame,
@@ -165,9 +193,21 @@ def bloom_prefiltered_join(
             f"bloom_prefiltered_join: how={how!r} — the prefilter drops "
             "fact rows without a dim match, which only semi/inner allow"
         )
-    words = build_key_bloom(dim, dim_key, num_bits, num_hashes, max_bits)
+    # xxhash64 hashes each physical type through its own byte path, so a
+    # BIGINT fact key and an INT dim key hash DIFFERENTLY even for equal
+    # values — the probe would miss and silently drop true matches (a
+    # false negative, the one thing the contract forbids). Normalize both
+    # sides to the type the join itself coerces to before hashing; the
+    # exact join below still runs on the raw columns.
+    f_type = dict(fact.dtypes)[fact_key]
+    d_type = dict(dim.dtypes)[dim_key]
+    hash_type = _common_hash_type(f_type, d_type, fact_key, dim_key)
+    dim_hash_side = dim.select(F.col(dim_key).cast(hash_type).alias(dim_key))
+    words = build_key_bloom(
+        dim_hash_side, dim_key, num_bits, num_hashes, max_bits
+    )
     pruned = fact.filter(
-        might_contain(F.col(fact_key), words, num_hashes)
+        might_contain(F.col(fact_key).cast(hash_type), words, num_hashes)
     )
     if how == "inner":
         return pruned.join(dim, pruned[fact_key] == dim[dim_key], "inner")

@@ -55,31 +55,49 @@ def ordered_cumsum(
         .agg(
             F.count(F.lit(1)).alias("_n"),
             *[F.sum(v).cast("long").alias(f"_s_{v}") for v in value_cols],
+            *[F.count(v).cast("long").alias(f"_c_{v}") for v in value_cols],
         )
         .orderBy("_ocs_part")
         .collect()
     )
     rows, acc_n = [], 0
     acc_v = dict.fromkeys(value_cols, 0)
+    acc_c = dict.fromkeys(value_cols, 0)
     for r in totals:
-        rows.append((r["_ocs_part"], acc_n, *[acc_v[v] for v in value_cols]))
+        rows.append(
+            (
+                r["_ocs_part"],
+                acc_n,
+                *[acc_v[v] for v in value_cols],
+                *[acc_c[v] for v in value_cols],
+            )
+        )
         acc_n += r["_n"]
         for v in value_cols:
             acc_v[v] += r[f"_s_{v}"] or 0
-    schema = "_ocs_part int, _ocs_n0 long" + "".join(
-        f", _ocs_o_{v} long" for v in value_cols
+            acc_c[v] += r[f"_c_{v}"]
+    schema = (
+        "_ocs_part int, _ocs_n0 long"
+        + "".join(f", _ocs_o_{v} long" for v in value_cols)
+        + "".join(f", _ocs_c_{v} long" for v in value_cols)
     )
     off = spark.createDataFrame(rows, schema)
     local = Window.partitionBy("_ocs_part").orderBy(*order_cols)
     out = base.join(F.broadcast(off), "_ocs_part")
     for v in value_cols:
+        frame = local.rowsBetween(Window.unboundedPreceding, 0)
+        # the global window's SUM is NULL only while the WHOLE prefix is
+        # null-valued; a partition whose local prefix is all-NULL but that
+        # has non-null predecessors must carry the offset forward, so the
+        # local sum is coalesced and the null-prefix case is re-derived
+        # from the non-null COUNT (local + prior partitions)
+        seen = F.count(v).over(frame) + F.col(f"_ocs_c_{v}")
         out = out.withColumn(
             f"{v}{cum_suffix}",
-            (
-                F.sum(v)
-                .over(local.rowsBetween(Window.unboundedPreceding, 0))
-                .cast("long")
-                + F.col(f"_ocs_o_{v}")
+            F.when(
+                seen > 0,
+                F.coalesce(F.sum(v).over(frame).cast("long"), F.lit(0))
+                + F.col(f"_ocs_o_{v}"),
             ).cast("long"),
         )
     if rank_name is not None:
@@ -89,7 +107,12 @@ def ordered_cumsum(
                 "long"
             ),
         )
-    return out.drop("_ocs_part", "_ocs_n0", *[f"_ocs_o_{v}" for v in value_cols])
+    return out.drop(
+        "_ocs_part",
+        "_ocs_n0",
+        *[f"_ocs_o_{v}" for v in value_cols],
+        *[f"_ocs_c_{v}" for v in value_cols],
+    )
 
 
 def chained_overlap_entries(
@@ -170,16 +193,19 @@ def ordered_lag(
     )
     plan = chained_overlap_entries(counts, offset, successors=False)
     if plan:
+        # internal names carry the operator prefix so a user column
+        # literally named _rn/_lim/_dst can't collide (AMBIGUOUS_REFERENCE
+        # after the join, or silent overwrite)
         remap = spark.createDataFrame(
-            plan, "_olg_part int, _lim int, _dst int"
+            plan, "_olg_part int, _olg_lim int, _olg_dst int"
         )
         w_desc = Window.partitionBy("_olg_part").orderBy(*_cols(rev=True))
         tails = (
-            base.withColumn("_rn", F.row_number().over(w_desc))
+            base.withColumn("_olg_rn", F.row_number().over(w_desc))
             .join(F.broadcast(remap), "_olg_part")
-            .filter(F.col("_rn") <= F.col("_lim"))
-            .drop("_rn", "_lim", "_olg_part")
-            .withColumnRenamed("_dst", "_olg_part")
+            .filter(F.col("_olg_rn") <= F.col("_olg_lim"))
+            .drop("_olg_rn", "_olg_lim", "_olg_part")
+            .withColumnRenamed("_olg_dst", "_olg_part")
             .withColumn("_olg_rep", F.lit(True))
         )
         aug = base.withColumn("_olg_rep", F.lit(False)).unionByName(tails)

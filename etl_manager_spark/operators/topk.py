@@ -39,30 +39,76 @@ def rank_bounded(
     WITHOUT a Window — ``row_number() OVER (ORDER BY …)`` would plan an
     Exchange SinglePartition even over 10 rows, tripping the
     single-partition-window lint. Instead: collect the k rows into one
-    array (1-row aggregate), ``sort_array`` for the total order,
-    ``posexplode`` back out; rank = position + 1.
+    array (1-row aggregate), ``array_sort`` with a comparator over the
+    SORT KEYS ONLY for the total order, ``posexplode`` back out;
+    rank = position + 1.
 
     ``sort_keys`` is ``[(col, "asc"|"desc"), …]`` and must be a total
-    order; ``desc`` keys must be numeric (they are negated to ride the
-    ascending struct sort). NULL ordering matches the window it
-    replaces: asc → NULLS FIRST (the struct sort's native order), desc →
-    NULLS LAST via an explicit isNull flag field — a bare negation would
-    leave NULL ranked FIRST on desc keys, silently shifting every real
-    rank down one. ONLY for frames already bounded to ~k rows — the
-    whole frame materializes in one aggregation buffer."""
-    keys = []
+    order. NULL ordering matches the window it replaces: asc → NULLS
+    FIRST, desc → NULLS LAST (via an explicit isNull flag field). Desc
+    numeric keys are order-reversed per type: integral keys by bitwise
+    NOT (monotone reversal with no LONG_MIN negation overflow — ``-col``
+    throws ARITHMETIC_OVERFLOW under ANSI), float/double keys by a
+    NaN-first flag plus negation (Spark ranks NaN above every double, so
+    desc puts NaN FIRST — negation alone would leave NaN last),
+    decimal/interval by plain negation (symmetric ranges). Other desc
+    types are refused. The comparator never reads the payload struct, so
+    non-orderable payload columns (maps) pass through, and key ties
+    never silently tiebreak on arbitrary payload fields. ONLY for frames
+    already bounded to ~k rows — the whole frame materializes in one
+    aggregation buffer."""
+    dtypes = dict(df.dtypes)
+    keys: list = []
+    key_fields: list[str] = []
+
+    def _add(col, name):
+        keys.append(col.alias(name))
+        key_fields.append(name)
+
     for i, (c, d) in enumerate(sort_keys):
         col = F.col(c)
+        t = dtypes[c]
         if d == "desc":
-            keys.append(col.isNull().alias(f"_n{i}"))  # False < True → nulls last
-            keys.append((-col).alias(f"_k{i}"))
+            # False < True → nulls last (window desc default)
+            _add(col.isNull(), f"_n{i}")
+            if t in ("tinyint", "smallint", "int", "bigint"):
+                _add(F.bitwise_not(col), f"_k{i}")
+            elif t in ("float", "double"):
+                # NaN ranks ABOVE every number in Spark → desc = NaN first
+                _add(F.when(F.isnan(col), 0).otherwise(1), f"_f{i}")
+                _add(-col, f"_k{i}")
+            elif t.startswith("decimal") or t.endswith("interval"):
+                _add(-col, f"_k{i}")
+            else:
+                raise ValueError(
+                    f"rank_bounded: desc key {c!r} has type {t} — only "
+                    "numeric/interval desc keys have an order-reversing "
+                    "encode; sort asc or pre-encode the column"
+                )
         else:
-            keys.append(col.alias(f"_k{i}"))
+            _add(col, f"_k{i}")
+
+    def _cmp(a, b):
+        # ascending null-safe comparison over the encoded key fields,
+        # innermost tiebreak outward; the payload field never participates
+        expr = F.lit(0)
+        for name in reversed(key_fields):
+            av, bv = a[name], b[name]
+            expr = (
+                F.when(av.eqNullSafe(bv), expr)
+                .when(av.isNull(), F.lit(-1))  # asc native: NULLS FIRST
+                .when(bv.isNull(), F.lit(1))
+                .when(av < bv, F.lit(-1))
+                .otherwise(F.lit(1))
+            )
+        return expr
+
     arr = df.groupBy().agg(
-        F.sort_array(
+        F.array_sort(
             F.collect_list(
                 F.struct(*keys, F.struct(*df.columns).alias("_p"))
-            )
+            ),
+            _cmp,
         ).alias("_a")
     )
     return arr.select(F.posexplode("_a").alias("_pos", "_s")).select(
@@ -91,11 +137,13 @@ def partial_topk_prefilter(
     the caller's final order tiebreaks differently (nondeterministic
     results on tied values). Heavy ties keep more rows; the prefilter is
     a bound, not the answer."""
-    part = df.withColumn("_pid", F.spark_partition_id())
+    # operator-prefixed internal names: bare _pid/_lr would silently
+    # overwrite (then drop) same-named user columns
+    part = df.withColumn("_ptk_pid", F.spark_partition_id())
     order = F.col(value_col).desc() if descending else F.col(value_col).asc()
-    w = Window.partitionBy(*group_cols, "_pid").orderBy(order)
+    w = Window.partitionBy(*group_cols, "_ptk_pid").orderBy(order)
     return (
-        part.withColumn("_lr", F.rank().over(w))
-        .filter(F.col("_lr") <= k)
-        .drop("_pid", "_lr")
+        part.withColumn("_ptk_lr", F.rank().over(w))
+        .filter(F.col("_ptk_lr") <= k)
+        .drop("_ptk_pid", "_ptk_lr")
     )

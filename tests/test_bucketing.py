@@ -51,3 +51,46 @@ def test_bucketed_agg_has_no_exchange(spark, bucketed_pair):
     agg = spark.table(right).groupBy("orderkey").agg(F.count(F.lit(1)).alias("n"))
     r = plan_report(agg)
     assert r.shuffle_exchanges == 0, r.text[:2000]
+
+
+def test_sorted_buckets_single_file_and_enforcement(spark, tmp_path):
+    """sortBy only survives the bucketed scan when each bucket is ONE
+    file (write repartitions by the bucket key first), and
+    bucketed_tables_join refuses mismatched bucket specs instead of
+    silently planning the shuffle it exists to avoid."""
+    import os
+
+    from etl_manager_spark.operators.bucketing import (
+        bucketed_tables_join,
+        write_bucketed,
+    )
+
+    df = spark.range(200).selectExpr("id % 20 as k", "id as v").repartition(8)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        write_bucketed(df, "bt_sf_l", ["k"], 4, sort_cols=["k"])
+        write_bucketed(df, "bt_sf_r", ["k"], 4, sort_cols=["k"])
+        loc = (
+            spark.sql("DESCRIBE TABLE EXTENDED bt_sf_l")
+            .filter("col_name='Location'")
+            .collect()[0]["data_type"]
+        )
+        parts = [
+            f
+            for f in os.listdir(loc.replace("file:", ""))
+            if f.startswith("part-")
+        ]
+        assert len(parts) == 4  # one file per bucket
+        j = bucketed_tables_join(spark, "bt_sf_l", "bt_sf_r", ["k"])
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        write_bucketed(df, "bt_sf_8", ["k"], 8, sort_cols=["k"])
+        with pytest.raises(ValueError, match="bucket counts differ"):
+            bucketed_tables_join(spark, "bt_sf_l", "bt_sf_8", ["k"])
+        with pytest.raises(ValueError, match="join on"):
+            bucketed_tables_join(spark, "bt_sf_l", "bt_sf_r", ["v"])
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        for t in ("bt_sf_l", "bt_sf_r", "bt_sf_8"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

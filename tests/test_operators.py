@@ -1410,3 +1410,66 @@ def test_merge_upsert_matched_uniqueness_contract(spark):
     src = spark.createDataFrame([(2, "B"), (3, "C")], "k long, v string")
     out = sorted((r.k, r.v) for r in merge_upsert(tgt, src, ["k"]).collect())
     assert out == [(1, "a"), (2, "B"), (3, "C")]
+
+
+def test_bloom_join_widens_mismatched_integral_keys(spark):
+    """xxhash64 hashes INT and BIGINT through different byte paths: equal
+    values hash differently, so an unnormalized probe silently DROPS true
+    matches. Integral key pairs are widened to bigint before hashing;
+    non-widenable pairs are refused rather than guessed."""
+    from etl_manager_spark.operators.bloomjoin import bloom_prefiltered_join
+
+    fact = spark.createDataFrame([(5, "a"), (6, "b")], "fk long, x string")
+    dim = spark.createDataFrame([(5,)], "dk int")
+    got = bloom_prefiltered_join(fact, dim, "fk", "dk").count()
+    want = fact.join(dim, fact.fk == dim.dk, "left_semi").count()
+    assert got == want == 1
+    sdim = spark.createDataFrame([("5",)], "dk string")
+    with pytest.raises(ValueError, match="hash domain"):
+        bloom_prefiltered_join(fact, sdim, "fk", "dk")
+
+
+def test_rank_bounded_desc_edge_domains(spark):
+    """Desc keys: LONG_MIN must not overflow under ANSI (bitwise-NOT
+    encode), NaN ranks FIRST on desc double keys (Spark orders NaN above
+    every number), and non-orderable payload columns (maps) pass through
+    because the sort comparator reads only the key fields."""
+    from etl_manager_spark.operators.topk import rank_bounded
+
+    df = spark.createDataFrame(
+        [(-(2**63), "min"), (5, "five"), (None, "null")], "k long, tag string"
+    )
+    got = sorted(
+        (r.rnk, r.tag) for r in rank_bounded(df.limit(10), [("k", "desc")]).collect()
+    )
+    assert got == [(1, "five"), (2, "min"), (3, "null")]  # nulls last
+    dfn = spark.createDataFrame(
+        [(float("nan"), "nan"), (9.0, "nine"), (1.0, "one")], "k double, tag string"
+    )
+    gotn = sorted(
+        (r.rnk, r.tag) for r in rank_bounded(dfn.limit(10), [("k", "desc")]).collect()
+    )
+    assert gotn == [(1, "nan"), (2, "nine"), (3, "one")]
+    dfm = spark.createDataFrame(
+        [(2, {"a": "b"}), (1, {"c": "d"})], "k long, m map<string,string>"
+    )
+    gotm = sorted(
+        (r.rnk, r.k) for r in rank_bounded(dfm.limit(10), [("k", "asc")]).collect()
+    )
+    assert gotm == [(1, 1), (2, 2)]
+    with pytest.raises(ValueError, match="desc key"):
+        rank_bounded(
+            spark.createDataFrame([("x",)], "k string"), [("k", "desc")]
+        )
+
+
+def test_partial_topk_prefilter_survives_colliding_columns(spark):
+    from etl_manager_spark.operators.topk import partial_topk_prefilter
+
+    df = spark.createDataFrame(
+        [(3, 1, "g"), (1, 1, "g")], "_pid long, _lr long, g string"
+    ).coalesce(1)
+    out = partial_topk_prefilter(df, ["g"], "_pid", 1)
+    assert set(out.columns) == {"_pid", "_lr", "g"}
+    # user column ranked (not the overwritten partition id) and intact
+    assert [r._pid for r in out.collect()] == [3]

@@ -264,3 +264,46 @@ def test_equidepth_parity_at_sf01(spark):
     drows = sorted(tuple(row[i] for i in idx) for row in res.fetchall())
     assert sorted(sdf.columns) == sorted(cols)
     assert srows == drows
+
+
+def test_ordered_cumsum_null_values_match_global_window(spark):
+    """NULL values: the global window's running SUM is NULL only while
+    the whole prefix is null-valued; a partition whose LOCAL prefix is
+    all-NULL but that has non-null predecessors must carry the offset
+    forward (the pre-fix code emitted NULL there)."""
+    from pyspark.sql import functions as F
+
+    from etl_manager_spark.operators.prefix import ordered_cumsum
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, None), (3, 2), (4, None)], "id long, v long"
+    )
+    for parts in (1, 2, 4, 8):  # incl. partitions thinner than the data
+        got = {
+            r.id: r.v_cum
+            for r in ordered_cumsum(
+                df, [F.col("id")], ["v"], n_partitions=parts
+            ).collect()
+        }
+        assert got == {1: 5, 2: 5, 3: 7, 4: 7}, (parts, got)
+    # all-null global prefix stays NULL, exactly like the window
+    df2 = spark.createDataFrame([(1, None), (2, None), (3, 7)], "id long, v long")
+    got2 = {
+        r.id: r.v_cum
+        for r in ordered_cumsum(df2, [F.col("id")], ["v"], n_partitions=3).collect()
+    }
+    assert got2 == {1: None, 2: None, 3: 7}
+
+
+def test_ordered_lag_survives_colliding_user_columns(spark):
+    """User columns literally named _rn/_lim/_dst must pass through the
+    overlap plan untouched (internal names are _olg_-prefixed)."""
+    from etl_manager_spark.operators.prefix import ordered_lag
+
+    df = spark.createDataFrame(
+        [(i, i % 3, i * 2) for i in range(9)], "_rn long, _lim long, v long"
+    )
+    out = ordered_lag(df, [("_rn", "asc")], "v", "lag_v", offset=2, n_partitions=4)
+    rows = {r._rn: r.lag_v for r in out.collect()}
+    assert set(out.columns) == {"_rn", "_lim", "v", "lag_v"}
+    assert rows == {i: (i - 2) * 2 if i >= 2 else None for i in range(9)}
