@@ -22,6 +22,14 @@ from pyspark.sql import functions as F
 
 from etl_manager_spark.operators.text import tokens
 
+# NULL-text convention, shared by every signature family here: a document
+# whose text is NULL (or tokenizes to nothing) emits NO signature rows
+# (explode of an empty/NULL token array), so the minhash/simhash/ngram
+# near-dup paths can never flag it — such rows are "not comparable", not
+# "duplicates of each other". Exact-equality semantics on NULLs belong to
+# exact_dedup, whose groupBy does treat NULL keys as one group. Jaccard
+# verification scores an empty-union pair 0.0 (see _jaccard_expr).
+
 
 def exact_dedup(
     df: DataFrame,
@@ -33,7 +41,15 @@ def exact_dedup(
 
     Single shuffle on the dedup key; for a pure ``dropDuplicates`` without
     survivor determinism Spark's built-in is fine — determinism is the point
-    here (reproducible pipelines)."""
+    here (reproducible pipelines). ``copies`` is the output count column,
+    so neither ``subset`` nor ``id_col`` may use that name (or overlap
+    each other) — refused up front instead of an AMBIGUOUS_REFERENCE
+    pointing at internals."""
+    if id_col in subset or "copies" in subset or id_col == "copies":
+        raise ValueError(
+            f"exact_dedup: id_col={id_col!r} and subset={subset!r} must be "
+            "disjoint and must not use the reserved output name 'copies'"
+        )
     return (
         df.groupBy(*subset)
         .agg(
@@ -375,13 +391,33 @@ def near_dup_clusters(
     return labels
 
 
+def _jaccard_expr(a: str, b: str):
+    """|a∩b| / |a∪b| with the empty-union pair scoring 0.0 — explicit,
+    deployment-independent semantics (see pairwise_jaccard)."""
+    union = F.size(F.array_union(a, b))
+    return F.when(union == 0, F.lit(0.0)).otherwise(
+        F.size(F.array_intersect(a, b)).cast("double")
+        / union.cast("double")
+    )
+
+
 def pairwise_jaccard(
     df: DataFrame, pairs: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
-    """Exact token-set Jaccard for given (id_a, id_b) candidate pairs."""
+    """Exact token-set Jaccard for given (id_a, id_b) candidate pairs.
+
+    NULL-text documents have the EMPTY token set by convention, and a
+    pair whose union is empty scores 0.0 ("nothing in common"), never a
+    duplicate. Stated explicitly because the bare size-ratio expression
+    is deployment-dependent there: legacy sizeOfNull makes NULL/NULL =
+    -1/-1 = jaccard 1.0 (a NULL doc becomes everyone's perfect
+    duplicate), while ANSI throws or drops the pair silently."""
     sets = df.select(
         F.col(id_col).alias("_sid"),
-        F.array_distinct(tokens(text_col)).alias("_toks"),
+        F.coalesce(
+            F.array_distinct(tokens(text_col)),
+            F.array().cast("array<string>"),
+        ).alias("_toks"),
     )
     return (
         pairs.join(sets.withColumnRenamed("_sid", "id_a"), on="id_a")
@@ -391,10 +427,7 @@ def pairwise_jaccard(
         .select(
             "id_a",
             "id_b",
-            (
-                F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
-                / F.size(F.array_union("toks_a", "toks_b")).cast("double")
-            ).alias("jaccard"),
+            _jaccard_expr("toks_a", "toks_b").alias("jaccard"),
         )
     )
 
@@ -651,13 +684,32 @@ def incremental_minhash_dedup(
         )
         .distinct()
     )
+    # candidates are reused by the corpus-side semi-join below and the
+    # verify join; one materialization keeps the band-bucket join from
+    # running twice
+    cand = cand.localCheckpoint(eager=True)
     tok_sets_new = new_df.select(
         F.col(id_col).alias("new_id"),
-        F.array_distinct(tokens(text_col)).alias("toks_n"),
+        F.coalesce(
+            F.array_distinct(tokens(text_col)),
+            F.array().cast("array<string>"),
+        ).alias("toks_n"),
     )
-    tok_sets_corpus = corpus_df.select(
+    # the verify step tokenizes CANDIDATE corpus rows only: semi-join the
+    # corpus to the candidate ids BEFORE the tokenizer, or this step is a
+    # full corpus scan per batch and the O(|batch| + candidates) contract
+    # above is broken
+    cand_corpus = corpus_df.join(
+        cand.select(F.col("corpus_id").alias(id_col)).distinct(),
+        on=id_col,
+        how="left_semi",
+    )
+    tok_sets_corpus = cand_corpus.select(
         F.col(id_col).alias("corpus_id"),
-        F.array_distinct(tokens(text_col)).alias("toks_c"),
+        F.coalesce(
+            F.array_distinct(tokens(text_col)),
+            F.array().cast("array<string>"),
+        ).alias("toks_c"),
     )
     return (
         cand.join(tok_sets_new, on="new_id")
@@ -665,10 +717,7 @@ def incremental_minhash_dedup(
         .select(
             "new_id",
             "corpus_id",
-            (
-                F.size(F.array_intersect("toks_n", "toks_c")).cast("double")
-                / F.size(F.array_union("toks_n", "toks_c")).cast("double")
-            ).alias("jaccard"),
+            _jaccard_expr("toks_n", "toks_c").alias("jaccard"),
         )
         .filter(F.col("jaccard") >= jaccard_threshold)
     )
@@ -704,8 +753,15 @@ def cluster_representatives(
     representative; the delete-list is ``keep = false``."""
     from pyspark.sql import Window
 
+    score = F.col(score_col)
+    if dict(scores.dtypes).get(score_col) in ("float", "double"):
+        # Spark orders NaN ABOVE every double: a NaN score (0/0 quality
+        # ratio upstream) would beat every real score and become the
+        # representative. Map NaN to NULL so it ranks below all scored
+        # members, like the unscored LEFT-join misses.
+        score = F.nanvl(score, F.lit(None).cast("double"))
     joined = clusters.join(
-        scores.select(F.col(id_col).alias("id"), F.col(score_col).alias("_score")),
+        scores.select(F.col(id_col).alias("id"), score.alias("_score")),
         on="id",
         how="left",
     )
@@ -909,6 +965,12 @@ def connected_components_local(
 
     for r in rows:
         a, b = r["a"], r["b"]
+        if a is None or b is None:
+            # a NULL endpoint carries no identity to union on; the
+            # distributed variants' equi-joins drop such edges too —
+            # skipping here keeps the equivalence instead of a driver
+            # TypeError from min/max(None, int)
+            continue
         parent.setdefault(a, a)
         parent.setdefault(b, b)
         ra, rb = find(a), find(b)

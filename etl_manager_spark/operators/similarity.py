@@ -124,6 +124,52 @@ def _collect_training_sample(
     return [(r[0], r[1]) for r in rows]
 
 
+_INTEGRAL_IDS = ("tinyint", "smallint", "int", "bigint")
+
+
+def _require_integral_id(df: DataFrame, id_col: str, op: str) -> None:
+    """The Arrow-kernel variants exchange ids through fixed long-typed
+    schemas; a non-integral id would either throw CAST_INVALID_INPUT
+    under ANSI or silently become NULL ids on legacy deployments. Refuse
+    up front with the alternative spelled out."""
+    t = dict(df.dtypes).get(id_col)
+    if t not in _INTEGRAL_IDS:
+        raise ValueError(
+            f"{op}: id column {id_col!r} has type {t} — the Arrow kernel "
+            "variants require an integral id; use the exact cosine_topk/"
+            "cosine_near_dup_pairs (any orderable id type) or add an "
+            "integral surrogate id"
+        )
+
+
+def _valid_vec(vec_col: Column, dim: int | None = None) -> Column:
+    """Rows the numpy kernels can stack: non-null, and when the expected
+    dimensionality is known, exactly ``dim`` long. The exact HOF paths
+    score such rows NULL (zip_with pads, aggregate propagates) and the
+    threshold/rank drops them — filtering before the kernel gives the
+    same outcome instead of a stage-killing np.stack shape error."""
+    cond = vec_col.isNotNull()
+    if dim is not None:
+        cond = cond & (F.size(vec_col) == dim)
+    return cond
+
+
+def _stack_uniform(vecs, ids):
+    """(V, ids) with rows of the MODAL vector length only (ties break to
+    the larger length for determinism) — the kernel-side guard for
+    ragged inputs reaching np.stack when the caller couldn't state a
+    dim. Malformed rows score nothing, matching the exact paths where
+    their sims are NULL and fail every threshold."""
+    import numpy as np
+
+    lens = np.array([len(v) for v in vecs])
+    vals, counts = np.unique(lens, return_counts=True)
+    modal = int(vals[np.lexsort((vals, counts))[-1]])
+    keep = lens == modal
+    V = np.stack([np.asarray(v, dtype=np.float64) for v, k in zip(vecs, keep) if k])
+    return V, ids[keep]
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -131,6 +177,7 @@ def cosine_topk(
     vec_col: str = "embedding",
     k: int = 5,
     extra_payload_cols: list[str] | None = None,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Exact cosine top-k neighbors for each query vector.
 
@@ -143,7 +190,13 @@ def cosine_topk(
     filtered retrieval composes as a plain ``corpus.filter(...)``
     BEFORE this call, so the predicate pushes to the corpus scan and
     the result always has k rows per query (never the post-filtered
-    fewer-than-k of filter-after-ANN)."""
+    fewer-than-k of filter-after-ANN).
+
+    ``exclude_self`` (default True) drops candidates whose id equals the
+    query's id — correct when queries are DRAWN FROM the corpus (the
+    corpus-self search all the approximate variants assume). Pass False
+    when queries and corpus are independent tables whose id spaces
+    merely overlap, or equal ids would silently exclude real neighbors."""
     extra = list(extra_payload_cols or [])
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -156,10 +209,11 @@ def cosine_topk(
         l2_norm(F.col(vec_col)).alias("_cnorm"),
         *[F.col(x) for x in extra],
     )
+    scored = F.broadcast(q).crossJoin(c)
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
     scored = (
-        F.broadcast(q)
-        .crossJoin(c)
-        .filter(F.col("query_id") != F.col("neighbor_id"))
+        scored
         .select(
             "query_id",
             "neighbor_id",
@@ -304,8 +358,11 @@ def cosine_topk_lsh(
     import numpy as np
     import pandas as pd
 
+    _require_integral_id(queries, id_col, "cosine_topk_lsh")
+    _require_integral_id(corpus, id_col, "cosine_topk_lsh")
+
     def tagged(df, side):
-        return df.select(
+        return df.filter(_valid_vec(F.col(vec_col), dim)).select(
             F.col(id_col).cast("long").alias("id"),
             F.col(vec_col).alias("vec"),
             F.lit(side).alias("side"),
@@ -415,15 +472,15 @@ def cosine_near_dup_pairs_blocked(
             ]
         )
     )
-    tagged = corpus.select(
+    _require_integral_id(corpus, id_col, "cosine_near_dup_pairs_blocked")
+    tagged = corpus.filter(_valid_vec(F.col(vec_col))).select(
         F.col(id_col).cast("long").alias("id"),
         F.col(vec_col).alias("vec"),
         F.explode(pair_keys).alias("pair"),
     )
 
     def score_block_pair(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf["id"].to_numpy()
-        V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
+        V, ids = _stack_uniform(list(pdf["vec"]), pdf["id"].to_numpy())
         bi, bj = (int(x) for x in pdf["pair"].iloc[0].split("_"))
         blocks = ids % n_blocks
 
@@ -488,7 +545,8 @@ def cosine_near_dup_pairs_lsh(
     import numpy as np
     import pandas as pd
 
-    tagged = corpus.select(
+    _require_integral_id(corpus, id_col, "cosine_near_dup_pairs_lsh")
+    tagged = corpus.filter(_valid_vec(F.col(vec_col), dim)).select(
         F.col(id_col).cast("long").alias("id"),
         F.col(vec_col).alias("vec"),
         F.explode(
@@ -615,10 +673,13 @@ def cosine_topk_ivf(
     Approximate: misses neighbors whose list isn't probed."""
     import numpy as np
 
+    _require_integral_id(queries, id_col, "cosine_topk_ivf")
+    _require_integral_id(corpus, id_col, "cosine_topk_ivf")
     centroids = ivf_train_centroids(
         corpus, id_col, vec_col, num_lists, train_sample, sample_fraction
     )
     C = np.asarray(centroids, dtype=np.float64)  # (k, dim)
+    dim = C.shape[1]
 
     @F.pandas_udf("int")
     def assign_list(vs: pd.Series) -> pd.Series:
@@ -633,13 +694,13 @@ def cosine_topk_ivf(
         order = np.argsort(-_seq_dots(V, C), axis=1, kind="stable")[:, :nprobe] + 1
         return pd.Series([row.astype("int32").tolist() for row in order])
 
-    c = corpus.select(
+    c = corpus.filter(_valid_vec(F.col(vec_col), dim)).select(
         F.col(id_col).cast("long").alias("id"),
         F.col(vec_col).alias("vec"),
         F.lit("c").alias("side"),
         assign_list(F.col(vec_col)).alias("_list"),
     )
-    q = queries.select(
+    q = queries.filter(_valid_vec(F.col(vec_col), dim)).select(
         F.col(id_col).cast("long").alias("id"),
         F.col(vec_col).alias("vec"),
         F.lit("q").alias("side"),
@@ -687,6 +748,7 @@ def semantic_dedup_pairs(
     Approximate by design: cross-cluster duplicate pairs are missed."""
     import numpy as np
 
+    _require_integral_id(corpus, id_col, "semantic_dedup_pairs")
     C = np.asarray(centroids, dtype=np.float64)
 
     @F.pandas_udf("int")
@@ -694,7 +756,7 @@ def semantic_dedup_pairs(
         V = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
         return pd.Series((_seq_dots(V, C).argmax(axis=1) + 1).astype("int32"))
 
-    tagged = corpus.select(
+    tagged = corpus.filter(_valid_vec(F.col(vec_col), C.shape[1])).select(
         F.col(id_col).cast("long").alias("id"),
         F.col(vec_col).alias("vec"),
         assign_cluster(F.col(vec_col)).alias("cluster"),

@@ -1473,3 +1473,90 @@ def test_partial_topk_prefilter_survives_colliding_columns(spark):
     assert set(out.columns) == {"_pid", "_lr", "g"}
     # user column ranked (not the overwritten partition id) and intact
     assert [r._pid for r in out.collect()] == [3]
+
+
+def test_similarity_api_contracts(spark):
+    """Round-8 review fixes: exclude_self is optional (independent id
+    spaces), Arrow-kernel variants refuse non-integral ids with a clear
+    error instead of ANSI cast failures, and NULL/ragged embeddings are
+    skipped like the exact paths skip them (NULL sims) rather than
+    killing the stage in np.stack."""
+    from etl_manager_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+        cosine_near_dup_pairs_blocked,
+        cosine_near_dup_pairs_lsh,
+        cosine_topk,
+        cosine_topk_lsh,
+    )
+
+    q = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    c = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    got = [
+        (r.rank, r.neighbor_id)
+        for r in cosine_topk(q, c, k=2, exclude_self=False).orderBy("rank").collect()
+    ]
+    assert got == [(1, 1), (2, 2)]  # identical corpus vector not dropped
+    qs = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [1.0, 0.0])], "vec_id string, embedding array<double>"
+    )
+    assert cosine_near_dup_pairs(qs, 0.9).count() == 1  # exact path: any id type
+    with pytest.raises(ValueError, match="integral id"):
+        cosine_near_dup_pairs_blocked(qs, 0.9)
+    with pytest.raises(ValueError, match="integral id"):
+        cosine_topk_lsh(qs, qs, dim=2)
+    bad = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, None), (4, [1.0, 0.0, 9.9])],
+        "vec_id long, embedding array<double>",
+    )
+    assert cosine_near_dup_pairs(bad, 0.9).count() == 1
+    assert cosine_near_dup_pairs_blocked(bad, 0.9).count() == 1
+    assert cosine_near_dup_pairs_lsh(bad, 0.9, dim=2).count() == 1
+
+
+def test_dedup_api_contracts(spark):
+    """Round-8 review fixes: NULL-text pairs score jaccard 0.0 under any
+    deployment (never 1.0 via legacy -1/-1), NaN scores never win the
+    cluster representative, NULL edge endpoints don't crash the local
+    union-find, exact_dedup refuses reserved/overlapping names, and the
+    incremental verify step semi-joins the corpus to candidates."""
+    from etl_manager_spark.operators.dedup import (
+        cluster_representatives,
+        connected_components_local,
+        exact_dedup,
+        incremental_minhash_dedup,
+        pairwise_jaccard,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, None), (3, None)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    pj = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in pairwise_jaccard(docs, pairs, "doc_id", "text").collect()
+    }
+    assert pj == {(1, 2): 0.0, (2, 3): 0.0}
+    clusters = spark.createDataFrame([(1, 10), (2, 10), (3, 10)], "id long, cluster_id long")
+    scores = spark.createDataFrame(
+        [(1, float("nan")), (2, 0.9), (3, 0.1)], "id long, score double"
+    )
+    cr = {r.id: r.keep for r in cluster_representatives(clusters, scores).collect()}
+    assert cr == {1: False, 2: True, 3: False}
+    p2 = spark.createDataFrame([(None, 5), (5, 6)], "a long, b long")
+    cc = sorted((r.id, r.cluster_id) for r in connected_components_local(p2, "a", "b").collect())
+    assert cc == [(5, 5), (6, 5)]
+    with pytest.raises(ValueError, match="disjoint"):
+        exact_dedup(docs, ["text", "doc_id"], "doc_id")
+    corpus = spark.createDataFrame(
+        [(i, f"common tokens alpha beta {i}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1000, "common tokens alpha beta 7")], "doc_id long, text string"
+    )
+    out = incremental_minhash_dedup(new, corpus)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan  # verify step reads candidate corpus rows only
+    assert out.count() >= 1
