@@ -36,13 +36,22 @@ def pack_sequences(
     text_col: str = "text",
     seq_tokens: int = 128,
     n_shards: int = 16,
+    order_cols: list[str] | None = None,
 ) -> DataFrame:
     """Greedy in-order sequence packing: within each of ``n_shards`` hash
-    shards, documents (ordered by id) are folded into bins of at most
+    shards, documents (ordered by ``order_cols``, default ``[id_col]``)
+    are folded into bins of at most
     ``seq_tokens`` whitespace tokens — a document that would overflow the
     current bin opens the next one; a document larger than the budget
     gets a bin of its own (callers chunk oversized docs first, see
     :func:`etl_manager_spark.operators.text.chunk_documents`).
+
+    ``order_cols`` must be a TOTAL order within each shard or the packing
+    layout is not reproducible: rows tying on the sort key fold in
+    partition-arrival order, which varies per run. In particular the
+    chunk_documents → pack_sequences composition duplicates ``id_col``
+    (one row per chunk), so pass ``order_cols=[id_col, "chunk_idx"]``
+    there; the extra order columns ride through to the output.
 
     Shard = an ``md5(id)`` hex prefix mod ``n_shards`` — deterministic,
     uniform, and engine-independent, so the full packing layout (shard,
@@ -64,10 +73,16 @@ def pack_sequences(
     parallelism); packing quality is unaffected because bins never cross
     shards by construction.
 
-    Returns (shard, <id_col>, n_tokens, seq_id): ``seq_id`` is the
+    Returns (shard, <order_cols>, n_tokens, seq_id): ``seq_id`` is the
     0-based bin index within the shard."""
     import pandas as pd
 
+    order_cols = list(order_cols or [id_col])
+    if id_col not in order_cols:
+        raise ValueError(
+            f"order_cols must include id_col ({id_col!r}) — the shard key "
+            "hashes it"
+        )
     if seq_tokens <= 0:
         raise ValueError(f"seq_tokens must be positive, got {seq_tokens}")
     if not 1 <= n_shards <= 16**8:
@@ -94,7 +109,7 @@ def pack_sequences(
         )
         .cast("int")
         .alias("shard"),
-        F.col(id_col),
+        *[F.col(c) for c in order_cols],
         # null text counts 0 tokens: token_count(NULL) is NULL and a NaN
         # reaching the greedy fold poisons every later comparison in the
         # shard (each doc then opens its own bin, silently)
@@ -104,7 +119,10 @@ def pack_sequences(
     )
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        # mergesort: stable, so equal keys at least fold in a consistent
+        # relative order within one materialization; the REPRODUCIBLE-
+        # layout contract still requires order_cols to be a total order
+        pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
         seq_ids = []
         fill = 0
         sid = 0
@@ -122,10 +140,12 @@ def pack_sequences(
         pdf["seq_id"] = pd.Series(seq_ids, dtype="int64")
         return pdf
 
-    id_dtype = df.schema[id_col].dataType.simpleString()
+    order_schema = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in order_cols
+    )
     return slim.groupBy("shard").applyInPandas(
         _pack,
-        schema=f"shard int, {id_col} {id_dtype}, n_tokens long, seq_id long",
+        schema=f"shard int, {order_schema}, n_tokens long, seq_id long",
     )
 
 

@@ -162,6 +162,13 @@ def assign_row_ids(
     # numbering pass must observe the identical partition assignment
     # (range boundaries come from a sample — recomputing the shuffle for
     # each pass could legally re-draw them)
+    for reserved in ("_rid_part", "_rid_offset"):
+        if reserved in df.columns:
+            raise ValueError(
+                f"assign_row_ids: input may not contain {reserved!r} "
+                "(internal staging column — it would be overwritten and "
+                "dropped)"
+            )
     sorted_df = (
         df.repartitionByRange(n_partitions or parts, *cols)
         .withColumn("_rid_part", F.spark_partition_id())
@@ -249,8 +256,18 @@ def temperature_resample(
     w = Window.partitionBy(strata_col).orderBy(
         hash_bucket(id_col), F.col(id_col).asc()
     )
-    ranked = df.join(F.broadcast(quotas), on=strata_col).withColumn(
-        "rk", F.row_number().over(w)
+    # NULL-SAFE quota join: a NULL stratum is a real stratum — groupBy
+    # counted it into the quota denominator, so an equi-join here would
+    # silently drop its rows and under-fill total_budget. The window
+    # already groups NULL strata together.
+    q = quotas.withColumnRenamed(strata_col, "_tr_stratum")
+    ranked = (
+        df.join(
+            F.broadcast(q),
+            on=F.col(strata_col).eqNullSafe(F.col("_tr_stratum")),
+        )
+        .drop("_tr_stratum")
+        .withColumn("rk", F.row_number().over(w))
     )
     return ranked.filter(F.col("rk") <= F.col("quota"))
 
@@ -281,6 +298,7 @@ def temperature_resample_sql(
                PARTITION BY {strata_expr}
                ORDER BY substr(md5(COALESCE(CAST({id_expr} AS VARCHAR), '')), 1, 8),
                         {id_expr} ASC) AS INTEGER) AS rk
-      FROM {table} t JOIN quotas q ON {strata_expr} = q.stratum
+      FROM {table} t JOIN quotas q
+        ON {strata_expr} IS NOT DISTINCT FROM q.stratum
     )
     SELECT * FROM ranked WHERE rk <= quota"""

@@ -27,17 +27,27 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 
 def tokens(col: Column | str, pattern: str = DEFAULT_TOKEN_PATTERN) -> Column:
-    """Whitespace/regex tokenizer → array<string>."""
+    """Whitespace/regex tokenizer → array<string>, with boundary empties
+    REMOVED: Java's split keeps a leading '' for leading separators, and
+    F.trim strips only ASCII space — so '\\n'-bounded text (most
+    file-sourced text ends in a newline) used to yield phantom ''
+    tokens that inflated every token count and shifted fingerprints.
+    The filter form is boundary-agnostic for ANY whitespace. DuckDB
+    oracle twin:
+    ``LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+'), x -> x <> '')``."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.split(F.trim(c), pattern)
+    return F.filter(F.split(c, pattern), lambda t: t != F.lit(""))
 
 
 def token_count(col: Column | str) -> Column:
-    return F.size(tokens(col))
+    # nullif(-1): with ANSI off (legacy deployments) size(NULL) is -1,
+    # not NULL — callers' coalesce(token_count, 0) guards must hold on
+    # any deployment, not just the ANSI-on default
+    return F.nullif(F.size(tokens(col)), F.lit(-1))
 
 
 def distinct_token_count(col: Column | str) -> Column:
-    return F.size(F.array_distinct(tokens(col)))
+    return F.nullif(F.size(F.array_distinct(tokens(col))), F.lit(-1))
 
 
 # GPT-2-style pre-tokenizer, simplified to the regex subset Java regex and
@@ -71,10 +81,9 @@ def quality_score(text_col: Column | str) -> Column:
     n_distinct = distinct_token_count(c)
     length_ok = (F.length(c) >= 20) & (F.length(c) <= 100000)
     diversity = n_distinct.cast("double") / n_tok.cast("double")
-    # split('') returns [''] (size 1), so the n_tok == 0 arm alone never
-    # fires — the explicit empty/whitespace-only test makes the intended
-    # score-0 path real (an empty document must not outscore real ones
-    # via the phantom '' token's perfect diversity)
+    # tokens() filters boundary empties so n_tok == 0 is real for
+    # empty/whitespace-only text; the explicit trim test stays as the
+    # engine-portable belt (and documents the intended score-0 path)
     return (
         F.when((F.trim(c) == "") | (n_tok == 0), F.lit(0.0))
         .otherwise(
@@ -88,8 +97,12 @@ def language_id(text_col: Column | str, markers: dict[str, tuple[str, ...]] | No
     """Marker-word language heuristic: count hits per language's marker set,
     pick the argmax (ties → lexicographically first language), 'und' when no
     marker hits. A real system would use char n-gram models; the operator
-    shape (pure expression, no shuffle) is the point here."""
-    markers = markers or LANG_MARKERS
+    shape (pure expression, no shuffle) is the point here. An explicitly
+    EMPTY marker dict classifies everything 'und' (it is not a request
+    for the defaults — only None is)."""
+    markers = markers if markers is not None else LANG_MARKERS
+    if not markers:
+        return F.lit("und")
     toks = tokens(text_col)
 
     def _hits(mset):
@@ -122,11 +135,14 @@ def rolling_fingerprint(
     window collide with high probability, the classic local-similarity
     fingerprint.
 
-    All-integer JVM expression: the string is decoded ONCE into an
-    array of char codes (O(len) substr/ascii calls), then each window
-    folds over element_at lookups — cheap long arithmetic, no per-window
-    string allocation (the naive per-window substr recompute was ~8×
-    slower: 120 s → 14 s on 5000 docs at sf0.1). HOFs can't stream carry
+    All-integer JVM expression in its FUSED single-expression form: each
+    window folds ``acc*31 + ascii(substr(s, j, 1))`` directly — usable
+    wherever one Column expression is required, but the interpreted HOF
+    re-evaluates the normalized-string subtree per fold step, so this
+    form is O(len·window·normalize). For the staged O(len·window) fast
+    path (decode to a char-code array ONCE, then element_at lookups —
+    the 120 s → 14 s on 5000 docs at sf0.1 numbers), use
+    :func:`with_rolling_fingerprint`. HOFs can't stream carry
     state across windows, so the fold itself is still O(len·window). The
     per-step modulus keeps the accumulator < mod·31 + 255, well inside
     int64 in both Spark and the DuckDB oracle (exact integer parity)."""
@@ -196,6 +212,11 @@ def with_rolling_fingerprint(
     subtree sits inside the per-step lambda and may be re-evaluated per
     fold step."""
     s = _normalize_for_fp(F.col(text_col), window)
+    if "_rf_codes" in df.columns:
+        raise ValueError(
+            "with_rolling_fingerprint: input may not contain '_rf_codes' "
+            "(internal staging column — it would be overwritten and dropped)"
+        )
     staged = df.withColumn("_rf_codes", char_codes(s))
     out = staged.withColumn(
         out_col, _fingerprint_of_codes(F.col("_rf_codes"), window, mod)
@@ -497,7 +518,7 @@ def gopher_quality_flags(
         "ok_stopwords": stop_hits >= min_stopword_hits,
     }
     out = df.select(
-        F.col(id_col).alias("doc_id"),
+        F.col(id_col),  # caller's name preserved: flags join back by it
         n_toks.alias("n_tokens"),
         F.round(mean_len, 6).alias("mean_word_len"),
         F.round(rep3, 6).alias("repeated_trigram_frac"),
@@ -705,8 +726,8 @@ def gopher_quality_flags_vectorized(
         )
 
     return df.select(
-        F.col(id_col).alias("doc_id"), _flags(F.col(text_col)).alias("_g")
-    ).select("doc_id", "_g.*")
+        F.col(id_col), _flags(F.col(text_col)).alias("_g")
+    ).select(id_col, "_g.*")
 
 
 def cdc_chunk_stats(

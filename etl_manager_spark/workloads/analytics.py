@@ -18,7 +18,7 @@ from etl_manager_spark.operators import ranking as R
 from etl_manager_spark.workloads import workload
 from etl_manager_spark.workloads.tables import load_tables, spread
 
-_TOK = r"REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')"
+_TOK = r"LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'), x -> x <> '')"
 
 
 @workload(
@@ -4331,7 +4331,7 @@ def skyline_orders_price_date(spark, sf_dir):
     SELECT id, COUNT(*) AS n_bigrams,
            CAST(SUM(logp_q) AS BIGINT) AS sum_logp_q
     FROM scored GROUP BY id
-    """.replace("{_TOK}", r"REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')"),
+    """.replace("{_TOK}", r"LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'), x -> x <> '')"),
     category="text",
 )
 def kneser_ney_bigram_score_documents(spark, sf_dir):
@@ -4588,7 +4588,7 @@ def heaps_law_fit_documents(spark, sf_dir):
     r"""
     WITH vocab AS (
       SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS freq
-      FROM (SELECT LOWER(UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'))) AS tok
+      FROM (SELECT LOWER(UNNEST(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'), x -> x <> ''))) AS tok
             FROM documents)
       WHERE LEN(tok) >= 4
       GROUP BY tok ORDER BY freq DESC, tok LIMIT 2000
@@ -4622,7 +4622,7 @@ def symspell_pairs_vocab_documents(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     vocab = (
         spread(t["documents"], spark)
-        .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("tok0"))
+        .select(F.explode(F.filter(F.split("text", r"\s+"), lambda x: x != "")).alias("tok0"))
         .select(F.lower("tok0").alias("word"))
         .filter(F.length("word") >= 4)
         .groupBy("word")

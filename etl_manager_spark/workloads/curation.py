@@ -19,7 +19,7 @@ from etl_manager_spark.operators import text as X
 from etl_manager_spark.workloads import workload
 from etl_manager_spark.workloads.tables import load_tables, spread
 
-_TOK_SQL = r"REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')"
+_TOK_SQL = r"LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'), x -> x <> '')"
 _STOP_SQL = "('" + "','".join(X.STOPWORDS) + "')"
 
 

@@ -27,7 +27,7 @@ from etl_manager_spark.workloads.pipeline import (
 )
 from etl_manager_spark.workloads.tables import load_tables, spread
 
-_TOK_SQL = r"REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')"
+_TOK_SQL = r"LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'), x -> x <> '')"
 
 
 # --------------------------------------------------------------------- #

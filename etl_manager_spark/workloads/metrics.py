@@ -29,7 +29,7 @@ from etl_manager_spark.workloads.analytics import _BM25_CTES, _BM25_TERMS
 from etl_manager_spark.workloads.pipeline import _MINHASH_PAIRS_CTES
 from etl_manager_spark.workloads.tables import load_tables, spread
 
-_TOK = r"REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')"
+_TOK = r"LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'), x -> x <> '')"
 
 # Shared ground-truth threshold for the retrieval-eval family: a document
 # is "relevant" when it contains >= 5 total query-term occurrences. Shared
@@ -2080,10 +2080,10 @@ def kaplan_meier_first_purchase(spark, sf_dir):
 # division + one multiply + one min over integer counts, so it is
 # bitwise-portable across engines (no transcendentals).
 _P_SQL = r"""LEAST(1.0, 3.0 * (CAST(LEN(LIST_FILTER(
-        REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'),
+        LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'), x -> x <> ''),
         t -> LOWER(t) IN ('the','a','an','of','and','to','in','is','it','that')
       )) AS DOUBLE)
-      / CAST(LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) AS DOUBLE)))"""
+      / CAST(LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'), x -> x <> '')) AS DOUBLE)))"""
 
 
 def _p_col():
@@ -2428,7 +2428,7 @@ def logo_slope_influence_events(spark, sf_dir):
     r"""
     WITH top AS (
       SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
-      FROM (SELECT LOWER(UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'))) AS tok
+      FROM (SELECT LOWER(UNNEST(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'), x -> x <> ''))) AS tok
             FROM documents)
       GROUP BY tok ORDER BY freq DESC, tok LIMIT 1000
     ),
@@ -2480,7 +2480,7 @@ def zipf_fit_documents(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     top = (
         spread(t["documents"], spark)
-        .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("tok0"))
+        .select(F.explode(F.filter(F.split("text", r"\s+"), lambda x: x != "")).alias("tok0"))
         .select(F.lower("tok0").alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).cast("long").alias("freq"))
@@ -2526,13 +2526,13 @@ def zipf_fit_documents(spark, sf_dir):
       SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
              CAST(LEAST(9, CAST(FLOOR(CAST(n_chars AS DOUBLE) / 400.0) AS INT)) AS INT) AS len_bin,
              CAST(LEAST(9, CAST(FLOOR(
-               CAST(LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'),
+               CAST(LEN(LIST_FILTER(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'), x -> x <> ''),
                  t -> LOWER(t) IN ('the','a','an','of','and','to','in','is','it','that')
                )) AS DOUBLE)
-               / CAST(LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) AS DOUBLE)
+               / CAST(LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'), x -> x <> '')) AS DOUBLE)
                * 20.0) AS INT)) AS INT) AS stop_bin,
              CAST(LEAST(9, CAST(FLOOR(
-               CAST(LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) AS DOUBLE) / 40.0
+               CAST(LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'), x -> x <> '')) AS DOUBLE) / 40.0
              ) AS INT)) AS INT) AS nword_bin
       FROM documents
     ),
@@ -2579,7 +2579,7 @@ def feature_mi_documents(spark, sf_dir):
     staged = spread(t["documents"], spark).select(
         "lang",
         "n_chars",
-        F.split(F.trim("text"), r"\s+").alias("arr"),
+        F.filter(F.split("text", r"\s+"), lambda x: x != "").alias("arr"),
     )
     y = F.when(F.col("lang") == "en", 1).otherwise(0)
     len_bin = F.least(

@@ -22,7 +22,7 @@ from etl_manager_spark.functions.exact import lit_double_array, lit_double_matri
 from etl_manager_spark.workloads import ann_oracle, workload
 from etl_manager_spark.workloads.tables import load_tables, spread
 
-_TOK_SQL = r"REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')"
+_TOK_SQL = r"LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'), x -> x <> '')"
 _STOP_SQL = "('" + "','".join(X.STOPWORDS) + "')"
 
 
@@ -133,7 +133,7 @@ def fingerprint_rolling_documents(spark, sf_dir):
     "token_count_documents",
     r"""
     SELECT doc_id,
-           CAST(LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) AS INTEGER)
+           CAST(LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'), x -> x <> '')) AS INTEGER)
              AS n_ws_tokens,
            CAST(LEN(REGEXP_EXTRACT_ALL(text,
              '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+'))
@@ -1194,13 +1194,13 @@ def profile_customer_columns(spark, sf_dir):
     scored AS (
       SELECT doc_id, lang,
              CASE WHEN TRIM(text) = ''
-                    OR LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) = 0 THEN 0.0
+                    OR LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'), x -> x <> '')) = 0 THEN 0.0
              ELSE ((CASE WHEN LENGTH(text) BETWEEN 20 AND 100000 THEN 1.0 ELSE 0.0 END)
-                   + (CASE WHEN CAST(LEN(LIST_DISTINCT(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'))) AS DOUBLE)
-                           / CAST(LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) AS DOUBLE) > 0.1
+                   + (CASE WHEN CAST(LEN(LIST_DISTINCT(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'), x -> x <> ''))) AS DOUBLE)
+                           / CAST(LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'), x -> x <> '')) AS DOUBLE) > 0.1
                       THEN 1.0 ELSE 0.0 END)
-                   + CAST(LEN(LIST_DISTINCT(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'))) AS DOUBLE)
-                     / CAST(LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) AS DOUBLE)) / 3.0
+                   + CAST(LEN(LIST_DISTINCT(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'), x -> x <> ''))) AS DOUBLE)
+                     / CAST(LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'), x -> x <> '')) AS DOUBLE)) / 3.0
              END AS quality
       FROM docs
     ),
@@ -1795,7 +1795,7 @@ def stratified_sample_documents(spark, sf_dir):
     "chunk_documents_ctx32",
     r"""
     WITH d AS (
-      SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+') AS toks
+      SELECT doc_id, LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'), x -> x <> '') AS toks
       FROM documents
     ),
     s AS (SELECT doc_id, toks, len(toks) AS n FROM d),

@@ -344,3 +344,62 @@ def test_asof_property_vs_pandas_merge_asof(spark):
             assert got == exp, (direction, tol, got, exp)
 
     check()
+
+
+def test_tokens_ignore_boundary_whitespace(spark):
+    """'\\n'-bounded text must not yield phantom '' tokens: F.trim strips
+    only ASCII space, so the old split-after-trim counted 'hello\\n' as 2
+    tokens and fingerprinted trailing-newline docs differently."""
+    from etl_manager_spark.operators.text import (
+        doc_fingerprint,
+        quality_score,
+        token_count,
+        tokens,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "hello\n"), (2, "hello"), (3, "\n\n"), (4, "\ta b\n")],
+        "id long, text string",
+    )
+    got = {
+        r.id: (r.n, r.toks)
+        for r in df.select(
+            "id",
+            token_count("text").alias("n"),
+            tokens("text").alias("toks"),
+        ).collect()
+    }
+    assert got[1] == (1, ["hello"])
+    assert got[2] == (1, ["hello"])
+    assert got[3] == (0, [])
+    assert got[4] == (2, ["a", "b"])
+    # whitespace-only text scores 0.0 (not 0.5 via a phantom-token's
+    # perfect diversity)
+    q = {r.id: r.q for r in df.select("id", quality_score("text").alias("q")).collect()}
+    assert q[3] == 0.0
+    # trailing-newline twin fingerprints identically to the bare text
+    f = {r.id: r.f for r in df.select("id", doc_fingerprint("text").alias("f")).collect()}
+    assert f[1] == f[2]
+
+
+def test_language_id_empty_markers_is_und(spark):
+    from etl_manager_spark.operators.text import language_id
+
+    df = spark.createDataFrame([("the cat sat",)], "text string")
+    assert df.select(language_id("text", markers={}).alias("l")).collect()[0].l == "und"
+
+
+def test_gopher_flags_preserve_caller_id_name(spark):
+    from etl_manager_spark.operators.text import (
+        gopher_quality_flags,
+        gopher_quality_flags_vectorized,
+    )
+
+    df = spark.createDataFrame(
+        [(7, "the cat sat on the mat and it is a fine day for all of us")],
+        "page_id long, text string",
+    )
+    for fn in (gopher_quality_flags, gopher_quality_flags_vectorized):
+        out = fn(df, id_col="page_id")
+        assert "page_id" in out.columns  # joins back to the source work
+        assert out.collect()[0].page_id == 7

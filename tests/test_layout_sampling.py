@@ -456,3 +456,27 @@ def test_layout_scratch_sweep_is_session_scoped(tmp_path, monkeypatch):
     assert not os.path.exists(d1), "own previous dir must be swept"
     assert os.path.exists(d2)
     assert foreign.exists(), "foreign dir survives repeated sweeps"
+
+
+def test_temperature_resample_null_stratum_is_sampled(spark):
+    """A NULL stratum is a real stratum: it was counted into the quota
+    denominator, so an equi-join dropping its rows under-filled the
+    total budget silently."""
+    from etl_manager_spark.operators.sampling import temperature_resample
+
+    rows = [(i, "web") for i in range(100)] + [(1000 + i, None) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_resample(df, "source", "doc_id", total_budget=50)
+    by = {r[0]: r[1] for r in out.groupBy("source").count().collect()}
+    assert by.get("web", 0) == 25 and by.get(None, 0) == 25
+    assert out.count() == 50  # budget actually filled
+
+
+def test_assign_row_ids_refuses_reserved_names(spark):
+    import pytest as _pytest
+
+    from etl_manager_spark.operators.sampling import assign_row_ids
+
+    df = spark.createDataFrame([(1, 2)], "id long, _rid_part long")
+    with _pytest.raises(ValueError, match="_rid_part"):
+        assign_row_ids(df, ["id"])

@@ -303,3 +303,39 @@ def test_simhash_pairs_find_near_identical_docs(spark):
     assert (1, 2) in pairs
     assert pairs[(1, 2)] <= 3
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_pack_sequences_deterministic_over_chunks(spark):
+    """The documented chunk_documents -> pack_sequences composition
+    duplicates doc_id (one row per chunk); order_cols=[doc_id, chunk_idx]
+    makes the layout a total order, so it reproduces under any input
+    partitioning and the seq_id attributes to a specific chunk."""
+    from etl_manager_spark.operators.packing import pack_sequences
+    from etl_manager_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(300))), (2, "short doc here")],
+        "doc_id long, text string",
+    )
+    chunks = chunk_documents(docs, chunk_tokens=64, overlap_tokens=0)
+    layouts = []
+    for parts in (1, 3, 7):
+        packed = pack_sequences(
+            chunks.repartition(parts),
+            text_col="chunk_text",
+            seq_tokens=128,
+            order_cols=["doc_id", "chunk_idx"],
+        )
+        layouts.append(
+            sorted(
+                (r.doc_id, r.chunk_idx, r.shard, r.seq_id)
+                for r in packed.collect()
+            )
+        )
+    assert layouts[0] == layouts[1] == layouts[2]
+    assert {c for c in packed.columns} == {"shard", "doc_id", "chunk_idx", "n_tokens", "seq_id"}
+    # order_cols must include the shard-hashed id
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="order_cols must include"):
+        pack_sequences(chunks, text_col="chunk_text", order_cols=["chunk_idx"])
