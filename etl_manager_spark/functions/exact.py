@@ -87,6 +87,10 @@ def lit_double_array(values) -> Column:
     sees a single row. One ``F.expr`` string parse builds the same
     constant-folded literal ~40× faster, values bitwise-identical via
     shortest-round-trip formatting (_double_sql)."""
+    if not values:
+        # bare array() types as array<string>; an empty TYPED literal
+        # keeps callers' zip_with/array_position analysis-valid
+        return F.expr("CAST(array() AS ARRAY<DOUBLE>)")
     return F.expr("array(" + ",".join(_double_sql(float(x)) for x in values) + ")")
 
 
@@ -94,8 +98,12 @@ def lit_double_matrix(rows) -> Column:
     """Literal ``array<array<double>>`` as one parsed expression — same
     rationale as lit_double_array, for codebooks / centroid tables /
     per-query vectors."""
+    if not rows:
+        return F.expr("CAST(array() AS ARRAY<ARRAY<DOUBLE>>)")
     inner = ",".join(
         "array(" + ",".join(_double_sql(float(x)) for x in row) + ")"
+        if row
+        else "CAST(array() AS ARRAY<DOUBLE>)"
         for row in rows
     )
     return F.expr(f"array({inner})")
@@ -104,4 +112,6 @@ def lit_double_matrix(rows) -> Column:
 def lit_long_array(values) -> Column:
     """Literal ``array<bigint>`` as one parsed expression (``L`` suffix)
     — same single-round-trip rationale as lit_double_array."""
+    if not values:
+        return F.expr("CAST(array() AS ARRAY<BIGINT>)")
     return F.expr("array(" + ",".join(f"{int(x)}L" for x in values) + ")")

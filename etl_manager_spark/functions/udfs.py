@@ -63,9 +63,6 @@ def quantized_embeddings(df: "DataFrame", id_col: str = "vec_id", vec_col: str =
     )
 
 
-_CENTROID_SCHEMA = "label int, n long, centroid array<double>"
-
-
 def _centroid_of_group(pdf: pd.DataFrame) -> pd.DataFrame:
     import numpy as np
 
@@ -79,7 +76,7 @@ def _centroid_of_group(pdf: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"label": [], "n": [], "centroid": []}).astype(
             {"label": "object", "n": "int64", "centroid": "object"}
         )
-    pdf = pdf.sort_values("_order_id")
+    pdf = pdf.sort_values("_order_id", kind="mergesort")  # stable on ties
     mat = np.stack(pdf["embedding"].map(lambda v: np.asarray(v, dtype=np.float64)))
     # Sequential left-fold over rows in id order (NOT np.sum/mean, whose
     # pairwise accumulation is faster but order-sensitive): identical
@@ -91,7 +88,15 @@ def _centroid_of_group(pdf: pd.DataFrame) -> pd.DataFrame:
     for row in mat[1:]:
         acc = acc + row
     raw_label = pdf["label"].iloc[0]
-    label = None if pd.isna(raw_label) else int(raw_label)
+    # pass the label through at its own type (unwrap numpy scalars only);
+    # int()-coercion crashed string labels and wrapped >int32 under the
+    # old hardcoded 'label int' schema
+    if pd.isna(raw_label):
+        label = None
+    elif hasattr(raw_label, "item"):
+        label = raw_label.item()
+    else:
+        label = raw_label
     return pd.DataFrame(
         {
             "label": [label],
@@ -111,7 +116,10 @@ def label_centroids(
     grouped-map applyInPandas (the grouped-map stand-in for a custom UDAF
     with vector state). Rows are folded sequentially in ``id_col`` order so
     the float64 result is bitwise-deterministic and oracle-checkable; see
-    _centroid_of_group."""
+    _centroid_of_group. The output label column carries the INPUT label
+    type (a hardcoded 'label int' schema silently int32-wrapped bigint
+    labels and crashed string ones)."""
+    label_type = df.schema[label_col].dataType.simpleString()
     return (
         df.select(
             F.col(label_col).alias("label"),
@@ -119,7 +127,10 @@ def label_centroids(
             F.col(id_col).alias("_order_id"),
         )
         .groupBy("label")
-        .applyInPandas(_centroid_of_group, schema=_CENTROID_SCHEMA)
+        .applyInPandas(
+            _centroid_of_group,
+            schema=f"label {label_type}, n long, centroid array<double>",
+        )
     )
 
 
@@ -168,11 +179,29 @@ def weighted_mean_cents(values: pd.Series, weights: pd.Series) -> float:
     vals = values.to_numpy(dtype=np.float64)
     ws = weights.to_numpy(dtype=np.float64)
     ok = ~(np.isnan(vals) | np.isnan(ws))
-    cents = np.floor(vals[ok] * 100.0 + 0.5).astype(np.int64)
-    w = ws[ok].astype(np.int64)
+    v, w_f = vals[ok], ws[ok]
+    # the exactness contract is integer accumulation: non-finite or
+    # cents-overflow values would reach astype(int64) as INT64_MIN
+    # (silent garbage), and fractional weights would silently truncate —
+    # both engines' casts ERROR on these inputs, so raise, don't corrupt
+    if not (np.isfinite(v).all() and np.isfinite(w_f).all()):
+        raise ValueError("weighted_mean_cents: non-finite value/weight")
+    if (np.abs(v) >= 9.2e16).any():
+        raise ValueError(
+            "weighted_mean_cents: |value| too large to centi-quantize "
+            "into int64"
+        )
+    if (w_f != np.floor(w_f)).any():
+        raise ValueError(
+            "weighted_mean_cents: weights must be integral (the exact "
+            "accumulation is integer arithmetic); scale fractional "
+            "weights up first"
+        )
+    cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+    w = w_f.astype(np.int64)
     sw = sum(int(x) for x in w)
     if sw == 0:
-        return float("nan")
+        return None  # SQL NULL (the oracle's SUM/SUM is NULL), not NaN
     num = sum(int(c) * int(x) for c, x in zip(cents, w))
     return (num / sw) / 100.0
 

@@ -66,7 +66,10 @@ def _fake_decode(content: bytes, feature_dim: int) -> list[float]:
       engines' differing scientific-notation styles (``1.0E-9`` vs
       ``1e-9``)."""
     if content is None:
-        return [0.0] * feature_dim
+        # missing payload → NULL feature (not a fabricated zero vector:
+        # every NULL-content row would become a perfect similarity match
+        # of every other, while n_bytes correctly reports NULL)
+        return None
     digest_hex = hashlib.sha256(content.hex().encode()).hexdigest()
     raw = (digest_hex * ((feature_dim * 8) // len(digest_hex) + 1))[: feature_dim * 8]
     return [
@@ -108,7 +111,13 @@ def extract_features(
                     "n_bytes": [
                         len(b) if b is not None else None for b in pdf["content"]
                     ],
-                    "feature": [decode(b) for b in pdf["content"]],
+                    # NULL content never reaches the decoder: real
+                    # codecs (PIL/librosa/ffmpeg) crash on None, and the
+                    # SQL convention is NULL-in → NULL-out
+                    "feature": [
+                        decode(b) if b is not None else None
+                        for b in pdf["content"]
+                    ],
                 }
             )
 
@@ -181,7 +190,10 @@ def resize_media(
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "content": [resize(b, width, height) for b in pdf["content"]],
+                    "content": [
+                        resize(b, width, height) if b is not None else None
+                        for b in pdf["content"]
+                    ],
                     "width": width,
                     "height": height,
                 }
@@ -235,7 +247,9 @@ def sample_frames(
                     ids.append(mid)
                     idxs.append(i)
                     tss.append(ts)
-                    frames.append(decode(content, i))
+                    frames.append(
+                        decode(content, i) if content is not None else None
+                    )
             yield pd.DataFrame(
                 {"media_id": ids, "frame_idx": idxs, "ts_ms": tss, "frame": frames}
             )
@@ -274,6 +288,10 @@ def perceptual_hash(df: "DataFrame", bits: int = 16) -> "DataFrame":
     phash = bit_terms[0]
     for t in bit_terms[1:]:
         phash = phash + t
+    # NULL content → NULL phash (each when() condition is NULL and would
+    # fall through to otherwise(0), making every missing payload a
+    # Hamming-0 clique member in the downstream dedup join)
+    phash = F.when(F.col("content").isNotNull(), phash)
     return df.select("media_id", phash.alias("phash"))
 
 

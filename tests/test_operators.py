@@ -1560,3 +1560,44 @@ def test_dedup_api_contracts(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan  # verify step reads candidate corpus rows only
     assert out.count() >= 1
+
+
+def test_multimodal_null_content_stays_null(spark):
+    """NULL payloads: NULL feature/phash/resized frame (never a
+    fabricated zero vector or phash 0 that joins every missing row into
+    one dedup clique), and a user-supplied codec is never invoked on
+    None."""
+    from pyspark.sql import types as T
+
+    from etl_manager_spark.operators import multimodal as M
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+            T.StructField(
+                "meta",
+                T.StructType(
+                    [
+                        T.StructField("mime", T.StringType()),
+                        T.StructField("duration_ms", T.IntegerType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, b"abc", ("image/x", None)), (2, None, ("video/x", 2000))], schema
+    )
+    feats = {r.media_id: r.feature for r in M.extract_features(df).collect()}
+    assert feats[2] is None and feats[1] is not None
+    ph = {r.media_id: r.phash for r in M.perceptual_hash(df).collect()}
+    assert ph[2] is None and ph[1] is not None
+
+    def crashy(b):
+        raise RuntimeError("decoder called on None")
+
+    got = M.extract_features(
+        df.filter("media_id = 2"), decode_fn=crashy
+    ).collect()
+    assert got[0].feature is None  # codec never saw the NULL payload
