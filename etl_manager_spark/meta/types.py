@@ -44,7 +44,6 @@ _SIMPLE_TYPES: dict[str, T.DataType] = {
     "boolean": T.BooleanType(),
 }
 
-_DECIMAL_RE = re.compile(r"^decimal\((\d+),\s*(\d+)\)$")
 # Struct field names follow the same legality rule as column names
 # (reference utils.py:82-94): lowercase alnum + underscore.
 _FIELD_NAME_RE = re.compile(r"^[a-z0-9_]+$")
@@ -191,6 +190,16 @@ def spark_type_to_agnostic(dtype: T.DataType) -> str:
     if isinstance(dtype, T.ArrayType):
         return f"array<{spark_type_to_agnostic(dtype.elementType)}>"
     if isinstance(dtype, T.StructType):
+        for f in dtype.fields:
+            if not _FIELD_NAME_RE.match(f.name):
+                # emit only strings the inverse parser accepts: a verbatim
+                # 'struct<Num:int>' would fail the construction-time
+                # grammar gate later with a confusing parse error
+                raise AgnosticTypeError(
+                    f"struct field name {f.name!r} is not expressible in "
+                    "the agnostic grammar (lowercase alnum + underscore); "
+                    "rename the field before importing the schema"
+                )
         inner = ",".join(
             f"{f.name}:{spark_type_to_agnostic(f.dataType)}" for f in dtype.fields
         )

@@ -62,16 +62,45 @@ def apply_cdc_stream(
     non-deterministic); (2) MERGE into the current state (updates take
     the change row verbatim, new keys insert, ``delete_col`` rows drop);
     (3) atomically swap the new state version in. Restarts resume from
-    the checkpoint — a half-written ``_next`` dir is simply overwritten.
+    the checkpoint: a half-written ``_next`` (crash during the write)
+    is simply overwritten, and a crash BETWEEN the two swap moves —
+    ``current`` renamed away but the new version not yet promoted — is
+    repaired by ``_recover`` before any read: the complete ``_next`` is
+    promoted (replaying its batch over it is idempotent: same reduced
+    rows merge to the same state), else ``_old`` is restored. Without
+    that repair a restart would silently rebuild from an EMPTY table,
+    losing every previously applied batch. The input schema may not use
+    the internal name ``_cdc_rank``.
 
     Scale: the per-batch reduce is one shuffle of the BATCH (not the
     table); the merge joins state⋈batch on key — with the state table
     bucketed by key this is the classic incremental-upsert shape (what
     table formats' MERGE does under the hood)."""
+    if "_cdc_rank" in changes.columns:
+        raise ValueError(
+            "apply_cdc_stream: input may not contain '_cdc_rank' "
+            "(internal rank column — it would be overwritten and dropped)"
+        )
     current = os.path.join(state_path, "current")
+    nxt_path = os.path.join(state_path, "_next")
+    old_path = os.path.join(state_path, "_old")
     from pyspark.sql import Window
 
+    def _recover() -> None:
+        """Repair an interrupted version swap (see docstring)."""
+        if os.path.exists(current):
+            return
+        if os.path.exists(old_path):
+            if os.path.exists(nxt_path):
+                # the swap moves only start after _next is fully written:
+                # _old present means the write completed — promote it
+                shutil.move(nxt_path, current)
+                shutil.rmtree(old_path, ignore_errors=True)
+            else:
+                shutil.move(old_path, current)
+
     def _apply(batch: "DataFrame", batch_id: int) -> None:
+        _recover()
         rank = F.row_number().over(
             Window.partitionBy(*key).orderBy(*[F.col(c).desc() for c in order_cols])
         )
@@ -98,13 +127,11 @@ def apply_cdc_stream(
             delete_col=delete_col,
             assume_unique_source=True,
         )
-        nxt = os.path.join(state_path, "_next")
-        merged.write.mode("overwrite").parquet(nxt)
-        old = os.path.join(state_path, "_old")
+        merged.write.mode("overwrite").parquet(nxt_path)
         if os.path.exists(current):
-            shutil.move(current, old)
-        shutil.move(nxt, current)
-        shutil.rmtree(old, ignore_errors=True)
+            shutil.move(current, old_path)
+        shutil.move(nxt_path, current)
+        shutil.rmtree(old_path, ignore_errors=True)
 
     q = (
         changes.writeStream.foreachBatch(_apply)
@@ -113,4 +140,10 @@ def apply_cdc_stream(
         .start()
     )
     q.awaitTermination()
+    _recover()
+    if not os.path.exists(current):
+        # zero micro-batches (empty source on first run): the final state
+        # is the empty table with the change schema minus the delete flag
+        empty_cols = [c for c in changes.columns if c != delete_col]
+        return spark.createDataFrame([], changes.select(empty_cols).schema)
     return spark.read.parquet(current)

@@ -100,28 +100,18 @@ def user_counters(
 
 
 def _run_to_memory(spark, stream, name: str, state_partitions: int | None):
-    """Shared availableNow runner for the stateful wrappers: pin
-    ``spark.sql.shuffle.partitions`` for the query's lifetime (restored
-    in finally — a stateful query's state-store partition count is FIXED
-    at first start by the checkpoint, and each partition runs a Python
-    state worker per micro-batch, so size it to key cardinality, not the
-    session's relational default), run to the memory sink, and return
-    the sink table."""
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    if state_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    try:
-        q = (
-            stream.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table(name)
+    """availableNow runner for the stateful wrappers — delegates to
+    ``windows.run_to_memory`` (one copy of the shuffle-partition
+    pin/restore logic) in update mode."""
+    from etl_manager_spark.streaming.windows import run_to_memory
+
+    return run_to_memory(
+        stream,
+        spark,
+        name,
+        output_mode="update",
+        state_partitions=state_partitions,
+    )
 
 
 def run_user_counters_to_memory(

@@ -57,7 +57,10 @@ class FirstSeenProcessor(StatefulProcessor):
         mins: dict[str, int] = {}
         for pdf in rows:
             us = pdf["ts"].astype("int64") // 1000
-            batch_min = us.groupby(pdf["event_type"].values).min()
+            # dropna=False: SQL GROUP BY keeps a NULL group; pandas'
+            # default dropna=True would silently skip NULL-typed events,
+            # breaking batch/stream first-seen equivalence
+            batch_min = us.groupby(pdf["event_type"].values, dropna=False).min()
             for et, t in batch_min.items():
                 t = int(t)
                 if et not in mins or t < mins[et]:

@@ -502,3 +502,65 @@ def test_fullouter_interval_join_right_eviction_boundary(spark, tmp_path):
     null_clicks = sorted(r.purchase_id for r in out if r.click_id is None)
     # 11 == cutoff -> emits; 12 is 1µs past -> held; 13/901 -> held
     assert null_clicks == [11], null_clicks
+
+
+def test_cdc_swap_crash_recovery_and_empty_stream(spark, tmp_path):
+    """A crash BETWEEN the two state-swap moves (current renamed away,
+    _next not yet promoted) must not silently rebuild from an empty
+    table: _recover promotes the complete _next. And a change stream
+    with zero micro-batches returns a typed empty table, not a
+    PATH_NOT_FOUND crash."""
+    import os
+    import shutil
+
+    from etl_manager_spark.streaming.enrich import apply_cdc_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, 1, "a", False), (2, 1, "b", False)],
+        "k long, seq long, v string, deleted boolean",
+    ).write.mode("overwrite").json(str(src))
+    schema = "k long, seq long, v string, deleted boolean"
+    out = apply_cdc_stream(
+        spark,
+        spark.readStream.schema(schema).json(str(src)),
+        ["k"], ["seq"], str(tmp_path / "state"), str(tmp_path / "ckpt"),
+        delete_col="deleted",
+    )
+    assert sorted((r.k, r.v) for r in out.collect()) == [(1, "a"), (2, "b")]
+    # simulate the crash window
+    state = tmp_path / "state"
+    shutil.copytree(state / "current", state / "_next")
+    shutil.move(str(state / "current"), str(state / "_old"))
+    spark.createDataFrame(
+        [(3, 2, "c", False)], schema
+    ).write.mode("append").json(str(src))
+    out2 = apply_cdc_stream(
+        spark,
+        spark.readStream.schema(schema).json(str(src)),
+        ["k"], ["seq"], str(state), str(tmp_path / "ckpt2"),
+        delete_col="deleted",
+    )
+    assert sorted((r.k, r.v) for r in out2.collect()) == [
+        (1, "a"), (2, "b"), (3, "c")
+    ]
+    # zero micro-batches
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    out3 = apply_cdc_stream(
+        spark,
+        spark.readStream.schema("k long, v string, deleted boolean").json(str(empty)),
+        ["k"], ["v"], str(tmp_path / "state3"), str(tmp_path / "ckpt3"),
+        delete_col="deleted",
+    )
+    assert out3.count() == 0 and out3.columns == ["k", "v"]
+    # reserved internal name refused
+    import pytest as _pytest
+
+    bad = spark.readStream.schema("k long, _cdc_rank long").json(str(empty))
+    with _pytest.raises(ValueError, match="_cdc_rank"):
+        apply_cdc_stream(
+            spark, bad, ["k"], ["_cdc_rank"],
+            str(tmp_path / "s4"), str(tmp_path / "c4"),
+        )

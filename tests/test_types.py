@@ -96,3 +96,23 @@ def test_round_trip_all_valid(type_str):
 def test_error_message_contains_position():
     with pytest.raises(AgnosticTypeError, match="position"):
         agnostic_to_spark_type("array<in t>")
+
+
+def test_struct_field_name_roundtrip_gate():
+    """spark_type_to_agnostic must only emit strings its documented
+    inverse accepts: a struct field named 'Num' (legal in parquet,
+    illegal in the agnostic grammar) raises at conversion time instead
+    of producing metadata that can never be loaded back."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from etl_manager_spark.meta.types import (
+        AgnosticTypeError,
+        spark_type_to_agnostic,
+    )
+
+    bad = T.StructType([T.StructField("Num", T.IntegerType())])
+    with pytest.raises(AgnosticTypeError, match="Num"):
+        spark_type_to_agnostic(bad)
+    ok = T.StructType([T.StructField("num", T.IntegerType())])
+    assert spark_type_to_agnostic(ok) == "struct<num:int>"
