@@ -67,9 +67,14 @@ def bpe_token_count(col: Column | str, pattern: str = BPE_TOKEN_PATTERN) -> Colu
 
 
 def stopword_ratio(col: Column | str, stopwords=STOPWORDS) -> Column:
+    """NULL for token-less (empty/whitespace-only) docs — 0/0 would throw
+    under ANSI now that tokens() filters boundary empties."""
     toks = tokens(col)
     stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(*stopwords)))
-    return stop.cast("double") / F.size(toks).cast("double")
+    n = F.size(toks)
+    return F.when(n == 0, F.lit(None).cast("double")).otherwise(
+        stop.cast("double") / n.cast("double")
+    )
 
 
 def quality_score(text_col: Column | str) -> Column:
@@ -289,7 +294,8 @@ def text_profile_vectorized(
     Janino codegen compile on first execution (each sub-expression alone
     compiles in <1 s; combined they blow past the generated-method sweet
     spot), which a run-each-query-once benchmark pays in full. Semantics
-    parity notes: ``strip(' ')`` ≡ ``F.trim`` (space-only), ``re.ASCII``
+    parity notes: tokenization filters boundary empties like ``tokens()``
+    (no trim needed — any-whitespace boundaries are handled), ``re.ASCII``
     makes ``\\s`` the Java character class, Python ``len`` ≡ ``F.length``
     (code points), md5 over UTF-8 bytes both sides."""
     import hashlib
@@ -308,19 +314,18 @@ def text_profile_vectorized(
             if t is None:
                 rows.append((None, None, None, None, None, None))
                 continue
-            stripped = t.strip(" ")
-            toks = split(stripped)
+            # tokens() parity: boundary empties filtered, so
+            # empty/whitespace-only docs have ZERO tokens and NULL ratios
+            toks = [tok for tok in split(t) if tok != ""]
             n_tok = len(toks)
             n_distinct = len(set(toks))
             n_chars = len(t)
             lowered = [tok.lower() for tok in toks]
             n_stop = sum(1 for tok in lowered if tok in stop)
-            ratio = n_stop / n_tok
-            diversity = n_distinct / n_tok
+            ratio = n_stop / n_tok if n_tok else None
+            diversity = n_distinct / n_tok if n_tok else None
             length_ok = 1.0 if 20 <= n_chars <= 100000 else 0.0
-            # JVM-path parity: empty/whitespace-only documents score 0.0
-            # (split('') yields [''], so n_tok alone can't detect them)
-            if stripped == "" or n_tok == 0:
+            if n_tok == 0:
                 quality = 0.0
             else:
                 quality = (
@@ -365,10 +370,13 @@ def text_profile(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     n_tok = F.size(toks)
     n_distinct = F.size(F.array_distinct(toks))
     n_stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS)))
-    diversity = n_distinct.cast("double") / n_tok.cast("double")
+    # n_tok == 0 is REAL for empty/whitespace-only docs now that tokens()
+    # filters boundary empties — guard every ratio (ANSI throws on 0/0;
+    # the vectorized twin emits NULL there via pandas NaN → Arrow)
+    diversity = F.when(n_tok == 0, F.lit(None).cast("double")).otherwise(
+        n_distinct.cast("double") / n_tok.cast("double")
+    )
     length_ok = (F.col("n_chars") >= 20) & (F.col("n_chars") <= 100000)
-    # split('') yields [''] so n_tok == 0 alone never fires — the staged
-    # emptiness test makes the score-0 arm real (quality_score parity)
     quality = F.when(F.col("_tp_empty") | (n_tok == 0), F.lit(0.0)).otherwise(
         (length_ok.cast("double") + (diversity > 0.1).cast("double") + diversity)
         / F.lit(3.0)
@@ -378,7 +386,9 @@ def text_profile(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
         n_tok.alias("n_tokens"),
         n_distinct.alias("n_distinct_tokens"),
         F.col("n_chars"),
-        (n_stop.cast("double") / n_tok.cast("double")).alias("stopword_ratio"),
+        F.when(n_tok == 0, F.lit(None).cast("double"))
+        .otherwise(n_stop.cast("double") / n_tok.cast("double"))
+        .alias("stopword_ratio"),
         quality.alias("quality"),
         F.md5(F.array_join(F.transform(toks, F.lower), " ")).alias("fingerprint"),
     )
