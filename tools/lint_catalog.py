@@ -190,6 +190,8 @@ FNP_ALLOWED: dict[str, str] = {
     "cohort_retention_events": "null-guard",
     "conformal_interval_events": "expr: event_id % 2 calib/test split",
     "curation_pipeline_documents": "expr: quality-score CASE over text",
+    "dedup_embedding_cosine": "expr: size(embedding)==dim kernel validity guard",
+    "dedup_embedding_cosine_lsh": "expr: size(embedding)==dim kernel validity guard",
     "cusum_changepoint_events": "derived: rn = 1 (window)",
     "decontaminate_train_vs_eval": "expr: doc_id % 10 split + size(split)",
     "dupspan_coverage_documents": "expr: size(split(text)) >= 3; derived nd >= 2",
@@ -227,6 +229,7 @@ FNP_ALLOWED: dict[str, str] = {
     "rbo_bm25_vs_tfidf": "derived: term IN on explode + rank lists",
     "record_highs_daily_events": "null-guard (cast(ts as date) wrappers)",
     "retraction_rollup_events": "expr: event_id % 53/37 retraction sample",
+    "semdedup_embeddings": "expr: size(embedding)==dim kernel validity guard",
     "rolling_origin_backtest_daily": "null-guard",
     "rollup_revenue_region_nation": "null-guard",
     "rrf_fuse_bm25_tfidf_documents": "derived: term IN on exploded terms",
