@@ -55,6 +55,13 @@ def asof_join(
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"asof_join: unknown direction {direction!r}")
+    for reserved in ("_side", "_ts", "_asof_payload", "_asof_carried"):
+        if reserved in left.columns:
+            raise ValueError(
+                f"asof_join: left may not contain {reserved!r} (internal "
+                "working column — it would be overwritten and emitted "
+                "corrupted)"
+            )
     right_payload = right_payload or [
         c for c in right.columns if c not in (on, right_ts)
     ]
@@ -72,7 +79,14 @@ def asof_join(
         F.col(right_ts).alias(_TS_FIELD),
     )
     lhs = left.withColumn("_side", F.lit(1)).withColumn("_ts", F.col(left_ts))
-    rhs = right.select(
+    # SQL ASOF JOIN / pandas merge_asof semantics on NULLs: a right row
+    # with a NULL timestamp satisfies no <=/>= predicate (drop it before
+    # the union — the ascending sort would otherwise place it FIRST and
+    # backward mode would carry it as a "match"), and NULL join keys
+    # never match (the window's partitionBy would group them together).
+    rhs = right.filter(
+        F.col(right_ts).isNotNull() & F.col(on).isNotNull()
+    ).select(
         F.col(on),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
@@ -101,6 +115,15 @@ def asof_join(
         carried = unioned.withColumn(
             "_asof_carried", F.first("_asof_payload", ignorenulls=True).over(w)
         )
+    # a NULL-ts or NULL-key left row matches nothing (it sorts first and
+    # first(ignorenulls) would hand it the EARLIEST right row forward)
+    carried = carried.withColumn(
+        "_asof_carried",
+        F.when(
+            F.col("_ts").isNotNull() & F.col(on).isNotNull(),
+            F.col("_asof_carried"),
+        ),
+    )
     if tolerance is not None:
         if direction == "backward":
             fresh = F.col(f"_asof_carried.{_TS_FIELD}") >= (

@@ -131,9 +131,12 @@ def degree_assortativity(
     node ids; the moment reduction is a single map-combined aggregate.
 
     Returns one row: (n_edges, r_q) with r nano-quantized."""
-    sym = pairs.select(
-        F.col(id_a).alias("u"), F.col(id_b).alias("v")
-    ).unionAll(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+    sym = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .unionAll(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+        .distinct()  # duplicate input pairs must not inflate degrees —
+        # same multiset tolerance as triangle_counts/pagerank/bfs siblings
+    )
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     du = deg.select(F.col("u"), F.col("deg").alias("dx"))
     dv = deg.select(F.col("u").alias("v"), F.col("deg").alias("dy"))

@@ -72,17 +72,38 @@ def compact(
     if target_files < 1:
         raise ValueError(f"target_files must be >= 1, got {target_files}")
 
+    tmp = path.rstrip("/") + "._compact_tmp"
+    old = path.rstrip("/") + "._compact_old"
+    # recover an interrupted swap BEFORE reading: a crash between the two
+    # moves leaves the only copy at ._compact_old (tmp was verified
+    # complete before the moves started — promote it); and a stale _old
+    # left behind must be cleared, or shutil.move(path, old) would nest
+    # the live table INSIDE it and the later rmtree would delete BOTH
+    # generations
+    if not os.path.exists(path) and os.path.exists(old):
+        if os.path.exists(tmp):
+            shutil.move(tmp, path)
+            shutil.rmtree(old, ignore_errors=True)
+        else:
+            shutil.move(old, path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
     before = len(_data_files(path))
     df = spark.read.format(fmt).load(path)
+    rows_before = df.count()
     shrunk = (
         df.coalesce(target_files)
         if target_files <= before
         else df.repartition(target_files)
     )
-    tmp = path.rstrip("/") + "._compact_tmp"
     shrunk.write.mode("overwrite").format(fmt).save(tmp)
     rows = spark.read.format(fmt).load(tmp).count()
-    old = path.rstrip("/") + "._compact_old"
+    if rows != rows_before:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            f"compact: rewritten row count {rows} != source {rows_before} "
+            "— aborting before replacing the original"
+        )
     shutil.move(path, old)
     shutil.move(tmp, path)
     shutil.rmtree(old)
@@ -180,9 +201,19 @@ def zorder_write(
     for c in zorder_cols:
         aggs += [F.min(F.col(c).cast("double")).alias(f"_min_{c}"),
                  F.max(F.col(c).cast("double")).alias(f"_max_{c}")]
+    if "_z" in df.columns:
+        raise ValueError(
+            "zorder_write: input may not contain '_z' (internal Morton-key "
+            "column — it would be overwritten and dropped)"
+        )
     row = df.agg(*aggs).first()
     mins = {c: row[f"_min_{c}"] for c in zorder_cols}
     maxs = {c: row[f"_max_{c}"] for c in zorder_cols}
+    if any(mins[c] is None or maxs[c] is None for c in zorder_cols):
+        # empty frame or all-NULL z-column: no stats to interleave on —
+        # write as-is (sorted_partitioned_write handles this fine too)
+        df.write.mode("overwrite").format(fmt).save(path)
+        return
     z = zorder_value(zorder_cols, mins, maxs, bits=bits)
     (
         df.withColumn("_z", z)

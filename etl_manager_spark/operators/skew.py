@@ -39,6 +39,12 @@ def salted_join(
     ``full_outer`` a dim key absent from the fact would surface once per
     salt replica (``salt_factor`` duplicate unmatched rows).
     """
+    for side, df_ in (("fact", fact), ("dim", dim)):
+        if "_salt" in df_.columns:
+            raise ValueError(
+                f"salted_join: {side} may not contain '_salt' (internal "
+                "salting column — it would be overwritten and dropped)"
+            )
     if how not in ("inner", "left", "leftouter", "left_outer"):
         raise ValueError(
             f"salted_join: how={how!r} unsupported — the dim side is "
@@ -75,7 +81,10 @@ def two_phase_agg(
         fn = fn.strip().lower()
         arg = arg.rstrip(")").strip()
         if fn == "count":
-            phase1.append(F.count(F.lit(1)).alias(f"_p_{out_name}"))
+            # count(*) counts rows; count(col) skips that column's NULLs —
+            # honoring the arg, not silently treating both as count(*)
+            cnt = F.count(F.lit(1)) if arg in ("*", "1", "") else F.count(arg)
+            phase1.append(cnt.alias(f"_p_{out_name}"))
             phase2.append(F.sum(f"_p_{out_name}").alias(out_name))
         elif fn == "sum":
             phase1.append(F.sum(arg).alias(f"_p_{out_name}"))
@@ -88,6 +97,11 @@ def two_phase_agg(
             phase2.append(F.max(f"_p_{out_name}").alias(out_name))
         else:
             raise ValueError(f"non-decomposable aggregate {expr!r}")
+    if "_salt" in df.columns:
+        raise ValueError(
+            "two_phase_agg: input may not contain '_salt' (internal "
+            "salting column)"
+        )
     salted = df.withColumn(
         "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt_factor)).cast("int")
     )

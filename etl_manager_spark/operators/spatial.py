@@ -73,6 +73,14 @@ def within_distance_join(
             "exist on BOTH sides — rename one side's coordinates "
             "(e.g. a_lat/a_lon vs b_lat/b_lon) before joining"
         )
+    reserved = {"_dy", "_dx", "_cell_lat", "_cell_lon"}
+    taken = reserved & (set(left.columns) | set(right.columns))
+    if taken:
+        raise ValueError(
+            f"within_distance_join: input may not contain {sorted(taken)} "
+            "(internal cell-grid columns — they would be overwritten and "
+            "dropped)"
+        )
     llat, llon = (F.col(c) for c in left_cols)
     rlat, rlon = (F.col(c) for c in right_cols)
     offsets = F.array(F.lit(-1), F.lit(0), F.lit(1))

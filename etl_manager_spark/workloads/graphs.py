@@ -194,8 +194,10 @@ def clustering_coefficient_neardup(spark, sf_dir):
     f"""
     WITH {_MINHASH_PAIRS_CTES},
     sym AS (
-      SELECT id_a AS u, id_b AS v FROM dup_pairs
-      UNION ALL SELECT id_b, id_a FROM dup_pairs
+      SELECT DISTINCT u, v FROM (
+        SELECT id_a AS u, id_b AS v FROM dup_pairs
+        UNION ALL SELECT id_b, id_a FROM dup_pairs
+      )
     ),
     deg AS (SELECT u, COUNT(*) AS deg FROM sym GROUP BY u),
     ends AS (

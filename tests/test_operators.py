@@ -1601,3 +1601,74 @@ def test_multimodal_null_content_stays_null(spark):
         df.filter("media_id = 2"), decode_fn=crashy
     ).collect()
     assert got[0].feature is None  # codec never saw the NULL payload
+
+
+def test_asof_null_semantics_and_reserved_names(spark):
+    """SQL ASOF / merge_asof semantics on NULLs: a NULL-ts right row
+    satisfies no predicate (sorted first, it used to be carried as a
+    backward 'match'), a NULL-ts or NULL-key left row matches nothing,
+    and NULL keys never match each other. Internal working names are
+    refused."""
+    from pyspark.sql import functions as F
+
+    from etl_manager_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10), (1, None), (None, 10)], "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, None, "nullts"), (1, 5, "ok"), (None, 3, "nullkey")],
+        "k long, ts long, v string",
+    )
+    res = {
+        (r.k, r.ts): r.v_asof
+        for r in asof_join(left, right, "k", "ts", "ts", ["v"]).collect()
+    }
+    assert res == {(1, 10): "ok", (1, None): None, (None, 10): None}
+    with pytest.raises(ValueError, match="_side"):
+        asof_join(left.withColumn("_side", F.lit(9)), right, "k", "ts", "ts", ["v"])
+
+
+def test_compact_crash_recovery_and_rowcount_gate(spark, tmp_path):
+    """A crash between compact's two swap moves leaves the only copy at
+    ._compact_old; the next run must promote the complete rewrite (or
+    restore the original), never nest the live table inside a stale _old
+    and rmtree both. The rewrite is also row-count-verified BEFORE the
+    original is replaced."""
+    import shutil
+
+    from etl_manager_spark.operators.layout import compact
+
+    p = str(tmp_path / "t")
+    spark.range(100).repartition(8).write.parquet(p)
+    compact(spark, p, target_files=2)
+    shutil.copytree(p, p + "._compact_tmp")
+    shutil.move(p, p + "._compact_old")
+    stats = compact(spark, p, target_files=2)
+    assert stats["rows"] == 100
+
+
+def test_zorder_empty_frame_and_reserved_name(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from etl_manager_spark.operators.layout import zorder_write
+
+    zp = str(tmp_path / "z")
+    zorder_write(
+        spark.range(0).selectExpr("cast(id as double) x", "cast(id as double) y"),
+        zp, ["x", "y"], 2,
+    )
+    assert spark.read.parquet(zp).count() == 0
+    with pytest.raises(ValueError, match="_z"):
+        zorder_write(
+            spark.range(1).selectExpr("cast(id as double) x", "id as _z"),
+            zp, ["x"], 2,
+        )
+
+
+def test_two_phase_agg_count_col_skips_nulls(spark):
+    from etl_manager_spark.operators.skew import two_phase_agg
+
+    d = spark.createDataFrame([("k1", None), ("k1", 5)], "k string, x long")
+    r = two_phase_agg(d, ["k"], {"n": "count(x)", "nn": "count(*)"}).collect()[0]
+    assert (r.n, r.nn) == (1, 2)
+    with pytest.raises(ValueError, match="_salt"):
+        two_phase_agg(d.withColumnRenamed("x", "_salt"), ["k"], {"n": "count(*)"})
