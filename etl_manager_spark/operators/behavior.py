@@ -67,7 +67,14 @@ def funnel(
         )
     ts_type = events.schema[ts_col].dataType
     steps_arr = F.array(*[F.lit(s) for s in steps])
-    per_event = events.filter(F.col(type_col).isin(list(steps))).select(
+    # NULL-ts events can't arrive anywhere — and worse, the null-ts
+    # struct sorts FIRST, advances step 1 with last=NULL, and every later
+    # strict ev.ts > NULL comparison is NULL, permanently freezing the
+    # walk at step 1. funnel_step_arrivals' min(ts) ignores NULLs; the
+    # filter keeps the two formulations equivalent.
+    per_event = events.filter(
+        F.col(type_col).isin(list(steps)) & F.col(ts_col).isNotNull()
+    ).select(
         F.col(id_col).alias("id"),
         F.struct(
             F.col(ts_col).alias("ts"),

@@ -141,7 +141,13 @@ def encode_symbol_counts(
 
     Scale shape: the dictionary travels as a literal map (bounded by
     ``vocab_limit``), tokens never shuffle — the only exchange is the
-    per-document re-aggregation, keyed by ``id_col``."""
+    per-document re-aggregation, keyed by ``id_col``.
+
+    Documents that tokenize to nothing (NULL/empty text, no letter runs)
+    yield NO output row — the explode has nothing to emit. Callers
+    needing zero rows for degenerate docs left-join the corpus and
+    coalesce the counts to 0.
+    """
     entries: list = []
     for w, syms in final_symbols.items():
         entries.append(F.lit(w))

@@ -36,11 +36,14 @@ from etl_manager_spark.operators.text import (
 
 def normalize_text(col: Column | str) -> Column:
     """Canonical text form: whitespace runs collapsed to single spaces,
-    trimmed, lower-cased. The regex subset (``\\s+``) reads identically in
-    Java regex and RE2, so any engine produces the same canonical string —
-    which is the point: the normalized md5 is a cross-engine dedup key."""
+    trimmed, lower-cased. The whitespace class is spelled EXPLICITLY
+    (space, tab, newline, CR, FF, vertical tab) because Java's ``\\s``
+    matches U+000B while RE2/DuckDB's does not — an explicit class reads
+    identically in both engines, so any engine produces the same
+    canonical string — which is the point: the normalized md5 is a
+    cross-engine dedup key."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+    return F.lower(F.trim(F.regexp_replace(c, "[ \t\n\r\f\u000B]+", " ")))
 
 
 def normalized_hash(col: Column | str) -> Column:
@@ -51,7 +54,10 @@ def normalized_hash(col: Column | str) -> Column:
 
 def normalize_sql(expr: str) -> str:
     """DuckDB rendering of :func:`normalize_text` (same canonical string)."""
-    return rf"LOWER(TRIM(REGEXP_REPLACE({expr}, '\s+', ' ', 'g')))"
+    return (
+        f"LOWER(TRIM(REGEXP_REPLACE({expr}, "
+        "'[ \t\n\r\f\x0B]+', ' ', 'g')))"
+    )
 
 
 # Fixed public weights for the linear quality model. Placeholder values in
@@ -76,12 +82,16 @@ def linear_quality_z(text_col: Column | str) -> Column:
     whole-stage codegen with the scan."""
     w = QUALITY_WEIGHTS
     ntok = token_count(text_col).cast("double")
+    # token-less (empty/whitespace-only/NULL) docs score NULL: the ratio
+    # features are 0/0 there, which throws DIVIDE_BY_ZERO under ANSI —
+    # the same zero-token guard as text_profile, mirrored in the SQL twin
     distinct_ratio = distinct_token_count(text_col).cast("double") / ntok
-    return (
+    return F.when(
+        ntok > 0,
         F.lit(w["bias"])
         + F.lit(w["log1p_tokens"]) * F.log(F.lit(1.0) + ntok)
         + F.lit(w["distinct_ratio"]) * distinct_ratio
-        + F.lit(w["stopword_ratio"]) * stopword_ratio(text_col)
+        + F.lit(w["stopword_ratio"]) * stopword_ratio(text_col),
     )
 
 
@@ -96,9 +106,11 @@ def linear_quality_sql(tok_expr: str, stop_sql_set: str) -> str:
         f" AS DOUBLE) / {ntok}"
     )
     return (
+        f"CASE WHEN {ntok} > 0 THEN "
         f"{w['bias']} + {w['log1p_tokens']} * LN(1.0 + {ntok})"
         f" + {w['distinct_ratio']} * ({distinct})"
         f" + {w['stopword_ratio']} * ({stop})"
+        " ELSE NULL END"
     )
 
 
@@ -147,18 +159,29 @@ def cap_per_group(
     final shuffle to k·partitions rows per group, so one hot domain with
     10⁹ pages shuffles k·P rows, not 10⁹. The cell window's partition key
     includes the physical partition id (the salt), so even a single giant
-    group spreads over all reducers."""
+    group spreads over all reducers.
+
+    The output carries a 1-based ``rank`` column (the within-group
+    position under ``order_by``); the input may therefore not already
+    contain ``rank`` — or the internal ``_cpg_pid``/``_cpg_rank`` staging
+    names — refused up front rather than silently overwritten."""
     from pyspark.sql import Window
 
     from etl_manager_spark.operators.topk import grouped_topk
 
+    taken = {"rank", "_cpg_pid", "_cpg_rank"} & set(df.columns)
+    if taken:
+        raise ValueError(
+            f"cap_per_group: input may not contain {sorted(taken)} "
+            "('rank' is the output rank; the _cpg_ names are internal)"
+        )
     pre = df
     if two_phase:
-        part = df.withColumn("_pid", F.spark_partition_id())
-        w = Window.partitionBy(group_col, "_pid").orderBy(*order_by)
+        part = df.withColumn("_cpg_pid", F.spark_partition_id())
+        w = Window.partitionBy(group_col, "_cpg_pid").orderBy(*order_by)
         pre = (
-            part.withColumn("_cell_rank", F.row_number().over(w))
-            .filter(F.col("_cell_rank") <= k)
-            .drop("_pid", "_cell_rank")
+            part.withColumn("_cpg_rank", F.row_number().over(w))
+            .filter(F.col("_cpg_rank") <= k)
+            .drop("_cpg_pid", "_cpg_rank")
         )
     return grouped_topk(pre, [group_col], order_by, k)

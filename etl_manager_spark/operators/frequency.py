@@ -73,6 +73,11 @@ def heavy_hitters_two_pass(
     # ONE value, so one JVM-side candidate row covers it exactly (a
     # superset-only widening; pass 2's exact count and global threshold
     # still decide whether it is emitted).
+    if col in ("cnt", "_n_total", "freq_q"):
+        raise ValueError(
+            f"heavy_hitters_two_pass: col={col!r} collides with an output/"
+            "internal column name (cnt/_n_total/freq_q) — alias it first"
+        )
     clean = df.select(col).filter(F.col(col).isNotNull())
     is_float = dtype in ("float", "double")
     pandas_side = clean.filter(~F.isnan(col)) if is_float else clean

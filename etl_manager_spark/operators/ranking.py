@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from etl_manager_spark.operators.text import tokens
+from etl_manager_spark.operators.text import token_count, tokens
 
 
 def quantize(c: F.Column) -> F.Column:
@@ -106,7 +106,11 @@ def bm25_scores(
     engines (a groupBy SUM would add in shuffle order — nondeterministic).
 
     Returns (id, score_q) — nano-quantized; ``top`` optionally keeps the
-    global top-N rows (ordered score desc, id asc)."""
+    global top-N rows (ordered score desc, id asc). Documents containing
+    NONE of the query terms are OMITTED (their score is conceptually 0 —
+    left-join the corpus and coalesce to 0 if a dense score vector is
+    needed); with ``top`` set the result may therefore have fewer than
+    ``top`` rows."""
     qterms = sorted(set(query_terms))
     if not qterms:
         raise ValueError(
@@ -117,7 +121,9 @@ def bm25_scores(
     n_docs = df.select(F.col(id_col)).distinct().count()
     lens = df.select(
         F.col(id_col).alias("id"),
-        F.size(F.filter(tokens(text_col), lambda t: t != "")).alias("dl"),
+        # token_count carries the nullif(-1) legacy-ANSI guard, so
+        # NULL-text docs contribute NULL (avg-ignored), never dl=-1
+        token_count(text_col).alias("dl"),
     )
     avgdl = lens.agg(F.avg("dl")).first()[0]
     if avgdl is None:

@@ -14,6 +14,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _foldable_values(df: DataFrame, value_col: str):
+    """Rows the integer-quantized folds can consume: non-null, and for
+    floating columns finite with |v| small enough that floor(v·1e9+0.5)
+    fits int64 — NaN/Inf passed isNotNull and crashed math.floor inside
+    the fold; out-of-range values silently wrapped np.int64. Skipped
+    rows behave like the NULLs the filter already skipped."""
+    cond = F.col(value_col).isNotNull()
+    if dict(df.dtypes).get(value_col) in ("float", "double"):
+        cond = (
+            cond
+            & ~F.isnan(F.col(value_col))
+            & (F.abs(F.col(value_col)) < F.lit(9.2e9))
+        )
+    return cond
+
+
 def ewma_per_key(
     df: DataFrame,
     key_col: str = "user_id",
@@ -88,11 +104,13 @@ def ewma_per_key(
 
     key_dtype = df.schema[key_col].dataType.simpleString()
     id_dtype = df.schema[id_col].dataType.simpleString()
+    cols = list(dict.fromkeys([key_col, ts_col, id_col, value_col]))
+    order = list(dict.fromkeys([key_col, ts_col, id_col]))
     slim = (
-        df.select(key_col, ts_col, id_col, value_col)
-        .filter(F.col(value_col).isNotNull())
+        df.select(*cols)
+        .filter(_foldable_values(df, value_col))
         .repartition(F.col(key_col))
-        .sortWithinPartitions(key_col, ts_col, id_col)
+        .sortWithinPartitions(*order)
     )
     return slim.mapInPandas(
         _fold_stream, schema=f"{key_col} {key_dtype}, {id_col} {id_dtype}, ewma_q long"
@@ -163,11 +181,13 @@ def holt_per_key(
 
     key_dtype = df.schema[key_col].dataType.simpleString()
     id_dtype = df.schema[id_col].dataType.simpleString()
+    cols = list(dict.fromkeys([key_col, ts_col, id_col, value_col]))
+    order = list(dict.fromkeys([key_col, ts_col, id_col]))
     slim = (
-        df.select(key_col, ts_col, id_col, value_col)
-        .filter(F.col(value_col).isNotNull())
+        df.select(*cols)
+        .filter(_foldable_values(df, value_col))
         .repartition(F.col(key_col))
-        .sortWithinPartitions(key_col, ts_col, id_col)
+        .sortWithinPartitions(*order)
     )
     return slim.mapInPandas(
         _fold_stream,
@@ -266,7 +286,7 @@ def holt_winters_additive_per_key(
     order = list(dict.fromkeys([key_col, ts_col, id_col]))
     slim = (
         df.select(*cols)
-        .filter(F.col(value_col).isNotNull())
+        .filter(_foldable_values(df, value_col))
         .repartition(F.col(key_col))
         .sortWithinPartitions(*order)
     )

@@ -1672,3 +1672,82 @@ def test_two_phase_agg_count_col_skips_nulls(spark):
     assert (r.n, r.nn) == (1, 2)
     with pytest.raises(ValueError, match="_salt"):
         two_phase_agg(d.withColumnRenamed("x", "_salt"), ["k"], {"n": "count(*)"})
+
+
+def test_timeseries_nan_and_ts_eq_id(spark):
+    """NaN/Inf values are skipped like NULLs (math.floor(nan) used to
+    kill the fold task), and ts_col == id_col (a daily series ordered
+    and identified by its day) works in every fold sibling."""
+    from etl_manager_spark.operators.timeseries import ewma_per_key
+
+    d = spark.createDataFrame(
+        [("k", 1, 1.0), ("k", 2, float("nan")), ("k", 3, 2.0)],
+        "g string, day long, value double",
+    )
+    r = sorted(
+        (x.day, x.ewma_q)
+        for x in ewma_per_key(
+            d, key_col="g", ts_col="day", id_col="day", value_col="value"
+        ).collect()
+    )
+    assert r == [(1, 1000000000), (3, 1500000000)]
+
+
+def test_funnel_null_ts_does_not_poison_walk(spark):
+    """A NULL-ts step-1 event used to sort first, advance with last=NULL,
+    and freeze the walk (ts > NULL is NULL forever) — silently
+    undercounting every later step vs funnel_step_arrivals."""
+    from etl_manager_spark.operators.behavior import funnel
+
+    ev = spark.createDataFrame(
+        [(1, None, "signup"), (1, 10, "signup"), (1, 20, "purchase")],
+        "user_id long, ts long, event_type string",
+    )
+    fr = {r.step_name: r.n_users for r in funnel(ev, ["signup", "purchase"]).collect()}
+    assert fr == {"signup": 1, "purchase": 1}
+
+
+def test_linear_quality_and_normalize_cross_engine(spark):
+    """Token-less docs score NULL in both renderings (0/0 threw under
+    ANSI), and the normalize whitespace class (explicit, incl. U+000B)
+    produces the identical canonical string in Spark and DuckDB —
+    Java's \\s matches vertical tab, RE2's does not."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from etl_manager_spark.operators.curation import (
+        linear_quality_z,
+        normalize_sql,
+        normalize_text,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "the cat and the dog")], "doc_id long, text string"
+    )
+    z = {
+        r.doc_id: r.z
+        for r in docs.select("doc_id", linear_quality_z("text").alias("z")).collect()
+    }
+    assert z[1] is None and z[2] is not None
+    s = "a\x0bb  c"
+    spark_norm = (
+        docs.limit(1).select(normalize_text(F.lit(s)).alias("n")).collect()[0].n
+    )
+    duck_norm = duckdb.connect().execute(
+        f"SELECT {normalize_sql('?')}", [s]
+    ).fetchone()[0]
+    assert spark_norm == duck_norm == "a b c"
+
+
+def test_cap_per_group_and_heavy_hitters_guards(spark):
+    from pyspark.sql import functions as F
+
+    from etl_manager_spark.operators.curation import cap_per_group
+    from etl_manager_spark.operators.frequency import heavy_hitters_two_pass
+
+    df = spark.createDataFrame([(1, "a", 5)], "rank long, g string, v long")
+    with pytest.raises(ValueError, match="rank"):
+        cap_per_group(df, "g", [F.col("v").desc()], 1)
+    df2 = spark.createDataFrame([(1,)], "cnt long")
+    with pytest.raises(ValueError, match="cnt"):
+        heavy_hitters_two_pass(df2, "cnt")
