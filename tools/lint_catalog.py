@@ -180,6 +180,9 @@ MS_ALLOWED: dict[str, str] = {
 #     these evaluate in the scan-adjacent codegen stage — the correct
 #     placement, one pass, nothing to fix.
 FNP_ALLOWED: dict[str, str] = {
+    "asof_events_last_order": "null-guard (ASOF NULL-ts/NULL-key semantics)",
+    "asof_forward_events_order": "null-guard (ASOF NULL-ts/NULL-key semantics)",
+    "asof_tolerance_events_order": "null-guard (ASOF NULL-ts/NULL-key semantics)",
     "assoc_rules_event_pairs": "null-guard",
     "assortativity_neardup_graph": "null-guard",
     "bm25_rank_documents": "derived: term IN (...) on exploded terms",
