@@ -444,9 +444,13 @@ def ngram_jaccard_pairs(
     proportional to co-occurring token pairs, not |docs|².
 
     Deterministic order: (jaccard DESC, id_a, id_b)."""
+    # distinct() across ROWS, not just array_distinct within one row: a
+    # duplicated doc_id (reingested row, multi-part doc) would otherwise
+    # double |A| and quadruple the intersection counts, yielding
+    # impossible Jaccard values > 1 - the set semantics are per DOCUMENT
     tok = df.select(
         F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
-    )
+    ).distinct()
     sizes = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     inter = (
         tok.alias("a")
@@ -893,8 +897,12 @@ def ngram_containment_pairs(
             lambda i: F.array_join(F.slice(toks, i, n), " "),
         )
     )
-    g = df.filter(F.size(toks) >= n).select(
-        F.col(id_col), F.explode(grams).alias("gram")
+    # distinct() across rows: duplicated doc_ids must not inflate the
+    # shingle multiset (containment is a SET ratio; > 1 is impossible)
+    g = (
+        df.filter(F.size(toks) >= n)
+        .select(F.col(id_col), F.explode(grams).alias("gram"))
+        .distinct()
     )
     sizes = g.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     inter = (

@@ -26,7 +26,12 @@ from etl_manager_spark.operators.text import token_count, tokens
 
 
 def quantize(c: F.Column) -> F.Column:
-    """floor(x·1e9 + 0.5) as BIGINT — engine-portable float comparison."""
+    """floor(x·1e9 + 0.5) as BIGINT — engine-portable float comparison.
+
+    Domain contract: |x| < ~9.2e9 (int64 range after the ×1e9 scale).
+    Beyond it the engines diverge loudly vs silently — DuckDB raises a
+    conversion error on the BIGINT cast while Spark's floor(double)
+    saturates — so quantized columns must come from bounded measures."""
     return F.floor(c * F.lit(1000000000.0) + F.lit(0.5)).cast("long")
 
 

@@ -198,12 +198,16 @@ def cosine_topk(
     when queries and corpus are independent tables whose id spaces
     merely overlap, or equal ids would silently exclude real neighbors."""
     extra = list(extra_payload_cols or [])
-    q = queries.select(
+    # NULL vectors are excluded on BOTH sides of the search: they have no
+    # similarity to anything, and leaving them in would let a NULL-sim row
+    # enter the top-k whenever a query has fewer than k real candidates
+    # (desc sort puts NULLs last, not out)
+    q = queries.filter(_valid_vec(F.col(vec_col))).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qvec"),
         l2_norm(F.col(vec_col)).alias("_qnorm"),
     )
-    c = corpus.select(
+    c = corpus.filter(_valid_vec(F.col(vec_col))).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cvec"),
         l2_norm(F.col(vec_col)).alias("_cnorm"),
@@ -600,6 +604,26 @@ def _train_centroids_driver(
     return C.tolist()
 
 
+def _usable_training_rows(id_vec_rows, train_sample, what):
+    """Shared sample hygiene for every trainer entry: drop rows whose
+    vector is NULL/empty (a 100 TB corpus contains them; numpy would
+    otherwise die deep in the solver with a shape error), sort by id for
+    determinism under any partitioning, truncate to ``train_sample``, and
+    refuse an EMPTY sample with a contract error instead of the trainers'
+    internal LinAlgError/AxisError."""
+    rows = sorted(
+        (r for r in id_vec_rows if r[1] is not None and len(r[1]) > 0),
+        key=lambda r: r[0],
+    )[:train_sample]
+    if not rows:
+        raise ValueError(
+            f"{what} training: empty training sample (no rows with a "
+            "non-null, non-empty vector) - an index cannot be trained "
+            "from nothing; check the corpus/filter"
+        )
+    return rows
+
+
 def _sorted_sample_centroids(
     id_vec_rows: list[tuple], num_lists: int, train_sample: int
 ) -> list[list[float]]:
@@ -608,7 +632,7 @@ def _sorted_sample_centroids(
     partitioning / read order), truncate to ``train_sample`` rows, train.
     Both callers feed float64-widened vectors, so the centroids are
     bit-for-bit identical however the sample was collected."""
-    rows = sorted(id_vec_rows, key=lambda r: r[0])[:train_sample]
+    rows = _usable_training_rows(id_vec_rows, train_sample, "IVF")
     return _train_centroids_driver([list(r[1]) for r in rows], num_lists)
 
 
@@ -842,7 +866,7 @@ def _sorted_sample_pca(
     """Shared PCA trainer entry for the Spark path AND the DuckDB oracle
     factory — same sort/truncate contract as
     :func:`_sorted_sample_centroids`."""
-    rows = sorted(id_vec_rows, key=lambda r: r[0])[:train_sample]
+    rows = _usable_training_rows(id_vec_rows, train_sample, "PCA")
     return _pca_components_driver([list(r[1]) for r in rows], n_components)
 
 
@@ -951,7 +975,7 @@ def _sorted_sample_pq(
 ) -> list[list[list[float]]]:
     """Shared PQ trainer entry (same sort/truncate contract as the IVF
     and PCA trainers) for the Spark path AND the DuckDB oracle."""
-    rows = sorted(id_vec_rows, key=lambda r: r[0])[:train_sample]
+    rows = _usable_training_rows(id_vec_rows, train_sample, "PQ")
     return _train_pq_codebooks(
         [list(r[1]) for r in rows], num_subspaces, num_centroids
     )

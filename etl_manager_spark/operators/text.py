@@ -327,11 +327,12 @@ def text_profile_vectorized(
             length_ok = 1.0 if 20 <= n_chars <= 100000 else 0.0
             if n_tok == 0:
                 quality = 0.0
+                fp = None  # nothing to fingerprint (oracle: md5(NULL))
             else:
                 quality = (
                     length_ok + (1.0 if diversity > 0.1 else 0.0) + diversity
                 ) / 3.0
-            fp = hashlib.md5(" ".join(lowered).encode("utf-8")).hexdigest()
+                fp = hashlib.md5(" ".join(lowered).encode("utf-8")).hexdigest()
             rows.append((n_tok, n_distinct, n_chars, ratio, quality, fp))
         return pd.DataFrame(
             rows,
@@ -390,7 +391,11 @@ def text_profile(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
         .otherwise(n_stop.cast("double") / n_tok.cast("double"))
         .alias("stopword_ratio"),
         quality.alias("quality"),
-        F.md5(F.array_join(F.transform(toks, F.lower), " ")).alias("fingerprint"),
+        # zero-token docs fingerprint NULL (nothing to fingerprint), the
+        # same value the oracle's ARRAY_TO_STRING([]) -> NULL path yields
+        F.when(
+            n_tok > 0, F.md5(F.array_join(F.transform(toks, F.lower), " "))
+        ).alias("fingerprint"),
     )
 
 
@@ -508,7 +513,9 @@ def gopher_quality_flags(
     Every rule is a closed-form expression over the token array; the
     whole report is a single projection (tokenize once, no shuffle, no
     Python), so it runs at scan speed at any scale."""
-    toks = tokens(text_col)
+    # NULL text gates like empty text (see the vectorized twin): no
+    # content -> zero tokens -> keep=False, never NULL flags
+    toks = tokens(F.coalesce(F.col(text_col) if isinstance(text_col, str) else text_col, F.lit("")))
     n_toks = F.size(toks)
     char_sum = F.aggregate(
         toks, F.lit(0), lambda acc, t: acc + F.length(t)
@@ -699,9 +706,11 @@ def gopher_quality_flags_vectorized(
         split = _re.compile(r"\s+", _re.ASCII).split
         for t in texts:
             if t is None:
-                rows.append((None,) * 8)
-                continue
-            toks = split(t.strip(" "))
+                # NULL text gates like empty text: a document with no
+                # content deterministically fails the token-count rule
+                # (keep=False), never a NULL verdict a filter can't act on
+                t = ""
+            toks = [tok for tok in split(t) if tok != ""]
             n = len(toks)
             mean_len = 0.0 if n == 0 else sum(len(tok) for tok in toks) / n
             if n < 3:

@@ -286,11 +286,18 @@ def histogram_events_value(spark, sf_dir):
                             'sum') AS dist2
       FROM v CROSS JOIN c
     )
-    SELECT vec_id, centroid_id,
-           CAST(FLOOR(dist2 * 1000000000.0 + 0.5) AS BIGINT) AS dist2_q
-    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-                    ORDER BY dist2 ASC, centroid_id ASC) AS rn FROM scored)
-    WHERE rn = 1
+    , winners AS (
+      SELECT vec_id, centroid_id,
+             CAST(FLOOR(dist2 * 1000000000.0 + 0.5) AS BIGINT) AS dist2_q
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                      ORDER BY dist2 ASC, centroid_id ASC) AS rn FROM scored)
+      WHERE rn = 1
+    )
+    -- re-join per corpus ROW: the Spark side is a map-only projection
+    -- (one output row per input row), so a duplicated vec_id keeps its
+    -- duplicated assignment rows rather than collapsing to one
+    SELECT v.vec_id, w.centroid_id, w.dist2_q
+    FROM v JOIN winners w ON w.vec_id = v.vec_id
     """,
     category="similarity",
 )
@@ -318,6 +325,15 @@ def kmeans_assign_embeddings(spark, sf_dir):
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("vv"),
     )
+    if not cents:
+        # no centroids (empty corpus / no vec_id < 8): the oracle's CROSS
+        # JOIN against an empty centroid set yields zero rows; an empty
+        # F.array() would type as VOID and fail analysis instead
+        return v.select(
+            "vec_id",
+            F.lit(None).cast("long").alias("centroid_id"),
+            F.lit(None).cast("long").alias("dist2_q"),
+        ).filter(F.lit(False))
 
     def dist2(c) -> F.Column:
         from etl_manager_spark.functions.exact import lit_double_array
@@ -712,15 +728,20 @@ def regression_price_by_quantity(spark, sf_dir):
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
-    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    # try_divide: a degenerate group (n = 1, or constant x / constant y)
+    # zeroes the variance denominators — NULL like the oracle, not an
+    # ANSI DIVIDE_BY_ZERO
+    slope = F.try_divide(n * sxy - sx * sy, n * sxx - sx * sx)
     return s.select(
         "l_returnflag",
         "n",
         R.quantize(slope).alias("slope_q"),
         R.quantize((sy - slope * sx) / n).alias("intercept_q"),
         R.quantize(
-            (n * sxy - sx * sy)
-            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+            F.try_divide(
+                n * sxy - sx * sy,
+                F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy),
+            )
         ).alias("corr_q"),
     )
 
@@ -789,9 +810,13 @@ def string_agg_nations_per_region(spark, sf_dir):
         .groupBy("r_name")
         .agg(
             F.count(F.lit(1)).alias("n_nations"),
-            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
-                "nations"
-            ),
+            # a group whose every name is NULL aggregates to NULL (ANSI
+            # STRING_AGG), not '' — collect_list skips NULLs, so guard
+            # the empty list before joining
+            F.when(
+                F.size(F.collect_list("n_name")) > 0,
+                F.array_join(F.array_sort(F.collect_list("n_name")), ","),
+            ).alias("nations"),
         )
     )
 
@@ -831,8 +856,11 @@ def weighted_sample_documents(spark, sf_dir):
         .cast("long")
         + 1
     ) / F.lit(4294967296.0)
+    # try_divide: a zero-weight row (n_chars = 0) keys NULL — the ln(u)/w
+    # limit w→0 is −inf, so NULL (sorted last, never sampled) is the
+    # faithful outcome and matches the oracle's x/0 → NULL
     keyed = t["documents"].select(
-        "doc_id", "n_chars", (F.log(u) / F.col("n_chars")).alias("k")
+        "doc_id", "n_chars", F.try_divide(F.log(u), F.col("n_chars")).alias("k")
     )
     top = keyed.orderBy(F.desc("k"), F.asc("doc_id")).limit(50)
     from pyspark.sql import Window
@@ -1371,7 +1399,8 @@ def window_navigation_orders(spark, sf_dir):
     """
     WITH per AS (
       SELECT user_id, event_type, COUNT(*) AS c
-      FROM events GROUP BY user_id, event_type
+      FROM events WHERE event_type IS NOT NULL
+      GROUP BY user_id, event_type
     )
     SELECT user_id,
            CAST(COUNT(*) AS INTEGER) AS n_types,
@@ -1395,8 +1424,14 @@ def map_functions_events(spark, sf_dir):
     same facts with conditional aggregation — maps are an engine
     representation, not a semantic."""
     t = load_tables(spark, sf_dir)
-    per = t["events"].groupBy("user_id", "event_type").agg(
-        F.count(F.lit(1)).alias("c")
+    # NULL event_type is excluded on BOTH sides: a map cannot hold a NULL
+    # key (Spark raises NULL_MAP_KEY), so the contract drops those rows
+    # explicitly rather than crashing on the first null at scale
+    per = (
+        t["events"]
+        .filter(F.col("event_type").isNotNull())
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
     m = per.groupBy("user_id").agg(
         F.map_from_entries(
@@ -1668,10 +1703,13 @@ def char_entropy_documents(spark, sf_dir):
     # split('') emits the character array in ONE linear pass;
     # substring(i,1) per transform(sequence(...)) index re-seeks the
     # UTF-8 string from the front each call — O(len²) per document
+    # split('', '') returns [''] — an empty document must contribute NO
+    # character rows (the oracle's range(1, 0+1) is empty), not one
+    # phantom '' char
     chars = t["documents"].select(
         F.col("doc_id").alias("id"),
         F.explode(F.split("text", "")).alias("ch"),
-    )
+    ).filter(F.col("ch") != "")
     counts = chars.groupBy("id", "ch").agg(F.count(F.lit(1)).alias("c"))
     w = Window.partitionBy("id")
     per_doc = counts.select(
@@ -2795,7 +2833,8 @@ def vocab_kl_drift_documents(spark, sf_dir):
     "equidepth_bins_orders_price",
     """
     WITH vc AS (
-      SELECT o_totalprice AS v, COUNT(*) AS c FROM orders GROUP BY 1
+      SELECT o_totalprice AS v, COUNT(*) AS c FROM orders
+      WHERE o_totalprice IS NOT NULL GROUP BY 1
     ),
     cum AS (
       SELECT v, c, SUM(c) OVER (ORDER BY v) AS cum,
@@ -2836,8 +2875,13 @@ def equidepth_bins_orders_price(spark, sf_dir):
 
     t = load_tables(spark, sf_dir)
     orders = t["orders"]
-    vc = orders.groupBy(F.col("o_totalprice").alias("v")).agg(
-        F.count(F.lit(1)).alias("c")
+    # NULL prices are not values: they cannot sit in the CDF (and the
+    # engines disagree on where NULL sorts), so the distribution -- and
+    # therefore the bins -- covers non-null rows only, on BOTH sides
+    vc = (
+        orders.filter(F.col("o_totalprice").isNotNull())
+        .groupBy(F.col("o_totalprice").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
     )
     tot = vc.groupBy().agg(F.sum("c").cast("long").alias("n"))
     cum = (
@@ -3056,7 +3100,14 @@ def ratio_to_report_nation_revenue(spark, sf_dir):
         )
     )
     wr = Window.partitionBy("regionkey")
-    grand = per_nation.groupBy().agg(
+    # grand total over the REPORT rows (post region join), matching the
+    # oracle's SUM(...) OVER (): a nation that doesn't join to a region
+    # is not in the report and must not sit in the denominator
+    joined = per_nation.join(
+        F.broadcast(t["region"]),
+        F.col("r_regionkey") == F.col("regionkey"),
+    )
+    grand = joined.groupBy().agg(
         F.sum("rev_c").cast("long").alias("_total_c")
     )
     share = lambda denom: F.floor(
@@ -3066,11 +3117,7 @@ def ratio_to_report_nation_revenue(spark, sf_dir):
         + F.lit(0.5)
     ).cast("long")
     return (
-        per_nation.crossJoin(F.broadcast(grand))
-        .join(
-            F.broadcast(t["region"]),
-            F.col("r_regionkey") == F.col("regionkey"),
-        )
+        joined.crossJoin(F.broadcast(grand))
         .select(
             F.col("r_name").alias("region"),
             "nation",
@@ -3225,8 +3272,9 @@ def spatial_join_customer_supplier(spark, sf_dir):
     ),
     ranked AS (
       SELECT rev_c,
-             ROW_NUMBER() OVER (ORDER BY rev_c ASC, o_custkey ASC) AS i
-      FROM per_cust
+             ROW_NUMBER() OVER (ORDER BY rev_c ASC,
+                                o_custkey ASC NULLS FIRST) AS i
+      FROM per_cust WHERE rev_c IS NOT NULL
     ),
     m AS (
       SELECT COUNT(*) AS n, SUM(rev_c) AS s, SUM(i * rev_c) AS si
@@ -3260,6 +3308,9 @@ def gini_revenue_customers(spark, sf_dir):
         .cast("long")
         .alias("rev_c")
     )
+    # a customer whose every price is NULL has no revenue VALUE - it
+    # cannot sit on the Lorenz curve; excluded on BOTH sides
+    per_cust = per_cust.filter(F.col("rev_c").isNotNull())
     ranked = ordered_cumsum(
         per_cust, [F.asc("rev_c"), F.asc("o_custkey")], rank_name="i"
     ).select("rev_c", "i")
@@ -4394,6 +4445,7 @@ def kneser_ney_bigram_score_documents(spark, sf_dir):
              CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS r
       FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
       GROUP BY 1, 2
+      HAVING CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) > 0
     ),
     tot AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n,
@@ -4448,6 +4500,10 @@ def theil_decomposition_nation_revenue(spark, sf_dir):
         )
         .groupBy(F.col("c_nationkey").alias("nat"), F.col("o_custkey").alias("ck"))
         .agg(dec_sum("o_totalprice").alias("r"))
+        # positive revenue only, on BOTH sides: Theil-T is defined over
+        # positive shares (a net-refund customer would feed LN a negative
+        # ratio - a loud error in DuckDB, a silent NULL in Spark)
+        .filter(F.col("r") > 0)
     )
     tot = cust.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -4497,8 +4553,8 @@ def theil_decomposition_nation_revenue(spark, sf_dir):
     r"""
     WITH cps AS (SELECT UNNEST([63, 125, 188, 250, 313, 375, 438, 500]) AS cp),
     scaled AS (
-      SELECT CAST(CAST(cp AS DOUBLE) / 500.0
-                  * (SELECT COUNT(*) FROM documents) AS BIGINT) AS cp_n
+      SELECT CAST(FLOOR(CAST(cp AS DOUBLE) / 500.0
+                  * (SELECT COUNT(*) FROM documents)) AS BIGINT) AS cp_n
       FROM cps
     ),
     tok AS (

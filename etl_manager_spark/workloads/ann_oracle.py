@@ -119,7 +119,8 @@ def lsh_topk_oracle() -> str:
     """similarity_topk_lsh: bucket in SQL from the same plane literals,
     candidate = collision in ANY table, exact rescoring, top-k, recall."""
     return f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+               WHERE embedding IS NOT NULL AND LEN(embedding) = 64),
     b AS (SELECT vec_id, v, {_bucket_columns()} FROM e),
     cand AS (
       SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -163,7 +164,8 @@ def ivf_topk_oracle() -> str:
         f"({j + 1}, {_lit(c)})" for j, c in enumerate(_ivf_centroids())
     )
     return f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+               WHERE embedding IS NOT NULL AND LEN(embedding) = 64),
     cent(list_id, c) AS (SELECT * FROM (VALUES {cent_rows}) t(list_id, c)),
     assign AS (
       SELECT vec_id, v, list_id FROM (
@@ -212,7 +214,8 @@ def semdedup_oracle() -> str:
         f"({j + 1}, {_lit(c)})" for j, c in enumerate(_ivf_centroids())
     )
     return f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+               WHERE embedding IS NOT NULL AND LEN(embedding) = 64),
     cent(list_id, c) AS (SELECT * FROM (VALUES {cent_rows}) t(list_id, c)),
     assign AS (
       SELECT vec_id, v, list_id FROM (
@@ -237,7 +240,8 @@ def lsh_neardup_oracle() -> str:
     id_b, collision in ANY table), exact cosine gate, recall vs the exact
     pair set over the 50% md5 hash-threshold subsample."""
     return f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+               WHERE embedding IS NOT NULL AND LEN(embedding) = 64),
     b AS (SELECT vec_id, v, {_bucket_columns()} FROM e),
     approx AS (
       SELECT a.vec_id AS id_a, c.vec_id AS id_b,
@@ -308,7 +312,8 @@ def pca_project_oracle() -> str:
         for k, comp in enumerate(comps, start=1)
     )
     return f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+               WHERE embedding IS NOT NULL AND LEN(embedding) = 64)
     SELECT vec_id,
            {pc_cols}
     FROM e"""
@@ -366,7 +371,8 @@ def pq_encode_oracle() -> str:
     )
     recon = " + ".join(f"best_{m}.d" for m in range(len(books)))
     return f"""
-    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings
+               WHERE embedding IS NOT NULL AND LEN(embedding) = 64),
     scored AS (
       SELECT vec_id,
            {best_cols}
@@ -427,7 +433,8 @@ def _pq_scored_cte(books: list[list[list[float]]]) -> str:
         for m, book in enumerate(books)
     )
     return f"""
-    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings
+               WHERE embedding IS NOT NULL AND LEN(embedding) = 64),
     scored AS (
       SELECT vec_id,
            {best_cols}
@@ -450,12 +457,19 @@ def pq_adc_oracle() -> str:
     m_count = len(books)
     sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
     con = duckdb.connect()
-    qrows = con.execute(
+    fetched = con.execute(
         "SELECT vec_id, CAST(embedding AS DOUBLE[]) FROM "
         f"read_parquet('{sf_dir}/embeddings.parquet') "
-        f"WHERE vec_id < {N_QUERIES} ORDER BY vec_id"
+        f"WHERE vec_id < {N_QUERIES} ORDER BY vec_id, embedding"
     ).fetchall()
     con.close()
+    # duplicate query ids collapse to their lexicographically-least
+    # vector — the same rule the Spark workload applies before keying
+    # its rerank MAP by query_id
+    qrows = []
+    for r in fetched:
+        if not qrows or qrows[-1][0] != r[0]:
+            qrows.append(r)
     luts = pq_adc_luts([list(r[1]) for r in qrows], books)
     q_rows_sql = ", ".join(
         "("
@@ -577,7 +591,8 @@ def mmr_oracle() -> str:
         for i in range(1, MMR_K + 1)
     )
     return f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+               WHERE embedding IS NOT NULL AND LEN(embedding) = 64),
     q AS (SELECT vec_id, v FROM e WHERE vec_id < {N_QUERIES}),
     scoredq AS (
       SELECT q.vec_id AS query_id, c.vec_id AS nid, c.v AS cv,

@@ -457,7 +457,10 @@ def benford_first_digit_values(spark, sf_dir):
                     ('view', 'click', 'purchase', 'signup', 'error')
                  THEN 'unknown_event_type'
                WHEN value > 450.0 THEN 'value_out_of_contract'
-               WHEN CAST(props ->> 'k' AS BIGINT) > 95
+               WHEN props ->> 'k' IS NOT NULL
+                    AND TRY_CAST(props ->> 'k' AS BIGINT) IS NULL
+                 THEN 'prop_k_malformed'
+               WHEN TRY_CAST(props ->> 'k' AS BIGINT) > 95
                  THEN 'prop_k_out_of_contract'
                ELSE 'ok'
              END AS reason
@@ -479,13 +482,15 @@ def quarantine_bad_events(spark, sf_dir):
     evaluation order must pin that order)."""
     t = load_tables(spark, sf_dir)
     known = ("view", "click", "purchase", "signup", "error")
+    raw_k = F.get_json_object("props", "$.k")
+    # try_cast, not cast: a malformed k is a row to QUARANTINE (its own
+    # reason, checked before the range rule), never an ANSI job failure
+    k = raw_k.try_cast("long")
     reason = (
         F.when(~F.col("event_type").isin(*known), "unknown_event_type")
         .when(F.col("value") > 450.0, "value_out_of_contract")
-        .when(
-            F.get_json_object("props", "$.k").cast("long") > 95,
-            "prop_k_out_of_contract",
-        )
+        .when(raw_k.isNotNull() & k.isNull(), "prop_k_malformed")
+        .when(k > 95, "prop_k_out_of_contract")
         .otherwise("ok")
     )
     return (
@@ -542,8 +547,8 @@ def cumulative_new_users_daily(spark, sf_dir):
     """
     SELECT event_type,
            SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)
-               * CAST(props ->> 'k' AS BIGINT))
-             / SUM(CAST(props ->> 'k' AS BIGINT)) / 100.0 AS weighted_mean
+               * TRY_CAST(props ->> 'k' AS BIGINT))
+             / SUM(TRY_CAST(props ->> 'k' AS BIGINT)) / 100.0 AS weighted_mean
     FROM events GROUP BY event_type
     """,
     category="udf",
@@ -562,7 +567,9 @@ def udaf_weighted_mean_events(spark, sf_dir):
         .select(
             "event_type",
             "value",
-            F.get_json_object("props", "$.k").cast("long").alias("k"),
+            # try_cast mirrors the oracle's TRY_CAST: malformed k -> NULL
+            # weight (skipped by the UDAF), never an ANSI job failure
+            F.get_json_object("props", "$.k").try_cast("long").alias("k"),
         )
         .groupBy("event_type")
         .agg(weighted_mean_cents("value", "k").alias("weighted_mean"))
@@ -654,12 +661,13 @@ def streaming_python_datasource_synthlog(spark, sf_dir):
     "variant_extract_events",
     """
     WITH v AS (
-      SELECT event_id, CAST(props ->> 'k' AS BIGINT) AS k FROM events
+      SELECT event_id, TRY_CAST(props ->> 'k' AS BIGINT) AS k FROM events
     )
     SELECT COUNT(*) AS n_rows,
            MIN(k) AS min_k, MAX(k) AS max_k,
            CAST(SUM(k) AS BIGINT) AS sum_k,
-           'OBJECT<k: BIGINT>' AS inferred_schema
+           CASE WHEN COUNT(k) > 0 THEN 'OBJECT<k: BIGINT>' END
+             AS inferred_schema
     FROM v
     """,
     category="json",
@@ -683,7 +691,12 @@ def variant_extract_events(spark, sf_dir):
         F.min("k").alias("min_k"),
         F.max("k").alias("max_k"),
         F.sum("k").alias("sum_k"),
-        F.min("sch").alias("inferred_schema"),
+        # inference is anchored to the rows where the typed get succeeds:
+        # rows whose k is missing/null/non-numeric (and the empty corpus)
+        # contribute nothing, matching the oracle's COUNT(k)-gated pin
+        F.min(F.when(F.col("k").isNotNull(), F.col("sch"))).alias(
+            "inferred_schema"
+        ),
     )
 
 
@@ -1062,10 +1075,14 @@ def bitmap_distinct_rollup_events(spark, sf_dir):
     "scalar_try_functions",
     """
     SELECT
-      CAST(SUM(CASE WHEN l_orderkey % 100000 = 7
-               THEN 1 ELSE 0 END) AS BIGINT) AS n_div_null,
-      CAST(SUM(CASE WHEN l_orderkey % 100000 = 7
-               THEN 1 ELSE 0 END) AS BIGINT) AS n_badcast_null,
+      CAST(SUM(CASE WHEN (CAST(l_quantity AS INTEGER)
+                          / (CAST(l_orderkey % 100000 AS INTEGER) - 7))
+                    IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_div_null,
+      CAST(SUM(CASE WHEN TRY_CAST(
+                      CASE WHEN l_orderkey % 100000 = 7 THEN l_returnflag
+                           ELSE CAST(l_linenumber AS VARCHAR) END
+                    AS INTEGER) IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_badcast_null,
       CAST(SUM(CASE WHEN TRY_CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE)
                     = l_quantity THEN 1 ELSE 0 END) AS BIGINT)
         AS n_roundtrip_ok,

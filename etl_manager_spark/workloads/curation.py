@@ -566,7 +566,12 @@ def kcenter_coreset_embeddings(spark, sf_dir):
             lambda acc, v: acc + v,
         )
 
-    seed = e.orderBy("vec_id").limit(1).collect()[0]
+    seed_rows = e.orderBy("vec_id").limit(1).collect()
+    if not seed_rows:
+        # empty corpus: nothing to seed from — zero rows, matching the
+        # oracle's empty c0 chain
+        return spark.createDataFrame([], "sel_rank int, vec_id long, dmin_q long")
+    seed = seed_rows[0]
     sel = [(1, seed["vec_id"], -1)]
     df = e.withColumn("dmin", sqdist(list(seed["emb"])))
     for r in range(2, _KC_ROUNDS + 2):

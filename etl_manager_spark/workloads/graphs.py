@@ -245,7 +245,7 @@ def assortativity_neardup_graph(spark, sf_dir):
     ),
     s AS (SELECT MIN(src) AS s FROM sym),
     reach(id, d) AS (
-      SELECT s, 0 FROM s
+      SELECT s, 0 FROM s WHERE s IS NOT NULL
       UNION
       SELECT e.dst, r.d + 1
       FROM sym e JOIN reach r ON e.src = r.id
@@ -271,6 +271,13 @@ def bfs_distance_neardup(spark, sf_dir):
     source = pairs.agg(
         F.min(F.least(F.col("id_a"), F.col("id_b")))
     ).collect()[0][0]
+    if source is None:
+        # empty graph: no source to walk from — zero rows, matching the
+        # oracle's NULL-guarded seed (seeding a NULL id would crash the
+        # non-nullable frontier schema)
+        return pairs.select(
+            F.col("id_a").alias("doc_id"), F.lit(0).cast("int").alias("dist")
+        ).filter(F.lit(False))
     return G.bfs_distances(pairs, source).select(
         F.col("id").alias("doc_id"), "dist"
     )

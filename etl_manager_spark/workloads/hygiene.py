@@ -183,9 +183,14 @@ def dupspan_coverage_documents(spark, sf_dir):
             F.coalesce("max_span_tokens", F.lit(0)).alias("max_span_tokens"),
             F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
             F.size("toks").cast("long").alias("total_tokens"),
+            # try_divide: an empty/whitespace-only document has zero
+            # tokens — NULL coverage like the oracle's x/0, not an ANSI
+            # DIVIDE_BY_ZERO
             quantize(
-                F.coalesce("covered_tokens", F.lit(0)).cast("double")
-                / F.size("toks")
+                F.try_divide(
+                    F.coalesce("covered_tokens", F.lit(0)).cast("double"),
+                    F.size("toks"),
+                )
             ).alias("covered_frac_q"),
         )
     )
@@ -795,11 +800,13 @@ def label_spreading_neardup(spark, sf_dir):
     WITH scores AS ({_LANGID_SCORES_SQL}),
     pred AS (
       SELECT doc_id, lang,
-             CASE WHEN GREATEST(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
-                  WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
-                  WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
-                  WHEN s_es >= s_fr THEN 'es'
-                  ELSE 'fr' END AS predicted_lang
+             CASE WHEN GREATEST(s_de, s_en, s_es, s_fr) > 0 THEN
+                    CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr
+                           THEN 'de'
+                         WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                         WHEN s_es >= s_fr THEN 'es'
+                         ELSE 'fr' END
+                  ELSE 'und' END AS predicted_lang
       FROM scores
     )
     SELECT lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
@@ -1097,19 +1104,27 @@ def embedding_drift_halves(spark, sf_dir):
         F.expr("transform(sort_array(collect_list(struct(dim, m1))), s -> s.m1)").alias("v1"),
     )
 
+    # try_element_at / try_divide: on an EMPTY corpus collect_list gives
+    # v0 = [] where the oracle's LIST() gives NULL — ANSI element_at
+    # would raise INVALID_ARRAY_INDEX; the try_ forms yield the oracle's
+    # (NULL, NULL) row, and are value-identical on non-degenerate input
     def fold(expr_body):
         return F.expr(
             f"aggregate(transform(sequence(1, 64), i -> {expr_body}), "
             "cast(0.0 as double), (acc, v) -> acc + v)"
         )
 
-    l2 = fold("(element_at(v0, i) - element_at(v1, i)) * (element_at(v0, i) - element_at(v1, i))")
-    dot01 = fold("element_at(v0, i) * element_at(v1, i)")
-    n0 = fold("element_at(v0, i) * element_at(v0, i)")
-    n1 = fold("element_at(v1, i) * element_at(v1, i)")
+    l2 = fold(
+        "(try_element_at(v0, i) - try_element_at(v1, i))"
+        " * (try_element_at(v0, i) - try_element_at(v1, i))"
+    )
+    dot01 = fold("try_element_at(v0, i) * try_element_at(v1, i)")
+    n0 = fold("try_element_at(v0, i) * try_element_at(v0, i)")
+    n1 = fold("try_element_at(v1, i) * try_element_at(v1, i)")
     return vecs.select(
         F.floor(l2 * F.lit(1000000000.0) + F.lit(0.5)).cast("long").alias("l2sq_drift_q"),
         F.floor(
-            dot01 / (F.sqrt(n0) * F.sqrt(n1)) * F.lit(1000000000.0) + F.lit(0.5)
+            F.try_divide(dot01, F.sqrt(n0) * F.sqrt(n1))
+            * F.lit(1000000000.0) + F.lit(0.5)
         ).cast("long").alias("cos_means_q"),
     )

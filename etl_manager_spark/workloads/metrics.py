@@ -192,8 +192,10 @@ def precision_recall_at_5_bm25(spark, sf_dir):
         )
         .cast("long")
         .alias("precision_q"),
+        # try_divide: n_relevant = 0 (no relevant docs at all) yields NULL
+        # exactly like DuckDB's x/0; ANSI `/` would raise DIVIDE_BY_ZERO
         F.floor(
-            F.col("n_hits").cast("double") / F.col("n_relevant")
+            F.try_divide(F.col("n_hits").cast("double"), F.col("n_relevant"))
             * F.lit(1000000000.0)
             + F.lit(0.5)
         )
@@ -497,11 +499,16 @@ def kendall_tau_daily_value(spark, sf_dir):
             "n_days",
             "concordant",
             "discordant",
+            # try_divide: a zero denominator (empty input, or every value
+            # tied so n0 == tie_pairs) yields NULL exactly like DuckDB's
+            # x/0.0; ANSI `/` would raise DIVIDE_BY_ZERO
             F.floor(
-                (F.col("concordant") - F.col("discordant")).cast("double")
-                / F.sqrt(
-                    F.col("n0").cast("double")
-                    * (F.col("n0") - F.col("tie_pairs")).cast("double")
+                F.try_divide(
+                    (F.col("concordant") - F.col("discordant")).cast("double"),
+                    F.sqrt(
+                        F.col("n0").cast("double")
+                        * (F.col("n0") - F.col("tie_pairs")).cast("double")
+                    ),
                 )
                 * F.lit(1000000000.0)
                 + F.lit(0.5)
@@ -822,9 +829,17 @@ def theil_sen_daily_value_trend(spark, sf_dir):
     # is days²/2 — span-bounded, but quadratic in a user-visible dimension
     # (~6.7M values for a 10-year daily series), too big to buffer in one
     # task's percentile map
-    return grouped_exact_percentiles(
+    res = grouped_exact_percentiles(
         slopes, ["_g"], "slope_q", {"sen_slope_q": 0.5}, count_name="n_pairs"
-    ).select("n_pairs", "sen_slope_q")
+    )
+    # the oracle is a GLOBAL aggregate: on an empty pair set it still
+    # emits one (0, NULL) row, while the grouped CDF has no group to
+    # return — re-anchor on a one-row seed so both shapes agree
+    seed = spark.range(1).select(F.lit(1).alias("_g"))
+    return seed.join(res, "_g", "left").select(
+        F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias("n_pairs"),
+        "sen_slope_q",
+    )
 
 
 # --------------------------------------------------------------------- #
@@ -1021,9 +1036,10 @@ def doc_prefix_duplicates_documents(spark, sf_dir):
     sliding n-gram boilerplate miner (corpus_ngram_boilerplate): this is
     POSITION-anchored, one hash-agg on the prefix, no window fan-out."""
     t = load_tables(spark, sf_dir)
-    prefix = F.array_join(
-        F.slice(F.filter(R.tokens("text"), lambda x: x != ""), 1, 2), " "
-    )
+    toks = F.filter(R.tokens("text"), lambda x: x != "")
+    # a zero-token document has NO prefix (NULL, like the oracle's
+    # ARRAY_TO_STRING of an empty slice), not the '' prefix
+    prefix = F.when(F.size(toks) > 0, F.array_join(F.slice(toks, 1, 2), " "))
     return (
         spread(t["documents"], spark)
         .select("doc_id", prefix.alias("prefix"))
@@ -1312,7 +1328,8 @@ def mannwhitney_view_vs_click(spark, sf_dir):
     "kruskal_wallis_value_by_type",
     """
     WITH vc AS (
-      SELECT value AS v, CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1
+      SELECT value AS v, CAST(COUNT(*) AS BIGINT) AS c FROM events
+      WHERE value IS NOT NULL GROUP BY 1
     ),
     r AS (
       SELECT v, c,
@@ -1367,7 +1384,13 @@ def kruskal_wallis_value_by_type(spark, sf_dir):
     back on the value key, a |types|-key aggregate — identical shuffle
     budget to a plain GROUP BY."""
     t = load_tables(spark, sf_dir)
-    ev = t["events"].select("event_type", "value")
+    # NULL values are unrankable (and the engines disagree on where NULL
+    # sorts in the rank CDF) - exclude them from the test on BOTH sides
+    ev = (
+        t["events"]
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
     r = _avg_rank2(ev, "value", "r2")
     grp = (
         ev.join(r.withColumnRenamed("value", "value"), on="value")
@@ -1544,11 +1567,15 @@ def silhouette_embeddings_labels(spark, sf_dir):
             F.when(F.col("clabel") != F.col("label"), F.col("dist"))
         ).alias("b"),
     )
+    # try_divide: a point sitting exactly ON both its own and the nearest
+    # other centroid (identical vectors under different labels) zeroes
+    # max(a, b) — NULL like the oracle's x/0, not an ANSI error
     s = ab.select(
         "label",
         F.floor(
-            (F.col("b") - F.col("a"))
-            / F.greatest(F.col("a"), F.col("b"))
+            F.try_divide(
+                F.col("b") - F.col("a"), F.greatest(F.col("a"), F.col("b"))
+            )
             * F.lit(1000000000.0)
             + F.lit(0.5)
         )
@@ -2031,38 +2058,41 @@ def kaplan_meier_first_purchase(spark, sf_dir):
     a1 = rd.agg(
         F.array_sort(F.collect_list(F.struct("t", "d", "e"))).alias("arr")
     ).crossJoin(F.broadcast(nn))
+    # index-lambda transform, not transform(sequence(0, size(arr)-1), …):
+    # on an EMPTY exit-day array, sequence(0, -1) is the DESCENDING
+    # two-element array [0, -1] (step defaults to -1), which feeds
+    # slice(…, -1) → INVALID_PARAMETER_VALUE.LENGTH and two phantom rows
+    # where the oracle (range(0) = []) has none
     a2 = a1.withColumn(
         "r",
         F.expr(
-            "transform(sequence(0, size(arr)-1),"
-            " i -> n - aggregate(slice(arr, 1, i), 0L, (a, x) -> a + x.e))"
+            "transform(arr,"
+            " (x, i) -> n - aggregate(slice(arr, 1, i), 0L, (a, y) -> a + y.e))"
         ),
     )
     a3 = a2.withColumn(
         "f",
         F.expr(
-            "transform(sequence(0, size(arr)-1),"
-            " i -> CAST(r[i] - arr[i].d AS DOUBLE) / r[i])"
+            "transform(arr, (x, i) -> CAST(r[i] - x.d AS DOUBLE) / r[i])"
         ),
     )
     a4 = a3.withColumn(
         "s",
         F.expr(
-            "transform(sequence(0, size(arr)-1),"
-            " i -> aggregate(slice(f, 1, i+1), CAST(1.0 AS DOUBLE),"
-            " (a, x) -> a * x))"
+            "transform(arr,"
+            " (x, i) -> aggregate(slice(f, 1, i+1), CAST(1.0 AS DOUBLE),"
+            " (a, y) -> a * y))"
         ),
     )
     return a4.select(
-        F.posexplode(F.expr("sequence(0, size(arr)-1)")).alias("_p", "i"),
-        "arr",
+        F.posexplode("arr").alias("i", "_x"),
         "r",
         "s",
     ).select(
-        F.expr("arr[i].t").alias("day"),
+        F.expr("_x.t").alias("day"),
         F.expr("r[i]").cast("long").alias("at_risk"),
-        F.expr("arr[i].d").cast("long").alias("deaths"),
-        F.expr("arr[i].e - arr[i].d").cast("long").alias("censored"),
+        F.expr("_x.d").cast("long").alias("deaths"),
+        F.expr("_x.e - _x.d").cast("long").alias("censored"),
         F.floor(
             F.expr("s[i]") * F.lit(1000000000.0) + F.lit(0.5)
         )
@@ -2317,11 +2347,11 @@ def bootstrap_poisson_ci_events(spark, sf_dir):
     ).select(
         "n_resamples",
         F.floor(
-            F.element_at("arr", 6) / F.lit(1000000000.0)
+            F.try_element_at("arr", F.lit(6)) / F.lit(1000000000.0)
             * F.lit(1000000000.0) + F.lit(0.5)
         ).cast("long").alias("boot_lo_q"),
         F.floor(
-            F.element_at("arr", 195) / F.lit(1000000000.0)
+            F.try_element_at("arr", F.lit(195)) / F.lit(1000000000.0)
             * F.lit(1000000000.0) + F.lit(0.5)
         ).cast("long").alias("boot_hi_q"),
     )
@@ -2588,10 +2618,13 @@ def feature_mi_documents(spark, sf_dir):
     stop = F.size(
         F.filter(F.col("arr"), lambda tk: F.lower(tk).isin(*X.STOPWORDS))
     )
+    # try_divide: a zero-token document has no stopword ratio — NULL bin
+    # on both sides (the oracle's x/0 → NULL), never an ANSI error
     stop_bin = F.least(
         F.lit(9),
         F.floor(
-            stop.cast("double") / F.size("arr").cast("double") * F.lit(20.0)
+            F.try_divide(stop.cast("double"), F.size("arr").cast("double"))
+            * F.lit(20.0)
         ).cast("int"),
     ).cast("int")
     nword_bin = F.least(
@@ -2914,11 +2947,11 @@ def bootstrap_lift_ci_events(spark, sf_dir):
     ).select(
         "n_resamples",
         F.floor(
-            F.element_at("arr", 6) / F.lit(1000000000.0)
+            F.try_element_at("arr", F.lit(6)) / F.lit(1000000000.0)
             * F.lit(1000000000.0) + F.lit(0.5)
         ).cast("long").alias("lift_lo_q"),
         F.floor(
-            F.element_at("arr", 195) / F.lit(1000000000.0)
+            F.try_element_at("arr", F.lit(195)) / F.lit(1000000000.0)
             * F.lit(1000000000.0) + F.lit(0.5)
         ).cast("long").alias("lift_hi_q"),
     )
@@ -3024,11 +3057,15 @@ def ccf_click_purchase_daily(spark, sf_dir):
     sxx = F.sum("xx_q").cast("double") / F.lit(1000000000.0)
     syy = F.sum("yy_q").cast("double") / F.lit(1000000000.0)
     sxy = F.sum("xy_q").cast("double") / F.lit(1000000000.0)
+    # try_divide: a lag with a single overlapping day (or a constant
+    # series) has zero variance — NULL like the oracle's x/0
     return q.groupBy(F.col("lag").cast("int").alias("lag")).agg(
         n.cast("long").alias("n_days"),
         R.quantize(
-            (n * sxy - sx * sy)
-            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+            F.try_divide(
+                n * sxy - sx * sy,
+                F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy),
+            )
         ).alias("ccf_q"),
     )
 
@@ -3100,10 +3137,14 @@ def cmh_odds_ratio_events(spark, sf_dir):
             * F.lit(1000000000.0) + F.lit(0.5)
         ).cast("long").alias("den_q"),
     )
+    # try_divide: a corpus with no afternoon purchases anywhere zeroes
+    # Σ(b·c/n) — NULL like the oracle's x/0, not an ANSI DIVIDE_BY_ZERO
     return terms.agg(
         F.count(F.lit(1)).cast("long").alias("n_strata"),
         F.floor(
-            F.sum("num_q").cast("double") / F.sum("den_q").cast("double")
+            F.try_divide(
+                F.sum("num_q").cast("double"), F.sum("den_q").cast("double")
+            )
             * F.lit(1000000000.0) + F.lit(0.5)
         ).cast("long").alias("cmh_or_q"),
     )
@@ -3187,8 +3228,10 @@ def did_estimator_events(spark, sf_dir):
         )
     )
     mean = F.col("s") / F.col("n")
-    varm = (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (
-        F.col("n") - 1
+    # try_divide: a single-row cell (n = 1) has no sample variance —
+    # NULL like the oracle's x/0, not an ANSI DIVIDE_BY_ZERO
+    varm = F.try_divide(
+        F.col("ss") - F.col("s") * F.col("s") / F.col("n"), F.col("n") - 1
     ) / F.col("n")
 
     def cell(tr, po, expr):
@@ -3213,7 +3256,7 @@ def did_estimator_events(spark, sf_dir):
         "n_total",
         R.quantize(did).alias("did_q"),
         R.quantize(se).alias("se_q"),
-        R.quantize(did / se).alias("z_q"),
+        R.quantize(F.try_divide(did, se)).alias("z_q"),
     )
 
 
@@ -3561,8 +3604,10 @@ def newey_west_trend_daily(spark, sf_dir):
     n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
     sy = F.col("sy_q").cast("double") / F.lit(1000000000.0)
     sxy = F.col("sxy_q").cast("double") / F.lit(1000000000.0)
+    # try_divide: a type observed on a single day has zero x-variance —
+    # no slope is estimable; NULL like the oracle's x/0
     den = n * sxx.cast("double") - sx.cast("double") * sx
-    b = (n * sxy - sx * sy) / den
+    b = F.try_divide(n * sxy - sx * sy, den)
     fit = mom.select(
         "event_type", "n", "sx", "sxx",
         b.alias("b"),
@@ -3618,9 +3663,11 @@ def newey_west_trend_daily(spark, sf_dir):
     )
     out = fit.join(lrv, "event_type")
     se = F.sqrt(
-        F.col("v") * F.col("n")
-        / (F.col("n") * F.col("sxx").cast("double")
-           - F.col("sx").cast("double") * F.col("sx"))
+        F.try_divide(
+            F.col("v") * F.col("n"),
+            F.col("n") * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx"),
+        )
     )
     return out.select(
         "event_type",
@@ -3860,9 +3907,11 @@ def weekly_spectral_power_events(spark, sf_dir):
     smm = F.sum("mm_q").cast("double") / F.lit(1000000000.0)
     power = (sc * sc + ss * ss) / n
     var = smm - sm * sm / n
+    # try_divide: a constant (or single-day) series has zero variance —
+    # the ratio is undefined; NULL like the oracle's x/0
     return terms.groupBy("event_type").agg(
         n.cast("long").alias("n_days"),
-        R.quantize(power / var).alias("weekly_power_ratio_q"),
+        R.quantize(F.try_divide(power, var)).alias("weekly_power_ratio_q"),
     )
 
 
@@ -4250,7 +4299,8 @@ def qq_distance_view_click(spark, sf_dir):
     WITH topk AS (
       SELECT CAST(FLOOR(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
                AS v_c
-      FROM orders ORDER BY v_c DESC, o_orderkey LIMIT 101
+      FROM orders WHERE o_totalprice > 0
+      ORDER BY v_c DESC, o_orderkey LIMIT 101
     ),
     thr AS (SELECT MIN(v_c) AS vmin FROM topk),
     terms AS (
@@ -4278,8 +4328,12 @@ def hill_tail_index_orders(spark, sf_dir):
     sort, no window. Exact-cent integers remove float compare risk in
     the heap."""
     t = load_tables(spark, sf_dir)
+    # positive amounts only, on BOTH sides: the Hill estimator is defined
+    # over a positive tail (a refund row would feed LN a negative ratio -
+    # a loud error in DuckDB, a silent NULL in Spark)
     topk = (
         t["orders"]
+        .filter(F.col("o_totalprice") > 0)
         .select(
             F.floor(F.col("o_totalprice").cast("decimal(18,2)") * 100)
             .cast("long").alias("v_c"),

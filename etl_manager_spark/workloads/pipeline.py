@@ -170,11 +170,13 @@ def token_count_documents(spark, sf_dir):
       FROM documents
     )
     SELECT doc_id, lang,
-           CASE WHEN GREATEST(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
-                WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
-                WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
-                WHEN s_es >= s_fr THEN 'es'
-                ELSE 'fr' END AS predicted_lang
+           CASE WHEN GREATEST(s_de, s_en, s_es, s_fr) > 0 THEN
+                  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr
+                         THEN 'de'
+                       WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                       WHEN s_es >= s_fr THEN 'es'
+                       ELSE 'fr' END
+                ELSE 'und' END AS predicted_lang
     FROM scores
     """,
     category="text",
@@ -571,9 +573,10 @@ def dedup_cluster_survivors(spark, sf_dir):
     "similarity_topk_bruteforce",
     """
     WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-               FROM embeddings WHERE vec_id < 5),
+               FROM embeddings
+               WHERE vec_id < 5 AND embedding IS NOT NULL),
          c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
-               FROM embeddings),
+               FROM embeddings WHERE embedding IS NOT NULL),
     scored AS (
       SELECT query_id, neighbor_id,
              LIST_DOT_PRODUCT(qv, cv)
@@ -602,7 +605,13 @@ def similarity_topk_bruteforce(spark, sf_dir):
     """
     SELECT vec_id,
            CAST(LEN(embedding) AS INTEGER) AS dim,
-           SQRT(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS l2_norm,
+           -- transform+fold, not LIST_DOT_PRODUCT: the dot-product kernel
+           -- refuses NULL input rows, and DuckDB 1.0's CSE defeats any
+           -- CASE/COALESCE guard once min/max share the cast; the fold
+           -- simply propagates NULL and is the same sequential sum
+           SQRT(LIST_AGGREGATE(
+             LIST_TRANSFORM(CAST(embedding AS DOUBLE[]), x -> x * x),
+             'sum')) AS l2_norm,
            LIST_AGGREGATE(CAST(embedding AS DOUBLE[]), 'min') AS min_val,
            LIST_AGGREGATE(CAST(embedding AS DOUBLE[]), 'max') AS max_val
     FROM embeddings
@@ -627,7 +636,11 @@ def _with_recall(approx, exact, keys):
     )
     total = ex.agg(F.count(F.lit(1)).alias("_n_exact"))
     recall = overlap.crossJoin(total).select(
-        (F.col("_n_overlap") / F.col("_n_exact")).alias("recall_vs_bruteforce")
+        # try_divide: an empty exact set (no queries at all) yields NULL
+        # exactly like the oracle's CAST(n AS DOUBLE)/0; ANSI `/` raises
+        F.try_divide(F.col("_n_overlap"), F.col("_n_exact")).alias(
+            "recall_vs_bruteforce"
+        )
     )
     return approx.crossJoin(F.broadcast(recall))
 
@@ -1809,8 +1822,9 @@ def stratified_sample_documents(spark, sf_dir):
            CAST(start / 24 AS INTEGER) AS chunk_idx,
            CAST(len(list_slice(toks, start + 1, start + 32)) AS INTEGER)
              AS n_tokens,
-           array_to_string(list_slice(toks, start + 1, start + 32), ' ')
-             AS chunk_text
+           CASE WHEN toks IS NOT NULL THEN
+             COALESCE(array_to_string(list_slice(toks, start + 1, start + 32),
+                      ' '), '') END AS chunk_text
     FROM c
     """,
     category="text",
@@ -1838,8 +1852,9 @@ def chunk_documents_ctx32(spark, sf_dir):
              CAST(strpos('0123456789abcdef',
                          substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
                   AS INTEGER) AS shard,
-             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
-               AS n_tokens
+             CAST(len(list_filter(
+                    regexp_split_to_array(trim(COALESCE(text, '')), '\s+'),
+                    x -> x <> '')) AS BIGINT) AS n_tokens
       FROM documents
     ),
     numbered AS (
@@ -1880,8 +1895,9 @@ def pack_sequences_documents(spark, sf_dir):
     r"""
     WITH scored AS (
       SELECT doc_id, source,
-             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
-               AS n_tokens,
+             CAST(len(list_filter(
+                    regexp_split_to_array(trim(COALESCE(text, '')), '\s+'),
+                    x -> x <> '')) AS BIGINT) AS n_tokens,
              md5(CAST(doc_id AS VARCHAR)) AS pri
       FROM documents
     ),
@@ -1964,7 +1980,8 @@ def _layout_scratch(prefix: str) -> str:
     "layout_compact_events",
     """
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(4 AS INTEGER) AS files_after,
+           CAST(CASE WHEN COUNT(*) = 0 THEN 1 ELSE 4 END AS INTEGER)
+             AS files_after,
            CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT))
                 AS BIGINT) AS total_micros
     FROM events
@@ -2043,7 +2060,8 @@ def layout_sorted_write_orders(spark, sf_dir):
     "gopher_quality_documents",
     rf"""
     WITH tok AS (
-      SELECT doc_id, {_TOK_SQL} AS toks FROM documents
+      SELECT doc_id, {_TOK_SQL} AS toks
+      FROM (SELECT doc_id, COALESCE(text, '') AS text FROM documents)
     ),
     g AS (
       SELECT doc_id, toks, LEN(toks) AS n,
@@ -2360,7 +2378,8 @@ def profile_approx_quantiles_orders(spark, sf_dir):
     "assign_row_ids_orders",
     """
     SELECT o_orderkey,
-           CAST(ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) - 1
+           CAST(ROW_NUMBER() OVER (ORDER BY o_orderdate NULLS FIRST,
+                                    o_orderkey) - 1
                 AS BIGINT) AS row_id
     FROM orders
     """,
@@ -2612,12 +2631,19 @@ def similarity_topk_pq_adc(spark, sf_dir):
             json.dump(books, f)
         os.replace(tmp, books_path)
     codes = spark.read.parquet(codes_path)
-    qrows = sorted(
+    # duplicate query ids collapse to their lexicographically-least
+    # vector (same rule in ann_oracle.pq_adc_oracle): the rerank lookup
+    # is a MAP keyed by query_id, and a duplicated key is a crash
+    # (DUPLICATED_MAP_KEY) instead of a deterministic query set
+    qrows = []
+    for r in sorted(
         emb.filter(F.col("vec_id") < 5)
         .select("vec_id", F.col("embedding").cast("array<double>"))
         .collect(),
-        key=lambda r: r[0],
-    )
+        key=lambda r: (r[0], tuple(r[1]) if r[1] is not None else ()),
+    ):
+        if not qrows or qrows[-1][0] != r[0]:
+            qrows.append(r)
     qids = [int(r[0]) for r in qrows]
     qvecs = [list(r[1]) for r in qrows]
     luts = S.pq_adc_luts(qvecs, books)
@@ -3516,8 +3542,10 @@ def multimodal_audio_rms(spark, sf_dir):
     """
     WITH RECURSIVE raw_edges AS (
       SELECT DISTINCT user_id AS u,
-             1000000 + CAST(json_extract(props, '$.k') AS BIGINT) AS d
+             1000000 + TRY_CAST(props ->> 'k' AS BIGINT) AS d
       FROM events
+      WHERE user_id IS NOT NULL
+        AND TRY_CAST(props ->> 'k' AS BIGINT) IS NOT NULL
     ),
     edges AS (
       SELECT u AS src, d AS dst FROM raw_edges
@@ -3552,15 +3580,19 @@ def identity_stitching_events(spark, sf_dir):
     transitively. Output: per stitched identity, its user and device
     counts. The oracle is the recursive-CTE reachability fixpoint."""
     t = load_tables(spark, sf_dir)
+    # try_cast + both-endpoints-present: an identity edge needs a user
+    # AND a parseable device key — malformed/missing k (or a NULL user)
+    # contributes no edge on either side, never an ANSI cast failure
     edges = (
         spread(t["events"], spark)
         .select(
             F.col("user_id").alias("id_a"),
             (
                 F.lit(1000000)
-                + F.get_json_object("props", "$.k").cast("long")
+                + F.get_json_object("props", "$.k").try_cast("long")
             ).alias("id_b"),
         )
+        .filter(F.col("id_a").isNotNull() & F.col("id_b").isNotNull())
         .distinct()
     )
     assign = D.near_dup_clusters(edges)

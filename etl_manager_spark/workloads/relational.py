@@ -24,6 +24,41 @@ from etl_manager_spark.operators.topk import grouped_topk
 from etl_manager_spark.workloads import workload
 from etl_manager_spark.workloads.tables import load_tables
 
+def _ansi_grand_total(res, spark, n_keys, fills):
+    """Restore ANSI's always-present () grouping-set row.
+
+    Spark's ROLLUP/CUBE/GROUPING SETS emit ZERO rows over an empty
+    relation, while ANSI (and DuckDB/PostgreSQL) emit exactly one row for
+    the ``()`` set — the same row ``SELECT COUNT(*) FROM empty`` yields.
+    ``res`` must carry ``F.grouping_id().alias("_gid")``; the ()-row
+    (gid = 2**n_keys − 1, present iff the input was non-empty) is
+    re-anchored on a literal one-row seed via a 1×1 left join so it
+    exists unconditionally, with ``fills`` (col → literal Column)
+    supplying the values a left-join NULL must become on the empty case
+    (COUNT columns → 0, GROUPING flags → 1; SUM/AVG stay NULL, which IS
+    their ANSI empty-input value). On non-empty input the reassembled
+    result is bitwise the original. Cost: one filter + one 1×1 join +
+    one union over the already-aggregated (groups-sized) result."""
+    gid_all = (1 << n_keys) - 1
+    rest = res.filter(F.col("_gid") != gid_all).drop("_gid")
+    tot = res.filter(F.col("_gid") == gid_all).drop("_gid")
+    dtypes = dict(tot.dtypes)
+    seed = spark.range(1).select(F.lit(1).alias("_seed"))
+    anchored = (
+        seed.join(tot.withColumn("_seed", F.lit(1)), "_seed", "left")
+        .drop("_seed")
+        .select(
+            *[
+                F.coalesce(F.col(c), fills[c]).cast(dtypes[c]).alias(c)
+                if c in fills
+                else F.col(c)
+                for c in tot.columns
+            ]
+        )
+    )
+    return rest.unionByName(anchored)
+
+
 # SQL fragment helpers for the DuckDB oracle side (mirror functions/exact.py)
 def _dsum(col: str) -> str:
     return f"CAST(SUM(CAST({col} AS DECIMAL(18,2))) AS DOUBLE)"
@@ -156,9 +191,13 @@ def rollup_revenue_region_nation(spark, sf_dir):
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
     )
+    res = joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dec_sum("o_totalprice").alias("revenue"),
+        F.grouping_id().alias("_gid"),
+    )
     return (
-        joined.rollup("r_name", "n_name")
-        .agg(F.count(F.lit(1)).alias("n_orders"), dec_sum("o_totalprice").alias("revenue"))
+        _ansi_grand_total(res, spark, 2, {"n_orders": F.lit(0)})
         .select(
             F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
             F.coalesce("n_name", F.lit("ALL")).alias("nation_name"),
@@ -180,10 +219,13 @@ def rollup_revenue_region_nation(spark, sf_dir):
 )
 def cube_status_priority(spark, sf_dir):
     t = load_tables(spark, sf_dir)
-    return (
+    res = (
         t["orders"]
         .cube("o_orderstatus", "o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.grouping_id().alias("_gid"))
+    )
+    return (
+        _ansi_grand_total(res, spark, 2, {"n_orders": F.lit(0)})
         .select(
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
             F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
@@ -554,7 +596,7 @@ def topk_parts_by_price(spark, sf_dir):
            LOWER(p_brand) AS brand_lower,
            SUBSTRING(p_name, 1, 12) AS name_prefix,
            LENGTH(p_name) AS name_len,
-           CONCAT(p_brand, '/', p_type) AS brand_type,
+           CONCAT_WS('/', p_brand, p_type) AS brand_type,
            REPLACE(p_type, ' ', '_') AS type_snake,
            TRIM(p_name) AS name_trim,
            REVERSE(p_brand) AS brand_rev,
@@ -664,18 +706,20 @@ def scalar_math_functions(spark, sf_dir):
     """
     SELECT event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS sum_k,
-           CAST(MIN(CAST(props->>'$.k' AS INTEGER)) AS INTEGER) AS min_k,
-           CAST(MAX(CAST(props->>'$.k' AS INTEGER)) AS INTEGER) AS max_k
+           CAST(SUM(TRY_CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS sum_k,
+           CAST(MIN(TRY_CAST(props->>'$.k' AS INTEGER)) AS INTEGER) AS min_k,
+           CAST(MAX(TRY_CAST(props->>'$.k' AS INTEGER)) AS INTEGER) AS max_k
     FROM events GROUP BY event_type
     """,
     category="json",
 )
 def json_extract_events(spark, sf_dir):
     """JSON string column → typed extraction (get_json_object is JVM-side;
-    for repeated multi-key extraction prefer from_json once per row)."""
+    for repeated multi-key extraction prefer from_json once per row).
+    try_cast, matching the oracle's TRY_CAST: a single non-numeric k in
+    100 TB of props must degrade to NULL, not fail the job under ANSI."""
     t = load_tables(spark, sf_dir)
-    k = F.get_json_object("props", "$.k").cast("int")
+    k = F.get_json_object("props", "$.k").try_cast("int")
     return t["events"].groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(k).alias("sum_k"),
@@ -688,10 +732,10 @@ def json_extract_events(spark, sf_dir):
     "json_struct_parse_events",
     """
     SELECT event_id, event_type,
-           CAST(props->>'$.k' AS INTEGER) AS k,
-           CAST(props->>'$.k' AS INTEGER) % 10 AS k_bucket
+           TRY_CAST(props->>'$.k' AS INTEGER) AS k,
+           TRY_CAST(props->>'$.k' AS INTEGER) % 10 AS k_bucket
     FROM events
-    WHERE CAST(props->>'$.k' AS INTEGER) >= 50
+    WHERE TRY_CAST(props->>'$.k' AS INTEGER) >= 50
     """,
     category="json",
 )
@@ -974,17 +1018,24 @@ def grouping_sets_revenue(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     for name in ("orders", "customer", "nation", "region"):
         t[name].createOrReplaceTempView(f"_gs_{name}")
-    return spark.sql(
+    # the COALESCE-to-'ALL' rendering happens AFTER _ansi_grand_total so
+    # the re-anchored ()-row (NULL keys) renders like any other subtotal
+    res = spark.sql(
         """
-        SELECT COALESCE(r_name, 'ALL') AS region_name,
-               COALESCE(c_mktsegment, 'ALL') AS segment,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        SELECT r_name, c_mktsegment,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               GROUPING_ID(r_name, c_mktsegment) AS _gid
         FROM _gs_orders
         JOIN _gs_customer ON o_custkey = c_custkey
         JOIN _gs_nation ON c_nationkey = n_nationkey
         JOIN _gs_region ON n_regionkey = r_regionkey
         GROUP BY GROUPING SETS ((r_name), (c_mktsegment), ())
         """
+    )
+    return _ansi_grand_total(res, spark, 2, {}).select(
+        F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+        F.coalesce("c_mktsegment", F.lit("ALL")).alias("segment"),
+        "revenue",
     )
 
 
@@ -1056,7 +1107,8 @@ def range_join_value_buckets(spark, sf_dir):
     """
     SELECT c_custkey, c_mktsegment,
            NTILE(4) OVER (PARTITION BY c_mktsegment
-                          ORDER BY c_acctbal, c_custkey) AS quartile
+                          ORDER BY c_acctbal NULLS FIRST, c_custkey)
+             AS quartile
     FROM customer
     """,
     category="window",
@@ -1466,9 +1518,10 @@ def scalar_array_functions(spark, sf_dir):
     """
     SELECT c_custkey, c_mktsegment,
            PERCENT_RANK() OVER (PARTITION BY c_mktsegment
-                                ORDER BY c_acctbal, c_custkey) AS pr,
+                                ORDER BY c_acctbal NULLS FIRST, c_custkey)
+             AS pr,
            CUME_DIST() OVER (PARTITION BY c_mktsegment
-                             ORDER BY c_acctbal, c_custkey) AS cd
+                             ORDER BY c_acctbal NULLS FIRST, c_custkey) AS cd
     FROM customer
     """,
     category="window",
@@ -1712,7 +1765,7 @@ def rollup_grouping_id_events(spark, sf_dir):
     as rollup_revenue_region_nation, plus the grouping metadata both
     engines define identically (1 = aggregated-away level)."""
     t = load_tables(spark, sf_dir)
-    return (
+    res = (
         t["events"]
         .withColumn("hod", F.hour("ts"))
         .rollup("event_type", "hod")
@@ -1720,6 +1773,12 @@ def rollup_grouping_id_events(spark, sf_dir):
             F.grouping("event_type").cast("int").alias("g_type"),
             F.grouping("hod").cast("int").alias("g_hod"),
             F.count(F.lit(1)).cast("long").alias("n"),
+            F.grouping_id().alias("_gid"),
         )
-        .select("event_type", "hod", "g_type", "g_hod", "n")
     )
+    return _ansi_grand_total(
+        res,
+        spark,
+        2,
+        {"g_type": F.lit(1), "g_hod": F.lit(1), "n": F.lit(0)},
+    ).select("event_type", "hod", "g_type", "g_hod", "n")

@@ -6,8 +6,6 @@ are engineered to be float-deterministic, see functions/exact.py).
 
 from __future__ import annotations
 
-import math
-
 import duckdb
 import pytest
 
@@ -30,117 +28,16 @@ def duck(sf_dir_oracle):
     return con
 
 
-def normalize(rows, columns):
-    """Sort columns by name (driver semantics), then sort rows."""
-    order = sorted(range(len(columns)), key=lambda i: columns[i])
-    out = []
-    for row in rows:
-        vals = []
-        for i in order:
-            v = row[i]
-            if isinstance(v, float) and math.isnan(v):
-                v = "NaN"
-            vals.append(v)
-        out.append(tuple(vals))
-    return sorted(out, key=repr), [columns[i] for i in order]
-
-
-def _numeric_category(v):
-    """int-like vs float-like vs decimal — the driver's canonical hash
-    distinguishes dtypes, so ``1234 == 1234.0`` must NOT pass here."""
-    if isinstance(v, bool):
-        return "bool"
-    if isinstance(v, int):
-        return "int"
-    if isinstance(v, float):
-        return "float"
-    import decimal
-
-    if isinstance(v, decimal.Decimal):
-        return "decimal"
-    return "other"
-
-
-def values_equal(a, b):
-    if a is None or b is None:
-        return a is None and b is None
-    # Reject cross-type numeric equality (int64 1234 vs float64 1234.0 hashes
-    # differently in the driver) — the local gate must be at least as strict.
-    if _numeric_category(a) != _numeric_category(b):
-        return False
-    if isinstance(a, float) or isinstance(b, float):
-        # bitwise equality required — the whole point of the decimal-exact
-        # discipline; tolerate only float32→float64 representation widening
-        return a == b or (a == "NaN" and b == "NaN")
-    return a == b
-
-
-# DuckDB scalar type → Spark dtype strings the driver's dtype-tagged hash
-# treats as the same family. Anything NOT in this map and not a container
-# (LIST/STRUCT/MAP) is a type with no Spark twin — HUGEINT being the classic:
-# DuckDB types SUM(BIGINT) as int128, Spark emits int64, values identical but
-# the driver hash differs (the round-5 failure class this gate now catches).
-_INTS = {"tinyint", "smallint", "int", "bigint"}
-_DUCK_TO_SPARK = {
-    "BOOLEAN": {"boolean"},
-    # the driver's hash normalizes signed-int WIDTHS (empirically:
-    # histogram_events_value went driver-green in r4 with Spark int32 vs
-    # DuckDB BIGINT) — only int128 (HUGEINT) breaks it, and that is
-    # forbidden outright below
-    "TINYINT": _INTS,
-    "SMALLINT": _INTS,
-    "INTEGER": _INTS,
-    "BIGINT": _INTS,
-    "FLOAT": {"float"},
-    "DOUBLE": {"double"},
-    "VARCHAR": {"string"},
-    "DATE": {"date"},
-    "TIME": {"string"},  # Spark has no TIME; oracles must not emit it
-    "TIMESTAMP": {"timestamp", "timestamp_ntz"},
-    "TIMESTAMP WITH TIME ZONE": {"timestamp"},
-    "BLOB": {"binary"},
-}
-
-# Types DuckDB can infer that have NO Spark twin — an oracle emitting one of
-# these can never driver-green even when every value matches.
-_FORBIDDEN_TOKENS = (
-    "HUGEINT",
-    "UHUGEINT",
-    "UTINYINT",
-    "USMALLINT",
-    "UINTEGER",
-    "UBIGINT",
-    "INTERVAL",
-    "UUID",
-    "BIT",
+# The compare primitives live in tools/parity_lib.py — ONE implementation
+# shared with the adversarial edge-data sweep (tools/edge_parity.py), so a
+# sweep pass is exactly as strict as this gate.
+from tools.parity_lib import (  # noqa: E402
+    DUCK_TO_SPARK as _DUCK_TO_SPARK,
+    FORBIDDEN_TOKENS as _FORBIDDEN_TOKENS,
+    check_duck_types,
+    normalize,
+    values_equal,
 )
-
-
-def check_duck_types(name, duck_cols, duck_types, spark_dtypes):
-    """Fail when an oracle's DECLARED DuckDB result type cannot hash-match
-    Spark's output type, regardless of values (see _DUCK_TO_SPARK)."""
-    spark_by_col = dict(spark_dtypes)
-    problems = []
-    for col, dtype in zip(duck_cols, duck_types):
-        dt = str(dtype).upper()
-        for tok in _FORBIDDEN_TOKENS:
-            if tok in dt:
-                problems.append(
-                    f"{col}: oracle emits {dt} (contains {tok} — no Spark "
-                    f"twin; CAST the SQL, e.g. CAST(SUM(...) AS BIGINT))"
-                )
-                break
-        else:
-            sdt = spark_by_col.get(col, "").lower()
-            if dt.startswith("DECIMAL"):
-                if not sdt.startswith("decimal"):
-                    problems.append(f"{col}: oracle DECIMAL vs spark {sdt}")
-            elif dt in _DUCK_TO_SPARK:
-                if sdt not in _DUCK_TO_SPARK[dt]:
-                    problems.append(f"{col}: oracle {dt} vs spark {sdt}")
-            # containers (LIST/STRUCT/MAP/ARRAY) pass the twin check once the
-            # forbidden-token scan above has cleared their element types
-    return problems
 
 
 @pytest.mark.parametrize("name", ORACLE_NAMES)

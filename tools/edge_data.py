@@ -1,0 +1,305 @@
+"""Adversarial edge-case twins of the driver testdata tables.
+
+The oracle-parity gate (tests/test_oracle_parity.py, driver CORRECTNESS)
+proves Spark == DuckDB on the *real* synthetic data. That data is benign:
+keys are unique, FKs resolve, text is non-empty ASCII, every JSON prop
+parses, no column is ever NULL. At 100 TB none of that holds — so this
+tool writes the same ten tables (identical parquet physical schemas,
+checked against /root/testdata) populated with the hostile rows a real
+corpus contains, and tools/edge_parity.py re-runs the full Spark-vs-DuckDB
+catalog over them. A query that diverges or crashes here would diverge or
+crash in production on the row the sf* data never contains.
+
+Two datasets:
+
+- ``empty``  — all tables, zero rows, exact schema. Every query must agree
+  with its oracle on the empty database (typically 0 rows or one all-NULL /
+  zero-count aggregate row) without crashing.
+- ``weird``  — a handful of rows per table covering, deliberately:
+  NULL in every nullable column (incl. NULL timestamps, NULL text, NULL
+  embedding), duplicate primary keys, dangling foreign keys, full-row
+  duplicates (total-order tiebreak discipline: identical rows make any
+  non-total ORDER BY visible as nondeterminism), empty/whitespace/unicode
+  strings, zero/negative/extreme numerics, ties on every ordering column,
+  derived-column drift (n_chars disagreeing with text), JSON props with
+  missing/null/non-numeric keys, zero-norm and duplicate embeddings.
+
+Values are hand-written constants — the generator is bit-deterministic
+with no RNG and no clock. Floats are chosen exactly representable in
+binary (halves/quarters/1024ths) so the decimal-exact parity discipline
+is preserved end-to-end.
+
+Usage:  python tools/edge_data.py [--out DIR]     (default .edgedata/)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from datetime import datetime
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SCHEMAS: dict[str, pa.Schema] = {
+    "region": pa.schema(
+        [("r_regionkey", pa.int32()), ("r_name", pa.string())]
+    ),
+    "nation": pa.schema(
+        [
+            ("n_nationkey", pa.int32()),
+            ("n_name", pa.string()),
+            ("n_regionkey", pa.int32()),
+        ]
+    ),
+    "customer": pa.schema(
+        [
+            ("c_custkey", pa.int64()),
+            ("c_name", pa.string()),
+            ("c_nationkey", pa.int32()),
+            ("c_acctbal", pa.float64()),
+            ("c_mktsegment", pa.string()),
+        ]
+    ),
+    "supplier": pa.schema(
+        [
+            ("s_suppkey", pa.int64()),
+            ("s_name", pa.string()),
+            ("s_nationkey", pa.int32()),
+            ("s_acctbal", pa.float64()),
+        ]
+    ),
+    "part": pa.schema(
+        [
+            ("p_partkey", pa.int64()),
+            ("p_name", pa.string()),
+            ("p_brand", pa.string()),
+            ("p_type", pa.string()),
+            ("p_size", pa.int32()),
+            ("p_retailprice", pa.float64()),
+        ]
+    ),
+    "orders": pa.schema(
+        [
+            ("o_orderkey", pa.int64()),
+            ("o_custkey", pa.int64()),
+            ("o_orderstatus", pa.string()),
+            ("o_totalprice", pa.float64()),
+            ("o_orderdate", pa.timestamp("us")),
+            ("o_orderpriority", pa.string()),
+        ]
+    ),
+    "lineitem": pa.schema(
+        [
+            ("l_orderkey", pa.int64()),
+            ("l_partkey", pa.int64()),
+            ("l_suppkey", pa.int64()),
+            ("l_linenumber", pa.int32()),
+            ("l_quantity", pa.float64()),
+            ("l_extendedprice", pa.float64()),
+            ("l_discount", pa.float64()),
+            ("l_tax", pa.float64()),
+            ("l_returnflag", pa.string()),
+            ("l_linestatus", pa.string()),
+            ("l_shipdate", pa.timestamp("us")),
+        ]
+    ),
+    "events": pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ]
+    ),
+    "documents": pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("text", pa.string()),
+            ("lang", pa.string()),
+            ("source", pa.string()),
+            ("n_chars", pa.int64()),
+        ]
+    ),
+    "embeddings": pa.schema(
+        [
+            ("vec_id", pa.int64()),
+            ("embedding", pa.list_(pa.float32())),
+            ("label", pa.int32()),
+        ]
+    ),
+}
+
+
+def _ts(s: str | None):
+    return None if s is None else datetime.fromisoformat(s)
+
+
+def _vec(fill: float, dim: int = 64, **spikes: float) -> list[float]:
+    """A 64-dim float32-exact vector: ``fill`` everywhere, with positional
+    overrides given as p<idx>=value (e.g. p0=1.0)."""
+    v = [fill] * dim
+    for k, val in spikes.items():
+        v[int(k[1:])] = val
+    return v
+
+
+# --- weird rows ------------------------------------------------------------
+# Column order matches SCHEMAS. Every nullable column is NULL in at least
+# one row; every table carries a duplicate primary key and a full-row
+# duplicate; FK columns include at least one dangling value (9_999).
+
+WEIRD: dict[str, list[tuple]] = {
+    "region": [
+        (0, "AMERICA"),
+        (1, ""),                      # empty name
+        (2, None),                    # NULL name
+        (3, " EUROPE "),              # untrimmed
+        (4, "АЗИЯ 🌏"),               # unicode
+        (0, "AMERICA"),               # full-row duplicate (dup PK too)
+    ],
+    "nation": [
+        (0, "NATION_0", 0),
+        (1, "NATIÓN_1", 0),
+        (2, None, 1),                 # NULL name
+        (3, "NATION_3", None),        # NULL FK
+        (4, "NATION_4", 9_999),       # dangling FK
+        (5, "N", 2),
+        (0, "NATION_0", 0),           # full-row duplicate
+        (6, "NATION_6", 4),
+    ],
+    "customer": [
+        (1, "Customer#1", 0, 100.25, "BUILDING"),
+        (2, "Customer#2", 1, None, "MACHINERY"),          # NULL acctbal
+        (3, "Customer#3", 2, -999.5, "AUTOMOBILE"),       # negative
+        (4, "Customer#4", 3, 0.0, "FURNITURE"),           # zero tie …
+        (5, "Customer#5", 3, 0.0, "FURNITURE"),           # … same balance
+        (6, "Customer#6", None, 50.5, "HOUSEHOLD"),       # NULL FK
+        (7, "Customer#7", 9_999, 10.0, "HOUSEHOLD"),      # dangling FK
+        (8, "Customer#8a", 4, 1.0, "BUILDING"),           # dup PK,
+        (8, "Customer#8b", 4, 2.0, "BUILDING"),           #   two payloads
+        (9, "", 5, 5.0, "MACHINERY"),                     # empty name
+        (10, "顧客#10 🚀", 0, 3.25, "BUILDING"),          # unicode
+        (11, None, 1, 7.5, None),                         # NULL name+segment
+        (1, "Customer#1", 0, 100.25, "BUILDING"),         # full-row dup
+    ],
+    "supplier": [
+        (1, "Supplier#1", 0, 0.0),
+        (2, None, None, None),        # all-NULL payload
+        (3, "Supplier#3", 1, -5.5),
+        (4, "Supplier#4", 9_999, 2.25),                   # dangling FK
+        (1, "Supplier#1", 0, 0.0),    # full-row duplicate
+    ],
+    "part": [
+        (1, "spring green plate", "Brand#1", "STANDARD BRASS", 5, 10.0),
+        (2, "", "Brand#2", "SMALL COPPER", None, 0.0),    # empty name, NULL size
+        (3, None, "Brand#1", "PROMO STEEL", 0, None),     # NULL name+price
+        (4, "part four 🔩", "Brand#3", None, 50, 1_000_000.25),
+        (5, "spring green plates", "Brand#1", "STANDARD BRASS", 5, 10.0),  # near-dup name
+        (1, "misty rose bolt", "Brand#9", "ECONOMY TIN", 1, 1.5),          # dup PK
+        (6, "spring green plate", "Brand#1", "STANDARD BRASS", 5, 10.0),   # dup name
+        (1, "spring green plate", "Brand#1", "STANDARD BRASS", 5, 10.0),   # full-row dup
+    ],
+    "orders": [
+        (1, 1, "O", 100.5, _ts("2024-01-05 10:00:00"), "1-URGENT"),
+        (2, 1, "F", 100.5, _ts("2024-01-05 10:00:00"), "2-HIGH"),      # price+date tie
+        (3, 2, "P", None, _ts("2024-01-06 00:00:00"), "3-MEDIUM"),     # NULL price
+        (4, 9_999, "O", 7.25, _ts("2024-01-07 12:30:00"), "4-NOT SPECIFIED"),  # dangling cust
+        (5, None, "F", 0.0, _ts("2024-01-08 23:59:59.999999"), "5-LOW"),       # NULL cust
+        (6, 3, "X", -1.5, None, "1-URGENT"),                           # odd status, NULL date
+        (7, 8, "O", 2.5, _ts("1995-01-01 00:00:00"), "2-HIGH"),        # ancient, dup-PK cust
+        (7, 8, "O", 2.5, _ts("1995-01-01 00:00:00"), "2-HIGH"),        # dup PK, full dup
+        (8, 4, "O", 3.75, _ts("2024-01-05 10:00:00"), None),           # NULL priority
+        (9, 5, "F", 100.5, _ts("2024-01-05 10:00:00"), "5-LOW"),       # 3-way tie
+    ],
+    "lineitem": [
+        (1, 1, 1, 1, 2.0, 100.0, 0.25, 0.0, "N", "O", _ts("2024-01-06 00:00:00")),
+        (1, 2, 1, 2, 0.0, 0.0, 0.0, 0.0, "N", "O", _ts("2024-01-06 00:00:00")),   # zero qty/price
+        (1, 3, 3, 3, 1.0, 50.0, 1.0, 0.25, "R", "F", _ts("2024-01-07 00:00:00")), # 100% discount
+        (2, 1, 1, 1, None, None, None, None, "A", "F", None),                      # NULL measures+date
+        (3, 9_999, 9_999, 1, 5.0, 25.5, 0.5, 0.5, "N", "F", _ts("2024-01-08 00:00:00")),  # dangling FKs
+        (4, 4, 4, 1, 3.0, 12.75, 0.25, 0.0, "Z", "Q", _ts("2024-01-09 00:00:00")),        # odd flags
+        (5, 5, 1, 1, 2.5, 7.5, 0.0, 0.0, None, None, _ts("2024-01-09 00:00:00")),         # NULL flags
+        (6, 1, 1, 1, 2.0, 100.0, 0.25, 0.0, "N", "O", _ts("2024-01-06 00:00:00")),        # measure ties
+        (6, 1, 1, 1, 2.0, 100.0, 0.25, 0.0, "N", "O", _ts("2024-01-06 00:00:00")),        # dup (ok,ln), full dup
+        (9_999, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", _ts("2024-01-10 00:00:00")),       # dangling order
+    ],
+    "events": [
+        (1, _ts("2024-01-01 00:00:00"), 42, "view", 1.5, '{"k": 87}'),
+        (2, _ts("2024-01-01 00:00:00"), 42, "click", 1.5, '{"k": 0}'),       # same-instant tie
+        (3, _ts("2024-01-01 00:00:00"), 7, "view", 1.5, '{"k": 12}'),        # 3-way tie, other user
+        # extreme (25× the real generator's max) but inside every quantize
+        # domain INCLUDING the squared-quantity ones (autocovariance /
+        # variance pipelines quantize y², so |y| must stay ≲ 3e3)
+        (4, _ts("2024-01-02 06:00:00"), 42, "purchase", 2500.25, '{"k": 1}'),
+        (5, _ts("2024-01-02 06:00:00"), 42, "error", -2500.25, '{"k": 2}'),
+        (6, _ts("2024-01-03 12:00:00"), None, "view", 0.0, '{"k": 3}'),      # NULL user
+        (7, None, 42, "signup", 2.25, '{"k": 4}'),                           # NULL ts
+        (8, _ts("2024-01-04 18:00:00"), 42, None, None, None),               # NULL type/value/props
+        (9, _ts("2024-01-05 00:00:00"), 42, "", 5.0, "{}"),                  # empty type, no k
+        (10, _ts("2024-01-05 00:00:00"), 42, "unknown", 5.0, '{"k": null}'), # JSON null k
+        (11, _ts("2024-01-06 09:00:00"), 42, "view", 5.0, '{"k": "x"}'),     # non-numeric k
+        (12, _ts("2024-01-06 09:00:00"), 42, "view", 5.0, '{"j": 1}'),       # missing k
+        (13, _ts("2024-01-30 23:59:59.999999"), 8, "click", 0.25, '{"k": 9}'),  # range edge
+        (8, _ts("2024-01-04 18:00:00"), 42, None, None, None),               # dup PK, full dup
+        (14, _ts("2024-01-07 00:00:00"), 42, "view", 1.5, '{"k": 87}'),      # value tie
+    ],
+    "documents": [
+        (1, "the fast key order sort table scan", "en", "src1", 34),
+        (2, "", "en", "src1", 0),                                   # empty text
+        (3, " \n\t  ", "en", "src2", 5),                            # whitespace only
+        (4, "spark", "en", "src2", 5),                              # single token
+        (5, "dup " * 200, "en", "src3", 800),                       # one token ×200
+        (6, "数据 处理 引擎 🚀 数据", "zh", "src3", 13),             # unicode
+        (7, None, "en", "src4", None),                              # NULL text+n_chars
+        (8, "the fast key order sort table scan", "en", "src5", 34),   # exact dup text
+        (9, "the fast key order sort table scans", "en", "src5", 35),  # near-dup
+        (10, "short", None, None, 999),                             # NULL lang/src, n_chars drift
+        (11, "mixed English 数据 text étude", "xx", "src6", 28),    # unknown lang tag
+        (12, "a a a a a a a a b", "en", "", 17),                    # empty source
+        (8, "the fast key order sort table scan", "en", "src5", 34),   # dup PK, full dup
+    ],
+    "embeddings": [
+        (1, _vec(0.125), 0),
+        (2, _vec(0.0), 1),                       # zero-norm
+        (3, _vec(0.0, p0=1.0), 2),               # one-hot
+        (4, _vec(0.0, p1=1.0), 2),               # orthogonal one-hot
+        (5, _vec(-0.25), 0),                     # negative
+        (6, _vec(0.125), 3),                     # exact dup of 1 (cosine tie)
+        (7, _vec(0.5, p63=-0.5), None),          # NULL label
+        (8, None, 4),                            # NULL embedding
+        (9, _vec(0.25, p0=0.5, p1=0.75), 5),
+        (1, _vec(0.125), 0),                     # dup PK, full dup
+    ],
+}
+
+
+def write_dataset(out_dir: str, rows: dict[str, list[tuple]]) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    for name, schema in SCHEMAS.items():
+        data = rows.get(name, [])
+        cols = [[r[i] for r in data] for i in range(len(schema))]
+        table = pa.table(
+            {f.name: pa.array(cols[i], type=f.type) for i, f in enumerate(schema)},
+            schema=schema,
+        )
+        pq.write_table(table, os.path.join(out_dir, f"{name}.parquet"))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--out", default=os.path.join(os.path.dirname(__file__), "..", ".edgedata")
+    )
+    args = ap.parse_args()
+    base = os.path.abspath(args.out)
+    write_dataset(os.path.join(base, "empty"), {})
+    write_dataset(os.path.join(base, "weird"), WEIRD)
+    for mode in ("empty", "weird"):
+        print(os.path.join(base, mode))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,182 @@
+"""Adversarial edge-data parity sweep: the full oracle catalog over the
+hostile tables from tools/edge_data.py.
+
+The driver gate and tests/test_oracle_parity.py prove Spark == DuckDB on
+the benign sf* data. This sweep re-proves it on data the sf* generator
+never emits — zero rows, NULL keys, duplicate PKs, dangling FKs, empty /
+unicode text, zero-norm embeddings, ordering ties everywhere (see
+tools/edge_data.py). For each oracle-bearing catalog query it runs the
+Spark side and the DuckDB oracle against the SAME edge dataset and applies
+the exact driver compare (tools/parity_lib.py). Outcomes per query:
+
+- ``parity``       — identical results. The strong pass.
+- ``both_error``   — both engines raised. Consistent behavior (usually an
+                     ANSI-vs-ANSI cast error both sides); recorded with
+                     both messages so divergent *reasons* stay visible.
+- ``spark_error`` / ``duck_error`` — ONE engine raised. Always a finding:
+                     either a robustness bug (a 100 TB corpus contains the
+                     row that crashed) or an engine-semantics divergence
+                     to adjudicate in EDGE_LEDGER.
+- ``mismatch``     — both ran, results differ. A correctness finding
+                     unless adjudicated in EDGE_LEDGER.
+
+EDGE_LEDGER entries adjudicate *expected* divergences with a reason; the
+sweep exits non-zero if any unadjudicated finding remains, so the class
+stays enforced the same way the lint ledgers do (tools/lint_catalog.py).
+
+Usage:
+    python tools/edge_parity.py --data .edgedata/weird --out EDGE_weird.json
+    python tools/edge_parity.py --data .edgedata/empty --out EDGE_empty.json
+    (optional) --names q1,q2   limit to specific queries
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import traceback
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, REPO)
+
+from tools.parity_lib import compare_results  # noqa: E402
+
+# name -> reason. Only for divergences that are NOT bugs: engine-level
+# semantics differences surfaced by degenerate data, or queries whose
+# contract genuinely requires non-degenerate input (documented below).
+EDGE_LEDGER: dict[str, str] = {}
+
+# Ledger for queries whose *training inputs* make no sense on a given
+# dataset (e.g. IVF centroid training on an empty embeddings table):
+# name -> (dataset_basename, reason).
+EDGE_SKIP: dict[str, tuple[str, str]] = {}
+
+
+def run_sweep(data_dir: str, names: list[str] | None = None) -> dict:
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = data_dir
+
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    from etl_manager_spark.workloads import load_registry
+    from etl_manager_spark.workloads.tables import TABLE_NAMES
+
+    spark = (
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '4')}]"
+        )
+        .appName("edge-parity")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "4g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    duck = duckdb.connect()
+    for t in TABLE_NAMES:
+        duck.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{data_dir}/{t}.parquet')"
+        )
+
+    registry = load_registry()
+    targets = sorted(
+        n for n, wl in registry.items() if wl.oracle_spec is not None
+    )
+    if names:
+        targets = [n for n in targets if n in set(names)]
+
+    base = os.path.basename(os.path.normpath(data_dir))
+    results: dict[str, dict] = {}
+    counts = {"parity": 0, "both_error": 0, "spark_error": 0,
+              "duck_error": 0, "mismatch": 0, "skipped": 0}
+    for name in targets:
+        skip = EDGE_SKIP.get(name)
+        if skip and skip[0] == base:
+            results[name] = {"status": "skipped", "reason": skip[1]}
+            counts["skipped"] += 1
+            continue
+        wl = registry[name]
+        s_err = d_err = None
+        s_cols = s_rows = s_dtypes = None
+        d_cols = d_rows = d_types = None
+        try:
+            sdf = wl.fn(spark, data_dir)
+            s_cols, s_dtypes = sdf.columns, sdf.dtypes
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as exc:  # noqa: BLE001 - sweep must keep going
+            s_err = f"{type(exc).__name__}: {exc}"[:500]
+        try:
+            sql = wl.oracle
+            rel = duck.sql(sql)
+            d_types = [str(t) for t in rel.types]
+            res = duck.execute(sql)
+            d_cols = [d[0] for d in res.description]
+            d_rows = res.fetchall()
+        except Exception as exc:  # noqa: BLE001
+            d_err = f"{type(exc).__name__}: {exc}"[:500]
+
+        if s_err and d_err:
+            status = "both_error"
+            detail = {"spark": s_err, "duck": d_err}
+        elif s_err:
+            status, detail = "spark_error", {"spark": s_err}
+        elif d_err:
+            status, detail = "duck_error", {"duck": d_err}
+        else:
+            problems = compare_results(
+                name, s_cols, s_rows, s_dtypes, d_cols, d_rows, d_types
+            )
+            if problems:
+                status, detail = "mismatch", {"problems": problems}
+            else:
+                status, detail = "parity", {}
+        counts[status] += 1
+        entry = {"status": status, **detail}
+        if name in EDGE_LEDGER and status in (
+            "mismatch", "spark_error", "duck_error"
+        ):
+            entry["adjudicated"] = EDGE_LEDGER[name]
+        results[name] = entry
+    spark.stop()
+    findings = sorted(
+        n
+        for n, r in results.items()
+        if r["status"] in ("mismatch", "spark_error", "duck_error")
+        and "adjudicated" not in r
+    )
+    return {
+        "data_dir": data_dir,
+        "dataset": base,
+        "total": len(targets),
+        "counts": counts,
+        "unadjudicated_findings": findings,
+        "results": results,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--names", default=None)
+    args = ap.parse_args()
+    names = args.names.split(",") if args.names else None
+    try:
+        report = run_sweep(os.path.abspath(args.data), names)
+    except Exception:
+        traceback.print_exc()
+        sys.exit(2)
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=1, sort_keys=True)
+    print(json.dumps({"dataset": report["dataset"], **report["counts"]}))
+    if report["unadjudicated_findings"]:
+        print("UNADJUDICATED:", *report["unadjudicated_findings"], sep="\n  ")
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

@@ -65,6 +65,7 @@ NLJ_ALLOWED: dict[str, str] = {
     "chi2_event_type_by_dow": "groups: per-type marginals + scalar total",
     "churn_labels_events": "scalar: global max ts (x2)",
     "conditional_entropy_event_chain": "groups: type-pair grid + scalar",
+    "cube_status_priority": "scalar: ANSI ()-row re-anchor (1-row seed x <=1-row total)",
     "countmin_calibration_events": "bounded-table: depth-3 rows, 192-cell sketch",
     "dedup_embedding_cosine_lsh": "scalar: recall-vs-bruteforce row",
     "did_estimator_events": "scalar: global min/max ts",
@@ -72,6 +73,7 @@ NLJ_ALLOWED: dict[str, str] = {
     "equidepth_bins_orders_price": "bounded-table: 10 decile edges + part-summary",
     "feature_mi_documents": "groups: feature x class grid",
     "gdpr_cascade_delete_audit": "scalar: cascade audit counts",
+    "grouping_sets_revenue": "scalar: ANSI ()-row re-anchor (1-row seed x <=1-row total)",
     "heaps_law_fit_documents": "bounded-table: fixed corpus cutpoints",
     "heavy_hitter_tokens_documents": "bounded-table: <=ceil(1/phi)=51 candidates",
     "hill_tail_index_orders": "bounded-table: top-101 values + scalar vmin",
@@ -95,8 +97,11 @@ NLJ_ALLOWED: dict[str, str] = {
     "q11_important_part_value": "scalar: value threshold (TPC-H Q11)",
     "q22_global_sales_opportunity": "scalar: global avg balance (TPC-H Q22)",
     "qq_distance_view_click": "bounded-table: decile grid x 2 types",
+    "rollup_grouping_id_events": "scalar: ANSI ()-row re-anchor (1-row seed x <=1-row total)",
+    "rollup_revenue_region_nation": "scalar: ANSI ()-row re-anchor (1-row seed x <=1-row total)",
     "range_join_value_buckets": "bounded-table: constant bucket grid",
     "ratio_to_report_nation_revenue": "scalar: grand-total revenue",
+    "theil_sen_daily_value_trend": "scalar: ANSI global-row re-anchor (1-row seed x <=1-row CDF result)",
     "rbo_bm25_vs_tfidf": "bounded-k: rank-prefix lists <=k",
     "rfm_user_scores": "scalar: n_users + part-summary",
     "roc_auc_stopword_lang_documents": "bounded-table: <=1001 milli-quantized levels",
@@ -187,6 +192,7 @@ FNP_ALLOWED: dict[str, str] = {
     "assortativity_neardup_graph": "null-guard",
     "bm25_rank_documents": "derived: term IN (...) on exploded terms",
     "bpe_fertility_by_lang": "null-guard",
+    "map_functions_events": "null-guard (map keys cannot be NULL; event_type IS NOT NULL is the only scan predicate)",
     "chi2_event_type_by_dow": "expr: dayofweek(cast(ts as date))",
     "churn_labels_events": "null-guard (+derived _c guard)",
     "clustering_coefficient_neardup": "derived: degree >= 2 (agg output)",
