@@ -64,7 +64,8 @@ def exact_dedup(
 # default num_hashes): materialized signature stores embed this in their
 # path, so a stale store from an older algorithm can never be silently
 # joined against signatures computed by newer code.
-SIGNATURE_ALGO_VERSION = 1
+# v2: pairwise_jaccard/minhash token sets dedupe duplicate doc rows
+SIGNATURE_ALGO_VERSION = 2
 
 
 def _minhash_token_hash(token_col, seed: int):
@@ -412,13 +413,16 @@ def pairwise_jaccard(
     is deployment-dependent there: legacy sizeOfNull makes NULL/NULL =
     -1/-1 = jaccard 1.0 (a NULL doc becomes everyone's perfect
     duplicate), while ANSI throws or drops the pair silently."""
+    # distinct(): a duplicated doc row would otherwise join each pair
+    # once per copy, duplicating the pair's output rows (and every
+    # downstream edge/degree count built on them)
     sets = df.select(
         F.col(id_col).alias("_sid"),
         F.coalesce(
             F.array_distinct(tokens(text_col)),
             F.array().cast("array<string>"),
         ).alias("_toks"),
-    )
+    ).distinct()
     return (
         pairs.join(sets.withColumnRenamed("_sid", "id_a"), on="id_a")
         .withColumnRenamed("_toks", "toks_a")

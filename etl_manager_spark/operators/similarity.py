@@ -611,10 +611,18 @@ def _usable_training_rows(id_vec_rows, train_sample, what):
     determinism under any partitioning, truncate to ``train_sample``, and
     refuse an EMPTY sample with a contract error instead of the trainers'
     internal LinAlgError/AxisError."""
-    rows = sorted(
+    usable = sorted(
         (r for r in id_vec_rows if r[1] is not None and len(r[1]) > 0),
-        key=lambda r: r[0],
-    )[:train_sample]
+        key=lambda r: (r[0], tuple(r[1])),
+    )
+    # duplicate ids collapse to their lexicographically-least vector —
+    # the training sample is a SET keyed by id, and both the Spark path
+    # and the oracle factories must derive the same one from raw rows
+    rows = []
+    for r in usable:
+        if not rows or rows[-1][0] != r[0]:
+            rows.append(r)
+    rows = rows[:train_sample]
     if not rows:
         raise ValueError(
             f"{what} training: empty training sample (no rows with a "
@@ -983,7 +991,8 @@ def _sorted_sample_pq(
 
 # bump to invalidate any stored PQ index (codebooks + codes) when the
 # training or encode arithmetic changes
-PQ_ALGO_VERSION = 1
+# v2: stored codes are built over the DISTINCT valid-vector corpus set
+PQ_ALGO_VERSION = 2
 
 
 def pq_train_codebooks(

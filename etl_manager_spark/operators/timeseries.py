@@ -108,7 +108,10 @@ def ewma_per_key(
     order = list(dict.fromkeys([key_col, ts_col, id_col]))
     slim = (
         df.select(*cols)
-        .filter(_foldable_values(df, value_col))
+        .filter(
+            # a row with no event time has no position in the fold order
+            _foldable_values(df, value_col) & F.col(ts_col).isNotNull()
+        )
         .repartition(F.col(key_col))
         .sortWithinPartitions(*order)
     )
@@ -185,7 +188,10 @@ def holt_per_key(
     order = list(dict.fromkeys([key_col, ts_col, id_col]))
     slim = (
         df.select(*cols)
-        .filter(_foldable_values(df, value_col))
+        .filter(
+            # a row with no event time has no position in the fold order
+            _foldable_values(df, value_col) & F.col(ts_col).isNotNull()
+        )
         .repartition(F.col(key_col))
         .sortWithinPartitions(*order)
     )
@@ -286,7 +292,10 @@ def holt_winters_additive_per_key(
     order = list(dict.fromkeys([key_col, ts_col, id_col]))
     slim = (
         df.select(*cols)
-        .filter(_foldable_values(df, value_col))
+        .filter(
+            # a row with no event time has no position in the fold order
+            _foldable_values(df, value_col) & F.col(ts_col).isNotNull()
+        )
         .repartition(F.col(key_col))
         .sortWithinPartitions(*order)
     )

@@ -194,7 +194,14 @@ def funnel_stages(events: "DataFrame", steps: tuple[str, ...]) -> "DataFrame":
     stage first."""
     return (
         events.select("user_id", "ts", "event_type")
-        .filter(F.col("event_type").isin(list(steps)))
+        # an unidentified (NULL user) or timeless row cannot advance a
+        # per-user ordered state machine; SQL backfills agree since
+        # NULL keys never equi-join
+        .filter(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("event_type").isin(list(steps))
+        )
         .groupBy("user_id")
         .applyInPandasWithState(
             _make_funnel_fn(tuple(steps)),

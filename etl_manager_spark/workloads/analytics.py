@@ -643,10 +643,12 @@ def events_value_outliers(spark, sf_dir):
     "ewma_user_values",
     """
     WITH RECURSIVE numbered AS (
+      -- NULL value rows are missing samples (no state update, no output,
+      -- see ewma_per_key); NULL ts rows have no place in event-time order
       SELECT user_id, event_id, CAST(value AS DOUBLE) AS v,
              ROW_NUMBER() OVER (PARTITION BY user_id
                                 ORDER BY ts, event_id) AS rn
-      FROM events
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
     ),
     fold AS (
       SELECT user_id, event_id, rn, v AS e FROM numbered WHERE rn = 1
@@ -1828,7 +1830,7 @@ def assoc_rules_event_pairs(spark, sf_dir):
       SELECT user_id,
              STRING_AGG(event_type, ',' ORDER BY ts, event_id) AS path,
              COUNT(*) AS n_events
-      FROM events GROUP BY user_id
+      FROM events WHERE ts IS NOT NULL GROUP BY user_id
     )
     SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
            CAST(LEN(regexp_extract_all(path, 'view,click,purchase'))
@@ -1850,8 +1852,10 @@ def sequence_pattern_events(spark, sf_dir):
     path string (bounded by per-user event count; cap with a slice for
     adversarial users)."""
     t = load_tables(spark, sf_dir)
+    # no event time -> no position in the path (both sides)
     paths = (
         t["events"]
+        .filter(F.col("ts").isNotNull())
         .select(
             "user_id",
             F.struct("ts", "event_id", "event_type").alias("e"),
@@ -1926,7 +1930,7 @@ def calendar_functions_events(spark, sf_dir):
                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
                      > 1800000000
              THEN 1 ELSE 0 END AS new_session
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ),
     sess AS (
       SELECT user_id, ts, event_type,
@@ -1970,7 +1974,8 @@ def sessionized_funnel_events(spark, sf_dir):
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     gap = us - F.lag(us).over(w)
-    sess = t["events"].select(
+    # no event time -> no place in the session timeline (both sides)
+    sess = t["events"].filter(F.col("ts").isNotNull()).select(
         "user_id",
         "ts",
         "event_type",
@@ -2657,10 +2662,11 @@ def cusum_changepoint_events(spark, sf_dir):
     "holt_linear_events",
     """
     WITH RECURSIVE numbered AS (
+      -- same missing-sample / no-event-time exclusions as ewma
       SELECT user_id, event_id, CAST(value AS DOUBLE) AS v,
              ROW_NUMBER() OVER (PARTITION BY user_id
                                 ORDER BY ts, event_id) AS rn
-      FROM events
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
     ),
     fold AS (
       SELECT user_id, event_id, rn, v AS l, CAST(0.0 AS DOUBLE) AS b
@@ -3132,10 +3138,11 @@ def ratio_to_report_nation_revenue(spark, sf_dir):
     "mom_revenue_growth",
     """
     WITH monthly AS (
+      -- an order with no date belongs to no month (both sides)
       SELECT DATE_TRUNC('month', o_orderdate) AS month,
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
                AS rev_c
-      FROM orders GROUP BY 1
+      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
     )
     SELECT CAST(month AS DATE) AS month,
            rev_c AS revenue_cents,
@@ -3162,7 +3169,7 @@ def mom_revenue_growth(spark, sf_dir):
     from etl_manager_spark.operators.prefix import ordered_lag
 
     t = load_tables(spark, sf_dir)
-    monthly = t["orders"].groupBy(
+    monthly = t["orders"].filter(F.col("o_orderdate").isNotNull()).groupBy(
         F.date_trunc("month", "o_orderdate").alias("month")
     ).agg(
         (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
@@ -3596,7 +3603,7 @@ def conversion_latency_events(spark, sf_dir):
                   OR LAG(ts) OVER (PARTITION BY user_id
                                    ORDER BY ts, event_id) IS NULL
              THEN 1 ELSE 0 END AS new_session
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ),
     numbered AS (
       SELECT user_id,
@@ -3629,7 +3636,9 @@ def bounce_rate_sessions(spark, sf_dir):
     from pyspark.sql import Window
 
     t = load_tables(spark, sf_dir)
-    ev = t["events"]
+    # events without a timestamp cannot be placed in a session timeline
+    # (and the engines disagree on where NULL sorts) - excluded both sides
+    ev = t["events"].filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     micros = F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
     new_session = F.when(
@@ -4120,7 +4129,7 @@ def rbo_bm25_vs_tfidf(spark, sf_dir):
                   OR LAG(ts) OVER (PARTITION BY user_id
                                    ORDER BY ts, event_id) IS NULL
              THEN 1 ELSE 0 END AS new_session
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ),
     numbered AS (
       SELECT user_id, ts,
@@ -4156,7 +4165,9 @@ def session_duration_stats(spark, sf_dir):
     from pyspark.sql import Window
 
     t = load_tables(spark, sf_dir)
-    ev = t["events"]
+    # events without a timestamp cannot be placed in a session timeline
+    # (and the engines disagree on where NULL sorts) - excluded both sides
+    ev = t["events"].filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     micros = F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
     new_session = F.when(
@@ -4291,10 +4302,12 @@ def nearest_supplier_per_customer(spark, sf_dir):
     "skyline_orders_price_date",
     """
     WITH o AS (
+      -- a row missing either dimension cannot be compared for dominance
       SELECT o_orderkey, o_orderdate AS day,
              CAST(FLOOR(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
                AS price_c
       FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
     )
     SELECT a.o_orderkey, a.day,
            CAST(a.price_c AS BIGINT) AS price_c
@@ -4320,12 +4333,20 @@ def skyline_orders_price_date(spark, sf_dir):
     Prices compared in exact cents; the oracle IS the brute-force
     dominance test, so any pruning bug hash-mismatches."""
     t = load_tables(spark, sf_dir)
-    o = t["orders"].select(
-        "o_orderkey",
-        F.col("o_orderdate").alias("day"),
-        F.floor(F.col("o_totalprice").cast("decimal(18,2)") * 100)
-        .cast("long")
-        .alias("price_c"),
+    o = (
+        t["orders"]
+        # both dimensions required for dominance comparison (both sides)
+        .filter(
+            F.col("o_totalprice").isNotNull()
+            & F.col("o_orderdate").isNotNull()
+        )
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").alias("day"),
+            F.floor(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("price_c"),
+        )
     )
     daymin = o.groupBy("day").agg(F.min("price_c").alias("minp"))
     later = daymin.select(

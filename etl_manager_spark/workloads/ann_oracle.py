@@ -61,10 +61,15 @@ def _lit(vals) -> str:
 
 
 def _cos(a: str, b: str) -> str:
-    """The exact cosine expression both engines share bitwise."""
+    """The exact cosine expression both engines share bitwise. Zero-norm
+    vectors score 0.0, the convention operators.similarity.safe_cosine_expr
+    pins (DuckDB's raw x/0 would yield NULL and rank differently)."""
     return (
-        f"LIST_DOT_PRODUCT({a}, {b}) / "
+        f"(CASE WHEN LIST_DOT_PRODUCT({a}, {a}) = 0"
+        f" OR LIST_DOT_PRODUCT({b}, {b}) = 0 THEN 0.0"
+        f" ELSE LIST_DOT_PRODUCT({a}, {b}) / "
         f"(SQRT(LIST_DOT_PRODUCT({a}, {a})) * SQRT(LIST_DOT_PRODUCT({b}, {b})))"
+        f" END)"
     )
 
 
@@ -119,7 +124,7 @@ def lsh_topk_oracle() -> str:
     """similarity_topk_lsh: bucket in SQL from the same plane literals,
     candidate = collision in ANY table, exact rescoring, top-k, recall."""
     return f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    WITH e AS (SELECT DISTINCT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
                WHERE embedding IS NOT NULL AND LEN(embedding) = 64),
     b AS (SELECT vec_id, v, {_bucket_columns()} FROM e),
     cand AS (
@@ -164,7 +169,7 @@ def ivf_topk_oracle() -> str:
         f"({j + 1}, {_lit(c)})" for j, c in enumerate(_ivf_centroids())
     )
     return f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    WITH e AS (SELECT DISTINCT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
                WHERE embedding IS NOT NULL AND LEN(embedding) = 64),
     cent(list_id, c) AS (SELECT * FROM (VALUES {cent_rows}) t(list_id, c)),
     assign AS (
@@ -214,7 +219,7 @@ def semdedup_oracle() -> str:
         f"({j + 1}, {_lit(c)})" for j, c in enumerate(_ivf_centroids())
     )
     return f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    WITH e AS (SELECT DISTINCT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
                WHERE embedding IS NOT NULL AND LEN(embedding) = 64),
     cent(list_id, c) AS (SELECT * FROM (VALUES {cent_rows}) t(list_id, c)),
     assign AS (
@@ -240,7 +245,7 @@ def lsh_neardup_oracle() -> str:
     id_b, collision in ANY table), exact cosine gate, recall vs the exact
     pair set over the 50% md5 hash-threshold subsample."""
     return f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    WITH e AS (SELECT DISTINCT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
                WHERE embedding IS NOT NULL AND LEN(embedding) = 64),
     b AS (SELECT vec_id, v, {_bucket_columns()} FROM e),
     approx AS (
@@ -433,7 +438,7 @@ def _pq_scored_cte(books: list[list[list[float]]]) -> str:
         for m, book in enumerate(books)
     )
     return f"""
-    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings
+    v AS (SELECT DISTINCT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings
                WHERE embedding IS NOT NULL AND LEN(embedding) = 64),
     scored AS (
       SELECT vec_id,
@@ -591,7 +596,7 @@ def mmr_oracle() -> str:
         for i in range(1, MMR_K + 1)
     )
     return f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    WITH e AS (SELECT DISTINCT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
                WHERE embedding IS NOT NULL AND LEN(embedding) = 64),
     q AS (SELECT vec_id, v FROM e WHERE vec_id < {N_QUERIES}),
     scoredq AS (

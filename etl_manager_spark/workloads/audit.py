@@ -309,7 +309,7 @@ def chi2_event_type_by_dow(spark, sf_dir):
       SELECT user_id, event_type,
              LAG(event_type) OVER (PARTITION BY user_id
                                    ORDER BY ts, event_id) AS prev_type
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     )
     SELECT prev_type, event_type AS next_type, COUNT(*) AS n
     FROM seq WHERE prev_type IS NOT NULL
@@ -324,7 +324,8 @@ def event_transition_matrix(spark, sf_dir):
     for the lag window; the 25-cell count partial-aggregates map-side."""
     t = load_tables(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = t["events"].select(
+    # no event time -> no position in the chain (both sides)
+    seq = t["events"].filter(F.col("ts").isNotNull()).select(
         "event_type", F.lag("event_type").over(w).alias("prev_type")
     )
     return (
@@ -345,11 +346,14 @@ def event_transition_matrix(spark, sf_dir):
       FROM events GROUP BY user_id
     )
     SELECT user_id,
-           CAST(NTILE(5) OVER (ORDER BY last_ts DESC, user_id) AS INTEGER)
+           CAST(NTILE(5) OVER (ORDER BY last_ts DESC,
+                               user_id NULLS FIRST) AS INTEGER)
              AS r_score,
-           CAST(NTILE(5) OVER (ORDER BY frequency DESC, user_id) AS INTEGER)
+           CAST(NTILE(5) OVER (ORDER BY frequency DESC,
+                               user_id NULLS FIRST) AS INTEGER)
              AS f_score,
-           CAST(NTILE(5) OVER (ORDER BY monetary DESC, user_id) AS INTEGER)
+           CAST(NTILE(5) OVER (ORDER BY monetary DESC,
+                               user_id NULLS FIRST) AS INTEGER)
              AS m_score,
            frequency, monetary
     FROM agg
@@ -980,10 +984,12 @@ def generators_part_words(spark, sf_dir):
 @workload(
     "hll_union_rollup_events",
     """
+    -- ts IS NOT NULL: sketches are keyed by day/week; a row with no
+    -- event time belongs to no window on either side
     SELECT CAST(DATE_TRUNC('week', ts) AS DATE) AS week,
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
            TRUE AS estimate_within_5pct
-    FROM events
+    FROM events WHERE ts IS NOT NULL
     GROUP BY DATE_TRUNC('week', ts)
     """,
     category="sketch",

@@ -533,7 +533,7 @@ def interarrival_burstiness_events(spark, sf_dir):
       SELECT event_type AS src,
              LEAD(event_type) OVER (
                PARTITION BY user_id ORDER BY ts, event_id) AS dst
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ),
     trans AS (
       SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS cnt
@@ -562,7 +562,8 @@ def markov_transitions_events(spark, sf_dir):
     same bounded matrix."""
     t = load_tables(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    chain = t["events"].select(
+    # no event time -> no position in the chain (both sides)
+    chain = t["events"].filter(F.col("ts").isNotNull()).select(
         F.col("event_type").alias("src"),
         F.lead("event_type").over(w).alias("dst"),
     ).filter(F.col("dst").isNotNull())
@@ -588,8 +589,9 @@ def markov_transitions_events(spark, sf_dir):
     "activity_streaks_recursive_events",
     """
     WITH days AS (
+      -- a row with no event time is no activity on any day
       SELECT DISTINCT user_id, CAST(DATE_TRUNC('day', ts) AS DATE) AS day
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ),
     grouped AS (
       SELECT user_id, day,
@@ -642,9 +644,14 @@ def activity_streaks_recursive_events(spark, sf_dir):
     w = Window.partitionBy("user_id").orderBy("day")
     # step = largest s < STRIDE with day+1..day+s all active: build the
     # conjunction incrementally so one window pass yields all leads.
-    days = t["events"].select(
-        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
-    ).distinct()
+    days = (
+        t["events"]
+        .filter(F.col("ts").isNotNull())  # no event time -> no active day
+        .select(
+            "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+        )
+        .distinct()
+    )
     cond = F.lit(0)
     run = F.lit(True)
     for k in range(1, STRIDE):

@@ -1089,7 +1089,7 @@ def percent_rank_orders_per_customer(spark, sf_dir):
       SELECT event_type AS prev,
              LEAD(event_type) OVER
                (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ),
     pairs AS (
       SELECT prev, nxt, CAST(COUNT(*) AS BIGINT) AS c
@@ -1118,7 +1118,8 @@ def conditional_entropy_event_chain(spark, sf_dir):
     quantizes BEFORE the order-free integer sum."""
     t = load_tables(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = t["events"].select(
+    # no event time -> no position in the chain (both sides)
+    seq = t["events"].filter(F.col("ts").isNotNull()).select(
         F.col("event_type").alias("prev"),
         F.lead("event_type").over(w).alias("nxt"),
     )
@@ -1601,16 +1602,19 @@ def silhouette_embeddings_labels(spark, sf_dir):
     "holt_winters_daily_by_type",
     """
     WITH RECURSIVE daily AS (
+      -- ts IS NOT NULL: a row with no event time belongs to no day;
+      -- v IS NOT NULL (below): an all-NULL day is a missing sample the
+      -- fold skips (operators/timeseries.py _foldable_values)
       SELECT event_type, CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
              CAST(CAST(FLOOR(CAST(SUM(CAST(value AS DECIMAL(18,2)))
                     AS DOUBLE) / COUNT(*) * 1000000000.0 + 0.5) AS BIGINT)
                AS DOUBLE) / 1000000000.0 AS v
-      FROM events GROUP BY 1, 2
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     ),
     numbered AS (
       SELECT event_type, day, v,
              ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
-      FROM daily
+      FROM daily WHERE v IS NOT NULL
     ),
     fold AS (
       SELECT event_type, day, rn,

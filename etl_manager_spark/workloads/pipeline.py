@@ -409,7 +409,8 @@ _MINHASH_PAIRS_CTES = f"""
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM sized a JOIN sized b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
     ),
-    sets AS (SELECT doc_id, LIST_DISTINCT({_TOK_SQL}) AS toks FROM sub),
+    sets AS (SELECT DISTINCT doc_id, LIST_DISTINCT({_TOK_SQL}) AS toks
+             FROM sub),
     dup_pairs AS (
       SELECT id_a, id_b,
              CAST(LEN(LIST_INTERSECT(sa.toks, sb.toks)) AS DOUBLE)
@@ -579,8 +580,11 @@ def dedup_cluster_survivors(spark, sf_dir):
                FROM embeddings WHERE embedding IS NOT NULL),
     scored AS (
       SELECT query_id, neighbor_id,
-             LIST_DOT_PRODUCT(qv, cv)
-               / (SQRT(LIST_DOT_PRODUCT(qv, qv)) * SQRT(LIST_DOT_PRODUCT(cv, cv))) AS cosine_sim
+             CASE WHEN LIST_DOT_PRODUCT(qv, qv) = 0
+                       OR LIST_DOT_PRODUCT(cv, cv) = 0 THEN 0.0
+                  ELSE LIST_DOT_PRODUCT(qv, cv)
+               / (SQRT(LIST_DOT_PRODUCT(qv, qv)) * SQRT(LIST_DOT_PRODUCT(cv, cv)))
+             END AS cosine_sim
       FROM q CROSS JOIN c WHERE query_id <> neighbor_id
     )
     SELECT query_id, rank, neighbor_id, cosine_sim
@@ -623,6 +627,19 @@ def embedding_profile(spark, sf_dir):
     return S.embedding_profile(t["embeddings"])
 
 
+def _emb_set(emb):
+    """The embedding corpus as an ID-keyed SET: usable vectors only
+    (non-null, the fixture's 64 dims) with duplicate full rows collapsed.
+    Every stored-index similarity workload (LSH/IVF/PQ/MMR/SemDeDup)
+    reads the corpus through this: an index keyed by vec_id cannot hold
+    the same id twice, and the oracles' DISTINCT corpus CTEs pin the same
+    set. Brute-force scoring stays per-row by design (a genuinely
+    duplicated corpus row IS two hits)."""
+    return emb.filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == 64)
+    ).distinct()
+
+
 def _with_recall(approx, exact, keys):
     """Attach the overall recall-vs-bruteforce ratio as a constant column,
     computed fully in Spark (semi-join overlap count / exact count, both
@@ -653,7 +670,7 @@ def similarity_topk_lsh(spark, sf_dir):
     hyperplane buckets, candidate set, exact sims, ranking, and recall
     (see workloads/ann_oracle.py)."""
     t = load_tables(spark, sf_dir)
-    emb = t["embeddings"]
+    emb = _emb_set(t["embeddings"])
     queries = emb.filter(F.col("vec_id") < 5)
     # p3×t16 OR-amplification: ≥0.95 measured recall on the synthetic
     # embeddings (weak neighbors, cosine ≈ 0.4 — the hard LSH regime)
@@ -703,7 +720,7 @@ def embedding_quantize(spark, sf_dir):
     "embedding_label_centroids",
     """
     WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v
-               FROM embeddings),
+               FROM embeddings WHERE embedding IS NOT NULL),
     g AS (SELECT label, COUNT(*) AS n, LIST(v ORDER BY vec_id) AS vs
           FROM e GROUP BY label),
     s AS (SELECT label, n,
@@ -728,7 +745,11 @@ def embedding_label_centroids(spark, sf_dir):
     from etl_manager_spark.functions.udfs import label_centroids
 
     t = load_tables(spark, sf_dir)
-    cents = label_centroids(t["embeddings"])
+    # NULL embeddings contribute nothing to a centroid - excluded on
+    # BOTH sides (a label whose only member is NULL simply has no row)
+    cents = label_centroids(
+        t["embeddings"].filter(F.col("embedding").isNotNull())
+    )
     return cents.select(
         "label",
         "n",
@@ -750,7 +771,7 @@ def similarity_topk_ivf(spark, sf_dir):
     parquet and replays assignment/probing/scoring in SQL (see
     workloads/ann_oracle.py)."""
     t = load_tables(spark, sf_dir)
-    emb = t["embeddings"]
+    emb = _emb_set(t["embeddings"])
     queries = emb.filter(F.col("vec_id") < 5)
     approx = S.cosine_topk_ivf(queries, emb, k=5, num_lists=8, nprobe=3)
     exact = S.cosine_topk(queries, emb, k=5)
@@ -798,7 +819,7 @@ def dedup_embedding_cosine_lsh(spark, sf_dir):
     from etl_manager_spark.operators.sampling import hash_bucket
 
     t = load_tables(spark, sf_dir)
-    emb = t["embeddings"]
+    emb = _emb_set(t["embeddings"])
     approx = S.cosine_near_dup_pairs_lsh(
         emb, threshold=0.4, dim=64, num_planes=3, num_tables=16
     )
@@ -818,7 +839,7 @@ def semdedup_embeddings(spark, sf_dir):
     literals, replays the argmax assignment, and gates the same pairs
     (workloads/ann_oracle.py: semdedup_oracle)."""
     t = load_tables(spark, sf_dir)
-    emb = t["embeddings"]
+    emb = _emb_set(t["embeddings"])
     centroids = S.ivf_train_centroids(emb, num_lists=8, train_sample=1024)
     return S.semantic_dedup_pairs(emb, centroids, threshold=0.4)
 
@@ -1038,12 +1059,14 @@ def upsert_customer_batch(spark, sf_dir):
 @workload(
     "scd2_user_event_history",
     """
+    -- ts IS NOT NULL: an SCD2 validity interval needs an effective
+    -- time; a timeless row cannot open or close a record on either side
     SELECT event_id, user_id, ts, value,
            ts AS valid_from,
            LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
            LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
              AS is_current
-    FROM events
+    FROM events WHERE ts IS NOT NULL
     """,
     category="etl",
 )
@@ -1055,7 +1078,9 @@ def scd2_user_event_history(spark, sf_dir):
 
     t = load_tables(spark, sf_dir)
     return scd2_from_events(
-        t["events"].select("event_id", "user_id", "ts", "value"),
+        t["events"]
+        .filter(F.col("ts").isNotNull())
+        .select("event_id", "user_id", "ts", "value"),
         key=["user_id"],
         ts_col="ts",
         order_cols=["event_id"],
@@ -1532,12 +1557,15 @@ def run_job_etl_output(spark, sf_dir):
 @workload(
     "catalog_sql_partitioned_events",
     """
-    SELECT event_type,
+    -- NULLIF: an empty-string partition VALUE is not representable in a
+    -- Hive layout (it lands in __HIVE_DEFAULT_PARTITION__) and reads
+    -- back as NULL - the oracle mirrors that contract
+    SELECT NULLIF(event_type, '') AS event_type,
            COUNT(*) AS n_events,
            CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT))
                 AS BIGINT) AS total_micros
     FROM events
-    GROUP BY event_type
+    GROUP BY NULLIF(event_type, '')
     """,
     category="catalog",
 )
@@ -1592,12 +1620,23 @@ def catalog_sql_partitioned_events(spark, sf_dir):
 @workload(
     "regex_scan_event_log",
     """
-    SELECT event_type,
+    -- the oracle replays the render->parse contract: a row round-trips
+    -- through the text log iff every field renders (concat_ws skips
+    -- NULLs, and an empty event_type leaves no capture for the final
+    -- group); any non-matching line is an all-NULL row, the Hive
+    -- RegexSerDe semantics the B7 reader implements
+    WITH rendered AS (
+      SELECT event_id, user_id, event_type,
+             (event_id IS NOT NULL AND user_id IS NOT NULL
+              AND event_type IS NOT NULL AND event_type <> '') AS ok
+      FROM events
+    )
+    SELECT CASE WHEN ok THEN event_type END AS event_type,
            COUNT(*) AS n_lines,
-           CAST(SUM(event_id) AS BIGINT) AS id_sum,
-           CAST(MAX(user_id) AS BIGINT) AS max_user
-    FROM events
-    GROUP BY event_type
+           CAST(SUM(CASE WHEN ok THEN event_id END) AS BIGINT) AS id_sum,
+           CAST(MAX(CASE WHEN ok THEN user_id END) AS BIGINT) AS max_user
+    FROM rendered
+    GROUP BY CASE WHEN ok THEN event_type END
     """,
     category="formats",
 )
@@ -2522,7 +2561,11 @@ def pca_project_embeddings(spark, sf_dir):
     left-associative sum chain (workloads/ann_oracle.py:
     pca_project_oracle)."""
     t = load_tables(spark, sf_dir)
-    emb = t["embeddings"]
+    # per-ROW encode (map-only contract: zero exchanges) - invalid
+    # vectors are filtered at the scan, duplicates encode identically
+    emb = t["embeddings"].filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == 64)
+    )
     mean, comps = S.pca_train_components(
         emb,
         n_components=ann_oracle.PCA_COMPONENTS,
@@ -2542,7 +2585,10 @@ def pq_encode_embeddings(spark, sf_dir):
     pq_encode_oracle re-trains the codebooks and replays the argmin and
     the error sum bitwise."""
     t = load_tables(spark, sf_dir)
-    emb = t["embeddings"]
+    # per-ROW encode (map-only contract: zero exchanges), like pca_project
+    emb = t["embeddings"].filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == 64)
+    )
     books = S.pq_train_codebooks(
         emb,
         num_subspaces=ann_oracle.PQ_SUBSPACES,
@@ -2582,7 +2628,7 @@ def similarity_topk_pq_adc(spark, sf_dir):
     import tempfile
 
     t = load_tables(spark, sf_dir)
-    emb = t["embeddings"]
+    emb = _emb_set(t["embeddings"])
     # The (codebooks, codes) pair is the PQ INDEX — in production it is
     # built once at ingest and every search reads it; retraining and
     # re-encoding the corpus per query would be wrong at any scale. Same
@@ -2785,9 +2831,10 @@ def similarity_topk_pq_adc(spark, sf_dir):
     q AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
     cand AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
-             LIST_DOT_PRODUCT(q.v, c.v) /
+             CASE WHEN LIST_DOT_PRODUCT(q.v, q.v) = 0 OR LIST_DOT_PRODUCT(c.v, c.v) = 0 THEN 0.0
+             ELSE LIST_DOT_PRODUCT(q.v, c.v) /
              (SQRT(LIST_DOT_PRODUCT(q.v, q.v)) *
-              SQRT(LIST_DOT_PRODUCT(c.v, c.v))) AS cosine_sim
+              SQRT(LIST_DOT_PRODUCT(c.v, c.v))) END AS cosine_sim
       FROM q JOIN e c ON c.vec_id <> q.vec_id
       WHERE c.label < 3
     )
@@ -2834,7 +2881,7 @@ def similarity_mmr_diversified(spark, sf_dir):
     corpus-sized. Oracle: ann_oracle.mmr_oracle unrolls the same greedy
     steps in SQL over the same sims; scores hash-match bitwise."""
     t = load_tables(spark, sf_dir)
-    emb = t["embeddings"]
+    emb = _emb_set(t["embeddings"])
     queries = emb.filter(F.col("vec_id") < 5)
     cands = S.cosine_topk(queries, emb, k=ann_oracle.MMR_SHORTLIST)
     cvec = emb.select(
@@ -2954,9 +3001,11 @@ def sorted_neighborhood_part_names(spark, sf_dir):
 @workload(
     "incremental_rollup_events",
     """
+    -- ts IS NOT NULL: the rollup is maintained from per-DAY partials; a
+    -- row with no event time belongs to no day on either side
     SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-    FROM events GROUP BY event_type
+    FROM events WHERE ts IS NOT NULL GROUP BY event_type
     """,
     category="etl",
 )
@@ -3271,11 +3320,15 @@ def multimodal_media_clusters(spark, sf_dir):
 @workload(
     "fixedwidth_scan_orders",
     """
+    -- only complete rows render as fixed-width lines (a NULL field has
+    -- no positional encoding); the renderer skips the rest explicitly
     SELECT o_orderstatus,
            CAST(COUNT(*) AS BIGINT) AS n_lines,
            CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
     FROM orders
+    WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL
+      AND o_orderstatus IS NOT NULL AND o_totalprice IS NOT NULL
     GROUP BY o_orderstatus
     """,
     category="formats",
@@ -3295,6 +3348,15 @@ def fixedwidth_scan_orders(spark, sf_dir):
     path = os.path.join(scratch, "orders_fw")
     (
         t["orders"]
+        # a NULL field has no positional encoding - concat would NULL the
+        # whole line and the writer would silently drop it; skip
+        # incomplete rows EXPLICITLY (mirrored in the oracle)
+        .filter(
+            F.col("o_orderkey").isNotNull()
+            & F.col("o_custkey").isNotNull()
+            & F.col("o_orderstatus").isNotNull()
+            & F.col("o_totalprice").isNotNull()
+        )
         .select(
             F.concat(
                 F.rpad(F.col("o_orderkey").cast("string"), 12, " "),

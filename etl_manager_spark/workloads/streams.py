@@ -24,7 +24,8 @@ from etl_manager_spark.workloads import workload
            COUNT(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
            CAST(COUNT(DISTINCT user_id) AS INTEGER) AS active_users
-    FROM events GROUP BY DATE_TRUNC('hour', ts)
+    FROM events WHERE ts IS NOT NULL
+    GROUP BY DATE_TRUNC('hour', ts)
     """,
     category="streaming",
 )
@@ -46,7 +47,7 @@ def streaming_hourly_rollup(spark, sf_dir):
                     OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
                   OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
              THEN 1 ELSE 0 END AS new_session
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ),
     numbered AS (
       SELECT user_id, ts,
@@ -80,7 +81,7 @@ def streaming_session_windows(spark, sf_dir):
            COUNT(*) AS n_events
     FROM (SELECT UNNEST([DATE_TRUNC('hour', ts) - INTERVAL 1 HOUR,
                          DATE_TRUNC('hour', ts)]) AS window_start
-          FROM events)
+          FROM events WHERE ts IS NOT NULL)
     GROUP BY window_start
     """,
     category="streaming",
@@ -361,16 +362,18 @@ def streaming_cdc_upsert_latest_event(spark, sf_dir):
 @workload(
     "streaming_funnel_stages",
     """
-    WITH su AS (
-      SELECT DISTINCT user_id FROM events
+    WITH ev AS (SELECT * FROM events
+                WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+    su AS (
+      SELECT DISTINCT user_id FROM ev
       WHERE event_type IN ('view', 'click', 'purchase')
     ),
-    s1 AS (SELECT user_id, MIN(ts) AS t FROM events
+    s1 AS (SELECT user_id, MIN(ts) AS t FROM ev
            WHERE event_type = 'view' GROUP BY user_id),
-    s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+    s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM ev e
            JOIN s1 ON e.user_id = s1.user_id
            WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id),
-    s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+    s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM ev e
            JOIN s2 ON e.user_id = s2.user_id
            WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id)
     SELECT su.user_id,
@@ -543,7 +546,7 @@ def streaming_fullouter_attribution(spark, sf_dir):
       SELECT user_id, ts,
              EPOCH_US(ts) + CASE WHEN event_type = 'purchase'
                                  THEN 600000000 ELSE 1800000000 END AS end_us
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ),
     flagged AS (
       SELECT user_id, ts, end_us,

@@ -69,3 +69,44 @@ def test_committed_lint_run_was_clean(lint_report):
     assert lint_report["critical"] == []
     assert lint_report["errors"] == {}
     assert lint_report["oracle_type_errors"] == {}
+
+
+# --------------------------------------------------------------------- #
+# edge-parity ledgers (tools/edge_parity.py) — same discipline as the
+# lint ledgers: entries must name real oracle-bearing catalog queries,
+# and the committed sweep results must be clean modulo adjudications.
+
+
+@pytest.fixture(scope="module")
+def edge_reports():
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = {}
+    for name in ("EDGE_empty.json", "EDGE_weird.json"):
+        with open(os.path.join(root, name)) as fh:
+            out[name] = json.load(fh)
+    return out
+
+
+def test_edge_ledger_entries_name_oracle_queries(catalog_names):
+    from tools.edge_parity import EDGE_LEDGER, EDGE_SKIP
+
+    orphans = sorted(
+        (set(EDGE_LEDGER) | set(EDGE_SKIP)) - catalog_names
+    )
+    assert not orphans, (
+        f"EDGE_LEDGER/EDGE_SKIP entries with no catalog query: {orphans}"
+    )
+
+
+def test_committed_edge_sweeps_have_no_unadjudicated_findings(edge_reports):
+    for name, report in edge_reports.items():
+        assert report["unadjudicated_findings"] == [], (
+            f"{name} committed with unadjudicated findings — fix the "
+            "divergence or adjudicate it in tools/edge_parity.py"
+        )
+        # one-engine crashes are never acceptable, adjudicated or not
+        assert report["counts"]["spark_error"] == 0, name
+        assert report["counts"]["duck_error"] == 0, name

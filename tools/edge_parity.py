@@ -46,7 +46,17 @@ from tools.parity_lib import compare_results  # noqa: E402
 # name -> reason. Only for divergences that are NOT bugs: engine-level
 # semantics differences surfaced by degenerate data, or queries whose
 # contract genuinely requires non-degenerate input (documented below).
-EDGE_LEDGER: dict[str, str] = {}
+EDGE_LEDGER: dict[str, str] = {
+    "profile_approx_quantiles_orders": (
+        "the oracle pins a CALIBRATION ASSERTION (within_tol = TRUE) "
+        "about Spark's Greenwald-Khanna sketch, which DuckDB cannot "
+        "recompute; on 1-2-row groups the sketch returns a data point "
+        "while the exact percentile interpolates, so the 10% tolerance "
+        "legitimately fails (and is NULL for all-NULL groups) - the "
+        "assertion's domain is realistic group sizes, which sf0.01+ "
+        "parity and the driver gate cover"
+    ),
+}
 
 # Ledger for queries whose *training inputs* make no sense on a given
 # dataset (e.g. IVF centroid training on an empty embeddings table):

@@ -144,18 +144,23 @@ MS_ALLOWED: dict[str, str] = {
     "conditional_entropy_event_chain": "bigram/unigram/total keyings",
     "conformal_interval_events": "per-type calib CDF + test join",
     "dbscan_core_border_noise_embeddings": "bucket join + O(log n) CC label rounds",
+    "dedup_embedding_cosine_lsh": "band bucketing + probe + rerank + corpus set-dedup exchange",
     "haar_energy_daily_events": "one pair-agg per wavelet level (log2 span)",
     "kneser_ney_bigram_score_documents": "bigram/unigram/continuation keyings",
     "leakage_safe_split_documents": "group, split, and audit keyings",
     "mad_robust_outliers_events": "two CDF passes (median, MAD) + flag join",
+    "minhash_near_dup_pairs": "sig, bucket, pair, verify keyings + token set-dedup exchange",
+    "ngram_jaccard_top_pairs": "token, pair, size keyings + (id, token) set-dedup exchange",
     "ndcg_bm25_documents": "term match, per-query rank, ideal rank",
     "newey_west_trend_daily": "per-lag autocovariance keyings (fixed lags)",
     "pacf_daily_events": "per-lag Durbin recursion aggs (fixed K)",
     "rbo_bm25_vs_tfidf": "two rankers + per-depth overlap",
     "rolling_origin_backtest_daily": "per-fold train/test aggs (fixed folds)",
     "rrf_fuse_bm25_tfidf_documents": "two rankers + fused rank",
+    "similarity_mmr_diversified": "shortlist, pair, greedy-step keyings + corpus set-dedup exchange",
     "similarity_topk_ivf": "centroid assign + probe + rerank",
     "similarity_topk_lsh": "band bucketing + probe + rerank",
+    "similarity_topk_pq_adc": "ADC shortlist + rerank + corpus set-dedup exchange",
     "source_overlap_matrix_documents": "pairwise source-grid aggs",
     "triangle_support_neardup": "edge->wedge->triangle join keyings",
 }
@@ -192,8 +197,20 @@ FNP_ALLOWED: dict[str, str] = {
     "assortativity_neardup_graph": "null-guard",
     "bm25_rank_documents": "derived: term IN (...) on exploded terms",
     "bpe_fertility_by_lang": "null-guard",
+    "bounce_rate_sessions": "null-guard (ts IS NOT NULL: sessionization needs event time)",
+    "embedding_label_centroids": "null-guard (embedding IS NOT NULL)",
+    "equidepth_bins_orders_price": "null-guard (NULL price is not a CDF value)",
+    "event_transition_matrix": "null-guard (ts IS NOT NULL: chain order needs event time)",
+    "markov_transitions_events": "null-guard (ts IS NOT NULL: chain order needs event time)",
+    "pca_project_embeddings": "null-guard (valid-vector set: embedding IS NOT NULL, fixed dim)",
+    "pq_encode_embeddings": "null-guard (valid-vector set: embedding IS NOT NULL, fixed dim)",
+    "scd2_user_event_history": "null-guard (ts IS NOT NULL: a validity interval needs an effective time)",
+    "sequence_pattern_events": "null-guard (ts IS NOT NULL: path order needs event time)",
+    "session_duration_stats": "null-guard (ts IS NOT NULL: sessionization needs event time)",
+    "sessionized_funnel_events": "null-guard (ts IS NOT NULL: sessionization needs event time)",
     "map_functions_events": "null-guard (map keys cannot be NULL; event_type IS NOT NULL is the only scan predicate)",
     "chi2_event_type_by_dow": "expr: dayofweek(cast(ts as date))",
+    "conditional_entropy_event_chain": "null-guard (ts IS NOT NULL: chain order needs event time)",
     "churn_labels_events": "null-guard (+derived _c guard)",
     "clustering_coefficient_neardup": "derived: degree >= 2 (agg output)",
     "cohort_retention_events": "null-guard",
