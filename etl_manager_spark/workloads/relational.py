@@ -467,7 +467,8 @@ def window_top3_orders_per_customer(spark, sf_dir):
     """
     SELECT o_custkey, o_orderkey, o_orderdate,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate NULLS FIRST, o_orderkey)
                 AS DOUBLE) AS running_spend
     FROM orders WHERE o_custkey < 100
     """,
@@ -495,8 +496,9 @@ def window_running_spend(spark, sf_dir):
     """
     SELECT o_custkey, o_orderkey,
            DATE_DIFF('day',
-                     CAST(LAG(o_orderdate) OVER (PARTITION BY o_custkey
-                                                 ORDER BY o_orderdate, o_orderkey) AS DATE),
+                     CAST(LAG(o_orderdate) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate NULLS FIRST, o_orderkey) AS DATE),
                      CAST(o_orderdate AS DATE)) AS gap_days
     FROM orders WHERE o_custkey < 100
     """,

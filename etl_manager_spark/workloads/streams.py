@@ -124,7 +124,10 @@ def streaming_dedup_user_event_types(spark, sf_dir):
     """
     SELECT user_id,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_cents,
+           -- COALESCE: a counter reads 0 until a value arrives (the state
+           -- machine initializes at 0 and NULL values update nothing)
+           CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,2))), 0) * 100
+                AS BIGINT) AS total_cents,
            MAX(ts) AS last_seen
     FROM events GROUP BY user_id
     """,
@@ -214,10 +217,17 @@ def streaming_two_level_rollup(spark, sf_dir):
     "streaming_leftouter_attribution",
     """
     WITH wm AS (
-      SELECT date_trunc('milliseconds', LEAST(
+      -- null-STRICT min: an input with no rows never advances its
+      -- watermark, so the GLOBAL watermark stays unset and no outer row
+      -- ever evicts (DuckDB's LEAST would ignore the NULL side)
+      SELECT CASE WHEN (SELECT MAX(ts) FROM events
+                        WHERE event_type = 'click') IS NOT NULL
+                   AND (SELECT MAX(ts) FROM events
+                        WHERE event_type = 'purchase') IS NOT NULL
+             THEN date_trunc('milliseconds', LEAST(
                (SELECT MAX(ts) FROM events WHERE event_type = 'click'),
                (SELECT MAX(ts) FROM events WHERE event_type = 'purchase')
-             )) - INTERVAL 1 HOUR AS w
+             )) - INTERVAL 1 HOUR END AS w
     )
     SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
            c.ts AS click_ts, p.ts AS purchase_ts
@@ -480,10 +490,17 @@ def streaming_dedup_within_watermark(spark, sf_dir):
     "streaming_fullouter_attribution",
     """
     WITH wm AS (
-      SELECT date_trunc('milliseconds', LEAST(
+      -- null-STRICT min: an input with no rows never advances its
+      -- watermark, so the GLOBAL watermark stays unset and no outer row
+      -- ever evicts (DuckDB's LEAST would ignore the NULL side)
+      SELECT CASE WHEN (SELECT MAX(ts) FROM events
+                        WHERE event_type = 'click') IS NOT NULL
+                   AND (SELECT MAX(ts) FROM events
+                        WHERE event_type = 'purchase') IS NOT NULL
+             THEN date_trunc('milliseconds', LEAST(
                (SELECT MAX(ts) FROM events WHERE event_type = 'click'),
                (SELECT MAX(ts) FROM events WHERE event_type = 'purchase')
-             )) - INTERVAL 1 HOUR AS w
+             )) - INTERVAL 1 HOUR END AS w
     )
     SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
            c.ts AS click_ts, p.ts AS purchase_ts

@@ -358,9 +358,22 @@ def q22_global_sales_opportunity(spark, sf_dir):
     avg_df = seg_cust.filter(F.col("c_acctbal") > 0.0).agg(
         (F.sum(dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("_avg_bal")
     )
+    # NULL-AWARE anti join: NOT IN over a list containing NULL is never
+    # true (three-valued logic), so one NULL o_custkey must empty the
+    # result - a plain left_anti would silently ignore it. The guard is
+    # a 1-row aggregate broadcast like the average.
+    null_free = t["orders"].agg(
+        (~F.coalesce(F.max(F.col("o_custkey").isNull()), F.lit(False))).alias(
+            "_no_null_keys"
+        )
+    )
     return (
         seg_cust.crossJoin(F.broadcast(avg_df))
-        .filter(F.col("c_acctbal").cast("double") > F.col("_avg_bal"))
+        .crossJoin(F.broadcast(null_free))
+        .filter(
+            (F.col("c_acctbal").cast("double") > F.col("_avg_bal"))
+            & F.col("_no_null_keys")
+        )
         .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .groupBy("c_mktsegment")
         .agg(

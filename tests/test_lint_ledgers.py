@@ -84,7 +84,13 @@ def edge_reports():
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out = {}
-    for name in ("EDGE_empty.json", "EDGE_weird.json"):
+    for name in (
+        "EDGE_empty.json",
+        "EDGE_weird.json",
+        "EDGE_fuzz1.json",
+        "EDGE_fuzz2.json",
+        "EDGE_fuzz3.json",
+    ):
         with open(os.path.join(root, name)) as fh:
             out[name] = json.load(fh)
     return out

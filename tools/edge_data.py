@@ -276,6 +276,144 @@ WEIRD: dict[str, list[tuple]] = {
 }
 
 
+def fuzz_rows(seed: int) -> dict[str, list[tuple]]:
+    """Seeded random tables: schema-valid, in-domain values, but with the
+    hostile traits injected at random — NULLs in any nullable column,
+    duplicate primary keys, full-row duplicates, dangling FKs, ordering
+    ties, empty/unicode strings. The property under test is stronger
+    than the curated `weird` set: Spark ≡ DuckDB on ARBITRARY data of
+    this shape, not just on the rows someone thought to write down.
+    Deterministic per seed (one `random.Random(seed)`, no clock)."""
+    import random
+
+    rng = random.Random(seed)
+
+    def maybe(p, val):
+        return None if rng.random() < p else val
+
+    def ts():
+        # mostly in the fixture's range, heavy tie mass on round hours
+        base = rng.choice([0, 0, 0, 6, 12, 18])
+        day = rng.randint(1, 30)
+        if rng.random() < 0.5:
+            return _ts(f"2024-01-{day:02d} {base:02d}:00:00")
+        return _ts(
+            f"2024-01-{day:02d} {rng.randint(0, 23):02d}:"
+            f"{rng.randint(0, 59):02d}:{rng.randint(0, 59):02d}"
+        )
+
+    words = ["the", "data", "spark", "merge", "sort", "数据", "étude", "a",
+             "row", "batch", "dup", "scan", "join", "key", "value"]
+
+    def text():
+        r = rng.random()
+        if r < 0.08:
+            return ""
+        if r < 0.12:
+            return " \t "
+        n = rng.randint(1, 25)
+        return " ".join(rng.choice(words) for _ in range(n))
+
+    def value():
+        # in the quantize domain incl. squared pipelines; exact binary
+        # fractions keep the decimal-exact discipline honest
+        return rng.choice(
+            [0.0, 0.25, 1.5, -2.5, 87.125, 450.5, 2500.25, -2500.25,
+             rng.randint(0, 400) / 4.0]
+        )
+
+    types = ["view", "click", "purchase", "signup", "error", "unknown", ""]
+    langs = ["en", "de", "zh", "fr", "es", "xx"]
+    out: dict[str, list[tuple]] = {}
+    out["region"] = [
+        (i, maybe(0.1, rng.choice(["AMERICA", "EUROPE", "ASIA", "", "АЗИЯ"])))
+        for i in range(rng.randint(0, 5))
+    ]
+    out["nation"] = [
+        (i, maybe(0.1, f"NATION_{i}"), maybe(0.15, rng.choice([0, 1, 2, 9999])))
+        for i in range(rng.randint(0, 8))
+    ]
+    out["customer"] = [
+        (rng.randint(1, 8), maybe(0.1, f"Customer#{i}"),
+         maybe(0.15, rng.choice([0, 1, 2, 9999])),
+         maybe(0.15, value()), maybe(0.1, rng.choice(
+             ["BUILDING", "MACHINERY", "AUTOMOBILE", ""])))
+        for i in range(rng.randint(0, 12))
+    ]
+    out["supplier"] = [
+        (rng.randint(1, 4), maybe(0.1, f"Supplier#{i}"),
+         maybe(0.15, rng.choice([0, 1, 9999])), maybe(0.15, value()))
+        for i in range(rng.randint(0, 5))
+    ]
+    out["part"] = [
+        (rng.randint(1, 8), maybe(0.1, " ".join(
+            rng.choice(words) for _ in range(3))),
+         f"Brand#{rng.randint(1, 3)}",
+         maybe(0.1, rng.choice(["STANDARD BRASS", "ECONOMY TIN", "PROMO"])),
+         maybe(0.15, rng.randint(0, 50)), maybe(0.15, value()))
+        for i in range(rng.randint(0, 10))
+    ]
+    out["orders"] = [
+        (rng.randint(1, 12), maybe(0.1, rng.choice([1, 2, 3, 8, 9999])),
+         rng.choice(["O", "F", "P", "X"]), maybe(0.15, value()),
+         maybe(0.1, ts()),
+         maybe(0.1, rng.choice(["1-URGENT", "2-HIGH", "5-LOW"])))
+        for i in range(rng.randint(0, 15))
+    ]
+    out["lineitem"] = [
+        (rng.randint(1, 12), rng.randint(1, 8), rng.randint(1, 4),
+         rng.randint(1, 4), maybe(0.1, abs(value())),
+         maybe(0.1, abs(value())), maybe(0.1, rng.randint(0, 4) / 4.0),
+         maybe(0.1, rng.randint(0, 2) / 4.0),
+         maybe(0.1, rng.choice(["N", "R", "A", "Z"])),
+         maybe(0.1, rng.choice(["O", "F"])), maybe(0.1, ts()))
+        for i in range(rng.randint(0, 20))
+    ]
+    out["events"] = [
+        (rng.randint(1, 15), maybe(0.08, ts()),
+         maybe(0.08, rng.choice([7, 8, 42])), maybe(0.08, rng.choice(types)),
+         maybe(0.08, value()),
+         maybe(0.08, rng.choice(
+             ['{"k": %d}' % rng.randint(0, 99), "{}", '{"k": null}',
+              '{"k": "x"}', '{"j": 1}'])))
+        for i in range(rng.randint(0, 20))
+    ]
+    out["documents"] = [
+        (rng.randint(1, 12), maybe(0.08, text()),
+         maybe(0.1, rng.choice(langs)),
+         maybe(0.1, f"src{rng.randint(0, 5)}"),
+         maybe(0.1, rng.randint(0, 900)))
+        for i in range(rng.randint(0, 14))
+    ]
+    def vec():
+        r = rng.random()
+        if r < 0.1:
+            return _vec(0.0)
+        if r < 0.2:
+            return _vec(0.125)
+        return [rng.randint(-8, 8) / 8.0 for _ in range(64)]
+    # embeddings: duplicate ids are FULL-ROW duplicates only — an
+    # ID-keyed vector index has no union semantics for conflicting
+    # payloads (the operators resolve trainer samples to the
+    # lexicographically-least vector and document the id-unique
+    # contract); text documents DO fuzz conflicting duplicates above,
+    # where token-set union is the defined resolution
+    emb_payload = {
+        i: (maybe(0.08, vec()), maybe(0.1, rng.randint(0, 5)))
+        for i in range(1, 11)
+    }
+    out["embeddings"] = []
+    for _ in range(rng.randint(0, 12)):
+        i = rng.randint(1, 10)
+        out["embeddings"].append((i, *emb_payload[i]))
+    # full-row duplicates: re-append a random sample of each table
+    for name, rows in out.items():
+        for r in rng.sample(rows, k=min(2, len(rows))):
+            if rng.random() < 0.5:
+                rows.append(r)
+    return out
+
+
 def write_dataset(out_dir: str, rows: dict[str, list[tuple]]) -> None:
     os.makedirs(out_dir, exist_ok=True)
     for name, schema in SCHEMAS.items():
@@ -293,11 +431,21 @@ def main() -> None:
     ap.add_argument(
         "--out", default=os.path.join(os.path.dirname(__file__), "..", ".edgedata")
     )
+    ap.add_argument(
+        "--fuzz-seeds",
+        default="",
+        help="comma-separated seeds; each writes a fuzz<seed>/ dataset",
+    )
     args = ap.parse_args()
     base = os.path.abspath(args.out)
     write_dataset(os.path.join(base, "empty"), {})
     write_dataset(os.path.join(base, "weird"), WEIRD)
-    for mode in ("empty", "weird"):
+    made = ["empty", "weird"]
+    for seed in filter(None, args.fuzz_seeds.split(",")):
+        name = f"fuzz{int(seed)}"
+        write_dataset(os.path.join(base, name), fuzz_rows(int(seed)))
+        made.append(name)
+    for mode in made:
         print(os.path.join(base, mode))
 
 

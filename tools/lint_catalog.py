@@ -157,6 +157,7 @@ MS_ALLOWED: dict[str, str] = {
     "rbo_bm25_vs_tfidf": "two rankers + per-depth overlap",
     "rolling_origin_backtest_daily": "per-fold train/test aggs (fixed folds)",
     "rrf_fuse_bm25_tfidf_documents": "two rankers + fused rank",
+    "pretrain_pipeline_documents": "gates, id-canon window, dedup, sampling, chunk rollup keyings",
     "similarity_mmr_diversified": "shortlist, pair, greedy-step keyings + corpus set-dedup exchange",
     "similarity_topk_ivf": "centroid assign + probe + rerank",
     "similarity_topk_lsh": "band bucketing + probe + rerank",
@@ -203,6 +204,7 @@ FNP_ALLOWED: dict[str, str] = {
     "event_transition_matrix": "null-guard (ts IS NOT NULL: chain order needs event time)",
     "markov_transitions_events": "null-guard (ts IS NOT NULL: chain order needs event time)",
     "pca_project_embeddings": "null-guard (valid-vector set: embedding IS NOT NULL, fixed dim)",
+    "pretrain_pipeline_documents": "null-guard (id-canonicalization window feeds IsNotNull-only pushdowns)",
     "pq_encode_embeddings": "null-guard (valid-vector set: embedding IS NOT NULL, fixed dim)",
     "scd2_user_event_history": "null-guard (ts IS NOT NULL: a validity interval needs an effective time)",
     "sequence_pattern_events": "null-guard (ts IS NOT NULL: path order needs event time)",
@@ -211,6 +213,7 @@ FNP_ALLOWED: dict[str, str] = {
     "map_functions_events": "null-guard (map keys cannot be NULL; event_type IS NOT NULL is the only scan predicate)",
     "chi2_event_type_by_dow": "expr: dayofweek(cast(ts as date))",
     "conditional_entropy_event_chain": "null-guard (ts IS NOT NULL: chain order needs event time)",
+    "daily_value_percentiles_events": "null-guard (value IS NOT NULL: percentiles are over observed values)",
     "churn_labels_events": "null-guard (+derived _c guard)",
     "clustering_coefficient_neardup": "derived: degree >= 2 (agg output)",
     "cohort_retention_events": "null-guard",
