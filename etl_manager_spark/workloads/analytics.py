@@ -277,7 +277,8 @@ def histogram_events_value(spark, sf_dir):
     """
     WITH c AS (SELECT vec_id AS centroid_id,
                       CAST(embedding AS DOUBLE[]) AS cv
-               FROM embeddings WHERE vec_id < 8),
+               FROM embeddings
+               WHERE vec_id < 8 AND embedding IS NOT NULL),
     v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
     scored AS (
       SELECT v.vec_id, c.centroid_id,
@@ -315,8 +316,9 @@ def kmeans_assign_embeddings(spark, sf_dir):
     deterministic tie-break for free."""
     t = load_tables(spark, sf_dir)
     emb = t["embeddings"]
+    # a centroid must BE a vector - NULL embeddings cannot anchor a list
     cents = sorted(
-        emb.filter(F.col("vec_id") < 8)
+        emb.filter((F.col("vec_id") < 8) & F.col("embedding").isNotNull())
         .select("vec_id", "embedding")
         .collect(),
         key=lambda r: r.vec_id,
@@ -422,7 +424,12 @@ def schema_evolution_events_union(spark, sf_dir):
         F.sum("user_id").alias("sum_user"),
         F.min("ts").alias("min_ts"),
         F.max("ts").alias("max_ts"),
-        F.sum(F.when(F.col("props").isNull(), 1).otherwise(0)).alias("n_legacy"),
+        # provenance via the schema_version column the v2 batch ALWAYS
+        # carries - a v2 row whose props happens to be NULL must not be
+        # miscounted as legacy
+        F.sum(
+            F.when(F.col("schema_version").isNull(), 1).otherwise(0)
+        ).alias("n_legacy"),
     )
 
 
@@ -751,12 +758,15 @@ def regression_price_by_quantity(spark, sf_dir):
 @workload(
     "mode_event_type_per_user",
     """
+    -- NULL is not a VALUE: the statistical mode is over observed types
+    -- (and the engines disagree on where NULL sorts in the tiebreak)
     SELECT user_id, event_type AS modal_event_type, cnt
     FROM (
       SELECT user_id, event_type, COUNT(*) AS cnt,
              ROW_NUMBER() OVER (PARTITION BY user_id
                                 ORDER BY COUNT(*) DESC, event_type ASC) AS rn
-      FROM events WHERE user_id < 200 GROUP BY user_id, event_type
+      FROM events WHERE user_id < 200 AND event_type IS NOT NULL
+      GROUP BY user_id, event_type
     ) WHERE rn = 1
     """,
     category="analytics",
@@ -773,7 +783,8 @@ def mode_event_type_per_user(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     counts = (
         t["events"]
-        .filter(F.col("user_id") < 200)
+        # NULL is not a value: the mode is over observed types (both sides)
+        .filter((F.col("user_id") < 200) & F.col("event_type").isNotNull())
         .groupBy("user_id", "event_type")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

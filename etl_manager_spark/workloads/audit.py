@@ -550,9 +550,14 @@ def cumulative_new_users_daily(spark, sf_dir):
     "udaf_weighted_mean_events",
     """
     SELECT event_type,
+           -- the weight sum spans rows where BOTH value and k are present
+           -- (the UDAF's accumulation rule): a weight without a value
+           -- contributes to neither numerator nor denominator
            SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)
                * TRY_CAST(props ->> 'k' AS BIGINT))
-             / SUM(TRY_CAST(props ->> 'k' AS BIGINT)) / 100.0 AS weighted_mean
+             / SUM(CASE WHEN value IS NOT NULL
+                        THEN TRY_CAST(props ->> 'k' AS BIGINT) END)
+             / 100.0 AS weighted_mean
     FROM events GROUP BY event_type
     """,
     category="udf",

@@ -4253,12 +4253,17 @@ def gamma_fit_interpurchase_events(spark, sf_dir):
         ).cast("double").alias("s2"),
     )
     n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
-    mu = s1 / n
-    var = (s2 - s1 * s1 / n) / (n - 1)
+    # try_divide throughout: a single gap (n=1) has no variance, a
+    # constant gap zeroes it, and simultaneous purchases zero the mean -
+    # NULL like the oracle's x/0
+    mu = F.try_divide(s1, n)
+    var = F.try_divide(s2 - s1 * s1 / n, n - 1)
     return mom.select(
         n.alias("n_gaps"),
-        R.quantize(mu * mu / var).alias("shape_k_q"),
-        R.quantize(var / mu / F.lit(1000000.0)).alias("scale_theta_s_q"),
+        R.quantize(F.try_divide(mu * mu, var)).alias("shape_k_q"),
+        R.quantize(
+            F.try_divide(var, mu) / F.lit(1000000.0)
+        ).alias("scale_theta_s_q"),
     )
 
 

@@ -2896,7 +2896,7 @@ def similarity_topk_pq_adc(spark, sf_dir):
     "similarity_topk_filtered",
     f"""
     WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
-               FROM embeddings),
+               FROM embeddings WHERE embedding IS NOT NULL),
     q AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
     cand AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,

@@ -1364,8 +1364,11 @@ def q12_priority_by_quantity_band(spark, sf_dir):
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(band.alias("qty_band"))
         .agg(
-            F.sum(urgent.cast("int")).alias("urgent_lines"),
-            F.sum((~urgent).cast("int")).alias("normal_lines"),
+            # when/otherwise(0), not cast(int): a NULL priority must count
+            # as 0 in BOTH conditionals (the oracle's CASE ... ELSE 0),
+            # not become a NULL that empties an all-null group's sum
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("urgent_lines"),
+            F.sum(F.when(~urgent, 1).otherwise(0)).alias("normal_lines"),
         )
     )
 
