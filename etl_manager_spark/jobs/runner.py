@@ -50,6 +50,17 @@ class JobError(Exception):
     """Base for job-runner failures (taxonomy parity: etl.py:21-42)."""
 
 
+class JobMisconfigured(JobError, ValueError):
+    """The job's definition/arguments are invalid (etl.py:21; the
+    reference raises plain ``ValueError`` for argument validation at
+    etl.py:198,210 — dual inheritance keeps both catch contracts)."""
+
+
+class JobNotStarted(JobError):
+    """An operation that needs a live run was called before/without one
+    (etl.py:25,613)."""
+
+
 class JobFailed(JobError):
     """The job raised / exited non-zero."""
 
@@ -59,7 +70,9 @@ class JobTimedOut(JobError):
 
 
 class JobStopped(JobError):
-    """The job was cancelled externally."""
+    """The job was cancelled externally (etl.py:691-692: a terminal
+    STOPPED state surfaced by ``wait_for_completion``; here produced by
+    :meth:`SparkJob.stop` from another thread)."""
 
 
 def cost_timeout_minutes(
@@ -78,12 +91,33 @@ def cost_timeout_minutes(
     )
 
 
+def _cancel_job_group(spark: "SparkSession", job_group: str) -> None:
+    """Cancel a run's job group INCLUDING future submissions.
+
+    ``sc.cancelJobGroup`` only cancels jobs active at call time — a
+    cancellation landing while the driver is still in query planning
+    (cold first action of a job script takes seconds) is a silent no-op
+    and the job runs to completion. The JVM's
+    ``cancelJobGroupAndFutureJobs`` (SPARK-44194) also fails every LATER
+    job submitted in the group, closing that race; PySpark does not wrap
+    it yet, so reach through the Py4J handle, falling back to the plain
+    cancel on any gateway/API mismatch."""
+    sc = spark.sparkContext
+    try:
+        sc._jsc.sc().cancelJobGroupAndFutureJobs(job_group)  # noqa: SLF001
+    except Exception:  # pragma: no cover - depends on gateway internals
+        sc.cancelJobGroup(job_group)
+
+
 _RESERVED_ARGUMENTS = {
+    # the reference's special_aws_params (etl.py:200-206)
     "--JOB_NAME",
     "--debug",
     "--mode",
-    "--conf",
     "--metadata_base_path",
+    "--additional-python-modules",
+    # spark-native addition: collides with spark-submit's own flag
+    "--conf",
 }
 
 
@@ -112,10 +146,10 @@ class SparkJob:
     ):
         self.job_folder = os.path.abspath(job_folder)
         if not os.path.isdir(self.job_folder):
-            raise JobError(f"job folder {job_folder!r} does not exist")
+            raise JobMisconfigured(f"job folder {job_folder!r} does not exist")
         self.job_path = os.path.join(self.job_folder, "job.py")
         if not os.path.isfile(self.job_path):
-            raise JobError(f"{self.job_folder} has no job.py")
+            raise JobMisconfigured(f"{self.job_folder} has no job.py")
         self.job_name = os.path.basename(self.job_folder)
         self.shared_resources = (
             os.path.abspath(shared_resources) if shared_resources else None
@@ -139,6 +173,9 @@ class SparkJob:
         self.vendored_resources: list[str] = []
         self.job_run_state: str = "READY"
         self._temp_dir: str | None = None
+        self._stop_requested = threading.Event()
+        self._active_run: tuple[Any, str] | None = None  # (spark, job_group)
+        self._run_seq = 0
 
     @property
     def job_arguments(self) -> dict[str, str]:
@@ -149,14 +186,16 @@ class SparkJob:
         """Validation parity with reference etl.py:186-217: dict of
         ``--name`` → str, reserved names rejected."""
         if not isinstance(args, dict):
-            raise JobError("job_arguments must be a dict")
+            raise JobMisconfigured("job_arguments must be a dict")
         for k, v in args.items():
             if not isinstance(k, str) or not k.startswith("--"):
-                raise JobError(f"job argument {k!r} must be a string starting with --")
+                raise JobMisconfigured(
+                    f"job argument {k!r} must be a string starting with --"
+                )
             if k in _RESERVED_ARGUMENTS:
-                raise JobError(f"job argument {k!r} is reserved")
+                raise JobMisconfigured(f"job argument {k!r} is reserved")
             if not isinstance(v, str):
-                raise JobError(f"job argument {k!r} value must be a string")
+                raise JobMisconfigured(f"job argument {k!r} value must be a string")
         self._job_arguments = dict(args)
 
     def _gather(self, subdir: str, exts: tuple[str, ...] | None) -> list[str]:
@@ -170,8 +209,9 @@ class SparkJob:
                     continue
                 if fname in found:
                     # duplicate basenames across shared+local are ambiguous
-                    # (reference dedupe check, etl.py:332-341)
-                    raise JobError(
+                    # (reference dedupe check raises ValueError,
+                    # etl.py:332-341 — JobMisconfigured is one)
+                    raise JobMisconfigured(
                         f"duplicate resource {fname!r} in {found[fname]} and {d}"
                     )
                 found[fname] = d
@@ -243,11 +283,11 @@ class SparkJob:
         Returns the job script's globals (so tests/jobs can hand back
         results); raises the typed taxonomy on failure.
 
-        The timeout is BEST-EFFORT: on expiry, THIS job's in-flight Spark
-        work is cancelled via its job group (``cancelJobGroup`` — the
-        group is set thread-locally inside the worker thread, so other
-        jobs and interactive queries sharing the SparkSession are
-        untouched; ``cancelAllJobs`` would abort those too) and
+        The timeout is BEST-EFFORT: on expiry, THIS job's in-flight AND
+        future Spark work is cancelled via its job group (the group is
+        set thread-locally inside the worker thread, so other jobs and
+        interactive queries sharing the SparkSession are untouched;
+        ``cancelAllJobs`` would abort those too) and
         :class:`JobTimedOut` raised, but the job script's Python thread
         cannot be killed — a daemon thread keeps running driver-side code
         until its next Spark action fails. Run the job via
@@ -272,22 +312,42 @@ class SparkJob:
 
         result: dict[str, Any] = {}
         error: list[BaseException] = []
-        job_group = f"sparkjob-{self.job_name}-{id(self)}"
+        # unique PER RUN: stop()/timeout poison the group for future job
+        # submissions (cancelJobGroupAndFutureJobs), so a reused id would
+        # cancel a later re-run of the same SparkJob instance on arrival
+        self._run_seq += 1
+        job_group = f"sparkjob-{self.job_name}-{id(self)}-{self._run_seq}"
 
         def _target() -> None:
+            sc = spark.sparkContext
             try:
                 # job group is THREAD-LOCAL on the SparkContext: set it
                 # inside the worker thread so a timeout cancels exactly
                 # this job's actions (interruptOnCancel interrupts the
                 # executor threads too)
-                spark.sparkContext.setJobGroup(
-                    job_group, f"SparkJob {self.job_name}", True
-                )
+                sc.setJobGroup(job_group, f"SparkJob {self.job_name}", True)
+                if self._stop_requested.is_set():
+                    # stop() landed before the group was registered; its
+                    # cancelJobGroup was a no-op — honor it here instead
+                    raise JobStopped(f"job {self.job_name} stopped before start")
                 result.update(runpy.run_path(self.job_path, init_globals=init_globals))
             except BaseException as exc:  # noqa: BLE001
                 error.append(exc)
+            finally:
+                # clear the thread-local group: an inline (timeout=None)
+                # run executes in the CALLER's thread, and a leaked group
+                # id would attach every later action on that thread to a
+                # cancellable group whose id may be reused after GC
+                for prop in (
+                    "spark.jobGroup.id",
+                    "spark.job.description",
+                    "spark.job.interruptOnCancel",
+                ):
+                    sc.setLocalProperty(prop, None)
 
+        self._stop_requested.clear()
         self.job_run_state = "RUNNING"
+        self._active_run = (spark, job_group)
         started = time.monotonic()
         try:
             if timeout is None:
@@ -298,17 +358,30 @@ class SparkJob:
                 thread.join(timeout * 60)
                 if thread.is_alive():
                     self.job_run_state = "TIMEOUT"
-                    spark.sparkContext.cancelJobGroup(job_group)
+                    # future-jobs included: the zombie thread's next
+                    # actions fail at submission instead of running on
+                    _cancel_job_group(spark, job_group)
                     raise JobTimedOut(
                         f"job {self.job_name} exceeded {timeout} min "
                         f"(elapsed {time.monotonic() - started:.0f}s)"
                     )
             if error:
+                if self._stop_requested.is_set():
+                    # the failure is the cancellation stop() injected —
+                    # surface the reference's terminal STOPPED state
+                    # (etl.py:691-692), not FAILED
+                    self.job_run_state = "STOPPED"
+                    raise JobStopped(
+                        f"job {self.job_name} stopped: {error[0]}"
+                    ) from error[0]
                 self.job_run_state = "FAILED"
                 raise JobFailed(f"job {self.job_name} failed: {error[0]}") from error[0]
+            # a stop that lands after the last action completes loses the
+            # race, exactly like Glue: the run is SUCCEEDED
             self.job_run_state = "SUCCEEDED"
             return result
         finally:
+            self._active_run = None
             for p in added_paths:
                 if p in sys.path:
                     sys.path.remove(p)
@@ -316,6 +389,26 @@ class SparkJob:
     @property
     def is_running(self) -> bool:
         return self.job_run_state == "RUNNING"
+
+    def stop(self) -> None:
+        """Request cancellation of the in-flight :meth:`run` from another
+        thread — the Spark-native analog of Glue's ``BatchStopJobRun``,
+        whose terminal STOPPED state the reference surfaces as
+        ``JobStopped`` (etl.py:691-692). Cancels exactly this run's job
+        group (other jobs sharing the SparkSession are untouched); the
+        blocked ``run()`` then raises :class:`JobStopped`. Best-effort
+        like the timeout: driver-side Python between Spark actions cannot
+        be interrupted, only the next action fails. Raises
+        :class:`JobNotStarted` when no run is in flight (Glue rejects a
+        stop for a run id that does not exist)."""
+        active = self._active_run
+        if active is None or self.job_run_state != "RUNNING":
+            raise JobNotStarted(
+                f"job {self.job_name} is not running (state {self.job_run_state})"
+            )
+        self._stop_requested.set()
+        spark, job_group = active
+        _cancel_job_group(spark, job_group)
 
     @property
     def temp_dir(self) -> str:

@@ -354,3 +354,114 @@ def test_metadata_base_path_reflects_source_deletions(tmp_path, spark):
     (shared / "metadata" / "c.json").write_text('{"name": "c"}')
     assert sorted(os.listdir(j.metadata_base_path)) == ["a.json", "c.json"]
     j.cleanup()
+
+
+_SLOW_SPARK_JOB = """
+import time
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+slow = F.udf(lambda x: time.sleep(0.5) or x, LongType())
+# consume the UDF output (sum) — an unused deterministic UDF column under
+# a bare count() is legal for Catalyst to prune, finishing instantly
+spark.range(400).repartition(32).select(slow("id").alias("v")).agg(F.sum("v")).collect()
+result = "finished"
+"""
+
+
+def test_stop_running_job_inline(tmp_path, spark):
+    """A30 STOPPED terminal state (reference etl.py:691-692): stop() from
+    another thread cancels the run's job group and run() raises JobStopped
+    — inline (timeout=None) mode, which executes in the caller's thread."""
+    import threading
+
+    from etl_manager_spark.jobs import JobStopped
+
+    j = SparkJob(make_job(tmp_path, _SLOW_SPARK_JOB, with_resources=False))
+    stopper = threading.Timer(1.5, j.stop)
+    stopper.start()
+    try:
+        with pytest.raises(JobStopped):
+            j.run(spark)
+    finally:
+        stopper.cancel()
+    assert j.job_run_state == "STOPPED"
+    # the caller thread must not keep the cancelled job group: later
+    # actions on this thread would otherwise join a reusable group id
+    assert spark.sparkContext.getLocalProperty("spark.jobGroup.id") is None
+    # the job is re-runnable after a stop (fresh stop flag per run)
+    j2 = SparkJob(make_job(tmp_path, "result = 1", name="ok", with_resources=False))
+    assert j2.run(spark)["result"] == 1
+
+
+def test_stop_running_job_threaded(tmp_path, spark):
+    """stop() against a timeout-supervised (threaded) run: JobStopped wins
+    over JobFailed for the cancellation-injected error."""
+    import threading
+
+    from etl_manager_spark.jobs import JobStopped
+
+    j = SparkJob(make_job(tmp_path, _SLOW_SPARK_JOB, with_resources=False))
+    stopper = threading.Timer(1.5, j.stop)
+    stopper.start()
+    try:
+        with pytest.raises(JobStopped):
+            j.run(spark, timeout_minutes=5)
+    finally:
+        stopper.cancel()
+    assert j.job_run_state == "STOPPED"
+
+
+def test_stop_requires_running_job(tmp_path):
+    from etl_manager_spark.jobs import JobNotStarted
+
+    j = SparkJob(make_job(tmp_path, "result = 1", with_resources=False))
+    with pytest.raises(JobNotStarted, match="not running"):
+        j.stop()
+
+
+def test_misconfiguration_taxonomy(tmp_path):
+    """JobMisconfigured covers definition/argument errors and keeps the
+    reference's ValueError catch contract (etl.py:198,210) alongside the
+    JobError base."""
+    from etl_manager_spark.jobs import JobMisconfigured
+
+    folder = make_job(tmp_path, "pass")
+    with pytest.raises(JobMisconfigured):
+        SparkJob(folder, job_arguments={"--metadata_base_path": "x"})
+    with pytest.raises(ValueError):
+        SparkJob(folder, job_arguments={"limit": "1"})
+    with pytest.raises(JobError):
+        SparkJob(str(tmp_path / "nosuch"))
+    # reference special_aws_params parity: --additional-python-modules
+    # is reserved (etl.py:200-206)
+    with pytest.raises(JobMisconfigured, match="reserved"):
+        SparkJob(folder, job_arguments={"--additional-python-modules": "x"})
+
+
+def test_successful_run_clears_job_group(tmp_path, spark):
+    """An inline run must clear the thread-local job group it set —
+    leaking it attaches unrelated later actions to a cancellable group."""
+    j = SparkJob(make_job(tmp_path, "result = spark.range(3).count()", with_resources=False))
+    assert j.run(spark)["result"] == 3
+    assert spark.sparkContext.getLocalProperty("spark.jobGroup.id") is None
+
+
+def test_stop_during_query_planning_is_not_lost(tmp_path, spark):
+    """cancelJobGroup only cancels ACTIVE jobs — a stop landing while the
+    driver is still planning the first action was a silent no-op and the
+    job ran to completion. The future-jobs cancel closes the race: any
+    stop timing must end in JobStopped, never SUCCEEDED."""
+    import threading
+
+    from etl_manager_spark.jobs import JobStopped
+
+    j = SparkJob(make_job(tmp_path, _SLOW_SPARK_JOB, with_resources=False))
+    stopper = threading.Timer(0.2, j.stop)  # lands in/near query planning
+    stopper.start()
+    try:
+        with pytest.raises(JobStopped):
+            j.run(spark)
+    finally:
+        stopper.cancel()
+    assert j.job_run_state == "STOPPED"
