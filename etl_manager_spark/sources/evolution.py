@@ -72,12 +72,21 @@ def _widest(a: DataType, b: DataType) -> DataType:
 def merge_schemas(schemas: list[StructType]) -> StructType:
     """Union of fields across batch schemas, first-seen order, each at
     its widest observed type; every field nullable (old batches lack the
-    new columns)."""
+    new columns).
+
+    Names are merged case-insensitively (first-seen spelling wins) —
+    Spark's analyzer resolves case-insensitively by default, and a batch
+    written as ``TS`` next to one written as ``ts`` is the same column a
+    generation apart, not two columns (keying by exact name made the
+    downstream union fail with COLUMN_ALREADY_EXISTS)."""
+    spelling: dict[str, str] = {}
     out: dict[str, DataType] = {}
     for schema in schemas:
         for f in schema.fields:
-            out[f.name] = (
-                _widest(out[f.name], f.dataType) if f.name in out else f.dataType
+            low = f.name.lower()
+            name = spelling.setdefault(low, f.name)
+            out[name] = (
+                _widest(out[name], f.dataType) if name in out else f.dataType
             )
     return StructType([StructField(n, t, True) for n, t in out.items()])
 
@@ -93,9 +102,12 @@ def conform_to_schema(df: DataFrame, target: StructType) -> DataFrame:
     shifts every value. ``read_parquet_evolved`` pins UTC before calling
     here; direct callers get an explicit error instead of shifted data."""
     src_types = {f.name: f.dataType for f in df.schema.fields}
+    src_types_lower = {f.name.lower(): f.dataType for f in df.schema.fields}
     needs_utc = any(
         isinstance(f.dataType, TimestampType)
-        and isinstance(src_types.get(f.name), (DateType, TimestampNTZType))
+        and isinstance(
+            src_types_lower.get(f.name.lower()), (DateType, TimestampNTZType)
+        )
         for f in target.fields
     )
     if needs_utc:
@@ -107,10 +119,33 @@ def conform_to_schema(df: DataFrame, target: StructType) -> DataFrame:
                 "clocks; set spark.sql.session.timeZone=UTC first (or keep "
                 "the target column TIMESTAMP_NTZ)"
             )
+    from etl_manager_spark.sources.resolve import quoted, resolve_columns
+
+    # case-insensitive source resolution (same rule as the read/write
+    # conform paths — resolve.py): a batch spelling the column `TS` still
+    # feeds a target field named `ts`; truly ambiguous duplicate
+    # spellings raise instead of resolving by iteration order
+    by_lower = resolve_columns(
+        df.columns, [f.name for f in target.fields], "conform_to_schema"
+    )
     cols = []
     for f in target.fields:
-        if f.name in df.columns:
-            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        src = by_lower.get(f.name.lower())
+        if src is not None:
+            src_t = src_types[src]
+            if src_t != f.dataType:
+                # refuse NARROWING: an explicit target narrower than the
+                # data would wrap (non-ANSI) or fail per-row at runtime
+                # (ANSI CAST_OVERFLOW) — surface it at plan time instead.
+                # _widest also raises on cross-family drift (string vs
+                # numeric), keeping this cast widening-only as documented.
+                if _widest(src_t, f.dataType) != f.dataType:
+                    raise TypeError(
+                        f"conform_to_schema: target type {f.dataType} for "
+                        f"column {f.name!r} is narrower than the data's "
+                        f"{src_t} — widening casts only"
+                    )
+            cols.append(F.col(quoted(src)).cast(f.dataType).alias(f.name))
         else:
             cols.append(F.lit(None).cast(f.dataType).alias(f.name))
     return df.select(*cols)

@@ -107,3 +107,43 @@ def test_conform_ntz_to_tz_requires_utc_session(spark):
     # under UTC the cast is a pure widening and proceeds
     row = conform_to_schema(df, target).collect()[0]
     assert row.id == 1
+
+
+def test_merge_schemas_unifies_case_drift():
+    """A column spelled TS in one generation and ts in the next is ONE
+    column (Spark resolves case-insensitively); keying by exact name made
+    the downstream union fail with COLUMN_ALREADY_EXISTS."""
+    a = StructType([StructField("id", LongType()), StructField("TS", LongType())])
+    b = StructType([StructField("id", LongType()), StructField("ts", LongType())])
+    merged = merge_schemas([a, b])
+    assert [f.name for f in merged.fields] == ["id", "TS"]  # first-seen spelling
+
+
+def test_read_evolved_absorbs_case_drift(spark, tmp_path):
+    spark.createDataFrame([(1, 10)], "id long, TS long").write.parquet(
+        str(tmp_path / "c1")
+    )
+    spark.createDataFrame([(2, 20)], "id long, ts long").write.parquet(
+        str(tmp_path / "c2")
+    )
+    out = read_parquet_evolved(spark, [str(tmp_path / "c1"), str(tmp_path / "c2")])
+    assert out.columns == ["id", "TS"]
+    assert sorted(tuple(r) for r in out.collect()) == [(1, 10), (2, 20)]
+
+
+def test_conform_rejects_narrowing_target(spark):
+    """An explicit target narrower than the data must fail at plan time
+    with a clear error — the cast would wrap under non-ANSI sessions or
+    throw per-row CAST_OVERFLOW at runtime under ANSI."""
+    df = spark.createDataFrame([(2**40,)], "v long")
+    tgt = StructType([StructField("v", IntegerType())])
+    with pytest.raises(TypeError, match="narrower"):
+        conform_to_schema(df, tgt)
+
+
+def test_conform_resolves_source_case_insensitively(spark):
+    df = spark.createDataFrame([(7,)], "TS long")
+    tgt = StructType([StructField("ts", LongType())])
+    out = conform_to_schema(df, tgt)
+    assert out.columns == ["ts"]
+    assert out.collect()[0][0] == 7
