@@ -54,6 +54,21 @@ from pyspark.sql import types as T
 
 _GK = "_qg"  # struct-wrapped group key: null-safe in groupBy AND joins
 
+_NAN = float("nan")  # one shared NaN object — see _canon_key
+
+
+def _canon_key(row) -> tuple:
+    """Group-key Row → dict key. Spark normalizes NaN in groupBy/join
+    (every NaN is the same group), but CPython dicts match NaN keys by
+    object IDENTITY (NaN != NaN), so each collected row's fresh NaN
+    object would open a NEW dict entry — a NaN group spanning several
+    range partitions then gets per-partition offsets that never merge:
+    wrong cumulative ranks and duplicated output rows. Pinning every NaN
+    to one shared object makes the dicts agree with Spark's grouping."""
+    return tuple(
+        _NAN if isinstance(v, float) and math.isnan(v) else v for v in row
+    )
+
 
 def grouped_value_cdf(
     df: DataFrame,
@@ -123,7 +138,7 @@ def grouped_value_cdf(
         )
     per_group: dict[tuple, list[tuple[int, int]]] = defaultdict(list)
     for r in rows:
-        per_group[tuple(r[_GK])].append((r["_qp"], r["_qn"]))
+        per_group[_canon_key(r[_GK])].append((r["_qp"], r["_qn"]))
     off_rows, n_by_group, rows_by_group = [], {}, {}
     for gk, lst in per_group.items():
         acc = 0
@@ -133,7 +148,7 @@ def grouped_value_cdf(
         n_by_group[gk] = acc
         rows_by_group[gk] = acc
     for r in null_rows:
-        gk = tuple(r[_GK])
+        gk = _canon_key(r[_GK])
         n_by_group.setdefault(gk, 0)
         rows_by_group[gk] = rows_by_group.get(gk, 0) + r["_qc"]
     gk_type = T.StructType(

@@ -161,3 +161,30 @@ def test_derived_ansi_throwing_value_column_survives(spark):
     )
     out = grouped_exact_percentiles(pairs, ["g"], "slope", {"med": 0.5})
     assert out.collect()[0]["med"] == 10.0
+
+
+def test_nan_group_key_spanning_partitions(spark):
+    """Spark groups every NaN key together (NormalizeNaNAndZero), but the
+    driver offset dicts keyed raw tuples where NaN != NaN — a NaN group
+    spanning several range partitions got per-partition offsets that never
+    merged: wrong cumulative ranks AND one duplicate output row per
+    partition. Must match the builtin exactly, one row per group."""
+    rows = [(float("nan"), float(i)) for i in range(100)] + [
+        (1.0, 5.0),
+        (1.0, 7.0),
+    ]
+    df = spark.createDataFrame(rows, "g double, v double")
+    out = grouped_exact_percentiles(
+        df, ["g"], "v", {"p50": 0.5}, n_partitions=4
+    )
+    got = sorted([tuple(r) for r in out.collect()], key=str)
+    ref = sorted(
+        [
+            tuple(r)
+            for r in df.groupBy("g")
+            .agg(F.expr("percentile(v, 0.5)").alias("p50"))
+            .collect()
+        ],
+        key=str,
+    )
+    assert str(got) == str(ref) == "[(1.0, 6.0), (nan, 49.5)]"
