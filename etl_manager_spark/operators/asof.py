@@ -105,15 +105,22 @@ def asof_join(
             "_asof_carried", F.last("_asof_payload", ignorenulls=True).over(w)
         )
     else:
-        # right sorts AFTER left at equal ts → visible to the
-        # forward-looking frame starting at the left row
+        # forward lookup as a RUNNING frame over the REVERSED order:
+        # first(...) over [currentRow, unboundedFollowing] is a shrinking
+        # frame Spark re-aggregates from every row to partition end —
+        # O(rows²) per key, quadratic on a hot key. last(...) over
+        # (_ts DESC, _side ASC) with [unboundedPreceding, currentRow] is
+        # the same "nearest right row at-or-after" in O(rows): at equal
+        # ts the right row (side 0) sorts BEFORE the left row in the
+        # reversed order, so it stays visible to the left row's frame —
+        # the same equal-ts match the forward formulation had.
         w = (
             Window.partitionBy(on)
-            .orderBy(F.col("_ts").asc(), F.col("_side").desc())
-            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+            .orderBy(F.col("_ts").desc(), F.col("_side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         carried = unioned.withColumn(
-            "_asof_carried", F.first("_asof_payload", ignorenulls=True).over(w)
+            "_asof_carried", F.last("_asof_payload", ignorenulls=True).over(w)
         )
     # a NULL-ts or NULL-key left row matches nothing (it sorts first and
     # first(ignorenulls) would hand it the EARLIEST right row forward)

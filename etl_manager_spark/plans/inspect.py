@@ -141,6 +141,10 @@ def lint_plan(
       task; over a domain that grows with the data it OOMs a single
       executor even when the shuffle shape is clean. Legitimate only
       when the group's value domain is provably bounded.
+    - ``shrinking-window-frame``: a window frame ending at UNBOUNDED
+      FOLLOWING without starting at UNBOUNDED PRECEDING — Spark
+      re-aggregates the frame for every row, O(rows²) per partition;
+      the reversed-ordering running frame computes the same value O(n).
     - ``global-sort``: a rangepartitioning exchange — a full global sort;
       for top-k, TakeOrderedAndProject should have replaced it.
     - ``many-shuffles``: more than ``max_shuffles`` hash exchanges —
@@ -223,6 +227,36 @@ def lint_plan(
                 "bounded (state the bound in the workload docstring); "
                 "otherwise use operators/quantiles.py's rank-quantile "
                 "CDF or approx_percentile",
+            )
+        )
+    # frames ending at UNBOUNDED FOLLOWING that do NOT start at UNBOUNDED
+    # PRECEDING run Spark's UnboundedFollowingWindowFunctionFrame, which
+    # RE-AGGREGATES from every row to the partition end — O(rows²) per
+    # partition (a 500k-row partition runs for hours). The full-partition
+    # frame [unboundedpreceding, unboundedfollowing] computes once per
+    # partition and is fine; the equivalent O(n) formulation for
+    # "first non-null at-or-after" is last(..., ignorenulls) over the
+    # REVERSED ordering with a running [unboundedpreceding, currentrow]
+    # frame (see operators/asof.py).
+    shrinking = [
+        (lo, hi)
+        for lo, hi in re.findall(
+            r"specifiedwindowframe\((?:Row|Range)Frame, "
+            r"(\w+\$\(\)|-?\d+), (\w+\$\(\)|-?\d+)\)",
+            r.text,
+        )
+        if hi == "unboundedfollowing$()" and lo != "unboundedpreceding$()"
+    ]
+    if shrinking:
+        warnings.append(
+            PlanWarning(
+                "shrinking-window-frame",
+                f"{len(shrinking)} window frame(s) ending at UNBOUNDED "
+                "FOLLOWING without starting at UNBOUNDED PRECEDING — "
+                "Spark re-aggregates the frame from every row to the "
+                "partition end, O(rows²) per partition; reverse the "
+                "ordering and use a running [unboundedpreceding, "
+                "currentrow] frame instead",
             )
         )
     if r.single_partition_windows:

@@ -1338,10 +1338,17 @@ def gapfill_linear_user_hours(spark, sf_dir):
         .orderBy("hour_ts")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # next-observed lookup as a RUNNING frame over the REVERSED order:
+    # first(...) over [currentRow, unboundedFollowing] is a shrinking
+    # frame Spark re-aggregates from every row to partition end — O(n²)
+    # per user, a multi-year hourly span (~500k slots) ran for hours.
+    # last(...) over reversed-order [unboundedPreceding, currentRow] is
+    # the same value in O(n); hour_ts is unique per user so the reversed
+    # order is total.
     wn = (
         Window.partitionBy("user_id")
-        .orderBy("hour_ts")
-        .rowsBetween(0, Window.unboundedFollowing)
+        .orderBy(F.col("hour_ts").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     obs_ts = F.when(F.col("v").isNotNull(), F.col("hour_ts"))
     j = slots.join(hourly, on=["user_id", "hour_ts"], how="left")
@@ -1351,8 +1358,8 @@ def gapfill_linear_user_hours(spark, sf_dir):
         "v",
         F.last("v", ignorenulls=True).over(wp).alias("prev_v"),
         F.last(obs_ts, ignorenulls=True).over(wp).alias("prev_t"),
-        F.first("v", ignorenulls=True).over(wn).alias("next_v"),
-        F.first(obs_ts, ignorenulls=True).over(wn).alias("next_t"),
+        F.last("v", ignorenulls=True).over(wn).alias("next_v"),
+        F.last(obs_ts, ignorenulls=True).over(wn).alias("next_t"),
     )
     frac = F.expr(
         "CAST(timestampdiff(HOUR, prev_t, hour_ts) AS DOUBLE)"

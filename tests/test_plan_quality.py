@@ -712,3 +712,41 @@ def test_embedding_drift_bounded_shuffles(plans):
     r = plans("embedding_drift_halves")
     assert r.single_partition_windows == 0
     assert r.cartesian_products == 0
+
+
+def test_shrinking_window_frame_lint(spark, sf_dir):
+    """A frame ending at UNBOUNDED FOLLOWING that does not start at
+    UNBOUNDED PRECEDING re-aggregates from every row to partition end —
+    O(rows²) per partition (the gapfill/asof hang on multi-year spans).
+    lint_plan must flag it; the full-partition frame and running frames
+    must stay quiet; the two rewritten call sites must plan clean."""
+    from pyspark.sql import Window
+
+    from etl_manager_spark.plans import lint_plan
+
+    df = spark.createDataFrame([(1, 1.0)], "g int, v double")
+    shrink = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    codes = [w.code for w in lint_plan(df.select(F.first("v").over(shrink)))]
+    assert "shrinking-window-frame" in codes
+
+    full = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    run = (
+        Window.partitionBy("g")
+        .orderBy(F.col("v").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ok = df.select(F.sum("v").over(full), F.last("v").over(run))
+    assert "shrinking-window-frame" not in [w.code for w in lint_plan(ok)]
+
+    reg = load_registry()
+    for name in ("gapfill_linear_user_hours", "asof_forward_events_order"):
+        codes = [w.code for w in lint_plan(reg[name].fn(spark, sf_dir))]
+        assert "shrinking-window-frame" not in codes, name

@@ -103,7 +103,8 @@ def run_sweep(data_dir: str, names: list[str] | None = None) -> dict:
     results: dict[str, dict] = {}
     counts = {"parity": 0, "both_error": 0, "spark_error": 0,
               "duck_error": 0, "mismatch": 0, "skipped": 0}
-    for name in targets:
+    for qi, name in enumerate(targets):
+        print(f"[{qi + 1}/{len(targets)}] {name}", file=sys.stderr, flush=True)
         skip = EDGE_SKIP.get(name)
         if skip and skip[0] == base:
             results[name] = {"status": "skipped", "reason": skip[1]}

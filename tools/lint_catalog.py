@@ -328,6 +328,12 @@ def main() -> None:
         or ("filter-not-pushed" in codes and name not in FNP_ALLOWED)
         or ("nested-loop-join" in codes and name not in NLJ_ALLOWED)
         or ("many-shuffles" in codes and name not in MS_ALLOWED)
+        # shrinking-window-frame has NO allowlist: Spark re-aggregates a
+        # [current, unboundedFollowing) frame from every row — O(rows²)
+        # per partition — and the reversed-ordering running frame always
+        # computes the same value in O(rows) (asof.py forward lookup,
+        # gapfill_linear next-neighbor were the two fixed instances)
+        or "shrinking-window-frame" in codes
     )
 
     # Oracle declared-type scan: an oracle whose DuckDB result type has no
