@@ -49,11 +49,17 @@ def _make_update_fn(idle_timeout_ms: Optional[int]):
         if state.hasTimedOut:
             state.remove()
             return
-        n, cents, last_us = state.get if state.exists else (0, 0, 0)
+        # last-seen sentinel is None, NOT 0: epoch 0 silently wins max()
+        # against every pre-1970 event (negative unix micros), clamping
+        # last_seen to 1970-01-01 for users whose events predate epoch
+        n, cents, last_us = state.get if state.exists else (0, 0, None)
         for pdf in pdfs:
             n += len(pdf)
             cents += int(pdf["value_cents"].sum())
-            last_us = max(last_us, int(pdf["ts"].astype("int64").max() // 1000))
+            ts_ns = pdf["ts"].dropna().astype("int64")  # NaT would poison max
+            if len(ts_ns):
+                m = int(ts_ns.max()) // 1000
+                last_us = m if last_us is None else max(last_us, m)
         state.update((n, cents, last_us))
         if idle_timeout_ms is not None:
             state.setTimeoutDuration(idle_timeout_ms)
@@ -62,7 +68,11 @@ def _make_update_fn(idle_timeout_ms: Optional[int]):
                 "user_id": [key[0]],
                 "n_events": [n],
                 "total_cents": [cents],
-                "last_seen": [pd.Timestamp(last_us, unit="us")],
+                "last_seen": [
+                    pd.Timestamp(last_us, unit="us")
+                    if last_us is not None
+                    else pd.NaT
+                ],
             }
         )
 

@@ -9,6 +9,14 @@ batch/stream equivalence, which is the property that matters at scale
 Watermarking: ``withWatermark(ts, delay)`` bounds state: late rows beyond
 the delay are dropped in append mode. State-store size is then
 O(active windows × groups), independent of stream length.
+
+PRE-EPOCH CAVEAT: Spark initializes the event-time watermark to epoch 0
+(1970-01-01), so rows whose event time predates the epoch are "older
+than the watermark" in the FIRST micro-batch and are silently
+late-dropped before any stateful operator sees them. Event times before
+1970 (placeholder dates, data errors) are therefore OUTSIDE the
+batch == stream equivalence contract of this module — scrub or clamp
+them upstream, or run the batch twin, which processes them correctly.
 """
 
 from __future__ import annotations

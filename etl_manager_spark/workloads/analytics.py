@@ -662,7 +662,7 @@ def events_value_outliers(spark, sf_dir):
       UNION ALL
       SELECT n.user_id, n.event_id, n.rn, 0.5 * f.e + 0.5 * n.v
       FROM numbered n JOIN fold f
-        ON n.user_id = f.user_id AND n.rn = f.rn + 1
+        ON n.user_id IS NOT DISTINCT FROM f.user_id AND n.rn = f.rn + 1
     )
     SELECT user_id, event_id,
            CAST(FLOOR(e * 1000000000.0 + 0.5) AS BIGINT) AS ewma_q
@@ -2221,10 +2221,17 @@ def negative_sampling_documents(spark, sf_dir):
     "acf_lag_events_value",
     """
     WITH lagged AS (
+      -- order pinned to Spark's ASC (NULLS FIRST); the value itself is
+      -- the final tie-break so duplicate (ts, event_id) rows — which DO
+      -- occur in hostile data — pair identically on both engines
+      -- (remaining ties are equal-value rows, interchangeable in every
+      -- pairing product)
       SELECT event_type,
              CAST(value AS DECIMAL(18,2)) AS a,
              LAG(CAST(value AS DECIMAL(18,2)), 1) OVER (
-               PARTITION BY event_type ORDER BY ts ASC, event_id ASC) AS b
+               PARTITION BY event_type
+               ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST,
+                        CAST(value AS DECIMAL(18,2)) ASC NULLS FIRST) AS b
       FROM events
     ),
     m AS (
@@ -2264,8 +2271,11 @@ def acf_lag_events_value(spark, sf_dir):
     from etl_manager_spark.operators.ranking import quantize
 
     t = load_tables(spark, sf_dir)
+    # value as final tie-break: duplicate (ts, event_id) rows must pair
+    # identically on both engines (asc = NULLS FIRST, matching the
+    # oracle's pinned NULLS FIRST)
     w = Window.partitionBy("event_type").orderBy(
-        F.col("ts").asc(), F.col("event_id").asc()
+        F.col("ts").asc(), F.col("event_id").asc(), dec("value").asc()
     )
     lagged = t["events"].select(
         "event_type",
@@ -2611,17 +2621,24 @@ def pmi_collocations_documents(spark, sf_dir):
 @workload(
     "cusum_changepoint_events",
     """
-    WITH daily AS (
+    WITH ts_events AS (
+      -- ts IS NOT NULL: a day-indexed series has no slot for rows with
+      -- no event time (the ewma/holt exclusion rule); leaving them in
+      -- put the NULL day FIRST in Spark's cumulative order but LAST in
+      -- DuckDB's, shifting the whole CUSUM trajectory
+      SELECT * FROM events WHERE ts IS NOT NULL
+    ),
+    daily AS (
       SELECT event_type, CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
                AS mean_day
-      FROM events GROUP BY event_type, day
+      FROM ts_events GROUP BY event_type, day
     ),
     mu AS (
       SELECT event_type,
              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
                AS mu
-      FROM events GROUP BY event_type
+      FROM ts_events GROUP BY event_type
     ),
     dev AS (
       SELECT d.event_type, d.day,
@@ -2668,7 +2685,9 @@ def cusum_changepoint_events(spark, sf_dir):
     from etl_manager_spark.operators.ranking import quantize
 
     t = load_tables(spark, sf_dir)
-    ev = t["events"].select(
+    # ts IS NOT NULL mirrors the oracle: no-event-time rows have no day
+    # slot in the series (and NULL-day ordering differs across engines)
+    ev = t["events"].filter(F.col("ts").isNotNull()).select(
         "event_type",
         F.to_date(F.date_trunc("day", "ts")).alias("day"),
         "value",
@@ -2720,7 +2739,7 @@ def cusum_changepoint_events(spark, sf_dir):
              0.5 * n.v + 0.5 * (f.l + f.b),
              0.5 * ((0.5 * n.v + 0.5 * (f.l + f.b)) - f.l) + 0.5 * f.b
       FROM numbered n JOIN fold f
-        ON n.user_id = f.user_id AND n.rn = f.rn + 1
+        ON n.user_id IS NOT DISTINCT FROM f.user_id AND n.rn = f.rn + 1
     )
     SELECT user_id, event_id,
            CAST(FLOOR(l * 1000000000.0 + 0.5) AS BIGINT) AS level_q,
@@ -3226,7 +3245,12 @@ def mom_revenue_growth(spark, sf_dir):
         prev.isNull(), F.lit(None).cast("long")
     ).otherwise(
         F.floor(
-            (F.col("rev_c").cast("double") / prev.cast("double") - F.lit(1.0))
+            # try_divide: a zero-revenue month as the lag base would ANSI-
+            # throw; NULL growth matches the oracle's NULL on that month
+            (
+                F.try_divide(F.col("rev_c").cast("double"), prev.cast("double"))
+                - F.lit(1.0)
+            )
             * F.lit(1000000000.0)
             + F.lit(0.5)
         ).cast("long")

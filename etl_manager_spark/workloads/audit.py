@@ -1031,9 +1031,20 @@ def hll_union_rollup_events(spark, sf_dir):
             F.col("week").cast("date").alias("week"),
             "exact_users",
             (
-                F.abs(F.col("est") - F.col("exact_users"))
-                / F.col("exact_users")
-                <= F.lit(0.05)
+                # est == exact is within tolerance by definition — and it
+                # covers the degenerate week whose events all have NULL
+                # user_id (exact = est = 0), where the ratio is 0/0: ANSI
+                # division would throw there, and the oracle pins TRUE.
+                # try_divide guards the (unreachable in practice)
+                # remaining zero-exact case instead of throwing.
+                F.when(F.col("est") == F.col("exact_users"), F.lit(True))
+                .otherwise(
+                    F.try_divide(
+                        F.abs(F.col("est") - F.col("exact_users")),
+                        F.col("exact_users"),
+                    )
+                    <= F.lit(0.05)
+                )
             ).alias("estimate_within_5pct"),
         )
     )

@@ -1667,7 +1667,7 @@ def silhouette_embeddings_labels(spark, sf_dir):
                  + 0.5 * (CASE WHEN len(f.ring) >= 7
                                THEN f.ring[1] ELSE 0.0 END))
       FROM numbered n JOIN fold f
-        ON n.event_type = f.event_type AND n.rn = f.rn + 1
+        ON n.event_type IS NOT DISTINCT FROM f.event_type AND n.rn = f.rn + 1
     )
     SELECT event_type, day,
            CAST(FLOOR(l * 1000000000.0 + 0.5) AS BIGINT) AS level_q,
@@ -2810,10 +2810,13 @@ def conformal_interval_events(spark, sf_dir):
     "mase_seasonal_naive_daily",
     """
     WITH daily AS (
+      -- ts IS NOT NULL: a day-indexed series has no slot for rows with
+      -- no event time, and the NULL day would sit FIRST in Spark's
+      -- window order but LAST in DuckDB's, shifting every LAG/LEAD
       SELECT event_type, CAST(ts AS DATE) AS day,
              CAST(SUM(CAST(FLOOR(value * 1000000000.0 + 0.5) AS BIGINT))
                   AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000000.0 AS m
-      FROM events GROUP BY 1, 2
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     ),
     lagged AS (
       SELECT event_type, day, m,
@@ -2848,6 +2851,7 @@ def mase_seasonal_naive_daily(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     daily = (
         spread(t["events"], spark)
+        .filter(F.col("ts").isNotNull())
         .groupBy("event_type", F.col("ts").cast("date").alias("day"))
         .agg(
             (
@@ -3168,13 +3172,20 @@ def cmh_odds_ratio_events(spark, sf_dir):
         )
     )
     n_all = (F.col("a") + F.col("b") + F.col("c") + F.col("d")).cast("double")
+    # try_divide: a stratum whose rows all have NULL flags lands in no
+    # cell — n_all is then 0 and ANSI division throws; NULL matches the
+    # oracle's NULL on the degenerate stratum
     terms = cells.select(
         F.floor(
-            F.col("a").cast("double") * F.col("d").cast("double") / n_all
+            F.try_divide(
+                F.col("a").cast("double") * F.col("d").cast("double"), n_all
+            )
             * F.lit(1000000000.0) + F.lit(0.5)
         ).cast("long").alias("num_q"),
         F.floor(
-            F.col("b").cast("double") * F.col("c").cast("double") / n_all
+            F.try_divide(
+                F.col("b").cast("double") * F.col("c").cast("double"), n_all
+            )
             * F.lit(1000000000.0) + F.lit(0.5)
         ).cast("long").alias("den_q"),
     )
@@ -3305,10 +3316,13 @@ def did_estimator_events(spark, sf_dir):
     "peak_detection_daily_events",
     """
     WITH daily AS (
+      -- ts IS NOT NULL: a day-indexed series has no slot for rows with
+      -- no event time, and the NULL day would sit FIRST in Spark's
+      -- window order but LAST in DuckDB's, shifting every LAG/LEAD
       SELECT event_type, CAST(ts AS DATE) AS day,
              CAST(SUM(CAST(FLOOR(value * 1000000000.0 + 0.5) AS BIGINT))
                   AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000000.0 AS m
-      FROM events GROUP BY 1, 2
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     ),
     lagged AS (
       SELECT event_type, day, m,
@@ -3336,6 +3350,7 @@ def peak_detection_daily_events(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     daily = (
         spread(t["events"], spark)
+        .filter(F.col("ts").isNotNull())
         .groupBy("event_type", F.col("ts").cast("date").alias("day"))
         .agg(
             (

@@ -414,6 +414,167 @@ def fuzz_rows(seed: int) -> dict[str, list[tuple]]:
     return out
 
 
+def fuzz_rows_v2(seed: int) -> dict[str, list[tuple]]:
+    """Scale-and-skew fuzz (seeds >= 6; v1 seeds stay bit-stable): the v1
+    hostile traits PLUS the shapes that only appear past toy size —
+
+    - hundreds of rows per fact table (longer series, real group sizes)
+    - hot-key skew: one user owns ~60% of events, one customer ~50% of
+      orders (the 100 TB skew shape, shrunk)
+    - extreme int64 keys: negative, zero, and 2**40-scale ids — any
+      operator doing key arithmetic (id*C+offset packing, label-propagation
+      min over ids, id-shifted replication) overflows or mis-orders here
+    - multi-decade timestamps incl. pre-epoch (1969: negative unix micros)
+      and far-future (2030), with exact microsecond ties
+    - document prefix families and long repeated-token texts (shingle /
+      minhash / chunking stress), sharing one vocabulary so near-dup
+      candidates actually collide
+
+    Same exact-binary-float and |value| <= ~3e3 quantize-domain discipline
+    as v1; embeddings keep the id-unique full-row-dup-only contract."""
+    import random
+
+    rng = random.Random(seed)
+
+    def maybe(p, val):
+        return None if rng.random() < p else val
+
+    YEARS = [1969, 1970, 1999, 2000, 2024, 2030]
+
+    def ts():
+        y = rng.choice(YEARS)
+        mo, d = rng.randint(1, 12), rng.randint(1, 28)
+        if rng.random() < 0.3:  # heavy tie mass on round hours
+            return _ts(f"{y}-{mo:02d}-{d:02d} {rng.choice([0, 6, 12]):02d}:00:00")
+        return _ts(
+            f"{y}-{mo:02d}-{d:02d} {rng.randint(0, 23):02d}:"
+            f"{rng.randint(0, 59):02d}:{rng.randint(0, 59):02d}."
+            f"{rng.choice([0, 1, 999999]):06d}"
+        )
+
+    def value():
+        return rng.choice(
+            [0.0, 0.25, 1.5, -2.5, 87.125, 450.5, 2500.25, -2500.25,
+             rng.randint(0, 400) / 4.0]
+        )
+
+    BIG = 2**40
+    cust_pool = [-3, 0, 1, 2, 5, 17, BIG, BIG + 1] + list(range(20, 60))
+    user_pool = [-7, 0, 42, 8, BIG] + list(range(100, 130))
+    hot_user, hot_cust = 42, 1
+    words = ["the", "data", "spark", "merge", "sort", "数据", "étude", "a",
+             "row", "batch", "dup", "scan", "join", "key", "value"]
+
+    def text(long=False):
+        r = rng.random()
+        if r < 0.05:
+            return ""
+        if r < 0.08:
+            return " \t "
+        if long and r < 0.15:
+            return ("dup " * rng.randint(100, 500)).strip()
+        n = rng.randint(1, 300 if long else 25)
+        return " ".join(rng.choice(words) for _ in range(n))
+
+    types = ["view", "click", "purchase", "signup", "error", "unknown", ""]
+    langs = ["en", "de", "zh", "fr", "es", "xx"]
+    props = lambda: rng.choice(  # noqa: E731
+        ['{"k": %d}' % rng.randint(0, 99), "{}", '{"k": null}', '{"k": "x"}',
+         '{"j": 1}', '{"k": {"a": 1}}', '{"k": [1, 2]}',
+         '{"k": 87, "extra": "長い値"}'])
+
+    out: dict[str, list[tuple]] = {}
+    out["region"] = [(i, maybe(0.1, rng.choice(
+        ["AMERICA", "EUROPE", "ASIA", "", "АЗИЯ"]))) for i in (-1, 0, 1, 2, 3)]
+    out["nation"] = [
+        (i, maybe(0.1, f"NATION_{i}"), maybe(0.15, rng.choice([-1, 0, 1, 2, 9999])))
+        for i in range(rng.randint(4, 10))
+    ]
+    out["customer"] = [
+        (rng.choice(cust_pool), maybe(0.08, f"Customer#{i}"),
+         maybe(0.12, rng.choice([0, 1, 2, 9999])),
+         maybe(0.12, value()), maybe(0.08, rng.choice(
+             ["BUILDING", "MACHINERY", "AUTOMOBILE", ""])))
+        for i in range(rng.randint(40, 80))
+    ]
+    out["supplier"] = [
+        (rng.choice([-2, 0, 1, 2, 3, 4, BIG]), maybe(0.1, f"Supplier#{i}"),
+         maybe(0.15, rng.choice([0, 1, 9999])), maybe(0.15, value()))
+        for i in range(rng.randint(4, 10))
+    ]
+    out["part"] = [
+        (rng.choice([-1, 0] + list(range(1, 25)) + [BIG]),
+         maybe(0.08, " ".join(rng.choice(words) for _ in range(3))),
+         f"Brand#{rng.randint(1, 3)}",
+         maybe(0.1, rng.choice(["STANDARD BRASS", "ECONOMY TIN", "PROMO"])),
+         maybe(0.12, rng.randint(0, 50)), maybe(0.12, value()))
+        for i in range(rng.randint(15, 40))
+    ]
+    n_orders = rng.randint(100, 200)
+    order_keys = [-5, 0, BIG] + list(range(1, n_orders + 1))
+    out["orders"] = [
+        (rng.choice(order_keys),
+         maybe(0.08, hot_cust if rng.random() < 0.5 else rng.choice(cust_pool + [9999])),
+         rng.choice(["O", "F", "P", "X"]), maybe(0.12, value()),
+         maybe(0.08, ts()),
+         maybe(0.08, rng.choice(["1-URGENT", "2-HIGH", "5-LOW"])))
+        for _ in range(n_orders)
+    ]
+    out["lineitem"] = [
+        (rng.choice(order_keys), rng.choice([-1, 0, BIG] + list(range(1, 25))),
+         rng.choice([-2, 0, 1, 2, 3, 4, BIG]),
+         rng.randint(1, 7), maybe(0.08, abs(value())),
+         maybe(0.08, abs(value())), maybe(0.08, rng.randint(0, 4) / 4.0),
+         maybe(0.08, rng.randint(0, 2) / 4.0),
+         maybe(0.08, rng.choice(["N", "R", "A", "Z"])),
+         maybe(0.08, rng.choice(["O", "F"])), maybe(0.08, ts()))
+        for _ in range(rng.randint(150, 300))
+    ]
+    out["events"] = [
+        (rng.choice([-9, 0, BIG] + list(range(1, 400))),
+         maybe(0.06, ts()),
+         maybe(0.06, hot_user if rng.random() < 0.6 else rng.choice(user_pool)),
+         maybe(0.06, rng.choice(types)), maybe(0.06, value()),
+         maybe(0.06, props()))
+        for _ in range(rng.randint(200, 350))
+    ]
+    # prefix families: bursts of documents sharing long common prefixes
+    doc_rows: list[tuple] = []
+    doc_ids = [-4, 0, BIG] + list(range(1, 80))
+    for _ in range(rng.randint(60, 120)):
+        t = text(long=True)
+        if rng.random() < 0.3 and t:
+            t = t + " " + rng.choice(words)  # near-dup of a likely earlier draw
+        doc_rows.append(
+            (rng.choice(doc_ids), maybe(0.06, t), maybe(0.08, rng.choice(langs)),
+             maybe(0.08, f"src{rng.randint(0, 5)}"),
+             maybe(0.08, rng.randint(0, 900)))
+        )
+    out["documents"] = doc_rows
+
+    def vec():
+        r = rng.random()
+        if r < 0.08:
+            return _vec(0.0)
+        if r < 0.16:
+            return _vec(0.125)
+        return [rng.randint(-8, 8) / 8.0 for _ in range(64)]
+
+    emb_ids = [-6, 0, BIG] + list(range(1, 40))
+    emb_payload = {
+        i: (maybe(0.06, vec()), maybe(0.08, rng.randint(0, 5))) for i in emb_ids
+    }
+    out["embeddings"] = []
+    for _ in range(rng.randint(30, 60)):
+        i = rng.choice(emb_ids)
+        out["embeddings"].append((i, *emb_payload[i]))
+    for name, rows in out.items():
+        for r in rng.sample(rows, k=min(3, len(rows))):
+            if rng.random() < 0.5:
+                rows.append(r)
+    return out
+
+
 def write_dataset(out_dir: str, rows: dict[str, list[tuple]]) -> None:
     os.makedirs(out_dir, exist_ok=True)
     for name, schema in SCHEMAS.items():
@@ -443,7 +604,8 @@ def main() -> None:
     made = ["empty", "weird"]
     for seed in filter(None, args.fuzz_seeds.split(",")):
         name = f"fuzz{int(seed)}"
-        write_dataset(os.path.join(base, name), fuzz_rows(int(seed)))
+        gen = fuzz_rows_v2 if int(seed) >= 6 else fuzz_rows
+        write_dataset(os.path.join(base, name), gen(int(seed)))
         made.append(name)
     for mode in made:
         print(os.path.join(base, mode))
