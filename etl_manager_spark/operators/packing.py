@@ -176,11 +176,16 @@ def mixture_sample_by_token_budget(
 
     # null-id coalesce per the sampling.hash_bucket rule: md5(NULL) is
     # NULL and NULL sorts FIRST in the window — a null-id doc would jump
-    # the priority queue and consume budget ahead of every real document
+    # the priority queue and consume budget ahead of every real document.
+    # n_tokens is the FINAL tie-break: duplicate ids (conflicting-payload
+    # dups in hostile data) tie on (pri, id), and the budget cut between
+    # the copies would otherwise fall arbitrarily per engine/run; rows
+    # still tying after n_tokens are interchangeable for the fold (equal
+    # contribution, identical output row)
     order_key = F.md5(F.coalesce(F.col(id_col).cast("string"), F.lit("")))
     w = (
         Window.partitionBy(source_col)
-        .orderBy(order_key, F.col(id_col))
+        .orderBy(order_key, F.col(id_col), F.col("n_tokens"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     budget_expr = F.coalesce(

@@ -1,15 +1,21 @@
 """Spatial join primitives (grid-bucketed distance joins).
 
 The scalable shape for "find pairs within d km": never the cross join —
-bucket both sides into 1° grid cells, explode one side to its 3×3
+bucket both sides into 1° grid cells, explode one side to its cell
 neighborhood (longitude cells wrap at the antimeridian — found by the
 brute-force oracle at sf0.1, where a ±179.9° pair 36 km apart fell out
 of an unwrapped neighborhood), equi-join on the cell key (an ordinary
 hash shuffle), and verify candidates with the exact haversine.
-Completeness: for |lat| ≤ 60° a 1°-cell neighborhood covers every pair
-within ~55 km (great-circle distance ≥ 111.32·cos(max|φ|)·Δλ°, and
-cos 60° = ½), so a 50 km threshold can't lose a pair to the prefilter —
-which the brute-force oracle would expose as a hash mismatch if it did.
+
+Completeness: latitude always needs only ±1 cells (1° of latitude is
+~111 km ≥ any supported radius). Longitude cells NARROW with latitude
+(111.195·cos φ km per degree), so the lon neighborhood is computed PER
+ROW: ±⌈max_km / (111.0·cos(|φ|+1°))⌉ cells, capped at the full ring —
+±1 (the classic 3×3) through |lat| ≈ 59°, widening smoothly toward the
+poles, where every longitude is a neighbor (the ring at 89.9° is only
+~70 km around). A fixed 3×3 grid silently DROPS true pairs past ~60°;
+the adaptive ring keeps the prefilter complete at every latitude while
+costing exactly the old 9 cells for the common mid-latitude case.
 """
 
 from __future__ import annotations
@@ -19,6 +25,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 EARTH_RADIUS_KM = 6371.0
+# conservative km per degree of longitude at the equator (true value
+# 2π·6371/360 = 111.195; the smaller constant widens the neighborhood,
+# never narrows it)
+_KM_PER_LON_DEG = 111.0
 
 
 def haversine_km(
@@ -47,17 +57,19 @@ def within_distance_join(
     right_cols=("lat", "lon"),
 ) -> DataFrame:
     """All (left, right) pairs within ``max_km`` great-circle km, via the
-    grid-prefilter + exact-verify pattern. Requires ``max_km ≤ 55`` and
-    latitudes within ±60° (the 1°/3×3 completeness envelope — widen the
-    cell size or neighborhood for larger radii/latitudes).
+    grid-prefilter + exact-verify pattern. Requires ``max_km ≤ 55``
+    (±1 latitude cells cover Δφ ≤ 0.5°); works at EVERY latitude — the
+    longitude neighborhood widens per row with |lat| (full ring at the
+    poles), so polar data costs more candidates, never lost pairs.
 
-    Shape: the left side explodes ×9 to its cell neighborhood (map-side),
-    both sides shuffle once on the (cell_lat, cell_lon) key, and the
-    haversine runs on candidates only. Returns both rows' columns plus
-    ``distance_km`` (raw double — callers quantize)."""
+    Shape: the left side explodes to its cell neighborhood (map-side; ×9
+    through |lat| ≈ 59°, wider only near the poles), both sides shuffle
+    once on the (cell_lat, cell_lon) key, and the haversine runs on
+    candidates only. Returns both rows' columns plus ``distance_km``
+    (raw double — callers quantize)."""
     if max_km > 55:
         raise ValueError(
-            f"max_km={max_km} exceeds the 1°-cell completeness bound (55)"
+            f"max_km={max_km} exceeds the ±1-latitude-cell bound (55)"
         )
     # the coordinate references are unqualified F.col(...)s evaluated on
     # the joined frame, so any coordinate name present on BOTH sides is
@@ -73,7 +85,7 @@ def within_distance_join(
             "exist on BOTH sides — rename one side's coordinates "
             "(e.g. a_lat/a_lon vs b_lat/b_lon) before joining"
         )
-    reserved = {"_dy", "_dx", "_cell_lat", "_cell_lon"}
+    reserved = {"_dy", "_dx", "_cell_lat", "_cell_lon", "_lonk"}
     taken = reserved & (set(left.columns) | set(right.columns))
     if taken:
         raise ValueError(
@@ -83,24 +95,22 @@ def within_distance_join(
         )
     llat, llon = (F.col(c) for c in left_cols)
     rlat, rlon = (F.col(c) for c in right_cols)
-    offsets = F.array(F.lit(-1), F.lit(0), F.lit(1))
+    lat_offsets = F.array(F.lit(-1), F.lit(0), F.lit(1))
 
-    def guard_lat(lat: Column) -> Column:
-        # the OTHER half of the completeness envelope: beyond ±60° a
-        # 1°-lon cell narrows below 55 km and the 3×3 prefilter silently
-        # DROPS true pairs — fail loudly on the offending row instead
-        # (in-plan raise_error: distributed, no extra validation scan)
-        return F.when(
-            F.abs(lat) > F.lit(60.0),
-            F.raise_error(
-                F.format_string(
-                    "within_distance_join: |lat| > 60 breaks the 1°-cell "
-                    "3×3 completeness envelope (got lat=%s); widen the "
-                    "cell neighborhood for polar data",
-                    lat.cast("string"),
-                )
-            ).cast("double"),
-        ).otherwise(lat.cast("double"))
+    def lon_reach(lat: Column) -> Column:
+        # lon cells to cover each side of the row's own cell: the
+        # partner sits within max_km, i.e. within Δλ = max_km /
+        # (111·cos φ_worst) degrees, with φ_worst = |φ|+1° covering both
+        # the partner's latitude (≤ |φ|+0.5° at max_km ≤ 55) and the
+        # cell floor; floor(Δλ)+1 ≥ the worst cell-index distance.
+        # Capped at 180: near the poles the whole ring is one
+        # neighborhood (and cos → 0 would otherwise blow the reach up)
+        cosw = F.cos(F.radians(F.least(F.abs(lat) + 1.0, F.lit(89.9))))
+        return F.least(
+            (F.floor(F.lit(float(max_km)) / (F.lit(_KM_PER_LON_DEG) * cosw)) + 1)
+            .cast("int"),
+            F.lit(180),
+        )
 
     def wrap_lon(cell):
         # the longitude cell ring wraps at the antimeridian: cell −180
@@ -111,20 +121,26 @@ def within_distance_join(
         # equi-join key needs the wrap.
         return (F.pmod(cell + 180, F.lit(360)) - 180).cast("int")
 
+    # build the WRAPPED lon-cell list then array_distinct before the
+    # explode: at full-ring reach (k = 180 near the poles) the wrapped
+    # offsets collide (−180 and +180 are the same cell) and a duplicate
+    # neighborhood cell would emit every candidate pair twice
+    lon_cells = F.array_distinct(
+        F.transform(
+            F.sequence(-lon_reach(llat), lon_reach(llat)),
+            lambda d: wrap_lon(F.floor(llon).cast("int") + d),
+        )
+    )
     l_cells = (
-        left.withColumn("_dy", F.explode(offsets))
-        .withColumn("_dx", F.explode(offsets))
+        left.withColumn("_dy", F.explode(lat_offsets))
         .withColumn(
-            "_cell_lat", F.floor(guard_lat(llat)).cast("int") + F.col("_dy")
+            "_cell_lat", F.floor(llat.cast("double")).cast("int") + F.col("_dy")
         )
-        .withColumn(
-            "_cell_lon",
-            wrap_lon(F.floor(llon).cast("int") + F.col("_dx")),
-        )
-        .drop("_dy", "_dx")
+        .withColumn("_cell_lon", F.explode(lon_cells))
+        .drop("_dy")
     )
     r_cells = right.withColumn(
-        "_cell_lat", F.floor(guard_lat(rlat)).cast("int")
+        "_cell_lat", F.floor(rlat.cast("double")).cast("int")
     ).withColumn("_cell_lon", wrap_lon(F.floor(rlon).cast("int")))
     cand = l_cells.join(r_cells, on=["_cell_lat", "_cell_lon"]).drop(
         "_cell_lat", "_cell_lon"

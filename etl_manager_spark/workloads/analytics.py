@@ -3833,9 +3833,15 @@ def ushape_attribution_events(spark, sf_dir):
     """
     WITH d AS (
       -- NULL values are unrankable (and the engines disagree on where
-      -- NULL sorts) - percentiles are over observed values only
+      -- NULL sorts) - percentiles are over observed values only.
+      -- ts IS NOT NULL: a daily table has no slot for rows with no event
+      -- time (the day-series house rule) — and a NULL DATE_TRUNC window
+      -- partition key trips a DuckDB 1.0 optimizer bug (wrong not-null
+      -- inference: `WHERE day IS NULL` over this CTE returns 0 rows
+      -- while GROUP BY day counts 13, and the windowed COUNT flaps
+      -- nondeterministically across runs)
       SELECT DATE_TRUNC('day', ts) AS day, event_type, value, event_id
-      FROM events WHERE value IS NOT NULL
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
     ),
     ranked AS (
       SELECT day, event_type, value,
@@ -3867,8 +3873,10 @@ def daily_value_percentiles_events(spark, sf_dir):
     from pyspark.sql import Window
 
     t = load_tables(spark, sf_dir)
-    # percentiles are over observed values only (see the oracle note)
-    d = t["events"].filter(F.col("value").isNotNull()).select(
+    # observed values only, with an event time (see the oracle note)
+    d = t["events"].filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    ).select(
         F.date_trunc("day", "ts").alias("day_ts"),
         "event_type",
         "value",

@@ -675,8 +675,11 @@ def streaming_python_datasource_synthlog(spark, sf_dir):
     SELECT COUNT(*) AS n_rows,
            MIN(k) AS min_k, MAX(k) AS max_k,
            CAST(SUM(k) AS BIGINT) AS sum_k,
-           CASE WHEN COUNT(k) > 0 THEN 'OBJECT<k: BIGINT>' END
-             AS inferred_schema
+           -- field-level inference pin: the k values that extract as
+           -- BIGINT infer as BIGINT regardless of what OTHER keys ride
+           -- in the same object (an object-level pin broke the moment a
+           -- row carried {"k": 87, "extra": ...})
+           CASE WHEN COUNT(k) > 0 THEN 'BIGINT' END AS inferred_schema
     FROM v
     """,
     category="json",
@@ -693,7 +696,12 @@ def variant_extract_events(spark, sf_dir):
         "event_id", F.parse_json("props").alias("v")
     ).select(
         F.try_variant_get(F.col("v"), "$.k", "long").alias("k"),
-        F.schema_of_variant(F.col("v")).alias("sch"),
+        # infer on the EXTRACTED FIELD (variant-typed get), not the whole
+        # object: the field's schema is stable no matter what other keys
+        # ride alongside k in a given row
+        F.schema_of_variant(
+            F.try_variant_get(F.col("v"), "$.k", "variant")
+        ).alias("sch"),
     )
     return v.agg(
         F.count(F.lit(1)).alias("n_rows"),

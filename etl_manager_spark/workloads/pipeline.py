@@ -1017,7 +1017,7 @@ def multimodal_phash_dedup(spark, sf_dir):
 @workload(
     "upsert_customer_batch",
     """
-    WITH src AS (
+    WITH src0 AS (
       SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100.0 AS c_acctbal,
              c_mktsegment, c_custkey % 39 = 0 AS _deleted, TRUE AS _present
       FROM customer WHERE c_custkey % 13 = 0
@@ -1025,6 +1025,22 @@ def multimodal_phash_dedup(spark, sf_dir):
       SELECT c_custkey + 10000000, c_name, c_nationkey, c_acctbal,
              'NEWSEG', FALSE, TRUE
       FROM customer WHERE c_custkey % 97 = 0
+    ),
+    -- id-canonicalization (the pipeline-head house rule): MERGE requires
+    -- a source with UNIQUE keys; duplicate customer PKs with conflicting
+    -- payloads resolve to the lexicographically-least payload, NULLS
+    -- FIRST to match Spark's ASC default
+    src AS (
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+             _deleted, _present
+      FROM (
+        SELECT s.*, ROW_NUMBER() OVER (
+          PARTITION BY c_custkey
+          ORDER BY c_name ASC NULLS FIRST, c_nationkey ASC NULLS FIRST,
+                   c_acctbal ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST,
+                   _deleted ASC NULLS FIRST) AS _rn
+        FROM src0 s)
+      WHERE _rn = 1
     )
     SELECT CASE WHEN s._present THEN s.c_custkey ELSE t.c_custkey END AS c_custkey,
            CASE WHEN s._present THEN s.c_name ELSE t.c_name END AS c_name,
@@ -1056,9 +1072,26 @@ def upsert_customer_batch(spark, sf_dir):
         .withColumn("c_mktsegment", F.lit("NEWSEG"))
         .withColumn("_deleted", F.lit(False))
     )
-    return merge_upsert(
-        c, updates.unionByName(inserts), key=["c_custkey"], delete_col="_deleted"
+    # id-canonicalization before the MERGE (whose contract requires
+    # unique source keys — duplicate customer PKs with conflicting
+    # payloads occur in hostile data): keep the lexicographically-least
+    # payload per key, matching the oracle's NULLS FIRST ordering
+    from pyspark.sql import Window
+
+    src = updates.unionByName(inserts)
+    cw = Window.partitionBy("c_custkey").orderBy(
+        F.col("c_name").asc(),
+        F.col("c_nationkey").asc(),
+        F.col("c_acctbal").asc(),
+        F.col("c_mktsegment").asc(),
+        F.col("_deleted").asc(),
     )
+    src = (
+        src.withColumn("_rn", F.row_number().over(cw))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return merge_upsert(c, src, key=["c_custkey"], delete_col="_deleted")
 
 
 @workload(
@@ -1709,7 +1742,9 @@ def regex_scan_event_log(spark, sf_dir):
             {"name": "user_id", "type": "long"},
             {"name": "event_type", "type": "character"},
         ],
-        format_options={"input.regex": r"(\d+) (\d+) (\S+)"},
+        # -? : ids are LONGs and render with a sign — a digits-only
+        # pattern silently NULLed every line with a negative id
+        format_options={"input.regex": r"(-?\d+) (-?\d+) (\S+)"},
     )
     parsed = log_meta.read(spark, log_path)
     return parsed.groupBy("event_type").agg(
@@ -1974,8 +2009,10 @@ def pack_sequences_documents(spark, sf_dir):
     ),
     cum AS (
       SELECT doc_id, source, n_tokens,
+             -- n_tokens tie-break: duplicate ids tie on (pri, doc_id);
+             -- see mixture_sample_by_token_budget
              CAST(SUM(n_tokens) OVER (
-                    PARTITION BY source ORDER BY pri, doc_id
+                    PARTITION BY source ORDER BY pri, doc_id, n_tokens
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                   AS BIGINT) AS cum_tokens
       FROM scored

@@ -1137,27 +1137,56 @@ def test_within_distance_join_antimeridian_wrap(spark):
     assert abs(rows[0].distance_km - 36.1099) < 0.01
 
 
-def test_within_distance_join_rejects_polar_latitudes(spark):
-    """|lat| > 60° breaks the 1°-cell 3×3 completeness envelope — the
-    operator must fail loudly (in-plan raise_error), not silently drop
-    true pairs (round-5 advice)."""
-    from etl_manager_spark.operators.spatial import within_distance_join
+def test_within_distance_join_polar_completeness(spark):
+    """Past ~60° a fixed 3×3 neighborhood silently drops true pairs
+    (1° of longitude narrows below the radius); the latitude-adaptive
+    lon ring must return exactly the brute-force pair set at every
+    latitude band, including the full-ring polar case — with no
+    duplicate pairs from wrapped-cell collisions."""
+    import itertools
+    import math
 
-    left = spark.createDataFrame(
-        [(1, 75.0, 10.0)], "lid long, a_lat double, a_lon double"
+    from etl_manager_spark.operators.spatial import (
+        haversine_km,
+        within_distance_join,
     )
-    right = spark.createDataFrame(
-        [(10, 75.1, 10.1)], "rid long, b_lat double, b_lon double"
+
+    # pairs per band: equator, the old 60° cliff, high-lat, near-pole
+    # (where ANY longitude can be within 50 km), plus antimeridian wrap
+    lpts = [
+        (1, 0.2, 10.0), (2, 60.5, 10.0), (3, 75.0, 10.0),
+        (4, 89.8, 10.0), (5, 0.1, 179.9), (6, 66.0, -30.0),
+    ]
+    rpts = [
+        (10, 0.3, 10.3), (11, 60.6, 10.9), (12, 75.1, 11.5),
+        (13, 89.75, 170.0), (14, 0.15, -179.95), (15, 66.2, -29.0),
+        (16, 75.0, 60.0),  # far in lon at high lat: must NOT match
+    ]
+    left = spark.createDataFrame(lpts, "lid long, a_lat double, a_lon double")
+    right = spark.createDataFrame(rpts, "rid long, b_lat double, b_lon double")
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in within_distance_join(
+            left, right, max_km=50,
+            left_cols=("a_lat", "a_lon"), right_cols=("b_lat", "b_lon"),
+        ).collect()
     )
-    df = within_distance_join(
-        left,
-        right,
-        max_km=50,
-        left_cols=("a_lat", "a_lon"),
-        right_cols=("b_lat", "b_lon"),
+
+    def hav(a, b):
+        (_, la1, lo1), (_, la2, lo2) = a, b
+        p1, p2 = math.radians(la1), math.radians(la2)
+        dp, dl = p2 - p1, math.radians(lo2 - lo1)
+        x = math.sin(dp / 2) ** 2 + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2
+        return 2 * 6371.0 * math.asin(math.sqrt(x))
+
+    want = sorted(
+        (a[0], b[0])
+        for a, b in itertools.product(lpts, rpts)
+        if hav(a, b) <= 50
     )
-    with pytest.raises(Exception, match="completeness envelope"):
-        df.collect()
+    assert got == want
+    assert len(got) == len(set(got))  # no wrap-duplicate pairs
+    assert (4, 13) in got  # near-pole pair 160 degrees of longitude apart
 
 
 # --------------------------------------------------------------------- #

@@ -59,7 +59,20 @@ _PRE_EPOCH_WM = (
     "for such data."
 )
 
+_LEV_BYTES = (
+    "DuckDB's levenshtein() counts UTF-8 BYTES (levenshtein('dup','数据') "
+    "= 6, levenshtein('étude','etude') = 2) while Spark counts unicode "
+    "CODEPOINTS (3 and 1) — verified at the primitive level. The two "
+    "engines therefore disagree on any distance-thresholded pair "
+    "containing non-ASCII text. Codepoint distance is the operator's "
+    "contract (standard edit-distance semantics); divergence is "
+    "engine-level and only on non-ASCII names. ASCII-only parity is "
+    "covered by the sf* and fuzz1-5 runs, where these queries are green."
+)
+
 EDGE_LEDGER: dict[str, str] = {
+    "fuzzy_dedup_part_names": _LEV_BYTES,
+    "sorted_neighborhood_part_names": _LEV_BYTES,
     "streaming_session_windows": _PRE_EPOCH_WM,
     "streaming_session_windows_dynamic": _PRE_EPOCH_WM,
     "streaming_two_level_rollup": _PRE_EPOCH_WM,
