@@ -175,13 +175,20 @@ _FUNNEL_STEPS = ["view", "click", "purchase"]
 @workload(
     "funnel_view_click_purchase",
     """
-    WITH s1 AS (SELECT user_id, MIN(ts) AS t FROM events
-                WHERE event_type = 'view' GROUP BY user_id),
+    WITH s1 AS (
+      -- ts IS NOT NULL: a NULL-ts event can't arrive anywhere in a
+      -- min-after-previous funnel (the operator's pinned contract); the
+      -- later steps' strict ts > t comparisons exclude NULL implicitly
+      SELECT user_id, MIN(ts) AS t FROM events
+      WHERE event_type = 'view' AND ts IS NOT NULL GROUP BY user_id),
+    -- IS NOT DISTINCT FROM: the NULL-id group is a series like any
+    -- other (the ewma/groupBy rule) — a plain = join would freeze the
+    -- anonymous group at step 1
     s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
-           JOIN s1 ON e.user_id = s1.user_id
+           JOIN s1 ON e.user_id IS NOT DISTINCT FROM s1.user_id
            WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id),
     s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
-           JOIN s2 ON e.user_id = s2.user_id
+           JOIN s2 ON e.user_id IS NOT DISTINCT FROM s2.user_id
            WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id)
     SELECT CAST(1 AS INTEGER) AS step, 'view' AS step_name,
            COUNT(*) AS n_users FROM s1
@@ -373,7 +380,15 @@ def kmeans_assign_embeddings(spark, sf_dir):
            CAST(SUM(user_id) AS BIGINT) AS sum_user,
            MIN(ts) AS min_ts,
            MAX(ts) AS max_ts,
-           CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           -- legacy membership mirrors the split: pmod (engine % keeps
+           -- the dividend's sign, losing negative odd ids), NULL ids to
+           -- v2, and rows whose user_id out-ranges the legacy batch's
+           -- int32 column belong to the NEW generation — that being the
+           -- reason the schema widened
+           CAST(SUM(CASE WHEN ((event_id % 2) + 2) % 2 = 0
+                          AND (user_id IS NULL OR user_id
+                               BETWEEN -2147483648 AND 2147483647)
+                         THEN 1 ELSE 0 END) AS BIGINT)
              AS n_legacy
     FROM events GROUP BY event_type
     """,
@@ -400,8 +415,18 @@ def schema_evolution_events_union(spark, sf_dir):
     base = _layout_scratch("schema_evo_")
     legacy_path = f"{base}/batch_legacy"
     v2_path = f"{base}/batch_v2"
+    # split membership must be TOTAL: pmod handles negative ids (plain %
+    # keeps the dividend's sign, so negative odd ids matched NEITHER
+    # branch and vanished), NULL ids route to v2, and a user_id that
+    # out-ranges the legacy schema's int32 column belongs to the NEW
+    # generation — that being the reason the schema widened (narrowing
+    # it would ANSI-throw / corrupt)
+    legacy_cond = (F.pmod(F.col("event_id"), 2) == 0) & (
+        F.col("user_id").isNull()
+        | F.col("user_id").between(-(2**31), 2**31 - 1)
+    )
     (
-        ev.filter(F.col("event_id") % 2 == 0)
+        ev.filter(legacy_cond)
         .select(
             "event_id",
             (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).alias("ts"),
@@ -413,7 +438,7 @@ def schema_evolution_events_union(spark, sf_dir):
         .parquet(legacy_path)
     )
     (
-        ev.filter(F.col("event_id") % 2 == 1)
+        ev.filter(~F.coalesce(legacy_cond, F.lit(False)))
         .withColumn("schema_version", F.lit(2))
         .write.mode("overwrite")
         .parquet(v2_path)

@@ -185,11 +185,14 @@ def events_gap_detection(spark, sf_dir):
     "winsorize_events_value",
     """
     WITH r AS (
+      -- value IS NOT NULL: NULL values are unrankable (the engines rank
+      -- them at opposite ends, poisoning the rank-selected bounds) and
+      -- cannot be clipped — order statistics are over observed values
       SELECT event_id, event_type, value,
              ROW_NUMBER() OVER (PARTITION BY event_type
                                 ORDER BY value, event_id) AS rn,
              COUNT(*) OVER (PARTITION BY event_type) AS n
-      FROM events
+      FROM events WHERE value IS NOT NULL
     ),
     bounds AS (
       SELECT event_type,
@@ -218,7 +221,8 @@ def winsorize_events_value(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     wo = Window.partitionBy("event_type").orderBy("value", "event_id")
     wn = Window.partitionBy("event_type")
-    r = t["events"].select(
+    # observed values only — mirrors the oracle (see note there)
+    r = t["events"].filter(F.col("value").isNotNull()).select(
         "event_id",
         "event_type",
         "value",

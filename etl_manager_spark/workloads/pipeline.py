@@ -3219,9 +3219,13 @@ def retraction_rollup_events(spark, sf_dir):
         (-F.sum(dec)).alias("tot"),
     )
     # updates touch rows that SURVIVE deletion; net count 0, value +10/row
+    # — but only rows with an OBSERVED value: NULL + 10 is still NULL in
+    # the recompute, so a NULL-value row's delta is zero, not +10
     updates = (
         events.filter(
-            (F.col("event_id") % 37 == 0) & (F.col("event_id") % 53 != 0)
+            (F.col("event_id") % 37 == 0)
+            & (F.col("event_id") % 53 != 0)
+            & F.col("value").isNotNull()
         )
         .groupBy("event_type")
         .agg(
@@ -3295,8 +3299,14 @@ def gdpr_cascade_delete_audit(spark, sf_dir):
         del_li.groupBy().agg(F.count(F.lit(1)).alias("lineitems_deleted")),
         t["customer"].join(F.broadcast(forget), on="c_custkey", how="anti")
         .groupBy().agg(F.count(F.lit(1)).alias("customers_kept")),
+        # kept = complement of the DELETION PREDICATE (custkey in the
+        # forget set) — an anti-join on o_orderkey against del_orders
+        # would also delete an innocent order that merely SHARES a
+        # duplicate orderkey with a subject's order
         t["orders"].join(
-            F.broadcast(del_orders), on="o_orderkey", how="anti"
+            F.broadcast(forget),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "anti",
         ).groupBy().agg(F.count(F.lit(1)).alias("orders_kept")),
         t["lineitem"].join(
             F.broadcast(del_orders),

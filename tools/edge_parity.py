@@ -96,7 +96,11 @@ EDGE_LEDGER: dict[str, str] = {
 EDGE_SKIP: dict[str, tuple[str, str]] = {}
 
 
-def run_sweep(data_dir: str, names: list[str] | None = None) -> dict:
+def run_sweep(
+    data_dir: str,
+    names: list[str] | None = None,
+    oracle_timeout: float | None = None,
+) -> dict:
     os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = data_dir
 
     import duckdb
@@ -156,9 +160,23 @@ def run_sweep(data_dir: str, names: list[str] | None = None) -> dict:
             sql = wl.oracle
             rel = duck.sql(sql)
             d_types = [str(t) for t in rel.types]
-            res = duck.execute(sql)
-            d_cols = [d[0] for d in res.description]
-            d_rows = res.fetchall()
+            timer = None
+            if oracle_timeout is not None:
+                # some oracles are deliberately brute-force (recursive
+                # transitive closures, all-pairs verifies) and can be
+                # quadratic on shapes the ENGINE handles fine — interrupt
+                # rather than stall the whole sweep on one oracle
+                import threading
+
+                timer = threading.Timer(oracle_timeout, duck.interrupt)
+                timer.start()
+            try:
+                res = duck.execute(sql)
+                d_cols = [d[0] for d in res.description]
+                d_rows = res.fetchall()
+            finally:
+                if timer is not None:
+                    timer.cancel()
         except Exception as exc:  # noqa: BLE001
             d_err = f"{type(exc).__name__}: {exc}"[:500]
 
@@ -206,10 +224,13 @@ def main() -> None:
     ap.add_argument("--data", required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--names", default=None)
+    ap.add_argument("--oracle-timeout", type=float, default=None)
     args = ap.parse_args()
     names = args.names.split(",") if args.names else None
     try:
-        report = run_sweep(os.path.abspath(args.data), names)
+        report = run_sweep(
+            os.path.abspath(args.data), names, args.oracle_timeout
+        )
     except Exception:
         traceback.print_exc()
         sys.exit(2)
