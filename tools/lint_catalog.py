@@ -214,6 +214,8 @@ FNP_ALLOWED: dict[str, str] = {
     "chi2_event_type_by_dow": "expr: dayofweek(cast(ts as date))",
     "conditional_entropy_event_chain": "null-guard (ts IS NOT NULL: chain order needs event time)",
     "daily_value_percentiles_events": "null-guard (value IS NOT NULL: percentiles are over observed values)",
+    "mase_seasonal_naive_daily": "null-guard (ts IS NOT NULL: a day-indexed series has no slot for timeless rows)",
+    "peak_detection_daily_events": "null-guard (ts IS NOT NULL: a day-indexed series has no slot for timeless rows)",
     "churn_labels_events": "null-guard (+derived _c guard)",
     "clustering_coefficient_neardup": "derived: degree >= 2 (agg output)",
     "cohort_retention_events": "null-guard",
