@@ -1572,6 +1572,14 @@ def recursive_hierarchy_depth(spark, sf_dir):
     spelling (DIV vs //)."""
     t = load_tables(spark, sf_dir)
     t["documents"].createOrReplaceTempView("documents_rec")
+    # the recursion's TOTAL row count is provably n_docs·(depth+1) with
+    # depth = log2(max id) ≤ 64 — raise Spark's runaway-recursion guard
+    # (default 1M rows) to that bound instead of failing at ~15k docs;
+    # the level guard (default 100) already exceeds any 64-bit heap walk
+    n_docs = t["documents"].count()
+    spark.conf.set(
+        "spark.sql.cteRecursionRowLimit", str(max(1_000_000, (n_docs + 1) * 65))
+    )
     return spark.sql(
         """
         WITH RECURSIVE anc(doc_id, anc_id, depth) AS (
