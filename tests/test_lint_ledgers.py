@@ -65,6 +65,63 @@ def test_every_flagged_query_is_adjudicated(code, lint_report):
     )
 
 
+def _duplicate_literal_keys(module_path, dict_names):
+    """Duplicate keys inside a dict LITERAL are legal Python (last wins)
+    but in an adjudication ledger they silently discard a recorded
+    rationale (VERDICT r8 found exactly this: FNP_ALLOWED listed
+    pretrain_pipeline_documents twice and the null-guard adjudication was
+    never in effect). Python's runtime dict can't see the shadowed entry,
+    so we read the source AST."""
+    import ast
+    import collections
+
+    with open(module_path) as fh:
+        tree = ast.parse(fh.read())
+    dupes = {}
+    for node in ast.walk(tree):
+        if not isinstance(node, (ast.Assign, ast.AnnAssign)):
+            continue
+        targets = node.targets if isinstance(node, ast.Assign) else [node.target]
+        names = [t.id for t in targets if isinstance(t, ast.Name)]
+        if not any(n in dict_names for n in names):
+            continue
+        value = node.value
+        if not isinstance(value, ast.Dict):
+            continue
+        keys = [
+            k.value
+            for k in value.keys
+            if isinstance(k, ast.Constant) and isinstance(k.value, str)
+        ]
+        repeated = sorted(
+            k for k, c in collections.Counter(keys).items() if c > 1
+        )
+        if repeated:
+            dupes[names[0]] = repeated
+    return dupes
+
+
+def test_no_duplicate_keys_in_ledger_literals():
+    dupes = _duplicate_literal_keys(
+        os.path.join(REPO, "tools", "lint_catalog.py"),
+        {"PCT_ALLOWED", "NLJ_ALLOWED", "MS_ALLOWED", "FNP_ALLOWED"},
+    )
+    assert dupes == {}, (
+        f"duplicate keys in lint ledger dict literals (the earlier "
+        f"adjudication is silently dead): {dupes}"
+    )
+
+
+def test_no_duplicate_keys_in_edge_ledger_literals():
+    dupes = _duplicate_literal_keys(
+        os.path.join(REPO, "tools", "edge_parity.py"),
+        {"EDGE_LEDGER", "EDGE_SKIP"},
+    )
+    assert dupes == {}, (
+        f"duplicate keys in edge ledger dict literals: {dupes}"
+    )
+
+
 def test_committed_lint_run_was_clean(lint_report):
     assert lint_report["critical"] == []
     assert lint_report["errors"] == {}

@@ -204,7 +204,6 @@ FNP_ALLOWED: dict[str, str] = {
     "event_transition_matrix": "null-guard (ts IS NOT NULL: chain order needs event time)",
     "markov_transitions_events": "null-guard (ts IS NOT NULL: chain order needs event time)",
     "pca_project_embeddings": "null-guard (valid-vector set: embedding IS NOT NULL, fixed dim)",
-    "pretrain_pipeline_documents": "null-guard (id-canonicalization window feeds IsNotNull-only pushdowns)",
     "pq_encode_embeddings": "null-guard (valid-vector set: embedding IS NOT NULL, fixed dim)",
     "scd2_user_event_history": "null-guard (ts IS NOT NULL: a validity interval needs an effective time)",
     "sequence_pattern_events": "null-guard (ts IS NOT NULL: path order needs event time)",
@@ -252,7 +251,7 @@ FNP_ALLOWED: dict[str, str] = {
     "newey_west_trend_daily": "null-guard",
     "pacf_daily_events": "null-guard",
     "pagerank_neardup_graph": "null-guard",
-    "pretrain_pipeline_documents": "expr: md5-threshold sampling + Arrow-UDF keep flag",
+    "pretrain_pipeline_documents": "expr: md5-threshold sampling + Arrow-UDF keep flag; plus null-guard (id-canonicalization window feeds IsNotNull-only pushdowns)",
     "q12_priority_by_quantity_band": "null-guard",
     "q18_large_quantity_orders": "derived: HAVING total_qty > 250",
     "range_join_value_buckets": "null-guard (broadcast bucket bounds)",
