@@ -174,8 +174,11 @@ class SparkJob:
         self.job_run_state: str = "READY"
         self._temp_dir: str | None = None
         self._stop_requested = threading.Event()
-        self._active_run: tuple[Any, str] | None = None  # (spark, job_group)
+        # (spark, job_group, run_seq) — the seq lets stop() prove the run
+        # it captured is still the one in flight (see stop())
+        self._active_run: tuple[Any, str, int] | None = None
         self._run_seq = 0
+        self._stop_lock = threading.Lock()
 
     @property
     def job_arguments(self) -> dict[str, str]:
@@ -320,11 +323,22 @@ class SparkJob:
 
         def _target() -> None:
             sc = spark.sparkContext
+            # job group is THREAD-LOCAL on the SparkContext: snapshot the
+            # caller's values first — an inline (timeout=None) run executes
+            # in the CALLER's thread, and nulling instead of restoring
+            # would wipe a job group the caller had set before run()
+            saved_props = {
+                prop: sc.getLocalProperty(prop)
+                for prop in (
+                    "spark.jobGroup.id",
+                    "spark.job.description",
+                    "spark.job.interruptOnCancel",
+                )
+            }
             try:
-                # job group is THREAD-LOCAL on the SparkContext: set it
-                # inside the worker thread so a timeout cancels exactly
-                # this job's actions (interruptOnCancel interrupts the
-                # executor threads too)
+                # set it inside the worker thread so a timeout cancels
+                # exactly this job's actions (interruptOnCancel interrupts
+                # the executor threads too)
                 sc.setJobGroup(job_group, f"SparkJob {self.job_name}", True)
                 if self._stop_requested.is_set():
                     # stop() landed before the group was registered; its
@@ -334,20 +348,20 @@ class SparkJob:
             except BaseException as exc:  # noqa: BLE001
                 error.append(exc)
             finally:
-                # clear the thread-local group: an inline (timeout=None)
-                # run executes in the CALLER's thread, and a leaked group
-                # id would attach every later action on that thread to a
-                # cancellable group whose id may be reused after GC
-                for prop in (
-                    "spark.jobGroup.id",
-                    "spark.job.description",
-                    "spark.job.interruptOnCancel",
-                ):
-                    sc.setLocalProperty(prop, None)
+                # restore the caller's thread-local values (None for a
+                # fresh worker thread): a leaked group id would attach
+                # every later action on this thread to a cancellable
+                # group, and a NULLED one would wipe the caller's own
+                for prop, value in saved_props.items():
+                    sc.setLocalProperty(prop, value)
 
-        self._stop_requested.clear()
-        self.job_run_state = "RUNNING"
-        self._active_run = (spark, job_group)
+        # clear + publish atomically w.r.t. stop(): a stop() that captured
+        # the PREVIOUS run must not set the event after this clear (it
+        # re-verifies the seq under the same lock before setting)
+        with self._stop_lock:
+            self._stop_requested.clear()
+            self.job_run_state = "RUNNING"
+            self._active_run = (spark, job_group, self._run_seq)
         started = time.monotonic()
         try:
             if timeout is None:
@@ -381,7 +395,8 @@ class SparkJob:
             self.job_run_state = "SUCCEEDED"
             return result
         finally:
-            self._active_run = None
+            with self._stop_lock:
+                self._active_run = None
             for p in added_paths:
                 if p in sys.path:
                     sys.path.remove(p)
@@ -406,8 +421,16 @@ class SparkJob:
             raise JobNotStarted(
                 f"job {self.job_name} is not running (state {self.job_run_state})"
             )
-        self._stop_requested.set()
-        spark, job_group = active
+        spark, job_group, seq = active
+        with self._stop_lock:
+            current = self._active_run
+            if current is None or current[2] != seq:
+                # the run stop() captured has already ended; setting the
+                # event now would spuriously stop a back-to-back re-run
+                # that cleared it under this same lock — lose the race
+                # silently, exactly like a stop after the last action
+                return
+            self._stop_requested.set()
         _cancel_job_group(spark, job_group)
 
     @property

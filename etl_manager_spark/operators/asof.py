@@ -122,8 +122,11 @@ def asof_join(
         carried = unioned.withColumn(
             "_asof_carried", F.last("_asof_payload", ignorenulls=True).over(w)
         )
-    # a NULL-ts or NULL-key left row matches nothing (it sorts first and
-    # first(ignorenulls) would hand it the EARLIEST right row forward)
+    # a NULL-ts or NULL-key left row matches nothing. Without this mask
+    # the window formulations would still carry a payload to it: in
+    # backward mode a NULL ts sorts FIRST (asc) — harmless there — but in
+    # forward mode's reversed order (desc NULLS LAST) it sorts LAST, so
+    # last(ignorenulls) would hand it the SMALLEST-ts right payload
     carried = carried.withColumn(
         "_asof_carried",
         F.when(

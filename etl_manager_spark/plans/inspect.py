@@ -238,14 +238,18 @@ def lint_plan(
     # "first non-null at-or-after" is last(..., ignorenulls) over the
     # REVERSED ordering with a running [unboundedpreceding, currentrow]
     # frame (see operators/asof.py).
+    # the lower bound can be ANY expression (an integer, token$(), or a
+    # RangeFrame interval like '-INTERVAL 7 days'), so match it lazily up
+    # to the terminal unboundedfollowing$() instead of enumerating forms —
+    # an interval-bounded shrinking frame is just as quadratic
     shrinking = [
-        (lo, hi)
-        for lo, hi in re.findall(
+        lo
+        for lo in re.findall(
             r"specifiedwindowframe\((?:Row|Range)Frame, "
-            r"(\w+\$\(\)|-?\d+), (\w+\$\(\)|-?\d+)\)",
+            r"(.+?), unboundedfollowing\$\(\)\)",
             r.text,
         )
-        if hi == "unboundedfollowing$()" and lo != "unboundedpreceding$()"
+        if lo != "unboundedpreceding$()"
     ]
     if shrinking:
         warnings.append(

@@ -1577,9 +1577,18 @@ def recursive_hierarchy_depth(spark, sf_dir):
     # (default 1M rows) to that bound instead of failing at ~15k docs;
     # the level guard (default 100) already exceeds any 64-bit heap walk
     n_docs = t["documents"].count()
-    spark.conf.set(
-        "spark.sql.cteRecursionRowLimit", str(max(1_000_000, (n_docs + 1) * 65))
-    )
+    # the limit is read at ACTION time on the returned lazy DataFrame
+    # (verified: restoring it before collect() fails the recursion), so a
+    # try/finally restore here would break the contract of returning an
+    # executable DataFrame — instead only ever RAISE the guard to the
+    # provable bound, never lower a value the session already carries
+    bound = max(1_000_000, (n_docs + 1) * 65)
+    try:
+        current = int(spark.conf.get("spark.sql.cteRecursionRowLimit"))
+    except Exception:  # noqa: BLE001 - unreadable conf → assume default
+        current = 1_000_000
+    if bound > current:
+        spark.conf.set("spark.sql.cteRecursionRowLimit", str(bound))
     return spark.sql(
         """
         WITH RECURSIVE anc(doc_id, anc_id, depth) AS (
