@@ -4412,15 +4412,27 @@ def nearest_supplier_per_customer(spark, sf_dir):
                AS price_c
       FROM orders
       WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+    ),
+    -- sweep formulation of the NOT-EXISTS dominance test (value-identical,
+    -- verified against the quadratic form at sf0.01/sf0.1; the quadratic
+    -- form is 280 s at sf0.1 and times out at sf1): a row survives iff it
+    -- carries its day's MIN price AND beats the running MIN over all
+    -- strictly-later days — a same-day cheaper row dominates it, and a
+    -- later-day <=-price row dominates it; equal (day, price) twins never
+    -- dominate each other and all survive together
+    d AS (SELECT day, MIN(price_c) AS day_min FROM o GROUP BY day),
+    d2 AS (
+      SELECT day, day_min,
+             MIN(day_min) OVER (ORDER BY day DESC
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS later_min
+      FROM d
     )
     SELECT a.o_orderkey, a.day,
            CAST(a.price_c AS BIGINT) AS price_c
-    FROM o a
-    WHERE NOT EXISTS (
-      SELECT 1 FROM o b
-      WHERE b.price_c <= a.price_c AND b.day >= a.day
-        AND (b.price_c < a.price_c OR b.day > a.day)
-    )
+    FROM o a JOIN d2 USING (day)
+    WHERE a.price_c = d2.day_min
+      AND (d2.later_min IS NULL OR a.price_c < d2.later_min)
     """,
     category="analytics",
 )
@@ -4434,8 +4446,12 @@ def skyline_orders_price_date(spark, sf_dir):
     — an order survives iff it is its day's minimum AND strictly cheaper
     than every later day's minimum. Equal (day, price) twins don't
     dominate each other, so both survive (matching strict dominance).
-    Prices compared in exact cents; the oracle IS the brute-force
-    dominance test, so any pruning bug hash-mismatches."""
+    Prices compared in exact cents. The oracle mirrors the sweep (the
+    brute-force NOT-EXISTS form it replaced is 280 s at sf0.1 and times
+    out at sf1) — it was verified row-identical to the brute force at
+    sf0.01/sf0.1 before the swap, and its window runs over the
+    independent per-day-min table, so an engine pruning bug still
+    hash-mismatches."""
     t = load_tables(spark, sf_dir)
     o = (
         t["orders"]

@@ -1953,7 +1953,7 @@ def chunk_documents_ctx32(spark, sf_dir):
 @workload(
     "pack_sequences_documents",
     r"""
-    WITH RECURSIVE base AS (
+    WITH RECURSIVE base AS MATERIALIZED (
       SELECT doc_id,
              CAST(strpos('0123456789abcdef',
                          substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
@@ -1963,7 +1963,10 @@ def chunk_documents_ctx32(spark, sf_dir):
                     x -> x <> '')) AS BIGINT) AS n_tokens
       FROM documents
     ),
-    numbered AS (
+    -- MATERIALIZED is load-bearing: inlined, DuckDB re-tokenizes every
+    -- document on each of the n/16 recursion steps (O(n²) token work,
+    -- >600 s at sf1); materialized the fold is 12 s with identical rows
+    numbered AS MATERIALIZED (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
       FROM base
     ),
@@ -3718,25 +3721,35 @@ def multimodal_audio_rms(spark, sf_dir):
 @workload(
     "identity_stitching_events",
     """
-    WITH RECURSIVE raw_edges AS (
+    WITH RECURSIVE raw_edges AS MATERIALIZED (
       SELECT DISTINCT user_id AS u,
              1000000 + TRY_CAST(props ->> 'k' AS BIGINT) AS d
       FROM events
       WHERE user_id IS NOT NULL
         AND TRY_CAST(props ->> 'k' AS BIGINT) IS NOT NULL
     ),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT u AS src, d AS dst FROM raw_edges
       UNION
       SELECT d AS src, u AS dst FROM raw_edges
     ),
-    reach(id, label) AS (
-      SELECT src, src FROM edges
+    -- min-label propagation, NOT the (id, label) pair closure: the
+    -- closure holds |V|² rows per component (228M at sf1's single
+    -- 15,100-node component — never finishes), while each propagation
+    -- step keeps one improving label per node, O(V·diameter) rows
+    -- total. Per-step MIN is over the PREVIOUS step's new rows only
+    -- (recursive-CTE working-table semantics); an improving label
+    -- always re-propagates, so the fixed point is the component min —
+    -- value-identical to the closure form at sf0.001/0.01/0.1
+    labels(id, label) AS (
+      SELECT src, MIN(dst) FROM edges GROUP BY src
       UNION
-      SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id
+      SELECT e.src, MIN(l.label)
+      FROM edges e JOIN labels l ON e.dst = l.id
+      GROUP BY e.src
     ),
     assign AS (
-      SELECT id, MIN(label) AS cluster_id FROM reach GROUP BY id
+      SELECT id, LEAST(MIN(label), id) AS cluster_id FROM labels GROUP BY id
     )
     SELECT cluster_id,
            CAST(SUM(CASE WHEN id < 1000000 THEN 1 ELSE 0 END) AS BIGINT)
@@ -3756,7 +3769,8 @@ def identity_stitching_events(spark, sf_dir):
     come from the shared CC operator (large-star/small-star under
     `auto`), so a device shared by two users merges their identities
     transitively. Output: per stitched identity, its user and device
-    counts. The oracle is the recursive-CTE reachability fixpoint."""
+    counts. The oracle is a recursive-CTE min-label-propagation fixpoint
+    (O(V·diameter) rows, vs the |V|²-row pair closure it replaced)."""
     t = load_tables(spark, sf_dir)
     # try_cast + both-endpoints-present: an identity edge needs a user
     # AND a parseable device key — malformed/missing k (or a NULL user)
