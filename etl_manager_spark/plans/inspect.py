@@ -78,6 +78,40 @@ def _count_single_partition_windows(simple: str) -> int:
     return len(flagged_exchanges)
 
 
+def _window_frame_bounds(plan_text: str) -> list[tuple[str, str]]:
+    """(lower, upper) bound expressions of every specifiedwindowframe in
+    the plan text. The body is split on TOP-LEVEL commas only (bounds
+    like ``-cast(interval 7 days as ...)`` nest parens and commas), after
+    scanning to the frame's own balanced closing paren — per-frame, so a
+    bound can never bleed into a neighboring frame the way a lazy regex
+    across the whole text can. The first top-level comma separates the
+    frame type (RowFrame/RangeFrame) from the bounds."""
+    out: list[tuple[str, str]] = []
+    marker = "specifiedwindowframe("
+    start = plan_text.find(marker)
+    while start != -1:
+        i = start + len(marker)
+        depth = 1
+        parts: list[str] = []
+        piece_start = i
+        while i < len(plan_text) and depth > 0:
+            c = plan_text[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    parts.append(plan_text[piece_start:i].strip())
+            elif c == "," and depth == 1:
+                parts.append(plan_text[piece_start:i].strip())
+                piece_start = i + 1
+            i += 1
+        if depth == 0 and len(parts) == 3:
+            out.append((parts[1], parts[2]))
+        start = plan_text.find(marker, i)
+    return out
+
+
 def plan_report(df: "DataFrame") -> PlanReport:
     text = explain_formatted(df)
     # codegen stage markers (*(n)) only appear in "simple" mode output
@@ -239,17 +273,16 @@ def lint_plan(
     # REVERSED ordering with a running [unboundedpreceding, currentrow]
     # frame (see operators/asof.py).
     # the lower bound can be ANY expression (an integer, token$(), or a
-    # RangeFrame interval like '-INTERVAL 7 days'), so match it lazily up
-    # to the terminal unboundedfollowing$() instead of enumerating forms —
-    # an interval-bounded shrinking frame is just as quadratic
+    # RangeFrame interval like '-INTERVAL 7 days', itself with nested
+    # parens/commas), so a single regex can't delimit it — a lazy .+?
+    # spans ACROSS adjacent frames and misreads a benign full-partition
+    # frame as shrinking. Parse each frame's balanced-paren body and
+    # split its top-level commas instead; an interval-bounded shrinking
+    # frame is just as quadratic as an integer-bounded one.
     shrinking = [
         lo
-        for lo in re.findall(
-            r"specifiedwindowframe\((?:Row|Range)Frame, "
-            r"(.+?), unboundedfollowing\$\(\)\)",
-            r.text,
-        )
-        if lo != "unboundedpreceding$()"
+        for lo, hi in _window_frame_bounds(r.text)
+        if hi == "unboundedfollowing$()" and lo != "unboundedpreceding$()"
     ]
     if shrinking:
         warnings.append(

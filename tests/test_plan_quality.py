@@ -750,3 +750,73 @@ def test_shrinking_window_frame_lint(spark, sf_dir):
     for name in ("gapfill_linear_user_hours", "asof_forward_events_order"):
         codes = [w.code for w in lint_plan(reg[name].fn(spark, sf_dir))]
         assert "shrinking-window-frame" not in codes, name
+
+
+def test_window_frame_bounds_parser_is_per_frame():
+    """ADVICE r8: the old single-regex bound matcher missed interval
+    RangeFrame lower bounds; the first lazy-regex broadening then bled
+    ACROSS adjacent frames and misread window_navigation_orders' benign
+    full-partition frame as shrinking. The balanced-paren parser must
+    catch both shrinking forms and neither benign form."""
+    from etl_manager_spark.plans.inspect import _window_frame_bounds
+
+    txt = (
+        "w1(specifiedwindowframe(RowFrame, unboundedpreceding$(), "
+        "currentrow$())), "
+        "w2(specifiedwindowframe(RowFrame, 3, unboundedfollowing$())), "
+        "specifiedwindowframe(RangeFrame, "
+        "-cast(INTERVAL '7' DAY, interval), unboundedfollowing$()), "
+        "specifiedwindowframe(RowFrame, unboundedpreceding$(), "
+        "unboundedfollowing$()), "
+        "specifiedwindowframe(RowFrame, -2, 2)"
+    )
+    bounds = _window_frame_bounds(txt)
+    assert len(bounds) == 5
+    shrinking = [
+        lo
+        for lo, hi in bounds
+        if hi == "unboundedfollowing$()" and lo != "unboundedpreceding$()"
+    ]
+    assert shrinking == ["3", "-cast(INTERVAL '7' DAY, interval)"]
+
+
+def test_interval_shrinking_range_frame_is_flagged(spark):
+    """A RangeFrame whose lower bound renders as an interval expression
+    (the advisor's false-negative case) must trip the lint, and the
+    full-partition frame in the same plan must not."""
+    import datetime
+
+    from pyspark.sql import Window
+
+    from etl_manager_spark.plans.inspect import lint_plan
+
+    df = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, d), float(d)) for d in range(1, 6)],
+        "g int, ts timestamp, v double",
+    )
+    df.createOrReplaceTempView("frame_lint_probe")
+    # interval RangeFrame bounds are SQL-only (PySpark rangeBetween takes
+    # longs); this renders as 'specifiedwindowframe(RangeFrame,
+    # -INTERVAL ..., unboundedfollowing$())' — the advisor's exact case
+    shrink = spark.sql(
+        """
+        SELECT sum(v) OVER (PARTITION BY g ORDER BY ts
+                            RANGE BETWEEN INTERVAL 7 DAYS PRECEDING
+                            AND UNBOUNDED FOLLOWING) AS s
+        FROM frame_lint_probe
+        """
+    )
+    codes = [w.code for w in lint_plan(shrink)]
+    assert "shrinking-window-frame" in codes
+
+    full = (
+        Window.partitionBy("g")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    lead_w = Window.partitionBy("g").orderBy("ts")
+    mixed = df.select(
+        F.sum("v").over(full).alias("s"),
+        F.lead("v", 1).over(lead_w).alias("nxt"),
+    )
+    assert "shrinking-window-frame" not in [w.code for w in lint_plan(mixed)]

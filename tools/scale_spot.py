@@ -1,19 +1,26 @@
 #!/usr/bin/env python
-"""Empirical scale probe (VERDICT r7 task #4): SCALING.md argues the
-100 TB design; this measures the curve. Synthesize a ~sf1 dataset by
-replicating sf0.1 ten times with key remapping (ids/fkeys shifted by
-replica * 10^9 so joins stay consistent and keys stay unique), then time
-the most expensive catalog queries at sf0.1 vs sf1 in one warm session
-per scale and write SCALING_SPOT.md with both timings and the ratio.
+"""Empirical scale probe (VERDICT r7 task #4, extended in r9 task #5):
+SCALING.md argues the 100 TB design; this measures the curve — now at
+TWO points above the bench scale. Synthesize ~sf1 and ~sf5 datasets by
+replicating sf0.1 ten / fifty times with key remapping (ids/fkeys
+shifted by replica * 10^9 so joins stay consistent and keys stay
+unique), then time the most expensive catalog queries at sf0.1 vs sf1
+vs sf5 in one warm session per scale and write SCALING_SPOT.md with the
+timings and ratios.
 
 This is a CURVE check, not a parity check — no oracles. A 10x data bump
 should cost ~<=12x wall-clock on a fixed local[32] box for linear
 operators (constant per-query scheduling overhead amortizes; shuffles
-grow n log n at worst). Ratios far above that mean super-linear work
-(pair blow-ups, driver-side state) and get an explanation or a fix.
+grow n log n at worst), and the sf1->sf5 leg (5x data) ~<=6x. Ratios
+far above that mean super-linear work (pair blow-ups, driver-side
+state) and get an explanation or a fix. The second point matters most
+for the dedup family: 50 replicas = every document duplicated 50x, so
+the candidate space grows 5x denser than sf1's — a quadratic candidate
+generator that hid inside sf1's envelope cannot hide here.
 
-Usage: python tools/scale_spot.py [--regen] [--runs 2]
-Writes /tmp/spark_graft_sf1/*.parquet (cached unless --regen).
+Usage: python tools/scale_spot.py [--regen] [--runs 2] [--scales sf1,sf5]
+Writes /tmp/spark_graft_sf1/*.parquet and /tmp/spark_graft_sf5/*.parquet
+(cached unless --regen).
 """
 
 from __future__ import annotations
@@ -27,14 +34,17 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF01 = "/root/testdata/sf0.1"
-SF1 = "/tmp/spark_graft_sf1"
 SHIFT = 10**9
-REPLICAS = 10
+SCALES: dict[str, tuple[str, int]] = {
+    # name -> (dir, replicas of sf0.1)
+    "sf1": ("/tmp/spark_graft_sf1", 10),
+    "sf5": ("/tmp/spark_graft_sf5", 50),
+}
 
 # key columns shifted per replica so ids stay unique and every fk join
 # lands on exactly one replica's parent rows. region/nation/part/supplier
-# are copied unshifted (dims: 10x facts per dim row is the realistic
-# scale-up shape). Timestamps are kept — 10x density per day, not a
+# are copied unshifted (dims: Nx facts per dim row is the realistic
+# scale-up shape). Timestamps are kept — Nx density per day, not a
 # longer calendar.
 SHIFTED: dict[str, list[str]] = {
     "customer": ["c_custkey"],
@@ -49,9 +59,11 @@ SHIFTED: dict[str, list[str]] = {
     "supplier": [],
 }
 
-# the expensive tail of BENCH_r07 (streaming family excluded — its cost
-# is fresh-session micro-batch machinery, not data volume) plus the two
-# round-8 watch items (theil_sen rewrite, dbscan drift).
+# the expensive tail of the bench (top cost at sf0.1) plus the two
+# ~5.9x-at-sf1 linear operators the r8 verdict flagged for a second
+# curve point (cdc_chunk_stats, incremental_minhash_dedup) and the
+# streaming attribution family (availableNow micro-batch over the same
+# replicated events — its state stores must scale with keys, not rows).
 QUERIES = [
     "mad_robust_outliers_events",
     "conformal_interval_events",
@@ -70,20 +82,27 @@ QUERIES = [
     "agg_median_acctbal_by_nation",
     "dbscan_core_border_noise_embeddings",
     "theil_sen_daily_value_trend",
+    "intrinsic_dim_twonn_embeddings",
+    "similarity_topk_pq_adc",
+    "simhash_near_dup_pairs",
+    "streaming_leftouter_attribution",
+    "streaming_interval_join_attribution",
+    "streaming_fullouter_attribution",
+    "streaming_two_level_rollup",
 ]
 
 
-def synth() -> None:
+def synth(dst: str, replicas: int) -> None:
     import duckdb
 
-    os.makedirs(SF1, exist_ok=True)
+    os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
     for table, keys in SHIFTED.items():
         src = os.path.join(SF01, f"{table}.parquet")
-        dst = os.path.join(SF1, f"{table}.parquet")
+        out = os.path.join(dst, f"{table}.parquet")
         if not keys:
             con.execute(
-                f"COPY (SELECT * FROM read_parquet('{src}')) TO '{dst}' "
+                f"COPY (SELECT * FROM read_parquet('{src}')) TO '{out}' "
                 "(FORMAT PARQUET)"
             )
             continue
@@ -95,17 +114,17 @@ def synth() -> None:
             COPY (
               SELECT t.* REPLACE ({shifted_cols})
               FROM read_parquet('{src}') t
-              CROSS JOIN (SELECT UNNEST(RANGE({REPLICAS})) AS r) r
-            ) TO '{dst}' (FORMAT PARQUET)
+              CROSS JOIN (SELECT UNNEST(RANGE({replicas})) AS r) r
+            ) TO '{out}' (FORMAT PARQUET)
             """
         )
         n0 = con.execute(f"SELECT COUNT(*) FROM read_parquet('{src}')").fetchone()[0]
-        n1 = con.execute(f"SELECT COUNT(*) FROM read_parquet('{dst}')").fetchone()[0]
-        assert n1 == REPLICAS * n0, (table, n0, n1)
+        n1 = con.execute(f"SELECT COUNT(*) FROM read_parquet('{out}')").fetchone()[0]
+        assert n1 == replicas * n0, (table, n0, n1)
     con.close()
 
 
-def time_queries(sf_dir: str, runs: int) -> dict[str, list[float]]:
+def time_queries(sf_dir: str, runs: int, names: list[str]) -> dict[str, list[float]]:
     from pyspark.sql import SparkSession
 
     from etl_manager_spark.workloads import load_registry
@@ -116,14 +135,14 @@ def time_queries(sf_dir: str, runs: int) -> dict[str, list[float]]:
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "16g")
+        .config("spark.driver.memory", "24g")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
     reg = load_registry()
     spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()  # warm
     out: dict[str, list[float]] = {}
-    for name in QUERIES:
+    for name in names:
         times = []
         for _ in range(runs):
             t0 = time.monotonic()
@@ -139,15 +158,29 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--regen", action="store_true")
     ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--scales", default="sf1,sf5")
+    ap.add_argument("--queries", default=None, help="comma list override")
     args = ap.parse_args()
-    if args.regen or not os.path.exists(os.path.join(SF1, "events.parquet")):
-        print("synthesizing sf1 ...", flush=True)
-        synth()
-    t01 = time_queries(SF01, args.runs)
-    t1 = time_queries(SF1, args.runs)
+    names = args.queries.split(",") if args.queries else QUERIES
+    tiers = args.scales.split(",")
+    for tier in tiers:
+        d, replicas = SCALES[tier]
+        if args.regen or not os.path.exists(os.path.join(d, "events.parquet")):
+            print(f"synthesizing {tier} ({replicas} replicas) ...", flush=True)
+            synth(d, replicas)
+    results = {"sf0.1": time_queries(SF01, args.runs, names)}
+    for tier in tiers:
+        results[tier] = time_queries(SCALES[tier][0], args.runs, names)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(repo, "SCALING_SPOT.json"), "w") as fh:
-        json.dump({"sf0.1": t01, "sf1": t1}, fh, indent=1, sort_keys=True)
+    path = os.path.join(repo, "SCALING_SPOT.json")
+    merged = {}
+    if os.path.exists(path):
+        with open(path) as fh:
+            merged = json.load(fh)
+    for tier, data in results.items():
+        merged.setdefault(tier, {}).update(data)
+    with open(path, "w") as fh:
+        json.dump(merged, fh, indent=1, sort_keys=True)
         fh.write("\n")
     print("wrote SCALING_SPOT.json — render SCALING_SPOT.md from it")
 
