@@ -113,23 +113,45 @@ def grouped_value_cdf(
         .localCheckpoint(eager=True)
     )
     base = base_all.filter(F.col("_qv").isNotNull())
-    totals = base.groupBy("_qp", _GK).agg(F.sum("_qc").cast("long").alias("_qn"))
-    # the few-groups contract, enforced by bounding the collects
-    # themselves (no extra job, driver memory capped even when violated):
-    # totals has at most partitions + groups rows, so anything past the
-    # cap means too many groups — offsets and the rank table are
-    # driver-side O(groups); at high group cardinality use the plain
+    # ONE bounded collect serves both the per-partition offsets and the
+    # null-side counts (round 9: this was two separate jobs against the
+    # checkpoint; fusing them saves a job per CDF call across the whole
+    # median/MAD/winsorize/conformal family). The few-groups contract is
+    # enforced by bounding the collect itself (no extra job, driver
+    # memory capped even when violated): the non-null slice has at most
+    # partitions + groups rows (each group's range is contiguous) and
+    # the null slice at most one row per (partition, group) — anything
+    # past the caps means too many groups; offsets and the rank table
+    # are driver-side O(groups); at high group cardinality use the plain
     # partitioned window/aggregate instead (each group is small there,
     # so the builtin buffer is fine too)
     cap = max_groups + parts
-    rows = totals.limit(cap + 1).collect()
-    null_rows = (
-        base_all.filter(F.col("_qv").isNull())
-        .select(_GK, "_qc")
-        .limit(max_groups + 1)
-        .collect()
+    bounded = (
+        base_all.groupBy("_qp", _GK, F.col("_qv").isNull().alias("_qvnull"))
+        .agg(F.sum("_qc").cast("long").alias("_qn"))
+        .limit(cap + max_groups + parts + 2)
     )
-    if len(rows) > cap or len(null_rows) > max_groups:
+    # CollectLimit executes incrementally (1 partition, then scaleUpFactor
+    # more, ...) — on a contract-respecting input the first probe job
+    # never satisfies this large limit, so the bound costs 2-3 extra jobs.
+    # Pinning initialNumPartitions to the partition count keeps the bound
+    # AND makes it one job; restore is safe here because collect() is
+    # eager (unlike the lazy-DataFrame conf in workloads/relational.py).
+    try:
+        prev_init = spark.conf.get("spark.sql.limit.initialNumPartitions")
+    except Exception:  # noqa: BLE001 - conf unset (it has no default)
+        prev_init = None
+    try:
+        spark.conf.set("spark.sql.limit.initialNumPartitions", str(parts))
+        all_rows = bounded.collect()
+    finally:
+        if prev_init is None:
+            spark.conf.unset("spark.sql.limit.initialNumPartitions")
+        else:
+            spark.conf.set("spark.sql.limit.initialNumPartitions", prev_init)
+    rows = [r for r in all_rows if not r["_qvnull"]]
+    null_rows = [r for r in all_rows if r["_qvnull"]]
+    if len(rows) > cap or len(null_rows) > max_groups + parts:
         raise ValueError(
             f"grouped percentiles: more than ~{max_groups} groups — this "
             "operator is for FEW huge groups (driver offsets are "
@@ -150,7 +172,7 @@ def grouped_value_cdf(
     for r in null_rows:
         gk = _canon_key(r[_GK])
         n_by_group.setdefault(gk, 0)
-        rows_by_group[gk] = rows_by_group.get(gk, 0) + r["_qc"]
+        rows_by_group[gk] = rows_by_group.get(gk, 0) + r["_qn"]
     gk_type = T.StructType(
         [
             T.StructField(f.name, f.dataType, f.nullable)
