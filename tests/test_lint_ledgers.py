@@ -136,20 +136,17 @@ def test_committed_lint_run_was_clean(lint_report):
 
 @pytest.fixture(scope="module")
 def edge_reports():
+    import glob
     import json
     import os
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    paths = sorted(glob.glob(os.path.join(root, "EDGE_*.json")))
+    assert len(paths) >= 5, "edge sweep reports missing from repo root"
     out = {}
-    for name in (
-        "EDGE_empty.json",
-        "EDGE_weird.json",
-        "EDGE_fuzz1.json",
-        "EDGE_fuzz2.json",
-        "EDGE_fuzz3.json",
-    ):
-        with open(os.path.join(root, name)) as fh:
-            out[name] = json.load(fh)
+    for path in paths:
+        with open(path) as fh:
+            out[os.path.basename(path)] = json.load(fh)
     return out
 
 
