@@ -679,7 +679,7 @@ def events_value_outliers(spark, sf_dir):
       -- see ewma_per_key); NULL ts rows have no place in event-time order
       SELECT user_id, event_id, CAST(value AS DOUBLE) AS v,
              ROW_NUMBER() OVER (PARTITION BY user_id
-                                ORDER BY ts, event_id) AS rn
+                                ORDER BY ts, event_id NULLS FIRST) AS rn
       FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
     ),
     fold AS (
@@ -1617,14 +1617,24 @@ def iqr_outlier_fences_events(spark, sf_dir):
     "udtf_event_runs_per_user",
     """
     WITH ordered AS (
+      -- NULLS FIRST replays Spark's ASC default (DuckDB defaults to
+      -- NULLS LAST): a NULL-ts event sorts BEFORE the timed stream in
+      -- the UDTF's PARTITION BY ... ORDER BY, so placing it last here
+      -- would stitch it onto the wrong run (fuzz8 found exactly this)
       SELECT user_id, ts, event_id, event_type,
              ROW_NUMBER() OVER (PARTITION BY user_id
-                                ORDER BY ts, event_id) AS rn,
+                                ORDER BY ts NULLS FIRST,
+                                         event_id NULLS FIRST) AS rn,
              ROW_NUMBER() OVER (PARTITION BY user_id, event_type
-                                ORDER BY ts, event_id) AS rnt
+                                ORDER BY ts NULLS FIRST,
+                                         event_id NULLS FIRST) AS rnt
       FROM events WHERE user_id < 50
     )
-    SELECT user_id, MIN(ts) AS run_start, event_type AS run_type,
+    SELECT user_id,
+           -- the UDTF reports the run's FIRST row's ts, NULL included
+           -- (a run opening with a timeless row starts at NULL) — MIN
+           -- would skip to the first timed row
+           FIRST(ts ORDER BY rn) AS run_start, event_type AS run_type,
            CAST(COUNT(*) AS INTEGER) AS run_len
     FROM ordered
     GROUP BY user_id, event_type, rn - rnt
@@ -2753,7 +2763,7 @@ def cusum_changepoint_events(spark, sf_dir):
       -- same missing-sample / no-event-time exclusions as ewma
       SELECT user_id, event_id, CAST(value AS DOUBLE) AS v,
              ROW_NUMBER() OVER (PARTITION BY user_id
-                                ORDER BY ts, event_id) AS rn
+                                ORDER BY ts, event_id NULLS FIRST) AS rn
       FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
     ),
     fold AS (

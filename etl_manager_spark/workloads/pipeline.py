@@ -1101,8 +1101,10 @@ def upsert_customer_batch(spark, sf_dir):
     -- time; a timeless row cannot open or close a record on either side
     SELECT event_id, user_id, ts, value,
            ts AS valid_from,
-           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
-           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+           LEAD(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id NULLS FIRST) AS valid_to,
+           LEAD(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id NULLS FIRST) IS NULL
              AS is_current
     FROM events WHERE ts IS NOT NULL
     """,

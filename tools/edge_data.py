@@ -276,6 +276,42 @@ WEIRD: dict[str, list[tuple]] = {
 }
 
 
+def nullts_rows() -> dict[str, list[tuple]]:
+    """NULL-ordering adversary (round 9): events rows that pin the
+    engines' OPPOSITE NULL-placement defaults (Spark ASC = NULLS FIRST /
+    DESC = NULLS LAST; DuckDB the reverse) at exactly the adjacencies
+    where they change answers — a NULL-ts row ADJACENT to a same-type
+    timed run (run stitching / run_start), NULL ts BETWEEN two sessions,
+    a (ts) tie broken by a NULL event_id (fold order, SCD2 chains), and
+    an all-NULL-ts user. Found 4 oracle divergences on first run
+    (udtf_event_runs run_start + rn order, ewma/holt fold tie-break,
+    scd2 valid_to chain). Non-events tables reuse WEIRD's."""
+    rows = dict(WEIRD)
+    rows["events"] = [
+        # user 1: NULL-ts rows adjacent to a same-type timed stream
+        (1, None, 1, "click", 1.0, '{"k": 1}'),
+        (2, None, 1, "click", 2.0, '{"k": 1}'),
+        (3, _ts("2024-01-01 10:00:00"), 1, "click", 3.0, '{"k": 2}'),
+        (4, _ts("2024-01-01 10:00:30"), 1, "view", 4.0, '{"k": 2}'),
+        (5, _ts("2024-01-01 11:00:00"), 1, "click", 5.0, None),
+        (6, _ts("2024-01-01 11:00:10"), 1, "purchase", 6.0, '{"k": 3}'),
+        # user 2: ONLY null-ts rows
+        (7, None, 2, "view", 1.5, "{}"),
+        (8, None, 2, "view", 2.5, None),
+        # user 3: null ts BETWEEN two sessions
+        (9, _ts("2024-01-02 09:00:00"), 3, "click", 1.0, '{"k": 9}'),
+        (10, None, 3, "click", 1.0, '{"k": 9}'),
+        (11, _ts("2024-01-02 12:00:00"), 3, "click", 2.0, '{"k": 9}'),
+        # user 4: duplicate ts tie broken by a NULL event_id
+        (None, _ts("2024-01-03 08:00:00"), 4, "purchase", 7.0, '{"k": 4}'),
+        (12, _ts("2024-01-03 08:00:00"), 4, "purchase", 8.0, '{"k": 4}'),
+        (13, _ts("2024-01-03 08:10:00"), 4, "view", 9.0, '{"k": 4}'),
+        # NULL user
+        (14, _ts("2024-01-04 01:00:00"), None, "click", 1.0, "{}"),
+    ]
+    return rows
+
+
 def fuzz_rows(seed: int) -> dict[str, list[tuple]]:
     """Seeded random tables: schema-valid, in-domain values, but with the
     hostile traits injected at random — NULLs in any nullable column,
@@ -601,7 +637,8 @@ def main() -> None:
     base = os.path.abspath(args.out)
     write_dataset(os.path.join(base, "empty"), {})
     write_dataset(os.path.join(base, "weird"), WEIRD)
-    made = ["empty", "weird"]
+    write_dataset(os.path.join(base, "nullts"), nullts_rows())
+    made = ["empty", "weird", "nullts"]
     for seed in filter(None, args.fuzz_seeds.split(",")):
         name = f"fuzz{int(seed)}"
         gen = fuzz_rows_v2 if int(seed) >= 6 else fuzz_rows
