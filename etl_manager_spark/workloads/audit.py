@@ -518,7 +518,9 @@ def quarantine_bad_events(spark, sf_dir):
     ),
     daily AS (SELECT day, COUNT(*) AS new_users FROM first_seen GROUP BY day)
     SELECT day, new_users,
-           CAST(SUM(new_users) OVER (ORDER BY day
+           -- NULLS FIRST: the engine's ordered_cumsum runs F.asc("day"),
+           -- so the all-NULL-ts users' NULL first-seen day cumulates FIRST
+           CAST(SUM(new_users) OVER (ORDER BY day NULLS FIRST
                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_users
     FROM daily
     """,

@@ -287,7 +287,10 @@ def temperature_resample_documents(spark, sf_dir):
              CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS value_centi,
              LEAD(EPOCH_US(ts)) OVER (
                PARTITION BY user_id, DATE_TRUNC('day', ts)
-               ORDER BY ts, event_id) - EPOCH_US(ts) AS dt_us
+               -- NULLS FIRST replays Spark's ASC default: a NULL-id row
+               -- segments BEFORE its same-ts twin (nullts edge dataset)
+               ORDER BY ts NULLS FIRST,
+                        event_id NULLS FIRST) - EPOCH_US(ts) AS dt_us
       FROM events
     )
     SELECT user_id, day,

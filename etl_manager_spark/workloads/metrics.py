@@ -2015,7 +2015,9 @@ def winsorized_mean_value_by_type(spark, sf_dir):
     ),
     nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM obs),
     a1 AS (
-      SELECT LIST({'t': t, 'd': d, 'e': e} ORDER BY t) AS arr, nn.n
+      -- NULLS FIRST: Spark's array_sort orders the NULL-t struct (an
+      -- all-NULL-ts user's censor entry) before every dated exit day
+      SELECT LIST({'t': t, 'd': d, 'e': e} ORDER BY t NULLS FIRST) AS arr, nn.n
       FROM rd CROSS JOIN nn GROUP BY nn.n
     ),
     a2 AS (

@@ -3190,7 +3190,10 @@ def incremental_rollup_events(spark, sf_dir):
              CASE WHEN event_id % 37 = 0
                   THEN CAST(value AS DECIMAL(18,2)) + 10.0
                   ELSE CAST(value AS DECIMAL(18,2)) END AS v
-      FROM events WHERE event_id % 53 <> 0
+      -- a NULL-id row SURVIVES: corrections target observed keys, so
+      -- the delete batch (id % 53 = 0) can never match it — keep it in
+      -- the recompute exactly as the delta engine keeps it in the store
+      FROM events WHERE event_id % 53 <> 0 OR event_id IS NULL
     )
     SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(SUM(v) AS DOUBLE) AS total_value
