@@ -296,8 +296,9 @@ def temperature_resample_sql(
       SELECT t.*, q.n_in_stratum, q.quota,
              CAST(ROW_NUMBER() OVER (
                PARTITION BY {strata_expr}
-               ORDER BY substr(md5(COALESCE(CAST({id_expr} AS VARCHAR), '')), 1, 8),
-                        {id_expr} ASC) AS INTEGER) AS rk
+               ORDER BY substr(md5(COALESCE(CAST({id_expr} AS VARCHAR), '')), 1, 8)
+                          NULLS FIRST,
+                        {id_expr} ASC NULLS FIRST) AS INTEGER) AS rk
       FROM {table} t JOIN quotas q
         ON {strata_expr} IS NOT DISTINCT FROM q.stratum
     )

@@ -40,7 +40,7 @@ _TOK = r"LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'), x -> x <> '')"
     )
     SELECT id, rank, term, tf, df, tfidf_q
     FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY id
-                         ORDER BY tfidf_q DESC, term ASC) AS INTEGER) AS rank
+                         ORDER BY tfidf_q DESC NULLS LAST, term ASC NULLS FIRST) AS INTEGER) AS rank
           FROM scored)
     WHERE rank <= 5
     """,
@@ -298,7 +298,7 @@ def histogram_events_value(spark, sf_dir):
       SELECT vec_id, centroid_id,
              CAST(FLOOR(dist2 * 1000000000.0 + 0.5) AS BIGINT) AS dist2_q
       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-                      ORDER BY dist2 ASC, centroid_id ASC) AS rn FROM scored)
+                      ORDER BY dist2 ASC NULLS FIRST, centroid_id ASC NULLS FIRST) AS rn FROM scored)
       WHERE rn = 1
     )
     -- re-join per corpus ROW: the Spark side is a map-only projection
@@ -679,7 +679,7 @@ def events_value_outliers(spark, sf_dir):
       -- see ewma_per_key); NULL ts rows have no place in event-time order
       SELECT user_id, event_id, CAST(value AS DOUBLE) AS v,
              ROW_NUMBER() OVER (PARTITION BY user_id
-                                ORDER BY ts, event_id NULLS FIRST) AS rn
+                                ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS rn
       FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
     ),
     fold AS (
@@ -789,7 +789,7 @@ def regression_price_by_quantity(spark, sf_dir):
     FROM (
       SELECT user_id, event_type, COUNT(*) AS cnt,
              ROW_NUMBER() OVER (PARTITION BY user_id
-                                ORDER BY COUNT(*) DESC, event_type ASC) AS rn
+                                ORDER BY COUNT(*) DESC NULLS LAST, event_type ASC NULLS FIRST) AS rn
       FROM events WHERE user_id < 200 AND event_type IS NOT NULL
       GROUP BY user_id, event_type
     ) WHERE rn = 1
@@ -872,7 +872,7 @@ def string_agg_nations_per_region(spark, sf_dir):
     SELECT doc_id, n_chars,
            CAST(FLOOR(k * 1000000000.0 + 0.5) AS BIGINT) AS key_q,
            CAST("rank" AS INTEGER) AS rank
-    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY k DESC, doc_id ASC) AS "rank"
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY k DESC NULLS LAST, doc_id ASC NULLS FIRST) AS "rank"
           FROM keyed)
     WHERE "rank" <= 50
     """,
@@ -932,7 +932,7 @@ def weighted_sample_documents(spark, sf_dir):
         ON h.user_id = s.user_id AND h.h = s.hour_ts
     ),
     g AS (
-      SELECT *, COUNT(v) OVER (PARTITION BY user_id ORDER BY hour_ts) AS grp
+      SELECT *, COUNT(v) OVER (PARTITION BY user_id ORDER BY hour_ts NULLS FIRST) AS grp
       FROM j
     )
     SELECT user_id, hour_ts,
@@ -1073,13 +1073,13 @@ def mad_robust_outliers_events(spark, sf_dir):
     total AS (SELECT SUM(cnt) AS total FROM counts),
     top AS (
       SELECT term, cnt,
-             CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, term ASC) AS INTEGER)
+             CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC NULLS LAST, term ASC NULLS FIRST) AS INTEGER)
                AS rank
       FROM counts
       QUALIFY rank <= 100
     )
     SELECT term, cnt, rank,
-           CAST(FLOOR(CAST(SUM(cnt) OVER (ORDER BY rank) AS DOUBLE)
+           CAST(FLOOR(CAST(SUM(cnt) OVER (ORDER BY rank NULLS FIRST) AS DOUBLE)
                       / total * 1000000000.0 + 0.5) AS BIGINT) AS coverage_q
     FROM top CROSS JOIN total
     """,
@@ -1208,7 +1208,7 @@ def welch_t_view_vs_click(spark, sf_dir):
     """
     SELECT event_id, event_type,
            CAST(FLOOR(PERCENT_RANK() OVER (
-                  PARTITION BY event_type ORDER BY value, event_id)
+                  PARTITION BY event_type ORDER BY value NULLS FIRST, event_id NULLS FIRST)
                 * 1000000000.0 + 0.5) AS BIGINT) AS pr_q
     FROM events WHERE user_id < 50 AND value IS NOT NULL
     """,
@@ -1268,7 +1268,7 @@ _TOK_NONEMPTY = (
                       / CAST(norm_chars AS DOUBLE)
                       * 1000000000.0 + 0.5) AS BIGINT) AS top_gram_char_frac_q
     FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY id
-                    ORDER BY gram_count DESC, gram ASC) AS rn
+                    ORDER BY gram_count DESC NULLS LAST, gram ASC NULLS FIRST) AS rn
           FROM counts)
     WHERE rn = 1
     """,
@@ -1306,15 +1306,15 @@ def top_ngram_char_frac_documents(spark, sf_dir):
     ),
     g AS (
       SELECT user_id, hour_ts, v,
-        last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hour_ts
+        last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hour_ts NULLS FIRST
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
         last_value(CASE WHEN v IS NOT NULL THEN hour_ts END IGNORE NULLS)
-          OVER (PARTITION BY user_id ORDER BY hour_ts
+          OVER (PARTITION BY user_id ORDER BY hour_ts NULLS FIRST
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_t,
-        first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hour_ts
+        first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hour_ts NULLS FIRST
           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
         first_value(CASE WHEN v IS NOT NULL THEN hour_ts END IGNORE NULLS)
-          OVER (PARTITION BY user_id ORDER BY hour_ts
+          OVER (PARTITION BY user_id ORDER BY hour_ts NULLS FIRST
           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_t
       FROM j
     )
@@ -1416,7 +1416,7 @@ def gapfill_linear_user_hours(spark, sf_dir):
            cume_dist() OVER w AS cum_dist
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey
-                 ORDER BY o_orderdate NULLS FIRST, o_orderkey),
+                 ORDER BY o_orderdate NULLS FIRST, o_orderkey NULLS FIRST),
            wf AS (PARTITION BY o_custkey
                   ORDER BY o_orderdate NULLS FIRST, o_orderkey
                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
@@ -1518,7 +1518,7 @@ def map_functions_events(spark, sf_dir):
     WITH ranked AS (
       -- quartiles are over observed values only (NULL is unrankable)
       SELECT event_type, value,
-             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value NULLS FIRST) AS rn,
              COUNT(*) OVER (PARTITION BY event_type) AS n
       FROM events WHERE value IS NOT NULL
     ),
@@ -1994,10 +1994,10 @@ def calendar_functions_events(spark, sf_dir):
     WITH ordered AS (
       SELECT user_id, ts, event_id, event_type,
              CASE WHEN EPOCH_US(ts) - LAG(EPOCH_US(ts))
-                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST)
                   IS NULL
                   OR EPOCH_US(ts) - LAG(EPOCH_US(ts))
-                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST)
                      > 1800000000
              THEN 1 ELSE 0 END AS new_session
       FROM events WHERE ts IS NOT NULL
@@ -2005,7 +2005,7 @@ def calendar_functions_events(spark, sf_dir):
     sess AS (
       SELECT user_id, ts, event_type,
              SUM(new_session) OVER (PARTITION BY user_id
-                                    ORDER BY ts, event_id) AS session_id
+                                    ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS session_id
       FROM ordered
     ),
     s1 AS (SELECT user_id, session_id, MIN(ts) AS t FROM sess
@@ -2188,8 +2188,8 @@ def churn_labels_events(spark, sf_dir):
              ROW_NUMBER() OVER (
                PARTITION BY qid
                ORDER BY MD5(CAST(qid AS VARCHAR) || '#' ||
-                            CAST(neg_doc_id AS VARCHAR)) ASC,
-                        neg_doc_id ASC, neg_source ASC NULLS FIRST) AS neg_rank
+                            CAST(neg_doc_id AS VARCHAR)) ASC NULLS FIRST,
+                        neg_doc_id ASC NULLS FIRST, neg_source ASC NULLS FIRST) AS neg_rank
       FROM cand
     )
     SELECT qid AS query_doc_id, CAST(neg_rank AS INTEGER) AS neg_rank,
@@ -2378,7 +2378,7 @@ _RANK_LISTS_CTES = rf"""lens AS (
       FROM bpiv
     ),
     btop AS (
-      SELECT id, ROW_NUMBER() OVER (ORDER BY s DESC, id ASC) AS r
+      SELECT id, ROW_NUMBER() OVER (ORDER BY s DESC NULLS LAST, id ASC NULLS FIRST) AS r
       FROM bscore QUALIFY r <= 100
     ),
     tcontrib AS (
@@ -2402,7 +2402,7 @@ _RANK_LISTS_CTES = rf"""lens AS (
       FROM tpiv
     ),
     ttop AS (
-      SELECT id, ROW_NUMBER() OVER (ORDER BY s DESC, id ASC) AS r
+      SELECT id, ROW_NUMBER() OVER (ORDER BY s DESC NULLS LAST, id ASC NULLS FIRST) AS r
       FROM tscore QUALIFY r <= 100
     )"""
 
@@ -2684,7 +2684,7 @@ def pmi_collocations_documents(spark, sf_dir):
     cs AS (
       SELECT event_type, day,
              SUM(dev_q) OVER (
-               PARTITION BY event_type ORDER BY day
+               PARTITION BY event_type ORDER BY day NULLS FIRST
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS cusum_q
       FROM dev
@@ -2693,7 +2693,7 @@ def pmi_collocations_documents(spark, sf_dir):
       SELECT event_type, day, cusum_q,
              ROW_NUMBER() OVER (
                PARTITION BY event_type
-               ORDER BY ABS(cusum_q) DESC, day ASC) AS rn
+               ORDER BY ABS(cusum_q) DESC NULLS LAST, day ASC NULLS FIRST) AS rn
       FROM cs
     )
     SELECT event_type, day AS change_day,
@@ -2763,7 +2763,7 @@ def cusum_changepoint_events(spark, sf_dir):
       -- same missing-sample / no-event-time exclusions as ewma
       SELECT user_id, event_id, CAST(value AS DOUBLE) AS v,
              ROW_NUMBER() OVER (PARTITION BY user_id
-                                ORDER BY ts, event_id NULLS FIRST) AS rn
+                                ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS rn
       FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
     ),
     fold AS (
@@ -2941,7 +2941,7 @@ def vocab_kl_drift_documents(spark, sf_dir):
       WHERE o_totalprice IS NOT NULL GROUP BY 1
     ),
     cum AS (
-      SELECT v, c, SUM(c) OVER (ORDER BY v) AS cum,
+      SELECT v, c, SUM(c) OVER (ORDER BY v NULLS FIRST) AS cum,
              SUM(c) OVER () AS n
       FROM vc
     ),
@@ -3030,8 +3030,8 @@ def equidepth_bins_orders_price(spark, sf_dir):
     tot AS (SELECT SUM(rev_c) AS total_c FROM per_cust),
     ranked AS (
       SELECT rev_c,
-             SUM(rev_c) OVER (ORDER BY rev_c DESC, o_custkey ASC) AS cum_c,
-             ROW_NUMBER() OVER (ORDER BY rev_c DESC, o_custkey ASC) AS rnk
+             SUM(rev_c) OVER (ORDER BY rev_c DESC NULLS LAST, o_custkey ASC NULLS FIRST) AS cum_c,
+             ROW_NUMBER() OVER (ORDER BY rev_c DESC NULLS LAST, o_custkey ASC NULLS FIRST) AS rnk
       FROM per_cust
     )
     SELECT CAST(MIN(CASE WHEN cum_c * 5 >= total_c * 4 THEN rnk END)
@@ -3244,11 +3244,11 @@ def ratio_to_report_nation_revenue(spark, sf_dir):
     )
     SELECT CAST(month AS DATE) AS month,
            rev_c AS revenue_cents,
-           LAG(rev_c) OVER (ORDER BY month) AS prev_cents,
-           CASE WHEN LAG(rev_c) OVER (ORDER BY month) IS NULL THEN NULL
+           LAG(rev_c) OVER (ORDER BY month NULLS FIRST) AS prev_cents,
+           CASE WHEN LAG(rev_c) OVER (ORDER BY month NULLS FIRST) IS NULL THEN NULL
                 ELSE CAST(FLOOR(
                   (CAST(rev_c AS DOUBLE)
-                   / CAST(LAG(rev_c) OVER (ORDER BY month) AS DOUBLE) - 1.0)
+                   / CAST(LAG(rev_c) OVER (ORDER BY month NULLS FIRST) AS DOUBLE) - 1.0)
                   * 1000000000.0 + 0.5) AS BIGINT)
            END AS growth_q
     FROM monthly
@@ -3382,7 +3382,7 @@ def spatial_join_customer_supplier(spark, sf_dir):
     ),
     ranked AS (
       SELECT rev_c,
-             ROW_NUMBER() OVER (ORDER BY rev_c ASC,
+             ROW_NUMBER() OVER (ORDER BY rev_c ASC NULLS FIRST,
                                 o_custkey ASC NULLS FIRST) AS i
       FROM per_cust WHERE rev_c IS NOT NULL
     ),
@@ -3497,8 +3497,8 @@ def feature_hash_documents(spark, sf_dir):
       SELECT event_type, event_id,
              ROW_NUMBER() OVER (
                PARTITION BY event_type
-               ORDER BY SUBSTR(MD5(CAST(event_id AS VARCHAR)), 1, 16),
-                        event_id
+               ORDER BY SUBSTR(MD5(CAST(event_id AS VARCHAR)), 1, 16) NULLS FIRST,
+                        event_id NULLS FIRST
              ) AS rn
       FROM events
     )
@@ -3701,17 +3701,17 @@ def conversion_latency_events(spark, sf_dir):
     WITH ordered AS (
       SELECT user_id, ts, event_id,
              CASE WHEN EPOCH_US(ts) - LAG(EPOCH_US(ts))
-                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST)
                     > 1800000000
                   OR LAG(ts) OVER (PARTITION BY user_id
-                                   ORDER BY ts, event_id) IS NULL
+                                   ORDER BY ts NULLS FIRST, event_id NULLS FIRST) IS NULL
              THEN 1 ELSE 0 END AS new_session
       FROM events WHERE ts IS NOT NULL
     ),
     numbered AS (
       SELECT user_id,
              SUM(new_session) OVER (PARTITION BY user_id
-                                    ORDER BY ts, event_id
+                                    ORDER BY ts NULLS FIRST, event_id NULLS FIRST
                                     ROWS UNBOUNDED PRECEDING) AS sid
       FROM ordered
     ),
@@ -3793,7 +3793,7 @@ def bounce_rate_sessions(spark, sf_dir):
     positioned AS (
       SELECT purchase_id, touch_type,
              ROW_NUMBER() OVER (PARTITION BY purchase_id
-                                ORDER BY t_ts, touch_id) AS pos,
+                                ORDER BY t_ts NULLS FIRST, touch_id NULLS FIRST) AS pos,
              COUNT(*) OVER (PARTITION BY purchase_id) AS n
       FROM pairs
     ),
@@ -3881,7 +3881,7 @@ def ushape_attribution_events(spark, sf_dir):
     ranked AS (
       SELECT day, event_type, value,
              ROW_NUMBER() OVER (PARTITION BY day, event_type
-                                ORDER BY value, event_id) AS rn,
+                                ORDER BY value NULLS FIRST, event_id NULLS FIRST) AS rn,
              COUNT(*) OVER (PARTITION BY day, event_type) AS n
       FROM d
     )
@@ -3959,11 +3959,11 @@ def daily_value_percentiles_events(spark, sf_dir):
       SELECT b.id, b.score_q, r.rel FROM bm25 b JOIN rel r ON r.id = b.id
     ),
     by_score AS (
-      SELECT rel, ROW_NUMBER() OVER (ORDER BY score_q DESC, id ASC) AS rnk
+      SELECT rel, ROW_NUMBER() OVER (ORDER BY score_q DESC NULLS LAST, id ASC NULLS FIRST) AS rnk
       FROM joined QUALIFY rnk <= 10
     ),
     by_rel AS (
-      SELECT rel, ROW_NUMBER() OVER (ORDER BY rel DESC, id ASC) AS rnk
+      SELECT rel, ROW_NUMBER() OVER (ORDER BY rel DESC NULLS LAST, id ASC NULLS FIRST) AS rnk
       FROM joined QUALIFY rnk <= 10
     ),
     dcg AS (
@@ -4238,17 +4238,17 @@ def rbo_bm25_vs_tfidf(spark, sf_dir):
     WITH ordered AS (
       SELECT user_id, ts, event_id,
              CASE WHEN EPOCH_US(ts) - LAG(EPOCH_US(ts))
-                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST)
                     > 1800000000
                   OR LAG(ts) OVER (PARTITION BY user_id
-                                   ORDER BY ts, event_id) IS NULL
+                                   ORDER BY ts NULLS FIRST, event_id NULLS FIRST) IS NULL
              THEN 1 ELSE 0 END AS new_session
       FROM events WHERE ts IS NOT NULL
     ),
     numbered AS (
       SELECT user_id, ts,
              SUM(new_session) OVER (PARTITION BY user_id
-                                    ORDER BY ts, event_id
+                                    ORDER BY ts NULLS FIRST, event_id NULLS FIRST
                                     ROWS UNBOUNDED PRECEDING) AS sid
       FROM ordered
     ),
@@ -4433,7 +4433,7 @@ def nearest_supplier_per_customer(spark, sf_dir):
     d AS (SELECT day, MIN(price_c) AS day_min FROM o GROUP BY day),
     d2 AS (
       SELECT day, day_min,
-             MIN(day_min) OVER (ORDER BY day DESC
+             MIN(day_min) OVER (ORDER BY day DESC NULLS LAST
                                 ROWS BETWEEN UNBOUNDED PRECEDING
                                 AND 1 PRECEDING) AS later_min
       FROM d

@@ -99,7 +99,7 @@ _EXACT_TOPK = f"""
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                ROW_NUMBER() OVER (
                  PARTITION BY q.vec_id
-                 ORDER BY {_cos('q.v', 'c.v')} DESC, c.vec_id ASC) AS rnk
+                 ORDER BY {_cos('q.v', 'c.v')} DESC NULLS LAST, c.vec_id ASC NULLS FIRST) AS rnk
         FROM e q JOIN e c ON q.vec_id <> c.vec_id
         WHERE q.vec_id < {N_QUERIES}
       ) WHERE rnk <= {K}
@@ -138,7 +138,7 @@ def lsh_topk_oracle() -> str:
              CAST("rank" AS INTEGER) AS rank
       FROM (SELECT *, ROW_NUMBER() OVER (
                PARTITION BY query_id
-               ORDER BY cosine_sim DESC, neighbor_id ASC) AS "rank"
+               ORDER BY cosine_sim DESC NULLS LAST, neighbor_id ASC NULLS FIRST) AS "rank"
             FROM cand)
       WHERE "rank" <= {K}
     ),{_EXACT_TOPK},{_RECALL_TAIL}"""
@@ -177,7 +177,7 @@ def ivf_topk_oracle() -> str:
         SELECT e.vec_id, e.v, cent.list_id,
                ROW_NUMBER() OVER (
                  PARTITION BY e.vec_id
-                 ORDER BY LIST_DOT_PRODUCT(e.v, cent.c) DESC, cent.list_id ASC
+                 ORDER BY LIST_DOT_PRODUCT(e.v, cent.c) DESC NULLS LAST, cent.list_id ASC NULLS FIRST
                ) AS rn
         FROM e CROSS JOIN cent
       ) WHERE rn = 1
@@ -187,7 +187,7 @@ def ivf_topk_oracle() -> str:
         SELECT e.vec_id, cent.list_id,
                ROW_NUMBER() OVER (
                  PARTITION BY e.vec_id
-                 ORDER BY LIST_DOT_PRODUCT(e.v, cent.c) DESC, cent.list_id ASC
+                 ORDER BY LIST_DOT_PRODUCT(e.v, cent.c) DESC NULLS LAST, cent.list_id ASC NULLS FIRST
                ) AS rn
         FROM e CROSS JOIN cent WHERE e.vec_id < {N_QUERIES}
       ) WHERE rn <= {IVF_NPROBE}
@@ -205,7 +205,7 @@ def ivf_topk_oracle() -> str:
              CAST("rank" AS INTEGER) AS rank
       FROM (SELECT *, ROW_NUMBER() OVER (
                PARTITION BY query_id
-               ORDER BY cosine_sim DESC, neighbor_id ASC) AS "rank"
+               ORDER BY cosine_sim DESC NULLS LAST, neighbor_id ASC NULLS FIRST) AS "rank"
             FROM cand)
       WHERE "rank" <= {K}
     ),{_EXACT_TOPK},{_RECALL_TAIL}"""
@@ -227,7 +227,7 @@ def semdedup_oracle() -> str:
         SELECT e.vec_id, e.v, cent.list_id,
                ROW_NUMBER() OVER (
                  PARTITION BY e.vec_id
-                 ORDER BY LIST_DOT_PRODUCT(e.v, cent.c) DESC, cent.list_id ASC
+                 ORDER BY LIST_DOT_PRODUCT(e.v, cent.c) DESC NULLS LAST, cent.list_id ASC NULLS FIRST
                ) AS rn
         FROM e CROSS JOIN cent
       ) WHERE rn = 1
@@ -514,7 +514,7 @@ def pq_adc_oracle() -> str:
       SELECT query_id, neighbor_id
       FROM (SELECT *, ROW_NUMBER() OVER (
                PARTITION BY query_id
-               ORDER BY adist ASC, neighbor_id ASC) AS arn
+               ORDER BY adist ASC NULLS FIRST, neighbor_id ASC NULLS FIRST) AS arn
             FROM cand)
       WHERE arn <= {ADC_RERANK}
     ),
@@ -530,7 +530,7 @@ def pq_adc_oracle() -> str:
              CAST("rank" AS INTEGER) AS rank
       FROM (SELECT *, ROW_NUMBER() OVER (
                PARTITION BY query_id
-               ORDER BY d2 ASC, neighbor_id ASC) AS "rank"
+               ORDER BY d2 ASC NULLS FIRST, neighbor_id ASC NULLS FIRST) AS "rank"
             FROM reranked)
       WHERE "rank" <= {K}
     ),
@@ -539,7 +539,7 @@ def pq_adc_oracle() -> str:
         SELECT q.qid AS query_id, c.vec_id AS neighbor_id,
                ROW_NUMBER() OVER (
                  PARTITION BY q.qid
-                 ORDER BY {exact_d2} ASC, c.vec_id ASC) AS rnk
+                 ORDER BY {exact_d2} ASC NULLS FIRST, c.vec_id ASC NULLS FIRST) AS rnk
         FROM v c CROSS JOIN q WHERE c.vec_id <> q.qid
       ) WHERE rnk <= {K}
     ),
@@ -593,7 +593,7 @@ def mmr_oracle() -> str:
     s{step} AS (
       SELECT query_id, nid, score FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                  ORDER BY score DESC, nid ASC) AS rn
+                  ORDER BY score DESC NULLS LAST, nid ASC NULLS FIRST) AS rn
         FROM sc{step}) WHERE rn = 1
     )""")
         sel_union += f" UNION ALL SELECT query_id, nid FROM s{step}"
@@ -611,7 +611,7 @@ def mmr_oracle() -> str:
       SELECT q.vec_id AS query_id, c.vec_id AS nid, c.v AS cv,
              {_cos('q.v', 'c.v')} AS simq,
              ROW_NUMBER() OVER (PARTITION BY q.vec_id
-               ORDER BY {_cos('q.v', 'c.v')} DESC, c.vec_id ASC) AS rnk
+               ORDER BY {_cos('q.v', 'c.v')} DESC NULLS LAST, c.vec_id ASC NULLS FIRST) AS rnk
       FROM q JOIN e c ON c.vec_id <> q.vec_id
     ),
     cand AS (SELECT query_id, nid, cv, simq FROM scoredq
@@ -625,7 +625,7 @@ def mmr_oracle() -> str:
     s1 AS (
       SELECT query_id, nid, {lam} * simq - {one_minus} * 0.0 AS score
       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-              ORDER BY {lam} * simq - {one_minus} * 0.0 DESC, nid ASC) AS rn
+              ORDER BY {lam} * simq - {one_minus} * 0.0 DESC NULLS LAST, nid ASC NULLS FIRST) AS rn
             FROM cand) WHERE rn = 1
     ),{",".join(steps)}
     {final}"""

@@ -109,10 +109,10 @@ def fk_integrity_audit(spark, sf_dir):
     WITH ordered AS (
       SELECT user_id, ts, event_id,
              CASE WHEN EPOCH_US(ts) - LAG(EPOCH_US(ts))
-                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST)
                   IS NULL
                   OR EPOCH_US(ts) - LAG(EPOCH_US(ts))
-                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST)
                      > 1800000000
              THEN 1 ELSE 0 END AS new_session
       FROM events
@@ -120,7 +120,7 @@ def fk_integrity_audit(spark, sf_dir):
     numbered AS (
       SELECT user_id, ts,
              SUM(new_session) OVER (PARTITION BY user_id
-                                    ORDER BY ts, event_id) AS session_id
+                                    ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS session_id
       FROM ordered
     ),
     sessions AS (
@@ -308,7 +308,7 @@ def chi2_event_type_by_dow(spark, sf_dir):
     WITH seq AS (
       SELECT user_id, event_type,
              LAG(event_type) OVER (PARTITION BY user_id
-                                   ORDER BY ts, event_id) AS prev_type
+                                   ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS prev_type
       FROM events WHERE ts IS NOT NULL
     )
     SELECT prev_type, event_type AS next_type, COUNT(*) AS n
@@ -346,13 +346,13 @@ def event_transition_matrix(spark, sf_dir):
       FROM events GROUP BY user_id
     )
     SELECT user_id,
-           CAST(NTILE(5) OVER (ORDER BY last_ts DESC,
+           CAST(NTILE(5) OVER (ORDER BY last_ts DESC NULLS LAST,
                                user_id NULLS FIRST) AS INTEGER)
              AS r_score,
-           CAST(NTILE(5) OVER (ORDER BY frequency DESC,
+           CAST(NTILE(5) OVER (ORDER BY frequency DESC NULLS LAST,
                                user_id NULLS FIRST) AS INTEGER)
              AS f_score,
-           CAST(NTILE(5) OVER (ORDER BY monetary DESC,
+           CAST(NTILE(5) OVER (ORDER BY monetary DESC NULLS LAST,
                                user_id NULLS FIRST) AS INTEGER)
              AS m_score,
            frequency, monetary
@@ -368,7 +368,7 @@ def rfm_user_scores(spark, sf_dir):
     row_number + driver-prefix-summed offsets, NO single-partition NTILE
     window) composed with the closed-form ANSI NTILE bucket formula
     (``ntile_from_rank``), so the user dimension scales past one task.
-    Answers are bitwise-identical to NTILE(5) OVER (ORDER BY …)."""
+    Answers are bitwise-identical to NTILE(5) OVER (ORDER BY … NULLS FIRST)."""
     from etl_manager_spark.functions.exact import dec_sum
     from etl_manager_spark.operators.prefix import ntile_from_rank, ordered_cumsum
 

@@ -84,7 +84,7 @@ def quality_linear_score_documents(spark, sf_dir):
     SELECT source, rank, doc_id, n_chars
     FROM (SELECT source, doc_id, n_chars,
                  CAST(ROW_NUMBER() OVER (PARTITION BY source
-                      ORDER BY n_chars DESC, doc_id ASC) AS INTEGER) AS rank
+                      ORDER BY n_chars DESC NULLS LAST, doc_id ASC NULLS FIRST) AS INTEGER) AS rank
           FROM documents)
     WHERE rank <= 10
     """,
@@ -149,7 +149,7 @@ def kfold_assign_documents(spark, sf_dir):
              LAG(ts) OVER w AS prev_ts,
              EPOCH_US(ts) - LAG(EPOCH_US(ts)) OVER w AS gap_us
       FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST)
     )
     SELECT user_id, prev_event_id, event_id, prev_ts, ts, gap_us
     FROM g WHERE gap_us >= 86400000000
@@ -190,7 +190,7 @@ def events_gap_detection(spark, sf_dir):
       -- cannot be clipped — order statistics are over observed values
       SELECT event_id, event_type, value,
              ROW_NUMBER() OVER (PARTITION BY event_type
-                                ORDER BY value, event_id) AS rn,
+                                ORDER BY value NULLS FIRST, event_id NULLS FIRST) AS rn,
              COUNT(*) OVER (PARTITION BY event_type) AS n
       FROM events WHERE value IS NOT NULL
     ),

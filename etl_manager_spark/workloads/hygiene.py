@@ -58,7 +58,7 @@ _TOK_SQL = r"LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'), x -> x <> '')
     ),
     runs AS (
       SELECT doc_id, pos,
-             LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+             LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos NULLS FIRST) AS prev
       FROM duppos
     ),
     flagged AS (
@@ -71,7 +71,7 @@ _TOK_SQL = r"LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'), x -> x <> '')
     ),
     islands AS (
       SELECT doc_id, pos, covered_add,
-             SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+             SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos NULLS FIRST
                                ROWS UNBOUNDED PRECEDING) AS island
       FROM flagged
     ),
@@ -456,7 +456,7 @@ def stickiness_dau_mau_events(spark, sf_dir):
     WITH gaps AS (
       SELECT user_id,
              epoch_us(ts) - LAG(epoch_us(ts)) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+               PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS gap_us
       FROM events
     ),
     m AS (
@@ -532,7 +532,7 @@ def interarrival_burstiness_events(spark, sf_dir):
     WITH chain AS (
       SELECT event_type AS src,
              LEAD(event_type) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id) AS dst
+               PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS dst
       FROM events WHERE ts IS NOT NULL
     ),
     trans AS (
@@ -596,7 +596,7 @@ def markov_transitions_events(spark, sf_dir):
     grouped AS (
       SELECT user_id, day,
              day - CAST(ROW_NUMBER() OVER (
-               PARTITION BY user_id ORDER BY day) AS INTEGER) AS grp
+               PARTITION BY user_id ORDER BY day NULLS FIRST) AS INTEGER) AS grp
       FROM days
     ),
     streaks AS (
@@ -729,7 +729,7 @@ _LANGID_SCORES_SQL = """
     lab1 AS MATERIALIZED (
       SELECT id, lbl FROM t1
       QUALIFY ROW_NUMBER() OVER (PARTITION BY id
-                                 ORDER BY cnt DESC, lbl ASC) = 1
+                                 ORDER BY cnt DESC NULLS LAST, lbl ASC NULLS FIRST) = 1
     ),
     t2 AS (
       SELECT s.src AS id, l.lbl, CAST(COUNT(*) AS BIGINT) AS cnt
@@ -739,7 +739,7 @@ _LANGID_SCORES_SQL = """
     lab2 AS (
       SELECT id, lbl FROM t2
       QUALIFY ROW_NUMBER() OVER (PARTITION BY id
-                                 ORDER BY cnt DESC, lbl ASC) = 1
+                                 ORDER BY cnt DESC NULLS LAST, lbl ASC NULLS FIRST) = 1
     )
     SELECT l0.id AS doc_id, l0.lbl AS lang, l2.lbl AS spread_lang,
            (l0.lbl <> l2.lbl) AS relabeled

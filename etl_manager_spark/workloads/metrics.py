@@ -97,7 +97,7 @@ def _bm25_joined(spark, sf_dir):
     {_REL_CTES},
     top10 AS (
       SELECT id, rel,
-             ROW_NUMBER() OVER (ORDER BY score_q DESC, id ASC) AS rnk
+             ROW_NUMBER() OVER (ORDER BY score_q DESC NULLS LAST, id ASC NULLS FIRST) AS rnk
       FROM joined QUALIFY rnk <= 10
     )
     SELECT CAST(COUNT(CASE WHEN rel >= {_REL_MIN} THEN 1 END) AS BIGINT)
@@ -145,7 +145,7 @@ def mrr_bm25_documents(spark, sf_dir):
     {_REL_CTES},
     top5 AS (
       SELECT id, rel,
-             ROW_NUMBER() OVER (ORDER BY score_q DESC, id ASC) AS rnk
+             ROW_NUMBER() OVER (ORDER BY score_q DESC NULLS LAST, id ASC NULLS FIRST) AS rnk
       FROM joined QUALIFY rnk <= 5
     ),
     tot AS (
@@ -211,7 +211,7 @@ def precision_recall_at_5_bm25(spark, sf_dir):
     {_REL_CTES},
     top10 AS (
       SELECT id, rel,
-             ROW_NUMBER() OVER (ORDER BY score_q DESC, id ASC) AS rnk
+             ROW_NUMBER() OVER (ORDER BY score_q DESC NULLS LAST, id ASC NULLS FIRST) AS rnk
       FROM joined QUALIFY rnk <= 10
     ),
     pat AS (
@@ -328,7 +328,7 @@ def _avg_rank2(df, value_col: str, out_col: str):
       FROM orders GROUP BY 1
     ),
     rx AS (
-      SELECT v, CAST(2 * (SUM(c) OVER (ORDER BY v)) - c + 1 AS BIGINT) AS r2
+      SELECT v, CAST(2 * (SUM(c) OVER (ORDER BY v NULLS FIRST)) - c + 1 AS BIGINT) AS r2
       FROM vcx
     ),
     vcy AS (
@@ -336,7 +336,7 @@ def _avg_rank2(df, value_col: str, out_col: str):
       FROM orders GROUP BY 1
     ),
     ry AS (
-      SELECT v, CAST(2 * (SUM(c) OVER (ORDER BY v)) - c + 1 AS BIGINT) AS r2
+      SELECT v, CAST(2 * (SUM(c) OVER (ORDER BY v NULLS FIRST)) - c + 1 AS BIGINT) AS r2
       FROM vcy
     ),
     j AS (
@@ -536,8 +536,8 @@ def kendall_tau_daily_value(spark, sf_dir):
       FROM f GROUP BY 1
     ),
     cum AS (
-      SELECT CAST(SUM(cv) OVER (ORDER BY v) AS BIGINT) AS cumv,
-             CAST(SUM(cc) OVER (ORDER BY v) AS BIGINT) AS cumc
+      SELECT CAST(SUM(cv) OVER (ORDER BY v NULLS FIRST) AS BIGINT) AS cumv,
+             CAST(SUM(cc) OVER (ORDER BY v NULLS FIRST) AS BIGINT) AS cumc
       FROM vc
     ),
     tot AS (
@@ -1071,11 +1071,11 @@ def doc_prefix_duplicates_documents(spark, sf_dir):
     SELECT o_orderkey, o_custkey,
            PERCENT_RANK() OVER
              (PARTITION BY o_custkey
-              ORDER BY o_totalprice NULLS FIRST, o_orderkey)
+              ORDER BY o_totalprice NULLS FIRST, o_orderkey NULLS FIRST)
              AS pr,
            CUME_DIST() OVER
              (PARTITION BY o_custkey
-              ORDER BY o_totalprice NULLS FIRST, o_orderkey)
+              ORDER BY o_totalprice NULLS FIRST, o_orderkey NULLS FIRST)
              AS cd
     FROM orders
     """,
@@ -1103,7 +1103,7 @@ def percent_rank_orders_per_customer(spark, sf_dir):
     WITH seq AS (
       SELECT event_type AS prev,
              LEAD(event_type) OVER
-               (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+               (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS nxt
       FROM events WHERE ts IS NOT NULL
     ),
     pairs AS (
@@ -1238,7 +1238,7 @@ def norm_quartiles_embeddings_label(spark, sf_dir):
     ),
     r AS (
       SELECT v, c,
-             CAST(2 * (SUM(c) OVER (ORDER BY v)) - c + 1 AS BIGINT) AS r2
+             CAST(2 * (SUM(c) OVER (ORDER BY v NULLS FIRST)) - c + 1 AS BIGINT) AS r2
       FROM vc
     ),
     ranked AS (
@@ -1356,7 +1356,7 @@ def mannwhitney_view_vs_click(spark, sf_dir):
     ),
     r AS (
       SELECT v, c,
-             CAST(2 * (SUM(c) OVER (ORDER BY v)) - c + 1 AS BIGINT) AS r2
+             CAST(2 * (SUM(c) OVER (ORDER BY v NULLS FIRST)) - c + 1 AS BIGINT) AS r2
       FROM vc
     ),
     grp AS (
@@ -1638,7 +1638,7 @@ def silhouette_embeddings_labels(spark, sf_dir):
     ),
     numbered AS (
       SELECT event_type, day, v,
-             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day NULLS FIRST) AS rn
       FROM daily WHERE v IS NOT NULL
     ),
     fold AS (
@@ -2822,8 +2822,8 @@ def conformal_interval_events(spark, sf_dir):
     ),
     lagged AS (
       SELECT event_type, day, m,
-             LAG(m, 7) OVER (PARTITION BY event_type ORDER BY day) AS f,
-             LAG(m, 1) OVER (PARTITION BY event_type ORDER BY day) AS prev
+             LAG(m, 7) OVER (PARTITION BY event_type ORDER BY day NULLS FIRST) AS f,
+             LAG(m, 1) OVER (PARTITION BY event_type ORDER BY day NULLS FIRST) AS prev
       FROM daily
     ),
     q AS (
@@ -3328,8 +3328,8 @@ def did_estimator_events(spark, sf_dir):
     ),
     lagged AS (
       SELECT event_type, day, m,
-             LAG(m) OVER (PARTITION BY event_type ORDER BY day) AS prev,
-             LEAD(m) OVER (PARTITION BY event_type ORDER BY day) AS nxt
+             LAG(m) OVER (PARTITION BY event_type ORDER BY day NULLS FIRST) AS prev,
+             LEAD(m) OVER (PARTITION BY event_type ORDER BY day NULLS FIRST) AS nxt
       FROM daily
     )
     SELECT event_type, day,
@@ -4220,7 +4220,7 @@ def rolling_origin_backtest_daily(spark, sf_dir):
     WITH p AS (
       SELECT user_id, epoch_us(ts) AS us,
              LAG(epoch_us(ts)) OVER (PARTITION BY user_id
-                                     ORDER BY ts, event_id) AS prev
+                                     ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS prev
       FROM events WHERE event_type = 'purchase'
     ),
     gaps AS (

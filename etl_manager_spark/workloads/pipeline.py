@@ -534,7 +534,7 @@ def dedup_cluster_assignment_star(spark, sf_dir):
     ranked AS (
       SELECT id, cluster_id,
              FIRST_VALUE(id) OVER (PARTITION BY cluster_id
-                                   ORDER BY s DESC, id ASC) AS rep_id
+                                   ORDER BY s DESC NULLS LAST, id ASC NULLS FIRST) AS rep_id
       FROM scored
     )
     SELECT id AS doc_id, cluster_id, rep_id, id = rep_id AS keep FROM ranked
@@ -588,7 +588,7 @@ def dedup_cluster_survivors(spark, sf_dir):
     )
     SELECT query_id, rank, neighbor_id, cosine_sim
     FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                                            ORDER BY cosine_sim DESC, neighbor_id) AS INTEGER) AS rank
+                                            ORDER BY cosine_sim DESC NULLS LAST, neighbor_id NULLS FIRST) AS INTEGER) AS rank
           FROM scored)
     WHERE rank <= 5
     """,
@@ -1102,9 +1102,9 @@ def upsert_customer_batch(spark, sf_dir):
     SELECT event_id, user_id, ts, value,
            ts AS valid_from,
            LEAD(ts) OVER (PARTITION BY user_id
-                          ORDER BY ts, event_id NULLS FIRST) AS valid_to,
+                          ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS valid_to,
            LEAD(ts) OVER (PARTITION BY user_id
-                          ORDER BY ts, event_id NULLS FIRST) IS NULL
+                          ORDER BY ts NULLS FIRST, event_id NULLS FIRST) IS NULL
              AS is_current
     FROM events WHERE ts IS NOT NULL
     """,
@@ -1969,7 +1969,7 @@ def chunk_documents_ctx32(spark, sf_dir):
     -- document on each of the n/16 recursion steps (O(n²) token work,
     -- >600 s at sf1); materialized the fold is 12 s with identical rows
     numbered AS MATERIALIZED (
-      SELECT *, ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id NULLS FIRST) AS rn
       FROM base
     ),
     pack AS (
@@ -2017,7 +2017,7 @@ def pack_sequences_documents(spark, sf_dir):
              -- n_tokens tie-break: duplicate ids tie on (pri, doc_id);
              -- see mixture_sample_by_token_budget
              CAST(SUM(n_tokens) OVER (
-                    PARTITION BY source ORDER BY pri, doc_id, n_tokens
+                    PARTITION BY source ORDER BY pri NULLS FIRST, doc_id NULLS FIRST, n_tokens NULLS FIRST
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                   AS BIGINT) AS cum_tokens
       FROM scored
@@ -2520,7 +2520,7 @@ def profile_approx_quantiles_orders(spark, sf_dir):
     """
     SELECT o_orderkey,
            CAST(ROW_NUMBER() OVER (ORDER BY o_orderdate NULLS FIRST,
-                                    o_orderkey) - 1
+                                    o_orderkey NULLS FIRST) - 1
                 AS BIGINT) AS row_id
     FROM orders
     """,
@@ -2953,7 +2953,7 @@ def similarity_topk_pq_adc(spark, sf_dir):
            cosine_sim, CAST("rank" AS INTEGER) AS rank
     FROM (SELECT *, ROW_NUMBER() OVER (
              PARTITION BY query_id
-             ORDER BY cosine_sim DESC, neighbor_id ASC) AS "rank"
+             ORDER BY cosine_sim DESC NULLS LAST, neighbor_id ASC NULLS FIRST) AS "rank"
           FROM cand)
     WHERE "rank" <= 5
     """,
@@ -3083,8 +3083,8 @@ def ngram_containment_top_pairs(spark, sf_dir):
     WITH names AS (SELECT DISTINCT p_name AS name_a FROM part),
     led AS (
       SELECT name_a,
-             LEAD(name_a, 1) OVER (ORDER BY name_a) AS n1,
-             LEAD(name_a, 2) OVER (ORDER BY name_a) AS n2
+             LEAD(name_a, 1) OVER (ORDER BY name_a NULLS FIRST) AS n1,
+             LEAD(name_a, 2) OVER (ORDER BY name_a NULLS FIRST) AS n2
       FROM names
     ),
     cand AS (SELECT name_a, UNNEST([n1, n2]) AS name_b FROM led)

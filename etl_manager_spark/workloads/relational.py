@@ -446,7 +446,7 @@ def join_cross_region_pairs(spark, sf_dir):
     SELECT o_custkey, o_orderkey, o_totalprice, rank
     FROM (SELECT o_custkey, o_orderkey, o_totalprice,
                  ROW_NUMBER() OVER (PARTITION BY o_custkey
-                                    ORDER BY o_totalprice DESC, o_orderkey) AS rank
+                                    ORDER BY o_totalprice DESC NULLS LAST, o_orderkey NULLS FIRST) AS rank
           FROM orders)
     WHERE rank <= 3
     """,
@@ -468,7 +468,7 @@ def window_top3_orders_per_customer(spark, sf_dir):
     SELECT o_custkey, o_orderkey, o_orderdate,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
                 OVER (PARTITION BY o_custkey
-                      ORDER BY o_orderdate NULLS FIRST, o_orderkey)
+                      ORDER BY o_orderdate NULLS FIRST, o_orderkey NULLS FIRST)
                 AS DOUBLE) AS running_spend
     FROM orders WHERE o_custkey < 100
     """,
@@ -498,7 +498,7 @@ def window_running_spend(spark, sf_dir):
            DATE_DIFF('day',
                      CAST(LAG(o_orderdate) OVER (
                        PARTITION BY o_custkey
-                       ORDER BY o_orderdate NULLS FIRST, o_orderkey) AS DATE),
+                       ORDER BY o_orderdate NULLS FIRST, o_orderkey NULLS FIRST) AS DATE),
                      CAST(o_orderdate AS DATE)) AS gap_days
     FROM orders WHERE o_custkey < 100
     """,
@@ -789,7 +789,7 @@ def events_hourly_rollup(spark, sf_dir):
     WITH ordered AS (
       SELECT user_id, ts, event_id,
              EPOCH_US(ts) - LAG(EPOCH_US(ts))
-               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+               OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS gap_us
       FROM events
     ),
     flagged AS (
@@ -1109,7 +1109,7 @@ def range_join_value_buckets(spark, sf_dir):
     """
     SELECT c_custkey, c_mktsegment,
            NTILE(4) OVER (PARTITION BY c_mktsegment
-                          ORDER BY c_acctbal NULLS FIRST, c_custkey)
+                          ORDER BY c_acctbal NULLS FIRST, c_custkey NULLS FIRST)
              AS quartile
     FROM customer
     """,
@@ -1129,7 +1129,7 @@ def window_ntile_quartiles(spark, sf_dir):
     SELECT user_id, event_id, ts, event_type
     FROM (SELECT user_id, event_id, ts, event_type,
                  ROW_NUMBER() OVER (PARTITION BY user_id
-                                    ORDER BY ts DESC, event_id DESC) AS rn
+                                    ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST) AS rn
           FROM events)
     WHERE rn = 1
     """,
@@ -1523,10 +1523,10 @@ def scalar_array_functions(spark, sf_dir):
     """
     SELECT c_custkey, c_mktsegment,
            PERCENT_RANK() OVER (PARTITION BY c_mktsegment
-                                ORDER BY c_acctbal NULLS FIRST, c_custkey)
+                                ORDER BY c_acctbal NULLS FIRST, c_custkey NULLS FIRST)
              AS pr,
            CUME_DIST() OVER (PARTITION BY c_mktsegment
-                             ORDER BY c_acctbal NULLS FIRST, c_custkey) AS cd
+                             ORDER BY c_acctbal NULLS FIRST, c_custkey NULLS FIRST) AS cd
     FROM customer
     """,
     category="window",

@@ -296,7 +296,7 @@ def unpivot_part_measures(spark, sf_dir):
     SELECT o_orderkey, o_custkey,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
              PARTITION BY o_custkey
-             ORDER BY DATEDIFF('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+             ORDER BY DATEDIFF('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) NULLS FIRST
              RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
            ) AS DOUBLE) AS spend_30d
     FROM orders

@@ -170,3 +170,63 @@ def test_committed_edge_sweeps_have_no_unadjudicated_findings(edge_reports):
         # one-engine crashes are never acceptable, adjudicated or not
         assert report["counts"]["spark_error"] == 0, name
         assert report["counts"]["duck_error"] == 0, name
+
+
+# --------------------------------------------------------------------- #
+# NULL-ordering structural gate (round 10): Spark ASC=NULLS FIRST vs
+# DuckDB ASC=NULLS LAST produced eight real oracle divergences in round
+# 9, so every window ORDER BY item in oracle text must carry an explicit
+# NULLS FIRST/LAST qualifier. tools/order_nulls.py is the detector and
+# mechanical fixer; this test keeps the catalog at zero.
+
+
+def test_oracle_window_order_items_all_qualified():
+    from etl_manager_spark.workloads import load_registry
+    from tools.order_nulls import find_unqualified
+
+    bad = {}
+    for name, ent in load_registry().items():
+        if ent.oracle:
+            items = find_unqualified(ent.oracle)
+            if items:
+                bad[name] = items
+    assert not bad, (
+        "oracles with unqualified window ORDER BY items (run "
+        f"`python tools/order_nulls.py` to fix): {bad}"
+    )
+
+
+def test_order_nulls_detector_and_fixer():
+    from tools.order_nulls import find_unqualified, qualify_sql
+
+    # plain OVER spec: each item qualified per the Spark contract, the
+    # frame clause untouched
+    sql = (
+        "SELECT SUM(x) OVER (PARTITION BY g ORDER BY a, b DESC "
+        "ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM t"
+    )
+    assert find_unqualified(sql) == ["a", "b DESC"]
+    fixed = qualify_sql(sql)
+    assert "ORDER BY a NULLS FIRST, b DESC NULLS LAST" in fixed
+    assert "ROWS BETWEEN 1 PRECEDING AND CURRENT ROW" in fixed
+    assert find_unqualified(fixed) == []
+
+    # named WINDOW spec is scanned too; already-qualified items skipped;
+    # function-call items (commas at depth>0) stay one item
+    sql2 = (
+        "SELECT RANK() OVER w FROM t WINDOW w AS "
+        "(ORDER BY COALESCE(a, b) ASC, c DESC NULLS FIRST)"
+    )
+    assert find_unqualified(sql2) == ["COALESCE(a, b) ASC"]
+    fixed2 = qualify_sql(sql2)
+    assert "COALESCE(a, b) ASC NULLS FIRST" in fixed2
+    assert fixed2.count("NULLS FIRST") == 2
+
+    # top-level ORDER BY (no window) is out of scope: the driver compare
+    # sorts rows, so only window placement is decisive
+    assert find_unqualified("SELECT * FROM t ORDER BY a") == []
+
+    # source-rewrite mode leaves f-string placeholder items alone
+    braced = "x OVER (ORDER BY {expr} DESC, y)"
+    assert "{expr} DESC," in qualify_sql(braced, skip_braced=True)
+    assert "y NULLS FIRST" in qualify_sql(braced, skip_braced=True)

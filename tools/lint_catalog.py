@@ -343,11 +343,19 @@ def main() -> None:
     # tests/test_oracle_parity.py but runs catalog-wide without Spark.
     oracle_type_bad = scan_oracle_types(reg)
 
+    # NULL-ordering scan (round 10): every window ORDER BY item in oracle
+    # text must carry an explicit NULLS FIRST/LAST qualifier — Spark and
+    # DuckDB have opposite placement defaults, the class that produced
+    # eight real divergences in round 9 (PARITY_SWEEPS.md). Structural
+    # gate so the class cannot re-enter with new oracles.
+    order_null_bad = scan_order_nulls(reg)
+
     out = {
         "queries_total": len(reg),
         "queries_flagged": len(report),
         "critical": critical,
         "oracle_type_errors": oracle_type_bad,
+        "oracle_unqualified_order_items": order_null_bad,
         "errors": errors,
         "warnings": report,
     }
@@ -365,12 +373,26 @@ def main() -> None:
                 "queries_flagged": out["queries_flagged"],
                 "critical": critical,
                 "oracle_type_errors": oracle_type_bad,
+                "oracle_unqualified_order_items": order_null_bad,
                 "errors": len(errors),
             }
         )
     )
-    if critical or errors or oracle_type_bad:
+    if critical or errors or oracle_type_bad or order_null_bad:
         sys.exit(1)
+
+
+def scan_order_nulls(reg) -> dict[str, list[str]]:
+    """Window ORDER BY items in oracle text lacking NULLS FIRST/LAST."""
+    from tools.order_nulls import find_unqualified
+
+    bad: dict[str, list[str]] = {}
+    for name in sorted(reg):
+        if reg[name].oracle:
+            items = find_unqualified(reg[name].oracle)
+            if items:
+                bad[name] = items
+    return bad
 
 
 def scan_oracle_types(reg) -> dict[str, list[str]]:
