@@ -17,16 +17,43 @@ from etl_manager_spark.streaming.windows import (
 from etl_manager_spark.workloads import workload
 
 
+# Mirror of the reader-enforced pre-epoch contract (streaming/windows.py
+# read_events_stream): Spark's event-time watermark initializes at epoch
+# 0, so pre-1970 rows are late-dropped in the first micro-batch; the
+# reader filters them as an enforced precondition, and every oracle here
+# shadows the ``events`` view with the same filter so batch==stream
+# parity holds on ANY input (the fuzz6/nullts edge datasets construct
+# exactly these rows). NULL ts passes: its handling is per-operator.
+_EVENTS_CONTRACT = (
+    "ev_contract AS (SELECT * FROM events "
+    "WHERE ts IS NULL OR ts >= TIMESTAMP '1970-01-01')"
+)
+
+
+def _contract(oracle: str) -> str:
+    # DuckDB forbids a CTE shadowing the view it reads (circular), so the
+    # filtered relation gets its own name and every table reference in the
+    # oracle is rewritten onto it (\bevents\b only matches the relation:
+    # column names like n_events have no word boundary at the underscore).
+    import re as _re
+
+    body = _re.sub(r"\bevents\b", "ev_contract", oracle)
+    s = body.lstrip()
+    if s.upper().startswith("WITH"):
+        return "WITH " + _EVENTS_CONTRACT + ", " + s[4:].lstrip()
+    return "WITH " + _EVENTS_CONTRACT + "\n" + body
+
+
 @workload(
     "streaming_hourly_rollup",
-    """
+    _contract("""
     SELECT DATE_TRUNC('hour', ts) AS hour_start,
            COUNT(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
            CAST(COUNT(DISTINCT user_id) AS INTEGER) AS active_users
     FROM events WHERE ts IS NOT NULL
     GROUP BY DATE_TRUNC('hour', ts)
-    """,
+    """),
     category="streaming",
 )
 def streaming_hourly_rollup(spark, sf_dir):
@@ -40,18 +67,18 @@ def streaming_hourly_rollup(spark, sf_dir):
 
 @workload(
     "streaming_session_windows",
-    """
+    _contract("""
     WITH ordered AS (
       SELECT user_id, ts,
              CASE WHEN EPOCH_US(ts) - LAG(EPOCH_US(ts))
-                    OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
-                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST) > 1800000000
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST) IS NULL
              THEN 1 ELSE 0 END AS new_session
       FROM events WHERE ts IS NOT NULL
     ),
     numbered AS (
       SELECT user_id, ts,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST
                                     ROWS UNBOUNDED PRECEDING) AS sid
       FROM ordered
     )
@@ -60,7 +87,7 @@ def streaming_hourly_rollup(spark, sf_dir):
            MAX(ts) + INTERVAL 30 MINUTE AS session_end,
            COUNT(*) AS n_events
     FROM numbered GROUP BY user_id, sid
-    """,
+    """),
     category="streaming",
 )
 def streaming_session_windows(spark, sf_dir):
@@ -75,7 +102,7 @@ def streaming_session_windows(spark, sf_dir):
 
 @workload(
     "streaming_sliding_windows",
-    """
+    _contract("""
     SELECT window_start,
            window_start + INTERVAL 2 HOUR AS window_end,
            COUNT(*) AS n_events
@@ -83,7 +110,7 @@ def streaming_session_windows(spark, sf_dir):
                          DATE_TRUNC('hour', ts)]) AS window_start
           FROM events WHERE ts IS NOT NULL)
     GROUP BY window_start
-    """,
+    """),
     category="streaming",
 )
 def streaming_sliding_windows(spark, sf_dir):
@@ -97,9 +124,9 @@ def streaming_sliding_windows(spark, sf_dir):
 
 @workload(
     "streaming_dedup_user_event_types",
-    """
+    _contract("""
     SELECT DISTINCT user_id, event_type FROM events
-    """,
+    """),
     category="streaming",
 )
 def streaming_dedup_user_event_types(spark, sf_dir):
@@ -121,7 +148,7 @@ def streaming_dedup_user_event_types(spark, sf_dir):
 
 @workload(
     "streaming_stateful_user_counters",
-    """
+    _contract("""
     SELECT user_id,
            COUNT(*) AS n_events,
            -- COALESCE: a counter reads 0 until a value arrives (the state
@@ -130,7 +157,7 @@ def streaming_dedup_user_event_types(spark, sf_dir):
                 AS BIGINT) AS total_cents,
            MAX(ts) AS last_seen
     FROM events GROUP BY user_id
-    """,
+    """),
     category="streaming",
 )
 def streaming_stateful_user_counters(spark, sf_dir):
@@ -146,14 +173,14 @@ def streaming_stateful_user_counters(spark, sf_dir):
 
 @workload(
     "streaming_interval_join_attribution",
-    """
+    _contract("""
     SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
            c.ts AS click_ts, p.ts AS purchase_ts
     FROM events c JOIN events p
       ON c.user_id = p.user_id
      AND c.event_type = 'click' AND p.event_type = 'purchase'
      AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
-    """,
+    """),
     category="streaming",
 )
 def streaming_interval_join_attribution(spark, sf_dir):
@@ -177,7 +204,7 @@ def streaming_interval_join_attribution(spark, sf_dir):
 
 @workload(
     "streaming_two_level_rollup",
-    """
+    _contract("""
     WITH wm AS (
       SELECT date_trunc('milliseconds', MAX(ts)) - INTERVAL 1 HOUR AS w
       FROM events
@@ -188,7 +215,7 @@ def streaming_interval_join_attribution(spark, sf_dir):
     FROM events
     WHERE DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR <= (SELECT w FROM wm)
     GROUP BY 1, 2
-    """,
+    """),
     category="streaming",
 )
 def streaming_two_level_rollup(spark, sf_dir):
@@ -215,7 +242,7 @@ def streaming_two_level_rollup(spark, sf_dir):
 
 @workload(
     "streaming_leftouter_attribution",
-    """
+    _contract("""
     WITH wm AS (
       -- null-STRICT min: an input with no rows never advances its
       -- watermark, so the GLOBAL watermark stays unset and no outer row
@@ -244,7 +271,7 @@ def streaming_two_level_rollup(spark, sf_dir):
         WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR)
       AND c.ts <= (SELECT w FROM wm) - INTERVAL 1 HOUR - INTERVAL 1 MILLISECOND
-    """,
+    """),
     category="streaming",
 )
 def streaming_leftouter_attribution(spark, sf_dir):
@@ -275,13 +302,13 @@ def streaming_leftouter_attribution(spark, sf_dir):
 
 @workload(
     "streaming_static_enrichment",
-    """
+    _contract("""
     SELECT c.c_nationkey AS nationkey,
            COUNT(*) AS n_events,
            CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM events e JOIN customer c ON e.user_id = c.c_custkey
     GROUP BY c.c_nationkey
-    """,
+    """),
     category="streaming",
 )
 def streaming_static_enrichment(spark, sf_dir):
@@ -317,15 +344,15 @@ def streaming_static_enrichment(spark, sf_dir):
 
 @workload(
     "streaming_cdc_upsert_latest_event",
-    """
+    _contract("""
     SELECT user_id, event_id, ts, event_type
     FROM (
       SELECT user_id, event_id, ts, event_type,
              ROW_NUMBER() OVER (PARTITION BY user_id
-                                ORDER BY ts DESC, event_id DESC) AS rn
+                                ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST) AS rn
       FROM events
     ) WHERE rn = 1
-    """,
+    """),
     category="streaming",
 )
 def streaming_cdc_upsert_latest_event(spark, sf_dir):
@@ -371,7 +398,7 @@ def streaming_cdc_upsert_latest_event(spark, sf_dir):
 
 @workload(
     "streaming_funnel_stages",
-    """
+    _contract("""
     WITH ev AS (SELECT * FROM events
                 WHERE ts IS NOT NULL AND user_id IS NOT NULL),
     su AS (
@@ -396,7 +423,7 @@ def streaming_cdc_upsert_latest_event(spark, sf_dir):
     LEFT JOIN s1 ON su.user_id = s1.user_id
     LEFT JOIN s2 ON su.user_id = s2.user_id
     LEFT JOIN s3 ON su.user_id = s3.user_id
-    """,
+    """),
     category="streaming",
 )
 def streaming_funnel_stages(spark, sf_dir):
@@ -415,14 +442,14 @@ def streaming_funnel_stages(spark, sf_dir):
 
 @workload(
     "streaming_topk_event_types",
-    """
+    _contract("""
     SELECT event_type, n_events, total_value
     FROM (SELECT event_type, COUNT(*) AS n_events,
                  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
                    AS total_value
           FROM events GROUP BY event_type)
     ORDER BY n_events DESC, event_type ASC LIMIT 3
-    """,
+    """),
     category="streaming",
 )
 def streaming_topk_event_types(spark, sf_dir):
@@ -452,9 +479,9 @@ def streaming_topk_event_types(spark, sf_dir):
 
 @workload(
     "streaming_dedup_within_watermark",
-    """
+    _contract("""
     SELECT DISTINCT user_id, event_type FROM events
-    """,
+    """),
     category="streaming",
 )
 def streaming_dedup_within_watermark(spark, sf_dir):
@@ -488,7 +515,7 @@ def streaming_dedup_within_watermark(spark, sf_dir):
 
 @workload(
     "streaming_fullouter_attribution",
-    """
+    _contract("""
     WITH wm AS (
       -- null-STRICT min: an input with no rows never advances its
       -- watermark, so the GLOBAL watermark stays unset and no outer row
@@ -526,7 +553,7 @@ def streaming_dedup_within_watermark(spark, sf_dir):
         WHERE c.event_type = 'click' AND c.user_id = p.user_id
           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR)
       AND p.ts <= (SELECT w FROM wm) - INTERVAL 1 MILLISECOND
-    """,
+    """),
     category="streaming",
 )
 def streaming_fullouter_attribution(spark, sf_dir):
@@ -558,7 +585,7 @@ def streaming_fullouter_attribution(spark, sf_dir):
 
 @workload(
     "streaming_session_windows_dynamic",
-    """
+    _contract("""
     WITH g AS (
       SELECT user_id, ts,
              EPOCH_US(ts) + CASE WHEN event_type = 'purchase'
@@ -568,11 +595,11 @@ def streaming_fullouter_attribution(spark, sf_dir):
     flagged AS (
       SELECT user_id, ts, end_us,
              CASE WHEN MAX(end_us) OVER (
-                    PARTITION BY user_id ORDER BY ts, end_us
+                    PARTITION BY user_id ORDER BY ts NULLS FIRST, end_us NULLS FIRST
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                   ) IS NULL
                   OR EPOCH_US(ts) > MAX(end_us) OVER (
-                    PARTITION BY user_id ORDER BY ts, end_us
+                    PARTITION BY user_id ORDER BY ts NULLS FIRST, end_us NULLS FIRST
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                   )
              THEN 1 ELSE 0 END AS new_session
@@ -580,7 +607,7 @@ def streaming_fullouter_attribution(spark, sf_dir):
     ),
     numbered AS (
       SELECT user_id, ts, end_us,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, end_us
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, end_us NULLS FIRST
                                     ROWS UNBOUNDED PRECEDING) AS sid
       FROM flagged
     )
@@ -589,7 +616,7 @@ def streaming_fullouter_attribution(spark, sf_dir):
            MAKE_TIMESTAMP(MAX(end_us)) AS session_end,
            COUNT(*) AS n_events
     FROM numbered GROUP BY user_id, sid
-    """,
+    """),
     category="streaming",
 )
 def streaming_session_windows_dynamic(spark, sf_dir):

@@ -46,18 +46,13 @@ from tools.parity_lib import compare_results  # noqa: E402
 # name -> reason. Only for divergences that are NOT bugs: engine-level
 # semantics differences surfaced by degenerate data, or queries whose
 # contract genuinely requires non-degenerate input (documented below).
-_PRE_EPOCH_WM = (
-    "Spark Structured Streaming initializes the event-time watermark to "
-    "epoch 0 (1970-01-01): every pre-epoch row is 'older than the "
-    "watermark' in the FIRST micro-batch and is late-dropped before it "
-    "reaches the stateful operator — engine semantics (EventTimeWatermark "
-    "starts at 0ms), not an operator bug. Verified on fuzz6: the batch "
-    "oracle's 36 pre-1970 session rows account bit-exactly for the "
-    "155-vs-191 count gap (post-1970 rows are value-identical). The "
-    "streaming module documents pre-epoch event time as outside the "
-    "batch==stream contract; batch twins (the oracles) remain the truth "
-    "for such data."
-)
+# Round-10 note: the six streaming pre-epoch-watermark adjudications that
+# used to live here (Spark initializes the event-time watermark at epoch
+# 0, so pre-1970 rows are late-dropped in the first micro-batch) were
+# converted into an ENFORCED contract: read_events_stream filters
+# ts < '1970-01-01' (streaming/windows.py) and every streaming oracle
+# mirrors the filter (workloads/streams.py:_contract), so the sweeps now
+# show plain parity on pre-epoch data instead of per-query carve-outs.
 
 _LEV_BYTES = (
     "DuckDB's levenshtein() counts UTF-8 BYTES (levenshtein('dup','数据') "
@@ -73,12 +68,6 @@ _LEV_BYTES = (
 EDGE_LEDGER: dict[str, str] = {
     "fuzzy_dedup_part_names": _LEV_BYTES,
     "sorted_neighborhood_part_names": _LEV_BYTES,
-    "streaming_session_windows": _PRE_EPOCH_WM,
-    "streaming_session_windows_dynamic": _PRE_EPOCH_WM,
-    "streaming_two_level_rollup": _PRE_EPOCH_WM,
-    "streaming_dedup_within_watermark": _PRE_EPOCH_WM,
-    "streaming_leftouter_attribution": _PRE_EPOCH_WM,
-    "streaming_fullouter_attribution": _PRE_EPOCH_WM,
     "profile_approx_quantiles_orders": (
         "the oracle pins a CALIBRATION ASSERTION (within_tol = TRUE) "
         "about Spark's Greenwald-Khanna sketch, which DuckDB cannot "
