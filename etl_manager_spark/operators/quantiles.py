@@ -46,6 +46,7 @@ aggregate or ``percentile_approx``.
 from __future__ import annotations
 
 import math
+import threading
 from collections import defaultdict
 
 from pyspark.sql import DataFrame, Window
@@ -55,6 +56,11 @@ from pyspark.sql import types as T
 _GK = "_qg"  # struct-wrapped group key: null-safe in groupBy AND joins
 
 _NAN = float("nan")  # one shared NaN object — see _canon_key
+
+# spark.sql.limit.initialNumPartitions is session-global: the pinned
+# value must not leak into a concurrent query's LIMIT, and two CDF calls
+# racing the set/restore could restore each other's "previous" value.
+_LIMIT_CONF_LOCK = threading.Lock()
 
 
 def _canon_key(row) -> tuple:
@@ -120,7 +126,9 @@ def grouped_value_cdf(
     # enforced by bounding the collect itself (no extra job, driver
     # memory capped even when violated): the non-null slice has at most
     # partitions + groups rows (each group's range is contiguous) and
-    # the null slice at most one row per (partition, group) — anything
+    # the null slice at most one row per group (vc aggregates per
+    # (group, value), so each group has a single NULL-value row, landing
+    # in exactly one range partition) — anything
     # past the caps means too many groups; offsets and the rank table
     # are driver-side O(groups); at high group cardinality use the plain
     # partitioned window/aggregate instead (each group is small there,
@@ -129,7 +137,7 @@ def grouped_value_cdf(
     bounded = (
         base_all.groupBy("_qp", _GK, F.col("_qv").isNull().alias("_qvnull"))
         .agg(F.sum("_qc").cast("long").alias("_qn"))
-        .limit(cap + max_groups + parts + 2)
+        .limit(cap + max_groups + 2)
     )
     # CollectLimit executes incrementally (1 partition, then scaleUpFactor
     # more, ...) — on a contract-respecting input the first probe job
@@ -137,21 +145,24 @@ def grouped_value_cdf(
     # Pinning initialNumPartitions to the partition count keeps the bound
     # AND makes it one job; restore is safe here because collect() is
     # eager (unlike the lazy-DataFrame conf in workloads/relational.py).
-    try:
-        prev_init = spark.conf.get("spark.sql.limit.initialNumPartitions")
-    except Exception:  # noqa: BLE001 - conf unset (it has no default)
-        prev_init = None
-    try:
-        spark.conf.set("spark.sql.limit.initialNumPartitions", str(parts))
-        all_rows = bounded.collect()
-    finally:
-        if prev_init is None:
-            spark.conf.unset("spark.sql.limit.initialNumPartitions")
-        else:
-            spark.conf.set("spark.sql.limit.initialNumPartitions", prev_init)
+    with _LIMIT_CONF_LOCK:
+        try:
+            prev_init = spark.conf.get("spark.sql.limit.initialNumPartitions")
+        except Exception:  # noqa: BLE001 - conf unset (it has no default)
+            prev_init = None
+        try:
+            spark.conf.set("spark.sql.limit.initialNumPartitions", str(parts))
+            all_rows = bounded.collect()
+        finally:
+            if prev_init is None:
+                spark.conf.unset("spark.sql.limit.initialNumPartitions")
+            else:
+                spark.conf.set(
+                    "spark.sql.limit.initialNumPartitions", prev_init
+                )
     rows = [r for r in all_rows if not r["_qvnull"]]
     null_rows = [r for r in all_rows if r["_qvnull"]]
-    if len(rows) > cap or len(null_rows) > max_groups + parts:
+    if len(rows) > cap or len(null_rows) > max_groups:
         raise ValueError(
             f"grouped percentiles: more than ~{max_groups} groups — this "
             "operator is for FEW huge groups (driver offsets are "

@@ -89,6 +89,27 @@ QUERIES = [
     "streaming_interval_join_attribution",
     "streaming_fullouter_attribution",
     "streaming_two_level_rollup",
+    # round 10 (VERDICT r9 #6): the rest of the bench top-40 — graph /
+    # dedup-cluster family, text-scoring family, recursive streaks,
+    # remaining streaming — so every top-cost query has an sf5 point.
+    "streaming_custom_sink_synthlog",
+    "bfs_distance_neardup",
+    "rfm_user_scores",
+    "streaming_python_datasource_synthlog",
+    "activity_streaks_recursive_events",
+    "dedup_cluster_assignment_star",
+    "top_ngram_char_frac_documents",
+    "dedup_cluster_survivors",
+    "bm25_rank_documents",
+    "streaming_stateful_user_counters",
+    "bigram_lm_score_documents",
+    "dupspan_coverage_documents",
+    "streaming_funnel_stages",
+    "dedup_embedding_cosine_lsh",
+    "tfidf_top_terms_documents",
+    "newey_west_trend_daily",
+    "rolling_origin_backtest_daily",
+    "simhash_documents",
 ]
 
 
@@ -177,8 +198,25 @@ def main() -> None:
     if os.path.exists(path):
         with open(path) as fh:
             merged = json.load(fh)
+    # Timings are only comparable under the same harness config; if it
+    # changed (e.g. driver memory bump), drop the tier's stale entries
+    # instead of mixing non-comparable numbers, and record the config
+    # per tier so provenance is auditable.
+    config = {
+        "driver_memory": "24g",
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        "runs": args.runs,
+        "date": time.strftime("%Y-%m-%d"),
+    }
+    comparable = {"driver_memory", "cpus"}
     for tier, data in results.items():
-        merged.setdefault(tier, {}).update(data)
+        prev_cfg = merged.get(tier, {}).get("_config", {})
+        if {k: prev_cfg.get(k) for k in comparable} != {
+            k: config[k] for k in comparable
+        }:
+            merged[tier] = {}
+        merged[tier].update(data)
+        merged[tier]["_config"] = config
     with open(path, "w") as fh:
         json.dump(merged, fh, indent=1, sort_keys=True)
         fh.write("\n")
