@@ -49,6 +49,42 @@ def build_session(cpus: str, app: str):
     )
 
 
+def calibration_probe(spark, cpus: str, k: int = 3) -> dict[str, float]:
+    """Ambient-drift control (VERDICT r9 #3): fixed, deterministic,
+    IO-free CPU probes whose cost depends only on the box, never on the
+    code under test. Two shapes: an all-cores hash-agg (tracks aggregate
+    throughput — the thing a shared box degrades) and a single-partition
+    fold (tracks per-core speed / scheduler noise). Each is the median
+    of k runs after one untimed warmup. Round-over-round, a query ratio
+    can then be normalized by the probe ratio: two rounds spent hand
+    litigating box drift (r8: 8 suspects, r9: 6 — all exonerated) is the
+    cost this automates away.
+    """
+    from pyspark.sql import functions as F
+
+    def _multi():
+        spark.range(0, 150_000_000, 1, int(cpus)).select(
+            F.count_if((F.xxhash64("id") % 7) == F.lit(0)).alias("n")
+        ).collect()
+
+    def _single():
+        # pmod-bounded so the ANSI sum can't overflow a long
+        spark.range(0, 20_000_000, 1, 1).select(
+            F.sum(F.pmod(F.xxhash64("id"), F.lit(1024))).alias("s")
+        ).collect()
+
+    out: dict[str, float] = {}
+    for name, fn in (("cores", _multi), ("single", _single)):
+        fn()  # untimed warmup (codegen compile)
+        runs = []
+        for _ in range(k):
+            t0 = time.perf_counter()
+            fn()
+            runs.append(time.perf_counter() - t0)
+        out[name] = round(sorted(runs)[len(runs) // 2], 3)
+    return out
+
+
 def warm_batch(spark, sf_dir: str) -> None:
     """JVM + parquet footer caches and the Python/Arrow worker pool —
     first use of each costs seconds and would otherwise be billed to
@@ -128,7 +164,9 @@ def main() -> None:
     spark = build_session(cpus, "etl_manager_spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
     warm_batch(spark, sf_dir)
+    calibration = {"batch_before": calibration_probe(spark, cpus)}
     run_queries(spark, batch_names, registry, sf_dir, n_runs, timings, failures)
+    calibration["batch_after"] = calibration_probe(spark, cpus)
     spark.stop()
 
     # streaming in a FRESH session: availableNow micro-batch latency is
@@ -138,6 +176,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     warm_batch(spark, sf_dir)
     warm_streaming(spark)
+    calibration["stream_before"] = calibration_probe(spark, cpus)
     run_queries(spark, stream_names, registry, sf_dir, n_runs, timings, failures)
     spark.stop()
 
@@ -155,6 +194,10 @@ def main() -> None:
             f"median_of_{n_runs}_per_query_after_warmup;"
             "streaming_category_in_fresh_session"
         ),
+        # fixed IO-free CPU probes (median secs): compare across rounds
+        # to separate box drift from code regressions — see
+        # calibration_probe and the normalized delta below
+        "calibration": calibration,
     }
     if failures:
         out["failures"] = failures
@@ -203,6 +246,33 @@ def main() -> None:
                 },
                 "ratios": dict(sorted(ratios.items())),
             }
+            # control-normalized ratios: divide out the box-drift factor
+            # measured by the calibration probes common to both rounds,
+            # so a global slowdown reads ≈1.0× and only code regressions
+            # remain (r8/r9 spent a day each adjudicating this by hand)
+            prev_cal = prev.get("calibration") if isinstance(prev, dict) else None
+            if prev_cal and ratios:
+                def _cores_mean(cal):
+                    vals = [
+                        v["cores"]
+                        for v in cal.values()
+                        if isinstance(v, dict) and v.get("cores")
+                    ]
+                    return sum(vals) / len(vals) if vals else None
+
+                prev_c, cur_c = _cores_mean(prev_cal), _cores_mean(calibration)
+                if prev_c and cur_c:
+                    drift = cur_c / prev_c
+                    nratios = {
+                        q: round(r / drift, 3) for q, r in ratios.items()
+                    }
+                    delta["control_drift_factor"] = round(drift, 3)
+                    delta["normalized_median_ratio"] = round(
+                        statistics.median(nratios.values()), 3
+                    )
+                    delta["normalized_outliers_over_1_5x"] = {
+                        q: r for q, r in sorted(nratios.items()) if r > 1.5
+                    }
             # carry forward keys this generator doesn't own (isolated
             # remeasures, hand-written adjudication notes): regenerating
             # the delta must not erase the record of which past drifts
