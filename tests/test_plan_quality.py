@@ -59,6 +59,34 @@ def test_similarity_bruteforce_broadcasts_queries(plans):
     assert "BroadcastNestedLoopJoin" in r.text or r.broadcast_joins >= 1
 
 
+def test_similarity_topk_window_group_limit_below_exchange(plans):
+    """The per-query ranking windows key on query_id alone — FEW keys, so
+    the shuffle volume contract rests on Spark's InferWindowGroupLimit:
+    a Partial WindowGroupLimit must sit BELOW the exchange, bounding each
+    mapper's output to k rows per query (verified round 10: a hand-built
+    salted two-stage prefilter produced the identical bound plus a
+    redundant exchange, so the declared single-window form is the right
+    plan). If a Spark upgrade stops inferring the pushed limit, this
+    breaks loudly instead of silently shipping |corpus| rows per query
+    to |queries| reducers."""
+    for name in ("similarity_topk_bruteforce", "similarity_topk_lsh"):
+        lines = plans(name).text.splitlines()
+        wgl = [i for i, x in enumerate(lines) if "WindowGroupLimit" in x]
+        exch = [
+            i
+            for i, x in enumerate(lines)
+            if "Exchange" in x and "BroadcastExchange" not in x
+        ]
+        assert wgl, f"{name}: no WindowGroupLimit in plan"
+        # Final(above)/Partial(below) pair straddling a shuffle: some
+        # Exchange line sits strictly between two WindowGroupLimit lines
+        assert any(
+            a < e < b for a, b in zip(wgl, wgl[1:]) for e in exch
+        ), f"{name}: no Exchange between WindowGroupLimit pair\n" + "\n".join(
+            lines[:40]
+        )
+
+
 def test_scalar_queries_are_codegen_only(plans):
     for name in ("scalar_string_functions", "scalar_math_functions"):
         r = plans(name)
