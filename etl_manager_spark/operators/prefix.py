@@ -9,10 +9,21 @@ cliff for "rank all customers / cumulative revenue" analytics.
 composition as ``operators.sampling.assign_row_ids``): range-partition on
 the order keys (one shuffle, contiguous key ranges per partition), run the
 window LOCALLY per partition, aggregate one (count, Σvalue…) row per
-partition, prefix-sum those O(partitions) scalars on the driver, broadcast
-the offsets back, and add. Bitwise-identical to the global window for any
-associative integer aggregate, and no partition ever sorts more than its
-own slice.
+partition, prefix-sum those O(partitions) scalars, broadcast the offsets
+back, and add. Bitwise-identical to the global window for any associative
+integer aggregate, and no partition ever sorts more than its own slice.
+
+Round 10: the prefix sum over the O(partitions) totals is computed
+IN-PLAN (each totals row is exploded to the partitions strictly after
+it and hash-aggregated — an equi-plan, no single-partition window, no
+nested-loop join), removing the former ``collect`` + driver prefix-sum:
+one eager Spark job and a full driver barrier PER CALL are gone, and
+the offsets ride as a broadcast subtree inside the caller's single
+final job. The eager ``localCheckpoint`` of the range-partitioned base
+REMAINS: a fully-lazy variant was built and measured, but per-branch
+column pruning rewrites the subtree below the shared exchange into
+divergent aggregates, AQE stage reuse then misses, and the input is
+recomputed per branch — slower than the one checkpoint job.
 """
 
 from __future__ import annotations
@@ -41,49 +52,58 @@ def ordered_cumsum(
     value_cols = list(value_cols or [])
     spark = df.sparkSession
     parts = n_partitions or spark.sparkContext.defaultParallelism
-    # localCheckpoint pins ONE materialization: the totals pass and the
-    # numbering pass must observe the identical partition assignment
-    # (range boundaries come from a sample — recomputing the shuffle
-    # could legally re-draw them)
+    # localCheckpoint pins ONE materialization that both consumer
+    # branches (totals, numbering) read: partition assignment is
+    # consistent by construction, and per-branch column pruning cannot
+    # rewrite the subtree below a shared exchange into divergent
+    # aggregates that defeat AQE stage reuse (the round-10 fully-lazy
+    # experiment measured that duplication costing more than this one
+    # checkpoint job on several callers)
     base = (
         df.repartitionByRange(parts, *order_cols)
         .withColumn("_ocs_part", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
-    totals = (
-        base.groupBy("_ocs_part")
+    totals = base.groupBy("_ocs_part").agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[F.sum(v).cast("long").alias(f"_s_{v}") for v in value_cols],
+        *[F.count(v).cast("long").alias(f"_c_{v}") for v in value_cols],
+    )
+    # in-plan prefix sum over the O(partitions) totals: each totals row
+    # is exploded to every partition STRICTLY AFTER it and re-aggregated
+    # — an equi-plan over ≤ partitions² tiny rows, so the global running
+    # offsets need neither a single-partition window nor a driver
+    # collect. Partitions with no predecessors are absent from the
+    # offset table; the left join below coalesces them to zero.
+    succ = F.when(
+        F.col("_ocs_part") + 1 <= F.lit(parts - 1),
+        F.sequence(F.col("_ocs_part") + 1, F.lit(parts - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    off = (
+        totals.select(F.explode(succ).alias("_ocs_part"), *[
+            F.col(c)
+            for c in ["_n"]
+            + [f"_s_{v}" for v in value_cols]
+            + [f"_c_{v}" for v in value_cols]
+        ])
+        .groupBy("_ocs_part")
         .agg(
-            F.count(F.lit(1)).alias("_n"),
-            *[F.sum(v).cast("long").alias(f"_s_{v}") for v in value_cols],
-            *[F.count(v).cast("long").alias(f"_c_{v}") for v in value_cols],
+            F.sum("_n").cast("long").alias("_ocs_n0"),
+            # null-sum partitions contribute 0 to the running offset (the
+            # old driver loop's ``or 0``): SUM skips nulls natively, and
+            # an all-null predecessor set coalesces to 0 at use site
+            *[
+                F.sum(f"_s_{v}").cast("long").alias(f"_ocs_o_{v}")
+                for v in value_cols
+            ],
+            *[
+                F.sum(f"_c_{v}").cast("long").alias(f"_ocs_c_{v}")
+                for v in value_cols
+            ],
         )
-        .orderBy("_ocs_part")
-        .collect()
     )
-    rows, acc_n = [], 0
-    acc_v = dict.fromkeys(value_cols, 0)
-    acc_c = dict.fromkeys(value_cols, 0)
-    for r in totals:
-        rows.append(
-            (
-                r["_ocs_part"],
-                acc_n,
-                *[acc_v[v] for v in value_cols],
-                *[acc_c[v] for v in value_cols],
-            )
-        )
-        acc_n += r["_n"]
-        for v in value_cols:
-            acc_v[v] += r[f"_s_{v}"] or 0
-            acc_c[v] += r[f"_c_{v}"]
-    schema = (
-        "_ocs_part int, _ocs_n0 long"
-        + "".join(f", _ocs_o_{v} long" for v in value_cols)
-        + "".join(f", _ocs_c_{v} long" for v in value_cols)
-    )
-    off = spark.createDataFrame(rows, schema)
     local = Window.partitionBy("_ocs_part").orderBy(*order_cols)
-    out = base.join(F.broadcast(off), "_ocs_part")
+    out = base.join(F.broadcast(off), "_ocs_part", "left")
     for v in value_cols:
         frame = local.rowsBetween(Window.unboundedPreceding, 0)
         # the global window's SUM is NULL only while the WHOLE prefix is
@@ -91,21 +111,24 @@ def ordered_cumsum(
         # has non-null predecessors must carry the offset forward, so the
         # local sum is coalesced and the null-prefix case is re-derived
         # from the non-null COUNT (local + prior partitions)
-        seen = F.count(v).over(frame) + F.col(f"_ocs_c_{v}")
+        seen = F.count(v).over(frame) + F.coalesce(
+            F.col(f"_ocs_c_{v}"), F.lit(0)
+        )
         out = out.withColumn(
             f"{v}{cum_suffix}",
             F.when(
                 seen > 0,
                 F.coalesce(F.sum(v).over(frame).cast("long"), F.lit(0))
-                + F.col(f"_ocs_o_{v}"),
+                + F.coalesce(F.col(f"_ocs_o_{v}"), F.lit(0)),
             ).cast("long"),
         )
     if rank_name is not None:
         out = out.withColumn(
             rank_name,
-            (F.row_number().over(local).cast("long") + F.col("_ocs_n0")).cast(
-                "long"
-            ),
+            (
+                F.row_number().over(local).cast("long")
+                + F.coalesce(F.col("_ocs_n0"), F.lit(0))
+            ).cast("long"),
         )
     return out.drop(
         "_ocs_part",

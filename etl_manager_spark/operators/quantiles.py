@@ -18,14 +18,24 @@ bit-for-bit from the DISTINCT value-count table instead:
 2. range-partition on (group, value); per-partition cumulative counts
    via a window PARTITIONED by (partition, group) — no task ever sorts
    more than its own range slice;
-3. per-(partition, group) totals are collected (O(partitions + groups)
-   rows, LIMIT-bounded by ``max_groups`` — the few-groups contract) and
-   prefix-summed on the driver into broadcast offsets, giving exact
-   per-group cumulative ranks (the ``operators.prefix.ordered_cumsum``
-   idiom, grouped);
+3. per-(partition, group) totals (O(partitions + groups) rows — each
+   group's range is contiguous) are prefix-summed IN-PLAN by a window
+   partitioned by group over the tiny totals table and broadcast back as
+   per-(partition, group) offsets, giving exact per-group cumulative
+   ranks. Round 10: this used to be a bounded ``collect`` + a
+   driver-side prefix sum — an eager Spark job and a full driver
+   barrier PER CALL, plus driver-python re-upload of the offsets. Now
+   only the eager ``localCheckpoint`` of the range-partitioned distinct
+   table remains (one job; it is what all four consumer branches read —
+   see the inline note for why a fully-lazy shared exchange measured
+   slower), and the few-groups contract is enforced by an in-plan
+   ``assert_true`` over the totals cardinality, which fails the query
+   loudly at execution instead of at a pre-flight collect;
 4. each requested percentile needs at most TWO ranks (floor/ceil of the
-   0-based position ``p·(n-1)``); a broadcast rank table joins the CDF
-   and a conditional-min hash-agg finds the two bracketing values;
+   0-based position ``p·(n-1)``); the rank table is computed in-plan
+   from the per-group non-null counts joined with a literal percentile
+   spec, then broadcast against the CDF; a conditional-min hash-agg
+   finds the two bracketing values;
 5. interpolation replays Spark's ``Percentile.getPercentile`` formula
    exactly — ``(higher - pos)·lower_val + (pos - lower)·higher_val``
    with the ``lower == higher`` and equal-key short-circuits — so
@@ -35,45 +45,39 @@ bit-for-bit from the DISTINCT value-count table instead:
 Null semantics match the builtin: null VALUES are ignored for the
 percentile but counted by ``count_name`` (a true COUNT(*)); a group
 whose values are ALL null still emits its row, with NULL percentiles;
-null GROUP KEYS form their own group.
+null GROUP KEYS form their own group. NaN group keys are normalized by
+Spark's own grouping/join semantics end-to-end (no driver dict is kept
+anywhere anymore, so the CPython NaN-identity hazard is structurally
+gone).
 
-NOT for high-cardinality groups (per-user, per-key): there the driver
-offset table is O(groups) — enforced by ``max_groups`` — and the
-built-in percentile's per-group buffer is small anyway; use the plain
-aggregate or ``percentile_approx``.
+``weight_col`` lets a caller feed a PRE-AGGREGATED (group, value, count)
+table — the single-fact-pass idiom: compute the distinct value-count
+table once, derive transformed value tables from it (|v − median| for
+MAD, clamped values for winsorized means), and run further percentile
+passes over those tiny tables instead of re-scanning the facts.
+
+NOT for high-cardinality groups (per-user, per-key): there the rank
+table is O(groups) — enforced by ``max_groups`` — and the built-in
+percentile's per-group buffer is small anyway; use the plain aggregate
+or ``percentile_approx``.
 """
 
 from __future__ import annotations
 
-import math
-import threading
-from collections import defaultdict
-
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 _GK = "_qg"  # struct-wrapped group key: null-safe in groupBy AND joins
 
-_NAN = float("nan")  # one shared NaN object — see _canon_key
 
-# spark.sql.limit.initialNumPartitions is session-global: the pinned
-# value must not leak into a concurrent query's LIMIT, and two CDF calls
-# racing the set/restore could restore each other's "previous" value.
-_LIMIT_CONF_LOCK = threading.Lock()
-
-
-def _canon_key(row) -> tuple:
-    """Group-key Row → dict key. Spark normalizes NaN in groupBy/join
-    (every NaN is the same group), but CPython dicts match NaN keys by
-    object IDENTITY (NaN != NaN), so each collected row's fresh NaN
-    object would open a NEW dict entry — a NaN group spanning several
-    range partitions then gets per-partition offsets that never merge:
-    wrong cumulative ranks and duplicated output rows. Pinning every NaN
-    to one shared object makes the dicts agree with Spark's grouping."""
-    return tuple(
-        _NAN if isinstance(v, float) and math.isnan(v) else v for v in row
-    )
+def _lit_join(left: DataFrame, right: DataFrame) -> DataFrame:
+    """Attach a tiny bounded broadcast side (the 1-row contract guard, or
+    the k-row percentile spec) to every left row. Plans as a broadcast
+    nested-loop join with a BOUNDED build side — the catalog lint's
+    "scalar"/"bounded-k" adjudicated class (a constant-key equi-join
+    would read nicer but Catalyst constant-folds the trivially-true
+    condition back into exactly this plan)."""
+    return left.crossJoin(F.broadcast(right))
 
 
 def grouped_value_cdf(
@@ -82,135 +86,233 @@ def grouped_value_cdf(
     value_col: str,
     n_partitions: int | None = None,
     max_groups: int = 100_000,
-) -> tuple[DataFrame, dict[tuple, int], dict[tuple, int]]:
-    """(_qg struct, _qv double, _qc long, _cum long) — distinct-value
-    counts with EXACT per-group cumulative counts in value order, plus
-    two driver-side dicts keyed by group tuple: non-null value count
-    (the percentile N) and total row count (COUNT(*)). Groups whose
-    values are all null appear in the dicts (n=0) but have no CDF rows.
+    weight_col: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Lazy CDF decomposition; no Spark job is triggered here.
+
+    Returns ``(cdf, groups)``:
+
+    - ``cdf``: (_qg struct, _qv double, _qc long, _cum long) — distinct
+      non-null values with EXACT per-group cumulative counts in value
+      order;
+    - ``groups``: (_qg struct, _qn long, _qrows long) — one row per
+      group (all-null-value groups included): ``_qn`` counts non-null
+      values (the percentile N), ``_qrows`` is COUNT(*) (or the weight
+      total when ``weight_col`` is given).
 
     Scale shape: one hash-agg over the fact rows, one range shuffle of
-    the distinct-value table, a window partitioned by (partition, group)
-    so no task sorts beyond its own slice, and an O(partitions + groups)
-    LIMIT-bounded driver collect for the offsets (each group's range is
-    contiguous, so the totals table has at most partitions + groups
-    rows). Values are compared as doubles: exact for integral inputs up
-    to 2^53 — the nano-quantized catalog domain — and for native
-    float/double columns.
+    the distinct-value table — planned ONCE and reused by the cdf /
+    offsets / groups branches — a window partitioned by (partition,
+    group) so no task sorts beyond its own slice, and O(partitions +
+    groups) broadcast side tables. The few-groups contract is enforced
+    in-plan: an ``assert_true`` over the totals cardinality riding on
+    ``groups`` fails the query at execution when the group count
+    exceeds ``max_groups`` (each group's range is contiguous, so the
+    non-null totals table has at most partitions + groups rows, and the
+    null slice at most one row per group). Values are compared as
+    doubles: exact for integral inputs up to 2^53 — the nano-quantized
+    catalog domain — and for native float/double columns.
     """
     spark = df.sparkSession
     parts = n_partitions or spark.sparkContext.defaultParallelism
     gcols = list(group_cols)
+    wexpr = (
+        F.col(weight_col).cast("long") if weight_col is not None else F.lit(1)
+    )
     vc = df.groupBy(
         F.struct(*gcols).alias(_GK), F.col(value_col).cast("double").alias("_qv")
-    ).agg(F.count(F.lit(1)).cast("long").alias("_qc"))
+    ).agg(F.sum(wexpr).cast("long").alias("_qc"))
     # null rows ride the range shuffle and are split off AFTER the
     # checkpoint (an optimizer barrier), for two reasons: (a) filtering
-    # vc on _qv lets Catalyst push isNotNull(<derived value expr>) below
-    # the aggregate — even into an upstream join's condition, where an
-    # ANSI-throwing expression (x/y guarded by the join predicate) is
-    # then evaluated on rows its guard excluded (theil_sen's pairwise
-    # slopes hit exactly this: isnotnull(a/b) reordered before a<b);
-    # (b) both branches reading one materialization means ONE pass over
-    # the fact rows instead of re-running the hash-agg for the null side.
+    # vc on _qv directly lets Catalyst push isNotNull(<derived value
+    # expr>) below the aggregate — even into an upstream join's
+    # condition, where an ANSI-throwing expression (x/y guarded by the
+    # join predicate) is then evaluated on rows its guard excluded
+    # (theil_sen's pairwise slopes hit exactly this); (b) the FOUR
+    # consumer branches (cdf / offsets / groups / guard) read one
+    # materialization, so the fact rows are aggregated exactly once.
+    # The checkpoint is deliberately kept over the fully-lazy shared-
+    # exchange form: per-branch column pruning rewrites the aggregate
+    # below the exchange differently per branch (one branch keeps
+    # sum(1), another collapses to a bare distinct), the canonical
+    # plans then differ, AQE stage reuse misses, and the fact scan
+    # re-executes per branch — measured 2× SLOWER end-to-end than this
+    # one checkpoint job at sf0.1 (round-10 diagnosis: 10 FileScan
+    # nodes in the final adaptive plan of a single median call).
     base_all = (
         vc.repartitionByRange(parts, _GK, "_qv")
         .withColumn("_qp", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
     base = base_all.filter(F.col("_qv").isNotNull())
-    # ONE bounded collect serves both the per-partition offsets and the
-    # null-side counts (round 9: this was two separate jobs against the
-    # checkpoint; fusing them saves a job per CDF call across the whole
-    # median/MAD/winsorize/conformal family). The few-groups contract is
-    # enforced by bounding the collect itself (no extra job, driver
-    # memory capped even when violated): the non-null slice has at most
-    # partitions + groups rows (each group's range is contiguous) and
-    # the null slice at most one row per group (vc aggregates per
-    # (group, value), so each group has a single NULL-value row, landing
-    # in exactly one range partition) — anything
-    # past the caps means too many groups; offsets and the rank table
-    # are driver-side O(groups); at high group cardinality use the plain
-    # partitioned window/aggregate instead (each group is small there,
-    # so the builtin buffer is fine too)
-    cap = max_groups + parts
-    bounded = (
-        base_all.groupBy("_qp", _GK, F.col("_qv").isNull().alias("_qvnull"))
-        .agg(F.sum("_qc").cast("long").alias("_qn"))
-        .limit(cap + max_groups + 2)
+    # totals (O(partitions + groups) rows by the few-groups contract) is
+    # consumed by THREE branches (offsets, groups, guard): checkpoint the
+    # tiny frame so the base is aggregated once per call, not once per
+    # branch
+    totals = base_all.groupBy(
+        "_qp", _GK, F.col("_qv").isNull().alias("_qvnull")
+    ).agg(F.sum("_qc").cast("long").alias("_qn")).localCheckpoint(eager=True)
+    # per-(partition, group) offsets: prefix-sum the totals over the
+    # partitions STRICTLY BEFORE each one, windowed per group — the
+    # totals table is O(partitions + groups) rows, so this window is
+    # bounded machinery, not data
+    off_w = (
+        Window.partitionBy(_GK)
+        .orderBy("_qp")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    # CollectLimit executes incrementally (1 partition, then scaleUpFactor
-    # more, ...) — on a contract-respecting input the first probe job
-    # never satisfies this large limit, so the bound costs 2-3 extra jobs.
-    # Pinning initialNumPartitions to the partition count keeps the bound
-    # AND makes it one job; restore is safe here because collect() is
-    # eager (unlike the lazy-DataFrame conf in workloads/relational.py).
-    with _LIMIT_CONF_LOCK:
-        try:
-            prev_init = spark.conf.get("spark.sql.limit.initialNumPartitions")
-        except Exception:  # noqa: BLE001 - conf unset (it has no default)
-            prev_init = None
-        try:
-            spark.conf.set("spark.sql.limit.initialNumPartitions", str(parts))
-            all_rows = bounded.collect()
-        finally:
-            if prev_init is None:
-                spark.conf.unset("spark.sql.limit.initialNumPartitions")
-            else:
-                spark.conf.set(
-                    "spark.sql.limit.initialNumPartitions", prev_init
-                )
-    rows = [r for r in all_rows if not r["_qvnull"]]
-    null_rows = [r for r in all_rows if r["_qvnull"]]
-    if len(rows) > cap or len(null_rows) > max_groups:
-        raise ValueError(
-            f"grouped percentiles: more than ~{max_groups} groups — this "
-            "operator is for FEW huge groups (driver offsets are "
-            "O(groups)); with many small groups the built-in "
-            "percentile/percentile_approx per group is the right shape"
+    off = (
+        totals.filter(~F.col("_qvnull"))
+        .withColumn(
+            "_off", F.coalesce(F.sum("_qn").over(off_w), F.lit(0)).cast("long")
         )
-    per_group: dict[tuple, list[tuple[int, int]]] = defaultdict(list)
-    for r in rows:
-        per_group[_canon_key(r[_GK])].append((r["_qp"], r["_qn"]))
-    off_rows, n_by_group, rows_by_group = [], {}, {}
-    for gk, lst in per_group.items():
-        acc = 0
-        for p, n in sorted(lst):
-            off_rows.append((p, gk, acc))
-            acc += n
-        n_by_group[gk] = acc
-        rows_by_group[gk] = acc
-    for r in null_rows:
-        gk = _canon_key(r[_GK])
-        n_by_group.setdefault(gk, 0)
-        rows_by_group[gk] = rows_by_group.get(gk, 0) + r["_qn"]
-    gk_type = T.StructType(
-        [
-            T.StructField(f.name, f.dataType, f.nullable)
-            for f in df.select(*gcols).schema.fields
-        ]
+        .select("_qp", _GK, "_off")
     )
-    off_schema = T.StructType(
-        [
-            T.StructField("_qp", T.IntegerType(), False),
-            T.StructField(_GK, gk_type, False),
-            T.StructField("_off", T.LongType(), False),
-        ]
+    # the authoritative group list: non-null value count (percentile N)
+    # and total row count per group, all-null groups included
+    groups = totals.groupBy(_GK).agg(
+        F.sum(F.when(~F.col("_qvnull"), F.col("_qn")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("_qn"),
+        F.sum("_qn").cast("long").alias("_qrows"),
     )
-    off = spark.createDataFrame(off_rows, off_schema)
-    local_w = (
-        Window.partitionBy("_qp", _GK)
-        .orderBy("_qv")
-        .rowsBetween(Window.unboundedPreceding, 0)
+    # few-groups contract, enforced in-plan (this replaces the bounded
+    # driver collect of rounds ≤9): the totals cardinality is checked by
+    # an assert_true riding on the groups branch, which every caller
+    # consumes — violation fails the query loudly at execution
+    cap = max_groups + parts
+    guard = totals.groupBy().agg(
+        F.sum(F.when(F.col("_qvnull"), F.lit(0)).otherwise(F.lit(1)))
+        .alias("_qnn"),
+        F.sum(F.when(F.col("_qvnull"), F.lit(1)).otherwise(F.lit(0)))
+        .alias("_qnl"),
+    )
+    ok = F.assert_true(
+        (F.coalesce(F.col("_qnn"), F.lit(0)) <= F.lit(cap))
+        & (F.coalesce(F.col("_qnl"), F.lit(0)) <= F.lit(max_groups)),
+        F.lit(
+            f"grouped percentiles: more than ~{max_groups} groups — this "
+            "operator is for FEW huge groups (the rank/offset side tables "
+            "are O(groups)); with many small groups the built-in "
+            "percentile/percentile_approx per group is the right shape"
+        ),
+    )
+    groups = (
+        _lit_join(groups, guard.select(ok.alias("_qok")))
+        .filter(F.col("_qok").isNull())
+        .drop("_qok")
     )
     cdf = (
         base.join(F.broadcast(off), ["_qp", _GK])
         .withColumn(
-            "_cum", (F.sum("_qc").over(local_w) + F.col("_off")).cast("long")
+            "_cum",
+            (
+                F.sum("_qc").over(
+                    Window.partitionBy("_qp", _GK)
+                    .orderBy("_qv")
+                    .rowsBetween(Window.unboundedPreceding, 0)
+                )
+                + F.col("_off")
+            ).cast("long"),
         )
         .drop("_qp", "_off")
     )
-    return cdf, n_by_group, rows_by_group
+    return cdf, groups
+
+
+def percentiles_from_cdf(
+    cdf: DataFrame,
+    groups: DataFrame,
+    group_cols: list[str],
+    percentiles: dict[str, float],
+    count_name: str | None = None,
+) -> DataFrame:
+    """Interpolated percentiles from a :func:`grouped_value_cdf` pair —
+    split out so a caller can reuse the SAME cdf/groups tables for
+    several derived aggregates (the single-fact-pass idiom). One row per
+    group with a DOUBLE column per requested percentile, bit-identical
+    to ``F.expr(f"percentile({value_col}, p)")``; see
+    :func:`grouped_exact_percentiles`."""
+    bad = {k: v for k, v in percentiles.items() if not 0.0 <= float(v) <= 1.0}
+    if bad:
+        # the builtin percentile() aggregate this claims bit-parity with
+        # raises on out-of-range fractions; silently returning NULL (rank
+        # beyond every cumulative count) would hide the caller's bug
+        raise ValueError(f"percentile fractions must be in [0, 1], got {bad!r}")
+    gcols = list(group_cols)
+    names = list(percentiles)
+    spark = cdf.sparkSession
+    # literal percentile spec (k rows — no Spark job): joined against the
+    # per-group counts to compute the two bracketing 1-based cum ranks of
+    # the 0-based position p·(n−1), plus Spark's interpolation weights,
+    # in the same double arithmetic the driver-side construction used
+    # (int→double conversion of n−1 / floor / ceil are identical IEEE).
+    pspec = spark.createDataFrame(
+        [(i, float(percentiles[name])) for i, name in enumerate(names)],
+        "_qi int, _qf double",
+    )
+    pos = F.col("_qf") * (F.col("_qn") - F.lit(1)).cast("double")
+    lo0 = F.floor(pos)
+    hi0 = F.ceil(pos)
+    ranks = _lit_join(groups.filter(F.col("_qn") > 0).select(_GK, "_qn"), pspec)
+    ranks = ranks.select(
+        _GK,
+        "_qi",
+        (lo0 + F.lit(1)).cast("long").alias("_klo"),
+        (hi0 + F.lit(1)).cast("long").alias("_khi"),
+        (hi0.cast("double") - pos).alias("_wlo"),
+        (pos - lo0.cast("double")).alias("_whi"),
+    )
+    brackets = (
+        cdf.join(F.broadcast(ranks), _GK)
+        .groupBy(_GK, "_qi")
+        .agg(
+            F.min(F.when(F.col("_cum") >= F.col("_klo"), F.col("_qv"))).alias(
+                "_lov"
+            ),
+            F.min(F.when(F.col("_cum") >= F.col("_khi"), F.col("_qv"))).alias(
+                "_hiv"
+            ),
+        )
+        .join(F.broadcast(ranks), [_GK, "_qi"])
+    )
+    # Percentile.getPercentile replay: return lower when the two ranks
+    # coincide OR both ranks land on the same key; else interpolate with
+    # the exact (higher - pos) / (pos - lower) weights
+    val = (
+        F.when(F.col("_klo") == F.col("_khi"), F.col("_lov"))
+        .when(F.col("_lov") == F.col("_hiv"), F.col("_lov"))
+        .otherwise(F.col("_wlo") * F.col("_lov") + F.col("_whi") * F.col("_hiv"))
+    )
+    pivoted = (
+        brackets.select(_GK, "_qi", val.alias("_val"))
+        .groupBy(_GK)
+        .agg(
+            *[
+                F.min(F.when(F.col("_qi") == i, F.col("_val"))).alias(name)
+                for i, name in enumerate(names)
+            ]
+        )
+    )
+    # left join restores NULL percentiles for groups that have no bracket
+    # rows (all-null-value groups)
+    wide = groups.join(F.broadcast(pivoted), _GK, "left")
+    sel: list[Column] = [F.col(f"{_GK}.{g}").alias(g) for g in gcols]
+    sel += [F.col(n) for n in names]
+    if count_name is not None:
+        sel.append(F.col("_qrows").alias(count_name))
+    return wide.select(*sel)
+
+
+def unwrap_group(cdf_or_groups: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Flatten the ``_qg`` struct back to the caller's group columns —
+    for deriving further aggregates from a :func:`grouped_value_cdf`
+    table (``_qv``/``_qc`` and, on ``groups``, ``_qn``/``_qrows`` ride
+    along)."""
+    others = [c for c in cdf_or_groups.columns if c != _GK]
+    return cdf_or_groups.select(
+        *[F.col(f"{_GK}.{g}").alias(g) for g in group_cols], *others
+    )
 
 
 def grouped_exact_percentiles(
@@ -221,95 +323,22 @@ def grouped_exact_percentiles(
     count_name: str | None = None,
     n_partitions: int | None = None,
     max_groups: int = 100_000,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """One row per group with a DOUBLE column per requested percentile
     (``percentiles`` maps output column name → fraction in [0, 1]),
     bit-identical to ``F.expr(f"percentile({value_col}, p)")`` per group
     — but with memory bounded by the range-partition slice instead of
-    the group size. Optional ``count_name`` adds the per-group TOTAL row
-    count (COUNT(*), null values included — matching the count column
-    the queries this replaces computed alongside the percentile). See
-    the module docstring for the scale contract and null semantics."""
-    bad = {k: v for k, v in percentiles.items() if not 0.0 <= float(v) <= 1.0}
-    if bad:
-        # the builtin percentile() aggregate this claims bit-parity with
-        # raises on out-of-range fractions; silently returning NULL (rank
-        # beyond every cumulative count) would hide the caller's bug
-        raise ValueError(
-            f"percentile fractions must be in [0, 1], got {bad!r}"
-        )
-    gcols = list(group_cols)
-    names = list(percentiles)
-    cdf, n_by_group, rows_by_group = grouped_value_cdf(
-        df, gcols, value_col, n_partitions, max_groups
+    the group size, and (round 10) as ONE fully-lazy plan: no driver
+    collect, no checkpoint job — the range exchange is shared by every
+    consumer branch and the whole computation runs as a single Spark
+    job when the caller materializes the result. Optional ``count_name``
+    adds the per-group TOTAL row count (COUNT(*), null values included —
+    or the total weight when ``weight_col`` is given). See the module
+    docstring for the scale contract and null semantics."""
+    cdf, groups = grouped_value_cdf(
+        df, list(group_cols), value_col, n_partitions, max_groups, weight_col
     )
-    spark = df.sparkSession
-    gk_type = cdf.schema[_GK].dataType
-
-    # rank plan: for each (group, percentile), the two 1-based cum ranks
-    # bracketing the 0-based position p·(n-1), plus Spark's interpolation
-    # weights computed driver-side in the same double arithmetic. Groups
-    # with zero non-null values get no rank rows: their percentiles are
-    # NULL (builtin behavior), restored by the left join below.
-    rank_rows = []
-    for gk, n in n_by_group.items():
-        if n == 0:
-            continue
-        for i, name in enumerate(names):
-            pos = percentiles[name] * (n - 1)
-            lo0, hi0 = math.floor(pos), math.ceil(pos)
-            rank_rows.append(
-                (gk, i, int(lo0) + 1, int(hi0) + 1,
-                 float(hi0 - pos), float(pos - lo0))
-            )
-    rank_schema = T.StructType(
-        [
-            T.StructField(_GK, gk_type, False),
-            T.StructField("_qi", T.IntegerType(), False),
-            T.StructField("_klo", T.LongType(), False),
-            T.StructField("_khi", T.LongType(), False),
-            T.StructField("_wlo", T.DoubleType(), False),
-            T.StructField("_whi", T.DoubleType(), False),
-        ]
-    )
-    ranks = spark.createDataFrame(rank_rows, rank_schema)
-    brackets = (
-        cdf.join(F.broadcast(ranks), _GK)
-        .groupBy(_GK, "_qi")
-        .agg(
-            F.min(F.when(F.col("_cum") >= F.col("_klo"), F.col("_qv"))).alias("_lov"),
-            F.min(F.when(F.col("_cum") >= F.col("_khi"), F.col("_qv"))).alias("_hiv"),
-        )
-        .join(F.broadcast(ranks), [_GK, "_qi"])
-    )
-    # Percentile.getPercentile replay: return lower when the two ranks
-    # coincide OR both ranks land on the same key; else interpolate with
-    # the exact (higher - pos) / (pos - lower) weights
-    val = (
-        F.when(F.col("_klo") == F.col("_khi"), F.col("_lov"))
-        .when(F.col("_lov") == F.col("_hiv"), F.col("_lov"))
-        .otherwise(
-            F.col("_wlo") * F.col("_lov") + F.col("_whi") * F.col("_hiv")
-        )
-    )
-    pivoted = brackets.select(_GK, "_qi", val.alias("_val")).groupBy(_GK).agg(
-        *[
-            F.min(F.when(F.col("_qi") == i, F.col("_val"))).alias(name)
-            for i, name in enumerate(names)
-        ]
-    )
-    # the authoritative group list (includes all-null-value groups) comes
-    # from the driver dicts; left join restores NULL percentiles for
-    # groups that have no bracket rows
-    g_fields = [T.StructField(_GK, gk_type, False)]
-    g_rows: list[tuple] = [(gk,) for gk in rows_by_group]
-    if count_name is not None:
-        g_fields.append(T.StructField(count_name, T.LongType(), False))
-        g_rows = [(gk, rows_by_group[gk]) for gk in rows_by_group]
-    groups_df = spark.createDataFrame(g_rows, T.StructType(g_fields))
-    wide = groups_df.join(F.broadcast(pivoted), _GK, "left")
-    return wide.select(
-        *[F.col(f"{_GK}.{g}").alias(g) for g in gcols],
-        *names,
-        *([count_name] if count_name is not None else []),
+    return percentiles_from_cdf(
+        cdf, groups, list(group_cols), percentiles, count_name
     )

@@ -25,6 +25,17 @@ from pyspark.sql import functions as F
 from etl_manager_spark.operators.text import token_count, tokens
 
 
+def _attach_scalar(left: DataFrame, scalars: DataFrame) -> DataFrame:
+    """Attach a one-row aggregate to every left row — the round-10
+    replacement for driver-side ``count()``/``first()`` scalars: the
+    value rides in-plan as a broadcast column, so the operator triggers
+    ZERO eager Spark jobs (the old shape paid one job per scalar per
+    call). Plans as a broadcast nested-loop join whose build side is a
+    single aggregate row — the catalog lint's adjudicated "scalar"
+    class."""
+    return left.crossJoin(F.broadcast(scalars))
+
+
 def quantize(c: F.Column) -> F.Column:
     """floor(x·1e9 + 0.5) as BIGINT — engine-portable float comparison.
 
@@ -69,14 +80,26 @@ def tfidf_top_terms(
 
     Returns (id, rank, term, tf, df, tfidf_q) with the score
     nano-quantized for engine-portable comparison."""
-    n_docs = df.select(F.col(id_col)).distinct().count()
+    # distinct-doc count as a broadcast one-row aggregate (COUNT(*) over
+    # the distinct id rows — null ids counted, exactly like the former
+    # driver-side distinct().count(), whose long→double conversion the
+    # cast below replays); no eager job
+    ndocs = (
+        df.select(F.col(id_col).alias("id"))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("_ndocs"))
+    )
     tf = term_frequencies(df, id_col, text_col)
     dfreq = document_frequencies(tf)
-    scored = tf.join(F.broadcast(dfreq), on="term").withColumn(
+    scored = _attach_scalar(
+        tf.join(F.broadcast(dfreq), on="term"), ndocs
+    ).withColumn(
         "tfidf_q",
         quantize(
             F.col("tf").cast("double")
-            * F.log(F.lit(float(n_docs)) / F.col("df").cast("double"))
+            * F.log(
+                F.col("_ndocs").cast("double") / F.col("df").cast("double")
+            )
         ),
     )
     # rank on the QUANTIZED score (not the raw double): ln() may differ by
@@ -99,6 +122,7 @@ def bm25_scores(
     k1: float = 1.2,
     b: float = 0.75,
     top: int | None = None,
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """BM25(query, doc) for every document, the classic Robertson idf
     (ln(1 + (N - df + 0.5)/(df + 0.5))).
@@ -115,7 +139,15 @@ def bm25_scores(
     NONE of the query terms are OMITTED (their score is conceptually 0 —
     left-join the corpus and coalesce to 0 if a dense score vector is
     needed); with ``top`` set the result may therefore have fewer than
-    ``top`` rows."""
+    ``top`` rows.
+
+    Round 10: ``n_docs`` and ``avgdl`` ride in-plan as broadcast one-row
+    aggregates instead of driver-side ``count()``/``first()`` — the SAME
+    doubles reach the contrib expression (Spark computed both either
+    way; the driver hop only re-literalized them), but the operator now
+    triggers zero eager jobs, so a caller's whole query is one job and
+    an empty corpus needs no special-case branch (every downstream table
+    is empty with the right schema)."""
     qterms = sorted(set(query_terms))
     if not qterms:
         raise ValueError(
@@ -123,39 +155,41 @@ def bm25_scores(
             "nothing upstream?) — every document would score 0; filter "
             "empty queries out before scoring"
         )
-    n_docs = df.select(F.col(id_col)).distinct().count()
+    ndocs = (
+        df.select(F.col(id_col).alias("id"))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("_ndocs"))
+    )
     lens = df.select(
         F.col(id_col).alias("id"),
         # token_count carries the nullif(-1) legacy-ANSI guard, so
         # NULL-text docs contribute NULL (avg-ignored), never dl=-1
         token_count(text_col).alias("dl"),
     )
-    avgdl = lens.agg(F.avg("dl")).first()[0]
-    if avgdl is None:
-        # empty corpus → empty result matching the non-empty path's schema
-        # (id keeps the caller's id dtype — it may be a string key)
-        from pyspark.sql.types import LongType, StructField, StructType
-
-        schema = StructType(
-            [
-                StructField("id", df.schema[id_col].dataType),
-                StructField("score_q", LongType()),
-            ]
+    avgdl = lens.agg(F.avg("dl").alias("_avgdl"))
+    if tf is None:
+        tf = term_frequencies(df, id_col, text_col).filter(
+            F.col("term").isin(qterms)
         )
-        return df.sparkSession.createDataFrame([], schema)
-    tf = term_frequencies(df, id_col, text_col).filter(F.col("term").isin(qterms))
+    # else: the caller passes its own (id, term, tf) table ALREADY
+    # restricted to the query terms, so a query that needs both the
+    # scores and another per-term aggregate tokenizes the corpus once
+    # (the shared tf aggregate's exchange is planned once and reused).
     # df over the full corpus for these terms == df over the filtered tf
     # (tf already has exactly one row per (doc, term) pair), so the corpus
     # is scanned once, not twice.
     dfreq = document_frequencies(tf)
     per_term = (
-        tf.join(F.broadcast(dfreq), on="term")
+        _attach_scalar(
+            _attach_scalar(tf.join(F.broadcast(dfreq), on="term"), ndocs),
+            avgdl,
+        )
         .join(lens, on="id")
         .withColumn(
             "contrib",
             F.log(
                 F.lit(1.0)
-                + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+                + (F.col("_ndocs").cast("double") - F.col("df") + F.lit(0.5))
                 / (F.col("df") + F.lit(0.5))
             )
             * (F.col("tf") * F.lit(k1 + 1.0))
@@ -164,7 +198,9 @@ def bm25_scores(
                 + F.lit(k1)
                 * (
                     F.lit(1.0 - b)
-                    + F.lit(b) * F.col("dl").cast("double") / F.lit(float(avgdl))
+                    + F.lit(b)
+                    * F.col("dl").cast("double")
+                    / F.col("_avgdl")
                 )
             ),
         )

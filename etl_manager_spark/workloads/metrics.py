@@ -1942,11 +1942,23 @@ def winsorized_mean_value_by_type(spark, sf_dir):
     values round to integers from identical doubles; every sum is exact
     int64; one closing division each, quantized to integer means.
 
-    Scale shape: a distributed rank-quantile CDF for the |types|-row
-    bounds table (operators/quantiles.py — memory bounded by the
-    range-partition slice, never by group size), a broadcast of the
-    k-row bounds, one conditional hash-agg. No windows, no global
-    sort."""
+    Round-10 scale shape (guide §8: decide on a small proxy, touch the
+    facts once): ONE hash-agg builds the per-type distinct value-count
+    table; the P10/P90 bounds AND the trimmed/winsorized aggregates are
+    all derived from it (weighted by the distinct counts — the same
+    integer vq values at the same multiplicities, so every sum is the
+    identical exact int64), replacing the former second full pass over
+    events. The per-type output is re-anchored on the authoritative
+    group table so all-null-value groups keep their (n, 0, NULL, NULL)
+    row exactly as before. vq→double→long round-trips are exact in the
+    nano-quantized catalog domain (|vq| ≤ 2^53 — the same bound the CDF
+    machinery itself already relies on)."""
+    from etl_manager_spark.operators.quantiles import (
+        grouped_value_cdf,
+        percentiles_from_cdf,
+        unwrap_group,
+    )
+
     t = load_tables(spark, sf_dir)
     q = t["events"].select(
         "event_type",
@@ -1957,30 +1969,41 @@ def winsorized_mean_value_by_type(spark, sf_dir):
     # distributed rank-quantile CDF (operators/quantiles.py) — per-type
     # nano-quantized domains are near-unique, so the built-in exact
     # percentile's per-group buffer grows with the data
-    bounds = grouped_exact_percentiles(
-        q, ["event_type"], "vq", {"lo": 0.1, "hi": 0.9}
+    cdf, groups = grouped_value_cdf(q, ["event_type"], "vq")
+    bounds = percentiles_from_cdf(
+        cdf, groups, ["event_type"], {"lo": 0.1, "hi": 0.9}
     )
-    j = q.join(F.broadcast(bounds), on="event_type")
-    vqd = F.col("vq").cast("double")
+    vc = unwrap_group(cdf, ["event_type"]).select("event_type", "_qv", "_qc")
+    j = vc.join(F.broadcast(bounds), on="event_type")
+    vqd = F.col("_qv")  # IS cast(vq as double) — identical comparisons
     kept = (vqd >= F.col("lo")) & (vqd <= F.col("hi"))
     clamped = (
         F.floor(
             F.least(F.greatest(vqd, F.col("lo")), F.col("hi")) + F.lit(0.5)
         ).cast("long")
     )
-    return j.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
-        F.floor(
-            F.sum(F.when(kept, F.col("vq"))).cast("double")
-            / F.sum(F.when(kept, 1).otherwise(0))
-            + F.lit(0.5)
-        )
+    agg = j.groupBy("event_type").agg(
+        F.sum(F.when(kept, F.col("_qc")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("_nk"),
+        F.sum(F.when(kept, F.col("_qv").cast("long") * F.col("_qc")))
+        .cast("long")
+        .alias("_ks"),
+        F.sum(clamped * F.col("_qc")).cast("long").alias("_cs"),
+    )
+    anchor = unwrap_group(groups, ["event_type"]).select(
+        "event_type", F.col("_qrows").alias("n")
+    )
+    out = anchor.join(agg, on="event_type", how="left")
+    n_kept = F.coalesce(F.col("_nk"), F.lit(0)).cast("long")
+    return out.select(
+        "event_type",
+        F.col("n"),
+        n_kept.alias("n_kept"),
+        F.floor(F.col("_ks").cast("double") / n_kept + F.lit(0.5))
         .cast("long")
         .alias("trimmed_mean_q"),
-        F.floor(
-            F.sum(clamped).cast("double") / F.count(F.lit(1)) + F.lit(0.5)
-        )
+        F.floor(F.col("_cs").cast("double") / F.col("n") + F.lit(0.5))
         .cast("long")
         .alias("winsorized_mean_q"),
     )
@@ -2761,6 +2784,9 @@ def conformal_interval_events(spark, sf_dir):
         R.quantize(F.col("value")).alias("y_q"),
         (F.col("event_id") % 2 == 0).alias("is_cal"),
     )
+    # m (|types| rows) is consumed by the residual pass AND the final
+    # join — eager-checkpoint the tiny frame so the calibration aggregate
+    # runs one fact pass, not one per consumer
     m = (
         ev.filter("is_cal")
         .groupBy("event_type")
@@ -2771,7 +2797,7 @@ def conformal_interval_events(spark, sf_dir):
                 / F.lit(1000000000.0)
             ).alias("mean_v"),
         )
-    )
+    ).localCheckpoint(eager=True)
     r = ev.join(F.broadcast(m), "event_type").select(
         "event_type",
         "is_cal",
@@ -2780,23 +2806,41 @@ def conformal_interval_events(spark, sf_dir):
             + F.lit(0.5)
         ).cast("long").alias("r_q"),
     )
+    # round 10 (guide §8): ONE hash-agg collapses the residual stream to
+    # per-(type, half, residual) counts; the calibration quantile AND the
+    # held-out coverage audit are both derived from that distinct table
+    # (same values, same multiplicities), so the residual side of the
+    # query reads the fact rows once instead of twice — and the shared
+    # aggregate exchange is planned once (ReusedExchange)
+    rc = r.groupBy("event_type", "is_cal", "r_q").agg(
+        F.count(F.lit(1)).cast("long").alias("_rc")
+    ).localCheckpoint(eager=True)
     # distributed rank-quantile CDF (operators/quantiles.py): calibration
     # residuals are a near-unique nano-quantized domain per type — the
     # built-in percentile's single-task buffer is the 100 TB cliff here
+    # qh (|types| rows) is consumed by the coverage branch AND the final
+    # join: eager-checkpoint the tiny frame so the quantile machinery
+    # runs once instead of per consumer
     qh = grouped_exact_percentiles(
-        r.filter("is_cal"), ["event_type"], "r_q", {"q_hat": 0.9}
-    )
+        rc.filter("is_cal"),
+        ["event_type"],
+        "r_q",
+        {"q_hat": 0.9},
+        weight_col="_rc",
+    ).localCheckpoint(eager=True)
     cov = (
-        r.filter(~F.col("is_cal"))
+        rc.filter(~F.col("is_cal"))
         .join(F.broadcast(qh), "event_type")
         .groupBy("event_type")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum("_rc").cast("long").alias("n_test"),
             F.floor(
                 F.sum(
-                    F.when(F.col("r_q") <= F.col("q_hat"), 1).otherwise(0)
+                    F.when(
+                        F.col("r_q") <= F.col("q_hat"), F.col("_rc")
+                    ).otherwise(F.lit(0))
                 ).cast("double")
-                / F.count(F.lit(1)).cast("double")
+                / F.sum("_rc").cast("double")
                 * F.lit(1000000000.0) + F.lit(0.5)
             ).cast("long").alias("coverage_q"),
         )
@@ -4334,9 +4378,11 @@ def qq_distance_view_click(spark, sf_dir):
     # distributed rank-quantile CDF (operators/quantiles.py): two groups
     # spanning the whole fact table — exactly the few-huge-groups regime
     # where the built-in percentile's per-group buffer grows linearly
+    # the 2-row decile table is consumed twice (view side, click side):
+    # eager-checkpoint it so the rank/bracket machinery runs once
     dec = grouped_exact_percentiles(
         q, ["event_type"], "v_q", {f"d{p}": p / 10.0 for p in range(1, 10)}
-    )
+    ).localCheckpoint(eager=True)
     a = dec.filter(F.col("event_type") == "view").drop("event_type")
     bcols = [F.col(f"d{p}").alias(f"b{p}") for p in range(1, 10)]
     b = dec.filter(F.col("event_type") == "click").select(*bcols)

@@ -266,6 +266,38 @@ def test_equidepth_parity_at_sf01(spark):
     assert srows == drows
 
 
+def test_ordered_cumsum_construction_runs_only_the_checkpoint_jobs(
+    spark, frame
+):
+    """Round-10 contract: building the cumsum plan triggers ONLY the
+    jobs of the eager base localCheckpoint — the pre-round-10 shape
+    additionally paid a totals collect (an extra eager job wave and a
+    driver barrier) per call; rfm chains three calls. The reference
+    count is measured in-test so the assertion is robust to how many
+    jobs AQE uses per materialization."""
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None))
+    (
+        frame.repartitionByRange(5, F.asc("k"), F.asc("id"))
+        .withColumn("_p", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    checkpoint_jobs = len(tracker.getJobIdsForGroup(None)) - before
+
+    before = len(tracker.getJobIdsForGroup(None))
+    out = ordered_cumsum(
+        frame, [F.asc("k"), F.asc("id")], ["v"], rank_name="rnk",
+        n_partitions=5,
+    )
+    construction_jobs = len(tracker.getJobIdsForGroup(None)) - before
+    assert construction_jobs <= checkpoint_jobs, (
+        f"construction ran {construction_jobs} jobs vs {checkpoint_jobs} "
+        "for the checkpoint alone — an extra eager action (the old "
+        "totals collect?) is back"
+    )
+    assert out.count() == 101
+
+
 def test_ordered_cumsum_null_values_match_global_window(spark):
     """NULL values: the global window's running SUM is NULL only while
     the whole prefix is null-valued; a partition whose LOCAL prefix is

@@ -97,14 +97,16 @@ def test_property_matches_builtin_random_multisets(spark):
 
 def test_max_groups_ceiling_refused(spark):
     """The few-huge-groups contract is enforced: a high-cardinality group
-    key must be refused before the driver materializes O(groups) offsets
-    (the collect itself is LIMIT-bounded, so even the refusal path holds
-    only ~max_groups rows)."""
+    key must be refused before O(groups) side tables are built. Round 10:
+    the operator is fully LAZY (no pre-flight collect), so the refusal is
+    an in-plan assert_true that fails the query at EXECUTION time — the
+    construction itself triggers no job."""
     df = spark.range(200).selectExpr("id as g", "cast(id as double) as v")
-    with pytest.raises(ValueError, match="FEW huge groups"):
-        grouped_exact_percentiles(
-            df, ["g"], "v", {"med": 0.5}, n_partitions=4, max_groups=50
-        )
+    over = grouped_exact_percentiles(
+        df, ["g"], "v", {"med": 0.5}, n_partitions=4, max_groups=50
+    )
+    with pytest.raises(Exception, match="FEW huge groups"):
+        over.collect()
     # at or under the ceiling it works
     got = grouped_exact_percentiles(
         df, ["g"], "v", {"med": 0.5}, n_partitions=4, max_groups=200
@@ -161,6 +163,68 @@ def test_derived_ansi_throwing_value_column_survives(spark):
     )
     out = grouped_exact_percentiles(pairs, ["g"], "slope", {"med": 0.5})
     assert out.collect()[0]["med"] == 10.0
+
+
+def test_construction_runs_only_the_checkpoint_jobs(spark):
+    """Round-10 contract: building the percentile plan triggers ONLY the
+    jobs of the eager base localCheckpoint — nothing more. The
+    pre-round-10 shape additionally paid a bounded collect (an extra
+    eager job wave and a full driver barrier) per call; the offsets/
+    rank/guard tables now ride in-plan. The reference job count is
+    measured in-test by materializing the equivalent checkpointed base
+    alone, so the assertion is robust to how many jobs AQE uses per
+    materialization."""
+    from pyspark.sql import functions as F2
+
+    tracker = spark.sparkContext.statusTracker()
+    df = spark.range(1000).selectExpr("id % 3 as g", "cast(id as double) v")
+
+    # reference: the checkpoint alone (same shape the operator builds)
+    before = len(tracker.getJobIdsForGroup(None))
+    (
+        df.groupBy(F2.struct("g").alias("_qg"), F2.col("v").alias("_qv"))
+        .agg(F2.count(F2.lit(1)).alias("_qc"))
+        .repartitionByRange(8, "_qg", "_qv")
+        .withColumn("_qp", F2.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    checkpoint_jobs = len(tracker.getJobIdsForGroup(None)) - before
+
+    before = len(tracker.getJobIdsForGroup(None))
+    out = grouped_exact_percentiles(
+        df, ["g"], "v", {"med": 0.5, "q9": 0.9}, n_partitions=8
+    )
+    construction_jobs = len(tracker.getJobIdsForGroup(None)) - before
+    # construction = base checkpoint + the tiny totals checkpoint (≤2
+    # jobs, it reads the already-materialized base); anything beyond
+    # means an extra eager action (the old driver collect) is back
+    assert construction_jobs <= checkpoint_jobs + 2, (
+        f"construction ran {construction_jobs} jobs vs {checkpoint_jobs} "
+        "for the base checkpoint alone (+2 allowed for the totals "
+        "checkpoint) — an extra eager action is back"
+    )
+    assert out.count() == 3
+
+
+def test_weighted_matches_row_level(spark):
+    """weight_col parity: percentiles over a pre-aggregated (group,
+    value, count) table must equal the row-level form — the contract the
+    single-fact-pass rewrites (MAD/winsorized/conformal) rely on."""
+    import random
+
+    rng = random.Random(3)
+    rows = [(i % 2, float(rng.randint(0, 30))) for i in range(300)]
+    df = spark.createDataFrame(rows, "g int, v double")
+    exp = _ours(df, "g", "v", 8)
+    vc = df.groupBy("g", "v").agg(F.count(F.lit(1)).alias("c"))
+    got = {
+        r["g"]: r.asDict()
+        for r in grouped_exact_percentiles(
+            vc, ["g"], "v", PCTS, count_name="n", n_partitions=8,
+            weight_col="c",
+        ).collect()
+    }
+    assert got == exp
 
 
 def test_nan_group_key_spanning_partitions(spark):

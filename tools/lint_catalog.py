@@ -54,11 +54,13 @@ PCT_ALLOWED = {
 # A flagged BNLJ whose query is NOT in this dict is a critical lint
 # failure: an unbounded broadcast side is the quadratic 100 TB cliff.
 NLJ_ALLOWED: dict[str, str] = {
+    "agg_median_acctbal_by_nation": "scalar: CDF contract-guard row + bounded rank/percentile side tables",
     "assoc_rules_event_pairs": "groups: event-type pair grid (<=types^2)",
     "average_precision_bm25": "bounded-k: rank-prefix table <=k",
     "balanced_downsample_events": "scalar: global min class count",
     "benford_first_digit_values": "scalar: global total",
     "bigram_lm_score_documents": "scalar: corpus token totals",
+    "bm25_rank_documents": "scalar: n_docs + avgdl one-row aggregates",
     "bootstrap_lift_ci_events": "scalar: totals; replicate grid constant",
     "bootstrap_poisson_ci_events": "scalar: totals; replicate grid constant",
     "brier_decomposition_documents": "scalar: n + base rate",
@@ -90,13 +92,16 @@ NLJ_ALLOWED: dict[str, str] = {
     "ndcg_bm25_documents": "bounded-k: per-query ideal-DCG rows",
     "nearest_supplier_per_customer": "dim: supplier (stream side spread())",
     "negative_sampling_documents": "bounded-k: query set doc_id<20",
+    "norm_quartiles_embeddings_label": "scalar: CDF contract-guard row + bounded rank tables",
     "pareto_revenue_concentration": "scalar: grand total + part-summary",
     "pmi_collocations_documents": "scalar: corpus totals",
     "precision_recall_at_5_bm25": "scalar: n_relevant",
+    "profile_approx_quantiles_orders": "scalar: CDF contract-guard row + bounded rank tables",
     "psi_drift_orders_price": "scalar: min/max + 10 fixed bins",
     "q11_important_part_value": "scalar: value threshold (TPC-H Q11)",
     "q22_global_sales_opportunity": "scalar: global avg balance (TPC-H Q22)",
     "qq_distance_view_click": "bounded-table: decile grid x 2 types",
+    "rrf_fuse_bm25_tfidf_documents": "scalar: n_docs + avgdl one-row aggregates (both rankers)",
     "rollup_grouping_id_events": "scalar: ANSI ()-row re-anchor (1-row seed x <=1-row total)",
     "rollup_revenue_region_nation": "scalar: ANSI ()-row re-anchor (1-row seed x <=1-row total)",
     "range_join_value_buckets": "bounded-table: constant bucket grid",
@@ -117,6 +122,7 @@ NLJ_ALLOWED: dict[str, str] = {
     "skyline_orders_price_date": "calendar: per-day min table",
     "subquery_scalar_above_avg": "scalar: global avg",
     "t_closeness_audit_events": "groups: (hour x band) global distribution",
+    "tfidf_top_terms_documents": "scalar: distinct-doc-count one-row aggregate",
     "temperature_resample_documents": "scalar: total sampling quota",
     "temporal_split_events": "scalar: min/max day",
     "theil_decomposition_nation_revenue": "scalar: global n/sum",
@@ -125,6 +131,7 @@ NLJ_ALLOWED: dict[str, str] = {
     "vocab_coverage_documents": "scalar: total token count",
     "vocab_kl_drift_documents": "scalar: per-half vocabulary totals",
     "welch_t_view_vs_click": "groups: 2 per-type stat rows",
+    "winsorized_mean_value_by_type": "scalar: CDF contract-guard row + bounded rank tables",
     "zipf_fit_documents": "bounded-table: top-1000 tokens (TakeOrdered)",
     "zscore_anomaly_days": "scalar: global mean/std",
 }
@@ -138,6 +145,7 @@ NLJ_ALLOWED: dict[str, str] = {
 # repartition could fuse without changing the algorithm. An unlisted
 # flagged query is a critical failure until adjudicated.
 MS_ALLOWED: dict[str, str] = {
+    "agg_median_acctbal_by_nation": "CDF machinery keyings (distinct-value agg, range slice, totals, offsets) - fixed count",
     "assoc_rules_event_pairs": "item, pair, and total support keyings",
     "chi2_event_type_by_dow": "row/col/cell marginals + total",
     "clustering_coefficient_neardup": "degree, wedge, triangle keyings",
@@ -145,6 +153,7 @@ MS_ALLOWED: dict[str, str] = {
     "conformal_interval_events": "per-type calib CDF + test join",
     "dbscan_core_border_noise_embeddings": "bucket join + O(log n) CC label rounds",
     "dedup_embedding_cosine_lsh": "band bucketing + probe + rerank + corpus set-dedup exchange",
+    "equidepth_bins_orders_price": "cumsum machinery + decile edge keyings - fixed count",
     "haar_energy_daily_events": "one pair-agg per wavelet level (log2 span)",
     "kneser_ney_bigram_score_documents": "bigram/unigram/continuation keyings",
     "leakage_safe_split_documents": "group, split, and audit keyings",
@@ -153,7 +162,9 @@ MS_ALLOWED: dict[str, str] = {
     "ngram_jaccard_top_pairs": "token, pair, size keyings + (id, token) set-dedup exchange",
     "ndcg_bm25_documents": "term match, per-query rank, ideal rank",
     "newey_west_trend_daily": "per-lag autocovariance keyings (fixed lags)",
+    "norm_quartiles_embeddings_label": "CDF machinery keyings - fixed count",
     "pacf_daily_events": "per-lag Durbin recursion aggs (fixed K)",
+    "profile_approx_quantiles_orders": "CDF machinery keyings - fixed count",
     "rbo_bm25_vs_tfidf": "two rankers + per-depth overlap",
     "rolling_origin_backtest_daily": "per-fold train/test aggs (fixed folds)",
     "rrf_fuse_bm25_tfidf_documents": "two rankers + fused rank",
@@ -163,7 +174,9 @@ MS_ALLOWED: dict[str, str] = {
     "similarity_topk_lsh": "band bucketing + probe + rerank",
     "similarity_topk_pq_adc": "ADC shortlist + rerank + corpus set-dedup exchange",
     "source_overlap_matrix_documents": "pairwise source-grid aggs",
+    "theil_sen_daily_value_trend": "calendar pair grid + CDF machinery keyings - fixed count",
     "triangle_support_neardup": "edge->wedge->triangle join keyings",
+    "winsorized_mean_value_by_type": "CDF machinery keyings + derived-table agg - fixed count",
 }
 
 # filter-not-pushed adjudication (round 8, VERDICT r7 task #2): the lint
