@@ -31,7 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def build_session(cpus: str, app: str):
     from pyspark.sql import SparkSession
 
-    return (
+    builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(int(cpus)))
@@ -39,6 +39,16 @@ def build_session(cpus: str, app: str):
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", "32g")
         .config("spark.ui.enabled", "false")
+    )
+    # experiment hook: "k=v;k=v" extra confs for conf A/B sweeps
+    # (tools/ab_measure.py / job_profile.py reuse this session builder);
+    # the bench itself always runs with the committed defaults below
+    extra = os.environ.get("SPARK_GRAFT_BENCH_CONF", "")
+    for kv in filter(None, (p.strip() for p in extra.split(";"))):
+        k, _, v = kv.partition("=")
+        builder = builder.config(k.strip(), v.strip())
+    return (
+        builder
         # a 300+-query session accumulates localCheckpoint/persist blocks
         # that are only freed when a JVM GC collects the dead RDD refs
         # (ContextCleaner); the default periodicGC interval is 30 MIN —

@@ -275,6 +275,83 @@ def rolling_fingerprint_vectorized(
     return _fp(c)
 
 
+def cdc_chunk_stats_vectorized(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    mod: int = 1_000_000_007,
+    mask: int = 63,
+) -> DataFrame:
+    """Arrow-batched numpy form of :func:`cdc_chunk_stats` — the same
+    Karp-Rabin boundary rule value-for-value (per-step ``(acc·31 + code)
+    % mod`` fold, cut where the window hash ≡ 0 (mod mask+1)), but each
+    fold step is ONE vectorized op across all of a document's windows,
+    so the per-document cost is ``window`` numpy ops instead of
+    len·window interpreted lambda steps (the
+    :func:`rolling_fingerprint_vectorized` escape hatch, applied to
+    chunking; measured 7.6 s → ~1 s for the catalog query at sf0.1).
+
+    Parity notes (tests assert frame equality with the JVM path):
+    ``re.ASCII`` pins ``\\s`` to the JVM regexp class; lower-after-sub
+    commutes with the JVM's sub-after-lower; utf-32 decode yields the
+    same code points as ``F.ascii(F.substr(...))``; NULL text produces
+    the JVM path's all-NULL stats row; int64 stays exact
+    (acc < mod·31 + max code point « 2⁶³)."""
+    import re as _re
+
+    @F.pandas_udf(
+        "struct<n_chunks:long,max_chunk:long,min_chunk:long,n_chars:long>"
+    )
+    def _cdc(texts: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        sub = _re.compile(r"\s+", _re.ASCII).sub
+        rows = []
+        for t in texts:
+            if t is None:
+                # JVM-path parity: NULL text still yields ONE chunk row —
+                # greatest(size(NULL)-7, 1) = 1 window, its NULL hash is
+                # filtered, and ends = concat([], array(NULL)) is the
+                # 1-element [NULL] array, so n_chunks = 1 with NULL
+                # lengths/chars (pinned by the parity test)
+                rows.append((1, None, None, None))
+                continue
+            s = sub(" ", t).lower()
+            if len(s) < window:
+                s = s.ljust(window, " ")
+            codes = np.frombuffer(
+                s.encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.int64)
+            n = codes.size
+            n_win = n - (window - 1)
+            acc = np.zeros(n_win, dtype=np.int64)
+            base = np.arange(n_win)
+            for k in range(window):
+                acc = (acc * 31 + codes[base + k]) % mod
+            # cut positions are window END indices (1-based), interior only
+            ends_at = base + window  # 1-based end index of each window
+            cuts = ends_at[(acc % (mask + 1) == 0) & (ends_at < n)]
+            ends = np.concatenate([cuts, np.array([n], dtype=np.int64)])
+            lens = np.diff(np.concatenate([[0], ends]))
+            rows.append(
+                (int(ends.size), int(lens.max()), int(lens.min()), int(n))
+            )
+        return pd.DataFrame(
+            rows, columns=["n_chunks", "max_chunk", "min_chunk", "n_chars"]
+        )
+
+    return df.select(
+        id_col, _cdc(F.col(text_col)).alias("_c")
+    ).select(
+        id_col,
+        F.col("_c.n_chunks").alias("n_chunks"),
+        F.col("_c.max_chunk").alias("max_chunk"),
+        F.col("_c.min_chunk").alias("min_chunk"),
+        F.col("_c.n_chars").alias("n_chars"),
+    )
+
+
 def doc_fingerprint(text_col: Column | str) -> Column:
     """Deterministic content fingerprint: md5 of the normalized token stream
     (lowercased, whitespace-collapsed). Engine-portable (md5 is standard)."""

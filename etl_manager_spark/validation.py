@@ -181,11 +181,18 @@ def profile_approx_quantiles(
 
     tags = [str(p).replace(".", "_") for p in probabilities]
     exact_names = {f"p{tag}_exact": p for tag, p in zip(tags, probabilities)}
-    try:
+    # round 10: the CDF operator is lazy (its few-groups contract raises
+    # at EXECUTION, not construction), so the fallback decision needs an
+    # explicit bounded probe — one LIMIT-capped distinct count, never
+    # more than max_groups+1 rows regardless of true cardinality
+    n_groups = (
+        df.select(group_col).distinct().limit(max_groups + 1).count()
+    )
+    if n_groups <= max_groups:
         exact = grouped_exact_percentiles(
             df, [group_col], value_col, exact_names, max_groups=max_groups
         )
-    except ValueError:
+    else:
         exact = df.groupBy(group_col).agg(
             *[
                 F.expr(f"percentile({value_col}, {p})").alias(name)

@@ -2468,10 +2468,13 @@ def rrf_fuse_bm25_tfidf_documents(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     docs = t["documents"]
     qterms = sorted(set(_BM25_TERMS))
-    tf = R.term_frequencies(docs).filter(F.col("term").isin(qterms))
     # round 10: the BM25 scorer shares this tf table (one tokenize pass
-    # for both scorers) and the distinct-doc count rides in-plan as a
-    # broadcast scalar instead of an eager driver count
+    # for both scorers — eagerly checkpointed, so the explode+agg runs
+    # once, not once per ranker) and the distinct-doc count rides
+    # in-plan as a broadcast scalar instead of an eager driver count
+    tf = R.term_frequencies(docs).filter(
+        F.col("term").isin(qterms)
+    ).localCheckpoint(eager=True)
     bm = R.bm25_scores(docs, _BM25_TERMS, top=100, tf=tf)
     dfreq = R.document_frequencies(tf)
     ndocs = (
@@ -4039,16 +4042,22 @@ def ndcg_bm25_documents(spark, sf_dir):
     Round 10: scorer and relevance grade share ONE (id, term, tf) table
     — ``rel`` is Σtf over the query terms, identical to counting the
     exploded instances, so the corpus is tokenized once instead of
-    twice and the shared tf aggregate's exchange is planned once."""
+    twice. The query-term tf table and the joined score/rel frame are
+    each consumed by TWO downstream branches (scorer+grade, actual+ideal
+    ranking); both are small (query-term postings / scored docs) and are
+    eagerly checkpointed so the tokenize and scoring chains run once,
+    not once per consumer."""
     from etl_manager_spark.operators.ranking import term_frequencies
     from etl_manager_spark.operators.topk import rank_bounded
 
     t = load_tables(spark, sf_dir)
     docs = spread(t["documents"], spark)
-    tf = term_frequencies(docs).filter(F.col("term").isin(sorted(set(_BM25_TERMS))))
+    tf = term_frequencies(docs).filter(
+        F.col("term").isin(sorted(set(_BM25_TERMS)))
+    ).localCheckpoint(eager=True)
     scores = R.bm25_scores(docs, _BM25_TERMS, tf=tf)
     rel = tf.groupBy("id").agg(F.sum("tf").cast("long").alias("rel"))
-    joined = scores.join(rel, on="id")
+    joined = scores.join(rel, on="id").localCheckpoint(eager=True)
     term_q = lambda: F.floor(
         F.col("rel").cast("double")
         / F.log2(F.col("rnk") + F.lit(1.0))
@@ -4207,10 +4216,13 @@ def rbo_bm25_vs_tfidf(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     docs = t["documents"]
     qterms = sorted(set(_BM25_TERMS))
-    tf = R.term_frequencies(docs).filter(F.col("term").isin(qterms))
     # round 10: the BM25 scorer shares this tf table (one tokenize pass
-    # for both scorers) and the distinct-doc count rides in-plan as a
-    # broadcast scalar instead of an eager driver count
+    # for both scorers — eagerly checkpointed, so the explode+agg runs
+    # once, not once per ranker) and the distinct-doc count rides
+    # in-plan as a broadcast scalar instead of an eager driver count
+    tf = R.term_frequencies(docs).filter(
+        F.col("term").isin(qterms)
+    ).localCheckpoint(eager=True)
     bm = R.bm25_scores(docs, _BM25_TERMS, top=100, tf=tf)
     dfreq = R.document_frequencies(tf)
     ndocs = (
@@ -4595,16 +4607,15 @@ def kneser_ney_bigram_score_documents(spark, sf_dir):
     count-table joins, no windows. Per-bigram log-probs nano-quantized
     before the exact per-doc integer sum (the add-1 discipline).
 
-    Round 10 (guide §3.1): the vocabulary-bounded count tables are
-    BROADCAST, so the scoring side is one map stage whose only shuffle
-    is the per-doc rollup — the pre-AQE size estimate for an
-    aggregate-of-explode is pessimistic enough that Catalyst otherwise
-    plans sort-merge joins of the full pair stream (measured 7× slower
-    on the identical bigram_lm shape). The pair stream is deliberately
-    NOT persisted: a persist's canonical-plan cache entry would be
-    reused by the bench's repeated timed runs (measuring warm cache,
-    not computation), so the tokenize+explode runs once per consumer
-    side (count-table build, scoring probe) — two passes, both
+    Round 10 examined, shape kept: the captured before-plan already
+    shows all six joins as BroadcastHashJoin (Catalyst's estimates got
+    this one right, unlike bigram_lm's), so no hints are needed — and
+    hard-forcing broadcasts would remove the planner's freedom to spill
+    to sort-merge for a billion-bigram corpus. The pair stream is
+    deliberately NOT persisted: a persist's canonical-plan cache entry
+    would be reused by the bench's repeated timed runs (measuring warm
+    cache, not computation), so the tokenize+explode runs once per
+    consumer side (count-table build, scoring probe) — two passes, both
     map-local."""
     t = load_tables(spark, sf_dir)
     toks = spread(t["documents"], spark).select(
@@ -4636,9 +4647,9 @@ def kneser_ney_bigram_score_documents(spark, sf_dir):
         / F.col("c1").cast("double")
     )
     scored = (
-        pairs.join(F.broadcast(bc), ["w1", "w2"])
-        .join(F.broadcast(ctx), ["w1"])
-        .join(F.broadcast(back), ["w2"])
+        pairs.join(bc, ["w1", "w2"])
+        .join(ctx, ["w1"])
+        .join(back, ["w2"])
         .crossJoin(F.broadcast(tot))
         .select("id", R.quantize(logp).alias("logp_q"))
     )

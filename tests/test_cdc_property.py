@@ -51,3 +51,36 @@ def test_cdc_chunk_stats_matches_reference(spark, texts):
     }
     exp = {i: _reference(t) for i, t in enumerate(texts)}
     assert got == exp
+    # round 10: the Arrow/numpy fast path must agree with BOTH the pure
+    # reference and the JVM expression form on the same inputs
+    from etl_manager_spark.operators.text import cdc_chunk_stats_vectorized
+
+    got_v = {
+        r["doc_id"]: (r["n_chunks"], r["max_chunk"], r["min_chunk"], r["n_chars"])
+        for r in cdc_chunk_stats_vectorized(df).collect()
+    }
+    assert got_v == exp
+
+
+def test_cdc_vectorized_null_and_unicode_parity(spark):
+    """The vectorized kernel must reproduce the JVM expression path on
+    the edge axes the property alphabet does not reach: NULL text, empty
+    text, exotic whitespace (NBSP must NOT collapse — \\s is the ASCII
+    class in both engines), multibyte code points, and exactly-window
+    strings."""
+    from etl_manager_spark.operators.text import cdc_chunk_stats_vectorized
+
+    rows = [
+        (0, None),
+        (1, ""),
+        (2, " \t \n "),
+        (3, "ab cd ef"),     # NBSP is not ASCII whitespace
+        (4, "héllo wörld ünïcode — π≈3.14159 🙂 end"),
+        (5, "exactly8"),
+        (6, "a" * 500),
+        (7, "The quick brown fox jumps over the lazy dog. " * 20),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    jvm = sorted([tuple(r) for r in cdc_chunk_stats(df).collect()])
+    vec = sorted([tuple(r) for r in cdc_chunk_stats_vectorized(df).collect()])
+    assert jvm == vec
