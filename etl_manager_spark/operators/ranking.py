@@ -89,7 +89,10 @@ def tfidf_top_terms(
         .distinct()
         .agg(F.count(F.lit(1)).cast("long").alias("_ndocs"))
     )
-    tf = term_frequencies(df, id_col, text_col)
+    # (id, term)-bounded tf table consumed by the df rollup AND the
+    # scored join — one tokenize pass, not two (§8; the r10 plan audit
+    # showed 3 corpus scans per call, pruning having broken lazy reuse)
+    tf = term_frequencies(df, id_col, text_col).localCheckpoint(eager=True)
     dfreq = document_frequencies(tf)
     scored = _attach_scalar(
         tf.join(F.broadcast(dfreq), on="term"), ndocs
@@ -155,29 +158,37 @@ def bm25_scores(
             "nothing upstream?) — every document would score 0; filter "
             "empty queries out before scoring"
         )
-    ndocs = (
-        df.select(F.col(id_col).alias("id"))
-        .distinct()
-        .agg(F.count(F.lit(1)).cast("long").alias("_ndocs"))
-    )
+    # the per-doc length table is the §8 proxy every other aggregate
+    # reads: eagerly checkpointed because THREE consumers (ndocs, avgdl,
+    # the per-term join) would otherwise each re-scan the corpus — the
+    # r10 plan audit showed 5 corpus scans per call; per-branch column
+    # pruning breaks lazy exchange reuse
     lens = df.select(
         F.col(id_col).alias("id"),
         # token_count carries the nullif(-1) legacy-ANSI guard, so
         # NULL-text docs contribute NULL (avg-ignored), never dl=-1
         token_count(text_col).alias("dl"),
+    ).localCheckpoint(eager=True)
+    # lens is a 1:1 projection of df's rows, so the distinct-id count
+    # over it IS the former distinct-id count over df — no corpus pass
+    ndocs = (
+        lens.select("id")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("_ndocs"))
     )
     avgdl = lens.agg(F.avg("dl").alias("_avgdl"))
     if tf is None:
+        # query-term-bounded (≤ |qterms| rows per doc): checkpoint so
+        # dfreq and the per-term join share one tokenize pass
         tf = term_frequencies(df, id_col, text_col).filter(
             F.col("term").isin(qterms)
-        )
+        ).localCheckpoint(eager=True)
     # else: the caller passes its own (id, term, tf) table ALREADY
-    # restricted to the query terms, so a query that needs both the
-    # scores and another per-term aggregate tokenizes the corpus once
-    # (the shared tf aggregate's exchange is planned once and reused).
-    # df over the full corpus for these terms == df over the filtered tf
-    # (tf already has exactly one row per (doc, term) pair), so the corpus
-    # is scanned once, not twice.
+    # restricted to the query terms (and typically checkpointed), so a
+    # query that needs both the scores and another per-term aggregate
+    # tokenizes the corpus once. df over the full corpus for these terms
+    # == df over the filtered tf (tf already has exactly one row per
+    # (doc, term) pair).
     dfreq = document_frequencies(tf)
     per_term = (
         _attach_scalar(
@@ -378,51 +389,73 @@ def bigram_lm_scores(
     that genuinely exceed broadcast size; then pre-bucket both sides
     on the bigram key instead.
 
-    The corpus is tokenized EXACTLY ONCE: one explode emits a
+    The corpus is tokenized exactly TWICE: one explode emits a
     ``(id, w1, w2)`` row per token — ``w2`` is the following token, or
-    NULL for a document's final token — and that stream is eagerly
-    materialized (``localCheckpoint``) so all four consumers (bigram
-    counts, unigram counts, vocabulary size, and the scoring probe)
-    read the same blocks. The lazy form re-ran scan + regex tokenize +
-    explode once per consumer — 4 passes over the corpus, the dominant
-    cost at sf0.1. Unigram counts read ALL rows (every token appears
-    exactly once as ``w1``); bigram rows are the ``w2 IS NOT NULL``
-    subset — identical counts to tokenizing separately, so the oracle
-    SQL is unchanged.
+    NULL for a document's final token — and ONE hash-agg rolls that
+    stream up to a vocabulary²-bounded count table that is eagerly
+    materialized (``localCheckpoint``) for all three count consumers
+    (bigram counts, unigram counts, vocabulary size); the scoring probe
+    pays the second, map-local tokenize pass. The lazy form re-ran
+    scan + regex tokenize + explode once per consumer — 4 passes over
+    the corpus, the dominant cost at sf0.1 — while checkpointing the
+    raw stream itself materializes corpus-scale blocks (memory-unsafe
+    under repeated invocation). Unigram counts sum ALL count rows
+    (every token appears exactly once as ``w1``, boundary marker
+    included); bigram rows are the ``w2 IS NOT NULL`` subset —
+    identical counts to tokenizing separately, so the oracle SQL is
+    unchanged.
 
     Returns (id, n_bigrams, sum_logp_q)."""
-    toks = F.filter(tokens(text_col), lambda t: t != "")
+    # The token array is projected into a COLUMN before the explode:
+    # inlining the split+filter expression into the transform lambda
+    # re-evaluated the whole tokenize per element_at call — O(len²)
+    # interpreted work per document (measured ~20× on the corpus fixture;
+    # the old persist masked it by serving every re-invocation from the
+    # first materialization's cache). As a column reference, element_at
+    # reads the materialized array.
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        F.filter(tokens(text_col), lambda t: t != "").alias("tt"),
+    ).filter(F.size("tt") >= 1)
     # one struct per token: (tok_i, tok_{i+1} | NULL at the doc boundary);
     # the when() guard keeps element_at in-bounds under ANSI mode
     units = F.transform(
-        F.sequence(F.lit(1), F.size(toks)),
+        F.sequence(F.lit(1), F.size("tt")),
         lambda i: F.struct(
-            F.element_at(toks, i).alias("w1"),
+            F.element_at(F.col("tt"), i).alias("w1"),
             F.when(
-                i < F.size(toks), F.element_at(toks, i + F.lit(1))
+                i < F.size("tt"), F.element_at(F.col("tt"), i + F.lit(1))
             ).alias("w2"),
         ),
     )
-    from pyspark.storagelevel import StorageLevel
-
-    # persist, not eager localCheckpoint: the first consumer materializes
-    # the blocks and the other three read them back — same single
-    # tokenize pass, but no separate up-front checkpoint job (measured
-    # ~2.5× faster at sf0.1), and the cache manager can release the
-    # blocks (clearCache / ContextCleaner) when the result is consumed.
-    # Recompute-on-eviction is safe here: every consumer is an exact
-    # count/probe independent of partitioning (nothing sampled).
-    token_stream = (
-        df.filter(F.size(toks) >= 1)
-        .select(F.col(id_col).alias("id"), F.explode(units).alias("u"))
-        .select("id", F.col("u.w1").alias("w1"), F.col("u.w2").alias("w2"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    token_stream = staged.select(
+        "id", F.explode(units).alias("u")
+    ).select("id", F.col("u.w1").alias("w1"), F.col("u.w2").alias("w2"))
+    # Checkpoint the vocabulary²-BOUNDED count table, never the
+    # corpus-sized token stream. An eager checkpoint of the raw
+    # (id, w1, w2) stream (tried this round) materializes corpus-scale
+    # blocks per invocation; under the bench's repeated-invocation
+    # protocol the accumulated blocks saturate storage memory and the
+    # median measured the resulting spill/GC thrash (33 s vs 3 s in a
+    # fresh session). The count table rolls the stream up to one row per
+    # (w1, w2 | NULL-boundary) — all three count consumers (bigram,
+    # unigram, vocabulary) derive from it exactly: unigram counts sum
+    # every (w1, *) row including the boundary marker, so c1 counts each
+    # token instance once, and the scoring probe pays the second
+    # (map-local) tokenize pass instead of reading giant blocks. A
+    # persist of the stream is no better: its CacheManager entry is
+    # matched by canonical plan, so repeated invocations silently read
+    # warm cache and a repeated-measurement harness times cache reads.
+    tc = (
+        token_stream.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
     )
     pairs = token_stream.filter(F.col("w2").isNotNull())
-    bigram_counts = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    unigram_counts = token_stream.groupBy("w1").agg(
-        F.count(F.lit(1)).alias("c1")
+    bigram_counts = tc.filter(F.col("w2").isNotNull()).select(
+        "w1", "w2", F.col("c").alias("c12")
     )
+    unigram_counts = tc.groupBy("w1").agg(F.sum("c").alias("c1"))
     # vocabulary size rides along as a broadcast one-row frame instead of a
     # driver-side count(): that action would re-run the whole unigram
     # aggregation once per invocation just to embed a literal. Double math

@@ -962,6 +962,9 @@ def gapfill_locf_user_hours(spark, sf_dir):
         .filter(F.col("user_id") < 10)
         .groupBy("user_id", F.date_trunc("hour", "ts").alias("hour_ts"))
         .agg(dec_sum("value").alias("v"))
+        # hours×10-users-bounded series consumed by the bounds pass AND
+        # the grid join — one fact pass, not two (§8)
+        .localCheckpoint(eager=True)
     )
     bounds = hourly.groupBy("user_id").agg(
         F.min("hour_ts").alias("mn"), F.max("hour_ts").alias("mx")
@@ -1130,6 +1133,9 @@ def vocab_coverage_documents(spark, sf_dir):
         .filter(F.col("term") != "")
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        # vocabulary-bounded counts consumed by the total AND the top-100
+        # rank — one tokenize pass, not two (§8)
+        .localCheckpoint(eager=True)
     )
     total = counts.agg(F.sum("cnt").alias("total"))
     top = counts.orderBy(F.desc("cnt"), F.asc("term")).limit(100)
@@ -1375,6 +1381,9 @@ def gapfill_linear_user_hours(spark, sf_dir):
         .filter(F.col("user_id") < 10)
         .groupBy("user_id", F.date_trunc("hour", "ts").alias("hour_ts"))
         .agg(dec_sum("value").alias("v"))
+        # hours×10-users-bounded series consumed by the bounds pass AND
+        # the grid join — one fact pass, not two (§8)
+        .localCheckpoint(eager=True)
     )
     bounds = hourly.groupBy("user_id").agg(
         F.min("hour_ts").alias("mn"), F.max("hour_ts").alias("mx")
@@ -1868,7 +1877,13 @@ def assoc_rules_event_pairs(spark, sf_dir):
     ratios. Both ratio factors are exact integers rendered through the
     identical double expression in both engines."""
     t = load_tables(spark, sf_dir)
-    baskets = t["events"].select("user_id", "event_type").distinct()
+    # users×|types|-bounded basket table consumed by four branches
+    # (user count, singles, both self-join sides) — one fact pass, not
+    # four re-distincts of events (§8)
+    baskets = (
+        t["events"].select("user_id", "event_type").distinct()
+        .localCheckpoint(eager=True)
+    )
     n_users = baskets.agg(
         F.countDistinct("user_id").alias("_n_users")
     )
@@ -2124,6 +2139,9 @@ def rolling_7d_active_users(spark, sf_dir):
             "user_id",
         )
         .distinct()
+        # days×active-users-bounded proxy consumed by the day grid AND
+        # the range join — one fact pass, not two (§8)
+        .localCheckpoint(eager=True)
     )
     days = daily.select("d").distinct().select(F.col("d").alias("day"))
     return (
@@ -2641,10 +2659,13 @@ def pmi_collocations_documents(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     tk = F.filter(tokens("text"), lambda x: x != "")
     docs2 = spread(t["documents"], spark).select(tk.alias("tk"))
+    # vocabulary-bounded count table consumed by three branches (total,
+    # both unigram probes) — one tokenize pass, not three (§8)
     uni = (
         docs2.select(F.explode("tk").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
     )
     tot = uni.agg(F.sum("c").alias("_t"))
     pair_structs = F.when(
@@ -2657,11 +2678,14 @@ def pmi_collocations_documents(spark, sf_dir):
             ),
         ),
     ).otherwise(F.array())
+    # bigram-vocabulary-bounded table consumed by the total AND the
+    # scored probe — one pair-explode pass, not two (§8)
     big = (
         docs2.select(F.explode(pair_structs).alias("pr"))
         .select(F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2"))
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("cab"))
+        .localCheckpoint(eager=True)
     )
     # B is the UNFILTERED bigram total (P(a,b) denominators are corpus
     # probabilities); the min-count gate only prunes which pairs score
@@ -3637,9 +3661,11 @@ def countmin_calibration_events(spark, sf_dir):
     The readback joins keys to their cells by recomputing the hash
     (no sketch state on the driver)."""
     t = load_tables(spark, sf_dir)
+    # users-bounded exact counts consumed by the sketch build AND the
+    # estimate probe — one fact pass, not two (§8)
     exact = t["events"].groupBy("user_id").agg(
         F.count(F.lit(1)).alias("c")
-    )
+    ).localCheckpoint(eager=True)
 
     def cell_of(d_col, key_col):
         return (
@@ -3715,9 +3741,11 @@ def conversion_latency_events(spark, sf_dir):
     whole thing exchange-free after the first shuffle."""
     t = load_tables(spark, sf_dir)
     ev = t["events"]
+    # users-bounded first-view table consumed by the purchase probe AND
+    # the closing join — one view-scan, not two (§8)
     fv = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
         F.min("ts").alias("first_view")
-    )
+    ).localCheckpoint(eager=True)
     fp = (
         ev.filter(F.col("event_type") == "purchase")
         .join(fv, on="user_id")
@@ -4538,7 +4566,11 @@ def skyline_orders_price_date(spark, sf_dir):
             .alias("price_c"),
         )
     )
-    daymin = o.groupBy("day").agg(F.min("price_c").alias("minp"))
+    # days-bounded minima consumed by both sides of the suffix-min
+    # theta-join — one orders aggregate, not two (§8)
+    daymin = o.groupBy("day").agg(F.min("price_c").alias("minp")).localCheckpoint(
+        eager=True
+    )
     later = daymin.select(
         F.col("day").alias("l_day"), F.col("minp").alias("l_minp")
     )
@@ -4607,16 +4639,24 @@ def kneser_ney_bigram_score_documents(spark, sf_dir):
     count-table joins, no windows. Per-bigram log-probs nano-quantized
     before the exact per-doc integer sum (the add-1 discipline).
 
-    Round 10 examined, shape kept: the captured before-plan already
-    shows all six joins as BroadcastHashJoin (Catalyst's estimates got
-    this one right, unlike bigram_lm's), so no hints are needed — and
-    hard-forcing broadcasts would remove the planner's freedom to spill
-    to sort-merge for a billion-bigram corpus. The pair stream is
-    deliberately NOT persisted: a persist's canonical-plan cache entry
-    would be reused by the bench's repeated timed runs (measuring warm
-    cache, not computation), so the tokenize+explode runs once per
-    consumer side (count-table build, scoring probe) — two passes, both
-    map-local."""
+    Round 10: join strategy kept (the captured before-plan already shows
+    all six joins as BroadcastHashJoin — Catalyst's estimates got this
+    one right, unlike bigram_lm's — and hard-forcing broadcasts would
+    remove the planner's sort-merge fallback for a billion-bigram
+    corpus). But the before-plan also showed FIVE documents scans: the
+    lazy ``bc`` subtree was re-planned per consumer (ctx, back, tot,
+    scoring join) because per-branch column pruning breaks canonical-plan
+    exchange reuse. The vocabulary²-bounded bigram count table is now
+    eagerly localCheckpointed — its three rollups and the scoring joins
+    all read the checkpoint, so the corpus is tokenized exactly TWICE
+    (count-table build, scoring probe) instead of five times. The pair
+    stream itself is deliberately NOT materialized: checkpointing the
+    corpus-sized stream (tried this round) accumulated corpus-scale
+    blocks per invocation and a repeated-measurement harness times the
+    resulting storage-memory thrash, while a persist's canonical-plan
+    cache entry is silently reused across invocations (warm-cache
+    medians) — both rejected; the second map-local tokenize pass is the
+    cheaper, memory-safe side."""
     t = load_tables(spark, sf_dir)
     toks = spread(t["documents"], spark).select(
         F.col("doc_id").alias("id"),
@@ -4631,7 +4671,9 @@ def kneser_ney_bigram_score_documents(spark, sf_dir):
             )
         ).alias("p"),
     ).select("id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
-    bc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    bc = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c12")
+    ).localCheckpoint(eager=True)
     ctx = bc.groupBy("w1").agg(
         F.sum("c12").cast("long").alias("c1"),
         F.count(F.lit(1)).cast("long").alias("n1f"),
@@ -4726,11 +4768,17 @@ def theil_decomposition_nation_revenue(spark, sf_dir):
         # positive shares (a net-refund customer would feed LN a negative
         # ratio - a loud error in DuckDB, a silent NULL in Spark)
         .filter(F.col("r") > 0)
+        # customers-bounded revenue table consumed by three branches
+        # (totals, per-customer terms, per-nation groups) — one pass over
+        # the orders⋈customer join, not three (§8)
+        .localCheckpoint(eager=True)
     )
     tot = cust.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         dec_sum("r").alias("sr"),
-    )
+    # one-row totals consumed by terms, between-groups AND the final
+    # projection — materialize once
+    ).localCheckpoint(eager=True)
     mu = F.col("sr") / F.col("n")
     terms = cust.crossJoin(F.broadcast(tot)).select(
         "nat",
@@ -4907,6 +4955,9 @@ def symspell_pairs_vocab_documents(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("freq"))
         .orderBy(F.desc("freq"), F.asc("word"))
         .limit(2000)
+        # 2000-word vocab consumed by both deletion-neighborhood sides —
+        # one tokenize pass, not two (§8)
+        .localCheckpoint(eager=True)
     )
     dels = vocab.select(
         "word", "freq",

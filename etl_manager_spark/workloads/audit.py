@@ -268,6 +268,9 @@ def chi2_event_type_by_dow(spark, sf_dir):
         t["events"]
         .groupBy("event_type", F.dayofweek("ts").alias("dow"))
         .agg(F.count(F.lit(1)).alias("o"))
+        # |types|×7-bounded table consumed by four branches (row/col
+        # marginals, total, contributions) — one fact pass, not four (§8)
+        .localCheckpoint(eager=True)
     )
     rt = cells.groupBy("event_type").agg(F.sum("o").alias("r"))
     ct = cells.groupBy("dow").agg(F.sum("o").alias("c"))
@@ -430,7 +433,11 @@ def benford_first_digit_values(spark, sf_dir):
         .filter(F.col("value") >= 0.01)
         .select(F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit"))
     )
-    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    # 9-row digit counts consumed by the total AND the final projection —
+    # one fact pass, not two (§8)
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n")).localCheckpoint(
+        eager=True
+    )
     total = c.agg(F.sum("n").alias("total"))
     return c.crossJoin(F.broadcast(total)).select(
         "digit",
@@ -1318,10 +1325,14 @@ def t_closeness_audit_events(spark, sf_dir):
         F.hour("ts").alias("hod"),
         F.floor(F.col("value") / F.lit(50.0)).alias("band"),
         "event_type",
-    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    # every event lands in exactly one (hod, band, type) cell (NULL
+    # hour/band group too), so the global type marginal and the grand
+    # total are rollups of the cube — one fact pass, not three (§8);
+    # the cube is (24+NULL)×bands×|types|-bounded
+    ).agg(F.count(F.lit(1)).cast("long").alias("c")).localCheckpoint(eager=True)
     grp = cells.groupBy("hod", "band").agg(F.sum("c").cast("long").alias("n_g"))
-    glob = ev.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("ct"))
-    nn = ev.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    glob = cells.groupBy("event_type").agg(F.sum("c").cast("long").alias("ct"))
+    nn = cells.agg(F.sum("c").cast("long").alias("n"))
     terms = (
         cells.join(grp, ["hod", "band"])
         .join(F.broadcast(glob), "event_type")

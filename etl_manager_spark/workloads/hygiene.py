@@ -421,18 +421,28 @@ def stickiness_dau_mau_events(spark, sf_dir):
     month key — the join is over |months| rows."""
     t = load_tables(spark, sf_dir)
     ev = t["events"]
-    dau = ev.groupBy(
+    # §8 proxy: ONE distinct (month, day, user) pass over the fact table
+    # feeds both the DAU and the MAU branch (the old shape re-read events
+    # for each). count("user_id") over the distinct rows ≡ the former
+    # COUNT(DISTINCT user_id): rows are unique per (month, day, user) and
+    # count(col) skips the at-most-one NULL-user row per group exactly
+    # like count_distinct did.
+    base = ev.select(
         F.date_trunc("month", "ts").cast("date").alias("month"),
         F.date_trunc("day", "ts").cast("date").alias("dy"),
-    ).agg(F.count_distinct("user_id").cast("long").alias("dau"))
+        "user_id",
+    ).distinct().localCheckpoint(eager=True)
+    dau = base.groupBy("month", "dy").agg(
+        F.count("user_id").cast("long").alias("dau")
+    )
     daily = dau.groupBy("month").agg(
         F.count(F.lit(1)).cast("long").alias("n_days"),
         F.sum("dau").cast("long").alias("sum_dau"),
     )
-    mau = ev.groupBy(
-        F.date_trunc("month", "ts").cast("date").alias("month")
-    ).agg(
-        F.count_distinct("user_id").cast("long").alias("mau")
+    mau = (
+        base.select("month", "user_id").distinct()
+        .groupBy("month")
+        .agg(F.count("user_id").cast("long").alias("mau"))
     )
     return daily.join(mau, on="month").select(
         "month",
@@ -569,7 +579,9 @@ def markov_transitions_events(spark, sf_dir):
     ).filter(F.col("dst").isNotNull())
     trans = chain.groupBy("src", "dst").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
-    )
+    # |types|²-bounded matrix consumed by the row-total pass AND the
+    # probability join — one fact pass, not two (§8)
+    ).localCheckpoint(eager=True)
     tot = trans.groupBy("src").agg(F.sum("cnt").cast("long").alias("total"))
     return trans.join(tot, on="src").select(
         "src",
@@ -1008,6 +1020,10 @@ def source_overlap_matrix_documents(spark, sf_dir):
             ).alias("shingle"),
         )
         .distinct()
+        # (source, shingle) proxy consumed by the size pass AND both
+        # sides of the intersection self-join — one shingle-explode pass,
+        # not three (§8)
+        .localCheckpoint(eager=True)
     )
     sizes = sh.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_shingles")
@@ -1102,7 +1118,9 @@ def embedding_drift_halves(spark, sf_dir):
             F.sum("x_q").cast("double") / F.count(F.lit(1)).cast("double")
             / F.lit(1000000000.0)
         ).alias("m")
-    )
+    # 128-row (half, dim) means consumed by both half-filters — one
+    # embedding-explode pass, not two (§8)
+    ).localCheckpoint(eager=True)
     a = means.filter(F.col("half") == 0).select("dim", F.col("m").alias("m0"))
     b = means.filter(F.col("half") == 1).select("dim", F.col("m").alias("m1"))
     paired = a.join(b, "dim")

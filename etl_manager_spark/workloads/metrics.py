@@ -409,6 +409,30 @@ _DAILY_MEAN_SQL = """daily AS (
     )"""
 
 
+def _daily_type_mean(spark, sf_dir):
+    """(event_type, day, m): per-type daily mean of events.value with the
+    nano-quantize-then-divide discipline — the shared series behind the
+    per-type time-series estimators (record-highs, Haar, Hurst, spectral,
+    PACF, Newey-West, rolling-origin). Callers eagerly localCheckpoint the
+    result: every one of them fans the series into several consumers
+    (day-zero min, moments, residuals, lag joins), and without the
+    materialization each consumer re-reads and re-aggregates the events
+    fact table — the measured round-10 plans showed 6-12 parquet scans per
+    query for a table of at most |types|·|days| rows (guide §1.2/§8:
+    decide on the tiny proxy, touch the heavy rows once)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        spread(t["events"], spark)
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(
+            (
+                F.sum(R.quantize(F.col("value"))).cast("double")
+                / F.count(F.lit(1)).cast("double") / F.lit(1000000000.0)
+            ).alias("m")
+        )
+    )
+
+
 def _daily_mean(spark, sf_dir):
     """(day, mv_q): nano-quantized daily mean of events.value — the
     shared integer-exact series of the time-series estimators (mirrors
@@ -579,7 +603,9 @@ def ks_statistic_view_vs_click(spark, sf_dir):
         F.count(F.when(F.col("event_type") == "click", F.lit(1)))
         .cast("long")
         .alias("cc"),
-    )
+    # distinct-values-bounded counts consumed by the cumsum AND the
+    # totals — one fact pass, not two (§8)
+    ).localCheckpoint(eager=True)
     cum = ordered_cumsum(vc, [F.asc("v")], ["cv", "cc"])
     tot = vc.groupBy().agg(
         F.sum("cv").cast("long").alias("n_view"),
@@ -760,7 +786,9 @@ def zscore_anomaly_days(spark, sf_dir):
         (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
         .cast("long")
         .alias("tot_c")
-    )
+    # days-bounded totals consumed by the moment pass AND the per-day
+    # z-score pass — one fact read instead of two (§8)
+    ).localCheckpoint(eager=True)
     d19 = F.col("tot_c").cast("decimal(19,0)")
     m = daily.groupBy().agg(
         F.count(F.lit(1)).cast("double").alias("n"),
@@ -1142,6 +1170,9 @@ def conditional_entropy_event_chain(spark, sf_dir):
         seq.filter(F.col("nxt").isNotNull())
         .groupBy("prev", "nxt")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        # |types|²-bounded transition counts consumed by three branches
+        # (row totals, grand total, terms) — one fact pass, not three (§8)
+        .localCheckpoint(eager=True)
     )
     pv = pairs.groupBy("prev").agg(F.sum("c").cast("long").alias("cp"))
     n = pairs.groupBy().agg(F.sum("c").cast("long").alias("nt"))
@@ -2296,6 +2327,9 @@ def roc_auc_stopword_lang_documents(spark, sf_dir):
             F.sum("y").cast("long").alias("pos_at"),
             (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("neg_at"),
         )
+        # ≤1001 score-bucket rows consumed by both sides of the
+        # cumulative self-join — one corpus pass, not two (§8)
+        .localCheckpoint(eager=True)
     )
     b = lv.select(
         F.col("p_m").alias("b_p_m"), F.col("neg_at").alias("b_neg_at")
@@ -2572,6 +2606,12 @@ def zipf_fit_documents(spark, sf_dir):
         .select(F.lower("tok0").alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        # vocabulary-bounded counts checkpointed BEFORE the top-k: both
+        # sides of the rank theta-join read them — one tokenize pass, not
+        # two (§8) — while the heap top-k itself stays in the lazy plan
+        # (TakeOrderedAndProject over the tiny vocab table, never a
+        # global sort), re-run per consumer at vocab cost
+        .localCheckpoint(eager=True)
         .orderBy(F.desc("freq"), F.asc("tok"))
         .limit(1000)
     )
@@ -2707,10 +2747,16 @@ def feature_mi_documents(spark, sf_dir):
     ).select(F.col("f.feature").alias("feature"), F.col("f.bin").alias("bin"), "y")
     cells = melted.groupBy("feature", "bin", "y").agg(
         F.count(F.lit(1)).cast("long").alias("c")
-    )
+    # ≤60-cell contingency table consumed by four branches (row/col
+    # margins, total, terms) — one regex-heavy corpus pass, not four (§8)
+    ).localCheckpoint(eager=True)
     mb = cells.groupBy("feature", "bin").agg(F.sum("c").cast("long").alias("rb"))
     my = cells.groupBy("feature", "y").agg(F.sum("c").cast("long").alias("ry"))
-    nn = feats.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # every document lands in exactly one len_bin cell (NULL bins group
+    # too), so this marginal IS the document count — no extra corpus pass
+    nn = cells.filter(F.col("feature") == "len_bin").agg(
+        F.sum("c").cast("long").alias("n")
+    )
     j = (
         cells.join(F.broadcast(mb), ["feature", "bin"])
         .join(F.broadcast(my), ["feature", "y"])
@@ -3122,6 +3168,9 @@ def ccf_click_purchase_daily(spark, sf_dir):
                 / F.count(F.lit(1)).cast("double") / F.lit(1000000000.0)
             ).alias("m")
         )
+        # days-bounded series consumed by both the click and purchase
+        # branches — materialize once instead of two fact passes (§8)
+        .localCheckpoint(eager=True)
     )
     c = daily.filter(F.col("event_type") == "click").select("day", F.col("m").alias("x"))
     p = daily.filter(F.col("event_type") == "purchase").select(
@@ -3453,16 +3502,7 @@ def record_highs_daily_events(spark, sf_dir):
     window, so nothing serializes; per-type daily series are
     calendar-bounded."""
     t = load_tables(spark, sf_dir)
-    daily = (
-        spread(t["events"], spark)
-        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
-        .agg(
-            (
-                F.sum(R.quantize(F.col("value"))).cast("double")
-                / F.count(F.lit(1)).cast("double") / F.lit(1000000000.0)
-            ).alias("m")
-        )
-    )
+    daily = _daily_type_mean(spark, sf_dir).localCheckpoint(eager=True)
     b = daily.select(
         F.col("event_type").alias("b_type"),
         F.col("day").alias("b_day"),
@@ -3546,16 +3586,7 @@ def haar_energy_daily_events(spark, sf_dir):
     (cnt=2 guard) identically in both engines. Per-pair energies are
     nano-quantized before the order-free sums."""
     t = load_tables(spark, sf_dir)
-    daily = (
-        spread(t["events"], spark)
-        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
-        .agg(
-            (
-                F.sum(R.quantize(F.col("value"))).cast("double")
-                / F.count(F.lit(1)).cast("double") / F.lit(1000000000.0)
-            ).alias("m")
-        )
-    )
+    daily = _daily_type_mean(spark, sf_dir).localCheckpoint(eager=True)
     t0 = daily.groupBy("event_type").agg(F.min("day").alias("day0"))
     d0 = daily.join(F.broadcast(t0), "event_type").select(
         "event_type", F.datediff("day", "day0").alias("i"), "m"
@@ -3682,16 +3713,7 @@ def newey_west_trend_daily(spark, sf_dir):
     expressions over the exact moments, shared with the oracle.
     Bartlett long-run variance: γ0 + 2·Σ(1 − l/4)·γl."""
     t = load_tables(spark, sf_dir)
-    daily = (
-        spread(t["events"], spark)
-        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
-        .agg(
-            (
-                F.sum(R.quantize(F.col("value"))).cast("double")
-                / F.count(F.lit(1)).cast("double") / F.lit(1000000000.0)
-            ).alias("m")
-        )
-    )
+    daily = _daily_type_mean(spark, sf_dir).localCheckpoint(eager=True)
     t0 = daily.groupBy("event_type").agg(F.min("day").alias("day0"))
     d0 = daily.join(F.broadcast(t0), "event_type").select(
         "event_type", F.datediff("day", "day0").alias("t"), "m"
@@ -3860,16 +3882,7 @@ def hurst_rs_daily_events(spark, sf_dir):
     shared sequential folds, quantized per block; H is the ln-ln OLS
     slope of mean R/S on w (the zipf/heaps discipline)."""
     t = load_tables(spark, sf_dir)
-    daily = (
-        spread(t["events"], spark)
-        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
-        .agg(
-            (
-                F.sum(R.quantize(F.col("value"))).cast("double")
-                / F.count(F.lit(1)).cast("double") / F.lit(1000000000.0)
-            ).alias("m")
-        )
-    )
+    daily = _daily_type_mean(spark, sf_dir).localCheckpoint(eager=True)
     t0 = daily.groupBy("event_type").agg(F.min("day").alias("day0"))
     d0 = daily.join(F.broadcast(t0), "event_type").select(
         "event_type", F.datediff("day", "day0").alias("t"), "m"
@@ -3980,16 +3993,7 @@ def weekly_spectral_power_events(spark, sf_dir):
     check without an FFT (one bin is all the gate needs). Per-row
     cos/sin terms nano-quantized before the order-free sums."""
     t = load_tables(spark, sf_dir)
-    daily = (
-        spread(t["events"], spark)
-        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
-        .agg(
-            (
-                F.sum(R.quantize(F.col("value"))).cast("double")
-                / F.count(F.lit(1)).cast("double") / F.lit(1000000000.0)
-            ).alias("m")
-        )
-    )
+    daily = _daily_type_mean(spark, sf_dir).localCheckpoint(eager=True)
     t0 = daily.groupBy("event_type").agg(F.min("day").alias("day0"))
     d0 = daily.join(F.broadcast(t0), "event_type").select(
         "event_type", F.datediff("day", "day0").alias("t"), "m"
@@ -4082,16 +4086,7 @@ def pacf_daily_events(spark, sf_dir):
     both engines. φ22=(ρ2−ρ1²)/(1−ρ1²); φ21=ρ1−φ22ρ1;
     φ33=(ρ3−φ21ρ2−φ22ρ1)/(1−φ21ρ1−φ22ρ2)."""
     t = load_tables(spark, sf_dir)
-    daily = (
-        spread(t["events"], spark)
-        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
-        .agg(
-            (
-                F.sum(R.quantize(F.col("value"))).cast("double")
-                / F.count(F.lit(1)).cast("double") / F.lit(1000000000.0)
-            ).alias("m")
-        )
-    )
+    daily = _daily_type_mean(spark, sf_dir).localCheckpoint(eager=True)
     t0 = daily.groupBy("event_type").agg(F.min("day").alias("day0"))
     mu = daily.groupBy("event_type").agg(
         (
@@ -4205,16 +4200,7 @@ def rolling_origin_backtest_daily(spark, sf_dir):
     joined against the day index (the heaps-checkpoint pattern); no
     windows, per-day absolute errors quantized before the sums."""
     t = load_tables(spark, sf_dir)
-    daily = (
-        spread(t["events"], spark)
-        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
-        .agg(
-            (
-                F.sum(R.quantize(F.col("value"))).cast("double")
-                / F.count(F.lit(1)).cast("double") / F.lit(1000000000.0)
-            ).alias("m")
-        )
-    )
+    daily = _daily_type_mean(spark, sf_dir).localCheckpoint(eager=True)
     t0 = daily.groupBy("event_type").agg(F.min("day").alias("day0"))
     d0 = daily.join(F.broadcast(t0), "event_type").select(
         "event_type", F.datediff("day", "day0").alias("t"), "m"

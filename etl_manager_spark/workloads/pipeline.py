@@ -3286,46 +3286,73 @@ def gdpr_cascade_delete_audit(spark, sf_dir):
     record a deletion job must emit before the actual partition
     rewrite (sources/writers.py owns that half). Shape: two broadcast
     semi-joins + anti-join complements, each a map-side filter; six
-    counts reduced in one pass each."""
+    counts reduced in one pass each.
+
+    Round 10 (§8): the lazy shape re-planned the subject/order key-set
+    subtrees per consumer — 13 fact scans (7 customer, 4 orders, 2
+    lineitem) in the captured before-plan. The key sets are now eagerly
+    checkpointed, and each table's deleted/kept pair comes from ONE
+    conditional aggregate over a single left-join flag pass (the join
+    keys are primary keys — c_custkey on customer, o_orderkey on orders
+    — so the flag join cannot duplicate probe rows and the six counts
+    are value-identical to the semi/anti pair). Kept = complement of the
+    DELETION PREDICATE (custkey in the forget set), as before: flagging
+    orders by o_custkey membership, never by shared o_orderkey. Five
+    scans total: customer×2 (subject slice, conditional agg), orders×2
+    (deleted-key materialization, flag agg), lineitem×1."""
     t = load_tables(spark, sf_dir)
-    forget = t["customer"].filter(F.col("c_custkey") % 101 == 0).select(
-        "c_custkey"
+    forget = (
+        t["customer"].filter(F.col("c_custkey") % 101 == 0).select("c_custkey")
+        .localCheckpoint(eager=True)
     )
-    del_orders = t["orders"].join(
-        F.broadcast(forget),
+    # kept = total − deleted reproduces the anti-join exactly: a NULL or
+    # non-multiple key never matched the semi predicate, so it was kept
+    cust = t["customer"].agg(
+        F.count(F.when(F.col("c_custkey") % 101 == 0, 1))
+        .alias("customers_deleted"),
+        (
+            F.count(F.lit(1))
+            - F.count(F.when(F.col("c_custkey") % 101 == 0, 1))
+        ).alias("customers_kept"),
+    )
+    # flag joins build on DISTINCT key sets: a duplicated key on the
+    # build side would duplicate probe rows under a left join, where the
+    # original semi/anti joins count each probe row once
+    omatch = F.col("c_custkey").isNotNull()
+    orders_flagged = t["orders"].join(
+        F.broadcast(forget.distinct()),
         F.col("o_custkey") == F.col("c_custkey"),
-        "semi",
-    ).select("o_orderkey")
-    del_li = t["lineitem"].join(
-        F.broadcast(del_orders),
-        F.col("l_orderkey") == F.col("o_orderkey"),
-        "semi",
+        "left",
     )
-    counts = [
-        forget.groupBy().agg(F.count(F.lit(1)).alias("customers_deleted")),
-        del_orders.groupBy().agg(F.count(F.lit(1)).alias("orders_deleted")),
-        del_li.groupBy().agg(F.count(F.lit(1)).alias("lineitems_deleted")),
-        t["customer"].join(F.broadcast(forget), on="c_custkey", how="anti")
-        .groupBy().agg(F.count(F.lit(1)).alias("customers_kept")),
-        # kept = complement of the DELETION PREDICATE (custkey in the
-        # forget set) — an anti-join on o_orderkey against del_orders
-        # would also delete an innocent order that merely SHARES a
-        # duplicate orderkey with a subject's order
-        t["orders"].join(
-            F.broadcast(forget),
-            F.col("o_custkey") == F.col("c_custkey"),
-            "anti",
-        ).groupBy().agg(F.count(F.lit(1)).alias("orders_kept")),
-        t["lineitem"].join(
-            F.broadcast(del_orders),
+    del_orders = (
+        orders_flagged.filter(omatch).select("o_orderkey")
+        .localCheckpoint(eager=True)
+    )
+    ords = orders_flagged.agg(
+        F.count(F.when(omatch, 1)).alias("orders_deleted"),
+        F.count(F.when(~omatch, 1)).alias("orders_kept"),
+    )
+    lmatch = F.col("o_orderkey").isNotNull()
+    li = (
+        t["lineitem"]
+        .join(
+            F.broadcast(del_orders.distinct()),
             F.col("l_orderkey") == F.col("o_orderkey"),
-            "anti",
-        ).groupBy().agg(F.count(F.lit(1)).alias("lineitems_kept")),
-    ]
-    out = counts[0]
-    for c in counts[1:]:
-        out = out.crossJoin(F.broadcast(c))
-    return out
+            "left",
+        )
+        .agg(
+            F.count(F.when(lmatch, 1)).alias("lineitems_deleted"),
+            F.count(F.when(~lmatch, 1)).alias("lineitems_kept"),
+        )
+    )
+    return (
+        cust.crossJoin(F.broadcast(ords))
+        .crossJoin(F.broadcast(li))
+        .select(
+            "customers_deleted", "orders_deleted", "lineitems_deleted",
+            "customers_kept", "orders_kept", "lineitems_kept",
+        )
+    )
 
 
 @workload(

@@ -118,8 +118,10 @@ def q13_customer_order_distribution(spark, sf_dir):
 def q15_top_supplier(spark, sf_dir):
     """TPC-H Q15 shape: argmax over an aggregated view. The scalar
     subquery becomes a 1-row global max joined back by equality — the
-    supplier aggregate is computed once (ReuseExchange dedupes the
-    shuffle between the two consumers) and never funnels through a
+    supplier aggregate is computed once (eagerly checkpointed: the r10
+    plan audit showed ReuseExchange does NOT dedupe the two consumers —
+    per-branch column pruning breaks the canonical-plan match and the
+    fact table was scanned twice) and never funnels through a
     single-partition window. The revenue doubles are decimal-exact so
     the equality comparison is portable across engines; supplier side
     broadcasts."""
@@ -132,6 +134,7 @@ def q15_top_supplier(spark, sf_dir):
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(_REVENUE_SPARK().alias("total_revenue"))
+        .localCheckpoint(eager=True)
     )
     max_rev = revenue.groupBy().agg(F.max("total_revenue").alias("_max_rev"))
     best = revenue.join(
@@ -489,7 +492,10 @@ def q11_important_part_value(spark, sf_dir):
     Scale: the nation-pruned supplier dim broadcasts; ONE shuffle on
     l_partkey builds the per-part values, and the global total is a
     1-row re-aggregate of that (tiny) table, broadcast back for the
-    filter — the fact table is scanned once. Decimal product-sums make
+    filter — the fact table is scanned once (the per-part table is
+    eagerly checkpointed: lazily, the r10 plan audit showed the total
+    branch re-scanned the fact table, column pruning having broken
+    exchange reuse). Decimal product-sums make
     both the per-part values and the 0.001·total threshold bitwise
     identical across engines (one IEEE multiply of identical doubles)."""
     t = load_tables(spark, sf_dir)
@@ -501,6 +507,7 @@ def q11_important_part_value(spark, sf_dir):
         )
         .groupBy("l_partkey")
         .agg(F.sum(dec("l_extendedprice") * dec("l_quantity")).alias("value_dec"))
+        .localCheckpoint(eager=True)
     )
     total = nat_value.agg(
         F.sum("value_dec").cast("double").alias("_total")
