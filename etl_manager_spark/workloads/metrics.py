@@ -936,7 +936,17 @@ def jaccard_common_neighbors_neardup(spark, sf_dir):
     like the triangle count, never all-pairs."""
     from etl_manager_spark.workloads.graphs import _neardup_pairs
 
-    edges = _neardup_pairs(spark, sf_dir).select("id_a", "id_b")
+    # the (id_a, id_b) key-pair proxy is referenced by EVERY branch of
+    # this plan (symmetrize x2, common-neighbor join, final anchor), and
+    # each lazy reference re-planned its own scan of the stored pair
+    # table — 20 parquet scans in the captured round-10 before-plan.
+    # One eager checkpoint of the two-long-column edge list (ids only,
+    # the §8 lightweight proxy, same class the CC operators checkpoint)
+    # feeds them all.
+    edges = (
+        _neardup_pairs(spark, sf_dir).select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
     nbrs = edges.select(
         F.col("id_a").alias("node"), F.col("id_b").alias("nbr")
     ).unionByName(
