@@ -165,10 +165,16 @@ def minhash_near_duplicates(
     """
     sigs = minhash_signatures(df, id_col, text_col, num_hashes)
     buckets = band_bucket_keys(sigs, id_col, num_hashes, bands)
-    # cap degenerate buckets before the quadratic self-join
+    # cap degenerate buckets before the quadratic self-join; eagerly
+    # checkpoint the (id, bucket) table — ids+hashes only, the §8
+    # lightweight proxy — so the self-join's two sides read one
+    # materialization instead of re-running the whole signature pass
+    # per side (round-10 scan audit: 6 corpus scans per execution; the
+    # sf0.1 walls of the with/without variants are inside this box's
+    # noise band, so the one-signature-pass shape wins on §1.2 grounds)
     sized = buckets.withColumn(
         "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("bucket"))
-    ).filter(F.col("bucket_n") <= max_bucket_size)
+    ).filter(F.col("bucket_n") <= max_bucket_size).localCheckpoint(eager=True)
     pairs = (
         sized.alias("a")
         .join(sized.alias("b"), on="bucket")
@@ -420,9 +426,26 @@ def pairwise_jaccard(
     # duplicate every downstream edge/degree count. Token-less docs keep
     # their empty set via the left join (a pair touching one must score
     # 0.0, not vanish).
-    ids = df.select(F.col(id_col).alias("_sid")).distinct()
+    #
+    # Round 10 (§8): the candidate pair list is the bounded proxy that
+    # decides which documents matter. It is checkpointed once (its lazy
+    # plan is typically the whole LSH candidate chain, which the three
+    # consumers below would otherwise each re-execute), token-set
+    # construction is restricted BEFORE the tokenize to ids that appear
+    # in some pair (non-candidate documents are never tokenized — the
+    # dominant saving at scale), and the candidate-bounded set table is
+    # checkpointed so both pair sides read one materialization instead
+    # of re-running the explode/groupBy per join side.
+    pairs = pairs.localCheckpoint(eager=True)
+    cand_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .union(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    cand = df.join(cand_ids, on=id_col, how="left_semi")
+    ids = cand.select(F.col(id_col).alias("_sid")).distinct()
     tokensets = (
-        df.select(
+        cand.select(
             F.col(id_col).alias("_sid"),
             F.explode(F.array_distinct(tokens(text_col))).alias("_tok"),
         )
@@ -435,7 +458,7 @@ def pairwise_jaccard(
         F.coalesce(
             F.col("_toks"), F.array().cast("array<string>")
         ).alias("_toks"),
-    )
+    ).localCheckpoint(eager=True)
     return (
         pairs.join(sets.withColumnRenamed("_sid", "id_a"), on="id_a")
         .withColumnRenamed("_toks", "toks_a")
@@ -465,9 +488,13 @@ def ngram_jaccard_pairs(
     # duplicated doc_id (reingested row, multi-part doc) would otherwise
     # double |A| and quadruple the intersection counts, yielding
     # impossible Jaccard values > 1 - the set semantics are per DOCUMENT
+    # §8: the inverted-index table feeds the size aggregate AND both
+    # self-join sides — eagerly materialized so the tokenize runs once
+    # per call, not once per consumer (this is the standard materialized
+    # posting table of inverted-index dedup; ids + tokens, no documents)
     tok = df.select(
         F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     sizes = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     inter = (
         tok.alias("a")
@@ -931,6 +958,9 @@ def ngram_containment_pairs(
         df.filter(F.size(toks) >= n)
         .select(F.col(id_col), F.explode(grams).alias("gram"))
         .distinct()
+        # §8: size aggregate + both self-join sides read this posting
+        # table; one shingle pass per call instead of three
+        .localCheckpoint(eager=True)
     )
     sizes = g.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     inter = (

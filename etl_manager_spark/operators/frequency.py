@@ -63,7 +63,12 @@ def heavy_hitters_two_pass(
             for v, c in pdf[col].value_counts().items():
                 counts[v] = counts.get(v, 0) + int(c)
         thr = n / (k + 1)
-        yield pd.DataFrame({col: [v for v, c in counts.items() if c > thr]})
+        cands = [v for v, c in counts.items() if c > thr]
+        # candidate rows carry _part_n NULL; one marker row per task
+        # carries the partition's row count so the global total rides
+        # pass 1 instead of costing a third full scan (§8)
+        yield pd.DataFrame({col: cands, "_part_n": [None] * len(cands)})
+        yield pd.DataFrame({col: [None], "_part_n": [n]})
 
     # NaN is a VALUE to Spark (passes isNotNull, groups and joins as
     # itself) but the pandas→Arrow return path re-reads float NaN as the
@@ -73,22 +78,33 @@ def heavy_hitters_two_pass(
     # ONE value, so one JVM-side candidate row covers it exactly (a
     # superset-only widening; pass 2's exact count and global threshold
     # still decide whether it is emitted).
-    if col in ("cnt", "_n_total", "freq_q"):
+    if col in ("cnt", "_n_total", "freq_q", "_part_n"):
         raise ValueError(
             f"heavy_hitters_two_pass: col={col!r} collides with an output/"
-            "internal column name (cnt/_n_total/freq_q) — alias it first"
+            "internal column name (cnt/_n_total/freq_q/_part_n) — alias it "
+            "first"
         )
     clean = df.select(col).filter(F.col(col).isNotNull())
     is_float = dtype in ("float", "double")
     pandas_side = clean.filter(~F.isnan(col)) if is_float else clean
-    cands = pandas_side.mapInPandas(
-        _local_candidates, schema=f"{col} {dtype}"
-    ).distinct()
+    # bounded output (≤ partitions·(k+1) candidates + one marker per
+    # task), consumed by both the candidate set and the total — one
+    # execution of the Python pass
+    mapped = pandas_side.mapInPandas(
+        _local_candidates, schema=f"{col} {dtype}, _part_n long"
+    ).localCheckpoint(eager=True)
+    cands = mapped.filter(F.col("_part_n").isNull()).select(col).distinct()
     if is_float:
         cands = cands.unionAll(clean.filter(F.isnan(col)).limit(1))
-    total = df.filter(F.col(col).isNotNull()).groupBy().agg(
-        F.count(F.lit(1)).alias("_n_total")
-    )
+        # float totals must also count the NaN rows routed around the
+        # Python pass, so the old full-scan total stays on this path
+        total = df.filter(F.col(col).isNotNull()).groupBy().agg(
+            F.count(F.lit(1)).alias("_n_total")
+        )
+    else:
+        total = mapped.filter(F.col("_part_n").isNotNull()).groupBy().agg(
+            F.sum("_part_n").alias("_n_total")
+        )
     return (
         df.filter(F.col(col).isNotNull())
         .join(F.broadcast(cands), on=col, how="semi")

@@ -234,6 +234,9 @@ def temperature_resample(
         df.groupBy(strata_col)
         .agg(F.count(F.lit(1)).alias("n_in_stratum"))
         .withColumn("_sqrt_q", sqrt_q)
+        # §8: strata-bounded table consumed by the Σ sqrt_q total AND
+        # the quota projection — one fact pass, not two
+        .localCheckpoint(eager=True)
     )
     total = counts.agg(F.sum("_sqrt_q").alias("_total_q"))
     quotas = counts.crossJoin(F.broadcast(total)).select(

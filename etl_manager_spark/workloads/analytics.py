@@ -652,7 +652,9 @@ def events_value_outliers(spark, sf_dir):
                 / (F.col("n") - F.lit(1))
             ),
         ).alias("std"),
-    )
+    # §8: the |types|-bounded moment table feeds the flag join AND the
+    # final projection — one moment pass, not two
+    ).localCheckpoint(eager=True)
     outliers = (
         ev.join(F.broadcast(m), on="event_type")
         .filter(F.abs(F.col("value") - F.col("mean")) > F.lit(3.0) * F.col("std"))
@@ -2193,25 +2195,25 @@ def churn_labels_events(spark, sf_dir):
         F.date_sub(F.date_trunc("day", F.max("ts")), 7).alias("_c")
     )
     with_c = events.crossJoin(F.broadcast(cutoff))
-    w1 = (
-        with_c.filter(F.col("ts") < F.col("_c"))
-        .groupBy("user_id")
-        .agg(
-            F.countDistinct(F.date_trunc("day", "ts")).alias("active_days_w1")
-        )
+    # §8: ONE conditional-count pass replaces the two per-window
+    # aggregates + left join (4 fact scans → 2: cutoff, counts). The
+    # join semantics survive exactly: a user entered w1 iff they had an
+    # event with ts < cutoff, and such a user always has ≥1 distinct
+    # non-NULL day, so `active_days_w1 >= 1` IS the old w1 membership;
+    # likewise `_w2 = 0` ⟺ the old left join found no w2 row (churned).
+    both = with_c.groupBy("user_id").agg(
+        F.count_distinct(
+            F.when(F.col("ts") < F.col("_c"), F.date_trunc("day", "ts"))
+        ).alias("active_days_w1"),
+        F.count_distinct(
+            F.when(F.col("ts") >= F.col("_c"), F.date_trunc("day", "ts"))
+        ).alias("_w2"),
     )
-    w2 = (
-        with_c.filter(F.col("ts") >= F.col("_c"))
-        .groupBy("user_id")
-        .agg(
-            F.countDistinct(F.date_trunc("day", "ts")).alias("_w2")
-        )
-    )
-    return w1.join(w2, on="user_id", how="left").select(
+    return both.filter(F.col("active_days_w1") >= 1).select(
         "user_id",
         F.col("active_days_w1").cast("int").alias("active_days_w1"),
-        F.coalesce(F.col("_w2"), F.lit(0)).cast("int").alias("active_days_w2"),
-        F.col("_w2").isNull().alias("churned"),
+        F.col("_w2").cast("int").alias("active_days_w2"),
+        (F.col("_w2") == 0).alias("churned"),
     )
 
 
@@ -2953,24 +2955,21 @@ def vocab_kl_drift_documents(spark, sf_dir):
         .select("doc_id", F.explode(R.tokens("text")).alias("tok"))
         .filter(F.col("tok") != "")
     )
-    ca = toks.filter(F.col("doc_id") < 250).groupBy("tok").agg(
-        F.count(F.lit(1)).alias("cnt_a")
-    )
-    cb = toks.filter(F.col("doc_id") >= 250).groupBy("tok").agg(
-        F.count(F.lit(1)).alias("cnt_b")
-    )
+    # §8: ONE conditional-count pass replaces the two per-half aggregates
+    # + full outer join — same vocabulary rows (the NULL-doc_id filter
+    # reproduces the oracle's two-CTE semantics, where a NULL id lands in
+    # neither half and its tokens vanish from the union vocabulary; both
+    # halves partition the remaining rows, so (0,0) rows cannot arise),
+    # and the vocabulary-bounded table is checkpointed for its two
+    # consumers (totals, scored top-50) — 4 corpus tokenizes → 1.
     vocab = (
-        ca.withColumnRenamed("tok", "ta")
-        .join(
-            cb.withColumnRenamed("tok", "tb"),
-            F.col("ta") == F.col("tb"),
-            "full",
+        toks.filter(F.col("doc_id").isNotNull())
+        .groupBy("tok")
+        .agg(
+            F.count(F.when(F.col("doc_id") < 250, 1)).alias("cnt_a"),
+            F.count(F.when(F.col("doc_id") >= 250, 1)).alias("cnt_b"),
         )
-        .select(
-            F.coalesce("ta", "tb").alias("tok"),
-            F.coalesce("cnt_a", F.lit(0)).alias("cnt_a"),
-            F.coalesce("cnt_b", F.lit(0)).alias("cnt_b"),
-        )
+        .localCheckpoint(eager=True)
     )
     tot = vocab.groupBy().agg(
         F.sum("cnt_a").alias("na"),

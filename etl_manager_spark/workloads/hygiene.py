@@ -161,7 +161,12 @@ def dupspan_coverage_documents(spark, sf_dir):
     islands = flagged.withColumn(
         "island",
         F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
+    # §8: spans AND per_doc read this table; lazily each re-planned the
+    # whole upstream (gram agg + semi-join + two windows ran twice — 5
+    # documents scans in the round-10 before-plan). The materialized rows
+    # are (doc_id, pos, covered_add, island) ints for DUPLICATED
+    # positions only — the lightweight decision proxy, never text
+    ).localCheckpoint(eager=True)
     spans = islands.groupBy("doc_id", "island").agg(
         (F.max("pos") - F.min("pos") + 3).alias("span_tokens")
     )
@@ -366,6 +371,9 @@ def psi_drift_orders_price(spark, sf_dir):
             F.coalesce("cnt_a", F.lit(0)).alias("cnt_a"),
             F.coalesce("cnt_b", F.lit(0)).alias("cnt_b"),
         )
+        # §8: 10-row bin table consumed by the totals AND the final
+        # projection — one fact pass, not two
+        .localCheckpoint(eager=True)
     )
     tot = filled.agg(
         F.sum("cnt_a").cast("long").alias("na"),

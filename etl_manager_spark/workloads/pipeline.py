@@ -645,8 +645,19 @@ def _with_recall(approx, exact, keys):
     single-row aggregates broadcast back). The ratio is the raw IEEE
     division of the two exact counts — NOT rounded, so the DuckDB oracle's
     ``CAST(n AS DOUBLE)/m`` reproduces it bitwise (the engines' decimal
-    rounding modes differ; correctly-rounded division doesn't)."""
-    ex = exact.select(*keys)
+    rounding modes differ; correctly-rounded division doesn't).
+
+    Round 10 (§8): both inputs are eagerly checkpointed. Each is a
+    BOUNDED result set (top-k rows per query / verified near-dup pair
+    list), but each was consumed twice (approx: the returned rows AND
+    the overlap probe; exact: the probe AND the total), and per-branch
+    re-planning re-executed the whole upstream index pipeline per
+    consumer — the round-10 scan audit counted 8 embeddings scans per
+    execution in the LSH/IVF top-k queries. One materialization each
+    halves the index work and leaves the final plan a pure
+    checkpoint-read join."""
+    approx = approx.localCheckpoint(eager=True)
+    ex = exact.select(*keys).localCheckpoint(eager=True)
     overlap = approx.join(ex, on=keys, how="left_semi").agg(
         F.count(F.lit(1)).alias("_n_overlap")
     )
@@ -3006,7 +3017,10 @@ def similarity_mmr_diversified(spark, sf_dir):
         F.col("cosine_sim").alias("a_simq"),
         "_cv",
         "_cn",
-    )
+    # §8: both sides of the shortlist pair join read this — shortlist-
+    # bounded (|queries|·k rows) by construction; lazily the exact
+    # top-k scorer re-executed per side (6 embeddings scans)
+    ).localCheckpoint(eager=True)
     b = candv.select(
         F.col("query_id").alias("_bq"),
         F.col("a_nid").alias("b_nid"),
@@ -3656,6 +3670,12 @@ def intrinsic_dim_twonn_embeddings(spark, sf_dir):
     pairs = (
         e.join(F.broadcast(b), F.col("vec_id") != F.col("j"))
         .select(F.col("vec_id").alias("i"), dsq.alias("dsq"))
+        # §8: the d1 pass and the d2 pass both consume the pair
+        # distances; lazily the quadratic zip_with kernel executed TWICE
+        # (4 embeddings scans in the round-10 audit). The materialized
+        # rows are (i, dsq) doubles over the vec_id<500 sample contract —
+        # bounded by construction, no vectors
+        .localCheckpoint(eager=True)
     )
     d1 = (
         pairs.groupBy("i")

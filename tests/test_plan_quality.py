@@ -59,7 +59,7 @@ def test_similarity_bruteforce_broadcasts_queries(plans):
     assert "BroadcastNestedLoopJoin" in r.text or r.broadcast_joins >= 1
 
 
-def test_similarity_topk_window_group_limit_below_exchange(plans):
+def test_similarity_topk_window_group_limit_below_exchange(spark, sf_dir):
     """The per-query ranking windows key on query_id alone — FEW keys, so
     the shuffle volume contract rests on Spark's InferWindowGroupLimit:
     a Partial WindowGroupLimit must sit BELOW the exchange, bounding each
@@ -68,9 +68,26 @@ def test_similarity_topk_window_group_limit_below_exchange(plans):
     redundant exchange, so the declared single-window form is the right
     plan). If a Spark upgrade stops inferring the pushed limit, this
     breaks loudly instead of silently shipping |corpus| rows per query
-    to |queries| reducers."""
-    for name in ("similarity_topk_bruteforce", "similarity_topk_lsh"):
-        lines = plans(name).text.splitlines()
+    to |queries| reducers.
+
+    Since round 10 the lsh workload eagerly checkpoints the scorer
+    output inside _with_recall (the top-k window then executes at
+    build time, invisible to the workload's final explain), so the
+    contract is asserted on the SCORER subplans directly — the same
+    frames the workloads materialize."""
+    from etl_manager_spark.operators import similarity as S
+    from etl_manager_spark.workloads.pipeline import _emb_set
+
+    emb = _emb_set(load_tables(spark, sf_dir)["embeddings"])
+    queries = emb.filter(F.col("vec_id") < 5)
+    scorers = {
+        "cosine_topk": S.cosine_topk(queries, emb, k=5),
+        "cosine_topk_lsh": S.cosine_topk_lsh(
+            queries, emb, dim=64, k=5, num_planes=3, num_tables=16
+        ),
+    }
+    for name, df in scorers.items():
+        lines = plan_report(df).text.splitlines()
         wgl = [i for i, x in enumerate(lines) if "WindowGroupLimit" in x]
         exch = [
             i
