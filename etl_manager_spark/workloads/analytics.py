@@ -1051,7 +1051,12 @@ def mad_robust_outliers_events(spark, sf_dir):
     )
 
     t = load_tables(spark, sf_dir)
-    ev = t["events"]
+    # the oracle's final `med m JOIN mad d ON d.event_type = m.event_type`
+    # never matches a NULL key, so the NULL-event_type group is absent
+    # from its output; groups are independent, so dropping those rows at
+    # the scan (pushed filter) is exact — the null-safe groups table
+    # would otherwise emit an extra row for them
+    ev = t["events"].filter(F.col("event_type").isNotNull())
     cdf, groups = grouped_value_cdf(ev, ["event_type"], "value")
     # the |types|-row med/mad tables are each consumed by THREE plan
     # branches (derived table, flag pass, final join); eager-checkpoint
@@ -2209,11 +2214,17 @@ def churn_labels_events(spark, sf_dir):
             F.when(F.col("ts") >= F.col("_c"), F.date_trunc("day", "ts"))
         ).alias("_w2"),
     )
+    # ... with ONE carve-out the fused pass must reproduce by hand: the
+    # oracle's `w1 LEFT JOIN w2 ON w1.user_id = w2.user_id` never matches
+    # a NULL key (NULL = NULL is UNKNOWN), so the NULL-user w1 row always
+    # reads (active_days_w2 = 0, churned = TRUE) even when NULL-user w2
+    # events exist — the groupBy, which unifies NULLs, must not count them.
+    w2 = F.when(F.col("user_id").isNull(), F.lit(0)).otherwise(F.col("_w2"))
     return both.filter(F.col("active_days_w1") >= 1).select(
         "user_id",
         F.col("active_days_w1").cast("int").alias("active_days_w1"),
-        F.col("_w2").cast("int").alias("active_days_w2"),
-        (F.col("_w2") == 0).alias("churned"),
+        w2.cast("int").alias("active_days_w2"),
+        (w2 == 0).alias("churned"),
     )
 
 

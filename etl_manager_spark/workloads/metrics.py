@@ -2001,7 +2001,11 @@ def winsorized_mean_value_by_type(spark, sf_dir):
     )
 
     t = load_tables(spark, sf_dir)
-    q = t["events"].select(
+    # the oracle's `q JOIN bounds ON b.event_type = q.event_type` never
+    # matches a NULL key, so the NULL-event_type group is absent from its
+    # output; groups are independent, so dropping those rows at the scan
+    # is exact
+    q = t["events"].filter(F.col("event_type").isNotNull()).select(
         "event_type",
         F.floor(F.col("value") * F.lit(1000000000.0) + F.lit(0.5))
         .cast("long")
@@ -2033,10 +2037,24 @@ def winsorized_mean_value_by_type(spark, sf_dir):
         F.sum(clamped * F.col("_qc")).cast("long").alias("_cs"),
     )
     anchor = unwrap_group(groups, ["event_type"]).select(
-        "event_type", F.col("_qrows").alias("n")
+        "event_type", F.col("_qrows").alias("n"), F.col("_qn").alias("_qnn")
     )
-    out = anchor.join(agg, on="event_type", how="left")
+    out = anchor.join(agg, on="event_type", how="left").join(
+        F.broadcast(bounds.select("event_type", F.col("lo").alias("_lo"))),
+        on="event_type",
+        how="left",
+    )
     n_kept = F.coalesce(F.col("_nk"), F.lit(0)).cast("long")
+    # NULL-vq rows DO contribute to the oracle's winsorized sum: both
+    # engines' GREATEST/LEAST skip NULL arguments, so the oracle clamps a
+    # NULL value to lo (GREATEST(NULL, lo) = lo, LEAST(lo, hi) = lo) —
+    # the distinct-value table excludes them, so add the (n − non-null)
+    # rows back as floor(lo + 0.5) each (exact int64: identical doubles
+    # through the identical FLOOR). An all-null group has lo = NULL, so
+    # the whole sum stays NULL exactly like the oracle's SUM of NULLs.
+    cs_total = F.col("_cs") + (F.col("n") - F.col("_qnn")) * F.floor(
+        F.col("_lo") + F.lit(0.5)
+    ).cast("long")
     return out.select(
         "event_type",
         F.col("n"),
@@ -2044,7 +2062,7 @@ def winsorized_mean_value_by_type(spark, sf_dir):
         F.floor(F.col("_ks").cast("double") / n_kept + F.lit(0.5))
         .cast("long")
         .alias("trimmed_mean_q"),
-        F.floor(F.col("_cs").cast("double") / F.col("n") + F.lit(0.5))
+        F.floor(cs_total.cast("double") / F.col("n") + F.lit(0.5))
         .cast("long")
         .alias("winsorized_mean_q"),
     )
