@@ -945,18 +945,23 @@ def ngram_containment_pairs(
     both directions of a pair can appear (that is the point)."""
     from etl_manager_spark.operators.text import tokens
 
-    toks = F.filter(tokens(text_col), lambda t: t != "")
+    # token array staged as a COLUMN: an inline tokens() expression in
+    # the transform lambda re-tokenizes per shingle position — O(len²)
+    # per document (the bigram_lm hazard class)
+    staged = df.select(
+        F.col(id_col),
+        F.filter(tokens(text_col), lambda t: t != "").alias("_toks"),
+    ).filter(F.size("_toks") >= n)
     grams = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
+            F.sequence(F.lit(1), F.size("_toks") - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice("_toks", i, n), " "),
         )
     )
     # distinct() across rows: duplicated doc_ids must not inflate the
     # shingle multiset (containment is a SET ratio; > 1 is impossible)
     g = (
-        df.filter(F.size(toks) >= n)
-        .select(F.col(id_col), F.explode(grams).alias("gram"))
+        staged.select(F.col(id_col), F.explode(grams).alias("gram"))
         .distinct()
         # §8: size aggregate + both self-join sides read this posting
         # table; one shingle pass per call instead of three

@@ -338,14 +338,20 @@ def ngram_decontaminate(
     Returns (id, n_shared) for contaminated training docs only."""
 
     def grams(df: DataFrame, keep_id: bool) -> DataFrame:
-        toks = F.filter(tokens(text_col), lambda t: t != "")
+        # token array staged as a COLUMN: an inline tokens() expression
+        # inside the transform lambda re-tokenizes per n-gram position —
+        # O(len²) per document (the bigram_lm hazard class)
+        id_cols = [F.col(id_col).alias("id")] if keep_id else []
+        staged = df.select(
+            *id_cols,
+            F.filter(tokens(text_col), lambda t: t != "").alias("_toks"),
+        ).filter(F.size("_toks") >= n)
         g = F.transform(
-            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
+            F.sequence(F.lit(1), F.size("_toks") - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice("_toks", i, n), " "),
         )
-        base = df.filter(F.size(toks) >= n)
-        cols = [F.col(id_col).alias("id")] if keep_id else []
-        return base.select(*cols, F.explode(g).alias("ngram")).distinct()
+        out_cols = [F.col("id")] if keep_id else []
+        return staged.select(*out_cols, F.explode(g).alias("ngram")).distinct()
 
     eval_grams = grams(eval_df, keep_id=False)
     train_grams = grams(train_df, keep_id=True)

@@ -556,7 +556,12 @@ def repeated_ngram_fraction(
     inside codegen with no Python and no shuffle. Documents with fewer
     than n tokens score 0.0. Pass ``toks`` to reuse an already-built
     token array instead of re-running the regex split on the raw text
-    (the hot-path composition in :func:`gopher_quality_flags`)."""
+    (the hot-path composition in :func:`gopher_quality_flags`).
+
+    Callers should pass ``toks`` as a reference to a STAGED column, not
+    an inline tokens() expression: the slice lambda re-evaluates its
+    argument per n-gram position, so an inline tokenize is O(len²) per
+    document (the bigram_lm hazard class)."""
     if toks is None:
         toks = tokens(text_col)
     n_toks = F.size(toks)
@@ -591,8 +596,22 @@ def gopher_quality_flags(
     whole report is a single projection (tokenize once, no shuffle, no
     Python), so it runs at scan speed at any scale."""
     # NULL text gates like empty text (see the vectorized twin): no
-    # content -> zero tokens -> keep=False, never NULL flags
-    toks = tokens(F.coalesce(F.col(text_col) if isinstance(text_col, str) else text_col, F.lit("")))
+    # content -> zero tokens -> keep=False, never NULL flags.
+    # The token array is staged as a COLUMN: inlined into the repeated-
+    # trigram slice lambda it would re-tokenize per n-gram position —
+    # O(len²) per document (the bigram_lm hazard class). CollapseProject
+    # keeps the two projections separate because the array is referenced
+    # many times and the regex split is not cheap.
+    staged = df.select(
+        F.col(id_col),
+        tokens(
+            F.coalesce(
+                F.col(text_col) if isinstance(text_col, str) else text_col,
+                F.lit(""),
+            )
+        ).alias("_toks"),
+    )
+    toks = F.col("_toks")
     n_toks = F.size(toks)
     char_sum = F.aggregate(
         toks, F.lit(0), lambda acc, t: acc + F.length(t)
@@ -611,7 +630,7 @@ def gopher_quality_flags(
         "ok_repetition": rep3 <= max_repeated_trigram_fraction,
         "ok_stopwords": stop_hits >= min_stopword_hits,
     }
-    out = df.select(
+    out = staged.select(
         F.col(id_col),  # caller's name preserved: flags join back by it
         n_toks.alias("n_tokens"),
         F.round(mean_len, 6).alias("mean_word_len"),
@@ -659,17 +678,24 @@ def corpus_ngram_counts(
     headers/footers/templates an LLM corpus wants stripped before
     training. One explode + one hash-agg shuffle with map-side partial
     aggregation; the min_count gate filters post-agg, so the shuffle
-    carries (ngram, partial-count) pairs, not documents."""
-    toks = tokens(text_col)
+    carries (ngram, partial-count) pairs, not documents.
+
+    The token array is projected into a COLUMN before the slice lambda:
+    an inline tokens() expression inside a ``transform`` lambda is
+    re-evaluated per element (per n-gram position), turning the
+    tokenize into O(len²) per document — measured 4.4× slower at sf0.1
+    (same hazard class as bigram_lm_scores)."""
+    staged = df.select(tokens(text_col).alias("_toks")).filter(
+        F.size("_toks") >= n
+    )
     grams = F.transform(
         F.sequence(
-            F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+            F.lit(1), F.greatest(F.size("_toks") - F.lit(n - 1), F.lit(1))
         ),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
+        lambda i: F.array_join(F.slice("_toks", i, n), " "),
     )
     return (
-        df.filter(F.size(toks) >= n)
-        .select(F.explode(grams).alias("ngram"))
+        staged.select(F.explode(grams).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
         .filter(F.col("n_occurrences") >= min_count)
