@@ -754,7 +754,13 @@ def regression_price_by_quantity(spark, sf_dir):
     from etl_manager_spark.functions.exact import dec_sum, dec_sumprod, dec_sumsq
 
     t = load_tables(spark, sf_dir)
-    s = t["lineitem"].groupBy("l_returnflag").agg(
+    # spread(): the five decimal moments are per-row-heavy (scale-4
+    # Decimal(38) products exceed the compact-long range, so each row
+    # allocates BigDecimals) and sf0.1 lineitem is one parquet split —
+    # unspread, the whole map-side aggregate serialized onto one core.
+    # Decimal aggregation is exact/associative, so partitioning cannot
+    # change the result. No-op at production layouts (guarded helper).
+    s = spread(t["lineitem"], spark).groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         dec_sum("l_quantity").alias("sx"),
         dec_sum("l_extendedprice").alias("sy"),
