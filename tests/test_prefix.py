@@ -274,22 +274,30 @@ def test_ordered_cumsum_construction_runs_only_the_checkpoint_jobs(
     additionally paid a totals collect (an extra eager job wave and a
     driver barrier) per call; rfm chains three calls. The reference
     count is measured in-test so the assertion is robust to how many
-    jobs AQE uses per materialization."""
+    jobs AQE uses per materialization. Job counts are taken as deltas of
+    the MAX job id (globally monotonic) — a len() delta goes negative in
+    a long shared-session suite run, where the status tracker's bounded
+    retained-jobs buffer evicts old entries between snapshots."""
     tracker = spark.sparkContext.statusTracker()
-    before = len(tracker.getJobIdsForGroup(None))
+
+    def max_job_id() -> int:
+        ids = tracker.getJobIdsForGroup(None)
+        return max(ids) if ids else -1
+
+    before = max_job_id()
     (
         frame.repartitionByRange(5, F.asc("k"), F.asc("id"))
         .withColumn("_p", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
-    checkpoint_jobs = len(tracker.getJobIdsForGroup(None)) - before
+    checkpoint_jobs = max_job_id() - before
 
-    before = len(tracker.getJobIdsForGroup(None))
+    before = max_job_id()
     out = ordered_cumsum(
         frame, [F.asc("k"), F.asc("id")], ["v"], rank_name="rnk",
         n_partitions=5,
     )
-    construction_jobs = len(tracker.getJobIdsForGroup(None)) - before
+    construction_jobs = max_job_id() - before
     assert construction_jobs <= checkpoint_jobs, (
         f"construction ran {construction_jobs} jobs vs {checkpoint_jobs} "
         "for the checkpoint alone — an extra eager action (the old "
