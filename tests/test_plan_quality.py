@@ -865,3 +865,65 @@ def test_interval_shrinking_range_frame_is_flagged(spark):
         F.lead("v", 1).over(lead_w).alias("nxt"),
     )
     assert "shrinking-window-frame" not in [w.code for w in lint_plan(mixed)]
+
+
+def _node_blocks(formatted: str) -> dict[str, list[str]]:
+    """Map node kind -> detail blocks from a formatted plan: each block
+    starts '(n) NodeName' and runs to the next blank-line-delimited
+    header."""
+    import re
+
+    blocks: dict[str, list[str]] = {}
+    current_kind = None
+    current: list[str] = []
+    for line in formatted.splitlines():
+        m = re.match(r"^\(\d+\) (\w+)", line)
+        if m:
+            if current_kind is not None:
+                blocks.setdefault(current_kind, []).append("\n".join(current))
+            current_kind, current = m.group(1), [line]
+        elif current_kind is not None:
+            current.append(line)
+    if current_kind is not None:
+        blocks.setdefault(current_kind, []).append("\n".join(current))
+    return blocks
+
+
+def test_ngram_tokenize_staged_outside_generate_lambda(plans):
+    """Round-10 contract (the bigram_lm hazard class): an inline regex
+    tokenize inside a transform/slice lambda is re-evaluated PER n-gram
+    position — O(len²) per document (measured 4.4× on the corpus trigram
+    miner). The token array must be projected into a column BEFORE the
+    explode, so the Generate's lambda references a bound column and the
+    split() runs once per row in a Project."""
+    for name in (
+        "corpus_ngram_boilerplate",
+        "decontaminate_train_vs_eval",
+        "ngram_containment_top_pairs",
+    ):
+        r = plans(name)
+        blocks = _node_blocks(r.text)
+        gens = blocks.get("Generate", [])
+        # containment's Generate feeds a checkpoint built during fn();
+        # its final plan reads the checkpointed RDD — nothing to assert
+        # there beyond the absence of a lambda-inlined split anywhere
+        for g in gens:
+            assert "split(" not in g, (
+                f"{name}: regex tokenize inlined into a Generate lambda "
+                "(re-evaluated per n-gram position):\n" + g
+            )
+
+
+def test_gopher_jvm_flags_tokenize_once(spark, sf_dir):
+    """The JVM gopher_quality_flags twin must tokenize once per row: one
+    split() in the whole optimized plan (the staged _toks projection),
+    not one per flag rule or per trigram position."""
+    from etl_manager_spark.operators.text import gopher_quality_flags
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = gopher_quality_flags(docs)._jdf.queryExecution().optimizedPlan().toString()
+    n_split = plan.count("split(")
+    assert n_split == 1, (
+        f"gopher_quality_flags evaluates split() {n_split}× per row — the "
+        "staged _toks projection collapsed or a rule re-tokenizes inline"
+    )
