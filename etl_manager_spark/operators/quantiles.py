@@ -139,6 +139,12 @@ def grouped_value_cdf(
     # re-executes per branch — measured 2× SLOWER end-to-end than this
     # one checkpoint job at sf0.1 (round-10 diagnosis: 10 FileScan
     # nodes in the final adaptive plan of a single median call).
+    # A round-11 variant that skipped both internal checkpoints for
+    # already-checkpointed inputs was built and profiled, and REJECTED:
+    # the four consumer branches then re-aggregate and re-range-shuffle
+    # the input per branch (conformal: 56 → ~100 stages), which is the
+    # wrong trade at scale where the distinct-value table is
+    # corpus-sized.
     base_all = (
         vc.repartitionByRange(parts, _GK, "_qv")
         .withColumn("_qp", F.spark_partition_id())
@@ -148,10 +154,19 @@ def grouped_value_cdf(
     # totals (O(partitions + groups) rows by the few-groups contract) is
     # consumed by THREE branches (offsets, groups, guard): checkpoint the
     # tiny frame so the base is aggregated once per call, not once per
-    # branch
-    totals = base_all.groupBy(
-        "_qp", _GK, F.col("_qv").isNull().alias("_qvnull")
-    ).agg(F.sum("_qc").cast("long").alias("_qn")).localCheckpoint(eager=True)
+    # branch. coalesce(1) first (round 11): the frame is bounded, and
+    # materializing it at the session's shuffle-partition count bills a
+    # full task wave per call for ~empty partitions — the partial
+    # aggregation over base_all stays parallel either way (only the
+    # O(partitions + groups)-row final merge runs in the one task).
+    totals = (
+        base_all.groupBy(
+            "_qp", _GK, F.col("_qv").isNull().alias("_qvnull")
+        )
+        .agg(F.sum("_qc").cast("long").alias("_qn"))
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
     # per-(partition, group) offsets: prefix-sum the totals over the
     # partitions STRICTLY BEFORE each one, windowed per group — the
     # totals table is O(partitions + groups) rows, so this window is

@@ -1070,7 +1070,7 @@ def mad_robust_outliers_events(spark, sf_dir):
     # instead of once per consumer (round-10 profile: 74 jobs → ~30)
     med = percentiles_from_cdf(
         cdf, groups, ["event_type"], {"med": 0.5}
-    ).localCheckpoint(eager=True)
+    ).coalesce(1).localCheckpoint(eager=True)
     # |v − med| value-count table derived from the distinct-value table:
     # same doubles (_qv IS cast(value as double)), same multiplicities
     # (_qc), one fact pass total instead of three
@@ -1082,7 +1082,7 @@ def mad_robust_outliers_events(spark, sf_dir):
     )
     mad = grouped_exact_percentiles(
         adev, ["event_type"], "_adev", {"mad": 0.5}, weight_col="_qc"
-    ).localCheckpoint(eager=True)
+    ).coalesce(1).localCheckpoint(eager=True)
     flagged = (
         vc.join(F.broadcast(med), on="event_type")
         .join(F.broadcast(mad), on="event_type")

@@ -161,26 +161,30 @@ def dupspan_coverage_documents(spark, sf_dir):
     islands = flagged.withColumn(
         "island",
         F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    # §8: spans AND per_doc read this table; lazily each re-planned the
-    # whole upstream (gram agg + semi-join + two windows ran twice — 5
-    # documents scans in the round-10 before-plan). The materialized rows
-    # are (doc_id, pos, covered_add, island) ints for DUPLICATED
-    # positions only — the lightweight decision proxy, never text
-    ).localCheckpoint(eager=True)
-    spans = islands.groupBy("doc_id", "island").agg(
-        (F.max("pos") - F.min("pos") + 3).alias("span_tokens")
     )
-    per_doc = islands.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_dup_positions"),
+    # Round 11 (replacing round 10's eager checkpoint of `islands`, which
+    # was CORPUS-SCALE — one row per duplicated shingle position — the
+    # bounded-only rule's documented failure mode, and driver-measured
+    # 0.44×): both consumers (the per-island span geometry and the
+    # per-doc rollup) are CHAINED aggregations over the same rows, and
+    # both group on a doc_id-prefixed key, so the window's
+    # hash-partitioning satisfies every grouping below — islands →
+    # per-island → per-doc runs as ONE exchange-free pass, no
+    # materialization, no second re-planning of the gram/semi-join
+    # upstream.
+    per_island = islands.groupBy("doc_id", "island").agg(
+        F.count(F.lit(1)).cast("long").alias("_n_pos"),
+        F.sum("covered_add").cast("long").alias("_covered"),
+        (F.max("pos") - F.min("pos") + 3).alias("span_tokens"),
+    )
+    per_doc = per_island.groupBy("doc_id").agg(
+        F.sum("_n_pos").cast("long").alias("n_dup_positions"),
         F.max("island").cast("long").alias("n_spans"),
-        F.sum("covered_add").cast("long").alias("covered_tokens"),
-    )
-    span_max = spans.groupBy("doc_id").agg(
-        F.max("span_tokens").cast("long").alias("max_span_tokens")
+        F.sum("_covered").cast("long").alias("covered_tokens"),
+        F.max("span_tokens").cast("long").alias("max_span_tokens"),
     )
     return (
         toksrc.join(per_doc, on="doc_id", how="left")
-        .join(span_max, on="doc_id", how="left")
         .select(
             "doc_id",
             F.coalesce("n_dup_positions", F.lit(0)).alias("n_dup_positions"),

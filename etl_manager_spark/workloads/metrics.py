@@ -2858,20 +2858,24 @@ def conformal_interval_events(spark, sf_dir):
         R.quantize(F.col("value")).alias("y_q"),
         (F.col("event_id") % 2 == 0).alias("is_cal"),
     )
-    # m (|types| rows) is consumed by the residual pass AND the final
-    # join — eager-checkpoint the tiny frame so the calibration aggregate
-    # runs one fact pass, not one per consumer
+    # Round 11 (driver-measured 0.42× regression in round 10 — eager
+    # barrier waves): the |types|-row mean table m is NOT checkpointed
+    # separately anymore. It rides as a broadcast subtree INSIDE rc's one
+    # checkpoint job (two parallel fact-scan branches in one job — the
+    # same two fact passes the separate wave paid, minus one sequential
+    # barrier), and the final join's n_cal is derived back FROM rc
+    # (sum of calibration multiplicities per type — identical COUNT(*)),
+    # so m has no consumer outside this job.
     m = (
         ev.filter("is_cal")
         .groupBy("event_type")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_cal"),
             (
                 F.sum("y_q").cast("double") / F.count(F.lit(1)).cast("double")
                 / F.lit(1000000000.0)
             ).alias("mean_v"),
         )
-    ).localCheckpoint(eager=True)
+    )
     r = ev.join(F.broadcast(m), "event_type").select(
         "event_type",
         "is_cal",
@@ -2889,19 +2893,29 @@ def conformal_interval_events(spark, sf_dir):
     rc = r.groupBy("event_type", "is_cal", "r_q").agg(
         F.count(F.lit(1)).cast("long").alias("_rc")
     ).localCheckpoint(eager=True)
+    # n_cal per type, re-derived from the residual count table: rc was
+    # built from ev JOIN m (NULL types already dropped by the equi-join),
+    # and summing calibration multiplicities — NULL-residual groups
+    # included — is exactly the oracle's COUNT(*) per calibration group
+    ncal = (
+        rc.filter("is_cal")
+        .groupBy("event_type")
+        .agg(F.sum("_rc").cast("long").alias("n_cal"))
+    )
     # distributed rank-quantile CDF (operators/quantiles.py): calibration
     # residuals are a near-unique nano-quantized domain per type — the
-    # built-in percentile's single-task buffer is the 100 TB cliff here
+    # built-in percentile's single-task buffer is the 100 TB cliff here.
     # qh (|types| rows) is consumed by the coverage branch AND the final
-    # join: eager-checkpoint the tiny frame so the quantile machinery
-    # runs once instead of per consumer
+    # join: pin it once, at ONE partition — round 10 materialized this
+    # (and m, and the machinery's internal totals) at 32 partitions,
+    # billing a full task wave per barrier for ~empty partitions.
     qh = grouped_exact_percentiles(
         rc.filter("is_cal"),
         ["event_type"],
         "r_q",
         {"q_hat": 0.9},
         weight_col="_rc",
-    ).localCheckpoint(eager=True)
+    ).coalesce(1).localCheckpoint(eager=True)
     cov = (
         rc.filter(~F.col("is_cal"))
         .join(F.broadcast(qh), "event_type")
@@ -2920,7 +2934,7 @@ def conformal_interval_events(spark, sf_dir):
         )
     )
     return (
-        m.join(F.broadcast(qh), "event_type")
+        ncal.join(F.broadcast(qh), "event_type")
         .join(F.broadcast(cov), "event_type")
         .select("event_type", "n_cal", "n_test", "q_hat", "coverage_q")
     )

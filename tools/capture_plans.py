@@ -1,6 +1,7 @@
 #!/usr/bin/env python
 """Capture .explain("formatted") for named catalog queries into
-plans/r10/<query>_<suffix>.txt (round-10 optimization evidence).
+plans/r<N>/<query>_<suffix>.txt — the round comes from
+$SPARK_GRAFT_PLAN_ROUND (default r11).
 
 Usage:
     python tools/capture_plans.py before query [query ...]
@@ -34,7 +35,9 @@ def main() -> None:
     from etl_manager_spark.workloads import load_registry
 
     registry = load_registry()
-    out_dir = os.path.join(REPO, "plans", "r10")
+    out_dir = os.path.join(
+        REPO, "plans", os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r11")
+    )
     os.makedirs(out_dir, exist_ok=True)
 
     spark = build_session(cpus, "etl_manager_spark-plan-capture")

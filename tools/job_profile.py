@@ -42,11 +42,19 @@ def main() -> None:
         ids = tracker.getJobIdsForGroup(None)
         n_stages = 0
         n_tasks = 0
+        seen_stages = set()
         for j in ids:
             ji = tracker.getJobInfo(j)
             if ji is not None:
                 n_stages += len(ji.stageIds)
-        return len(ids), n_stages
+                for s in ji.stageIds:
+                    if s in seen_stages:
+                        continue
+                    seen_stages.add(s)
+                    si = tracker.getStageInfo(s)
+                    if si is not None:
+                        n_tasks += si.numTasks
+        return len(ids), n_stages, n_tasks
 
     out: dict[str, dict] = {}
     for name in names:
@@ -54,14 +62,15 @@ def main() -> None:
         # untimed warmup (scratch stores, codegen)
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         spark.catalog.clearCache()
-        j0, s0 = snapshot()
+        j0, s0, t0n = snapshot()
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         wall = time.perf_counter() - t0
-        j1, s1 = snapshot()
+        j1, s1, t1n = snapshot()
         out[name] = {
             "jobs": j1 - j0,
             "stages": s1 - s0,
+            "tasks": t1n - t0n,
             "wall": round(wall, 3),
         }
         spark.catalog.clearCache()
