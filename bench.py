@@ -28,7 +28,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def build_session(cpus: str, app: str):
+def build_session(cpus: str, app: str, experiment: bool = False):
     from pyspark.sql import SparkSession
 
     builder = (
@@ -40,13 +40,16 @@ def build_session(cpus: str, app: str):
         .config("spark.driver.memory", "32g")
         .config("spark.ui.enabled", "false")
     )
-    # experiment hook: "k=v;k=v" extra confs for conf A/B sweeps
-    # (tools/ab_measure.py / job_profile.py reuse this session builder);
-    # the bench itself always runs with the committed defaults below
-    extra = os.environ.get("SPARK_GRAFT_BENCH_CONF", "")
-    for kv in filter(None, (p.strip() for p in extra.split(";"))):
-        k, _, v = kv.partition("=")
-        builder = builder.config(k.strip(), v.strip())
+    # experiment hook: "k=v;k=v" extra confs for conf A/B sweeps — reachable
+    # ONLY when the caller opts in (tools/ab_measure.py / job_profile.py, or
+    # `bench.py --experiment`). A bare `python bench.py` ignores the env var
+    # entirely (round-10 verdict #5: environment state must not be able to
+    # silently alter a driver bench session).
+    if experiment:
+        extra = os.environ.get("SPARK_GRAFT_BENCH_CONF", "")
+        for kv in filter(None, (p.strip() for p in extra.split(";"))):
+            k, _, v = kv.partition("=")
+            builder = builder.config(k.strip(), v.strip())
     return (
         builder
         # a 300+-query session accumulates localCheckpoint/persist blocks
@@ -157,6 +160,9 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    # conf experiments require an explicit flag; a driver invocation
+    # (no args) always runs the committed defaults
+    experiment = "--experiment" in sys.argv[1:]
 
     from etl_manager_spark.workloads import load_registry
 
@@ -171,7 +177,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
 
-    spark = build_session(cpus, "etl_manager_spark-bench")
+    spark = build_session(cpus, "etl_manager_spark-bench", experiment)
     spark.sparkContext.setLogLevel("ERROR")
     warm_batch(spark, sf_dir)
     calibration = {"batch_before": calibration_probe(spark, cpus)}
@@ -182,7 +188,7 @@ def main() -> None:
     # streaming in a FRESH session: availableNow micro-batch latency is
     # dominated by scheduler machinery, which degrades measurably in a
     # long-lived session — isolate so the number tracks the code
-    spark = build_session(cpus, "etl_manager_spark-bench-streaming")
+    spark = build_session(cpus, "etl_manager_spark-bench-streaming", experiment)
     spark.sparkContext.setLogLevel("ERROR")
     warm_batch(spark, sf_dir)
     warm_streaming(spark)

@@ -633,7 +633,7 @@ def sorted_neighborhood_pairs(
     adjacency implies lexicographic order)."""
     from pyspark.sql import Window
 
-    from etl_manager_spark.operators.prefix import chained_overlap_entries
+    from etl_manager_spark.operators.prefix import overlap_plan
 
     spark = df.sparkSession
     parts = n_partitions or spark.sparkContext.defaultParallelism
@@ -644,26 +644,26 @@ def sorted_neighborhood_pairs(
         .localCheckpoint(eager=True)
     )
     wloc = Window.partitionBy("_snp").orderBy("name_a")
-    counts = sorted(
-        (r["_snp"], r["_c"])
-        for r in base.groupBy("_snp").agg(F.count(F.lit(1)).alias("_c")).collect()
+    # round 11: the forward-overlap replication plan is computed IN-PLAN
+    # from the checkpointed base (operators.prefix.overlap_plan — the
+    # same chained-walk math the former driver collect ran), so the
+    # operator has no driver barrier left
+    remap = overlap_plan(base, "_snp", window - 1, successors=True).select(
+        F.col("_src").alias("_snp"),
+        F.col("_lim").alias("_snp_lim"),
+        F.col("_dst").alias("_snp_dst"),
     )
-    plan = chained_overlap_entries(counts, window - 1, successors=True)
-    if plan:
-        remap = spark.createDataFrame(plan, "_snp int, _lim int, _prev int")
-        heads = (
-            base.withColumn("_rn", F.row_number().over(wloc))
-            .join(F.broadcast(remap), "_snp")
-            .filter(F.col("_rn") <= F.col("_lim"))
-            .select(
-                F.col("_prev").alias("_snp"),
-                "name_a",
-                F.lit(True).alias("_replica"),
-            )
+    heads = (
+        base.withColumn("_snp_rn", F.row_number().over(wloc))
+        .join(F.broadcast(remap), "_snp")
+        .filter(F.col("_snp_rn") <= F.col("_snp_lim"))
+        .select(
+            F.col("_snp_dst").alias("_snp"),
+            "name_a",
+            F.lit(True).alias("_replica"),
         )
-        aug = base.withColumn("_replica", F.lit(False)).unionByName(heads)
-    else:
-        aug = base.withColumn("_replica", F.lit(False))
+    )
+    aug = base.withColumn("_replica", F.lit(False)).unionByName(heads)
     cands = aug.select(
         "name_a",
         "_replica",

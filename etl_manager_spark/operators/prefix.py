@@ -174,6 +174,69 @@ def chained_overlap_entries(
     return entries
 
 
+def overlap_plan(
+    base: DataFrame,
+    part_col: str,
+    need: int,
+    successors: bool = True,
+) -> DataFrame:
+    """IN-PLAN equivalent of :func:`chained_overlap_entries` over the
+    per-partition row counts of ``base`` (round-11: replaces the last
+    two driver ``collect`` barriers — ordered_lag and
+    sorted-neighborhood dedup — with a broadcastable plan subtree).
+
+    Returns ``(_src, _lim, _dst)``: the first/last ``_lim`` rows of
+    partition ``_src`` replicate into ``_dst``. Derivation: a row of
+    ``src`` with rank ``rn`` (from the walk-facing end) belongs in
+    ``dst`` iff ``rn + B <= need`` where ``B`` is the total row count of
+    partitions strictly between them in walk order, so
+    ``_lim = need − B`` (pairs with ``_lim <= 0`` are dropped — the
+    walk's early stop). This reproduces ``take = min(n[src],
+    max(0, need − B))`` exactly, empty partitions included (they are
+    absent from the counts and contribute nothing to ``B``).
+
+    Cost shape: one O(partitions)-row aggregate of ``base`` plus two
+    broadcast self-joins over it (≤ partitions² tiny rows) — bounded
+    machinery riding the caller's plan, no eager job, no driver barrier.
+    """
+    # walk order: predecessors for lag tails, successors for
+    # neighborhood heads — one signed key handles both directions
+    key = -F.col("_op_p") if successors else F.col("_op_p")
+    totals = (
+        base.groupBy(F.col(part_col).alias("_op_p"))
+        .agg(F.count(F.lit(1)).cast("long").alias("_op_n"))
+        .select("_op_p", "_op_n", key.alias("_op_k"))
+    )
+    # cum(p) = rows in partitions strictly before p in walk order
+    t = totals.alias("t")
+    u = totals.alias("u")
+    cumt = (
+        t.join(F.broadcast(u), F.col("u._op_k") < F.col("t._op_k"), "left")
+        .groupBy(F.col("t._op_p"), F.col("t._op_n"), F.col("t._op_k"))
+        .agg(F.coalesce(F.sum("u._op_n"), F.lit(0)).alias("_op_cum"))
+        .select(
+            F.col("t._op_p").alias("_op_p"),
+            F.col("t._op_n").alias("_op_n"),
+            F.col("t._op_k").alias("_op_k"),
+            "_op_cum",
+        )
+    )
+    s = cumt.alias("s")
+    d = cumt.alias("d")
+    between = (
+        F.col("d._op_cum") - F.col("s._op_cum") - F.col("s._op_n")
+    )
+    return (
+        s.join(F.broadcast(d), F.col("d._op_k") > F.col("s._op_k"))
+        .select(
+            F.col("s._op_p").alias("_src"),
+            (F.lit(need) - between).cast("int").alias("_lim"),
+            F.col("d._op_p").alias("_dst"),
+        )
+        .filter(F.col("_lim") > 0)
+    )
+
+
 def ordered_lag(
     df: DataFrame,
     sort_keys: list[tuple[str, str]],
@@ -210,30 +273,27 @@ def ordered_lag(
         .withColumn("_olg_part", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
-    counts = sorted(
-        (r["_olg_part"], r["_c"])
-        for r in base.groupBy("_olg_part").agg(F.count(F.lit(1)).alias("_c")).collect()
+    # round 11: the replication plan is computed IN-PLAN from the
+    # checkpointed base (overlap_plan — same math as the former driver
+    # collect + chained_overlap_entries, now a broadcast subtree inside
+    # the caller's one job). Internal names carry the operator prefix so
+    # a user column literally named _rn/_lim/_dst can't collide
+    # (AMBIGUOUS_REFERENCE after the join, or silent overwrite).
+    remap = overlap_plan(base, "_olg_part", offset, successors=False).select(
+        F.col("_src").alias("_olg_part"),
+        F.col("_lim").alias("_olg_lim"),
+        F.col("_dst").alias("_olg_dst"),
     )
-    plan = chained_overlap_entries(counts, offset, successors=False)
-    if plan:
-        # internal names carry the operator prefix so a user column
-        # literally named _rn/_lim/_dst can't collide (AMBIGUOUS_REFERENCE
-        # after the join, or silent overwrite)
-        remap = spark.createDataFrame(
-            plan, "_olg_part int, _olg_lim int, _olg_dst int"
-        )
-        w_desc = Window.partitionBy("_olg_part").orderBy(*_cols(rev=True))
-        tails = (
-            base.withColumn("_olg_rn", F.row_number().over(w_desc))
-            .join(F.broadcast(remap), "_olg_part")
-            .filter(F.col("_olg_rn") <= F.col("_olg_lim"))
-            .drop("_olg_rn", "_olg_lim", "_olg_part")
-            .withColumnRenamed("_olg_dst", "_olg_part")
-            .withColumn("_olg_rep", F.lit(True))
-        )
-        aug = base.withColumn("_olg_rep", F.lit(False)).unionByName(tails)
-    else:
-        aug = base.withColumn("_olg_rep", F.lit(False))
+    w_desc = Window.partitionBy("_olg_part").orderBy(*_cols(rev=True))
+    tails = (
+        base.withColumn("_olg_rn", F.row_number().over(w_desc))
+        .join(F.broadcast(remap), "_olg_part")
+        .filter(F.col("_olg_rn") <= F.col("_olg_lim"))
+        .drop("_olg_rn", "_olg_lim", "_olg_part")
+        .withColumnRenamed("_olg_dst", "_olg_part")
+        .withColumn("_olg_rep", F.lit(True))
+    )
+    aug = base.withColumn("_olg_rep", F.lit(False)).unionByName(tails)
     w_asc = Window.partitionBy("_olg_part").orderBy(*_cols())
     return (
         aug.withColumn(lag_name, F.lag(value_col, offset).over(w_asc))

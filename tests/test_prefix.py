@@ -178,6 +178,44 @@ def test_chained_overlap_entries_properties():
                     )
 
 
+def test_overlap_plan_matches_chained_overlap_entries(spark):
+    """The round-11 IN-PLAN replication plan (the broadcast subtree that
+    replaced the last driver collects in ordered_lag /
+    sorted-neighborhood) emits exactly the (src, take, dst) set of the
+    driver-side walk, capped at each source's row count — including
+    gapped partition ids (empty ranges absent from the counts) and both
+    walk directions."""
+    from etl_manager_spark.operators.prefix import (
+        chained_overlap_entries,
+        overlap_plan,
+    )
+
+    cases = [
+        [(0, 1), (1, 1), (2, 1), (3, 1)],
+        [(0, 5), (2, 1), (5, 3)],          # gaps = empty partitions
+        [(1, 2)],                           # single partition: empty plan
+        [(0, 1), (1, 4), (2, 1), (3, 2), (4, 1)],
+    ]
+    for counts in cases:
+        rows = [(p,) for p, c in counts for _ in range(c)]
+        base = spark.createDataFrame(rows, "_p int")
+        for need in (1, 2, 3):
+            for successors in (True, False):
+                expected = {
+                    (src, min(lim, dict(counts)[src]), dst)
+                    for src, lim, dst in chained_overlap_entries(
+                        counts, need, successors
+                    )
+                }
+                got = {
+                    (r["_src"], min(r["_lim"], dict(counts)[r["_src"]]), r["_dst"])
+                    for r in overlap_plan(
+                        base, "_p", need, successors
+                    ).collect()
+                }
+                assert got == expected, (counts, need, successors)
+
+
 def test_ntile_from_rank_matches_ansi_ntile(spark):
     # N not divisible by tiles → uneven buckets, the tricky branch
     for n in (3, 7, 12, 25, 100):

@@ -31,7 +31,7 @@ def main() -> None:
     from etl_manager_spark.workloads import load_registry
 
     registry = load_registry()
-    spark = build_session(cpus, "etl_manager_spark-ab")
+    spark = build_session(cpus, "etl_manager_spark-ab", experiment=True)
     spark.sparkContext.setLogLevel("ERROR")
     warm_batch(spark, sf_dir)
     if any(registry[n].category == "streaming" for n in names):

@@ -40,7 +40,7 @@ def main() -> None:
     )
     os.makedirs(out_dir, exist_ok=True)
 
-    spark = build_session(cpus, "etl_manager_spark-plan-capture")
+    spark = build_session(cpus, "etl_manager_spark-plan-capture", experiment=True)
     spark.sparkContext.setLogLevel("ERROR")
     for name in names:
         entry = registry[name]

@@ -42,7 +42,7 @@ def main() -> None:
     from etl_manager_spark.workloads import load_registry
 
     registry = load_registry()
-    spark = build_session(cpus, "etl_manager_spark-isolate")
+    spark = build_session(cpus, "etl_manager_spark-isolate", experiment=True)
     spark.sparkContext.setLogLevel("ERROR")
     warm_batch(spark, sf_dir)
     if any(registry[n].category == "streaming" for n in names):

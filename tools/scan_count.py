@@ -35,7 +35,7 @@ def main() -> None:
     from etl_manager_spark.workloads import load_registry
 
     registry = load_registry()
-    spark = build_session(cpus, "etl_manager_spark-scan-count")
+    spark = build_session(cpus, "etl_manager_spark-scan-count", experiment=True)
     spark.sparkContext.setLogLevel("ERROR")
 
     out: dict[str, dict] = {}
