@@ -232,19 +232,35 @@ def connected_components_star(
     )
 
     def large_star(e: DataFrame) -> DataFrame:
+        # PRECONDITION: e is oriented u > v (the canonical orientation
+        # above; small_star's output preserves it — see its note).
+        # Round-11 fused round (verdict item 6): with oriented input,
+        # "(u, v) ∈ sym with v > u" is exactly the canonical edge set
+        # read backwards, so the textbook emit — for every center c and
+        # larger neighbor w: (w, m(c)) — is ONE join of e against the
+        # per-node neighborhood minimum ON THE SMALL ENDPOINT. The old
+        # form joined the 2|E|-row symmetric view a second time and paid
+        # a full distinct per round; duplicates are harmless downstream
+        # (small_star's aggregations are MIN and it closes with the
+        # round's one distinct), so both are gone.
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
-        m = mins.select("u", F.least("u", "mn").alias("m"))
+        m = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select(F.col("u").alias("_c"), F.least("u", "mn").alias("m"))
+        )
         return (
-            sym.join(m, "u")
-            .filter(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            e.join(m, e["v"] == m["_c"])
+            .select(F.col("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
         )
 
     def small_star(e: DataFrame) -> DataFrame:
-        # input oriented u > v; per u: link {v-neighbors} ∪ {u} to their min
+        # input oriented u > v (large_star emits (w, m) with m < w),
+        # possibly with duplicates; per u: link {v-neighbors} ∪ {u} to
+        # their min. Output is oriented again — from_u: m < u by
+        # construction; from_v: m ≤ v with equals filtered — so the
+        # round's closing distinct is the only dedup the pair needs.
         mins = e.groupBy("u").agg(F.min("v").alias("m"))
         from_u = mins.select(F.col("u"), F.col("m").alias("v"))
         from_v = (
