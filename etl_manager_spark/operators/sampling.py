@@ -146,55 +146,37 @@ def assign_row_ids(
 
     Scale shape: range-partition on the order keys (one shuffle —
     contiguous key ranges per partition), count rows per partition (tiny
-    aggregate), prefix-sum the counts on the driver (O(partitions)
-    scalars, not rows), then broadcast the offsets back so each partition
-    numbers its own rows locally: id = partition_offset + local
-    row_number. The per-partition window partitions BY partition id, so
-    no partition ever holds more than its own slice.
+    aggregate), prefix-sum those O(partitions) scalars IN-PLAN and
+    broadcast the offsets back so each partition numbers its own rows
+    locally: id = partition_offset + local row_number. The per-partition
+    window partitions BY partition id, so no partition ever holds more
+    than its own slice. Round 11: the offsets ride
+    :func:`operators.prefix.ordered_cumsum`'s broadcast prefix-sum
+    subtree (id ≡ the global 1-based rank − 1) — the former per-call
+    driver ``collect`` of the counts + ``createDataFrame`` re-upload was
+    an extra eager job and a full driver barrier, the same pattern
+    rounds 10–11 removed from the CDF/prefix machinery.
 
     ``order_cols`` must be a total order (include a tiebreaker key) for
     the ids to be reproducible."""
-    from pyspark.sql import Window
+    from etl_manager_spark.operators.prefix import ordered_cumsum
 
-    cols = [F.col(c) for c in order_cols]
-    parts = df.sparkSession.sparkContext.defaultParallelism
-    # localCheckpoint pins ONE materialization: the counts pass and the
-    # numbering pass must observe the identical partition assignment
-    # (range boundaries come from a sample — recomputing the shuffle for
-    # each pass could legally re-draw them)
-    for reserved in ("_rid_part", "_rid_offset"):
+    for reserved in ("_ocs_part", "_ocs_n0", "_rid_rank"):
         if reserved in df.columns:
             raise ValueError(
                 f"assign_row_ids: input may not contain {reserved!r} "
                 "(internal staging column — it would be overwritten and "
                 "dropped)"
             )
-    sorted_df = (
-        df.repartitionByRange(n_partitions or parts, *cols)
-        .withColumn("_rid_part", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+    out = ordered_cumsum(
+        df,
+        [F.col(c).asc() for c in order_cols],
+        rank_name="_rid_rank",
+        n_partitions=n_partitions,
     )
-    counts = (
-        sorted_df.groupBy("_rid_part").count().orderBy("_rid_part").collect()
-    )
-    offsets, acc = {}, 0
-    for row in counts:
-        offsets[row["_rid_part"]] = acc
-        acc += row["count"]
-    offset_df = df.sparkSession.createDataFrame(
-        [(p, o) for p, o in offsets.items()], "_rid_part int, _rid_offset long"
-    )
-    local = Window.partitionBy("_rid_part").orderBy(*cols)
-    return (
-        sorted_df.join(F.broadcast(offset_df), "_rid_part")
-        .withColumn(
-            id_name,
-            (F.row_number().over(local) - F.lit(1) + F.col("_rid_offset")).cast(
-                "long"
-            ),
-        )
-        .drop("_rid_part", "_rid_offset")
-    )
+    return out.withColumn(
+        id_name, (F.col("_rid_rank") - F.lit(1)).cast("long")
+    ).drop("_rid_rank")
 
 
 def temperature_resample(

@@ -2541,9 +2541,10 @@ def assign_row_ids_orders(spark, sf_dir):
     """Dense global row ids (operators/sampling.py: assign_row_ids) in
     (o_orderdate, o_orderkey) order — WITHOUT the single-partition
     bottleneck of a global row_number window: range-partition, per-
-    partition counts, driver prefix-sum over O(partitions) scalars,
-    broadcast offsets, local numbering. Oracle: the classic (bottlenecked)
-    ROW_NUMBER form, which must agree exactly."""
+    partition counts, in-plan prefix-sum over O(partitions) scalars
+    (broadcast offsets riding ordered_cumsum's subtree — no driver
+    collect since round 11), local numbering. Oracle: the classic
+    (bottlenecked) ROW_NUMBER form, which must agree exactly."""
     from etl_manager_spark.operators.sampling import assign_row_ids
 
     t = load_tables(spark, sf_dir)

@@ -358,14 +358,54 @@ def test_assign_row_ids_dense_ordered_deterministic(spark):
 
 def test_assign_row_ids_no_global_single_partition_window(spark):
     """The plan must NOT contain a partition-less window (the whole point:
-    global row_number() funnels every row through one task)."""
+    global row_number() funnels every row through one task). The
+    row_number window must be partitioned by the internal range-partition
+    id (``_ocs_part`` since the round-11 delegation to ordered_cumsum)."""
     from etl_manager_spark.operators.sampling import assign_row_ids
 
     df = spark.range(1000).select(F.col("id").alias("k"))
     plan = assign_row_ids(df, order_cols=["k"])._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
     for line in plan.splitlines():
-        if "Window" in line and "row_number" in line:
-            assert "partitionBy" not in line or "_rid_part" in line, line
+        if "row_number" in line and "windowspecdefinition" in line:
+            assert "_ocs_part" in line, line
+
+
+def test_assign_row_ids_construction_runs_only_the_checkpoint_jobs(spark):
+    """Round-11 contract: building the row-id plan triggers ONLY the jobs
+    of ordered_cumsum's eager base localCheckpoint — the former shape
+    additionally paid a per-partition-counts ``collect`` (an extra eager
+    job wave and a driver barrier) plus a ``createDataFrame`` offsets
+    re-upload per call. Job counts are deltas of the MAX job id (globally
+    monotonic — robust to status-tracker eviction in long suite runs)."""
+    from etl_manager_spark.operators.sampling import assign_row_ids
+
+    df = spark.range(10_000).select(
+        F.pmod(F.col("id") * 7919, F.lit(10_000)).alias("k")
+    )
+    tracker = spark.sparkContext.statusTracker()
+
+    def max_job_id() -> int:
+        ids = tracker.getJobIdsForGroup(None)
+        return max(ids) if ids else -1
+
+    before = max_job_id()
+    (
+        df.repartitionByRange(7, F.asc("k"))
+        .withColumn("_p", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    checkpoint_jobs = max_job_id() - before
+
+    before = max_job_id()
+    out = assign_row_ids(df, order_cols=["k"], n_partitions=7)
+    construction_jobs = max_job_id() - before
+    assert construction_jobs <= checkpoint_jobs, (
+        f"construction ran {construction_jobs} jobs vs {checkpoint_jobs} "
+        "for the checkpoint alone — an extra eager action (the old "
+        "counts collect?) is back"
+    )
+    assert out.count() == 10_000
 
 
 def test_incremental_minhash_stored_sigs_equal_recompute(spark, sf_dir):
@@ -477,6 +517,6 @@ def test_assign_row_ids_refuses_reserved_names(spark):
 
     from etl_manager_spark.operators.sampling import assign_row_ids
 
-    df = spark.createDataFrame([(1, 2)], "id long, _rid_part long")
-    with _pytest.raises(ValueError, match="_rid_part"):
+    df = spark.createDataFrame([(1, 2)], "id long, _ocs_part long")
+    with _pytest.raises(ValueError, match="_ocs_part"):
         assign_row_ids(df, ["id"])
