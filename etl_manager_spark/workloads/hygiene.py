@@ -1125,17 +1125,26 @@ def embedding_drift_halves(spark, sf_dir):
             "struct(i AS dim, CAST(floor(element_at(emb, i) * 1000000000.0 + 0.5) AS BIGINT) AS x_q))"
         )).alias("d"),
     ).select("half", F.col("d.dim").alias("dim"), F.col("d.x_q").alias("x_q"))
-    means = dims.groupBy("half", "dim").agg(
-        (
-            F.sum("x_q").cast("double") / F.count(F.lit(1)).cast("double")
+    # round 11: both halves' means in ONE conditional aggregation keyed by
+    # dim — the former (half, dim) aggregate + 128-row eager checkpoint +
+    # half-filter self-join paid a full barrier wave and an extra join for
+    # what a pair of SUM(CASE WHEN …) columns computes in the same pass
+    # (§2.4). Arithmetic is replayed exactly: SUM(long)::double /
+    # COUNT(rows of that half)::double / 1e9 — NULL-half rows fall out of
+    # both conditionals just as the oracle's a.half=0/b.half=1 join drops
+    # them, and a missing half yields NULL means, which the try_-guarded
+    # folds below collapse to the oracle's (NULL, NULL) row either way.
+    def _half(h):
+        cnt = F.sum(F.when(F.col("half") == h, F.lit(1)))
+        return (
+            F.sum(F.when(F.col("half") == h, F.col("x_q"))).cast("double")
+            / cnt.cast("double")
             / F.lit(1000000000.0)
-        ).alias("m")
-    # 128-row (half, dim) means consumed by both half-filters — one
-    # embedding-explode pass, not two (§8)
-    ).localCheckpoint(eager=True)
-    a = means.filter(F.col("half") == 0).select("dim", F.col("m").alias("m0"))
-    b = means.filter(F.col("half") == 1).select("dim", F.col("m").alias("m1"))
-    paired = a.join(b, "dim")
+        )
+
+    paired = dims.groupBy("dim").agg(
+        _half(0).alias("m0"), _half(1).alias("m1")
+    )
     vecs = paired.agg(
         F.expr("transform(sort_array(collect_list(struct(dim, m0))), s -> s.m0)").alias("v0"),
         F.expr("transform(sort_array(collect_list(struct(dim, m1))), s -> s.m1)").alias("v1"),
