@@ -157,6 +157,7 @@ def profile_approx_quantiles(
     rel_tol: float = 0.05,
     accuracy: int = 10_000,
     max_groups: int = 100_000,
+    n_groups_hint: int | None = None,
 ) -> "DataFrame":
     """Per-group quantiles with exact values AND flags that the
     approx_percentile sketch (Greenwald-Khanna, ``accuracy``) lands
@@ -184,9 +185,16 @@ def profile_approx_quantiles(
     # round 10: the CDF operator is lazy (its few-groups contract raises
     # at EXECUTION, not construction), so the fallback decision needs an
     # explicit bounded probe — one LIMIT-capped distinct count, never
-    # more than max_groups+1 rows regardless of true cardinality
+    # more than max_groups+1 rows regardless of true cardinality.
+    # Round 11: a caller that KNOWS its group column's cardinality class
+    # (a low-cardinality status/priority enum) passes ``n_groups_hint``
+    # and skips the probe's eager job — the choice only picks between two
+    # value-identical plans, and a wrong "few" hint still fails loudly at
+    # execution via the CDF machinery's in-plan assert_true contract.
     n_groups = (
-        df.select(group_col).distinct().limit(max_groups + 1).count()
+        n_groups_hint
+        if n_groups_hint is not None
+        else df.select(group_col).distinct().limit(max_groups + 1).count()
     )
     if n_groups <= max_groups:
         exact = grouped_exact_percentiles(

@@ -2522,7 +2522,13 @@ def profile_approx_quantiles_orders(spark, sf_dir):
 
     t = load_tables(spark, sf_dir)
     return profile_approx_quantiles(
-        t["orders"], group_col="o_orderpriority", value_col="o_totalprice"
+        t["orders"],
+        group_col="o_orderpriority",
+        value_col="o_totalprice",
+        # o_orderpriority is a 5-value enum: skip the cardinality probe's
+        # eager job; the CDF machinery's in-plan contract still enforces
+        # the few-groups bound at execution
+        n_groups_hint=5,
     )
 
 

@@ -94,3 +94,60 @@ def test_profile_approx_quantiles_dirty_group_keys_and_fallback(spark):
     got_med = {r["g"]: r["p0_5_exact"] for r in out.collect()}
     exp_med = {r["g"]: r["p0_5_exact"] for r in exp.collect()}
     assert got_med == exp_med
+
+
+def test_profile_approx_quantiles_n_groups_hint(spark):
+    """Round-11 contract: ``n_groups_hint`` skips the per-call
+    cardinality-probe job (a full input pass at scale) but changes
+    nothing else — identical rows to the probing path, and a WRONG
+    "few" hint still fails loudly at execution via the CDF machinery's
+    in-plan assert_true few-groups contract."""
+    from pyspark.sql.utils import AnalysisException  # noqa: F401
+
+    from etl_manager_spark.validation import profile_approx_quantiles
+
+    rows = [("a", 1.0), ("a", 2.0), ("b", 3.0), (None, 10.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    probed = {
+        tuple(r) for r in profile_approx_quantiles(df, "g", "v").collect()
+    }
+    hinted = {
+        tuple(r)
+        for r in profile_approx_quantiles(
+            df, "g", "v", n_groups_hint=3
+        ).collect()
+    }
+    assert probed == hinted and len(probed) == 3
+
+    tracker = spark.sparkContext.statusTracker()
+
+    def max_job_id() -> int:
+        ids = tracker.getJobIdsForGroup(None)
+        return max(ids) if ids else -1
+
+    # plan construction still pays the CDF machinery's checkpoint jobs,
+    # but the hint must shave the probe's own job(s): construction with
+    # the hint runs strictly fewer jobs than construction with the probe
+    before = max_job_id()
+    profile_approx_quantiles(df, "g", "v", n_groups_hint=3)
+    hinted_jobs = max_job_id() - before
+    before = max_job_id()
+    profile_approx_quantiles(df, "g", "v")
+    probed_jobs = max_job_id() - before
+    assert hinted_jobs < probed_jobs, (hinted_jobs, probed_jobs)
+
+    # a hint above max_groups picks the builtin fallback (same values)
+    big = spark.range(120).selectExpr("id as g", "cast(id as double) as v")
+    out = profile_approx_quantiles(
+        big, "g", "v", max_groups=50, n_groups_hint=120
+    )
+    assert out.count() == 120
+
+    # a WRONG few-hint fails loudly at execution (in-plan contract)
+    import pytest as _pytest
+
+    wrong = profile_approx_quantiles(
+        big, "g", "v", max_groups=50, n_groups_hint=5
+    )
+    with _pytest.raises(Exception, match="grouped percentiles"):
+        wrong.collect()
