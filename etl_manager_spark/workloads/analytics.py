@@ -3068,15 +3068,22 @@ def equidepth_bins_orders_price(spark, sf_dir):
         .groupBy(F.col("o_totalprice").alias("v"))
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    tot = vc.groupBy().agg(F.sum("c").cast("long").alias("n"))
-    cum = (
-        ordered_cumsum(vc, [F.asc("v")], ["c"])
-        .crossJoin(F.broadcast(tot))
-        .select("v", F.col("c_cum").alias("cum"), "n")
+    # round 11 (§6): every consumer below reads ordered_cumsum's
+    # checkpointed distinct-value table — the former shape re-aggregated
+    # the lazy vc for the grand total AND for the binning pass, planning
+    # TWO extra parquet scans of the fact table. The total is SUM(c)
+    # over the checkpointed table (exact integers, NULL on an empty
+    # table, matching the oracle's SUM() OVER ()); the tot and binned
+    # branches touch only (v, c), so column pruning drops the cumsum
+    # window from both — only the edges branch pays it.
+    cum = ordered_cumsum(vc, [F.asc("v")], ["c"]).select(
+        "v", "c", F.col("c_cum").alias("cum")
     )
+    tot = cum.groupBy().agg(F.sum("c").cast("long").alias("n"))
     deciles = spark.range(1, 10).select(F.col("id").alias("d"))
     edges = (
-        cum.crossJoin(F.broadcast(deciles))
+        cum.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(deciles))
         .filter(
             F.col("cum")
             >= F.ceil(F.col("n") * F.col("d") / F.lit(10.0)).cast("long")
@@ -3084,11 +3091,12 @@ def equidepth_bins_orders_price(spark, sf_dir):
         .groupBy("d")
         .agg(F.min("v").alias("edge"))
     )
-    # bin the DISTINCT-value table (vc), not the fact table: the ≤9-way
+    # bin the DISTINCT-value table, not the fact table: the ≤9-way
     # edge fan-out touches |distinct| rows; the fact table is only ever
-    # hash-aggregated
+    # hash-aggregated (once, inside the cumsum checkpoint)
     binned = (
-        vc.join(F.broadcast(edges), F.col("v") > F.col("edge"), "left")
+        cum.select("v", "c")
+        .join(F.broadcast(edges), F.col("v") > F.col("edge"), "left")
         .groupBy("v", "c")
         .agg((F.lit(1) + F.count("edge")).cast("int").alias("bin"))
     )
