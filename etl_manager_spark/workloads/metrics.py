@@ -851,10 +851,15 @@ def theil_sen_daily_value_trend(spark, sf_dir):
 
     daily = _daily_mean(spark, sf_dir)
     mn = daily.groupBy().agg(F.min("day").alias("d0"))
+    # no checkpoint (round 11): idx is |days| rows derived from the
+    # already-checkpointed daily table by a broadcast join — the two
+    # self-join branches re-derive it from the checkpoint for free
+    # (days-bounded, zero fact scans), and the former eager checkpoint
+    # here was a full barrier wave per invocation
     idx = daily.crossJoin(F.broadcast(mn)).select(
         F.datediff(F.col("day"), F.col("d0")).cast("long").alias("i"),
         "mv_q",
-    ).localCheckpoint(eager=True)
+    )
     a, b = idx.alias("a"), idx.alias("b")
     slopes = a.join(b, F.col("a.i") < F.col("b.i")).select(
         F.lit(1).alias("_g"),
