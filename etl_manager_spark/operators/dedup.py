@@ -17,7 +17,7 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from etl_manager_spark.operators.text import tokens
@@ -220,7 +220,11 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    # canonical orientation u > v, self-loops dropped
+    # canonical orientation u > v, self-loops dropped. Round 11: edge
+    # counts ride the checkpoint job as an observed metric — the former
+    # separate .count() was one-to-two extra jobs PER ROUND (the
+    # checkpointed scan is cheap, but each count is a full job barrier).
+    obs0 = Observation()
     edges = (
         pairs.select(
             F.greatest(F.col(id_a), F.col(id_b)).alias("u"),
@@ -228,6 +232,7 @@ def connected_components_star(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .observe(obs0, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
 
@@ -271,13 +276,20 @@ def connected_components_star(
         return from_u.union(from_v).distinct()
 
     converged = False
-    n_edges = edges.count()
+    n_edges = int(obs0.get["n"])
     for _ in range(max_iterations):
-        new_edges = small_star(large_star(edges)).localCheckpoint(eager=True)
+        obs = Observation()
+        new_edges = (
+            small_star(large_star(edges))
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)
+        )
         # set-equality in ONE subtraction job, not two: both sides are
         # duplicate-free (distinct), so equal counts + empty A∖B imply
-        # equality; counts are cheap scans of the checkpointed results
-        n_new = new_edges.count()
+        # equality; the counts ride the checkpoint jobs as observed
+        # metrics (zero extra jobs — obs.get returns after the eager
+        # checkpoint has materialized)
+        n_new = int(obs.get["n"])
         changed = (
             1
             if n_new != n_edges
@@ -366,9 +378,11 @@ def near_dup_clusters(
             F.lit(None).cast(labels.schema["cluster_id"].dataType).alias("old_label"),
         )
         # Carry the previous label through the SAME aggregation (old_label is
-        # non-NULL exactly once per id), so convergence is decided by a cheap
-        # scan of the checkpointed result instead of a second join+shuffle job
-        # per round.
+        # non-NULL exactly once per id), and ride the changed-row count on
+        # the checkpoint job as an observed metric (round 11) — the former
+        # limit(1).count() over the checkpointed result was still a full
+        # extra job barrier per round.
+        obs = Observation()
         agged = (
             neighbor_labels.unionByName(
                 labels.withColumn("old_label", F.col("cluster_id"))
@@ -378,11 +392,15 @@ def near_dup_clusters(
                 F.min("cluster_id").alias("cluster_id"),
                 F.max("old_label").alias("old_label"),
             )
+            .observe(
+                obs,
+                F.count(
+                    F.when(F.col("cluster_id") != F.col("old_label"), 1)
+                ).alias("chg"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            agged.filter(F.col("cluster_id") != F.col("old_label")).limit(1).count()
-        )
+        changed = int(obs.get["chg"])
         labels = agged.select("id", "cluster_id")
         if changed == 0:
             converged = True

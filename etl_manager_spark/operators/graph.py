@@ -17,7 +17,7 @@ quantization rule.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -235,15 +235,20 @@ def bfs_distances(
     )
     frontier = visited
     for depth in range(1, max_depth + 1):
+        # round 11: the frontier-emptiness probe rides the checkpoint job
+        # as an observed metric — the former limit(1).count() was an
+        # extra job barrier per BFS layer
+        obs = Observation()
         nxt = (
             frontier.join(sym, frontier["id"] == sym["src"])
             .select(F.col("dst").alias("id"))
             .distinct()
             .join(visited, on="id", how="anti")
             .select("id", F.lit(depth).cast("int").alias("dist"))
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
-        if nxt.limit(1).count() == 0:
+        if int(obs.get["n"]) == 0:
             break
         visited = visited.unionAll(nxt).localCheckpoint(eager=True)
         frontier = nxt
@@ -282,12 +287,16 @@ def kcore_subgraph(
 
     Returns the surviving canonical edge list (id_a < id_b).
     """
+    # round 11: edge counts ride the checkpoint jobs as observed metrics
+    # instead of a separate .count() job per peeling round
+    obs0 = Observation()
     e = (
         pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
         .distinct()
+        .observe(obs0, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
-    n_edges = e.count()
+    n_edges = int(obs0.get["n"])
     for _ in range(max_rounds):
         sym = e.select(F.col("a").alias("node")).unionAll(
             e.select(F.col("b").alias("node"))
@@ -298,13 +307,15 @@ def kcore_subgraph(
             .filter(F.col("deg") >= k)
             .select("node")
         )
+        obs = Observation()
         e2 = (
             e.join(keep.withColumnRenamed("node", "a"), on="a", how="semi")
             .join(keep.withColumnRenamed("node", "b"), on="b", how="semi")
             .select("a", "b")
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
-        n2 = e2.count()
+        n2 = int(obs.get["n"])
         if n2 == n_edges:
             return e2.select(F.col("a").alias(id_a), F.col("b").alias(id_b))
         e, n_edges = e2, n2

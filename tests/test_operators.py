@@ -1780,3 +1780,40 @@ def test_cap_per_group_and_heavy_hitters_guards(spark):
     df2 = spark.createDataFrame([(1,)], "cnt long")
     with pytest.raises(ValueError, match="cnt"):
         heavy_hitters_two_pass(df2, "cnt")
+
+
+def test_iterative_loops_observed_counts_no_extra_jobs_and_empty_safe(spark):
+    """Round-11 contract: the iterative loops' convergence probes ride
+    their checkpoint jobs as observed metrics (DataFrame.observe) instead
+    of a separate .count() job per round. Pin (a) correctness on empty
+    and degenerate inputs — the new failure mode would be Observation.get
+    hanging on a zero-row materialization — and (b) labels still exact
+    on a multi-component graph. (The job economy itself — ~8 fewer jobs
+    per graph query — is pinned by the committed job-profile evidence,
+    not asserted here: AQE's jobs-per-materialization varies across
+    Spark versions and configs, so an absolute ceiling is brittle.)"""
+    from etl_manager_spark.operators.dedup import (
+        connected_components_star,
+        near_dup_clusters,
+    )
+    from etl_manager_spark.operators.graph import bfs_distances, kcore_subgraph
+
+    # empty inputs: every loop terminates immediately (observe returns 0)
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components_star(empty).count() == 0
+    assert kcore_subgraph(empty, k=2).count() == 0
+    assert near_dup_clusters(empty).count() == 0
+
+    # single-edge BFS: one layer then an empty frontier (observed 0 breaks)
+    one = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    got = {r.id: r.dist for r in bfs_distances(one, source_id=1).collect()}
+    assert got == {1: 0, 2: 1}
+
+    # exact labels on a known 2-component graph (chain + triangle path)
+    edges = [(i, i + 1) for i in range(8)] + [(100, 101), (101, 102)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r.id: r.cluster_id
+        for r in connected_components_star(pairs, max_iterations=12).collect()
+    }
+    assert got == {**{i: 0 for i in range(9)}, 100: 100, 101: 100, 102: 100}
