@@ -4897,15 +4897,29 @@ def heaps_law_fit_documents(spark, sf_dir):
     slope over the 8 quantized points (the zipf_fit discipline)."""
     t = load_tables(spark, sf_dir)
     docs = spread(t["documents"], spark)
-    n_docs = docs.count()
-    cps = [int(c / 500.0 * n_docs) for c in (63, 125, 188, 250, 313, 375, 438, 500)]
     tok = docs.select(
         "doc_id",
         F.explode(
             F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
         ).alias("tk"),
     )
-    scaled = spark.createDataFrame([(c,) for c in cps], "cp_n long")
+    # round 11: the checkpoint thresholds are computed IN-PLAN from a
+    # 1-row count aggregate riding the broadcast build — the former
+    # docs.count() was a separate eager job (a full corpus pass at scale)
+    # per invocation. FLOOR(c/500·n) over the count-double replays the
+    # former Python int() exactly (non-negative values, same IEEE order,
+    # and the oracle's own FLOOR formula).
+    nd = t["documents"].groupBy().agg(
+        F.count(F.lit(1)).cast("double").alias("_nd")
+    )
+    fracs = spark.createDataFrame(
+        [(c,) for c in (63, 125, 188, 250, 313, 375, 438, 500)], "c long"
+    )
+    scaled = fracs.crossJoin(F.broadcast(nd)).select(
+        F.floor(F.col("c").cast("double") / F.lit(500.0) * F.col("_nd"))
+        .cast("long")
+        .alias("cp_n")
+    )
     pts = (
         tok.join(F.broadcast(scaled), F.col("doc_id") < F.col("cp_n"))
         .groupBy("cp_n")
