@@ -3156,13 +3156,17 @@ def pareto_revenue_concentration(spark, sf_dir):
         .cast("long")
         .alias("rev_c")
     )
-    tot = per_cust.groupBy().agg(F.sum("rev_c").alias("total_c"))
     ranked = ordered_cumsum(
         per_cust,
         [F.desc("rev_c"), F.asc("o_custkey")],
         ["rev_c"],
         rank_name="rnk",
     ).select("rev_c", F.col("rev_c_cum").alias("cum_c"), "rnk")
+    # round 11 (§6): the grand total reads the cumsum's checkpointed
+    # per-customer table (the tot branch touches only rev_c, so column
+    # pruning drops the window) — totalling the LAZY per_cust re-planned
+    # a second full parquet scan of orders per invocation
+    tot = ranked.groupBy().agg(F.sum("rev_c").alias("total_c"))
     hit = F.when(
         F.col("cum_c") * 5 >= F.col("total_c") * 4, F.col("rnk")
     )

@@ -390,7 +390,12 @@ def rfm_user_scores(spark, sf_dir):
     ranked = ordered_cumsum(
         ranked, [F.desc("monetary"), F.asc("user_id")], rank_name="_m_rnk"
     )
-    n_users = agg.groupBy().agg(F.count(F.lit(1)).alias("_n_users"))
+    # round 11 (§6): count users off the (row-count-preserving) cumsum
+    # chain's checkpointed output — count(*) references no window column,
+    # so pruning reduces this branch to a scan of the last checkpoint;
+    # counting the LAZY agg re-planned a second full parquet scan of
+    # events per invocation
+    n_users = ranked.groupBy().agg(F.count(F.lit(1)).alias("_n_users"))
     return ranked.crossJoin(F.broadcast(n_users)).select(
         "user_id",
         ntile_from_rank("_r_rnk", "_n_users", 5).alias("r_score"),
