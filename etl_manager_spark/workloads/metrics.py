@@ -302,22 +302,31 @@ def average_precision_bm25(spark, sf_dir):
 # rank statistics
 
 
-def _avg_rank2(df, value_col: str, out_col: str):
+def _avg_rank2(df, value_col: str, out_col: str, keep_count: str | None = None):
     """Tie-aware average rank × 2 (so it stays INTEGER) per distinct
     value: avg position of a tie group of size c starting after
     cum_before rows = cum_before + (c+1)/2 → doubled: 2·cum_before+c+1.
     The cumulative count runs through the two-phase ordered_cumsum — no
-    single-partition window over the value domain."""
+    single-partition window over the value domain.
+
+    ``keep_count`` additionally exposes the per-value count as a column
+    (round 11): tie statistics (Σ c³−c) can then read the SAME
+    checkpointed value-count table — a caller re-deriving the counts
+    from its input re-plans a full parquet scan of the fact table, and a
+    branch touching only the count column prunes the cumsum window."""
     vc = df.groupBy(F.col(value_col).alias("v")).agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
     cum = ordered_cumsum(vc, [F.asc("v")], ["c"])
-    return cum.select(
+    cols = [
         F.col("v").alias(value_col),
         (F.lit(2) * F.col("c_cum") - F.col("c") + F.lit(1))
         .cast("long")
         .alias(out_col),
-    )
+    ]
+    if keep_count is not None:
+        cols.append(F.col("c").alias(keep_count))
+    return cum.select(*cols)
 
 
 @workload(
@@ -1336,8 +1345,10 @@ def mannwhitney_view_vs_click(spark, sf_dir):
         F.col("event_type").isin("view", "click")
         & F.col("value").isNotNull()
     ).select("event_type", "value")
-    r = _avg_rank2(pool, "value", "r2")
-    ranked = pool.join(r, on="value").select("event_type", "r2")
+    r = _avg_rank2(pool, "value", "r2", keep_count="_vc_c")
+    ranked = pool.join(r.select("value", "r2"), on="value").select(
+        "event_type", "r2"
+    )
     agg = ranked.agg(
         F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
         .cast("long")
@@ -1354,11 +1365,11 @@ def mannwhitney_view_vs_click(spark, sf_dir):
         .cast("long")
         .alias("r1_2"),
     )
-    vc = pool.groupBy(F.col("value").alias("v")).agg(
-        F.count(F.lit(1)).cast("long").alias("c")
-    )
-    c19 = F.col("c").cast("decimal(19,0)")
-    ties = vc.agg(
+    # tie stat off the rank table's checkpointed value-count column
+    # (round 11) — re-deriving (v, c) from pool re-planned a second
+    # parquet scan of events
+    c19 = F.col("_vc_c").cast("decimal(19,0)")
+    ties = r.agg(
         F.sum(c19 * c19 * c19 - c19).cast("double").alias("tie_t")
     )
     n1, n2 = F.col("n1"), F.col("n2")
@@ -1460,9 +1471,9 @@ def kruskal_wallis_value_by_type(spark, sf_dir):
         .filter(F.col("value").isNotNull())
         .select("event_type", "value")
     )
-    r = _avg_rank2(ev, "value", "r2")
+    r = _avg_rank2(ev, "value", "r2", keep_count="_vc_c")
     grp = (
-        ev.join(r.withColumnRenamed("value", "value"), on="value")
+        ev.join(r.select("value", "r2"), on="value")
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).cast("long").alias("nj"),
@@ -1483,11 +1494,11 @@ def kruskal_wallis_value_by_type(spark, sf_dir):
         F.sum("nj").cast("long").alias("n"),
         F.count(F.lit(1)).cast("long").alias("k"),
     )
-    vc = ev.groupBy(F.col("value").alias("v")).agg(
-        F.count(F.lit(1)).cast("long").alias("c")
-    )
-    c19 = F.col("c").cast("decimal(19,0)")
-    ties = vc.agg(
+    # tie stat off the rank table's checkpointed value-count column
+    # (round 11) — re-deriving (v, c) from ev re-planned a second
+    # parquet scan of events
+    c19 = F.col("_vc_c").cast("decimal(19,0)")
+    ties = r.agg(
         F.sum(c19 * c19 * c19 - c19).cast("double").alias("tie_t")
     )
     nD = F.col("n").cast("double")
