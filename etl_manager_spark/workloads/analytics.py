@@ -1226,13 +1226,24 @@ def welch_t_view_vs_click(spark, sf_dir):
             F.col("n") - F.lit(1),
         ).alias("var"),
     )
-    a = m.filter(F.col("event_type") == "view").select(
-        F.col("n").alias("n_view"), F.col("mean").alias("mean_a"), F.col("var").alias("var_a")
-    )
-    b = m.filter(F.col("event_type") == "click").select(
-        F.col("n").alias("n_click"), F.col("mean").alias("mean_b"), F.col("var").alias("var_b")
-    )
-    return a.crossJoin(b).select(
+    # round 11 (§2.4): pivot the <=2-row moment table to one row in a
+    # single pass — the former per-arm filter branches each re-planned
+    # the whole aggregate (2 parquet scans of events), and the 1x1 cross
+    # join is gone. min(when) is an exact passthrough (one row per arm);
+    # the existence filter on the never-NULL per-arm counts reproduces
+    # the oracle's empty-cross-join result when either arm is missing.
+    def arm(t, col, name):
+        return F.min(F.when(F.col("event_type") == t, F.col(col))).alias(name)
+
+    ab = m.groupBy().agg(
+        arm("view", "n", "n_view"),
+        arm("view", "mean", "mean_a"),
+        arm("view", "var", "var_a"),
+        arm("click", "n", "n_click"),
+        arm("click", "mean", "mean_b"),
+        arm("click", "var", "var_b"),
+    ).filter(F.col("n_view").isNotNull() & F.col("n_click").isNotNull())
+    return ab.select(
         "n_view",
         "n_click",
         R.quantize(F.col("mean_a")).alias("mean_view_q"),
